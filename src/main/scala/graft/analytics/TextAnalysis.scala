@@ -1,0 +1,89 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §7.4):
+  * tokenization, token counting, n-gram heuristic language ID, quality
+  * scoring, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (`split`, higher-order
+  * array functions, `regexp_*`, `md5`) — no UDFs, so the whole stage stays
+  * inside WholeStageCodegen and scales linearly with no shuffle at all
+  * (pure per-row projection).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization after pandas-parity trim. */
+  def tokens(c: Column): Column =
+    split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(tokensCol: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(tokensCol) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(tokensCol, i, lit(n)))))
+
+  /** Tiny per-language stopword lexicons for the n-gram language-ID
+    * heuristic. Public-knowledge top stopwords. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "los", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "est", "pas"))
+
+  /** Count of tokens that belong to `lexicon` (with multiplicity). */
+  def lexiconHits(tokensCol: Column, lexicon: Seq[String]): Column =
+    size(filter(tokensCol, tk => tk.isin(lexicon.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of stopword hits, fixed tie-break
+    * order (declaration order of `Stopwords`), 'und' (undetermined) when
+    * no lexicon hits at all. */
+  def langId(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val hits = Stopwords.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
+    // argmax with declaration-order tie-break: first lang (in declaration
+    // order) whose hits are > 0 and >= all others wins.
+    val cases = hits.zipWithIndex.map { case ((lang, h), i) =>
+      val others = hits.zipWithIndex.collect { case ((_, o), j) if j != i => o }
+      val geAll = others.foldLeft(h > 0) { (c, o) => c && h >= o }
+      (geAll, lang)
+    }
+    cases.foldRight(lit("und")) { case ((cond, lang), elseCol) =>
+      when(cond, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-scoring features: deterministic arithmetic only (integer
+    * counts and exact-operand divisions), so results are engine-stable. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    df.withColumn("n_chars_m", length(c).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_punct",
+        size(split(c, "[.,;:!?]", -1)).cast("long") - 1L)
+      .withColumn("n_stopwords",
+        lexiconHits(tokens(lower(c)), Stopwords.flatMap(_._2)).cast("long"))
+      .withColumn("avg_token_len",
+        (length(c) - (size(toks) - 1)).cast("double") / size(toks).cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Composite quality score in [0,1]-ish: longer docs with a healthy
+    * stopword ratio score higher. Deterministic double arithmetic. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol)
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+          + least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.5)
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text — the exact-dedup key (content-addressed, engine-portable). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(regexp_replace(c, "^\\s+|\\s+$", "")), "\\s+", " ")
+      .cast("binary"))
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** K1/K2/K3/O2: the warehouse-load layer.
+  *
+  * The reference loads staged Parquet into named tables with
+  * `COPY INTO ... MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE` (reference:
+  * airflow/dags/plugins/snowflake_load.py:168-208, SQL at 187-192) after
+  * an inferred `CREATE TABLE IF NOT EXISTS` (136-165). Daily files
+  * append-merge into the table (README.md:23,65).
+  *
+  * Spark mapping: case-insensitive by-name alignment =
+  * `unionByName(allowMissingColumns = true)` over lower-cased schemas;
+  * auto-DDL disappears (schema-on-read); append = `mode("append")`.
+  */
+object TableStore {
+
+  /** O2/K2: by-name, case-insensitive append-union of many daily batches
+    * with drifting schemas. Columns are matched by lower-cased name;
+    * columns missing on either side become null (reference semantics of
+    * MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE, snowflake_load.py:191). */
+  def appendByName(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "appendByName: no batches")
+    batches.map(Narrow.lowerCaseColumns)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** K1: Parquet write (snappy is Spark's default codec — reference:
+    * transform.py:124 `compression='snappy'`). */
+  def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** K2/K3: load a batch into a named warehouse table. Creates the table
+    * if absent (schema from the DataFrame — the reference's
+    * DDL-from-parquet-footer step is unnecessary in Spark), appends
+    * by-name otherwise. */
+  def loadIntoTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val normalized = Narrow.lowerCaseColumns(df)
+    if (spark.catalog.tableExists(table)) {
+      val existing = spark.table(table)
+      // align to the existing table's columns by name, add missing as null
+      val aligned = appendByName(Seq(existing.limit(0), normalized))
+      aligned.write.mode("append").format("parquet").saveAsTable(table)
+    } else {
+      normalized.write.format("parquet").saveAsTable(table)
+    }
+  }
+
+  /** C5: dbt-style materialization — `view` for staging models,
+    * `table` for dims/facts (reference: dbt staging models
+    * `materialized='view'`, dbt_project.yml:32-36). */
+  def materializeView(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  def materializeTable(spark: SparkSession, df: DataFrame, name: String): Unit =
+    Narrow.lowerCaseColumns(df).write.mode("overwrite")
+      .format("parquet").saveAsTable(name)
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Events
+
+/** Event-stream operators over the `events` table (SURVEY §2.8/§7.4). */
+object EventsQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // Tumbling 1-hour window aggregate. Oracle maps the bucket to
+    // date_trunc('hour') — identical for tumbling windows aligned to the
+    // epoch.
+    "q21_events_tumbling" -> q(
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY 1, 2""") { (s, dir) =>
+      Events.tumbling(t(s, dir, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("total_cents")))
+        .select("window_start", "event_type", "n", "total_cents")
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sliding window (1h every 15m): no clean single-statement ANSI
+    // equivalent without a generator — driver records rows-only.
+    "q22_events_sliding" -> qNoOracle { (s, dir) =>
+      Events.sliding(t(s, dir, "events"), "ts", "1 hour", "15 minutes",
+        Seq("event_type"), Seq(count(lit(1)).as("n")))
+        .select("window_start", "window_end", "event_type", "n")
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sessionization: 30-minute inactivity gap, lag + running sum.
+    "q23_events_sessionize" -> q(
+      """SELECT user_id,
+                CAST(max(session_seq) AS BIGINT) AS n_sessions,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM (
+           SELECT user_id,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              IS NULL THEN 1
+                         WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTE THEN 1
+                         ELSE 0 END AS is_new
+             FROM events))
+         GROUP BY user_id
+         ORDER BY user_id""") { (s, dir) =>
+      Events.sessionCounts(t(s, dir, "events"), "user_id", "ts", 1800L, "event_id")
+        .orderBy("user_id")
+    },
+
+    // JSON prop extraction (the engine's semi-structured story; the
+    // reference carries JSON complaints — s3_copy.py:113).
+    "q24_events_json" -> q(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // Exact distinct users per event type (baseline for the HLL variant).
+    "q25_events_distinct_users" -> q(
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // HLL (HyperLogLog++) distinct sketch — approximate by design, so no
+    // value oracle; correctness asserted vs exact counts in the test
+    // suite (±5% rsd).
+    "q26_events_hll_users" -> qNoOracle { (s, dir) =>
+      Events.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
+        .orderBy("event_type")
+    }
+  )
+}

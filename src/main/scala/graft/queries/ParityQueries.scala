@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Reference-parity operators (SURVEY §2) exercised over the driver test
+  * tables. Each entry pairs the Spark implementation (built from the
+  * library operators in graft.operators) with a DuckDB oracle.
+  *
+  * Every query carries a deterministic ORDER BY on both sides so the
+  * comparison is stable regardless of row-order sensitivity in the
+  * driver's hash.
+  */
+object ParityQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // S5 + P7: parquet scan with projection — column pruning must reach
+    // the scan (ReadSchema shows only 3 columns).
+    "q01_scan_project" -> q(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Filter pushdown: both predicates reach the parquet scan
+    // (PushedFilters in .explain).
+    "q02_filter_pushdown" -> q(
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+          && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P1: map-driven rename with pandas semantics (unknown keys ignored)
+    // — reference transform.py:91-92, maps at pipeline.py:49-99.
+    "q03_clean_rename" -> q(
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+                c_nationkey, c_acctbal, c_mktsegment AS segment
+         FROM customer ORDER BY customer_id""") { (s, dir) =>
+      Clean.renameColumns(Map(
+        "c_custkey" -> "customer_id", "c_name" -> "customer_name",
+        "c_mktsegment" -> "segment", "not_a_column" -> "ignored"))(
+        t(s, dir, "customer"))
+        .orderBy("customer_id")
+    },
+
+    // F5: "NULL"/"" literal narrowing — reference snowflake.tf:86.
+    "q04_clean_null_literals" -> q(
+      """SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0 THEN NULL
+                     WHEN c_custkey % 10 = 1 THEN NULL
+                     ELSE c_mktsegment END AS segment
+         FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val messy = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(""))
+          .when(col("c_custkey") % 10 === 1, lit("NULL"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+      Clean.normalizeNullLiterals(messy).orderBy("c_custkey")
+    },
+
+    // P4: pandas-parity trim (all whitespace classes, not just spaces)
+    // — reference transform.py:104-107.
+    "q05_clean_trim" -> q(
+      """SELECT c_custkey,
+                regexp_replace('  ' || chr(9) || c_name || ' ' || chr(10),
+                               '^\s+|\s+$', '', 'g') AS name
+         FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val messy = t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(lit("  \t"), col("c_name"), lit(" \n")).as("name"))
+      Clean.trimStrings(messy).orderBy("c_custkey")
+    },
+
+    // P3: exact full-row dedup — reference transform.py:97-102.
+    "q06_clean_dedup" -> q(
+      """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_suppkey, l_returnflag, l_linestatus""") { (s, dir) =>
+      Clean.dedupExact(
+        t(s, dir, "lineitem").select("l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
+    },
+
+    // P2: drop rows where every column is null — reference transform.py:95.
+    "q07_clean_drop_all_null" -> q(
+      """SELECT a, b FROM (
+           SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS a,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS b
+           FROM orders)
+         WHERE a IS NOT NULL OR b IS NOT NULL
+         ORDER BY a, b""") { (s, dir) =>
+      val messy = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(col("o_orderstatus")).as("a"),
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(col("o_orderpriority")).as("b"))
+      Clean.dropAllNullRows(messy).orderBy("a", "b")
+    },
+
+    // P1-P5 composed: the full clean pipeline in reference order
+    // (rename -> drop-all-null -> dedup -> trim) — transform.py:85-118.
+    "q08_clean_pipeline" -> q(
+      """SELECT c_custkey AS customer_id,
+                regexp_replace('  ' || c_name || chr(9), '^\s+|\s+$', '', 'g') AS name,
+                c_mktsegment AS segment
+         FROM customer ORDER BY customer_id""") { (s, dir) =>
+      val raw = t(s, dir, "customer").select(
+        col("c_custkey").as("Customer ID"),
+        concat(lit("  "), col("c_name"), lit("\t")).as("NaMe"),
+        col("c_mktsegment").as("segment"))
+      Clean.clean(Map(
+        "Customer ID" -> "customer_id", "NaMe" -> "name",
+        "missing col" -> "x"))(raw)
+        .orderBy("customer_id")
+    },
+
+    // J1-J3 + P6/P7: star-schema fact build — inner joins to broadcast
+    // dims as referential filters, fact columns only
+    // (reference: fact_call_logs.sql:3-16).
+    "q09_star_fact" -> q(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE p_size <= 25 AND s_nationkey < 13
+         ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      StarSchema.fact(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"),
+        Seq(
+          (t(s, dir, "part").filter(col("p_size") <= 25), "l_partkey", "p_partkey"),
+          (t(s, dir, "supplier").filter(col("s_nationkey") < 13), "l_suppkey", "s_suppkey")))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // O2/K2: case-insensitive by-name append-union across drifting schemas
+    // (reference: snowflake_load.py:191 MATCH_BY_COLUMN_NAME).
+    "q10_union_by_name" -> q(
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, NULL, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderstatus").as("O_ORDERSTATUS"),
+          col("o_orderkey").as("O_ORDERKEY")) // permuted, missing, re-cased
+      TableStore.appendByName(Seq(a, b)).orderBy("o_orderkey")
+    },
+
+    // J4/K4/I2: the file ledger's anti-join — candidates minus
+    // already-processed, keyed on (folder, file)
+    // (reference: snowflake_load.py:108-133).
+    "q11_ledger_anti" -> q(
+      """SELECT 'staging' AS folder_name, 'f_' || o_orderkey AS file_name
+         FROM orders WHERE o_orderkey >= 1000
+         ORDER BY file_name""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val candidates = o.select(
+        lit("staging").as("folder_name"),
+        concat(lit("f_"), col("o_orderkey").cast("string")).as("file_name"))
+      val ledger = o.filter(col("o_orderkey") < 1000).select(
+        lit("staging").as("folder_name"),
+        concat(lit("f_"), col("o_orderkey").cast("string")).as("file_name"),
+        current_timestamp().as("loaded_at"))
+      FileLedger.newFiles(candidates, ledger).orderBy("file_name")
+    },
+
+    // A2: `unique` data-quality test — duplicate keys with counts
+    // (reference: dbt facts/schema.yml:9-11).
+    "q12_quality_unique" -> q(
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+         GROUP BY l_orderkey HAVING count(*) > 1
+         ORDER BY l_orderkey""") { (s, dir) =>
+      Quality.uniqueViolations(t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy("l_orderkey")
+    },
+
+    // A3: `not_null` data-quality test — violating rows
+    // (reference: dbt facts/schema.yml:12-15).
+    "q13_quality_notnull" -> q(
+      """SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status FROM orders
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val withNulls = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", lit(null: String))
+          .otherwise(col("o_orderstatus")).as("status"))
+      Quality.notNullViolations(withNulls, "status").orderBy("o_orderkey")
+    },
+
+    // K3: the 3-type warehouse narrowing (NUMBER/FLOAT/VARCHAR)
+    // (reference: snowflake_load.py:147-154).
+    "q14_warehouse_narrow" -> q(
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                CAST(o_custkey AS BIGINT) AS o_custkey,
+                o_orderstatus, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+                o_orderpriority
+         FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      Narrow.toWarehouseTypes(t(s, dir, "orders")).orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Dedup, Multimodal, TextAnalysis}
+
+/** Text-analysis + dedup + multimodal operators over `documents`
+  * (SURVEY §7.4). Oracles mirror the token/lexicon arithmetic with DuckDB
+  * list functions; hash-based ops (MinHash/SimHash) are engine-specific
+  * by construction and register rows-only.
+  */
+object TextQueries {
+
+  // DuckDB equivalent of TextAnalysis.tokens: trim then regex-split.
+  private val toksSql =
+    """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
+  private val toksLowerSql =
+    """string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')"""
+
+  private def lexList(lex: Seq[String]): String =
+    lex.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs: Map[String, Q] = Map(
+
+    // Token counting (whitespace tokenizer).
+    "q27_text_tokens" -> q(
+      s"""SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens
+          FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic n-gram language ID: argmax of stopword-lexicon hits with
+    // declaration-order tie-break.
+    "q28_text_langid" -> q({
+      val hits = TextAnalysis.Stopwords.map { case (lang, lex) =>
+        s"len(list_filter($toksLowerSql, x -> list_contains(${lexList(lex)}, x))) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.Stopwords.map(_._1)
+      val cases = langs.zipWithIndex.map { case (lang, i) =>
+        val others = langs.zipWithIndex.collect { case (o, j) if j != i => s"h_$lang >= h_$o" }
+        s"WHEN h_$lang > 0 AND ${others.mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang_detected FROM (
+            SELECT doc_id, CASE $cases ELSE 'und' END AS lang_detected
+            FROM (SELECT doc_id, $hits FROM documents))
+          ORDER BY doc_id"""
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_detected"))
+        .orderBy("doc_id")
+    },
+
+    // Quality features: integer counts + exact-operand divisions only.
+    "q29_text_quality" -> q({
+      val allStops = lexList(TextAnalysis.Stopwords.flatMap(_._2))
+      s"""SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_m,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST(len(string_split_regex(text, '[.,;:!?]')) - 1 AS BIGINT) AS n_punct,
+                 CAST(len(list_filter($toksLowerSql, x -> list_contains($allStops, x))) AS BIGINT) AS n_stopwords,
+                 CAST(length(text) - (len($toksSql) - 1) AS DOUBLE)
+                   / CAST(len($toksSql) AS DOUBLE) AS avg_token_len,
+                 CAST(len(list_filter($toksLowerSql, x -> list_contains($allStops, x))) AS DOUBLE)
+                   / CAST(len($toksSql) AS DOUBLE) AS stopword_ratio
+          FROM documents ORDER BY doc_id"""
+    }) { (s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "n_punct", "n_stopwords",
+          "avg_token_len", "stopword_ratio")
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprint: md5 of whitespace-normalized lower-cased text.
+    "q30_text_fingerprint" -> q(
+      """SELECT doc_id,
+                md5(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                   '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup by fingerprint: lowest doc_id survives per content hash.
+    "q31_dedup_exact" -> q(
+      """SELECT fp, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM (SELECT doc_id,
+                      md5(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                         '\s+', ' ', 'g')) AS fp
+               FROM documents)
+         GROUP BY fp ORDER BY doc_id""") { (s, dir) =>
+      Dedup.exactByFingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .select("fp", "doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    // Bigram-Jaccard near-dup pairs via inverted shingle index; exact
+    // integer threshold test (J >= 1/5). Oracle cross-joins (fine at
+    // oracle scale) — the Spark side is the scalable inverted-index plan.
+    "q32_dedup_ngram_jaccard" -> q(
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len($toksSql) - 1, 1)),
+                     i -> array_to_string(list_slice($toksSql, i, i + 1), ' '))) AS shingles
+            FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS common,
+                 CAST(len(a.shingles) AS BIGINT) AS n_a,
+                 CAST(len(b.shingles) AS BIGINT) AS n_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1
+          ORDER BY id_a, id_b""") { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, num = 1, den = 5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
+    // spec asserts consistency vs exact Jaccard in the test suite.
+    "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, numHashes = 32, bands = 8, num = 1, den = 5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup: engine-specific hashing -> rows-only.
+    "q34_dedup_simhash" -> qNoOracle { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Multimodal plumbing: binary content column + stub decode. n_bytes /
+    // checksum are oracle-checkable; fake dims derive from crc32 (Spark)
+    // which DuckDB lacks -> keep the oracle to the portable columns.
+    "q35_multimodal_decode" -> q(
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS checksum
+         FROM documents ORDER BY media_id""") { (s, dir) =>
+      val media = Multimodal.withBinaryContent(
+        t(s, dir, "documents"), "doc_id", "text", kind = "text")
+      Multimodal.decodeStub(media)
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    },
+
+    // Term frequencies: explode + count — the generator (UDTF-shaped) op.
+    "q36_text_term_freq" -> q(
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest($toksLowerSql) AS token FROM documents)
+          GROUP BY token
+          HAVING count(*) >= 50
+          ORDER BY freq DESC, token""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 50)
+        .orderBy(col("freq").desc, col("token"))
+    }
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object queries {
+
+  /** A registered operator query: the Spark implementation plus, when
+    * SQL-expressible, an equivalent ANSI SQL oracle for DuckDB. */
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  def q(oracle: String)(fn: (SparkSession, String) => DataFrame): Q = Q(fn, Some(oracle))
+  def qNoOracle(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)
+
+  /** Load a driver test table (TESTDATA.md): `$dir/<name>.parquet`.
+    *
+    * The `events` table carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and convert with integer division
+    * (`DIV`, not `/` — double division loses ~200ns of precision at
+    * epoch-nanos magnitude, enough to shift microsecond values). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts"
+        && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case None => df
+    }
+  }
+
+  /** Exact integer-cents arithmetic for money columns. The test tables
+    * carry 2-decimal doubles; summing doubles directly is order-dependent
+    * in the last bits (and so engine-dependent), while integer sums are
+    * exact in any order — this keeps oracle hash-comparisons stable.
+    * DuckDB equivalent: `CAST(floor(x*100 + 0.5) AS BIGINT)`. */
+  def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** 1e-4-dollar units for discounted prices (price*(1-disc) has 4
+    * decimals). DuckDB: `CAST(floor(x*10000 + 0.5) AS BIGINT)`. */
+  def tenthCents(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
+}

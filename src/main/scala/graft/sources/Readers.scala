@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers with the reference's ingestion semantics.
+  *
+  * The reference ingests five datasets (CSV/S3, JSON/S3, Google-Sheets
+  * rows, Postgres JDBC, Parquet staging) with inferred — never declared —
+  * schemas (reference: airflow/dags/plugins/customerload.py:96,
+  * s3_copy.py:110-114, google_sheets.py:76-77, postgres_extract.py:142-144,
+  * snowflake_load.py:136-154) and treats the literals `"NULL"` and `""` as
+  * SQL NULL at the load boundary (reference:
+  * aws_infrastructure/snowflake.tf:86).
+  *
+  * Spark-first mapping: `spark.read` with `inferSchema` replaces pandas
+  * inference; Parquet is self-describing so the reference's
+  * DDL-from-first-file probe (snowflake_load.py:234-235) disappears;
+  * file listing, pagination and the 10-thread pool
+  * (customerload.py:18,151-159) collapse into Spark's task parallelism
+  * over input splits.
+  */
+object Readers {
+
+  /** Null literals narrowed to SQL NULL at the ingestion boundary
+    * (reference: snowflake.tf:86 `null_if = ["NULL", ""]`). */
+  val NullLiterals: Seq[String] = Seq("NULL", "")
+
+  /** S1: full CSV scan with header + schema inference.
+    * Directory or single file; Spark lists and parallelizes natively. */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("nullValue", "NULL")
+      .option("emptyValue", null: String) // empty string cell -> null
+      .csv(path)
+
+  /** Parity variant: everything read as string, no inference — matches the
+    * warehouse-observable behavior where all non-numeric types degrade to
+    * VARCHAR (reference: snowflake_load.py:147-154). */
+  def csvAllString(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("nullValue", "NULL")
+      .option("emptyValue", null: String)
+      .csv(path)
+
+  /** S2 (JSON half): newline-delimited JSON scan with native inference
+    * (reference: s3_copy.py:113 pandas read_json). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S5: Parquet scan; multi-file reads are an implicit UNION ALL with
+    * footer schema merge (reference: transform.py:71-83 per-file loop). */
+  def parquet(spark: SparkSession, path: String*): DataFrame =
+    spark.read.parquet(path: _*)
+
+  /** S3: sheet-like in-memory rows (Google Sheets analog). The reference
+    * fetches all records driver-side (google_sheets.py:76-77); the Spark
+    * analog is a driver-side `createDataFrame` — a DataSource V2 connector
+    * is not worth it for a single small worksheet. */
+  def rows(spark: SparkSession, data: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, data.size / 10000)),
+      schema)
+
+  /** S4: JDBC scan of one table. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, p)
+  }
+
+  /** S4: enumerate all tables of a JDBC schema, deterministically sorted
+    * by name (reference: postgres_extract.py:102-113 `ORDER BY
+    * table_name`), and scan each. */
+  def jdbcAllTables(spark: SparkSession, url: String, schema: String,
+                    props: Map[String, String] = Map.empty): Seq[(String, DataFrame)] = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    val names = try {
+      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) buf += rs.getString("TABLE_NAME")
+      buf.toSeq.sorted
+    } finally conn.close()
+    names.map { t =>
+      val qualified = if (schema == null || schema.isEmpty) t else s"$schema.$t"
+      t -> spark.read.jdbc(url, qualified, p)
+    }
+  }
+
+  /** S7: folder/table discovery — each subdirectory of `root` is one
+    * logical table (reference: snowflake_load.py:81-92 `Delimiter="/"`
+    * listing of `staging/`). Returns name -> DataFrame, sorted by name. */
+  def discoverTables(spark: SparkSession, root: String): Seq[(String, DataFrame)] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) Seq.empty
+    else fs.listStatus(hadoopPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .sortBy(_.getName)
+      .map(p => p.getName -> spark.read.parquet(p.toString))
+  }
+}
