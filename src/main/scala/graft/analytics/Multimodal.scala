@@ -64,9 +64,10 @@ object Multimodal {
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     df.select(col("media_id"),
       posexplode(transform(
-        sequence(lit(0), greatest((length(col("content")) / (frameBytes * stride)) - 1, lit(0))),
+        sequence(lit(0L),
+          greatest(floor(length(col("content")) / (frameBytes * stride)).cast("long") - 1L, lit(0L))),
         i => substring_index(base64(col("content")), "=", 1).substr(
-          i * (frameBytes * stride) + 1, lit(frameBytes)))))
+          (i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_payload")
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Readers
+
+/** C1/3.1: the whole reference pipeline as one Scala orchestrator —
+  * the Airflow DAG `single_load >> incremental_load >> transformations >>
+  * snowflake_load` (reference: airflow/dags/pipeline.py:269, groups at
+  * 129-238) re-expressed as sequenced DataFrame stages.
+  *
+  * The reference's process/thread boundaries (per-task Airflow workers,
+  * the 10-thread download pool) collapse into Spark's driver/executor
+  * split; intra-group parallelism is subsumed by task parallelism over
+  * input splits.
+  *
+  * Layout convention (mirrors the reference's S3 prefixes):
+  *   raw/<dataset>/      — as-landed parquet (from csv/json/jdbc/rows)
+  *   staging/<dataset>/  — cleaned parquet
+  *   warehouse           — Spark SQL tables (saveAsTable), one per folder
+  */
+object Pipeline {
+
+  /** One source dataset: how to land it + how to clean it
+    * (rename maps: reference pipeline.py:49-99). */
+  final case class Source(
+      name: String,
+      land: SparkSession => DataFrame,
+      renames: Map[String, String] = Map.empty,
+      incremental: Boolean = false)
+
+  final case class RunReport(stages: Seq[Quality.OperationMetadata]) {
+    def totalSeconds: Double = stages.map(_.durationSeconds).sum
+  }
+
+  /** Run the full flow. Returns per-stage metrics (A4 analog). */
+  def run(spark: SparkSession, sources: Seq[Source], root: String,
+          buildStar: Map[String, DataFrame] => Map[String, DataFrame] =
+            identity[Map[String, DataFrame]] _): RunReport = {
+    val ledgerPath = s"$root/_ledger"
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Quality.OperationMetadata]
+
+    // Stage 1+2: land sources into raw/ (full or ledger-gated incremental)
+    val landM = Quality.timed("land")
+    sources.foreach { src =>
+      val rawPath = s"$root/raw/${src.name}"
+      val landed =
+        if (!src.incremental) Some(src.land(spark))
+        else {
+          // file-level exactly-once: one logical "file" per landing batch,
+          // keyed by the batch id the caller encodes in the source name
+          val batchFile = s"${src.name}.batch"
+          if (FileLedger.unprocessed(spark, ledgerPath, src.name, Seq(batchFile)).isEmpty) {
+            landM.skipped += 1; None
+          } else {
+            FileLedger.append(spark, ledgerPath, Seq((src.name, batchFile)))
+            Some(src.land(spark))
+          }
+        }
+      landed.foreach { df =>
+        // full loads overwrite (re-upload of the same logical files);
+        // incremental batches append (new daily files) — reference
+        // customerload.py vs s3_copy.py semantics
+        val mode = if (src.incremental) "append" else "overwrite"
+        df.write.mode(mode).parquet(rawPath)
+        landM.processed += 1; landM.succeeded += 1
+      }
+    }
+    stages += landM.complete()
+
+    // Stage 3: transform raw/ -> staging/ (clean: rename/dropnull/dedup/trim)
+    val cleanM = Quality.timed("transform")
+    sources.foreach { src =>
+      val raw = Readers.parquet(spark, s"$root/raw/${src.name}")
+      val cleaned = Clean.requireNonEmpty(
+        Clean.clean(src.renames)(raw), src.name)
+      TableStore.writeParquet(cleaned, s"$root/staging/${src.name}")
+      cleanM.processed += 1; cleanM.succeeded += 1
+    }
+    stages += cleanM.complete()
+
+    // Stage 4: warehouse load — each staging folder becomes a table,
+    // ledger-gated per logical staging file: already-loaded names are
+    // skipped even if content changed (bug-for-bug with the reference's
+    // name-keyed PROCESSED_FILES, snowflake_load.py:108-133)
+    val loadM = Quality.timed("warehouse_load")
+    val tables = Readers.discoverTables(spark, s"$root/staging").map {
+      case (name, df) =>
+        val folder = s"staging/$name"
+        val logicalFile = s"$name.parquet"
+        if (FileLedger.unprocessed(spark, ledgerPath, folder, Seq(logicalFile)).nonEmpty) {
+          TableStore.loadIntoTable(spark, df, name)
+          FileLedger.append(spark, ledgerPath, Seq((folder, logicalFile)))
+          loadM.processed += 1; loadM.succeeded += 1
+        } else loadM.skipped += 1
+        name -> spark.table(name)
+    }.toMap
+    stages += loadM.complete()
+
+    // Stage 5: the dbt layer — dims then facts (C5/C6)
+    val starM = Quality.timed("star_schema")
+    val models = buildStar(tables)
+    models.foreach { case (name, df) =>
+      TableStore.materializeTable(spark, df, name)
+      starM.processed += 1; starM.succeeded += 1
+    }
+    stages += starM.complete()
+
+    RunReport(stages.toSeq)
+  }
+}

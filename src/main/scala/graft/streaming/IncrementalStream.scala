@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** I1/I2: the reference's incremental semantics on Structured Streaming.
+  *
+  * The reference processes a daily-growing file set exactly once per
+  * file, keyed by filename (reference: airflow/dags/pipeline.py:121
+  * `schedule="@daily"`; snowflake_load.py:59-133 PROCESSED_FILES ledger;
+  * s3_copy.py:84-99 skip-existing). Structured Streaming's checkpointed
+  * file-source log IS that ledger — `Trigger.AvailableNow` drains all
+  * currently-visible files then stops, which is precisely one "daily"
+  * batch run; a re-run processes only files that appeared since.
+  *
+  * At scale: the file-source log scales to millions of files
+  * (maxFilesPerTrigger bounds per-batch work); state-store aggregations
+  * shuffle once on the group key and keep sketch-sized state per key.
+  */
+object IncrementalStream {
+
+  /** Checkpointed incremental parquet->parquet copy: each invocation
+    * processes exactly the files not seen by this checkpoint (the
+    * streaming analog of the batch FileLedger). */
+  def incrementalCopy(spark: SparkSession, srcDir: String, schema: StructType,
+                      dstDir: String, checkpoint: String,
+                      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    transform(in).writeStream
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window counts over an event stream — the
+    * streaming form of Events.tumbling. Late data beyond the watermark is
+    * dropped; state is bounded per (window, key). */
+  def windowedCounts(events: DataFrame, tsCol: String, width: String,
+                     watermark: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select((col("window.start").as("window_start") +: keys.map(col)) :+
+        col("n") :+ col("total"): _*)
+
+  /** Run a streaming aggregation over a bounded source to completion
+    * into an in-memory table (test/verification harness). */
+  def runToMemory(agg: DataFrame, name: String, outputMode: String = "complete"): Unit = {
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

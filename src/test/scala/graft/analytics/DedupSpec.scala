@@ -1,0 +1,58 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base + " again"),                      // near-dup of 0
+    (2L, "  THE   quick brown fox jumps over the lazy dog near the old river bank today "), // exact after normalize
+    (3L, "completely different content about spark partitions and shuffle behavior here"),
+    (4L, "another unrelated document mentioning catalyst optimizer rules and codegen stages")
+  ).toDF("doc_id", "text")
+
+  test("exactByFingerprint collapses case/whitespace variants, keeps min id") {
+    val out = Dedup.exactByFingerprint(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(0L) && !survivors.contains(2L))
+    assert(out.filter($"doc_id" === 0L).select("n_copies").as[Long].head() == 2L)
+  }
+
+  test("ngramJaccardPairs matches brute-force Jaccard on shingle sets") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, num = 4, den = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // normalized-identical -> J = 1 on words? no: J >= 0.8
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("minhashLshPairs finds planted near-dups, excludes unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, numHashes = 32, bands = 16, num = 1, den = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+    // verified candidates are a subset of the exact-Jaccard pairs
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, num = 1, den = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact))
+  }
+
+  test("simhashPairs: near-identical docs within small Hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // token multiset identical after lower/trim
+  }
+
+  test("dedup is idempotent (property)") {
+    val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
+      .join(docs, Seq("doc_id")).select("doc_id", "text")
+    val twice = Dedup.exactByFingerprint(once, "doc_id", "text")
+    assert(once.count() == twice.count())
+  }
+}

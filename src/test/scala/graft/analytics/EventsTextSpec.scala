@@ -1,0 +1,85 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = graft.queries.t(spark, sf, "events")
+
+  test("sessionize: gaps above threshold start new sessions") {
+    val ts = Seq(0L, 60L, 5000L, 5060L, 99999L).map(s =>
+      new java.sql.Timestamp(s * 1000))
+    val df = ts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Events.sessionCounts(df, "user_id", "ts", gapSeconds = 1800, "event_id")
+    assert(out.select("n_sessions").as[Long].head() == 3L)
+  }
+
+  test("tumbling window counts partition all events exactly once") {
+    val out = Events.tumbling(events, "ts", "1 hour", Seq.empty,
+      Seq(count(lit(1)).as("n")))
+    assert(out.agg(sum("n")).as[Long].head() == events.count())
+  }
+
+  test("sliding windows contain each event width/slide times") {
+    val out = Events.sliding(events, "ts", "1 hour", "15 minutes", Seq.empty,
+      Seq(count(lit(1)).as("n")))
+    assert(out.agg(sum("n")).as[Long].head() == events.count() * 4)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = Events.approxDistinct(events, Seq("event_type"), "user_id")
+      .withColumnRenamed("approx_user_id", "a")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct($"user_id").as("e"))
+    val joined = approx.join(exact, "event_type")
+      .select(abs($"a" - $"e").cast("double") / $"e").as[Double].collect()
+    assert(joined.forall(_ <= 0.05))
+  }
+
+  test("langId picks the lexicon with most hits, deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el gato y la casa de los perros que"),
+      (3L, "qwerty zxcvb asdfgh")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("fingerprint is whitespace/case-invariant, content-sensitive") {
+    val df = Seq(("a B  c", "A b c", "a b d")).toDF("x", "y", "z")
+    val r = df.select(
+      TextAnalysis.fingerprint($"x").as("fx"),
+      TextAnalysis.fingerprint($"y").as("fy"),
+      TextAnalysis.fingerprint($"z").as("fz")).head()
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getString(0) != r.getString(2))
+  }
+
+  test("multimodal stub decode: deterministic features, bounded dims") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "text")
+    val feats = Multimodal.decodeStub(media)
+    val r = feats.agg(
+      min($"width"), max($"width"), min($"height"), max($"height"),
+      sum(when($"n_bytes" > 0, 0).otherwise(1))).head()
+    assert(r.getInt(0) >= 1 && r.getInt(1) <= 1920)
+    assert(r.getInt(2) >= 1 && r.getInt(3) <= 1080)
+    assert(r.getLong(4) == 0L) // every payload non-empty
+    // deterministic: same input -> same checksum set
+    val c1 = feats.select("checksum").as[String].collect().toSet
+    val c2 = Multimodal.decodeStub(media).select("checksum").as[String].collect().toSet
+    assert(c1 == c2)
+  }
+
+  test("frame sampling explodes bounded frame rows per media") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 4)
+    assert(frames.count() >= 10)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_payload"))
+  }
+}

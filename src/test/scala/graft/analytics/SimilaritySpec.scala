@@ -1,0 +1,60 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("topKBruteForce: query vector itself ranks first with cosine 1") {
+    val e = embeddings
+    val top = Similarity.topKBruteForce(e, "vec_id", "embedding",
+      e.filter($"vec_id" === 7), k = 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    // descending order
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("topKLsh results are a subset of corpus ranked by true cosine (recall>0)") {
+    val e = embeddings
+    val brute = Similarity.topKBruteForce(e, "vec_id", "embedding",
+      e.filter($"vec_id" === 7), k = 20).select("id").as[Long].collect().toSet
+    val lsh = Similarity.topKLsh(e, "vec_id", "embedding",
+      e.filter($"vec_id" === 7), k = 20).select("id").as[Long].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.contains(7L)) // the query collides with itself in every band
+    assert((brute intersect lsh).nonEmpty)
+  }
+
+  test("topKIvf probes nearest cells and still finds the query vector") {
+    val e = embeddings
+    val ivf = Similarity.topKIvf(e, "vec_id", "embedding",
+      e.filter($"vec_id" === 7), k = 10, nCells = 8, nProbe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(ivf.contains(7L))
+  }
+
+  test("cosineNearDupPairs only returns pairs above threshold") {
+    val pairs = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
+      threshold = 0.8, nBits = 8, bands = 4)
+    val bad = pairs.filter($"cosine" < 0.8).count()
+    assert(bad == 0)
+  }
+
+  test("quantized cosine equals double-precision cosine within 1e-5") {
+    val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
+      .toDF("id", "vec")
+    val a = v.filter($"id" === 1).select(Similarity.quantize($"vec").as("qa"))
+    val b = v.filter($"id" === 2).select(Similarity.quantize($"vec").as("qb"))
+    val got = a.crossJoin(b)
+      .select(Similarity.qcosine($"qa", $"qb")).as[Double].head()
+    val Seq(x, y) = Seq(Array(0.1, 0.2, 0.3), Array(0.2, 0.1, 0.3))
+    val expect = x.zip(y).map { case (p, q) => p * q }.sum /
+      (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum))
+    assert(math.abs(got - expect) < 1e-5)
+  }
+}

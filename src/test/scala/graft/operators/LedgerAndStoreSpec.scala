@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LedgerAndStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FileLedger.newFiles anti-joins processed (folder, file) pairs") {
+    val cand = Seq(("a", "f1"), ("a", "f2"), ("b", "f1"))
+      .toDF("folder_name", "file_name")
+    val ledger = Seq(("a", "f1")).toDF("folder_name", "file_name")
+      .withColumn("loaded_at", current_timestamp())
+    val out = FileLedger.newFiles(cand, ledger)
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("a", "f2"), ("b", "f1")))
+  }
+
+  test("FileLedger append + reload is idempotent on rerun (I2 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger").toString
+    assert(FileLedger.load(spark, dir).count() == 0) // missing -> empty
+    FileLedger.append(spark, dir, Seq(("a", "f1"), ("a", "f2")))
+    assert(FileLedger.unprocessed(spark, dir, "a", Seq("f1", "f2", "f3")) == Seq("f3"))
+    // rerun with same candidates: nothing new (content-blind, name-keyed)
+    val cand = Seq(("a", "f1"), ("a", "f2")).toDF("folder_name", "file_name")
+    assert(FileLedger.newFiles(cand, FileLedger.load(spark, dir)).count() == 0)
+  }
+
+  test("appendByName aligns case-insensitively, fills missing with null") {
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq(("y", 2L)).toDF("NAME", "ID") // permuted + re-cased
+    val c = Seq(3L).toDF("id")                // missing column
+    val out = TableStore.appendByName(Seq(a, b, c)).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "name"))
+    assert(out.as[(Long, Option[String])].collect().toSeq ==
+      Seq((1L, Some("x")), (2L, Some("y")), (3L, None)))
+  }
+
+  test("loadIntoTable creates then appends by name (K2/K3)") {
+    val tbl = "t_load_" + System.nanoTime()
+    TableStore.loadIntoTable(spark, Seq((1L, "a")).toDF("ID", "Val"), tbl)
+    TableStore.loadIntoTable(spark, Seq(("b", 2L)).toDF("val", "id"), tbl)
+    val out = spark.table(tbl).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b")))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StarSchemaQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def customers = Seq(("c1", "Ann"), ("c2", "Bea")).toDF("customer_id", "name")
+  private def agents = Seq(("a1", "Zed", "TX"), ("a2", "Yan", "CA"))
+    .toDF("id", "name", "state")
+  private def callLogs = Seq(
+    ("k1", "c1", "a1"), ("k2", "c2", "a2"),
+    ("k3", "c1", "aX"), // dangling agent FK -> dropped by inner join
+    ("k4", "cX", "a1")  // dangling customer FK -> dropped
+  ).toDF("call_id", "customer_id", "agent_id")
+
+  test("fact: inner joins to dims referentially filter; fact cols only (J1)") {
+    val dimCustomers = StarSchema.dim(customers, "customer_id" -> "customer_id")
+    val dimAgents = StarSchema.dim(agents, "id" -> "agent_id", "name" -> "agent_name")
+    val f = StarSchema.fact(callLogs, Seq("call_id", "customer_id", "agent_id"),
+      Seq((dimCustomers, "customer_id", "customer_id"),
+        (dimAgents, "agent_id", "agent_id")))
+    assert(f.columns.toSeq == Seq("call_id", "customer_id", "agent_id"))
+    assert(f.select("call_id").as[String].collect().toSet == Set("k1", "k2"))
+  }
+
+  test("duplicate dim key multiplies fact rows under inner join (J1 parity edge)") {
+    val dupDim = Seq(("c1", "Ann"), ("c1", "Ann2"), ("c2", "B"))
+      .toDF("customer_id", "name")
+    val f = StarSchema.fact(callLogs.filter($"call_id" isin ("k1", "k2")),
+      Seq("call_id"), Seq((dupDim, "customer_id", "customer_id")))
+    assert(f.count() == 3) // k1 doubled by the duplicate c1 key
+  }
+
+  test("build runs dims before facts and registers views (C5/C6)") {
+    val models = StarSchema.build(
+      staging = Map("customers" -> customers, "agents" -> agents,
+        "call_logs" -> callLogs),
+      dims = Seq(
+        "dim_customers" -> (c => StarSchema.dim(c("customers"),
+          "customer_id" -> "customer_id", "name" -> "customer_name")),
+        "dim_agents" -> (c => StarSchema.dim(c("agents"),
+          "id" -> "agent_id", "name" -> "agent_name", "state" -> "state"))),
+      facts = Seq(
+        "fact_call_logs" -> (c => StarSchema.fact(c("call_logs"),
+          Seq("call_id", "customer_id", "agent_id"),
+          Seq((c("dim_customers"), "customer_id", "customer_id"),
+            (c("dim_agents"), "agent_id", "agent_id"))))))
+    assert(models.keySet == Set("dim_customers", "dim_agents", "fact_call_logs"))
+    assert(spark.table("fact_call_logs").count() == 2)
+    assert(spark.sql("SELECT * FROM dim_agents").columns.contains("agent_name"))
+  }
+
+  test("unique/notNull violations (A2/A3, dbt-test analogs)") {
+    val df = Seq(("k1", "x"), ("k1", "y"), ("k2", null)).toDF("id", "v")
+    val dup = Quality.uniqueViolations(df, "id").as[(String, Long)].collect()
+    assert(dup.toSeq == Seq(("k1", 2L)))
+    assert(Quality.notNullViolations(df, "v").count() == 1)
+    assert(!Quality.isUnique(df, "id") && Quality.isUnique(df.dropDuplicates("id"), "id"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class ReadersSpec extends SparkSpec {
+
+  private def tmpDir = Files.createTempDirectory("readers").toString
+
+  test("csv: messy headers round-trip; NULL/empty literals become null") {
+    val dir = tmpDir
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "customeR iD,DATE of biRTH,email\nc1,NULL,a@x.com\nc2,1990-01-01,\n")
+    val df = Readers.csvAllString(spark, s"$dir/a.csv")
+    assert(df.columns.toSeq == Seq("customeR iD", "DATE of biRTH", "email"))
+    val rows = df.orderBy("`customeR iD`").collect()
+    assert(rows(0).isNullAt(1)) // "NULL" literal
+    assert(rows(1).isNullAt(2)) // empty literal
+  }
+
+  test("csv with inference types numerics, keeps strings") {
+    val dir = tmpDir
+    Files.writeString(java.nio.file.Paths.get(s"$dir/n.csv"),
+      "id,score,name\n1,2.5,ann\n2,3.5,bea\n")
+    val df = Readers.csv(spark, s"$dir/n.csv")
+    assert(df.schema("id").dataType == IntegerType)
+    assert(df.schema("score").dataType == DoubleType)
+    assert(df.schema("name").dataType == StringType)
+  }
+
+  test("json: newline-delimited objects with native inference") {
+    val dir = tmpDir
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.json"),
+      """{"complaint_id":"x1","n":1}
+        |{"complaint_id":"x2","n":2}
+        |""".stripMargin)
+    val df = Readers.json(spark, s"$dir/d.json")
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("complaint_id", "n"))
+  }
+
+  test("rows: sheet-like driver-side records become a DataFrame (S3 analog)") {
+    val schema = StructType(Seq(
+      StructField("iD", StringType), StructField("NamE", StringType)))
+    val df = Readers.rows(spark, Seq(Row("a1", "Zed"), Row("a2", "Yan")), schema)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("iD", "NamE"))
+  }
+
+  test("jdbc: Derby round-trip + sorted table discovery (S4)") {
+    val url = s"jdbc:derby:memory:graftdb${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE APP.WEB_B (request_id VARCHAR(10))")
+    st.execute("CREATE TABLE APP.WEB_A (request_id VARCHAR(10))")
+    st.execute("INSERT INTO APP.WEB_A VALUES ('r1'), ('r2')")
+    st.close(); conn.close()
+    val tables = Readers.jdbcAllTables(spark, url, "APP")
+    assert(tables.map(_._1) == Seq("WEB_A", "WEB_B")) // deterministic order
+    assert(tables.head._2.count() == 2)
+  }
+
+  test("discoverTables: one table per subdirectory, sorted (S7)") {
+    val root = tmpDir
+    import spark.implicits._
+    Seq(1, 2).toDF("x").write.parquet(s"$root/beta")
+    Seq(3).toDF("x").write.parquet(s"$root/alpha")
+    val found = Readers.discoverTables(spark, root)
+    assert(found.map(_._1) == Seq("alpha", "beta"))
+    assert(found.map(_._2.count()).sum == 3)
+  }
+}
