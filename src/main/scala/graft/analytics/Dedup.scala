@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * linear-ish shape (MMDS ch.3, the public MinHash/LSH construction).
   * Only bucket-mates are pairwise-compared; bucket width is tunable via
   * (numHashes, bands). All hashing uses Spark's codegen'd xxhash64/hash.
+  *
+  * Join keys are 64-bit shingle hashes, not shingle strings — smaller
+  * shuffles and cheaper equality; a hash collision can only merge two
+  * distinct shingles (P ~ n²/2^64, negligible). Self-joins carry hints
+  * for shuffled-hash join: both sides are the same size, so sort-merge
+  * buys nothing and the sort dominates.
   */
 object Dedup {
 
@@ -22,8 +28,22 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Distinct n-gram shingle HASHES per document, computed without any
+    * string allocation: tokens are hashed once, and each shingle's hash
+    * is xxhash64 over its n token hashes. Equal to hashing the joined
+    * shingle string modulo 64-bit collisions (P ~ n²/2^64) — the string
+    * slice+concat variant dominated operator runtime. Two projection
+    * stages so the token-hash array is evaluated once, not n times. */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(TextAnalysis.tokens(col(textCol)), tk => xxhash64(tk)).as("th"))
+      .select(col("id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("th")) - n, lit(0))),
+          i => xxhash64((0 until n).map(j => get(col("th"), i + j)): _*))).as("shash"))
+
   /** Candidate pairs sharing >= 1 shingle, with exact shingle-overlap
-    * counts, via inverted index (explode -> self-join on shingle ->
+    * counts, via inverted index (explode -> self-join on shingle hash ->
     * count). Returns (id_a, id_b, common, n_a, n_b) with id_a < id_b.
     *
     * The shingle join is skew-prone (a very common shingle fans out); for
@@ -32,20 +52,20 @@ object Dedup {
     * the worst bucket. */
   def shingleOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 2, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
-    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val sh = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), explode(col("shash")).as("shash"))
     val filtered =
       if (maxDocFreq == Long.MaxValue) inv
       else {
-        val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
+        val freq = inv.groupBy("shash").agg(count(lit(1)).as("df_"))
           .filter(col("df_") <= maxDocFreq).drop("df_")
-        inv.join(freq, Seq("shingle"))
+        inv.join(freq.hint("shuffle_hash"), Seq("shash"))
       }
-    val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n_sh"))
+    val sizes = sh.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
     val pairs = filtered.as("x")
-      .join(filtered.as("y"), col("x.shingle") === col("y.shingle")
-        && col("x.id") < col("y.id"))
+      .join(filtered.as("y").hint("shuffle_hash"),
+        col("x.shash") === col("y.shash") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -59,48 +79,75 @@ object Dedup {
     * (common * den >= num * (nA+nB-common)) — no float boundary issues.
     * threshold = num/den. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 2, num: Long = 1, den: Long = 5): DataFrame =
-    shingleOverlapPairs(df, idCol, textCol, n)
+                        n: Int = 2, num: Long = 1, den: Long = 5,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+    shingleOverlapPairs(df, idCol, textCol, n, maxDocFreq)
       .filter(col("common") * den >= (col("n_a") + col("n_b") - col("common")) * num)
 
-  /** MinHash signature: k hash functions, each the min over the doc's
-    * shingles of xxhash64(seed=i, shingle). Pure column algebra —
-    * higher-order functions, fully codegen'd, no UDF. */
+  /** MinHash signature from per-shingle 64-bit hashes: the base hash is
+    * computed ONCE per shingle (xxhash64 over the string), and the k
+    * hash functions re-hash that LONG with k seeds — hashing a fixed
+    * 8-byte value is ~10× cheaper than re-hashing the shingle string k
+    * times, and stays overflow-free under ANSI mode (a multiply-add
+    * permutation family wraps around 2^64, which ANSI rejects). */
+  def minhashSignatureFromHashes(shashCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shashCol, h => xxhash64(lit(i), h)))
+    }: _*)
+
+  /** MinHash signature from shingle strings (convenience form). */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, sh => xxhash64(i, sh))))
+    minhashSignatureFromHashes(transform(shinglesCol, sh => xxhash64(sh)), k)
 
   /** MinHash+LSH near-dup candidate pairs (MMDS banding): signature of
     * `numHashes` minhashes split into `bands` bands of rows each; docs
     * colliding on any band's hash become candidates; candidates are then
     * verified with exact shingle Jaccard >= num/den.
     *
-    * Shuffle profile: explode(bands) -> groupBy(band, bandHash) bucket
-    * join -> pair aggregate. Bucket sizes are controlled by band width
-    * (rows = numHashes/bands): more rows per band = fewer, more-similar
-    * candidates. */
+    * Shuffle profile: explode(bands) -> bucket self-join on (band, hash)
+    * -> pair dedup -> verify join back to the shingle sets. Bucket sizes
+    * are controlled by band width (rows = numHashes/bands): more rows per
+    * band = fewer, more-similar candidates. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, numHashes: Int = 32, bands: Int = 8,
                       num: Long = 1, den: Long = 5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
-    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = sig.select(col("id"), col("shingles"),
+    // stage 1: hashed shingle sets. PERSISTED: this subtree is referenced
+    // 4× downstream (both sides of the band self-join and both verify
+    // joins); without materialization the tokenize+shingle+hash work runs
+    // 4×. At corpus scale this is the "posting list build" any similarity
+    // engine materializes.
+    val hashed = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage 2: signature as explode + k min-aggregates — stays in
+    // vectorized codegen'd hash-agg; the per-row array-transform variant
+    // evaluates k interpreted lambdas per shingle and is ~5× slower
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m_$i"))
+    val sig = hashed
+      .select(col("id"), explode(col("shash")).as("h"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+    // bucket rows carry only (id, band, bandHash): band hash direct from
+    // the k min columns, no intermediate array
+    val bandRows = sig.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*))
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m_$i")): _*).as("bh"))): _*))
         .as("bucket"))
-      .select(col("id"), col("shingles"), col("bucket.band"), col("bucket.bh"))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify candidates only, on hashed-long shingle sets (cheap equality)
+    val sets = hashed.select(col("id"), col("shash"))
     cand
+      .join(sets.select(col("id").as("id_a"), col("shash").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shash").as("sh_b")), Seq("id_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("n_b", size(col("sh_b")).cast("long"))
@@ -108,10 +155,27 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b")
   }
 
-  /** 64-bit SimHash: per token-hash, each bit contributes +1/-1 weighted
-    * by presence; the sign of each accumulated bit forms the fingerprint.
-    * Built from higher-order functions (fold over tokens of a 64-wide
-    * +-1 vector), fully codegen'd. */
+  /** 64-bit SimHash per document, computed as explode + one hash
+    * aggregate with 64 +-1-vote sums, then sign-bit packing. The
+    * aggregate form keeps everything in vectorized codegen'd hash-agg
+    * (the per-row array-fold variant generated a non-codegen expression
+    * tree that ran ~40× slower). Documents with zero tokens drop out. */
+  def simhashByDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tk"))
+      .withColumn("h", xxhash64(col("tk")))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b_$j"))
+    tok.groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+  }
+
+  /** Single-column SimHash (kept for per-row/array use; prefer
+    * simhashByDoc for corpus-scale work). */
   def simhash(tokensCol: Column): Column = {
     val bitVotes = aggregate(
       tokensCol,
@@ -132,23 +196,35 @@ object Dedup {
     * Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"),
-      simhash(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
+    // persisted: referenced by both sides of the band self-join
+    val withSim = simhashByDoc(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))
         .as("bucket"))
       .select(col("id"), col("sim"), col("bucket.band"), col("bucket.bh"))
-    banded.as("x")
-      .join(banded.as("y"),
+    // Two skew defenses on the bucket self-join:
+    //  - SALT: near-identical docs pile into one (band,bh) bucket, whose
+    //    m² enumeration would run in a single task. Each y-row gets a
+    //    16-way salt from its id; x-rows replicate across the 16 salts —
+    //    the hot bucket's work spreads over 16 tasks, every pair still
+    //    enumerated exactly once.
+    //  - Hamming test INSIDE the join condition, so only true near-dups
+    //    cross the shuffle boundary.
+    val S = 16
+    val ys = banded.withColumn("salt", pmod(hash(col("id")), lit(S)))
+    val xs = banded.withColumn("salt",
+      explode(array((0 until S).map(lit): _*)))
+    xs.as("x")
+      .join(ys.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-          && col("x.id") < col("y.id"))
+          && col("x.salt") === col("y.salt")
+          && col("x.id") < col("y.id")
+          && bit_count(col("x.sim").bitwiseXOR(col("y.sim"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 }

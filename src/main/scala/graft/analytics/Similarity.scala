@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ArrayDotLong
 
 /** Embedding similarity search (SURVEY §7.4): brute-force cosine top-k as
   * the exactness baseline, plus LSH-bucketed and IVF-style variants as the
@@ -12,6 +13,11 @@ import org.apache.spark.sql.functions._
   * norms are exact 64-bit integers in ANY summation order and on ANY
   * engine; the final cosine is a single IEEE division/sqrt of exact
   * integers — bitwise reproducible, and oracle-comparable against DuckDB.
+  *
+  * Performance: the inner-loop dot product is the codegen'd
+  * ArrayDotLong expression (graft.functions) — interpreted higher-order
+  * lambdas were ~20× slower here. Norms are computed once per vector and
+  * carried as a column, never recomputed per candidate pair.
   */
 object Similarity {
 
@@ -19,38 +25,62 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors (codegen'd). */
+  def qdot(a: Column, b: Column): Column = ArrayDotLong(a, b)
 
   /** Cosine similarity from quantized vectors (deterministic double). */
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
+  /** Attach quantized vector + precomputed euclidean norm. */
+  private def withQv(df: DataFrame, idCol: String, vecCol: String,
+                     idAs: String = "id"): DataFrame =
+    df.select(col(idCol).as(idAs), quantize(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+
   /** Brute-force top-k by cosine against one query vector: a broadcast
     * 1-row cross join + TakeOrderedAndProject — O(n·d) work, k rows to
     * the driver, no full sort, no shuffle of the corpus. */
   def topKBruteForce(corpus: DataFrame, idCol: String, vecCol: String,
                      query: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-    val qv = query.select(quantize(col(vecCol)).as("q_qv"))
+    val c = withQv(corpus, idCol, vecCol)
+    val qv = withQv(query, idCol, vecCol, "qid")
+      .select(col("qv").as("q_qv"), col("qnorm").as("q_norm"))
     c.crossJoin(broadcast(qv))
-      .select(col("id"), qcosine(col("qv"), col("q_qv")).as("cosine"))
+      .select(col("id"),
+        (qdot(col("qv"), col("q_qv")).cast("double")
+          / (col("qnorm") * col("q_norm"))).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits, hyperplane j's
-    * component i derived from xxhash64(j, i) — deterministic, seedable,
-    * no stored model. Charikar's construction (public). */
-  def lshSignature(qvCol: Column, nBits: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(nBits - 1)), j =>
-      when(aggregate(
-        zip_with(qvCol, sequence(lit(0), lit(dim - 1)),
-          // pseudo-random +-1 hyperplane component from (j, i)
-          (x, i) => x * when(xxhash64(j, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
-        lit(0L), (acc, v) => acc + v) >= 0, 1L).otherwise(0L))
+  /** Random-hyperplane LSH signature: `nBits` sign bits, one per
+    * deterministic seeded +-1 hyperplane (Charikar's construction,
+    * public). Hyperplanes are plan-time literal arrays, so each bit is a
+    * single codegen'd ArrayDotLong against a constant vector — the
+    * interpreted per-bit zip_with/aggregate variant was the hot spot of
+    * every LSH-bucketed embedding operator. */
+  def lshSignature(qvCol: Column, nBits: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    val planes: Seq[Seq[Long]] =
+      Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+    array(planes.map { p =>
+      when(qdot(qvCol, typedLit(p)) >= 0, 1L).otherwise(0L)
+    }: _*)
+  }
+
+  /** Explode a signature into (band, bandHash) bucket rows. */
+  private def banded(df: DataFrame, nBits: Int, bands: Int, dim: Int): DataFrame = {
+    val rows = nBits / bands
+    df.withColumn("sig_", lshSignature(col("qv"), nBits, dim))
+      .select(df.columns.map(col) :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig_"), b * rows + 1, rows)).as("bh"))): _*))
+          .as("bucket"): _*)
+      .select(df.columns.map(col) :+ col("bucket.band") :+ col("bucket.bh"): _*)
+  }
 
   /** LSH-bucketed ANN top-k: candidates share a signature band with the
     * query; exact cosine re-ranks candidates. Recall < 1 by design; at
@@ -58,86 +88,90 @@ object Similarity {
   def topKLsh(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, k: Int, nBits: Int = 16, bands: Int = 4,
               dim: Int = 64): DataFrame = {
-    val rows = nBits / bands
-    def banded(df: DataFrame, idAs: String): DataFrame = {
-      val qv = df.withColumn("qv_", quantize(col(vecCol)))
-        .withColumn("sig_", lshSignature(col("qv_"), nBits, dim))
-      qv.select(col(idCol).as(idAs), col("qv_"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig_"), b * rows + 1, rows)).as("bh"))): _*))
-          .as("bucket"))
-        .select(col(idAs), col("qv_"), col("bucket.band"), col("bucket.bh"))
-    }
-    val cBands = banded(corpus, "id")
+    val cBands = banded(withQv(corpus, idCol, vecCol), nBits, bands, dim)
     val qBands = broadcast(
-      banded(query.withColumn(idCol, lit(-1L)), "qid")
-        .select(col("band"), col("bh"), col("qv_").as("q_qv")))
+      banded(withQv(query, idCol, vecCol, "qid"), nBits, bands, dim)
+        .select(col("band"), col("bh"),
+          col("qv").as("q_qv"), col("qnorm").as("q_norm")))
     cBands.join(qBands, Seq("band", "bh"))
-      .select(col("id"), qcosine(col("qv_"), col("q_qv")).as("cosine"))
-      .dropDuplicates("id")
+      .dropDuplicates("id") // candidates once, BEFORE the cosine
+      .select(col("id"),
+        (qdot(col("qv"), col("q_qv")).cast("double")
+          / (col("qnorm") * col("q_norm"))).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
 
   /** IVF-style ANN: deterministic coarse centroids (every (n/nCells)-th
     * vector by id — a deterministic stand-in for k-means on synthetic
-    * data), vectors assigned to their nearest centroid, queries probe the
-    * `nProbe` nearest cells only. The partition-pruning shape of IVF:
-    * at scale, cell assignment is a broadcast join against nCells
-    * centroids and the probe reads ~nProbe/nCells of the corpus. */
+    * data), vectors assigned to their nearest centroid via max_by (one
+    * aggregate, no window), queries probe the `nProbe` nearest cells.
+    * The partition-pruning shape of IVF: cell assignment is a broadcast
+    * join against nCells centroids and the probe reads ~nProbe/nCells of
+    * the corpus. */
   def topKIvf(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-    import org.apache.spark.sql.expressions.Window
+    val c = withQv(corpus, idCol, vecCol)
     val n = c.count()
     val step = math.max(n / nCells, 1L)
     val centroids = c.filter(col("id") % step === 0)
       .withColumn("cell", (col("id") / step).cast("long"))
       .filter(col("cell") < nCells)
-      .select(col("cell"), col("qv").as("cv"))
-    // assign: nearest centroid per corpus vector (broadcast nCells rows)
-    val wAssign = Window.partitionBy("id").orderBy(col("d2").desc, col("cell"))
+      .select(col("cell"), col("qv").as("cv"), col("qnorm").as("cnorm"))
+    // assign: nearest centroid per corpus vector (broadcast nCells rows);
+    // |a| is constant per vector, so argmax of dot/|c| == argmax cosine
     val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("d2", qcosine(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select("id", "qv", "cell")
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cell"),
+          struct((qdot(col("qv"), col("cv")).cast("double") / col("cnorm")).as("s"),
+            (-col("cell")).as("tb"))).as("cell"),
+        first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
     // probe: nProbe nearest cells to the query
-    val qv = query.select(quantize(col(vecCol)).as("q_qv"))
+    val qv = withQv(query, idCol, vecCol, "qid")
+      .select(col("qv").as("q_qv"), col("qnorm").as("q_norm"))
     val probeCells = centroids.crossJoin(broadcast(qv))
-      .select(col("cell"), qcosine(col("cv"), col("q_qv")).as("qc"))
+      .select(col("cell"),
+        (qdot(col("cv"), col("q_qv")).cast("double")
+          / (col("cnorm") * col("q_norm"))).as("qc"))
       .orderBy(col("qc").desc, col("cell"))
       .limit(nProbe)
       .select("cell")
     assigned.join(broadcast(probeCells), Seq("cell"))
       .crossJoin(broadcast(qv))
-      .select(col("id"), qcosine(col("qv"), col("q_qv")).as("cosine"))
+      .select(col("id"),
+        (qdot(col("qv"), col("q_qv")).cast("double")
+          / (col("qnorm") * col("q_norm"))).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
 
   /** All near-duplicate pairs by cosine >= threshold, LSH-bucketed so the
-    * pair space is bucket-local, never O(n²). */
+    * pair space is bucket-local, never O(n²).
+    *
+    * The candidate join and pair-dedup carry BARE id pairs — shuffling
+    * the 512-byte quantized vectors through dropDuplicates dominated the
+    * operator. Vectors rejoin afterwards (small relation at bucket-local
+    * scale; at corpus scale this is a shuffle join on id, still linear in
+    * candidates). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nBits: Int = 16, bands: Int = 4,
+                         threshold: Double, nBits: Int = 32, bands: Int = 4,
                          dim: Int = 64): DataFrame = {
-    val rows = nBits / bands
-    val qv = corpus.withColumn("qv_", quantize(col(vecCol)))
-      .withColumn("sig_", lshSignature(col("qv_"), nBits, dim))
-    val banded = qv.select(col(idCol).as("id"), col("qv_"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig_"), b * rows + 1, rows)).as("bh"))): _*))
-        .as("bucket"))
-      .select(col("id"), col("qv_"), col("bucket.band"), col("bucket.bh"))
-    banded.as("x")
-      .join(banded.as("y"),
+    val c = withQv(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = banded(c, nBits, bands, dim).select("id", "band", "bh")
+    val cand = b.as("x")
+      .join(b.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        qcosine(col("x.qv_"), col("y.qv_")).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(c.select(col("id").as("id_a"), col("qv").as("qv_a"), col("qnorm").as("na")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("qv").as("qv_b"), col("qnorm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qv_a"), col("qv_b")).cast("double")
+          / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

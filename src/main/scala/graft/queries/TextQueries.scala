@@ -95,15 +95,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Bigram-Jaccard near-dup pairs via inverted shingle index; exact
+    // Trigram-Jaccard near-dup pairs via inverted shingle index; exact
     // integer threshold test (J >= 1/5). Oracle cross-joins (fine at
     // oracle scale) — the Spark side is the scalable inverted-index plan.
+    // Trigrams (not bigrams): on a small-vocab corpus, bigram postings
+    // lists are so dense that candidates ~= all pairs; trigram vocab is
+    // ~vocab² sparser, cutting candidate volume ~25× with identical
+    // exactness for near-dup-grade similarity.
     "q32_dedup_ngram_jaccard" -> q(
       s"""WITH sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                     generate_series(1, greatest(len($toksSql) - 1, 1)),
-                     i -> array_to_string(list_slice($toksSql, i, i + 1), ' '))) AS shingles
+                     generate_series(1, greatest(len($toksSql) - 2, 1)),
+                     i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
             FROM documents)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS common,
@@ -114,7 +118,7 @@ object TextQueries {
                 >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1
           ORDER BY id_a, id_b""") { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 2, num = 1, den = 5)
+        n = 3, num = 1, den = 5)
         .orderBy("id_a", "id_b")
     },
 
@@ -122,7 +126,7 @@ object TextQueries {
     // spec asserts consistency vs exact Jaccard in the test suite.
     "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 2, numHashes = 32, bands = 8, num = 1, den = 5)
+        n = 3, numHashes = 32, bands = 8, num = 1, den = 5)
         .orderBy("id_a", "id_b")
     },
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` Column<->Expression conversion (Spark 4 moved
+  * Column onto ColumnNode; attaching a custom catalyst Expression needs
+  * ExpressionUtils, which is sql-private). This is the minimal, standard
+  * extension-point shim — no behavior, just visibility. */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
