@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The wider relational surface a warehouse user expects (the reference
+  * delegated all of this to Snowflake — SURVEY §3.3): outer/semi/anti
+  * joins, rollup, pivot, set ops, subqueries, running windows, date and
+  * string scalar functions. Each entry oracle-checked against DuckDB.
+  */
+object SqlSurfaceQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // Left outer join + aggregate: zero-lineitem orders kept.
+    "q42_join_left_outer" -> q(
+      """SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_items
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_items"))
+        .orderBy("o_orderkey")
+    },
+
+    // Full outer join over partially-overlapping key ranges.
+    "q43_join_full_outer" -> q(
+      """SELECT coalesce(a.k, b.k) AS k, a.c_name, b.c_acctbal
+         FROM (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey <= 100) a
+         FULL JOIN (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey >= 50) b
+           ON a.k = b.k
+         ORDER BY k""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("ka"), col("c_name"))
+      val b = c.filter(col("c_custkey") >= 50)
+        .select(col("c_custkey").as("kb"), col("c_acctbal"))
+      a.join(b, col("ka") === col("kb"), "full")
+        .select(coalesce(col("ka"), col("kb")).as("k"), col("c_name"), col("c_acctbal"))
+        .orderBy("k")
+    },
+
+    // Row-level semi join (EXISTS).
+    "q44_join_semi" -> q(
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Row-level anti join (NOT EXISTS).
+    "q45_join_anti" -> q(
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ROLLUP: subtotal + grand-total rows (NULLS FIRST aligns DuckDB's
+    // default NULLS LAST with Spark's NULLS FIRST).
+    "q46_agg_rollup" -> q(
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // Pivot: status columns from rows (CASE-aggregation in the oracle).
+    "q47_agg_pivot" -> q(
+      """SELECT o_orderpriority,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS "O",
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS "F",
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("cents_", cents(col("o_totalprice")))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("cents_")))
+        .orderBy("o_orderpriority")
+    },
+
+    // Date/time scalar functions over the typed timestamp column.
+    "q48_dates" -> q(
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INTEGER) AS y,
+                CAST(month(o_orderdate) AS INTEGER) AS m,
+                CAST(day(o_orderdate) AS INTEGER) AS d,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_end
+         FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")),
+            col("o_orderdate").cast("date")).as("days_to_end"))
+        .orderBy("o_orderkey")
+    },
+
+    // String scalar functions (F-surface beyond the reference's trim).
+    "q49_strings" -> q(
+      """SELECT c_custkey,
+                upper(c_name) AS up, lower(c_mktsegment) AS lo,
+                substring(c_name, 1, 5) AS sub,
+                CAST(length(c_name) AS INTEGER) AS len,
+                replace(c_name, '#', '-') AS repl,
+                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+                c_name || ':' || c_mktsegment AS joined,
+                regexp_extract(c_name, '([0-9]+)', 1) AS digits
+         FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"), lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 1, 5).as("sub"),
+          length(col("c_name")).as("len"),
+          regexp_replace(col("c_name"), "#", "-").as("repl"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          concat(col("c_name"), lit(":"), col("c_mktsegment")).as("joined"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy("c_custkey")
+    },
+
+    // Set operations: EXCEPT / INTERSECT (distinct semantics).
+    "q50_setops" -> q(
+      """(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION ALL
+         (SELECT -o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT -o_custkey FROM orders WHERE o_orderstatus = 'P')
+         ORDER BY k""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val openNeg = o.filter(col("o_orderstatus") === "O").select((-col("o_custkey")).as("k"))
+      val partNeg = o.filter(col("o_orderstatus") === "P").select((-col("o_custkey")).as("k"))
+      open.except(fin).union(openNeg.intersect(partNeg)).orderBy("k")
+    },
+
+    // Scalar subquery: rows above the global average (broadcast 1-row agg).
+    "q51_scalar_subquery" -> q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val avgP = o.agg(avg(col("o_totalprice")).as("avg_p"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_p"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Running (cumulative) windows: per-customer revenue accumulation.
+    "q52_window_running" -> q(
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+                CAST(lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_cents
+         FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("cents_", cents(col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("cents_"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_cents"),
+          lag(col("cents_"), 1).over(w).as("prev_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // UNION with distinct semantics.
+    "q53_union_distinct" -> q(
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+         ORDER BY k""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+        .union(o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    // Conditional aggregation + HAVING.
+    "q54_having_case" -> q(
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+         FROM orders
+         GROUP BY o_orderstatus
+         HAVING count(*) > 100
+         ORDER BY o_orderstatus""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("n_big"))
+        .filter(col("n") > 100)
+        .orderBy("o_orderstatus")
+    }
+  )
+}

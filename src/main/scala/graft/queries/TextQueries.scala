@@ -151,6 +151,27 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // BPE-ish subword token counting (LLM token-count proxy): letter
+    // runs, digit runs, single marks.
+    "q55_text_bpeish_tokens" -> q(
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subtokens
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.bpeishTokens(col("text"))).as("n_subtokens"))
+        .orderBy("doc_id")
+    },
+
+    // Engine-native rolling-hash fingerprint (codegen'd custom
+    // expression; engine-specific values -> rows-only, determinism and
+    // collision behavior covered in the spec).
+    "q56_text_rolling_hash" -> qNoOracle { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        .orderBy("doc_id")
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
