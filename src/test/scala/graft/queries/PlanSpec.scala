@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan quality gates: these assert the plan SHAPE the engine is
+  * designed around — filters reaching the parquet scan, dims broadcast,
+  * top-k without a global sort, whole-stage codegen in the hot paths.
+  * A regression here is a 100TB-scale problem even when sf0.01 results
+  * stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Post-execution plan: AQE only materializes codegen stages (and its
+    * final join choices) once the query has run. */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: column pruning reaches the parquet scan") {
+    val p = planOf("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "pruned column must not be read")
+  }
+
+  test("q02: both filters pushed to the parquet scan") {
+    val p = planOf("q02_filter_pushdown")
+    assert(p.contains("PushedFilters"))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"shipdate filter not pushed:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_discount[^\\]]*\\].*"),
+      s"discount filter not pushed:\n$p")
+  }
+
+  test("q09: both dims joined via broadcast hash join, no sort-merge") {
+    val p = planOf("q09_star_fact")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "fact side must not sort-merge against dims")
+  }
+
+  test("q17: customer dim broadcast; fact-to-fact join not broadcast") {
+    val p = planOf("q17_join_agg_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q18: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q18_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q16: aggregate is partial+final hash aggregate (map-side combine)") {
+    val p = planOf("q16_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("hot paths are inside WholeStageCodegen") {
+    Seq("q01_scan_project", "q16_agg_pricing", "q27_text_tokens",
+      "q37_embed_topk_brute").foreach { name =>
+      val p = finalPlanOf(name)
+      // "*(n)" is WholeStageCodegen's star notation in plan strings
+      assert(p.contains("WholeStageCodegen") || p.contains("*("),
+        s"$name fell out of codegen:\n$p")
+    }
+  }
+
+  test("q11: ledger anti-join broadcasts the ledger side") {
+    val p = planOf("q11_ledger_anti")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti:\n$p")
+  }
+
+  test("every registered query has a resolvable, executable plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.queryExecution.executedPlan != null, s"$name failed to plan")
+    }
+  }
+}
