@@ -155,6 +155,72 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b")
   }
 
+  /** Resolve near-dup PAIRS into dedup GROUPS: connected components by
+    * min-label contraction — each round every node adopts the minimum of
+    * its closed neighborhood and edges are rewritten onto the labels, so
+    * paths halve per round: O(log(diameter)) rounds, each one shuffle.
+    * Returns (id, component) where component is the minimum id in the
+    * group — the canonical survivor. Never collects edges to the driver.
+    *
+    * localCheckpoint per round truncates lineage — an iterative fixpoint
+    * otherwise doubles its logical plan every round (the plan tree, not
+    * the data, OOMs the driver by round ~10). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+    var g = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var mapping = g.select(col("a").as("id")).union(g.select(col("b").as("id")))
+      .distinct().withColumn("comp", col("id")).localCheckpoint(true)
+    var round = 0
+    while (round < maxRounds && g.limit(1).count() > 0) {
+      val sym = g.union(g.select(col("b").as("a"), col("a").as("b")))
+      // parent = min of closed neighborhood (a forest: parent < node)
+      var lab = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("node"), least(col("a"), col("mb")).as("lab"))
+        .localCheckpoint(true)
+      // pointer jumping: lab <- lab∘lab until stable; distance to the
+      // tree root doubles per jump, so chains resolve in O(log depth)
+      var stable = false
+      var jump = 0
+      while (!stable && jump < 10) {
+        val composed = lab
+          .join(lab.select(col("node").as("lab"), col("lab").as("lab2")),
+            Seq("lab"), "left")
+          .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
+          .localCheckpoint(true)
+        stable = composed
+          .join(lab.select(col("node"), col("lab").as("prev")), Seq("node"))
+          .filter(col("lab") =!= col("prev")).limit(1).count() == 0
+        lab = composed
+        jump += 1
+      }
+      // compose: comp values that are still graph nodes follow their label
+      mapping = mapping
+        .join(lab.withColumnRenamed("node", "comp"), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("lab"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // contract: rewrite edges onto labels, drop self-loops
+      g = g
+        .join(lab.withColumnRenamed("node", "a").withColumnRenamed("lab", "la"), Seq("a"))
+        .join(lab.withColumnRenamed("node", "b").withColumnRenamed("lab", "lb"), Seq("b"))
+        .select(col("la").as("a"), col("lb").as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      round += 1
+    }
+    mapping
+  }
+
+  /** End-to-end near-dedup: pairs -> components -> per-doc verdict.
+    * Returns (id, component, is_survivor): survivors are the minimum id
+    * of each component plus every unpaired doc. */
+  def dedupVerdicts(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("component", coalesce(col("comp"), col("id")))
+      .drop("comp")
+      .withColumn("is_survivor", col("component") === col("id"))
+  }
+
   /** 64-bit SimHash per document, computed as explode + one hash
     * aggregate with 64 +-1-vote sums, then sign-bit packing. The
     * aggregate form keeps everything in vectorized codegen'd hash-agg

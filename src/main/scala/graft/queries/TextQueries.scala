@@ -122,6 +122,43 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Near-dedup GROUP resolution: exact trigram-Jaccard pairs ->
+    // connected components (min-label contraction + pointer jumping) ->
+    // per-doc survivor verdicts. Oracle recomputes components via a
+    // recursive transitive-closure CTE.
+    "q57_dedup_groups" -> q(
+      s"""WITH RECURSIVE
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len($toksSql) - 2, 1)),
+                       i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                    >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          SELECT d.doc_id AS id,
+                 coalesce(comp.component, d.doc_id) AS component,
+                 coalesce(comp.component, d.doc_id) = d.doc_id AS is_survivor
+          FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+          ORDER BY id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.dedupVerdicts(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 5))
+        .select("id", "component", "is_survivor")
+        .orderBy("id")
+    },
+
     // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
     // spec asserts consistency vs exact Jaccard in the test suite.
     "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>

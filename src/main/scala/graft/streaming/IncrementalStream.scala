@@ -48,6 +48,34 @@ object IncrementalStream {
       .select((col("window.start").as("window_start") +: keys.map(col)) :+
         col("n") :+ col("total"): _*)
 
+  /** Custom-state streaming sessionization via flatMapGroupsWithState:
+    * per-user state carries (session count, last event time); an event
+    * later than `gapSeconds` after the previous one opens a new session.
+    * Emits one row per closed-or-updated user state per batch. The
+    * streaming analog of Events.sessionize, with state bounded per key
+    * (the engine's custom-stateful-operator story, SURVEY §2.8). */
+  final case class SessionState(nSessions: Long, nEvents: Long, lastSec: Double)
+  final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                       gapSeconds: Long): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2.getTime / 1000.0).toSeq.sorted
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Double.NegativeInfinity))
+          sorted.foreach { sec =>
+            val newSession = sec - s.lastSec > gapSeconds
+            s = SessionState(s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1, sec)
+          }
+          state.update(s)
+          Iterator(SessionUpdate(user, s.nSessions, s.nEvents))
+      }
+  }
+
   /** Run a streaming aggregation over a bounded source to completion
     * into an in-memory table (test/verification harness). */
   def runToMemory(agg: DataFrame, name: String, outputMode: String = "complete"): Unit = {

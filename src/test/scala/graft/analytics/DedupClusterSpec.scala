@@ -1,0 +1,52 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains and cliques collapse to min label") {
+    // components: {1,2,3,4} (chain), {10,11} (edge), {20,21,22} (clique)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(comps.forall(_._2 == 0L))
+  }
+
+  test("dedupVerdicts: unpaired docs survive as their own component") {
+    val docs = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val v = Dedup.dedupVerdicts(docs, "doc_id", pairs)
+      .select("id", "component", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(v == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (99L, 99L, true)))
+  }
+
+  test("end-to-end near-dedup: minhash pairs -> survivors on real docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, num = 1, den = 5)
+    val verdicts = Dedup.dedupVerdicts(docs, "doc_id", pairs)
+    val total = docs.count()
+    val survivors = verdicts.filter(col("is_survivor")).count()
+    assert(survivors > 0 && survivors <= total)
+    // every component's survivor is its minimum member
+    val bad = verdicts.groupBy("component")
+      .agg(min("id").as("min_id"))
+      .filter(col("component") =!= col("min_id")).count()
+    assert(bad == 0)
+  }
+}

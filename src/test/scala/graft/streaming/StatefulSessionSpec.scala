@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StatefulSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState sessionization carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = IncrementalStream.sessionizeStream(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+    // batch 1: user 1 has two events 60s apart -> one session
+    input.addData((1L, ts(0)), (1L, ts(60)))
+    q.processAllAvailable()
+    val after1 = spark.table("sess_out")
+      .as[IncrementalStream.SessionUpdate].collect()
+    assert(after1.exists(u => u.user_id == 1L && u.n_sessions == 1L && u.n_events == 2L))
+
+    // batch 2: 2h later -> state remembers lastSec, opens session #2
+    input.addData((1L, ts(60 + 7200)))
+    q.processAllAvailable()
+    val after2 = spark.table("sess_out")
+      .as[IncrementalStream.SessionUpdate].collect()
+    assert(after2.exists(u => u.user_id == 1L && u.n_sessions == 2L && u.n_events == 3L))
+    q.stop()
+  }
+}
