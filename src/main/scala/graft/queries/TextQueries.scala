@@ -209,6 +209,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Length-weighted mean quality per language via the typed
+    // Aggregator (graft.functions.WeightedQuality). Inputs are
+    // integer-valued doubles (quantized score × n_chars stays < 2^53),
+    // so partial-buffer merge order cannot perturb the sums and the
+    // final division is engine-deterministic.
+    "q58_quality_weighted" -> q({
+      val allStops = lexList(TextAnalysis.Stopwords.flatMap(_._2))
+      s"""SELECT lang,
+                 CAST(sum(sq * n_chars) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+                   AS weighted_quality
+          FROM (
+            SELECT lang, n_chars,
+                   floor((least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
+                          + least((CAST(len(list_filter($toksLowerSql, x -> list_contains($allStops, x))) AS DOUBLE)
+                                   / CAST(len($toksSql) AS DOUBLE)) * 4.0, 1.0) * 0.5)
+                         * 1000000 + 0.5) AS sq
+            FROM documents)
+          GROUP BY lang ORDER BY lang"""
+    }) { (s, dir) =>
+      import org.apache.spark.sql.functions.udaf
+      val wq = udaf(graft.functions.WeightedQuality.agg)
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("lang"), col("n_chars").cast("double").as("w"),
+          floor(col("quality_score") * 1000000 + 0.5).cast("double").as("sq"))
+        .groupBy("lang")
+        .agg(wq(col("w"), col("sq")).as("weighted_quality"))
+        .orderBy("lang")
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

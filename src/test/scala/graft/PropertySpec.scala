@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Clean, TableStore}
+import graft.analytics.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based invariants (SURVEY §5.3) driven by ScalaCheck
+  * generators over fixed seeds (deterministic CI). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val seed = rng.Seed(42L)
+    Iterator.iterate((g.sample, seed)) { case (_, s) =>
+      (g.apply(Gen.Parameters.default, s), s.next)
+    }.take(n * 3).flatMap(_._1).take(n).toSeq
+  }
+
+  private val rowGen: Gen[(String, String)] = for {
+    a <- Gen.oneOf("x", "y", "  x ", "x\t", "", "NULL")
+    b <- Gen.oneOf("1", "2", "3")
+  } yield (a, b)
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    (1 to 5).foreach { k =>
+      val df = samples(Gen.listOfN(30, rowGen), k).flatten.toDF("a", "b")
+      val once = Clean.dedupExact(df)
+      assert(Clean.dedupExact(once).count() == once.count())
+    }
+  }
+
+  test("clean pipeline leaves no untrimmed strings and no all-null rows") {
+    val df = samples(rowGen, 200).toDF("a", "b")
+    val cleaned = Clean.clean()(Clean.normalizeNullLiterals(df))
+    val dirty = cleaned.filter(
+      col("a").rlike("^\\s|\\s$") || col("b").rlike("^\\s|\\s$")).count()
+    assert(dirty == 0)
+    assert(cleaned.filter(col("a").isNull && col("b").isNull).count() == 0)
+  }
+
+  test("appendByName is invariant to column permutation and case") {
+    val base = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "w")
+    val perms = Seq(
+      base.select("v", "k", "w"),
+      base.select("w", "v", "k").toDF("W", "V", "K"),
+      base.select("k", "w", "v"))
+    perms.foreach { p =>
+      val u = TableStore.appendByName(Seq(base, p)).orderBy("k", "v")
+      assert(u.count() == 4)
+      assert(u.columns.toSeq == Seq("k", "v", "w"))
+      // same multiset of rows from every permutation
+      assert(u.groupBy("k", "v", "w").count().filter(col("count") =!= 2).count() == 0)
+    }
+  }
+
+  test("jaccard pairs are symmetric-free and threshold-monotone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val loose = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 5)
+    val tight = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+    val l = loose.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val t = tight.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(t.subsetOf(l), "raising the threshold must only remove pairs")
+    assert(l.forall { case (a, b) => a < b })
+  }
+
+  test("weighted-quality Aggregator: partial merge equals single-pass") {
+    import graft.functions.WeightedQuality
+    val data = samples(Gen.choose(1.0, 100.0), 100)
+      .zipWithIndex.map { case (w, i) =>
+        WeightedQuality.Scored(w, (i % 10).toDouble)
+      }
+    val ds = data.toDS().repartition(7) // force partial buffers + merge
+    val got = ds.select(WeightedQuality.agg.toColumn).head()
+    val expect = data.map(s => s.score * s.weight).sum / data.map(_.weight).sum
+    assert(math.abs(got - expect) < 1e-9)
+  }
+}
