@@ -48,6 +48,37 @@ object Multimodal {
       (pmod(crc32(col("content")) / 1920, lit(1080)) + 1).cast("int").as("height"),
       (length(col("content")) * 10).cast("long").as("duration_ms"))
 
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** The per-partition BATCHED decode shape a real codec binding needs:
+    * codec/handles initialized once per partition (amortized over all its
+    * rows), payloads processed in fixed-size batches (bounds peak memory
+    * for wide frames). The decode body is the same deterministic stub as
+    * `decodeStub` — tests assert both paths agree — but the plumbing
+    * (mapPartitions + grouped iterator, no collect, no shuffle) is
+    * exactly what a libjpeg/ffmpeg binding drops into. */
+  def decodeBatched(df: org.apache.spark.sql.DataFrame,
+                    batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import org.apache.spark.sql.Encoders
+    df.select("media_id", "kind", "content").as[MediaRow](Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        // [real codec: open handles here, once per partition]
+        rows.grouped(batchSize).flatMap { batch =>
+          // [real codec: decode `batch` in one vectorized call]
+          batch.map { r =>
+            val crc = new java.util.zip.CRC32()
+            crc.update(r.content)
+            val c = crc.getValue
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val checksum = md.digest(r.content).map("%02x".format(_)).mkString
+            MediaFeatures(r.media_id, r.kind, r.content.length.toLong, checksum,
+              (c % 1920 + 1).toInt, ((c / 1920) % 1080 + 1).toInt,
+              r.content.length.toLong * 10)
+          }
+        }
+      }(Encoders.product[MediaFeatures])
+  }
+
   /** Right-size partitions for heavy binary rows before decode: target
     * ~`targetRowsPerTask` rows per task so a wide decode doesn't blow
     * executor memory. At 100 TB this is the difference between steady

@@ -204,6 +204,35 @@ object SqlSurfaceQueries {
         .orderBy("k")
     },
 
+    // Exact interpolated percentiles (median/p90). Both engines define
+    // the continuous quantile as linear interpolation at p*(n-1) over the
+    // sorted values — same two operands, same IEEE result.
+    "q59_percentiles" -> q(
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.5) AS median_price,
+                quantile_cont(o_totalprice, 0.9) AS p90_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // CUBE: all grouping-set combinations.
+    "q60_agg_cube" -> q(
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
     // Conditional aggregation + HAVING.
     "q54_having_case" -> q(
       """SELECT o_orderstatus,

@@ -238,6 +238,20 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // The mapPartitions-batched decode path (real codec shape) must
+    // produce byte-identical features to the projection stub.
+    "q61_multimodal_batched" -> q(
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS checksum
+         FROM documents ORDER BY media_id""") { (s, dir) =>
+      val media = Multimodal.withBinaryContent(
+        t(s, dir, "documents"), "doc_id", "text", kind = "text")
+      Multimodal.decodeBatched(media).toDF()
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -75,6 +75,18 @@ class EventsTextSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("decodeBatched (mapPartitions codec shape) agrees with decodeStub") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "img")
+    val a = Multimodal.decodeStub(media)
+      .select("media_id", "n_bytes", "checksum", "width", "height")
+      .collect().map(_.toSeq).toSet
+    val b = Multimodal.decodeBatched(media, batchSize = 7)
+      .toDF().select("media_id", "n_bytes", "checksum", "width", "height")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("frame sampling explodes bounded frame rows per media") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "video")

@@ -32,4 +32,21 @@ class StatefulSessionSpec extends SparkSpec {
     assert(after2.exists(u => u.user_id == 1L && u.n_sessions == 2L && u.n_events == 3L))
     q.stop()
   }
+
+  test("streaming dropDuplicates: exact dedup state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = input.toDS().toDF("id", "v").dropDuplicates("id")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData((1L, "a"), (2L, "b"), (1L, "dup-in-batch"))
+    q.processAllAvailable()
+    input.addData((1L, "dup-across-batch"), (3L, "c"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").as[(Long, String)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
+    q.stop()
+  }
 }
