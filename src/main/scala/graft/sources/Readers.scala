@@ -94,6 +94,19 @@ object Readers {
     }
   }
 
+  /** S5 variant: lenient scan — skip corrupt/truncated files instead of
+    * failing the job (the reference's per-file try/except + continue,
+    * transform.py error handling). At 100 TB a single bad object must
+    * not kill a pipeline run. */
+  def parquetLenient(spark: SparkSession, path: String*): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path: _*)
+
+  /** O2/K2 variant: multi-file read with schema drift — footer schemas
+    * merged across files (columns missing in older files become null),
+    * the scan-time form of `TableStore.appendByName`. */
+  def parquetMerged(spark: SparkSession, path: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path: _*)
+
   /** S7: folder/table discovery — each subdirectory of `root` is one
     * logical table (reference: snowflake_load.py:81-92 `Delimiter="/"`
     * listing of `staging/`). Returns name -> DataFrame, sorted by name. */

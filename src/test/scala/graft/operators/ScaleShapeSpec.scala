@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Readers
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale-mechanics evidence: bucketed co-located joins, corrupt-file
+  * tolerance, schema-drift merge — the behaviors that matter at 100 TB
+  * but are invisible in a row-count check. */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with ZERO exchange (co-located join)") {
+    val ta = "bucketed_a_" + System.nanoTime()
+    val tb = "bucketed_b_" + System.nanoTime()
+    (1L to 10000L).map(i => (i, s"a$i")).toDF("k", "va")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable(ta)
+    (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "vb")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable(tb)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(ta).join(spark.table(tb), Seq("k"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 10000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("lenient scan skips corrupt files instead of failing the run") {
+    val dir = Files.createTempDirectory("lenient").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    // plant a corrupt object among the good ones
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-corrupt.parquet"),
+      "this is not a parquet file")
+    intercept[Exception] { spark.read.parquet(dir).count() } // strict fails
+    val out = Readers.parquetLenient(spark, dir)
+    assert(out.count() == 2)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("mergeSchema read unions drifting file schemas (scan-time O2)") {
+    val dir = Files.createTempDirectory("drift").toString
+    Seq((1L, "x")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, 9.5)).toDF("id", "v2").write.mode("append").parquet(dir)
+    val out = Readers.parquetMerged(spark, dir)
+    assert(out.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    assert(out.count() == 2)
+    assert(out.filter($"id" === 2L && $"v1".isNull).count() == 1)
+  }
+}
