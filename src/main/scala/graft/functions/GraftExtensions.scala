@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * codegen'd expressions as SQL functions, so
+  * `spark.sql("SELECT rolling_hash64(text) ...")` and
+  * `array_dot_long(a, b)` work next to the built-ins.
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("array_dot_long"),
+      new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_dot_long(a, b) takes 2 arguments")
+        ArrayDotLong(args(0), args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash64(s) takes 1 argument")
+        RollingHash64(args.head)
+      }))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Needs its own SparkSession (withExtensions only applies at session
+  * creation). getOrCreate would return the suite-shared session and skip
+  * the extensions, so default/active are cleared around creation — the
+  * underlying SparkContext is still reused. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("custom expressions are callable from SQL via GraftExtensions") {
+    graft.SparkSpec.session // ensure the shared context exists first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT array_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+                  rolling_hash64('hello world') AS h,
+                  rolling_hash64('') AS h0""").head()
+      assert(r.getLong(0) == 32L)
+      assert(r.getLong(2) == 0xcbf29ce484222325L)
+      // SQL path agrees with the Column API path
+      import spark.implicits._
+      val viaColumn = Seq("hello world").toDF("s")
+        .select(RollingHash64($"s")).as[Long].head()
+      assert(r.getLong(1) == viaColumn)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
