@@ -78,6 +78,30 @@ object EventsQueries {
         .orderBy("event_type")
     },
 
+    // As-of join: each purchase event picks up the most recent prior
+    // signup value for the same user (right side pre-aggregated to one
+    // row per (user, ts) so tie-breaking is well-defined on both
+    // engines). Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q27b_events_asof" -> q(
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, ts, max(value) AS signup_value
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.value, s.signup_value
+         FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("signup_value"))
+      graft.operators.AsOfJoin.asof(purchases, signups,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("signup_value"))
+        .select("event_id", "user_id", "value", "signup_value")
+        .orderBy("event_id")
+    },
+
     // HLL (HyperLogLog++) distinct sketch — approximate by design, so no
     // value oracle; correctness asserted vs exact counts in the test
     // suite (±5% rsd).
