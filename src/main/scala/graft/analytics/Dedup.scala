@@ -120,21 +120,17 @@ object Dedup {
     // engine materializes.
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stage 2: signature as explode + k min-aggregates — stays in
-    // vectorized codegen'd hash-agg; the per-row array-transform variant
-    // evaluates k interpreted lambdas per shingle and is ~5× slower
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m_$i"))
-    val sig = hashed
-      .select(col("id"), explode(col("shash")).as("h"))
-      .groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-    // bucket rows carry only (id, band, bandHash): band hash direct from
-    // the k min columns, no intermediate array
+    // stage 2: signature as ONE compiled expression per doc (tight
+    // shingle×seed loop, graft.functions.MinHashSig) — no row explosion,
+    // no k-wide agg buffers, no extra shuffle
+    val sig = hashed.select(col("id"),
+      graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
+    // bucket rows carry only (id, band, bandHash)
     val bandRows = sig.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m_$i")): _*).as("bh"))): _*))
+          xxhash64((b * rows until (b + 1) * rows)
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))): _*))
         .as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
     val cand = bandRows.as("x")
@@ -221,12 +217,19 @@ object Dedup {
       .withColumn("is_survivor", col("component") === col("id"))
   }
 
-  /** 64-bit SimHash per document, computed as explode + one hash
-    * aggregate with 64 +-1-vote sums, then sign-bit packing. The
-    * aggregate form keeps everything in vectorized codegen'd hash-agg
-    * (the per-row array-fold variant generated a non-codegen expression
-    * tree that ran ~40× slower). Documents with zero tokens drop out. */
-  def simhashByDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash per document: one compiled expression
+    * (graft.functions.SimHash64) running the token×bit vote loop over
+    * primitive arrays — no explode, no shuffle, no 64-wide agg buffers. */
+  def simhashByDoc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SimHash64(
+        TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
+
+  /** Reference formulation of simhashByDoc as explode + 64 vote-sum
+    * aggregates — kept as the differential-testing twin of the compiled
+    * expression (SketchExpressionsSpec asserts bit-identical output).
+    * Documents with zero tokens drop out here (no rows to aggregate). */
+  def simhashByDocAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("tk"))
       .withColumn("h", xxhash64(col("tk")))
