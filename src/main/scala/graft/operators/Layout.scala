@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and skew operators — the knobs that decide whether a
+  * plan that is correct at 60k rows still runs at 100 TB. */
+object Layout {
+
+  /** Hive-style partitioned write: directory-per-value layout so
+    * predicate-matching readers scan only matching partitions
+    * (PartitionFilters in the plan, not PushedFilters — pruning happens
+    * at file-listing time, before any I/O). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table: co-located by key, so repeated joins and
+    * aggregations on that key run with zero exchange. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1
+    * aggregates on (key, salt) — the hot key's rows spread over `salt`
+    * reducers — phase 2 merges the partials on the key alone. The merge
+    * input is |keys|×salt rows regardless of skew.
+    *
+    * `partials` maps each wanted output column to its (phase-1 agg,
+    * phase-2 merge) pair, e.g. count -> (count(*), sum), sum -> (sum,
+    * sum), max -> (max, max). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
+                partials: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head._2.as(s"__p_${partials.head._1}"),
+        partials.tail.map(p => p._2.as(s"__p_${p._1}")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(
+        partials.head._3(col(s"__p_${partials.head._1}")).as(partials.head._1),
+        partials.tail.map(p => p._3(col(s"__p_${p._1}")).as(p._1)): _*)
+  }
+}

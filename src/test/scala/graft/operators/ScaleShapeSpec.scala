@@ -30,6 +30,37 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout prunes partitions at file-listing time") {
+    val dir = Files.createTempDirectory("part").toString + "/orders"
+    val orders = graft.queries.t(spark, sf, "orders")
+      .withColumn("order_year", year($"o_orderdate"))
+    Layout.writePartitioned(orders, dir, Seq("order_year"))
+    val read = spark.read.parquet(dir).filter($"order_year" === 1995)
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*order_year[^\\]]*\\].*"),
+      s"partition filter not applied at listing time:\n$plan")
+    val expect = orders.filter($"order_year" === 1995).count()
+    assert(read.count() == expect && expect > 0)
+  }
+
+  test("saltedAgg spreads hot keys and matches plain groupBy exactly") {
+    // heavily skewed: 90% of rows share one key
+    val df = (1L to 20000L).map { i =>
+      (if (i % 10 != 0) "HOT" else s"k${i % 97}", i % 1000, 1.0 * (i % 50))
+    }.toDF("k", "n", "x")
+    val salted = Layout.saltedAgg(df, Seq("k"), salt = 16, Seq(
+      ("cnt", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("total_n", sum($"n"), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("max_x", max($"x"), (c: org.apache.spark.sql.Column) => max(c))))
+    val plain = df.groupBy("k").agg(
+      count(lit(1)).as("cnt"), sum($"n").as("total_n"), max($"x").as("max_x"))
+    val a = salted.orderBy("k").collect().map(_.toSeq).toSeq
+    val b = plain.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("lenient scan skips corrupt files instead of failing the run") {
     val dir = Files.createTempDirectory("lenient").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
