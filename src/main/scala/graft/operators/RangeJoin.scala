@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: points joined to intervals containing them —
+  * the non-equi join shape Spark would otherwise plan as a broadcast
+  * nested loop (or a full cartesian product at scale).
+  *
+  * Construction: bucket time into `maxWidthSec`-wide cells; a point in
+  * bucket b can only fall inside intervals starting in buckets {b-1, b}
+  * (given interval width <= maxWidthSec), so the interval side explodes
+  * into 2 bucket rows and the join becomes an EQUI join on the bucket
+  * plus an exact range filter. O(matches) work, normal hash shuffle,
+  * no cartesian blow-up — the standard bucketed range-join technique
+  * every warehouse engine implements internally. */
+object RangeJoin {
+
+  /** @param maxWidthSec upper bound on interval width (hi - lo), which is
+    *                    also the bucket width. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointTs: String, loCol: String, hiCol: String,
+                   maxWidthSec: Long, joinType: String = "inner"): DataFrame = {
+    // NTZ timestamps can't cast directly to double; go via TIMESTAMP
+    // (session tz is UTC, so epoch seconds are well-defined either way)
+    def epochSec(c: Column): Column = c.cast("timestamp").cast("double")
+    val pb = points.withColumn("__pb",
+      floor(epochSec(col(pointTs)) / maxWidthSec).cast("long"))
+    val ib = intervals
+      .withColumn("__ib0",
+        floor(epochSec(col(loCol)) / maxWidthSec).cast("long"))
+      .withColumn("__pb", explode(array(col("__ib0"), col("__ib0") + 1)))
+      .drop("__ib0")
+    val joined = ib.join(pb,
+      ib("__pb") === pb("__pb")
+        && pb(pointTs) >= ib(loCol) && pb(pointTs) <= ib(hiCol),
+      joinType)
+    joined.drop("__pb")
+  }
+}

@@ -233,6 +233,28 @@ object SqlSurfaceQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // Bucketed interval (range) join: lineitems shipped within 30 days
+    // of any order's date — an equi join on time buckets + exact range
+    // filter instead of the cartesian plan Spark would pick for a raw
+    // non-equi join. Oracle: DuckDB's native inequality join (IEJoin).
+    "q62_range_join" -> q(
+      """SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_shipped
+         FROM orders LEFT JOIN lineitem
+           ON l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         GROUP BY o_orderkey ORDER BY o_orderkey""") { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .withColumn("o_hi", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      graft.operators.RangeJoin.intervalJoin(
+        points = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        intervals = orders.select("o_orderkey", "o_orderdate", "o_hi"),
+        pointTs = "l_shipdate", loCol = "o_orderdate", hiCol = "o_hi",
+        maxWidthSec = 30L * 86400, joinType = "left")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_shipped"))
+        .orderBy("o_orderkey")
+    },
+
     // Conditional aggregation + HAVING.
     "q54_having_case" -> q(
       """SELECT o_orderstatus,

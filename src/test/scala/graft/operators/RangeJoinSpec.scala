@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("intervalJoin matches brute-force non-equi join (incl. boundaries)") {
+    val points = Seq((1L, ts(100)), (2L, ts(250)), (3L, ts(300)), (4L, ts(999)))
+      .toDF("pid", "pt")
+    val intervals = Seq((10L, ts(100), ts(200)), (20L, ts(250), ts(300)), (30L, ts(400), ts(450)))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(points, intervals, "pt", "lo", "hi",
+      maxWidthSec = 200)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    val brute = intervals.crossJoin(points)
+      .filter($"pt" >= $"lo" && $"pt" <= $"hi")
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got == Set((10L, 1L), (20L, 2L), (20L, 3L))) // boundary hits both ends
+  }
+
+  test("intervalJoin on real tables equals plain non-equi join") {
+    val orders = graft.queries.t(spark, sf, "orders").limit(300)
+      .withColumn("o_hi", $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+      .select("o_orderkey", "o_orderdate", "o_hi")
+    val li = graft.queries.t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    val bucketed = RangeJoin.intervalJoin(li, orders, "l_shipdate",
+      "o_orderdate", "o_hi", 30L * 86400)
+      .groupBy("o_orderkey").agg(count("l_orderkey").as("n"))
+    val brute = orders.join(li,
+      li("l_shipdate") >= orders("o_orderdate") && li("l_shipdate") <= orders("o_hi"))
+      .groupBy("o_orderkey").agg(count("l_orderkey").as("n"))
+    val a = bucketed.orderBy("o_orderkey").as[(Long, Long)].collect().toSeq
+    val b = brute.orderBy("o_orderkey").as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
