@@ -42,18 +42,31 @@ object Dedup {
           sequence(lit(0), greatest(size(col("th")) - n, lit(0))),
           i => xxhash64((0 until n).map(j => get(col("th"), i + j)): _*))).as("shash"))
 
-  /** Candidate pairs sharing >= 1 shingle, with exact shingle-overlap
-    * counts, via inverted index (explode -> self-join on shingle hash ->
-    * count). Returns (id_a, id_b, common, n_a, n_b) with id_a < id_b.
+  /** Default per-shingle document-frequency cap. A stopword shingle
+    * ("of the") at corpus scale creates one inverted-index bucket whose
+    * m² pair enumeration lands in a handful of tasks — the classic skew
+    * quadratic. Capping df bounds the worst bucket at maxDocFreq² pairs
+    * while candidate *verification* stays exact (see below). */
+  val DefaultMaxDocFreq: Long = 1000L
+
+  /** Candidate pairs sharing >= 1 shingle whose document frequency is
+    * <= `maxDocFreq`, via inverted index (explode -> df-filter -> bucket
+    * self-join -> pair distinct). Returns (id_a, id_b) with id_a < id_b.
     *
-    * The shingle join is skew-prone (a very common shingle fans out); for
-    * corpus-scale runs, `maxDocFreq` drops shingles appearing in more
-    * than that many docs — the standard stopword-shingle cut that bounds
-    * the worst bucket. */
-  def shingleOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-                          n: Int = 2, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = shingleHashSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * The cap affects RECALL only: a pair is missed iff every shingle it
+    * shares is stopword-grade (df > cap) — for near-dup-grade Jaccard
+    * that implies the docs are almost entirely made of ultra-common
+    * shingles. Overlap counts are NOT computed here, so the cap can
+    * never corrupt them. */
+  def shingleCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2,
+                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame =
+    candidatesFromSets(shingleHashSets(df, idCol, textCol, n), maxDocFreq)
+
+  /** Inverted-index candidate generation over (id, shash) sets: explode,
+    * drop shingles with document frequency > maxDocFreq, bucket
+    * self-join, distinct pairs. */
+  private def candidatesFromSets(sh: DataFrame, maxDocFreq: Long): DataFrame = {
     val inv = sh.select(col("id"), explode(col("shash")).as("shash"))
     val filtered =
       if (maxDocFreq == Long.MaxValue) inv
@@ -62,25 +75,42 @@ object Dedup {
           .filter(col("df_") <= maxDocFreq).drop("df_")
         inv.join(freq.hint("shuffle_hash"), Seq("shash"))
       }
-    val sizes = sh.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
-    val pairs = filtered.as("x")
+    filtered.as("x")
       .join(filtered.as("y").hint("shuffle_hash"),
         col("x.shash") === col("y.shash") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
-      .select("id_a", "id_b", "common", "n_a", "n_b")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact shingle-overlap counts for candidate pairs: candidates from
+    * the df-capped inverted index, then a verify-join back to the FULL
+    * shingle sets (array_intersect on 64-bit hashes) — so `common`,
+    * `n_a`, `n_b` are exact regardless of the cap, same shape as the
+    * MinHash+LSH verify stage. Returns (id_a, id_b, common, n_a, n_b). */
+  def shingleOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 2,
+                          maxDocFreq: Long = DefaultMaxDocFreq): DataFrame = {
+    val sh = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesFromSets(sh, maxDocFreq)
+    val sets = sh.select(col("id"), col("shash"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shash").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shash").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
   }
 
   /** N-gram Jaccard near-dup pairs: Jaccard(A,B) = common / (nA+nB-common)
     * >= threshold, evaluated as an exact integer inequality
     * (common * den >= num * (nA+nB-common)) — no float boundary issues.
-    * threshold = num/den. */
+    * threshold = num/den. `maxDocFreq` caps candidate generation (skew
+    * defense, see shingleCandidates); verification is always exact. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, num: Long = 1, den: Long = 5,
-                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame =
     shingleOverlapPairs(df, idCol, textCol, n, maxDocFreq)
       .filter(col("common") * den >= (col("n_a") + col("n_b") - col("common")) * num)
 
@@ -151,6 +181,18 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b")
   }
 
+  /** Iteration checkpoint: reliable `checkpoint()` when the session has a
+    * checkpoint dir configured (`sc.setCheckpointDir` — HDFS/S3 in a real
+    * cluster), else `localCheckpoint`. Reliable checkpoints survive
+    * executor loss — localCheckpoint blocks are unreplicated executor
+    * memory, so at 100 TB one lost executor mid-iteration would otherwise
+    * kill the whole dedup job. Either way lineage is truncated — an
+    * iterative fixpoint otherwise doubles its logical plan every round
+    * (the plan tree, not the data, OOMs the driver by round ~10). */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Resolve near-dup PAIRS into dedup GROUPS: connected components by
     * min-label contraction — each round every node adopts the minimum of
     * its closed neighborhood and edges are rewritten onto the labels, so
@@ -158,48 +200,52 @@ object Dedup {
     * Returns (id, component) where component is the minimum id in the
     * group — the canonical survivor. Never collects edges to the driver.
     *
-    * localCheckpoint per round truncates lineage — an iterative fixpoint
-    * otherwise doubles its logical plan every round (the plan tree, not
-    * the data, OOMs the driver by round ~10). */
+    * Fault tolerance: set a Spark checkpoint dir to make per-round
+    * checkpoints reliable (see iterCheckpoint). Driver round-trips are
+    * bounded: one convergence action per contraction round, plus one per
+    * TWO pointer jumps (jumps are composed pairwise before checking, so
+    * label depth still quarters between checks). */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
-    var g = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
-    var mapping = g.select(col("a").as("id")).union(g.select(col("b").as("id")))
-      .distinct().withColumn("comp", col("id")).localCheckpoint(true)
+    var g = iterCheckpoint(pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var mapping = iterCheckpoint(
+      g.select(col("a").as("id")).union(g.select(col("b").as("id")))
+        .distinct().withColumn("comp", col("id")))
+    // lab <- lab∘lab: each node's label follows its label's label
+    def jumpOnce(l: DataFrame): DataFrame = l
+      .join(l.select(col("node").as("lab"), col("lab").as("lab2")),
+        Seq("lab"), "left")
+      .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
     var round = 0
     while (round < maxRounds && g.limit(1).count() > 0) {
       val sym = g.union(g.select(col("b").as("a"), col("a").as("b")))
       // parent = min of closed neighborhood (a forest: parent < node)
-      var lab = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
-        .select(col("a").as("node"), least(col("a"), col("mb")).as("lab"))
-        .localCheckpoint(true)
-      // pointer jumping: lab <- lab∘lab until stable; distance to the
-      // tree root doubles per jump, so chains resolve in O(log depth)
+      var lab = iterCheckpoint(sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("node"), least(col("a"), col("mb")).as("lab")))
+      // pointer jumping: distance to the tree root doubles per jump, so
+      // chains resolve in O(log depth); two jumps per stability action
       var stable = false
       var jump = 0
       while (!stable && jump < 10) {
-        val composed = lab
-          .join(lab.select(col("node").as("lab"), col("lab").as("lab2")),
-            Seq("lab"), "left")
-          .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
-          .localCheckpoint(true)
-        stable = composed
-          .join(lab.select(col("node"), col("lab").as("prev")), Seq("node"))
+        val j1 = jumpOnce(lab)
+        val j2 = iterCheckpoint(jumpOnce(j1))
+        // j2 == j1 means the second jump was identity => fixpoint reached
+        stable = j2
+          .join(j1.select(col("node"), col("lab").as("prev")), Seq("node"))
           .filter(col("lab") =!= col("prev")).limit(1).count() == 0
-        lab = composed
-        jump += 1
+        lab = j2
+        jump += 2
       }
       // compose: comp values that are still graph nodes follow their label
-      mapping = mapping
+      mapping = iterCheckpoint(mapping
         .join(lab.withColumnRenamed("node", "comp"), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("lab"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), coalesce(col("lab"), col("comp")).as("comp")))
       // contract: rewrite edges onto labels, drop self-loops
-      g = g
+      g = iterCheckpoint(g
         .join(lab.withColumnRenamed("node", "a").withColumnRenamed("lab", "la"), Seq("a"))
         .join(lab.withColumnRenamed("node", "b").withColumnRenamed("lab", "lb"), Seq("b"))
         .select(col("la").as("a"), col("lb").as("b"))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+        .filter(col("a") =!= col("b")).distinct())
       round += 1
     }
     mapping

@@ -102,6 +102,9 @@ object TextQueries {
     // lists are so dense that candidates ~= all pairs; trigram vocab is
     // ~vocab² sparser, cutting candidate volume ~25× with identical
     // exactness for near-dup-grade similarity.
+    // maxDocFreq caps the worst inverted-index bucket (stop-shingle skew
+    // defense at corpus scale); at oracle scale (<= cap docs) it drops
+    // nothing, so the uncapped oracle still hash-matches.
     "q32_dedup_ngram_jaccard" -> q(
       s"""WITH sh AS (
             SELECT doc_id,
@@ -118,7 +121,7 @@ object TextQueries {
                 >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1
           ORDER BY id_a, id_b""") { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, num = 1, den = 5)
+        n = 3, num = 1, den = 5, maxDocFreq = 1000L)
         .orderBy("id_a", "id_b")
     },
 
@@ -154,7 +157,8 @@ object TextQueries {
           ORDER BY id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
       Dedup.dedupVerdicts(docs, "doc_id",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 5))
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 5,
+          maxDocFreq = 1000L))
         .select("id", "component", "is_survivor")
         .orderBy("id")
     },

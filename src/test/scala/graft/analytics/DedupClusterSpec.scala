@@ -25,6 +25,23 @@ class DedupClusterSpec extends SparkSpec {
     assert(comps.forall(_._2 == 0L))
   }
 
+  test("connectedComponents under a reliable checkpoint dir (cluster mode)") {
+    // with sc.setCheckpointDir set, rounds checkpoint to reliable storage
+    // (survives executor loss at scale) instead of localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+        .toDF("id_a", "id_b")
+      val comps = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+      assert(comps.forall(_._2 == 0L))
+      // reliable checkpoint files actually landed in the dir
+      val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty)
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("dedupVerdicts: unpaired docs survive as their own component") {
     val docs = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

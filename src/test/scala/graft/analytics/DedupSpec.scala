@@ -49,6 +49,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L))) // token multiset identical after lower/trim
   }
 
+  test("maxDocFreq cap kills the stop-shingle quadratic but keeps true near-dups") {
+    // 60 docs all sharing the stop-trigram "of the and"; two planted
+    // near-dups (50/51) sharing plenty of uncommon trigrams.
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = ((0 until 50).map(i =>
+      (i.toLong, s"unique$i token$i of the and extra$i tail$i")) ++ Seq(
+      (50L, nearDup + " of the and"),
+      (51L, nearDup + " of the and omega"))).toDF("doc_id", "text")
+    // uncapped: the shared trigram makes every doc pair a candidate
+    val uncapped = Dedup.shingleCandidates(corpus, "doc_id", "text",
+      n = 3, maxDocFreq = Long.MaxValue).count()
+    assert(uncapped >= 52L * 51 / 2) // all-pairs via the stop bucket
+    // capped: stop-grade trigrams (df > 10) drop out of the index
+    val capped = Dedup.shingleCandidates(corpus, "doc_id", "text",
+      n = 3, maxDocFreq = 10).count()
+    assert(capped < 60) // no quadratic blowup
+    // the planted near-dup still surfaces, with EXACT overlap counts
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, num = 1, den = 2, maxDocFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((50L, 51L)))
+  }
+
+  test("capped overlap counts equal uncapped counts on surviving pairs") {
+    // verification joins back to FULL shingle sets, so the cap must not
+    // perturb common/n_a/n_b for any pair it keeps
+    val capped = Dedup.shingleOverlapPairs(docs, "doc_id", "text",
+      n = 2, maxDocFreq = 3)
+      .select("id_a", "id_b", "common", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val uncapped = Dedup.shingleOverlapPairs(docs, "doc_id", "text",
+      n = 2, maxDocFreq = Long.MaxValue)
+      .select("id_a", "id_b", "common", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("dedup is idempotent (property)") {
     val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .join(docs, Seq("doc_id")).select("doc_id", "text")
