@@ -17,18 +17,33 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
+    // a failed query records an err entry, never a fake timing — a
+    // query that throws instantly must not look like a fast success
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
       // drop per-operator persisted relations (posting lists, signature
       // tables) so queries are timed in isolation
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (err match {
+        case None    => Right((System.nanoTime() - t0) / 1e9)
+        case Some(m) => Left(m)
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\u0000-\\u001f]", " ") + "\""
+    val qs = results.collect { case (k, Right(sec)) => s"${jstr(k)}:$sec" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val total = results.values.collect { case Right(sec) => sec }.sum
+    val nErr = results.values.count(_.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

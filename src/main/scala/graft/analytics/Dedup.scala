@@ -106,13 +106,62 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: Jaccard(A,B) = common / (nA+nB-common)
     * >= threshold, evaluated as an exact integer inequality
     * (common * den >= num * (nA+nB-common)) — no float boundary issues.
-    * threshold = num/den. `maxDocFreq` caps candidate generation (skew
-    * defense, see shingleCandidates); verification is always exact. */
+    * threshold = num/den.
+    *
+    * Two-phase plan so the cap is both skew-safe AND cheap:
+    *  1. overlap counted on the df-capped inverted index via a map-side-
+    *     combining groupBy — no shingle arrays ever cross this shuffle.
+    *     The capped count undercounts by at most min(dropped_a,
+    *     dropped_b) (a shared-but-dropped shingle is dropped in both
+    *     docs), so `common_c + least(d_a, d_b)` is a true upper bound
+    *     on `common`, and Jaccard is monotone in common — filtering on
+    *     the bound keeps every true pair.
+    *  2. exact array_intersect verification ONLY for pairs whose upper
+    *     bound passes — near-final volume, not candidate volume.
+    * With nothing dropped (corpus <= cap) phase 1 is already exact and
+    * phase 2 re-verifies just the final pairs. Recall caveat as in
+    * shingleCandidates: a pair sharing ONLY stop-grade shingles never
+    * becomes a candidate. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, num: Long = 1, den: Long = 5,
-                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame =
-    shingleOverlapPairs(df, idCol, textCol, n, maxDocFreq)
+                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame = {
+    val sh = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), explode(col("shash")).as("shash"))
+    val kept =
+      if (maxDocFreq == Long.MaxValue) inv
+      else {
+        val freq = inv.groupBy("shash").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= maxDocFreq).drop("df_")
+        inv.join(freq.hint("shuffle_hash"), Seq("shash"))
+      }
+    val commonC = kept.as("x")
+      .join(kept.as("y").hint("shuffle_hash"),
+        col("x.shash") === col("y.shash") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common_c"))
+    val keptCnt = kept.groupBy("id").agg(count(lit(1)).as("n_kept"))
+    val sizes = sh.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
+      .join(keptCnt, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+        (col("n_sh") - coalesce(col("n_kept"), lit(0L))).as("n_drop"))
+    val pre = commonC
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("n_drop").as("d_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("n_drop").as("d_b")), Seq("id_b"))
+      .withColumn("ub", col("common_c") + least(col("d_a"), col("d_b")))
+      .filter(col("ub") * den >= (col("n_a") + col("n_b") - col("ub")) * num)
+    val sets = sh.select(col("id"), col("shash"))
+    pre.select("id_a", "id_b")
+      .join(sets.select(col("id").as("id_a"), col("shash").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shash").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
       .filter(col("common") * den >= (col("n_a") + col("n_b") - col("common")) * num)
+  }
 
   /** MinHash signature from per-shingle 64-bit hashes: the base hash is
     * computed ONCE per shingle (xxhash64 over the string), and the k

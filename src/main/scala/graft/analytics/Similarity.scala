@@ -112,12 +112,16 @@ object Similarity {
   def topKIvf(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = withQv(corpus, idCol, vecCol)
-    val n = c.count()
-    val step = math.max(n / nCells, 1L)
-    val centroids = c.filter(col("id") % step === 0)
-      .withColumn("cell", (col("id") / step).cast("long"))
-      .filter(col("cell") < nCells)
-      .select(col("cell"), col("qv").as("cv"), col("qnorm").as("cnorm"))
+    // Deterministic coarse centroids with NO driver-side action: one
+    // representative per id-hash bucket (the min-hash member), produced
+    // by a lazy nCells-row aggregate inside the query job itself — a
+    // deterministic stand-in for k-means on synthetic data. The previous
+    // formulation ran a full corpus count() just to pick a stride.
+    val centroids = c
+      .withColumn("cell", pmod(xxhash64(col("id")), lit(nCells.toLong)))
+      .groupBy("cell")
+      .agg(min_by(struct(col("qv"), col("qnorm")), xxhash64(lit(42), col("id"))).as("r"))
+      .select(col("cell"), col("r.qv").as("cv"), col("r.qnorm").as("cnorm"))
     // assign: nearest centroid per corpus vector (broadcast nCells rows);
     // |a| is constant per vector, so argmax of dot/|c| == argmax cosine
     val assigned = c.crossJoin(broadcast(centroids))
@@ -154,6 +158,21 @@ object Similarity {
     * operator. Vectors rejoin afterwards (small relation at bucket-local
     * scale; at corpus scale this is a shuffle join on id, still linear in
     * candidates). */
+  /** All near-duplicate pairs by EXACT all-pairs cosine — the O(n²)
+    * exactness baseline for cosineNearDupPairs (same role
+    * topKBruteForce plays for the ANN variants). Use only on bounded
+    * slices; the LSH variant is the scale path. */
+  def nearDupPairsBruteForce(corpus: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val c = withQv(corpus, idCol, vecCol)
+    c.as("x")
+      .join(c.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (qdot(col("x.qv"), col("y.qv")).cast("double")
+          / (col("x.qnorm") * col("y.qnorm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 32, bands: Int = 4,
                          dim: Int = 64): DataFrame = {

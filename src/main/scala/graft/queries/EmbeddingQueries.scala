@@ -18,6 +18,18 @@ object EmbeddingQueries {
   private def qdotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** Plant one deterministic near-dup twin per vector: first coordinate
+    * ×1.5 in exact double math (float→double is exact; ×1.5 is one IEEE
+    * multiply, identical on any engine), id offset +1_000_000. Cosine to
+    * the base vector lands at ~0.997 for 64-dim vectors. */
+  private def withTwins(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    base.unionAll(base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x * 1.5d).otherwise(x)).as("embedding")))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-k against the vec_id=7 query vector.
@@ -54,10 +66,45 @@ object EmbeddingQueries {
     },
 
     // Embedding-cosine near-dup pairs (LSH candidate generation): rows-
-    // only (bucketing is hash-seeded); precision asserted in the spec.
+    // only (bucketing is hash-seeded); recall vs brute force asserted in
+    // the spec. The synthetic corpus has NO near-dups (max pairwise
+    // cosine ~0.51), so the query plants a deterministic twin per vector
+    // (first coordinate ×1.5 => cosine ~0.997) — the operator then has
+    // real work to do and non-vacuous output (~1 pair per base vector).
     "q40_embed_near_dup" -> qNoOracle { (s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.95)
+      Similarity.cosineNearDupPairs(
+        withTwins(t(s, dir, "embeddings")), "vec_id", "embedding",
+        threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Brute-force variant of the near-dup operator over a bounded slice:
+    // exact all-pairs cosine, fully oracle-checkable (the exactness
+    // baseline the LSH path is measured against).
+    "q63_embed_near_dup_brute" -> q(
+      s"""WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings WHERE vec_id < 1000),
+          twins AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_concat([emb[1] * 1.5], emb[2:]) AS emb
+            FROM base),
+          c AS (
+            SELECT vec_id,
+                   list_transform(emb, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM twins))
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(${qdotSql("a.qv", "b.qv")} AS DOUBLE)
+                   / (sqrt(CAST(${qdotSql("a.qv", "a.qv")} AS DOUBLE))
+                      * sqrt(CAST(${qdotSql("b.qv", "b.qv")} AS DOUBLE))) AS cosine
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+          WHERE CAST(${qdotSql("a.qv", "b.qv")} AS DOUBLE)
+                  / (sqrt(CAST(${qdotSql("a.qv", "a.qv")} AS DOUBLE))
+                     * sqrt(CAST(${qdotSql("b.qv", "b.qv")} AS DOUBLE))) >= 0.95
+          ORDER BY id_a, id_b""") { (s, dir) =>
+      Similarity.nearDupPairsBruteForce(
+        withTwins(t(s, dir, "embeddings").filter(col("vec_id") < 1000)),
+        "vec_id", "embedding", threshold = 0.95)
         .orderBy("id_a", "id_b")
     },
 

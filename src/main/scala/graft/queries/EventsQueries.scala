@@ -25,9 +25,23 @@ object EventsQueries {
         .orderBy("window_start", "event_type")
     },
 
-    // Sliding window (1h every 15m): no clean single-statement ANSI
-    // equivalent without a generator — driver records rows-only.
-    "q22_events_sliding" -> qNoOracle { (s, dir) =>
+    // Sliding window (1h every 15m). Oracle: each row lands in exactly
+    // width/slide = 4 windows whose starts are the row's 15-min bucket
+    // minus j slides (both engines align buckets to the epoch grid —
+    // DuckDB time_bucket's 2000-01-01 origin is a multiple of 15 min
+    // from Spark's 1970 origin, so the grids coincide).
+    "q22_events_sliding" -> q(
+      """SELECT window_start,
+                window_start + INTERVAL 1 HOUR AS window_end,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT time_bucket(INTERVAL '15 minutes', ts)
+                    - j * (INTERVAL '15 minutes') AS window_start, event_type
+           FROM events
+           CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) offs)
+         GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""") { (s, dir) =>
       Events.sliding(t(s, dir, "events"), "ts", "1 hour", "15 minutes",
         Seq("event_type"), Seq(count(lit(1)).as("n")))
         .select("window_start", "window_end", "event_type", "n")

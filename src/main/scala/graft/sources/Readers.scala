@@ -74,6 +74,45 @@ object Readers {
     spark.read.jdbc(url, table, p)
   }
 
+  /** S4 at scale: partitioned JDBC scan — `numPartitions` concurrent
+    * range queries over `partitionColumn` in [lowerBound, upperBound].
+    * The reference scans each table through one cursor
+    * (reference: postgres_extract.py:138-144); a single-task scan is the
+    * first bottleneck any real table volume hits, so this is the form a
+    * cluster deployment should default to. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lowerBound: Long, upperBound: Long,
+                      numPartitions: Int,
+                      props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, p)
+  }
+
+  /** Bounds-discovering variant: one min/max metadata query on the
+    * partition column (a single-row aggregate the database answers from
+    * its index), then the partitioned scan. Falls back to a single
+    * partition when the table is empty. */
+  def jdbcPartitionedAuto(spark: SparkSession, url: String, table: String,
+                          partitionColumn: String, numPartitions: Int,
+                          props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    val bounds = try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MIN($partitionColumn), MAX($partitionColumn) FROM $table")
+      if (rs.next() && rs.getObject(1) != null) Some((rs.getLong(1), rs.getLong(2)))
+      else None
+    } finally conn.close()
+    bounds match {
+      case Some((lo, hi)) if hi > lo =>
+        jdbcPartitioned(spark, url, table, partitionColumn, lo, hi, numPartitions, props)
+      case _ => jdbc(spark, url, table, props)
+    }
+  }
+
   /** S4: enumerate all tables of a JDBC schema, deterministically sorted
     * by name (reference: postgres_extract.py:102-113 `ORDER BY
     * table_name`), and scan each. */

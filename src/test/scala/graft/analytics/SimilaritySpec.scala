@@ -45,6 +45,42 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("LSH near-dup pairs: precision 1.0 and high recall vs brute force on planted twins") {
+    // plant one near-dup twin per vector (first coordinate ×1.5,
+    // cosine ~0.997) — same construction as the registered q40/q63
+    val base = embeddings.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val twinned = base.unionAll(base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (x, i) => when(i === 0, x * 1.5d).otherwise(x)).as("embedding")))
+    val brute = Similarity.nearDupPairsBruteForce(twinned, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(twinned, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // the twins really are near-dups
+    // precision: exact verify filter => every LSH pair is a true pair
+    assert(lsh.subsetOf(brute))
+    // recall: banding finds nearly all planted twins
+    assert(lsh.size.toDouble / brute.size >= 0.9)
+  }
+
+  test("topKIvf construction triggers no Spark jobs (no driver-side corpus pass)") {
+    val e = embeddings
+    e.schema // force the parquet footer read before counting jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.topKIvf(e, "vec_id", "embedding",
+        e.filter($"vec_id" === 7), k = 10)
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs.get() == 0, "building the IVF plan must not run jobs")
+      assert(df.columns.toSeq == Seq("id", "cosine"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")

@@ -60,6 +60,25 @@ class ReadersSpec extends SparkSpec {
     assert(tables.head._2.count() == 2)
   }
 
+  test("jdbcPartitioned: scan splits into parallel range-query partitions") {
+    val url = s"jdbc:derby:memory:graftpart${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE APP.CALLS (call_id BIGINT, who VARCHAR(10))")
+    st.execute("INSERT INTO APP.CALLS VALUES " +
+      (1 to 40).map(i => s"($i, 'u$i')").mkString(", "))
+    st.close(); conn.close()
+    val df = Readers.jdbcPartitioned(spark, url, "APP.CALLS",
+      "call_id", lowerBound = 1, upperBound = 40, numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4) // 4 concurrent range cursors
+    assert(df.count() == 40) // ranges partition the table exactly
+    // bounds-discovering variant: same result without caller-known bounds
+    val auto = Readers.jdbcPartitionedAuto(spark, url, "APP.CALLS",
+      "call_id", numPartitions = 4)
+    assert(auto.rdd.getNumPartitions > 1)
+    assert(auto.count() == 40)
+  }
+
   test("discoverTables: one table per subdirectory, sorted (S7)") {
     val root = tmpDir
     import spark.implicits._
