@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val registry: Map[String, Q] =
     ParityQueries.defs ++ AnalyticsQueries.defs ++ EventsQueries.defs ++
-      TextQueries.defs ++ EmbeddingQueries.defs ++ SqlSurfaceQueries.defs
+      TextQueries.defs ++ EmbeddingQueries.defs ++ SqlSurfaceQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

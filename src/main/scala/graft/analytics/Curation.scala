@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY §7.4 extension surface):
+  * deterministic corpus splitting, benchmark decontamination, and
+  * concat-and-chunk sequence packing — the steps between "cleaned
+  * corpus" and "training batches" in an LLM data pipeline.
+  *
+  * Everything here is engine-portable by construction: split assignment
+  * hashes with md5 (identical hex on any engine), contamination counts
+  * are exact set-overlap integers, and packing is exact integer prefix
+  * arithmetic — so all three are DuckDB-oracle-checkable, unlike
+  * xxhash64-seeded sketches.
+  */
+object Curation {
+
+  /** Deterministic train/val/test split by content-independent hash:
+    * the first 4 hex chars of md5(salt || id) give a uniform position in
+    * [0, 65536); cumulative fraction cutoffs assign the split label.
+    * Fractions quantize to 1/65536 — at corpus scale the error is
+    * negligible and the assignment is stable across runs, engines, and
+    * cluster layouts (a pure projection: no shuffle, no RNG state).
+    *
+    * `splits` are (label, fraction) with fractions summing to <= 1;
+    * any remainder falls into the LAST label. */
+  def splitColumn(idCol: Column, splits: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    require(splits.nonEmpty, "at least one split")
+    val pos = substring(md5(concat(lit(salt), idCol.cast("string")).cast("binary")), 1, 4)
+    // cutoffs as 4-digit lowercase hex; lexicographic compare == numeric
+    val cuts = splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => f"${math.round(f * 65536).min(65536)}%04x")
+    splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((label, _), cut), elseCol) => when(pos < lit(cut), lit(label)).otherwise(elseCol)
+    }
+  }
+
+  /** hashSplit over a DataFrame: adds a `split` column. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                salt: String = ""): DataFrame =
+    df.withColumn("split", splitColumn(col(idCol), splits, salt))
+
+  /** Benchmark decontamination: for each candidate training document,
+    * how many of its distinct word n-gram shingles appear ANYWHERE in
+    * the benchmark corpus. Returns (id, n_sh, n_contaminated,
+    * contamination_ratio); filter on the ratio to drop tainted docs.
+    *
+    * Plan shape: inverted-index semi-join on 64-bit shingle hashes —
+    * train explodes to (id, shash), benchmark reduces to a DISTINCT
+    * shingle-hash set (tiny relative to the corpus: benchmarks are eval
+    * sets), and the semi-join + per-doc count is one shuffle. Never
+    * doc × doc. At 100 TB the benchmark side is broadcast-grade. */
+  def contamination(train: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 3): DataFrame = {
+    val tr = Dedup.shingleHashSets(train, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsh = Dedup.shingleHashSets(
+      bench.withColumn("__bid", monotonically_increasing_id()), "__bid", benchTextCol, n)
+      .select(explode(col("shash")).as("shash")).distinct()
+    val counts = tr.select(col("id"), explode(col("shash")).as("shash"))
+      .join(bsh.hint("shuffle_hash"), Seq("shash"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    tr.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast("double") / col("n_sh").cast("double"))
+  }
+
+  /** Distributed exclusive prefix sum of `valueCol` in `orderCol` order:
+    * range-repartition on the order key, partition-local running sums
+    * under a per-partition window, then a partition-offset join — the
+    * two-pass parallel scan. No global single-partition window, so it
+    * holds at any scale; the offsets relation has one row per partition.
+    *
+    * The result is independent of where the range boundaries fall:
+    * local cumsum + the sum of everything in earlier ranges is the
+    * global prefix sum under any partitioning of a total order. */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                         resultCol: String, numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = parted.withColumn("__cum",
+      sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy("__pid").agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__off",
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(resultCol, col("__off") + col("__cum") - col(valueCol))
+      .drop("__pid", "__cum", "__off")
+  }
+
+  /** Concat-and-chunk sequence packing (the standard LLM pretraining
+    * batch layout): documents are laid out end-to-end in `orderCol`
+    * order and cut every `budget` tokens; a document's bin is
+    * floor(exclusive_prefix_tokens / budget). Exact integer arithmetic
+    * over the distributed prefix sum — deterministic on any engine.
+    * Returns the input plus (n_tokens via `tokenCol`, bin). */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    exclusivePrefixSum(df, orderCol, tokenCol, "__prefix")
+      // DIV: exact 64-bit integer division — a double floor would lose
+      // exactness once the running token total passes 2^53
+      .withColumn("bin", expr(s"__prefix DIV ${budget}L"))
+      .drop("__prefix")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Curation, TextAnalysis}
+
+/** Training-data curation operators over `documents` (SURVEY §7.4
+  * extension surface): deterministic corpus splitting, benchmark
+  * decontamination, sequence packing. All three are engine-portable by
+  * construction (md5 / exact integer arithmetic), so each carries a full
+  * DuckDB oracle.
+  */
+object CurationQueries {
+
+  private val toksSql =
+    """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
+
+  // Same trigram construction q32/q57 use (proven hash-stable vs Spark's
+  // hashed-shingle sets on this corpus).
+  private val shinglesSql =
+    s"""list_distinct(list_transform(
+          generate_series(1, greatest(len($toksSql) - 2, 1)),
+          i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))"""
+
+  // 98/1/1 split; cutoffs quantized to 1/65536 exactly as
+  // Curation.splitColumn computes them.
+  private val splits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+  private val cutHex: Seq[String] =
+    splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => f"${math.round(f * 65536).min(65536)}%04x")
+
+  val defs: Map[String, Q] = Map(
+
+    // Deterministic hash split: md5-position vs hex cutoffs, identical
+    // on both engines (lexicographic compare of lowercase hex).
+    "q64_hash_split" -> q({
+      val Seq(trainCut, valCut) = cutHex
+      s"""SELECT doc_id,
+                 CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '$trainCut' THEN 'train'
+                      WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '$valCut' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id"""
+    }) { (s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents").select("doc_id"),
+        "doc_id", splits, salt = "v1")
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: every 10th doc plays the benchmark set;
+    // the rest are scored by shared-trigram counts (inverted-index
+    // semi-join on the Spark side; string-shingle joins in the oracle).
+    "q65_decontaminate" -> q(
+      s"""WITH sh AS (
+            SELECT doc_id, $shinglesSql AS shingles FROM documents),
+          bench AS (
+            SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
+          tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 10 <> 0),
+          cnt AS (
+            SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM tr) u
+            JOIN bench USING (s)
+            GROUP BY u.doc_id)
+          SELECT tr.doc_id AS id,
+                 CAST(len(tr.shingles) AS BIGINT) AS n_sh,
+                 coalesce(cnt.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+                 CAST(coalesce(cnt.n_contaminated, CAST(0 AS BIGINT)) AS DOUBLE)
+                   / CAST(len(tr.shingles) AS DOUBLE) AS contamination_ratio
+          FROM tr LEFT JOIN cnt ON tr.doc_id = cnt.doc_id
+          ORDER BY id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        .orderBy("id")
+    },
+
+    // Concat-and-chunk sequence packing at a 2048-token budget: bin =
+    // exclusive-prefix-tokens DIV budget, via the distributed two-pass
+    // prefix sum (no global single-partition window on the Spark side).
+    "q66_pack_sequences" -> q(
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST((sum(CAST(len($toksSql) AS BIGINT))
+                         OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - CAST(len($toksSql) AS BIGINT)) // 2048 AS BIGINT) AS bin
+          FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packSequences(docs, "doc_id", "n_tokens", budget = 2048L)
+        .select("doc_id", "n_tokens", "bin")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, exhaustive, and close to requested fractions") {
+    val ids = (0L until 10000L).toDF("id")
+    val splits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+    val once = Curation.hashSplit(ids, "id", splits, salt = "v1")
+    val counts = once.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L) // every row labeled exactly once
+    assert(math.abs(counts("train") - 9800L) < 100)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // content-independent determinism: same ids -> same assignment
+    val twice = Curation.hashSplit(ids, "id", splits, salt = "v1")
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+    // different salt -> different assignment (resplittable corpora)
+    val other = Curation.hashSplit(ids, "id", splits, salt = "v2")
+    assert(once.except(other).count() > 0)
+  }
+
+  test("contamination: identical doc fully tainted, unrelated doc clean") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst optimizer rewrites logical plans before execution")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("bench_id", "text")
+    val byId = Curation.contamination(train, "doc_id", "text", bench, "text", n = 3)
+      .select("id", "n_sh", "n_contaminated").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L)._1 == byId(1L)._2) // every shingle of doc 1 is in bench
+    assert(byId(2L)._2 == 0L)          // doc 2 shares nothing
+  }
+
+  test("exclusivePrefixSum matches the single-partition window (differential)") {
+    val rows = (1L to 1000L).map(i => (i, (i * 2654435761L) % 97 + 1)).toDF("id", "v")
+    val expected = rows.withColumn("ps",
+      coalesce(sum($"v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(3, 7, 32)) {
+      val got = Curation.exclusivePrefixSum(rows, "id", "v", "ps", numParts = parts)
+        .select("id", "ps").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"prefix sum diverged at numParts=$parts")
+    }
+  }
+
+  test("packSequences: bins advance exactly at the token budget") {
+    val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 100L), (4L, 2000L), (5L, 10L))
+      .toDF("id", "n_tokens")
+    val bins = Curation.packSequences(docs, "id", "n_tokens", budget = 2048L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // prefixes: 0, 1000, 2000, 2100, 4100 -> bins 0,0,0,1,2
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+}
