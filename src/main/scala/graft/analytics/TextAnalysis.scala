@@ -94,6 +94,44 @@ object TextAnalysis {
     graft.functions.RollingHash64(
       regexp_replace(lower(regexp_replace(c, "^\\s+|\\s+$", "")), "\\s+", " "))
 
+  /** Repetition/quality signals in the style of the public Gopher-paper
+    * filtering rules (mean word length, symbol-to-word ratio, fraction
+    * of words with an alphabetic character, duplicate-line fraction) —
+    * the standard web-corpus quality gates. Pure per-row projection of
+    * exact integer counts + exact-operand divisions: codegen'd,
+    * shuffle-free, engine-stable. */
+  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val lines = split(c, "\n", -1)
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / size(toks).cast("double")).as("mean_word_length"),
+      (size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double")
+        / size(toks).cast("double")).as("alpha_word_ratio"),
+      ((length(c) - length(regexp_replace(c, "[#@$%&]", ""))).cast("double")
+        / size(toks).cast("double")).as("symbol_to_word_ratio"),
+      (lit(1.0) - size(array_distinct(lines)).cast("double")
+        / size(lines).cast("double")).as("duplicate_line_fraction"))
+  }
+
+  /** PII scrubbing: emails and phone-shaped digit runs replaced with
+    * typed placeholders. Conservative regex syntax (character classes +
+    * counted quantifiers only) so Java-regex and RE2 engines agree;
+    * match counts returned alongside for audit. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(c, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("text_scrubbed"))
+  }
+
   /** BPE-ish subword tokenizer: letter runs, digit runs, and single
     * non-alphanumeric marks — the pre-tokenization split every BPE-family
     * tokenizer applies (public GPT-2/SentencePiece convention), a good

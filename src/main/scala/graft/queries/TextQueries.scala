@@ -256,6 +256,51 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Gopher-style quality gates (public Gopher-paper heuristics):
+    // exact integer counts + exact-operand divisions, engine-stable.
+    "q67_quality_gopher" -> q(
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST(list_sum(list_transform($toksSql, x -> length(x))) AS DOUBLE)
+                   / CAST(len($toksSql) AS DOUBLE) AS mean_word_length,
+                 CAST(len(list_filter($toksSql, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / CAST(len($toksSql) AS DOUBLE) AS alpha_word_ratio,
+                 CAST(length(text) - length(regexp_replace(text, '[#@$$%&]', '', 'g')) AS DOUBLE)
+                   / CAST(len($toksSql) AS DOUBLE) AS symbol_to_word_ratio,
+                 1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                   / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS duplicate_line_fraction
+          FROM documents ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.gopherStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing. The synthetic corpus carries no PII, so every 7th
+    // doc gets a deterministic planted email+phone (derived from doc_id
+    // on BOTH engines) — the scrubber then has real matches to count
+    // and rewrite, non-vacuously.
+    "q68_scrub_pii" -> q(
+      s"""WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or 555-123-4567'
+                        ELSE text END AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+                 regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                                '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text_scrubbed
+          FROM d ORDER BY doc_id""") { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scrubPii(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

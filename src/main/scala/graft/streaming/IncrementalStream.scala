@@ -48,6 +48,20 @@ object IncrementalStream {
       .select((col("window.start").as("window_start") +: keys.map(col)) :+
         col("n") :+ col("total"): _*)
 
+  /** Streaming exact dedup by content fingerprint: documents whose
+    * normalized text was already seen inside the watermark horizon are
+    * dropped — the streaming form of Dedup.exactByFingerprint for a
+    * continuously-ingested corpus. `dropDuplicatesWithinWatermark`
+    * bounds the fingerprint state store by event time, so state does
+    * not grow with the corpus (the batch ledger's streaming analog:
+    * exactly-once per CONTENT instead of per file). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String): DataFrame =
+    docs
+      .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Custom-state streaming sessionization via flatMapGroupsWithState:
     * per-user state carries (session count, last event time); an event
     * later than `gapSeconds` after the previous one opens a new session.

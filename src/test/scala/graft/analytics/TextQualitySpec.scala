@@ -1,0 +1,37 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherStats: duplicate lines, symbols and non-alpha words are measured") {
+    val docs = Seq(
+      (1L, "good clean prose with words\nanother line\nanother line"),
+      (2L, "#### @@@@ 1234 %%%%")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 3 lines, 2 distinct -> dup fraction 1/3
+    assert(math.abs(out(1L).getDouble(5) - 1.0 / 3.0) < 1e-12)
+    assert(out(1L).getDouble(3) == 1.0) // every word alphabetic
+    // doc 2: no alphabetic words, 12 symbol chars over 4 tokens
+    assert(out(2L).getDouble(3) == 0.0)
+    assert(out(2L).getDouble(4) == 3.0)
+    assert(out(2L).getDouble(5) == 0.0) // single line, no dups
+  }
+
+  test("scrubPii: emails and phones replaced with typed placeholders, counted") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 555-123-4567 thanks"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 1L)
+    val scrubbed = out(1L).getString(3)
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("555"))
+    assert(out(2L).getLong(1) == 0L && out(2L).getString(3) == "no pii here at all")
+  }
+}

@@ -76,6 +76,34 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast left-anti:\n$p")
   }
 
+  test("q64: hash split is a pure projection — zero exchanges") {
+    // the registered query adds an orderBy for oracle determinism; the
+    // OPERATOR itself must not shuffle
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val p = graft.analytics.Curation.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01), salt = "v1")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"split assignment must not shuffle:\n$p")
+  }
+
+  test("q65: decontamination joins shingle hashes with a semi-join, never doc x doc") {
+    val p = planOf("q65_decontaminate")
+    assert(p.contains("LeftSemi"), s"expected left-semi shingle join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"doc-by-doc comparison leaked into the plan:\n$p")
+  }
+
+  test("q66: packing windows are per-partition, offsets broadcast") {
+    val p = planOf("q66_pack_sequences")
+    // the per-partition running sum must be partitioned by __pid, and the
+    // only global (empty-partition-spec) window may run over the tiny
+    // per-partition offsets relation, never the corpus
+    assert(p.contains("__pid"), s"expected partition-local window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must join back via broadcast:\n$p")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -33,6 +33,29 @@ class StatefulSessionSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupStream: fingerprint dedup with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val deduped = IncrementalStream.dedupStream(
+      input.toDS().toDF("ts", "text"), "ts", "text", watermark = "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("fpdedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    // same CONTENT under different whitespace/case is one fingerprint
+    input.addData(
+      (ts(0), "The quick   brown fox"),
+      (ts(30), "  the quick brown FOX "),
+      (ts(60), "a different document"))
+    q.processAllAvailable()
+    input.addData((ts(120), "the quick brown fox")) // dup across batches
+    q.processAllAvailable()
+    val out = spark.table("fpdedup_out").select("text").as[String].collect()
+    assert(out.length == 2, s"expected 2 surviving docs, got ${out.toSeq}")
+    q.stop()
+  }
+
   test("streaming dropDuplicates: exact dedup state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
