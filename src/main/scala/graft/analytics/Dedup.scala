@@ -357,10 +357,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates collide on any of 4 16-bit bands
     * (guarantees recall for Hamming distance <= 3), verified by exact
-    * Hamming distance <= maxHamming. */
+    * Hamming distance <= maxHamming.
+    *
+    * Skew defenses on the bucket self-join:
+    *  - ADAPTIVE SALT: near-identical docs pile into one (band,bh)
+    *    bucket, whose m² enumeration would run in a single task. Bucket
+    *    sizes are counted first (a tiny map-side-combined aggregate);
+    *    only buckets above `saltThreshold` are salted — their y-rows get
+    *    a 16-way salt from the id and their x-rows replicate across the
+    *    16 salts, spreading the hot bucket over 16 tasks with every pair
+    *    still enumerated exactly once. Cold buckets (the overwhelming
+    *    majority at corpus scale) pay NO replication — a blanket 16×
+    *    x-side amplification was the old cost of safety.
+    *  - Hamming test INSIDE the join condition, so only true near-dups
+    *    cross the shuffle boundary. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // persisted: referenced by both sides of the band self-join
+                   maxHamming: Int = 3, saltThreshold: Long = 2000L): DataFrame = {
+    // persisted: referenced by both sides of the band self-join AND the
+    // bucket-size count
     val withSim = simhashByDoc(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("sim"),
@@ -369,18 +383,17 @@ object Dedup {
           shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))
         .as("bucket"))
       .select(col("id"), col("sim"), col("bucket.band"), col("bucket.bh"))
-    // Two skew defenses on the bucket self-join:
-    //  - SALT: near-identical docs pile into one (band,bh) bucket, whose
-    //    m² enumeration would run in a single task. Each y-row gets a
-    //    16-way salt from its id; x-rows replicate across the 16 salts —
-    //    the hot bucket's work spreads over 16 tasks, every pair still
-    //    enumerated exactly once.
-    //  - Hamming test INSIDE the join condition, so only true near-dups
-    //    cross the shuffle boundary.
     val S = 16
-    val ys = banded.withColumn("salt", pmod(hash(col("id")), lit(S)))
-    val xs = banded.withColumn("salt",
-      explode(array((0 until S).map(lit): _*)))
+    val hot = banded.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > saltThreshold)
+      .select(col("band"), col("bh"), lit(true).as("is_hot"))
+    val tagged = banded.join(broadcast(hot), Seq("band", "bh"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+    val ys = tagged.withColumn("salt",
+      when(col("is_hot"), pmod(hash(col("id")), lit(S))).otherwise(lit(0)))
+    val xs = tagged.withColumn("salt",
+      explode(when(col("is_hot"), array((0 until S).map(lit): _*))
+        .otherwise(array(lit(0)))))
     xs.as("x")
       .join(ys.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")

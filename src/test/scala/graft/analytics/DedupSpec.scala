@@ -86,6 +86,18 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("adaptive simhash salting: all-salted == none-salted pair sets") {
+    // saltThreshold=0 salts every bucket; MaxValue salts none — the
+    // enumerated pair set must be identical either way
+    val salted = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 16, saltThreshold = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unsalted = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 16, saltThreshold = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(salted == unsalted && salted.nonEmpty)
+  }
+
   test("dedup is idempotent (property)") {
     val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .join(docs, Seq("doc_id")).select("doc_id", "text")
