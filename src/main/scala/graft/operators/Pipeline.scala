@@ -28,14 +28,28 @@ object Pipeline {
       renames: Map[String, String] = Map.empty,
       incremental: Boolean = false)
 
-  final case class RunReport(stages: Seq[Quality.OperationMetadata]) {
+  /** `stages` are the orchestrator's coarse stage metrics; `actions` are
+    * the engine-level per-action metrics the QueryExecutionListener hook
+    * captured during the run (C3 — the notification feed the reference
+    * emails from, pipeline.py:20-43). */
+  final case class RunReport(stages: Seq[Quality.OperationMetadata],
+                             actions: Seq[Quality.OperationMetadata] = Nil) {
     def totalSeconds: Double = stages.map(_.durationSeconds).sum
   }
 
-  /** Run the full flow. Returns per-stage metrics (A4 analog). */
+  /** Run the full flow. Returns per-stage metrics (A4 analog) plus the
+    * per-action run report (C3 analog). */
   def run(spark: SparkSession, sources: Seq[Source], root: String,
           buildStar: Map[String, DataFrame] => Map[String, DataFrame] =
             identity[Map[String, DataFrame]] _): RunReport = {
+    val hook = graft.operators.RunReport.attach(spark)
+    try runInner(spark, sources, root, buildStar, hook)
+    finally hook.detach(spark)
+  }
+
+  private def runInner(spark: SparkSession, sources: Seq[Source], root: String,
+                       buildStar: Map[String, DataFrame] => Map[String, DataFrame],
+                       hook: graft.operators.RunReport): RunReport = {
     val ledgerPath = s"$root/_ledger"
     val stages = scala.collection.mutable.ArrayBuffer.empty[Quality.OperationMetadata]
 
@@ -105,6 +119,7 @@ object Pipeline {
     }
     stages += starM.complete()
 
-    RunReport(stages.toSeq)
+    hook.awaitQuiescence()
+    RunReport(stages.toSeq, hook.report)
   }
 }

@@ -65,6 +65,20 @@ final class RunReport private[operators] () {
       durationSeconds = r.map(_.durationSeconds).sum)
   }
 
+  /** Listener events post asynchronously; wait until the report stops
+    * growing (or the timeout passes) before reading it at a barrier. */
+  def awaitQuiescence(timeoutMs: Long = 5000, stableMs: Long = 250): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = -1
+    var lastChange = System.currentTimeMillis()
+    while (System.currentTimeMillis() < deadline &&
+           System.currentTimeMillis() - lastChange < stableMs) {
+      val n = buf.size()
+      if (n != last) { last = n; lastChange = System.currentTimeMillis() }
+      Thread.sleep(25)
+    }
+  }
+
   def detach(spark: SparkSession): Unit =
     spark.listenerManager.unregister(listener)
 }

@@ -84,6 +84,12 @@ class PipelineE2ESpec extends SparkSpec {
     assert(report.stages.map(_.operation) ==
       Seq("land", "transform", "warehouse_load", "star_schema"))
 
+    // C3: the QueryExecutionListener hook captured per-action metrics
+    // for the run's writes/reads, all successful
+    assert(report.actions.nonEmpty, "run report captured no actions")
+    assert(report.actions.forall(_.failed == 0L))
+    assert(report.actions.map(_.durationSeconds).sum > 0.0)
+
     // customers: dup row collapsed, trim applied, NULL literal nulled
     val cust = spark.table("customers")
     assert(cust.count() == 2)
