@@ -43,6 +43,26 @@ object Curation {
                 salt: String = ""): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits, salt))
 
+  /** Deterministic domain mixing: per-domain keep-rates applied by the
+    * same md5-hash position hashSplit uses — the data-mixture sampler
+    * (down-weight low-quality domains, keep high-quality ones whole).
+    * A pure filter projection: no shuffle, no RNG state, reproducible
+    * on any engine and any cluster layout. Domains absent from `rates`
+    * keep `defaultRate`. */
+  def sampleByDomain(df: DataFrame, idCol: String, domainCol: String,
+                     rates: Map[String, Double], salt: String = "",
+                     defaultRate: Double = 1.0): DataFrame = {
+    def cutHex(f: Double): String = f"${math.round(f * 65536).min(65536)}%05x"
+    val pos = substring(md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 4)
+    // 5-hex-digit cutoffs so rate 1.0 ("10000") sorts above every
+    // 4-hex-digit position — lexicographic compare stays numeric
+    val cutoff = rates.foldLeft(lit(cutHex(defaultRate)): Column) {
+      case (elseCol, (domain, f)) =>
+        when(col(domainCol) === domain, lit(cutHex(f))).otherwise(elseCol)
+    }
+    df.filter(concat(lit("0"), pos) < cutoff)
+  }
+
   /** Benchmark decontamination: for each candidate training document,
     * how many of its distinct word n-gram shingles appear ANYWHERE in
     * the benchmark corpus. Returns (id, n_sh, n_contaminated,

@@ -24,6 +24,21 @@ object Layout {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Size-governed write: bound rows per output file so a 100 TB write
+    * produces a healthy file population (no 10 GB monoliths, no
+    * million-file listings). `repartitionByRange` on the sort key keeps
+    * files range-clustered (min/max footer stats stay selective);
+    * `maxRecordsPerFile` caps any residual straggler partition. */
+  def writeSized(df: DataFrame, path: String, sortCol: String,
+                 rowsPerFile: Long, totalRows: Long,
+                 mode: String = "overwrite"): Unit = {
+    val nFiles = math.max(1L, (totalRows + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartitionByRange(nFiles, col(sortCol))
+      .write.mode(mode)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — the hot key's rows spread over `salt`
     * reducers — phase 2 merges the partials on the key alone. The merge

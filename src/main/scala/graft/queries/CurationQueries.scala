@@ -45,6 +45,25 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic domain mixing: per-language keep-rates via the same
+    // md5-position trick (5-hex-digit cutoffs so rate 1.0 keeps all).
+    "q69_domain_mix" -> q({
+      def cut(f: Double): String = f"${math.round(f * 65536).min(65536)}%05x"
+      s"""SELECT doc_id, lang
+          FROM documents
+          WHERE concat('0', substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 4))
+                < CASE WHEN lang = 'en' THEN '${cut(0.5)}'
+                       WHEN lang = 'es' THEN '${cut(0.25)}'
+                       WHEN lang = 'fr' THEN '${cut(0.1)}'
+                       ELSE '${cut(1.0)}' END
+          ORDER BY doc_id"""
+    }) { (s, dir) =>
+      Curation.sampleByDomain(t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        rates = Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.1), salt = "mix1")
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: every 10th doc plays the benchmark set;
     // the rest are scored by shared-trigram counts (inverted-index
     // semi-join on the Spark side; string-shingle joins in the oracle).

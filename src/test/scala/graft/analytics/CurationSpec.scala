@@ -23,6 +23,36 @@ class CurationSpec extends SparkSpec {
     assert(once.except(other).count() > 0)
   }
 
+  test("sampleByDomain: per-domain rates hold, sampling is deterministic") {
+    val rows = (0L until 8000L).map(i => (i, if (i % 2 == 0) "keep" else "thin"))
+      .toDF("id", "domain")
+    val sampled = Curation.sampleByDomain(rows, "id", "domain",
+      rates = Map("thin" -> 0.25), salt = "s1")
+    val counts = sampled.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("keep") == 4000L) // rate 1.0 keeps every row
+    assert(math.abs(counts("thin") - 1000L) < 150) // ~25% of 4000
+    val again = Curation.sampleByDomain(rows, "id", "domain",
+      rates = Map("thin" -> 0.25), salt = "s1")
+    assert(sampled.except(again).isEmpty && again.except(sampled).isEmpty)
+  }
+
+  test("writeSized bounds rows per output file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sized").toString
+    val rows = (0L until 1000L).toDF("id")
+    graft.operators.Layout.writeSized(rows, s"$dir/t", "id",
+      rowsPerFile = 100L, totalRows = 1000L)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1000L)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= 10, s"expected >=10 files, got ${files.length}")
+    // no file holds more than the cap
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 100L)
+    }
+  }
+
   test("contamination: identical doc fully tainted, unrelated doc clean") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
