@@ -81,8 +81,11 @@ object Curation {
     val bsh = Dedup.shingleHashSets(
       bench.withColumn("__bid", monotonically_increasing_id()), "__bid", benchTextCol, n)
       .select(explode(col("shash")).as("shash")).distinct()
+    // no join-strategy hint: the benchmark shingle set is usually
+    // broadcast-grade (eval sets are small next to the corpus) — let
+    // Catalyst/AQE pick broadcast left-semi when stats allow
     val counts = tr.select(col("id"), explode(col("shash")).as("shash"))
-      .join(bsh.hint("shuffle_hash"), Seq("shash"), "left_semi")
+      .join(bsh, Seq("shash"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
     tr.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
       .join(counts, Seq("id"), "left")

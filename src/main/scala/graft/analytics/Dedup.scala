@@ -128,6 +128,12 @@ object Dedup {
     val sh = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), explode(col("shash")).as("shash"))
+    // `kept` is referenced 3x downstream (both self-join sides + the
+    // per-doc kept counts) and deliberately NOT persisted: the explode +
+    // df-filter recompute from the persisted `sh`, which MEASURED
+    // cheaper than caching either the exploded index or the frequency
+    // table (an InMemoryTableScan boundary breaks AQE replanning and
+    // whole-stage pipelining for a bigger cost than the recompute).
     val kept =
       if (maxDocFreq == Long.MaxValue) inv
       else {
