@@ -379,10 +379,11 @@ object Dedup {
     *    cross the shuffle boundary. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, saltThreshold: Long = 2000L): DataFrame = {
-    // persisted: referenced by both sides of the band self-join AND the
-    // bucket-size count
+    // NOT persisted despite 3 downstream references: SimHash64 is one
+    // compiled projection pass, cheaper to recompute than an
+    // InMemoryTableScan boundary (measured — same finding as the
+    // ngram-Jaccard index)
     val withSim = simhashByDoc(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -176,8 +176,9 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 32, bands: Int = 4,
                          dim: Int = 64): DataFrame = {
+    // quantize+norm is one projection pass — recompute beats a cache
+    // boundary (see Dedup's measured-persistence note)
     val c = withQv(corpus, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = banded(c, nBits, bands, dim).select("id", "band", "bh")
     val cand = b.as("x")
       .join(b.as("y").hint("shuffle_hash"),
