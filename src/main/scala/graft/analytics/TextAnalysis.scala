@@ -116,6 +116,21 @@ object TextAnalysis {
         / size(lines).cast("double")).as("duplicate_line_fraction"))
   }
 
+  /** Within-document repeated-line removal (the CCNet-style repetition
+    * filter): keep each line's FIRST occurrence, preserving order, and
+    * report how many were dropped. Order-preserving distinct via an
+    * indexed array filter (first-occurrence-index == own index) — a
+    * pure projection, O(lines²) per doc but lines-per-doc is small and
+    * the op never shuffles. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val kept = filter(lines, (x, i) => array_position(lines, x) === (i + 1))
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"),
+      concat_ws("\n", kept).as("text_deduped"))
+  }
+
   /** PII scrubbing: emails and phone-shaped digit runs replaced with
     * typed placeholders. Conservative regex syntax (character classes +
     * counted quantifiers only) so Java-regex and RE2 engines agree;

@@ -301,6 +301,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Repeated-line removal (CCNet-style repetition filter). The corpus
+    // is single-line, so two copies of the doc's 40-char prefix are
+    // planted as extra lines (derived identically on both engines) —
+    // the filter then provably drops exactly the second copy.
+    "q70_dedup_lines" -> q(
+      """WITH d AS (
+           SELECT doc_id,
+                  text || chr(10) || substring(text, 1, 40)
+                       || chr(10) || substring(text, 1, 40) AS text
+           FROM documents),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+         k AS (SELECT doc_id, lines,
+                      list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+               FROM l)
+         SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+                array_to_string(kept, chr(10)) AS text_deduped
+         FROM k ORDER BY doc_id""") { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          substring(col("text"), 1, 40), substring(col("text"), 1, 40)).as("text"))
+      TextAnalysis.dedupLines(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -21,6 +21,28 @@ class TextQualitySpec extends SparkSpec {
     assert(out(2L).getDouble(5) == 0.0) // single line, no dups
   }
 
+  test("dedupLines: first occurrence kept in order, repeats dropped") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (2L, "one line only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getString(3) == "alpha\nbeta\ngamma")
+    assert(out(2L).getLong(2) == 0L && out(2L).getString(3) == "one line only")
+  }
+
+  test("sampleByDomain is monotone in rate: lower rate yields a subset") {
+    import graft.analytics.Curation
+    val rows = (0L until 2000L).map(i => (i, "d")).toDF("id", "domain")
+    val lo = Curation.sampleByDomain(rows, "id", "domain", Map("d" -> 0.2), "s")
+      .select("id").as[Long].collect().toSet
+    val hi = Curation.sampleByDomain(rows, "id", "domain", Map("d" -> 0.6), "s")
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
+  }
+
   test("scrubPii: emails and phones replaced with typed placeholders, counted") {
     val docs = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org or 555-123-4567 thanks"),
