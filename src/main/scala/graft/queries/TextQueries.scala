@@ -327,6 +327,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus composition report: per-(source, lang) doc/token/char
+    // rollup with subtotals — the mix report every curation pipeline
+    // publishes. One hash aggregate over grouping sets.
+    "q71_corpus_stats" -> q(
+      s"""SELECT source, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents
+          GROUP BY ROLLUP (source, lang)
+          ORDER BY source NULLS FIRST, lang NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
