@@ -42,6 +42,33 @@ class DedupClusterSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("connectedComponents matches union-find on seeded random graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min member of the component = canonical label
+          var r = find(id.toInt); r.toLong
+        }).toMap
+      // path-compress fully: roots are minimal by construction (union by min)
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == expected.keySet, s"seed=$seed node sets differ")
+      // same partition into components AND same canonical min labels
+      assert(got == expected, s"seed=$seed components differ")
+    }
+  }
+
   test("dedupVerdicts: unpaired docs survive as their own component") {
     val docs = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
