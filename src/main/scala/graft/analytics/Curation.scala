@@ -123,6 +123,59 @@ object Curation {
       .drop("__pid", "__cum", "__off")
   }
 
+  /** Tunables for the end-to-end corpus curation flow. */
+  final case class CurateConfig(
+      minTokens: Long = 5,
+      maxSymbolRatio: Double = 0.3,
+      minAlphaRatio: Double = 0.5,
+      jaccardNum: Long = 1, jaccardDen: Long = 5, shingleN: Int = 3,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      salt: String = "v1",
+      packBudget: Long = 2048L)
+
+  /** The raw-corpus → training-table flow, composed from the library's
+    * curation operators in their canonical order:
+    *  1. PII scrub (projection)
+    *  2. Gopher quality gates (projection + filter)
+    *  3. exact dedup by content fingerprint (one hash aggregate)
+    *  4. near-dedup group resolution (inverted index + connected
+    *     components); only each group's minimum id survives
+    *  5. deterministic split assignment (projection)
+    *  6. concat-and-chunk sequence packing (distributed prefix sum)
+    * Returns (id, text, n_tokens, split, bin) — the training-ready
+    * table. Each stage is individually oracled (q64-q70); this is the
+    * composition a pipeline would actually deploy. */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // 1. scrub
+    val scrubbed = TextAnalysis.scrubPii(docs, idCol, textCol)
+      .select(col(idCol), col("text_scrubbed").as("text"))
+    // 2. quality gates
+    val stats = TextAnalysis.gopherStats(scrubbed, idCol, "text")
+    val quality = scrubbed.join(
+      stats.filter(col("n_tokens") >= cfg.minTokens
+        && col("symbol_to_word_ratio") <= cfg.maxSymbolRatio
+        && col("alpha_word_ratio") >= cfg.minAlphaRatio)
+        .select(col(idCol), col("n_tokens")),
+      Seq(idCol))
+    // 3. exact dedup: min id per fingerprint survives
+    val exactSurvivors = Dedup.exactByFingerprint(quality, idCol, "text")
+      .select(col(idCol))
+    val exact = quality.join(exactSurvivors, Seq(idCol), "left_semi")
+    // 4. near-dedup groups: min id per component survives
+    val verdicts = Dedup.dedupVerdicts(exact, idCol,
+      Dedup.ngramJaccardPairs(exact, idCol, "text",
+        n = cfg.shingleN, num = cfg.jaccardNum, den = cfg.jaccardDen))
+    val near = exact.join(
+      verdicts.filter(col("is_survivor")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    // 5. split, 6. pack
+    packSequences(
+      hashSplit(near, idCol, cfg.splits, cfg.salt),
+      idCol, "n_tokens", cfg.packBudget)
+  }
+
   /** Concat-and-chunk sequence packing (the standard LLM pretraining
     * batch layout): documents are laid out end-to-end in `orderCol`
     * order and cut every `budget` tokens; a document's bin is

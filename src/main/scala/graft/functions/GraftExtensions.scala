@@ -28,5 +28,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "rolling_hash64(s) takes 1 argument")
         RollingHash64(args.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens) takes 1 argument")
+        new SimHash64(args.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(hashes, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }
+        MinHashSig(args.head, k)
+      }))
   }
 }

@@ -81,6 +81,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus: scrub -> gates -> dedup -> split -> pack, end to end") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // plant: an exact dup of doc 0 (id 9000), a near-dup of doc 1
+    // (id 9001), and a junk doc that must fail the quality gates
+    val d0 = docs.filter($"doc_id" === 0).select($"text").as[String].head()
+    val d1 = docs.filter($"doc_id" === 1).select($"text").as[String].head()
+    val planted = docs.unionAll(Seq(
+      (9000L, "  " + d0.toUpperCase + " "),
+      (9001L, d1 + " extra tail token"),
+      (9002L, "#### %%%% @@@@")).toDF("doc_id", "text"))
+    val out = Curation.curateCorpus(planted, "doc_id", "text",
+      Curation.CurateConfig(jaccardNum = 1, jaccardDen = 2))
+    assert(out.columns.toSet ==
+      Set("doc_id", "text", "n_tokens", "split", "bin"))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(9000L), "exact dup must not survive")
+    assert(!ids.contains(9001L), "near dup must not survive")
+    assert(!ids.contains(9002L), "junk doc must fail the gates")
+    assert(ids.contains(0L) && ids.contains(1L), "originals survive")
+    // every surviving row has a split and a bin
+    assert(out.filter($"split".isNull || $"bin".isNull).count() == 0)
+    assert(out.select("split").distinct().count() >= 2)
+  }
+
   test("packSequences: bins advance exactly at the token budget") {
     val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 100L), (4L, 2000L), (5L, 10L))
       .toDF("id", "n_tokens")

@@ -33,6 +33,18 @@ class ExtensionsSpec extends AnyFunSuite {
       val viaColumn = Seq("hello world").toDF("s")
         .select(RollingHash64($"s")).as[Long].head()
       assert(r.getLong(1) == viaColumn)
+      // sketch expressions: SQL == Column API, bit for bit
+      val s = spark.sql(
+        """SELECT simhash64(array('the', 'quick', 'fox')) AS sh,
+                  minhash_sig(array(xxhash64('a'), xxhash64('b')), 4) AS mh""").head()
+      val shCol = Seq(Seq("the", "quick", "fox")).toDF("t")
+        .select(SimHash64($"t")).as[Long].head()
+      assert(s.getLong(0) == shCol)
+      assert(s.getSeq[Long](1).length == 4)
+      // non-literal k is rejected, not silently misread
+      intercept[Exception] {
+        spark.sql("SELECT minhash_sig(array(1L), cast(rand()*4 as int))").collect()
+      }
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
