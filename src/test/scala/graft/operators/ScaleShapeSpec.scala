@@ -30,6 +30,22 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("contamination semi-join broadcasts the small benchmark side at runtime") {
+    // the bench shingle set is tiny relative to the corpus; with no
+    // forced hint, Catalyst/AQE must land on a broadcast left-semi so
+    // the corpus never shuffles for decontamination
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.analytics.Curation.contamination(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 10 === 0), "text", n = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    assert(plan.matches("(?s).*BroadcastHashJoin.*LeftSemi.*")
+      || plan.matches("(?s).*LeftSemi.*BroadcastHashJoin.*"),
+      s"benchmark side must broadcast at runtime:\n$plan")
+  }
+
   test("partitioned layout prunes partitions at file-listing time") {
     val dir = Files.createTempDirectory("part").toString + "/orders"
     val orders = graft.queries.t(spark, sf, "orders")
