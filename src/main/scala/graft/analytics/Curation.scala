@@ -103,7 +103,9 @@ object Curation {
     *
     * The result is independent of where the range boundaries fall:
     * local cumsum + the sum of everything in earlier ranges is the
-    * global prefix sum under any partitioning of a total order. */
+    * global prefix sum under any partitioning of a total order.
+    * `orderCol` values must be unique — ties make the prefix order
+    * (and thus the result) undefined. */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          resultCol: String, numParts: Int = 0): DataFrame = {
     val parts = if (numParts > 0) numParts

@@ -349,6 +349,33 @@ object TextQueries {
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     },
 
+    // Sentence segmentation via posexplode — the index-carrying
+    // generator (position-aware UDTF shape). Indices are assigned
+    // BEFORE the empty-sentence filter, so positions are stable on both
+    // engines.
+    "q72_text_sentences" -> q(
+      """WITH s AS (
+           SELECT doc_id, string_split_regex(text, '[.!?]') AS sents
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  generate_subscripts(sents, 1) - 1 AS sent_idx,
+                  regexp_replace(unnest(sents), '^\s+|\s+$', '', 'g') AS sentence
+           FROM s)
+         SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+                CAST(length(sentence) AS BIGINT) AS n_chars
+         FROM u WHERE length(sentence) > 0
+         ORDER BY doc_id, sent_idx""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "[.!?]", -1)).as(Seq("sent_idx", "sentence")))
+        .withColumn("sentence", regexp_replace(col("sentence"), "^\\s+|\\s+$", ""))
+        .filter(length(col("sentence")) > 0)
+        .select(col("doc_id"), col("sent_idx"), col("sentence"),
+          length(col("sentence")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "sent_idx")
+    },
+
     // Term frequencies: explode + count — the generator (UDTF-shaped) op.
     "q36_text_term_freq" -> q(
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

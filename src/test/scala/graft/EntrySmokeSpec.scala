@@ -8,6 +8,6 @@ class EntrySmokeSpec extends SparkSpec {
   test("every oracleSql key exists in queries (driver contract)") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    assert(qs.size == 71 && SparkEntry.oracleSql.size == 64)
+    assert(qs.size == 72 && SparkEntry.oracleSql.size == 65)
   }
 }

@@ -81,6 +81,14 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packSequences bins are nondecreasing in pack order (property)") {
+    val rows = (1L to 500L).map(i => (i, (i * 7919) % 300 + 1)).toDF("id", "n")
+    val bins = Curation.packSequences(rows, "id", "n", budget = 1000L)
+      .orderBy("id").select("bin").as[Long].collect()
+    assert(bins.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(bins.last > 0) // multiple bins actually produced
+  }
+
   test("curateCorpus: scrub -> gates -> dedup -> split -> pack, end to end") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
