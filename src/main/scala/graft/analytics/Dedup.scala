@@ -245,8 +245,11 @@ object Dedup {
     * iterative fixpoint otherwise doubles its logical plan every round
     * (the plan tree, not the data, OOMs the driver by round ~10). */
   private def iterCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    // lazy (eager=false): materialization piggybacks on the round's next
+    // action instead of paying a dedicated job per checkpoint — with
+    // ~5 checkpoints per contraction round the job-count halves
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+    else df.localCheckpoint(false)
 
   /** Resolve near-dup PAIRS into dedup GROUPS: connected components by
     * min-label contraction — each round every node adopts the minimum of
