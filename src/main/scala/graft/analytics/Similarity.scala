@@ -158,6 +158,53 @@ object Similarity {
     * operator. Vectors rejoin afterwards (small relation at bucket-local
     * scale; at corpus scale this is a shuffle join on id, still linear in
     * candidates). */
+  /** Batch top-k: k nearest corpus vectors for EVERY query vector at
+    * once — the shape a training pipeline actually runs (millions of
+    * lookups), vs the single-query entry points above. The query set
+    * broadcasts (it is the small side); the corpus is scored in place
+    * with no shuffle, and only the scored pairs shuffle once on the
+    * query key for the per-query top-k window. Exact: the O(n·m)
+    * baseline; use the LSH variant when m·n pairs is too many. */
+  def topKBruteForceMany(corpus: DataFrame, idCol: String, vecCol: String,
+                         queries: DataFrame, qIdCol: String, k: Int): DataFrame = {
+    val c = withQv(corpus, idCol, vecCol)
+    val qs = withQv(queries, qIdCol, vecCol, "qid")
+      .select(col("qid"), col("qv").as("q_qv"), col("qnorm").as("q_norm"))
+    val scored = c.crossJoin(broadcast(qs))
+      .select(col("qid"), col("id"),
+        (qdot(col("qv"), col("q_qv")).cast("double")
+          / (col("qnorm") * col("q_norm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Batch LSH top-k: corpus and queries banded with the same
+    * hyperplanes; candidates share a band bucket with their query, the
+    * per-query top-k re-ranks exact cosine over candidates only. The
+    * scored-pair volume is the bucket-collision count, a small fraction
+    * of n·m at corpus scale. */
+  def topKLshMany(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, k: Int,
+                  nBits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val cBands = banded(withQv(corpus, idCol, vecCol), nBits, bands, dim)
+      .select("id", "qv", "qnorm", "band", "bh")
+    val qBands = broadcast(
+      banded(withQv(queries, qIdCol, vecCol, "qid"), nBits, bands, dim)
+        .select(col("qid"), col("band"), col("bh"),
+          col("qv").as("q_qv"), col("qnorm").as("q_norm")))
+    val cand = cBands.join(qBands, Seq("band", "bh"))
+      .dropDuplicates("qid", "id")
+      .select(col("qid"), col("id"),
+        (qdot(col("qv"), col("q_qv")).cast("double")
+          / (col("qnorm") * col("q_norm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** All near-duplicate pairs by EXACT all-pairs cosine — the O(n²)
     * exactness baseline for cosineNearDupPairs (same role
     * topKBruteForce plays for the ANN variants). Use only on bounded

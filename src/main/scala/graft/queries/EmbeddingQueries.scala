@@ -108,6 +108,38 @@ object EmbeddingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Batch top-k: 10 nearest corpus vectors for each of 5 query
+    // vectors in one pass — broadcast queries, window top-k per query.
+    "q73_embed_topk_many" -> q(
+      s"""WITH c AS (SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
+               qs AS (SELECT vec_id AS qid, qv AS q_qv FROM c WHERE vec_id IN (3, 7, 11, 19, 23)),
+               scored AS (
+                 SELECT qs.qid, c.vec_id AS id,
+                        CAST(${qdotSql("c.qv", "qs.q_qv")} AS DOUBLE)
+                          / (sqrt(CAST(${qdotSql("c.qv", "c.qv")} AS DOUBLE))
+                             * sqrt(CAST(${qdotSql("qs.q_qv", "qs.q_qv")} AS DOUBLE))) AS cosine
+                 FROM c, qs)
+          SELECT qid, id, cosine FROM (
+            SELECT qid, id, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+            FROM scored)
+          WHERE rn <= 10
+          ORDER BY qid, id""") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKBruteForceMany(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)), "vec_id", k = 10)
+        .orderBy("qid", "id")
+    },
+
+    // Batch LSH top-k (hash-seeded bucketing -> rows-only; recall vs
+    // the exact batch asserted in the spec).
+    "q74_embed_topk_many_lsh" -> qNoOracle { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKLshMany(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)), "vec_id", k = 10)
+        .orderBy("qid", "id")
+    },
+
     // Per-label centroid (element-wise vector sum) squared norm: grouped
     // vector aggregation as 64 integer sum columns — one hash aggregate,
     // exact integer math, oracle-checkable.

@@ -81,6 +81,28 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("batch top-k: per-query results match single-query brute force; LSH recall > 0") {
+    val e = embeddings
+    val queries = e.filter($"vec_id".isin(3L, 7L))
+    val many = Similarity.topKBruteForceMany(e, "vec_id", "embedding",
+      queries, "vec_id", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- Seq(3L, 7L)) {
+      val single = Similarity.topKBruteForce(e, "vec_id", "embedding",
+        e.filter($"vec_id" === q), k = 5).select("id").as[Long].collect().toSet
+      assert(many(q) == single, s"batch != single for query $q")
+    }
+    val lsh = Similarity.topKLshMany(e, "vec_id", "embedding",
+      queries, "vec_id", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- Seq(3L, 7L)) {
+      assert(lsh.contains(q) && lsh(q).contains(q)) // self always collides
+      assert((lsh(q) intersect many(q)).nonEmpty)
+    }
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")
