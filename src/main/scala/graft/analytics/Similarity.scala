@@ -205,6 +205,92 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Product-quantization codebook: `nSub` subspaces × `nCodes`
+    * centroids, each an Array of quantized longs. Deterministic
+    * "training": centroids are subvectors of corpus representatives
+    * picked per id-hash bucket (the same k-means stand-in the IVF cells
+    * use) — ONE aggregate plus a driver collect of nSub×nCodes×subDim
+    * longs (a few KB). Training is an explicit offline action, separate
+    * from serving, exactly as real PQ deployments run it. */
+  def trainPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      nSub: Int = 8, nCodes: Int = 16,
+                      dim: Int = 64): Array[Array[Array[Long]]] = {
+    require(dim % nSub == 0, "nSub must divide dim")
+    val sub = dim / nSub
+    val reps = withQv(corpus, idCol, vecCol)
+      .withColumn("cell", pmod(xxhash64(col("id")), lit(nCodes.toLong)))
+      .groupBy("cell")
+      .agg(min_by(col("qv"), xxhash64(lit(7), col("id"))).as("rv"))
+      .collect()
+    val byCell = reps.map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
+    val fallback = byCell.values.head
+    Array.tabulate(nSub)(s => Array.tabulate(nCodes)(j =>
+      byCell.getOrElse(j, fallback).slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encoding: per subspace, the index of the nearest codebook
+    * centroid by exact integer squared-L2 (quantized micro-units keep
+    * every term within long range: diff <= 4e6, square <= 1.6e13, sum
+    * of 8 <= ~1.3e14). 8-byte codes replace 512-byte vectors — the
+    * 64× memory/shuffle compression that makes billion-vector serving
+    * feasible. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val nSub = codebook.length
+    val nCodes = codebook(0).length
+    val sub = codebook(0)(0).length
+    val c = withQv(df, idCol, vecCol)
+    val codes = array((0 until nSub).map { s =>
+      val dj = (0 until nCodes).map { j =>
+        val cb = codebook(s)(j)
+        val d = (0 until sub).map { i =>
+          val x = element_at(col("qv"), s * sub + i + 1) - lit(cb(i))
+          x * x
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(j).as("j"))
+      }
+      array_min(array(dj: _*)).getField("j")
+    }: _*)
+    c.select(col("id"), col("qv"), col("qnorm"), codes.as("pq_code"))
+  }
+
+  /** PQ ADC top-k (asymmetric distance computation): the query's
+    * per-subspace distance TABLES to all centroids are computed once on
+    * the broadcast 1-row query side; each corpus row then pays nSub
+    * table lookups on its 8-byte code instead of a full-dimension
+    * distance — the classic IVF-PQ serving shape. Distance is squared
+    * L2 (PQ's native metric); approximate by construction. Recall is
+    * bounded by codebook quality: the hash-picked codebook is a
+    * deterministic stand-in that is weak on unstructured data — swap in
+    * k-means-trained centroids (same Array shape) for production
+    * corpora, where cluster structure is what PQ exploits. */
+  def topKPqAdc(corpus: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, k: Int,
+                codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val nSub = codebook.length
+    val nCodes = codebook(0).length
+    val sub = codebook(0)(0).length
+    val enc = pqEncode(corpus, idCol, vecCol, codebook)
+    val q = withQv(query, idCol, vecCol, "qid")
+    val tables = (0 until nSub).map { s =>
+      array((0 until nCodes).map { j =>
+        val cb = codebook(s)(j)
+        (0 until sub).map { i =>
+          val x = element_at(col("qv"), s * sub + i + 1) - lit(cb(i))
+          x * x
+        }.reduce(_ + _)
+      }: _*).as(s"t_$s")
+    }
+    val qt = broadcast(q.select(tables: _*))
+    val adc = (0 until nSub).map(s =>
+      element_at(col(s"t_$s"),
+        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
+    enc.crossJoin(qt)
+      .select(col("id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by EXACT all-pairs cosine — the O(n²)
     * exactness baseline for cosineNearDupPairs (same role
     * topKBruteForce plays for the ANN variants). Use only on bounded

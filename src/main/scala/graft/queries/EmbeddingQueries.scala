@@ -140,6 +140,17 @@ object EmbeddingQueries {
         .orderBy("qid", "id")
     },
 
+    // PQ ADC top-k: 8-byte codes + query-side distance tables
+    // (hash-picked codebook -> engine-specific -> rows-only; code
+    // validity + ADC-vs-exact-L2 agreement asserted in the spec).
+    "q75_embed_topk_pq" -> qNoOracle { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+      Similarity.topKPqAdc(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 7), k = 20, cb)
+        .orderBy(col("adc_dist").asc, col("id"))
+    },
+
     // Per-label centroid (element-wise vector sum) squared norm: grouped
     // vector aggregation as 64 integer sum columns — one hash aggregate,
     // exact integer math, oracle-checkable.

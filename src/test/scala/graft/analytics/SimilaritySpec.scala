@@ -103,6 +103,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes in range, encoding deterministic, ADC agrees with exact L2") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    assert(cb.length == 8 && cb(0).length == 16 && cb(0)(0).length == 8)
+    val enc = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    val codes = enc.select("pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // deterministic re-encode
+    val again = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      .select("id", "pq_code").as[(Long, Seq[Int])].collect().toMap
+    val first = enc.select("id", "pq_code").as[(Long, Seq[Int])].collect().toMap
+    assert(first == again)
+    // Structural invariant on planted twins: a twin differs from its
+    // base ONLY in coordinate 0, so subspaces 1..7 see identical
+    // subvectors and MUST encode to identical codes.
+    val base = e.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val twinned = base.unionAll(base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (x, i) => when(i === 0, x * 1.5d).otherwise(x)).as("embedding")))
+    val tcb = Similarity.trainPqCodebook(twinned, "vec_id", "embedding")
+    val tcodes = Similarity.pqEncode(twinned, "vec_id", "embedding", tcb)
+      .select("id", "pq_code").as[(Long, Seq[Int])].collect().toMap
+    tcodes.keys.filter(_ < 1000000L).foreach { id =>
+      val (b, t) = (tcodes(id), tcodes(id + 1000000L))
+      assert(b.drop(1) == t.drop(1), s"subspaces 1..7 must match for twin of $id")
+    }
+    // and the twin lands in its base's ADC neighborhood
+    val adc = Similarity.topKPqAdc(twinned, "vec_id", "embedding",
+      twinned.filter($"vec_id" === 7), k = 20, tcb)
+      .select("id").as[Long].collect().toSet
+    assert(adc.contains(1000007L) || adc.contains(7L),
+      s"query's own twin/self must be in the ADC top-20: $adc")
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")
