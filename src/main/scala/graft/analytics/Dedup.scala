@@ -169,6 +169,45 @@ object Dedup {
       .filter(col("common") * den >= (col("n_a") + col("n_b") - col("common")) * num)
   }
 
+  /** Incremental near-dedup: Jaccard pairs between a NEW batch and an
+    * EXISTING corpus — the daily-ingest shape (new×old only, never
+    * old×old, so a day's work scales with the batch, not the corpus).
+    * The doc-frequency cap is computed on the CORPUS posting lists
+    * (that is where stop-shingle skew lives); candidates are verified
+    * against full shingle sets, so the cap cannot corrupt counts.
+    * Returns (id_new, id_corpus, common, n_new, n_corpus) meeting
+    * Jaccard >= num/den. */
+  def crossCorpusNearDupPairs(newDf: DataFrame, newIdCol: String, newTextCol: String,
+                              corpus: DataFrame, corpIdCol: String, corpTextCol: String,
+                              n: Int = 3, num: Long = 1, den: Long = 5,
+                              maxDocFreq: Long = DefaultMaxDocFreq): DataFrame = {
+    val newSh = shingleHashSets(newDf, newIdCol, newTextCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpSh = shingleHashSets(corpus, corpIdCol, corpTextCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpInv = corpSh.select(col("id"), explode(col("shash")).as("shash"))
+    val corpKept =
+      if (maxDocFreq == Long.MaxValue) corpInv
+      else {
+        val freq = corpInv.groupBy("shash").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= maxDocFreq).drop("df_")
+        corpInv.join(freq.hint("shuffle_hash"), Seq("shash"))
+      }
+    val cand = newSh.select(col("id").as("id_new"), explode(col("shash")).as("shash"))
+      .join(corpKept.withColumnRenamed("id", "id_corpus").hint("shuffle_hash"),
+        Seq("shash"))
+      .select("id_new", "id_corpus")
+      .dropDuplicates("id_new", "id_corpus")
+    cand
+      .join(newSh.select(col("id").as("id_new"), col("shash").as("sh_n")), Seq("id_new"))
+      .join(corpSh.select(col("id").as("id_corpus"), col("shash").as("sh_c")), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("long").as("common"),
+        size(col("sh_n")).cast("long").as("n_new"),
+        size(col("sh_c")).cast("long").as("n_corpus"))
+      .filter(col("common") * den >= (col("n_new") + col("n_corpus") - col("common")) * num)
+  }
+
   /** MinHash signature from per-shingle 64-bit hashes: the base hash is
     * computed ONCE per shingle (xxhash64 over the string), and the k
     * hash functions re-hash that LONG with k seeds — hashing a fixed

@@ -163,6 +163,34 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // Incremental (cross-corpus) near-dedup: every 5th doc plays the
+    // day's new batch; pairs are new x corpus only. Same trigram
+    // machinery and integer Jaccard test as q32.
+    "q76_dedup_incremental" -> q(
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len($toksSql) - 2, 1)),
+                     i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
+            FROM documents),
+          nw AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 5 = 0),
+          corp AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 5 <> 0)
+          SELECT nw.doc_id AS id_new, corp.doc_id AS id_corpus,
+                 CAST(len(list_intersect(nw.shingles, corp.shingles)) AS BIGINT) AS common,
+                 CAST(len(nw.shingles) AS BIGINT) AS n_new,
+                 CAST(len(corp.shingles) AS BIGINT) AS n_corpus
+          FROM nw JOIN corp ON true
+          WHERE len(list_intersect(nw.shingles, corp.shingles)) * 5
+                >= (len(nw.shingles) + len(corp.shingles) - len(list_intersect(nw.shingles, corp.shingles))) * 1
+          ORDER BY id_new, id_corpus""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNearDupPairs(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        n = 3, num = 1, den = 5, maxDocFreq = 1000L)
+        .orderBy("id_new", "id_corpus")
+    },
+
     // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
     // spec asserts consistency vs exact Jaccard in the test suite.
     "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>

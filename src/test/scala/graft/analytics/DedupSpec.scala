@@ -98,6 +98,25 @@ class DedupSpec extends SparkSpec {
     assert(salted == unsalted && salted.nonEmpty)
   }
 
+  test("crossCorpusNearDupPairs: new batch pairs against corpus only, never old x old") {
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " slightly changed"), // near-dup of 1 INSIDE the corpus
+      (3L, "completely different content about spark partitions and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " again"), // near-dup of corpus docs 1 and 2
+      (101L, "fresh unseen topic nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDupPairs(batch, "doc_id", "text",
+      corpus, "doc_id", "text", n = 2, num = 1, den = 2)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 1L)))
+    assert(!pairs.exists(_._1 == 101L)) // fresh doc matches nothing
+    // the corpus-internal near-dup pair (1,2) must NOT appear
+    assert(pairs.forall { case (n_, c) => n_ >= 100L && c < 100L })
+  }
+
   test("dedup is idempotent (property)") {
     val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .join(docs, Seq("doc_id")).select("doc_id", "text")
