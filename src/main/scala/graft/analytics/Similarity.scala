@@ -228,6 +228,79 @@ object Similarity {
       byCell.getOrElse(j, fallback).slice(s * sub, (s + 1) * sub)))
   }
 
+  /** K-means-trained PQ codebook (Lloyd iterations in DataFrame
+    * algebra): subvectors explode to (id, sub, subvec) rows once and
+    * persist; each iteration is ONE pass — assign every subvector to
+    * its nearest centroid (argmin over literal centroids, codegen'd),
+    * then re-center as the per-(sub, code) element-wise integer mean
+    * (sum DIV count — exact, order-independent, so training is
+    * deterministic under any partitioning). Centroids live driver-side
+    * between iterations (nSub×nCodes×subDim longs, a few KB — the same
+    * size class as a broadcast). Empty cells keep their previous
+    * centroid. Hash-picked init via trainPqCodebook. */
+  def trainPqCodebookKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                            nSub: Int = 8, nCodes: Int = 16, dim: Int = 64,
+                            iters: Int = 5): Array[Array[Array[Long]]] = {
+    require(dim % nSub == 0, "nSub must divide dim")
+    val subDim = dim / nSub
+    val subs = withQv(corpus, idCol, vecCol)
+      .select(col("id"), posexplode(array((0 until nSub).map(s =>
+        slice(col("qv"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cb = trainPqCodebook(corpus, idCol, vecCol, nSub, nCodes, dim)
+      for (_ <- 1 to iters) {
+        // nearest-centroid code for this row's subspace
+        val codeExpr = (0 until nSub).map { s =>
+          val dj = (0 until nCodes).map { j =>
+            val c = cb(s)(j)
+            val d = (0 until subDim).map { i =>
+              val x = element_at(col("sv"), i + 1) - lit(c(i)); x * x
+            }.reduce(_ + _)
+            struct(d.as("d"), lit(j).as("j"))
+          }
+          (s, array_min(array(dj: _*)).getField("j"))
+        }.foldRight(lit(-1): Column) { case ((s, e), rest) =>
+          when(col("sub") === s, e).otherwise(rest)
+        }
+        val aggCols = count(lit(1)).as("n") +:
+          (0 until subDim).map(i => sum(element_at(col("sv"), i + 1)).as(s"s_$i"))
+        val sums = subs.withColumn("code", codeExpr)
+          .groupBy("sub", "code")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val (s, j, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          if (n > 0) next(s)(j) =
+            Array.tabulate(subDim)(i => Math.floorDiv(r.getLong(3 + i), n))
+        }
+        cb = next
+      }
+      cb
+    } finally subs.unpersist()
+  }
+
+  /** Total squared quantization error of a codebook over the corpus —
+    * the k-means objective; use to verify training actually descends. */
+  def pqQuantizationError(corpus: DataFrame, idCol: String, vecCol: String,
+                          codebook: Array[Array[Array[Long]]]): Long = {
+    val nSub = codebook.length
+    val sub = codebook(0)(0).length
+    val enc = pqEncode(corpus, idCol, vecCol, codebook)
+    val err = (0 until nSub).map { s =>
+      // distance from subvector s to ITS assigned centroid
+      (0 until codebook(0).length).map { j =>
+        val c = codebook(s)(j)
+        val d = (0 until sub).map { i =>
+          val x = element_at(col("qv"), s * sub + i + 1) - lit(c(i)); x * x
+        }.reduce(_ + _)
+        when(element_at(col("pq_code"), s + 1) === j, d).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    enc.agg(sum(err)).head().getLong(0)
+  }
+
   /** PQ encoding: per subspace, the index of the nearest codebook
     * centroid by exact integer squared-L2 (quantized micro-units keep
     * every term within long range: diff <= 4e6, square <= 1.6e13, sum

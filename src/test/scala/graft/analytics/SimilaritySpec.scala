@@ -137,6 +137,19 @@ class SimilaritySpec extends SparkSpec {
       s"query's own twin/self must be in the ADC top-20: $adc")
   }
 
+  test("k-means PQ training strictly descends the quantization objective") {
+    val e = embeddings
+    val init = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val trained = Similarity.trainPqCodebookKmeans(e, "vec_id", "embedding", iters = 4)
+    val errInit = Similarity.pqQuantizationError(e, "vec_id", "embedding", init)
+    val errTrained = Similarity.pqQuantizationError(e, "vec_id", "embedding", trained)
+    assert(errTrained < errInit,
+      s"k-means must reduce quantization error: $errTrained !< $errInit")
+    // determinism: same input -> bit-identical codebook
+    val again = Similarity.trainPqCodebookKmeans(e, "vec_id", "embedding", iters = 4)
+    assert(trained.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")
