@@ -243,30 +243,23 @@ object Similarity {
                             iters: Int = 5): Array[Array[Array[Long]]] = {
     require(dim % nSub == 0, "nSub must divide dim")
     val subDim = dim / nSub
-    val subs = withQv(corpus, idCol, vecCol)
-      .select(col("id"), posexplode(array((0 until nSub).map(s =>
-        slice(col("qv"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    val c = withQv(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cb = trainPqCodebook(corpus, idCol, vecCol, nSub, nCodes, dim)
       for (_ <- 1 to iters) {
-        // nearest-centroid code for this row's subspace
-        val codeExpr = (0 until nSub).map { s =>
-          val dj = (0 until nCodes).map { j =>
-            val c = cb(s)(j)
-            val d = (0 until subDim).map { i =>
-              val x = element_at(col("sv"), i + 1) - lit(c(i)); x * x
-            }.reduce(_ + _)
-            struct(d.as("d"), lit(j).as("j"))
-          }
-          (s, array_min(array(dj: _*)).getField("j"))
-        }.foldRight(lit(-1): Column) { case ((s, e), rest) =>
-          when(col("sub") === s, e).otherwise(rest)
-        }
+        // assignment runs in the compiled PqEncode loop; subvectors then
+        // explode with their (sub, code) for the re-centering aggregate
+        val rows = c
+          .withColumn("codes", graft.functions.PqExpressions.encode(col("qv"), cb))
+          .select(posexplode(array((0 until nSub).map(s =>
+            struct(lit(s).as("sub"),
+              element_at(col("codes"), s + 1).as("code"),
+              slice(col("qv"), s * subDim + 1, subDim).as("sv"))): _*)).as(Seq("_i", "r")))
+          .select(col("r.sub"), col("r.code"), col("r.sv"))
         val aggCols = count(lit(1)).as("n") +:
           (0 until subDim).map(i => sum(element_at(col("sv"), i + 1)).as(s"s_$i"))
-        val sums = subs.withColumn("code", codeExpr)
-          .groupBy("sub", "code")
+        val sums = rows.groupBy("sub", "code")
           .agg(aggCols.head, aggCols.tail: _*)
           .collect()
         val next = cb.map(_.map(_.clone()))
@@ -278,28 +271,16 @@ object Similarity {
         cb = next
       }
       cb
-    } finally subs.unpersist()
+    } finally c.unpersist()
   }
 
   /** Total squared quantization error of a codebook over the corpus —
     * the k-means objective; use to verify training actually descends. */
   def pqQuantizationError(corpus: DataFrame, idCol: String, vecCol: String,
-                          codebook: Array[Array[Array[Long]]]): Long = {
-    val nSub = codebook.length
-    val sub = codebook(0)(0).length
-    val enc = pqEncode(corpus, idCol, vecCol, codebook)
-    val err = (0 until nSub).map { s =>
-      // distance from subvector s to ITS assigned centroid
-      (0 until codebook(0).length).map { j =>
-        val c = codebook(s)(j)
-        val d = (0 until sub).map { i =>
-          val x = element_at(col("qv"), s * sub + i + 1) - lit(c(i)); x * x
-        }.reduce(_ + _)
-        when(element_at(col("pq_code"), s + 1) === j, d).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }.reduce(_ + _)
-    enc.agg(sum(err)).head().getLong(0)
-  }
+                          codebook: Array[Array[Array[Long]]]): Long =
+    withQv(corpus, idCol, vecCol)
+      .agg(sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook)))
+      .head().getLong(0)
 
   /** PQ encoding: per subspace, the index of the nearest codebook
     * centroid by exact integer squared-L2 (quantized micro-units keep
@@ -308,24 +289,10 @@ object Similarity {
     * 64× memory/shuffle compression that makes billion-vector serving
     * feasible. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               codebook: Array[Array[Array[Long]]]): DataFrame = {
-    val nSub = codebook.length
-    val nCodes = codebook(0).length
-    val sub = codebook(0)(0).length
-    val c = withQv(df, idCol, vecCol)
-    val codes = array((0 until nSub).map { s =>
-      val dj = (0 until nCodes).map { j =>
-        val cb = codebook(s)(j)
-        val d = (0 until sub).map { i =>
-          val x = element_at(col("qv"), s * sub + i + 1) - lit(cb(i))
-          x * x
-        }.reduce(_ + _)
-        struct(d.as("d"), lit(j).as("j"))
-      }
-      array_min(array(dj: _*)).getField("j")
-    }: _*)
-    c.select(col("id"), col("qv"), col("qnorm"), codes.as("pq_code"))
-  }
+               codebook: Array[Array[Array[Long]]]): DataFrame =
+    withQv(df, idCol, vecCol)
+      .select(col("id"), col("qv"), col("qnorm"),
+        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
 
   /** PQ ADC top-k (asymmetric distance computation): the query's
     * per-subspace distance TABLES to all centroids are computed once on
