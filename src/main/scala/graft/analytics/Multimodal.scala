@@ -89,6 +89,33 @@ object Multimodal {
     df.repartition(parts)
   }
 
+  /** Resize stub: the aspect-preserving fit-in-box geometry (the REAL
+    * resize contract — scale = min(tw/w, th/h), never upscaled, floor
+    * to pixels) plus a deterministic fake thumbnail: a content prefix
+    * whose byte length scales with the output/input area ratio. A codec
+    * binding swaps the prefix for actual pixel resampling; geometry,
+    * schema and per-row projection shape are production-real. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val d = decodeStub(media)
+      .join(media.select(col("media_id"), col("content")), Seq("media_id"))
+    val scale = least(
+      lit(targetW).cast("double") / col("width"),
+      lit(targetH).cast("double") / col("height"),
+      lit(1.0))
+    val outW = greatest(floor(col("width") * scale), lit(1)).cast("int")
+    val outH = greatest(floor(col("height") * scale), lit(1)).cast("int")
+    val thumbLen = greatest(
+      floor(col("n_bytes") * (outW.cast("long") * outH.cast("long")).cast("double")
+        / (col("width").cast("long") * col("height").cast("long")).cast("double")),
+      lit(1L)).cast("int")
+    d.select(col("media_id"), col("kind"),
+      col("width").as("src_width"), col("height").as("src_height"),
+      outW.as("out_width"), outH.as("out_height"),
+      col("content").substr(lit(1), thumbLen).as("thumb"))
+      .withColumn("thumb_bytes", length(col("thumb")).cast("long"))
+      .withColumn("thumb_checksum", md5(col("thumb")))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame row (explode = the generate shape
     * a real frame sampler has). */

@@ -270,6 +270,18 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Resize: aspect-preserving fit-in-box geometry + proportional
+    // thumbnail (fake dims derive from crc32, which DuckDB lacks ->
+    // rows-only; geometry math asserted in the spec).
+    "q77_multimodal_resize" -> qNoOracle { (s, dir) =>
+      val media = Multimodal.withBinaryContent(
+        t(s, dir, "documents"), "doc_id", "text", kind = "img")
+      Multimodal.resizeStub(media, targetW = 256, targetH = 256)
+        .select("media_id", "src_width", "src_height",
+          "out_width", "out_height", "thumb_bytes", "thumb_checksum")
+        .orderBy("media_id")
+    },
+
     // The mapPartitions-batched decode path (real codec shape) must
     // produce byte-identical features to the projection stub.
     "q61_multimodal_batched" -> q(

@@ -87,6 +87,30 @@ class EventsTextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resizeStub: aspect-preserving fit-in-box, no upscale, proportional thumbnail") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "img")
+    val out = Multimodal.resizeStub(media, targetW = 256, targetH = 256)
+    val rows = out.select("src_width", "src_height", "out_width", "out_height", "thumb_bytes")
+      .collect()
+    rows.foreach { r =>
+      val (sw, sh, ow, oh, tb) =
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+      assert(ow <= 256 && oh <= 256, "must fit the box")
+      assert(ow <= sw && oh <= sh, "never upscale")
+      // aspect preserved within 1px of the floor rounding
+      val scale = math.min(math.min(256.0 / sw, 256.0 / sh), 1.0)
+      assert(math.abs(ow - math.floor(sw * scale)) <= 1)
+      assert(math.abs(oh - math.floor(sh * scale)) <= 1)
+      assert(tb >= 1L)
+    }
+    // deterministic checksums
+    val a = out.select("thumb_checksum").as[String].collect().toSet
+    val b = Multimodal.resizeStub(media, 256, 256)
+      .select("thumb_checksum").as[String].collect().toSet
+    assert(a == b)
+  }
+
   test("frame sampling explodes bounded frame rows per media") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "video")
