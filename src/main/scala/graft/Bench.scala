@@ -18,21 +18,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // a failed query records an err entry, never a fake timing — a
-    // query that throws instantly must not look like a fast success
+    // query that throws instantly must not look like a fast success.
+    // Each query is timed `trials` times and the MEDIAN reported:
+    // single-trial timings swung up to ~7x between rounds on unchanged
+    // plans (JIT/GC landing on whichever query ran first), which made a
+    // 2x regression gate unenforceable. Cache is cleared between trials
+    // so per-operator persisted relations never leak across timings.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      val timings = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        spark.catalog.clearCache()
+        err match {
+          case None    => Right((System.nanoTime() - t0) / 1e9)
+          case Some(m) => Left(m)
         }
-      // drop per-operator persisted relations (posting lists, signature
-      // tables) so queries are timed in isolation
-      spark.catalog.clearCache()
-      name -> (err match {
-        case None    => Right((System.nanoTime() - t0) / 1e9)
-        case Some(m) => Left(m)
-      })
+      }
+      val errs = timings.collect { case Left(m) => m }
+      name -> (if (errs.nonEmpty) Left(errs.head)
+        else {
+          val sorted = timings.collect { case Right(s) => s }.sorted
+          Right(sorted(sorted.length / 2))
+        })
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

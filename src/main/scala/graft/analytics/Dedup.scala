@@ -172,10 +172,24 @@ object Dedup {
   /** Incremental near-dedup: Jaccard pairs between a NEW batch and an
     * EXISTING corpus — the daily-ingest shape (new×old only, never
     * old×old, so a day's work scales with the batch, not the corpus).
-    * The doc-frequency cap is computed on the CORPUS posting lists
-    * (that is where stop-shingle skew lives); candidates are verified
-    * against full shingle sets, so the cap cannot corrupt counts.
-    * Returns (id_new, id_corpus, common, n_new, n_corpus) meeting
+    *
+    * Same two-phase plan as ngramJaccardPairs, adapted to two sides:
+    *  1. overlap counted on the df-capped inverted indexes via a
+    *     map-side-combining groupBy — only bare (id_new, id_corpus)
+    *     rows cross this shuffle, never shingle arrays at candidate
+    *     volume. The df cap is computed over the COMBINED postings
+    *     (new ∪ corpus), so a dropped shingle is dropped from BOTH
+    *     sides of every pair — the undercount is then bounded by
+    *     least(d_new, d_corpus) and `common_c + least(d_n, d_c)` is a
+    *     true upper bound on `common`; filtering on the bound keeps
+    *     every true pair. (The combined df also caps the NEW side: a
+    *     stop-shingle swamping the whole daily batch no longer fans
+    *     out |batch| × cap candidate rows.)
+    *  2. exact array_intersect verification ONLY for pairs whose upper
+    *     bound passes — near-final volume, not candidate volume.
+    * Recall caveat as elsewhere: a pair sharing ONLY stop-grade
+    * shingles (combined df > cap) never becomes a candidate. Returns
+    * (id_new, id_corpus, common, n_new, n_corpus) meeting
     * Jaccard >= num/den. */
   def crossCorpusNearDupPairs(newDf: DataFrame, newIdCol: String, newTextCol: String,
                               corpus: DataFrame, corpIdCol: String, corpTextCol: String,
@@ -185,20 +199,42 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpSh = shingleHashSets(corpus, corpIdCol, corpTextCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newInv = newSh.select(col("id"), explode(col("shash")).as("shash"))
     val corpInv = corpSh.select(col("id"), explode(col("shash")).as("shash"))
-    val corpKept =
-      if (maxDocFreq == Long.MaxValue) corpInv
+    // `newKept`/`corpKept` recompute from the persisted sh frames on each
+    // downstream reference — same measured trade-off as ngramJaccardPairs
+    // (a cache boundary costs more than the explode + df-filter).
+    val (newKept, corpKept) =
+      if (maxDocFreq == Long.MaxValue) (newInv, corpInv)
       else {
-        val freq = corpInv.groupBy("shash").agg(count(lit(1)).as("df_"))
+        val freq = newInv.union(corpInv)
+          .groupBy("shash").agg(count(lit(1)).as("df_"))
           .filter(col("df_") <= maxDocFreq).drop("df_")
-        corpInv.join(freq.hint("shuffle_hash"), Seq("shash"))
+        (newInv.join(freq.hint("shuffle_hash"), Seq("shash")),
+          corpInv.join(freq.hint("shuffle_hash"), Seq("shash")))
       }
-    val cand = newSh.select(col("id").as("id_new"), explode(col("shash")).as("shash"))
-      .join(corpKept.withColumnRenamed("id", "id_corpus").hint("shuffle_hash"),
-        Seq("shash"))
-      .select("id_new", "id_corpus")
-      .dropDuplicates("id_new", "id_corpus")
-    cand
+    val commonC = newKept.select(col("id").as("id_new"), col("shash"))
+      .join(corpKept.select(col("id").as("id_corpus"), col("shash"))
+        .hint("shuffle_hash"), Seq("shash"))
+      .groupBy("id_new", "id_corpus")
+      .agg(count(lit(1)).as("common_c"))
+    def sidesSizes(sh: DataFrame, kept: DataFrame): DataFrame = {
+      val keptCnt = kept.groupBy("id").agg(count(lit(1)).as("n_kept"))
+      sh.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
+        .join(keptCnt, Seq("id"), "left")
+        .select(col("id"), col("n_sh"),
+          (col("n_sh") - coalesce(col("n_kept"), lit(0L))).as("n_drop"))
+    }
+    val newSizes = sidesSizes(newSh, newKept)
+    val corpSizes = sidesSizes(corpSh, corpKept)
+    val pre = commonC
+      .join(newSizes.select(col("id").as("id_new"), col("n_sh").as("n_new"),
+        col("n_drop").as("d_n")), Seq("id_new"))
+      .join(corpSizes.select(col("id").as("id_corpus"), col("n_sh").as("n_corpus"),
+        col("n_drop").as("d_c")), Seq("id_corpus"))
+      .withColumn("ub", col("common_c") + least(col("d_n"), col("d_c")))
+      .filter(col("ub") * den >= (col("n_new") + col("n_corpus") - col("ub")) * num)
+    pre.select("id_new", "id_corpus")
       .join(newSh.select(col("id").as("id_new"), col("shash").as("sh_n")), Seq("id_new"))
       .join(corpSh.select(col("id").as("id_corpus"), col("shash").as("sh_c")), Seq("id_corpus"))
       .select(col("id_new"), col("id_corpus"),

@@ -117,6 +117,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (n_, c) => n_ >= 100L && c < 100L })
   }
 
+  test("crossCorpus cap bounds a stop-shingle NEW batch, keeps true pairs exact") {
+    // every batch doc AND every corpus doc shares the stop-trigram
+    // "of the and" — uncapped, the batch fans out |batch| x |corpus|
+    // candidates through that single posting; with the combined-df cap
+    // the stop shingle drops from BOTH sides and only genuinely-similar
+    // pairs survive, with exact overlap counts.
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = ((0 until 40).map(i =>
+      (i.toLong, s"corp$i token$i of the and extra$i tail$i")) ++ Seq(
+      (50L, nearDup + " of the and"))).toDF("doc_id", "text")
+    val batch = ((100 until 120).map(i =>
+      (i.toLong, s"new$i word$i of the and other$i end$i")) ++ Seq(
+      (150L, nearDup + " of the and omega"))).toDF("doc_id", "text")
+    val capped = Dedup.crossCorpusNearDupPairs(batch, "doc_id", "text",
+      corpus, "doc_id", "text", n = 3, num = 1, den = 2, maxDocFreq = 10)
+      .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val uncapped = Dedup.crossCorpusNearDupPairs(batch, "doc_id", "text",
+      corpus, "doc_id", "text", n = 3, num = 1, den = 2, maxDocFreq = Long.MaxValue)
+      .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // the planted near-dup survives the cap with EXACT counts
+    assert(capped.exists { case (n_, c, _, _, _) => n_ == 150L && c == 50L })
+    assert(capped.subsetOf(uncapped))
+    // nothing here is similar except the planted pair, so both agree
+    assert(capped == uncapped)
+  }
+
   test("dedup is idempotent (property)") {
     val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .join(docs, Seq("doc_id")).select("doc_id", "text")
