@@ -92,6 +92,91 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // End-to-end corpus curation (the flagship flow a pipeline deploys):
+    // scrub -> quality gates -> exact dedup -> near-dedup components ->
+    // split -> pack, each stage individually oracled as q64-q70 and the
+    // COMPOSITION oracled here as one DuckDB CTE chain. Planted inputs
+    // make every stage non-vacuous on the synthetic corpus: every 7th
+    // doc gets a deterministic email+phone (scrub has real matches, as
+    // q68), every 50th-plus-1 doc becomes identical boilerplate (exact
+    // dedup has real groups); the corpus's own near-dups (q32: 25 pairs)
+    // exercise the component stage.
+    "q78_curate_corpus" -> q({
+      val Seq(trainCut, valCut) = cutHex
+      val splitCase =
+        s"""CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '$trainCut' THEN 'train'
+                 WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '$valCut' THEN 'val'
+                 ELSE 'test' END"""
+      s"""WITH RECURSIVE
+            planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 50 = 1
+                          THEN 'duplicate boilerplate page about terms of service and privacy'
+                          WHEN doc_id % 7 = 0
+                          THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com or 555-123-4567'
+                          ELSE text END AS text
+              FROM documents),
+            scrubbed AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                                    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+              FROM planted),
+            tok AS (SELECT doc_id, text, $toksSql AS toks FROM scrubbed),
+            gated AS (
+              SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM tok
+              WHERE len(toks) >= 5
+                AND CAST(length(text) - length(regexp_replace(text, '[#@$$%&]', '', 'g')) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) <= 0.3
+                AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) >= 0.5),
+            fp AS (
+              SELECT doc_id, text, n_tokens,
+                     md5(regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')),
+                                        '\\s+', ' ', 'g')) AS fp
+              FROM gated),
+            exact AS (
+              SELECT doc_id, text, n_tokens FROM (
+                SELECT doc_id, text, n_tokens,
+                       min(doc_id) OVER (PARTITION BY fp) AS keep
+                FROM fp)
+              WHERE doc_id = keep),
+            sh AS (SELECT doc_id, $shinglesSql AS shingles FROM exact),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                    >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            near AS (
+              SELECT e.doc_id, e.text, e.n_tokens
+              FROM exact e LEFT JOIN comp ON e.doc_id = comp.id
+              WHERE coalesce(comp.component, e.doc_id) = e.doc_id),
+            sp AS (SELECT doc_id, text, n_tokens, $splitCase AS split FROM near)
+          SELECT doc_id, text, n_tokens, split,
+                 CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) // 2048 AS BIGINT) AS bin
+          FROM sp ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 50 === 1,
+          lit("duplicate boilerplate page about terms of service and privacy"))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      Curation.curateCorpus(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Concat-and-chunk sequence packing at a 2048-token budget: bin =
     // exclusive-prefix-tokens DIV budget, via the distributed two-pass
     // prefix sum (no global single-partition window on the Spark side).
