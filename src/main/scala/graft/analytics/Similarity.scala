@@ -310,6 +310,12 @@ object Similarity {
     val nSub = codebook.length
     val nCodes = codebook(0).length
     val sub = codebook(0)(0).length
+    // a multi-row query would silently merge every query's distances
+    // through the single global top-k (no qid column in the output) —
+    // fail loudly instead; use topKBruteForceMany's shape for batches.
+    // limit(2) keeps the check metadata-scale regardless of query size.
+    require(query.limit(2).count() == 1,
+      "topKPqAdc expects exactly one query row; batch queries need a per-qid top-k")
     val enc = pqEncode(corpus, idCol, vecCol, codebook)
     val q = withQv(query, idCol, vecCol, "qid")
     val tables = (0 until nSub).map { s =>

@@ -18,6 +18,18 @@ object EmbeddingQueries {
   private def qdotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** K-means PQ codebook per scale-factor dir, trained once and reused:
+    * training is an explicit offline action in real PQ deployments —
+    * serving queries load the trained artifact, they don't retrain.
+    * Memoizing mirrors that split, and lets q79 measure training cost
+    * alone while q75 measures serving alone. */
+  private val cbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+  private def kmeansCodebook(s: org.apache.spark.sql.SparkSession,
+                             dir: String): Array[Array[Array[Long]]] =
+    cbMemo.computeIfAbsent(dir, _ =>
+      Similarity.trainPqCodebookKmeans(t(s, dir, "embeddings"), "vec_id", "embedding"))
+
   /** Plant one deterministic near-dup twin per vector: first coordinate
     * ×1.5 in exact double math (float→double is exact; ×1.5 is one IEEE
     * multiply, identical on any engine), id offset +1_000_000. Cosine to
@@ -140,15 +152,32 @@ object EmbeddingQueries {
         .orderBy("qid", "id")
     },
 
-    // PQ ADC top-k: 8-byte codes + query-side distance tables
-    // (hash-picked codebook -> engine-specific -> rows-only; code
-    // validity + ADC-vs-exact-L2 agreement asserted in the spec).
+    // PQ ADC top-k SERVING: 8-byte codes + query-side distance tables,
+    // from the k-means-TRAINED codebook (memoized — train once, serve
+    // many, as production PQ runs). Engine-specific -> rows-only; code
+    // validity, ADC-vs-exact-L2 agreement, and recall-over-hash-codebook
+    // asserted in the spec.
     "q75_embed_topk_pq" -> qNoOracle { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
       Similarity.topKPqAdc(e, "vec_id", "embedding",
-        e.filter(col("vec_id") === 7), k = 20, cb)
+        e.filter(col("vec_id") === 7), k = 20, kmeansCodebook(s, dir))
         .orderBy(col("adc_dist").asc, col("id"))
+    },
+
+    // PQ codebook TRAINING (the offline half of q75): Lloyd iterations
+    // in DataFrame algebra; returns the codebook as (sub, code,
+    // centroid) rows. Rows-only — determinism + strict objective
+    // descent asserted in the spec.
+    "q79_embed_pq_train" -> qNoOracle { (s, dir) =>
+      import s.implicits._
+      val cb = Similarity.trainPqCodebookKmeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      cbMemo.put(dir, cb)
+      cb.zipWithIndex.flatMap { case (codes, sub) =>
+        codes.zipWithIndex.map { case (centroid, code) =>
+          (sub, code, centroid.toSeq)
+        }
+      }.toSeq.toDF("sub", "code", "centroid").orderBy("sub", "code")
     },
 
     // Per-label centroid (element-wise vector sum) squared norm: grouped

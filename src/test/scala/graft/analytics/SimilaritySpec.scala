@@ -150,6 +150,30 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
   }
 
+  test("k-means codebook ADC recall@20 vs brute force beats the hash-picked codebook") {
+    val e = embeddings
+    val brute = Similarity.topKBruteForce(e, "vec_id", "embedding",
+      e.filter($"vec_id" === 7), k = 20).select("id").as[Long].collect().toSet
+    def recall(cb: Array[Array[Array[Long]]]): Int =
+      (Similarity.topKPqAdc(e, "vec_id", "embedding",
+        e.filter($"vec_id" === 7), k = 20, cb)
+        .select("id").as[Long].collect().toSet intersect brute).size
+    val rHash = recall(Similarity.trainPqCodebook(e, "vec_id", "embedding"))
+    val rKmeans = recall(Similarity.trainPqCodebookKmeans(e, "vec_id", "embedding"))
+    assert(rKmeans >= rHash,
+      s"k-means codebook must not lose recall: $rKmeans < $rHash")
+    assert(rKmeans > 0, "trained ADC top-20 must overlap the true top-20")
+  }
+
+  test("topKPqAdc rejects a multi-row query (no silent cross-query merge)") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.topKPqAdc(e, "vec_id", "embedding",
+        e.filter($"vec_id".isin(3L, 7L)), k = 5, cb)
+    }
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")
