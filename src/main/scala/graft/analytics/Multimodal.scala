@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY §7.4): image/audio/video carried as opaque
@@ -33,20 +33,42 @@ object Multimodal {
       lit(kind).as("kind"),
       col(payloadCol).cast("binary").as("content"))
 
+  /** Value of the hex digit at 1-based position `i` of hex string `h`:
+    * ascii arithmetic only (`ascii`/`substring`/CASE), so ANY engine
+    * with an md5-to-hex function reproduces it — the property that
+    * makes the stub dims below oracle-checkable in DuckDB. */
+  private def hexNibble(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    a - when(a >= 97, lit(87)).otherwise(lit(48))
+  }
+
+  /** Integer value of hex digits [start, start+n) of `h` (1-based). */
+  private def hexVal(h: Column, start: Int, n: Int): Column =
+    (0 until n).map(i =>
+      hexNibble(h, start + i) * lit(1L << (4 * (n - 1 - i)))).reduce(_ + _)
+
   /** STUB decode: in production this calls the image/audio codec on each
     * binary payload (batched per partition). Here it derives
-    * deterministic fake dimensions from the payload hash so tests and
-    * oracles are stable. The *shape* — per-partition batch processing of
-    * binary content into typed features — is the real contract. */
-  def decodeStub(df: DataFrame): DataFrame =
-    df.select(
-      col("media_id"), col("kind"),
+    * deterministic fake dimensions from the payload's md5 — hex digits
+    * 1-4 drive width, 5-8 height — so tests AND DuckDB oracles can
+    * reproduce them (crc32 previously used here is Spark-only). The
+    * *shape* — per-partition batch processing of binary content into
+    * typed features — is the real contract. */
+  /** The stub feature columns over `content` — shared by decodeStub and
+    * resizeStub (which appends them IN PLACE next to the payload rather
+    * than joining the decode output back to it). */
+  private def featureCols: Seq[Column] = {
+    val h = md5(col("content"))
+    Seq(
       length(col("content")).cast("long").as("n_bytes"),
-      md5(col("content")).as("checksum"),
-      // fake dims: bounded functions of an engine-portable hash
-      (pmod(crc32(col("content")), lit(1920)) + 1).cast("int").as("width"),
-      (pmod(crc32(col("content")) / 1920, lit(1080)) + 1).cast("int").as("height"),
+      h.as("checksum"),
+      (hexVal(h, 1, 4) % 1920 + 1).cast("int").as("width"),
+      (hexVal(h, 5, 4) % 1080 + 1).cast("int").as("height"),
       (length(col("content")) * 10).cast("long").as("duration_ms"))
+  }
+
+  def decodeStub(df: DataFrame): DataFrame =
+    df.select(col("media_id") +: col("kind") +: featureCols: _*)
 
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
 
@@ -66,14 +88,13 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // [real codec: decode `batch` in one vectorized call]
           batch.map { r =>
-            val crc = new java.util.zip.CRC32()
-            crc.update(r.content)
-            val c = crc.getValue
             val md = java.security.MessageDigest.getInstance("MD5")
             val checksum = md.digest(r.content).map("%02x".format(_)).mkString
+            // same md5-hex-prefix dims as decodeStub (differentially tested)
+            val w = Integer.parseInt(checksum.substring(0, 4), 16) % 1920 + 1
+            val h = Integer.parseInt(checksum.substring(4, 8), 16) % 1080 + 1
             MediaFeatures(r.media_id, r.kind, r.content.length.toLong, checksum,
-              (c % 1920 + 1).toInt, ((c / 1920) % 1080 + 1).toInt,
-              r.content.length.toLong * 10)
+              w, h, r.content.length.toLong * 10)
           }
         }
       }(Encoders.product[MediaFeatures])
@@ -96,8 +117,12 @@ object Multimodal {
     * binding swaps the prefix for actual pixel resampling; geometry,
     * schema and per-row projection shape are production-real. */
   def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val d = decodeStub(media)
-      .join(media.select(col("media_id"), col("content")), Seq("media_id"))
+    // dims derive in-place from the payload the row already carries —
+    // NO self-join: at media scale the binary content IS the dataset,
+    // and sending it through a join exchange it already visited would
+    // double the job's dominant I/O (gated by PlanSpec).
+    val d = media.select(
+      col("media_id") +: col("kind") +: col("content") +: featureCols: _*)
     val scale = least(
       lit(targetW).cast("double") / col("width"),
       lit(targetH).cast("double") / col("height"),
@@ -118,14 +143,18 @@ object Multimodal {
 
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame row (explode = the generate shape
-    * a real frame sampler has). */
+    * a real frame sampler has). Each frame slices ONLY its own bytes
+    * from the binary payload and encodes that slice — per-row cost is
+    * O(frames × frameBytes), independent of payload size (the previous
+    * shape base64'd the whole payload inside the per-frame lambda:
+    * O(frames × payload)). */
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     df.select(col("media_id"),
       posexplode(transform(
         sequence(lit(0L),
           greatest(floor(length(col("content")) / (frameBytes * stride)).cast("long") - 1L, lit(0L))),
-        i => substring_index(base64(col("content")), "=", 1).substr(
-          (i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes)))))
+        i => base64(col("content").substr(
+          (i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_payload")
 }

@@ -19,6 +19,18 @@ object TextQueries {
   private def lexList(lex: Seq[String]): String =
     lex.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // DuckDB equivalents of Multimodal's md5-hex-prefix stub dims: the
+  // value of hex digit i of md5(text), by ascii arithmetic (identical
+  // semantics on any engine with an md5-to-hex function).
+  private def nibSql(h: String, i: Int): String =
+    s"(ascii(substring($h, $i, 1)) - CASE WHEN ascii(substring($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+  private def hexValSql(h: String, start: Int): String =
+    s"(${nibSql(h, start)} * 4096 + ${nibSql(h, start + 1)} * 256 + ${nibSql(h, start + 2)} * 16 + ${nibSql(h, start + 3)})"
+  private def widthSql(h: String): String =
+    s"CAST(${hexValSql(h, 1)} % 1920 + 1 AS INTEGER)"
+  private def heightSql(h: String): String =
+    s"CAST(${hexValSql(h, 5)} % 1080 + 1 AS INTEGER)"
+
   val defs: Map[String, Q] = Map(
 
     // Token counting (whitespace tokenizer).
@@ -205,18 +217,21 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // Multimodal plumbing: binary content column + stub decode. n_bytes /
-    // checksum are oracle-checkable; fake dims derive from crc32 (Spark)
-    // which DuckDB lacks -> keep the oracle to the portable columns.
+    // Multimodal plumbing: binary content column + stub decode. The
+    // md5-hex-prefix stub dims are engine-portable (ascii arithmetic on
+    // the md5 hex), so the ENTIRE feature row is oracle-checked.
     "q35_multimodal_decode" -> q(
-      """SELECT doc_id AS media_id,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                md5(text) AS checksum
-         FROM documents ORDER BY media_id""") { (s, dir) =>
+      s"""SELECT doc_id AS media_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 md5(text) AS checksum,
+                 ${widthSql("md5(text)")} AS width,
+                 ${heightSql("md5(text)")} AS height,
+                 CAST(octet_length(encode(text)) * 10 AS BIGINT) AS duration_ms
+          FROM documents ORDER BY media_id""") { (s, dir) =>
       val media = Multimodal.withBinaryContent(
         t(s, dir, "documents"), "doc_id", "text", kind = "text")
       Multimodal.decodeStub(media)
-        .select("media_id", "n_bytes", "checksum")
+        .select("media_id", "n_bytes", "checksum", "width", "height", "duration_ms")
         .orderBy("media_id")
     },
 
@@ -271,9 +286,40 @@ object TextQueries {
     },
 
     // Resize: aspect-preserving fit-in-box geometry + proportional
-    // thumbnail (fake dims derive from crc32, which DuckDB lacks ->
-    // rows-only; geometry math asserted in the spec).
-    "q77_multimodal_resize" -> qNoOracle { (s, dir) =>
+    // thumbnail. Fully oracled now that stub dims are md5-derived; the
+    // thumbnail byte-slice is expressed as a char substring in DuckDB,
+    // exact because the corpus is pure ASCII (verified at every SF:
+    // octet_length(encode(text)) == length(text) for all rows).
+    "q77_multimodal_resize" -> q({
+      val h = "md5(text)"
+      s"""WITH f AS (
+            SELECT doc_id AS media_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   ${widthSql(h)} AS width,
+                   ${heightSql(h)} AS height
+            FROM documents),
+          g AS (
+            SELECT media_id, text, n_bytes, width, height,
+                   least(256.0 / width, 256.0 / height, 1.0) AS scale
+            FROM f),
+          o AS (
+            SELECT media_id, text, n_bytes, width, height,
+                   CAST(greatest(floor(width * scale), 1) AS INTEGER) AS out_width,
+                   CAST(greatest(floor(height * scale), 1) AS INTEGER) AS out_height
+            FROM g),
+          th AS (
+            SELECT media_id, width, height, out_width, out_height,
+                   substring(text, 1,
+                     CAST(greatest(floor(n_bytes * CAST(out_width * out_height AS DOUBLE)
+                                          / CAST(width * height AS DOUBLE)), 1) AS INTEGER)) AS thumb
+            FROM o)
+          SELECT media_id,
+                 width AS src_width, height AS src_height,
+                 out_width, out_height,
+                 CAST(length(thumb) AS BIGINT) AS thumb_bytes,
+                 md5(thumb) AS thumb_checksum
+          FROM th ORDER BY media_id"""
+    }) { (s, dir) =>
       val media = Multimodal.withBinaryContent(
         t(s, dir, "documents"), "doc_id", "text", kind = "img")
       Multimodal.resizeStub(media, targetW = 256, targetH = 256)

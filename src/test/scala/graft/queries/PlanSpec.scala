@@ -104,6 +104,30 @@ class PlanSpec extends SparkSpec {
       s"offsets must join back via broadcast:\n$p")
   }
 
+  test("q77: resize is a pure projection — no join/exchange re-carries the payload") {
+    // at media scale the binary payload IS the dataset: dims must derive
+    // in place, never by joining the decode output back to the content
+    val media = graft.analytics.Multimodal.withBinaryContent(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", "img")
+    val p = graft.analytics.Multimodal.resizeStub(media, 256, 256)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"resize must not join the payload to itself:\n$p")
+    assert(!p.contains("Exchange"), s"resize must not shuffle the payload:\n$p")
+  }
+
+  test("frame sampling encodes per-frame slices, not the whole payload per frame") {
+    val media = graft.analytics.Multimodal.withBinaryContent(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", "video")
+    val p = graft.analytics.Multimodal.sampleFrames(media, 16, 4)
+      .queryExecution.executedPlan.toString
+    // base64 must apply to the sliced frame (substr INSIDE base64's
+    // argument, rendered `Base64.encode(substr(content...)` in Spark 4),
+    // never to the full content inside the per-frame lambda
+    assert(!p.contains("Exchange"), s"frame sampling must not shuffle:\n$p")
+    assert(p.contains("Base64.encode(substr(content"),
+      s"expected base64 over the frame slice:\n$p")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
