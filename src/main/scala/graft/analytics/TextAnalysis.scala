@@ -118,17 +118,17 @@ object TextAnalysis {
 
   /** Within-document repeated-line removal (the CCNet-style repetition
     * filter): keep each line's FIRST occurrence, preserving order, and
-    * report how many were dropped. Order-preserving distinct via an
-    * indexed array filter (first-occurrence-index == own index) — a
-    * pure projection, O(lines²) per doc but lines-per-doc is small and
-    * the op never shuffles. */
+    * report how many were dropped. One hash-set pass per row via the
+    * codegen'd DedupLinesExpr — O(total chars), robust to pathological
+    * docs with 10⁵ repeated lines (the previous array_position filter
+    * was O(lines²) per doc) — and still a shuffle-free projection. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = split(col(textCol), "\n", -1)
-    val kept = filter(lines, (x, i) => array_position(lines, x) === (i + 1))
+    val deduped = graft.functions.DedupLinesExpr(col(textCol))
     df.select(col(idCol),
       size(lines).cast("long").as("n_lines"),
-      (size(lines) - size(kept)).cast("long").as("n_removed"),
-      concat_ws("\n", kept).as("text_deduped"))
+      (size(lines) - size(split(deduped, "\n", -1))).cast("long").as("n_removed"),
+      deduped.as("text_deduped"))
   }
 
   /** PII scrubbing: emails and phone-shaped digit runs replaced with

@@ -33,6 +33,30 @@ class TextQualitySpec extends SparkSpec {
     assert(out(2L).getLong(2) == 0L && out(2L).getString(3) == "one line only")
   }
 
+  test("dedupLines: linear on a pathological 100k-repeated-line doc; agrees with the quadratic formulation") {
+    // 100k lines, 1k distinct — the shape that pinned the previous
+    // array_position formulation at ~10^10 comparisons in one task
+    val big = (0 until 100000).map(i => s"line ${i % 1000}").mkString("\n")
+    val docs = Seq((1L, big), (2L, "a\nb\na"), (3L, ""), (4L, "x\n\n\nx\n"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "pathological doc must not pin a task")
+    assert(out(1L).getLong(1) == 100000L && out(1L).getLong(2) == 99000L)
+    // differential: the O(lines²) array_position formulation is the
+    // executable spec of keep-first semantics — results must be identical
+    import org.apache.spark.sql.functions.{split, filter, array_position, size, concat_ws}
+    val lines = split($"text", "\n", -1)
+    val kept = filter(lines, (x, i) => array_position(lines, x) === (i + 1))
+    val ref = docs.filter($"doc_id" =!= 1L).select($"doc_id",
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"),
+      concat_ws("\n", kept).as("text_deduped"))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    ref.foreach { case (id, expected) => assert(out(id).toSeq == expected, s"doc $id diverged") }
+  }
+
   test("sampleByDomain is monotone in rate: lower rate yields a subset") {
     import graft.analytics.Curation
     val rows = (0L until 2000L).map(i => (i, "d")).toDF("id", "domain")
