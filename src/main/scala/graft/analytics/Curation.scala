@@ -125,12 +125,20 @@ object Curation {
       .drop("__pid", "__cum", "__off")
   }
 
-  /** Tunables for the end-to-end corpus curation flow. */
+  /** Tunables for the end-to-end corpus curation flow.
+    *
+    * `maxDocFreq` (the near-dedup inverted-index df cap) defaults to
+    * [[Dedup.RecommendedMaxDocFreq]] — the curation pipeline is the
+    * production-corpus path, where an uncapped stop-shingle bucket is a
+    * guaranteed skew quadratic. The recall caveat (a pair sharing ONLY
+    * shingles with df > cap is missed) is the documented trade; pass
+    * `maxDocFreq = Long.MaxValue` for exact small-corpus runs. */
   final case class CurateConfig(
       minTokens: Long = 5,
       maxSymbolRatio: Double = 0.3,
       minAlphaRatio: Double = 0.5,
       jaccardNum: Long = 1, jaccardDen: Long = 5, shingleN: Int = 3,
+      maxDocFreq: Long = Dedup.RecommendedMaxDocFreq,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       salt: String = "v1",
@@ -168,7 +176,8 @@ object Curation {
     // 4. near-dedup groups: min id per component survives
     val verdicts = Dedup.dedupVerdicts(exact, idCol,
       Dedup.ngramJaccardPairs(exact, idCol, "text",
-        n = cfg.shingleN, num = cfg.jaccardNum, den = cfg.jaccardDen))
+        n = cfg.shingleN, num = cfg.jaccardNum, den = cfg.jaccardDen,
+        maxDocFreq = cfg.maxDocFreq))
     val near = exact.join(
       verdicts.filter(col("is_survivor")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")

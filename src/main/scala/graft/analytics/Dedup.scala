@@ -42,12 +42,24 @@ object Dedup {
           sequence(lit(0), greatest(size(col("th")) - n, lit(0))),
           i => xxhash64((0 until n).map(j => get(col("th"), i + j)): _*))).as("shash"))
 
-  /** Default per-shingle document-frequency cap. A stopword shingle
-    * ("of the") at corpus scale creates one inverted-index bucket whose
-    * m² pair enumeration lands in a handful of tasks — the classic skew
-    * quadratic. Capping df bounds the worst bucket at maxDocFreq² pairs
-    * while candidate *verification* stays exact (see below). */
-  val DefaultMaxDocFreq: Long = 1000L
+  /** Default per-shingle document-frequency cap: NO cap — exact recall.
+    * The default is deliberately exact so the recall trade-off is always
+    * an explicit caller decision, never a silent one (a capped default
+    * would quietly lose pairs whose shared shingles are all high-df on
+    * any corpus larger than the cap).
+    *
+    * At corpus scale you almost certainly WANT a cap: a stopword shingle
+    * ("of the") creates one inverted-index bucket whose m² pair
+    * enumeration lands in a handful of tasks — the classic skew
+    * quadratic. Pass `maxDocFreq = Dedup.RecommendedMaxDocFreq` (as the
+    * registered queries and `Curation.curateCorpus` do) to bound the
+    * worst bucket at maxDocFreq² pairs; candidate *verification* stays
+    * exact either way (see below). */
+  val DefaultMaxDocFreq: Long = Long.MaxValue
+
+  /** The cap production corpora should opt into (bounds any single
+    * posting bucket at 10⁶ enumerated pairs). */
+  val RecommendedMaxDocFreq: Long = 1000L
 
   /** Candidate pairs sharing >= 1 shingle whose document frequency is
     * <= `maxDocFreq`, via inverted index (explode -> df-filter -> bucket

@@ -222,6 +222,8 @@ object Similarity {
       .groupBy("cell")
       .agg(min_by(col("qv"), xxhash64(lit(7), col("id"))).as("rv"))
       .collect()
+    require(reps.nonEmpty,
+      "trainPqCodebook: corpus has no rows — a codebook cannot be trained from an empty corpus")
     val byCell = reps.map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
     val fallback = byCell.values.head
     Array.tabulate(nSub)(s => Array.tabulate(nCodes)(j =>

@@ -33,6 +33,15 @@ abstract class PqBase extends UnaryExpression with CodegenFallback {
       s"$prettyName requires array<bigint>, got ${other.simpleString}")
   }
 
+  /** Fail with a diagnosable message instead of an opaque
+    * ArrayIndexOutOfBounds when a row's vector is shorter than the
+    * codebook's nSub×subDim layout (schema drift, truncated embedding). */
+  protected final def checkLength(arr: ArrayData): Unit =
+    if (arr.numElements() < nSub * subDim)
+      throw new IllegalArgumentException(
+        s"$prettyName: input vector has ${arr.numElements()} elements, " +
+          s"codebook expects at least ${nSub * subDim} (nSub=$nSub × subDim=$subDim)")
+
   /** (assigned code, distance to it) for subspace s of vector `arr`. */
   protected final def assign(arr: ArrayData, s: Int): (Int, Long) = {
     var best = Long.MaxValue
@@ -62,6 +71,7 @@ case class PqEncode(child: Expression, codebook: Seq[Long],
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    checkLength(arr)
     val codes = new Array[Int](nSub)
     var s = 0
     while (s < nSub) { codes(s) = assign(arr, s)._1; s += 1 }
@@ -81,6 +91,7 @@ case class PqQuantErr(child: Expression, codebook: Seq[Long],
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    checkLength(arr)
     var err = 0L
     var s = 0
     while (s < nSub) { err += assign(arr, s)._2; s += 1 }

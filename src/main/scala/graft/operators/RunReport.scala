@@ -18,7 +18,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Listener callbacks are post-hoc and off the query's critical path, so
   * the hook adds zero overhead to the queries themselves.
   */
-final class RunReport private[operators] () {
+final class RunReport private[operators] (owner: SparkSession) {
 
   private val buf =
     new java.util.concurrent.ConcurrentLinkedQueue[Quality.OperationMetadata]()
@@ -29,17 +29,25 @@ final class RunReport private[operators] () {
     private def rows(qe: QueryExecution): Long =
       qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
 
+    // The listener manager is per-session, but filter defensively on the
+    // attached session anyway: a run that wants isolation from other
+    // pipelines sharing the SparkContext attaches to its own
+    // spark.newSession() and runs its actions there — this guard is what
+    // makes that contract hold even if a listener is shared.
+    private def mine(qe: QueryExecution): Boolean = qe.sparkSession eq owner
+
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      buf.add(Quality.OperationMetadata(funcName,
+      if (mine(qe)) buf.add(Quality.OperationMetadata(funcName,
         processed = rows(qe), succeeded = 1L, failed = 0L, skipped = 0L,
         durationSeconds = durationNs / 1e9))
 
-    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
-      buf.add(Quality.OperationMetadata(funcName,
-        processed = 0L, succeeded = 0L, failed = 1L, skipped = 0L,
-        durationSeconds = 0.0))
-      failures.add(funcName -> s"${exception.getClass.getName}: ${exception.getMessage}")
-    }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      if (mine(qe)) {
+        buf.add(Quality.OperationMetadata(funcName,
+          processed = 0L, succeeded = 0L, failed = 1L, skipped = 0L,
+          durationSeconds = 0.0))
+        failures.add(funcName -> s"${exception.getClass.getName}: ${exception.getMessage}")
+      }
   }
 
   /** Per-action metadata, in completion order. */
@@ -65,28 +73,25 @@ final class RunReport private[operators] () {
       durationSeconds = r.map(_.durationSeconds).sum)
   }
 
-  /** Listener events post asynchronously; wait until the report stops
-    * growing (or the timeout passes) before reading it at a barrier. */
-  def awaitQuiescence(timeoutMs: Long = 5000, stableMs: Long = 250): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var last = -1
-    var lastChange = System.currentTimeMillis()
-    while (System.currentTimeMillis() < deadline &&
-           System.currentTimeMillis() - lastChange < stableMs) {
-      val n = buf.size()
-      if (n != last) { last = n; lastChange = System.currentTimeMillis() }
-      Thread.sleep(25)
-    }
-  }
+  /** Listener events post asynchronously; drain the shared listener bus
+    * (deterministic — waits until every already-posted event is
+    * delivered) before reading the report at a barrier. Returns false if
+    * the bus did not drain within the timeout (report may be partial). */
+  def awaitQuiescence(timeoutMs: Long = 5000): Boolean =
+    org.apache.spark.sql.graftshim.Shim.flushListenerBus(
+      owner.sparkContext, timeoutMs)
 
   def detach(spark: SparkSession): Unit =
     spark.listenerManager.unregister(listener)
 }
 
 object RunReport {
-  /** Register a run-report hook on the session; detach when done. */
+  /** Register a run-report hook on the session; detach when done.
+    * For per-run isolation on a shared SparkContext, attach to (and run
+    * the pipeline's actions on) a dedicated `spark.newSession()` — the
+    * report only records actions executed on the attached session. */
   def attach(spark: SparkSession): RunReport = {
-    val r = new RunReport()
+    val r = new RunReport(spark)
     spark.listenerManager.register(r.listener)
     r
   }

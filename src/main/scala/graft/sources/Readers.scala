@@ -90,21 +90,38 @@ object Readers {
       numPartitions, p)
   }
 
+  /** SQL-92 identifier check for names that get interpolated into the
+    * bounds query below: plain identifiers or dotted qualified names
+    * only — anything else (quotes, spaces, semicolons) is rejected, so
+    * a table/column name can never smuggle SQL into the probe. */
+  private def requireSqlIdentifier(name: String, what: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_$]*(\\.[A-Za-z_][A-Za-z0-9_$]*)*"),
+      s"$what must be a plain (optionally dotted) SQL identifier, got: $name")
+
   /** Bounds-discovering variant: one min/max metadata query on the
     * partition column (a single-row aggregate the database answers from
     * its index), then the partitioned scan. Falls back to a single
-    * partition when the table is empty. */
+    * partition when the table is empty. `partitionColumn` must be
+    * integral (the JDBC range-partitioning contract); identifiers are
+    * validated before interpolation into the probe query. */
   def jdbcPartitionedAuto(spark: SparkSession, url: String, table: String,
                           partitionColumn: String, numPartitions: Int,
                           props: Map[String, String] = Map.empty): DataFrame = {
+    requireSqlIdentifier(table, "table")
+    requireSqlIdentifier(partitionColumn, "partitionColumn")
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val conn = java.sql.DriverManager.getConnection(url, p)
     val bounds = try {
-      val rs = conn.createStatement().executeQuery(
-        s"SELECT MIN($partitionColumn), MAX($partitionColumn) FROM $table")
-      if (rs.next() && rs.getObject(1) != null) Some((rs.getLong(1), rs.getLong(2)))
-      else None
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MIN($partitionColumn), MAX($partitionColumn) FROM $table")
+        try {
+          if (rs.next() && rs.getObject(1) != null) Some((rs.getLong(1), rs.getLong(2)))
+          else None
+        } finally rs.close()
+      } finally st.close()
     } finally conn.close()
     bounds match {
       case Some((lo, hi)) if hi > lo =>

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until every event already posted to the shared listener bus
+    * has been delivered (`listenerBus.waitUntilEmpty` is
+    * `private[spark]`). Deterministic alternative to sleep-loop
+    * quiescence heuristics for post-run report reads. */
+  def flushListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

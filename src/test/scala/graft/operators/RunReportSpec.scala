@@ -40,6 +40,22 @@ class RunReportSpec extends SparkSpec {
     } finally report.detach(spark)
   }
 
+  test("per-run isolation: a report attached to its own session ignores other sessions' actions") {
+    val mine = spark.newSession()
+    val report = RunReport.attach(mine)
+    try {
+      // action on the OTHER session: must not pollute this run's report
+      Seq(1, 2).toDF("x").count()
+      // action on the attached session: must be captured
+      mine.range(5).toDF().count()
+      assert(report.awaitQuiescence(), "listener bus must drain")
+      awaitReports(report, 1)
+      val r = report.report
+      assert(r.nonEmpty && r.forall(_.succeeded == 1L))
+      assert(r.map(_.processed).sum <= 5L, s"foreign session's rows leaked in: $r")
+    } finally report.detach(mine)
+  }
+
   test("detach stops capture") {
     val report = RunReport.attach(spark)
     report.detach(spark)
