@@ -25,7 +25,12 @@ object Bench {
     // 2x regression gate unenforceable. Cache is cleared between trials
     // so per-operator persisted relations never leak across timings.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q78,q57 narrows the run for single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val timings = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         val err: Option[String] =

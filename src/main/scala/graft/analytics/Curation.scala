@@ -172,7 +172,16 @@ object Curation {
     // 3. exact dedup: min id per fingerprint survives
     val exactSurvivors = Dedup.exactByFingerprint(quality, idCol, "text")
       .select(col(idCol))
+    // `exact` feeds three consumers (pair generation, verdict docs, the
+    // survivor semi-join) — without a cache boundary each one re-runs
+    // the scan + scrub + gates + fingerprint chain over the full corpus.
+    // MEMORY_AND_DISK: the narrow (id, text, n_tokens) projection spills
+    // rather than recomputing multi-pass regex work. Neutral at bench
+    // scale (q78 unchanged at sf0.1, where the components iteration
+    // dominates); the boundary is for corpus scale, where three regex
+    // passes over 100 TB are the dominant cost.
     val exact = quality.join(exactSurvivors, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4. near-dedup groups: min id per component survives
     val verdicts = Dedup.dedupVerdicts(exact, idCol,
       Dedup.ngramJaccardPairs(exact, idCol, "text",
