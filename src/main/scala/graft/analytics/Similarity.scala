@@ -296,6 +296,63 @@ object Similarity {
       .select(col("id"), col("qv"), col("qnorm"),
         graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
 
+  /** Materialize the PQ index: encode the corpus and write (id, pq_code)
+    * — the offline half of PQ serving. Codes are 8 bytes per vector
+    * (64× smaller than the vectors); real deployments store exactly
+    * this artifact (the codes ARE the index) and serve every query from
+    * it, never re-encoding the corpus per query. */
+  def writePqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                   codebook: Array[Array[Array[Long]]], path: String): Unit =
+    pqEncode(corpus, idCol, vecCol, codebook)
+      .select("id", "pq_code")
+      .write.mode("overwrite").parquet(path)
+
+  /** PQ ADC top-k over a PRE-ENCODED code table (the serving half):
+    * per-row work is nSub table lookups on the stored 8-byte code —
+    * the corpus vectors are never read, which is the entire point of
+    * PQ at billion-vector scale. `codes` is (id, pq_code) as written
+    * by writePqCodes with the SAME codebook. */
+  def topKPqAdcFromCodes(codes: DataFrame, query: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val nSub = codebook.length
+    val nCodes = codebook(0).length
+    val sub = codebook(0)(0).length
+    // The query vector reaches the driver by definition in ANN serving;
+    // collect it (one row — limit(2) doubles as the multi-row guard:
+    // a batch query would silently merge through the global top-k) and
+    // build the nSub×nCodes distance tables in plain Scala. Attached as
+    // array LITERALS the per-row ADC is 8 element_at lookups — the
+    // column-algebra table construction generated ~1000-node projections
+    // that janino refused to compile (seconds of failed codegen per
+    // query, then interpreted fallback).
+    val qRows = withQv(query, idCol, vecCol, "qid")
+      .select(col("qv")).limit(2).collect()
+    require(qRows.length == 1,
+      "topKPqAdcFromCodes expects exactly one query row; batch queries need a per-qid top-k")
+    val qv = qRows(0).getSeq[Long](0).toArray
+    require(qv.length >= nSub * sub,
+      s"query vector has ${qv.length} elements, codebook expects ${nSub * sub}")
+    val tables: Array[Array[Long]] = Array.tabulate(nSub) { s =>
+      Array.tabulate(nCodes) { j =>
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val x = qv(s * sub + i) - codebook(s)(j)(i)
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    val adc = (0 until nSub).map(s =>
+      element_at(lit(tables(s)),
+        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
+    codes.select(col("id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
+  }
+
   /** PQ ADC top-k (asymmetric distance computation): the query's
     * per-subspace distance TABLES to all centroids are computed once on
     * the broadcast 1-row query side; each corpus row then pays nSub
@@ -308,36 +365,15 @@ object Similarity {
     * corpora, where cluster structure is what PQ exploits. */
   def topKPqAdc(corpus: DataFrame, idCol: String, vecCol: String,
                 query: DataFrame, k: Int,
-                codebook: Array[Array[Array[Long]]]): DataFrame = {
-    val nSub = codebook.length
-    val nCodes = codebook(0).length
-    val sub = codebook(0)(0).length
-    // a multi-row query would silently merge every query's distances
-    // through the single global top-k (no qid column in the output) —
-    // fail loudly instead; use topKBruteForceMany's shape for batches.
-    // limit(2) keeps the check metadata-scale regardless of query size.
-    require(query.limit(2).count() == 1,
-      "topKPqAdc expects exactly one query row; batch queries need a per-qid top-k")
-    val enc = pqEncode(corpus, idCol, vecCol, codebook)
-    val q = withQv(query, idCol, vecCol, "qid")
-    val tables = (0 until nSub).map { s =>
-      array((0 until nCodes).map { j =>
-        val cb = codebook(s)(j)
-        (0 until sub).map { i =>
-          val x = element_at(col("qv"), s * sub + i + 1) - lit(cb(i))
-          x * x
-        }.reduce(_ + _)
-      }: _*).as(s"t_$s")
-    }
-    val qt = broadcast(q.select(tables: _*))
-    val adc = (0 until nSub).map(s =>
-      element_at(col(s"t_$s"),
-        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
-    enc.crossJoin(qt)
-      .select(col("id"), adc.as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("id"))
-      .limit(k)
-  }
+                codebook: Array[Array[Array[Long]]]): DataFrame =
+    // encode-then-serve in one query; production serving reads stored
+    // codes instead (writePqCodes + topKPqAdcFromCodes). The 1-row
+    // query guard lives in the serving half: a multi-row query would
+    // silently merge every query's distances through the single global
+    // top-k — use topKBruteForceMany's shape for batches.
+    topKPqAdcFromCodes(
+      pqEncode(corpus, idCol, vecCol, codebook).select("id", "pq_code"),
+      query, idCol, vecCol, k, codebook)
 
   /** All near-duplicate pairs by EXACT all-pairs cosine — the O(n²)
     * exactness baseline for cosineNearDupPairs (same role

@@ -18,17 +18,26 @@ object EmbeddingQueries {
   private def qdotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
 
-  /** K-means PQ codebook per scale-factor dir, trained once and reused:
-    * training is an explicit offline action in real PQ deployments —
-    * serving queries load the trained artifact, they don't retrain.
-    * Memoizing mirrors that split, and lets q79 measure training cost
-    * alone while q75 measures serving alone. */
-  private val cbMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
-  private def kmeansCodebook(s: org.apache.spark.sql.SparkSession,
-                             dir: String): Array[Array[Array[Long]]] =
-    cbMemo.computeIfAbsent(dir, _ =>
-      Similarity.trainPqCodebookKmeans(t(s, dir, "embeddings"), "vec_id", "embedding"))
+  /** K-means PQ index per scale-factor dir, built once and reused:
+    * training + corpus encoding are explicit OFFLINE actions in real PQ
+    * deployments — the stored 8-byte codes ARE the index, and serving
+    * reads them without ever touching the corpus vectors. Memoizing
+    * mirrors that split: q79 measures the full offline build (train +
+    * encode + write), q75 measures serving alone. */
+  private final case class PqIndex(
+      cb: Array[Array[Array[Long]]], codesPath: String)
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
+  private def pqIndex(s: org.apache.spark.sql.SparkSession,
+                      dir: String): PqIndex =
+    pqMemo.computeIfAbsent(dir, _ => {
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.trainPqCodebookKmeans(e, "vec_id", "embedding")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pq-codes").toString
+      Similarity.writePqCodes(e, "vec_id", "embedding", cb, path)
+      PqIndex(cb, path)
+    })
 
   /** Plant one deterministic near-dup twin per vector: first coordinate
     * ×1.5 in exact double math (float→double is exact; ×1.5 is one IEEE
@@ -152,27 +161,29 @@ object EmbeddingQueries {
         .orderBy("qid", "id")
     },
 
-    // PQ ADC top-k SERVING: 8-byte codes + query-side distance tables,
-    // from the k-means-TRAINED codebook (memoized — train once, serve
-    // many, as production PQ runs). Engine-specific -> rows-only; code
-    // validity, ADC-vs-exact-L2 agreement, and recall-over-hash-codebook
-    // asserted in the spec.
+    // PQ ADC top-k SERVING: reads the stored 8-byte codes (the index
+    // artifact q79 builds) + query-side distance tables from the
+    // k-means codebook — per-row work is 8 table lookups, the corpus
+    // vectors are never read. Engine-specific -> rows-only; code
+    // validity, ADC-vs-exact-L2 agreement, stored==inline serving, and
+    // recall-over-hash-codebook asserted in the spec.
     "q75_embed_topk_pq" -> qNoOracle { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      Similarity.topKPqAdc(e, "vec_id", "embedding",
-        e.filter(col("vec_id") === 7), k = 20, kmeansCodebook(s, dir))
+      val idx = pqIndex(s, dir)
+      Similarity.topKPqAdcFromCodes(s.read.parquet(idx.codesPath),
+        e.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20, idx.cb)
         .orderBy(col("adc_dist").asc, col("id"))
     },
 
-    // PQ codebook TRAINING (the offline half of q75): Lloyd iterations
-    // in DataFrame algebra; returns the codebook as (sub, code,
-    // centroid) rows. Rows-only — determinism + strict objective
-    // descent asserted in the spec.
+    // PQ index BUILD (the offline half of q75): k-means codebook via
+    // Lloyd iterations in DataFrame algebra + corpus encoding to stored
+    // 8-byte codes. Returns the codebook as (sub, code, centroid) rows.
+    // Rows-only — determinism + strict objective descent asserted in
+    // the spec.
     "q79_embed_pq_train" -> qNoOracle { (s, dir) =>
       import s.implicits._
-      val cb = Similarity.trainPqCodebookKmeans(
-        t(s, dir, "embeddings"), "vec_id", "embedding")
-      cbMemo.put(dir, cb)
+      pqMemo.remove(dir) // measure a full offline build, not the memo
+      val cb = pqIndex(s, dir).cb
       cb.zipWithIndex.flatMap { case (codes, sub) =>
         codes.zipWithIndex.map { case (centroid, code) =>
           (sub, code, centroid.toSeq)

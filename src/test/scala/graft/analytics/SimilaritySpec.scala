@@ -165,6 +165,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rKmeans > 0, "trained ADC top-20 must overlap the true top-20")
   }
 
+  test("PQ serving from stored codes equals inline encode-and-serve") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val inline = Similarity.topKPqAdc(e, "vec_id", "embedding",
+      e.filter($"vec_id" === 7), k = 20, cb).collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("pq-codes-spec").toString
+    Similarity.writePqCodes(e, "vec_id", "embedding", cb, path)
+    val stored = Similarity.topKPqAdcFromCodes(spark.read.parquet(path),
+      e.filter($"vec_id" === 7), "vec_id", "embedding", k = 20, cb)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == inline, "the stored-code index must serve identical results")
+  }
+
   test("topKPqAdc rejects a multi-row query (no silent cross-query merge)") {
     val e = embeddings
     val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
