@@ -375,6 +375,60 @@ object Similarity {
       pqEncode(corpus, idCol, vecCol, codebook).select("id", "pq_code"),
       query, idCol, vecCol, k, codebook)
 
+  /** Batch PQ ADC top-k: ONE stored-code scan serves many queries.
+    * The query batch is collected (serving requests live on the driver
+    * by definition; `maxQueries` guards against a corpus being passed
+    * by mistake), per-query distance tables are built in plain Scala,
+    * and the (qid, tables) relation broadcasts against the code scan —
+    * per (code, query) work is nSub lookups, then one shuffle on the
+    * query key for the per-qid window top-k (same final shape as
+    * topKBruteForceMany). Completes the ladder: brute/LSH/PQ each have
+    * single-query and batch serving. */
+  def topKPqAdcManyFromCodes(codes: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             codebook: Array[Array[Array[Long]]],
+                             maxQueries: Int = 10000): DataFrame = {
+    val nSub = codebook.length
+    val nCodes = codebook(0).length
+    val sub = codebook(0)(0).length
+    val qRows = withQv(queries, idCol, vecCol, "qid")
+      .select(col("qid").cast("long"), col("qv"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.nonEmpty, "topKPqAdcManyFromCodes: empty query batch")
+    require(qRows.length <= maxQueries,
+      s"query batch exceeds maxQueries=$maxQueries — this API is for serving " +
+        "request batches, not corpus-vs-corpus scoring")
+    val tableRows = qRows.map { r =>
+      val qv = r.getSeq[Long](1).toArray
+      require(qv.length >= nSub * sub,
+        s"query vector has ${qv.length} elements, codebook expects ${nSub * sub}")
+      val t = Array.tabulate(nSub) { s =>
+        Array.tabulate(nCodes) { j =>
+          var d = 0L
+          var i = 0
+          while (i < sub) {
+            val x = qv(s * sub + i) - codebook(s)(j)(i)
+            d += x * x
+            i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+      (r.getLong(0), t)
+    }.toSeq
+    import codes.sparkSession.implicits._
+    val qt = tableRows.toDF("qid", "t")
+    val adc = (0 until nSub).map(s =>
+      element_at(element_at(col("t"), s + 1),
+        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_dist").asc, col("id"))
+    codes.crossJoin(broadcast(qt))
+      .select(col("qid"), col("id"), adc.as("adc_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** All near-duplicate pairs by EXACT all-pairs cosine — the O(n²)
     * exactness baseline for cosineNearDupPairs (same role
     * topKBruteForce plays for the ANN variants). Use only on bounded

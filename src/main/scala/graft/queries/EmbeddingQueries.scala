@@ -191,6 +191,17 @@ object EmbeddingQueries {
       }.toSeq.toDF("sub", "code", "centroid").orderBy("sub", "code")
     },
 
+    // Batch PQ ADC serving: one stored-code scan, five queries, per-qid
+    // window top-k (rows-only; many==single differential in the spec).
+    "q80_embed_pq_serve_many" -> qNoOracle { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndex(s, dir)
+      Similarity.topKPqAdcManyFromCodes(s.read.parquet(idx.codesPath),
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)),
+        "vec_id", "embedding", k = 10, idx.cb)
+        .orderBy("qid", "id")
+    },
+
     // Per-label centroid (element-wise vector sum) squared norm: grouped
     // vector aggregation as 64 integer sum columns — one hash aggregate,
     // exact integer math, oracle-checkable.

@@ -178,6 +178,29 @@ class SimilaritySpec extends SparkSpec {
     assert(stored == inline, "the stored-code index must serve identical results")
   }
 
+  test("batch PQ serving matches single-query serving per qid") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("pq-codes-many").toString
+    Similarity.writePqCodes(e, "vec_id", "embedding", cb, path)
+    val codes = spark.read.parquet(path)
+    val many = Similarity.topKPqAdcManyFromCodes(codes,
+      e.filter($"vec_id".isin(3L, 7L)), "vec_id", "embedding", k = 5, cb)
+      .select("qid", "id", "adc_dist").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for (q <- Seq(3L, 7L)) {
+      val single = Similarity.topKPqAdcFromCodes(codes,
+        e.filter($"vec_id" === q), "vec_id", "embedding", k = 5, cb)
+        .select("id", "adc_dist").as[(Long, Long)].collect().toSet
+      assert(many(q) == single, s"batch != single for query $q")
+    }
+    // batch-size guard
+    intercept[IllegalArgumentException] {
+      Similarity.topKPqAdcManyFromCodes(codes, e, "vec_id", "embedding",
+        k = 5, cb, maxQueries = 10)
+    }
+  }
+
   test("topKPqAdc rejects a multi-row query (no silent cross-query merge)") {
     val e = embeddings
     val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
