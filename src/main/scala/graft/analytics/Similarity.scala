@@ -315,9 +315,6 @@ object Similarity {
   def topKPqAdcFromCodes(codes: DataFrame, query: DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          codebook: Array[Array[Array[Long]]]): DataFrame = {
-    val nSub = codebook.length
-    val nCodes = codebook(0).length
-    val sub = codebook(0)(0).length
     // The query vector reaches the driver by definition in ANN serving;
     // collect it (one row — limit(2) doubles as the multi-row guard:
     // a batch query would silently merge through the global top-k) and
@@ -330,27 +327,8 @@ object Similarity {
       .select(col("qv")).limit(2).collect()
     require(qRows.length == 1,
       "topKPqAdcFromCodes expects exactly one query row; batch queries need a per-qid top-k")
-    val qv = qRows(0).getSeq[Long](0).toArray
-    require(qv.length >= nSub * sub,
-      s"query vector has ${qv.length} elements, codebook expects ${nSub * sub}")
-    val tables: Array[Array[Long]] = Array.tabulate(nSub) { s =>
-      Array.tabulate(nCodes) { j =>
-        var d = 0L
-        var i = 0
-        while (i < sub) {
-          val x = qv(s * sub + i) - codebook(s)(j)(i)
-          d += x * x
-          i += 1
-        }
-        d
-      }
-    }
-    val adc = (0 until nSub).map(s =>
-      element_at(lit(tables(s)),
-        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
-    codes.select(col("id"), adc.as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("id"))
-      .limit(k)
+    topKPqAdcFromCodesPrecollected(
+      codes, qRows(0).getSeq[Long](0).toArray, k, codebook)
   }
 
   /** PQ ADC top-k (asymmetric distance computation): the query's
@@ -374,6 +352,106 @@ object Similarity {
     topKPqAdcFromCodes(
       pqEncode(corpus, idCol, vecCol, codebook).select("id", "pq_code"),
       query, idCol, vecCol, k, codebook)
+
+  /** Build the fused IVF-PQ index — the billion-vector serving layout:
+    * every vector is assigned to its nearest coarse centroid (same
+    * deterministic cell construction as topKIvf) and its 8-byte PQ code
+    * is written PARTITIONED BY CELL (`path/codes/cell=N/`), with the
+    * nCells centroids alongside (`path/centroids`). Serving then probes
+    * nProbe cells as a parquet PARTITION FILTER — the scan physically
+    * skips (nCells-nProbe)/nCells of the index — and pays nSub table
+    * lookups per surviving row. Build is offline: the only driver-side
+    * data is the KB-scale centroid relation. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      codebook: Array[Array[Array[Long]]], path: String,
+                      nCells: Int = 16): Unit = {
+    val c = withQv(corpus, idCol, vecCol)
+    val centroids = c
+      .withColumn("cell", pmod(xxhash64(col("id")), lit(nCells.toLong)))
+      .groupBy("cell")
+      .agg(min_by(struct(col("qv"), col("qnorm")), xxhash64(lit(42), col("id"))).as("r"))
+      .select(col("cell"), col("r.qv").as("cv"), col("r.qnorm").as("cnorm"))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val cent = broadcast(
+      corpus.sparkSession.read.parquet(s"$path/centroids"))
+    val assigned = c.crossJoin(cent)
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cell"),
+          struct((qdot(col("qv"), col("cv")).cast("double") / col("cnorm")).as("s"),
+            (-col("cell")).as("tb"))).as("cell"),
+        first(col("qv")).as("qv"))
+    assigned
+      .select(col("id"), col("cell"),
+        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Serve top-k from the fused IVF-PQ index: the query picks its
+    * nProbe nearest cells against the KB-scale centroid table
+    * driver-side, the code scan prunes to those cell partitions at the
+    * parquet level (PartitionFilters — gated by PlanSpec), and ADC runs
+    * with driver-built literal tables. Approximate on two axes by
+    * construction (cell recall × code quantization) — the standard
+    * IVF-PQ serving trade. */
+  def topKIvfPqFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, query: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         codebook: Array[Array[Array[Long]]],
+                         nProbe: Int = 4): DataFrame = {
+    val qRows = withQv(query, idCol, vecCol, "qid")
+      .select(col("qv")).limit(2).collect()
+    require(qRows.length == 1,
+      "topKIvfPqFromIndex expects exactly one query row")
+    val qv = qRows(0).getSeq[Long](0).toArray
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("cv"), col("cnorm")).collect()
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    val probeCells = cents.map { r =>
+      val cell = r.getLong(0)
+      val cv = r.getSeq[Long](1).toArray
+      var dot = 0L
+      var i = 0
+      while (i < math.min(qv.length, cv.length)) { dot += qv(i) * cv(i); i += 1 }
+      // constant |q| does not change the ranking; ties break on cell id
+      (cell, dot.toDouble / r.getDouble(2))
+    }.sortBy { case (cell, score) => (-score, cell) }
+      .take(nProbe).map(_._1)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells: _*))
+      .select("id", "pq_code")
+    topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
+  }
+
+  /** ADC over a code relation for an already-collected query vector —
+    * shared serving tail of the PQ paths. */
+  private def topKPqAdcFromCodesPrecollected(
+      codes: DataFrame, qv: Array[Long], k: Int,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val nSub = codebook.length
+    val nCodes = codebook(0).length
+    val sub = codebook(0)(0).length
+    require(qv.length >= nSub * sub,
+      s"query vector has ${qv.length} elements, codebook expects ${nSub * sub}")
+    val tables: Array[Array[Long]] = Array.tabulate(nSub) { s =>
+      Array.tabulate(nCodes) { j =>
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val x = qv(s * sub + i) - codebook(s)(j)(i)
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    val adc = (0 until nSub).map(s =>
+      element_at(lit(tables(s)),
+        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
+    codes.select(col("id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
+  }
 
   /** Batch PQ ADC top-k: ONE stored-code scan serves many queries.
     * The query batch is collected (serving requests live on the driver

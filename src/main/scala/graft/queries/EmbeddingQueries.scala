@@ -25,7 +25,7 @@ object EmbeddingQueries {
     * mirrors that split: q79 measures the full offline build (train +
     * encode + write), q75 measures serving alone. */
   private final case class PqIndex(
-      cb: Array[Array[Array[Long]]], codesPath: String)
+      cb: Array[Array[Array[Long]]], codesPath: String, ivfPath: String)
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
   private def pqIndex(s: org.apache.spark.sql.SparkSession,
@@ -36,7 +36,10 @@ object EmbeddingQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft-pq-codes").toString
       Similarity.writePqCodes(e, "vec_id", "embedding", cb, path)
-      PqIndex(cb, path)
+      val ivfPath = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq").toString
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", cb, ivfPath)
+      PqIndex(cb, path, ivfPath)
     })
 
   /** Plant one deterministic near-dup twin per vector: first coordinate
@@ -200,6 +203,18 @@ object EmbeddingQueries {
         e.filter(col("vec_id").isin(3, 7, 11, 19, 23)),
         "vec_id", "embedding", k = 10, idx.cb)
         .orderBy("qid", "id")
+    },
+
+    // Fused IVF-PQ serving: nProbe cells selected driver-side against
+    // the KB-scale centroid table, code scan pruned to those cell
+    // PARTITIONS at the parquet level, literal-table ADC on survivors
+    // (rows-only; pruning + self-retrieval asserted in specs).
+    "q81_embed_ivfpq_serve" -> qNoOracle { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndex(s, dir)
+      Similarity.topKIvfPqFromIndex(s, idx.ivfPath,
+        e.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20, idx.cb)
+        .orderBy(col("adc_dist").asc, col("id"))
     },
 
     // Per-label centroid (element-wise vector sum) squared norm: grouped

@@ -201,6 +201,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index: serving prunes cell partitions at the scan and finds the query's own vector") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", cb, path, nCells = 8)
+    val served = Similarity.topKIvfPqFromIndex(spark, path,
+      e.filter($"vec_id" === 7), "vec_id", "embedding", k = 20, cb, nProbe = 2)
+    // partition pruning is the point of the layout: the scan must carry
+    // a PartitionFilters entry on `cell`, not read all 8 cells
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"expected cell partition pruning in:\n$plan")
+    // the query's own cell is by construction its nearest -> always
+    // probed, and its own code has ADC distance minimal among its cell
+    val ids = served.select("id").as[Long].collect().toSet
+    assert(ids.contains(7L), s"query's own vector must be served: $ids")
+    // deterministic: same index, same query -> same result
+    val again = Similarity.topKIvfPqFromIndex(spark, path,
+      e.filter($"vec_id" === 7), "vec_id", "embedding", k = 20, cb, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
   test("topKPqAdc rejects a multi-row query (no silent cross-query merge)") {
     val e = embeddings
     val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
