@@ -147,6 +147,24 @@ object TextAnalysis {
         .as("text_scrubbed"))
   }
 
+  /** Linear quality-model scoring — the engine-side shape of a trained
+    * quality classifier (fasttext/logreg-style): a fixed-order dot
+    * product of engineered features with literal weights. The LINEAR
+    * score (no sigmoid) keeps the arithmetic a fixed sequence of IEEE
+    * multiply-adds — deterministic on any engine, so the stage is fully
+    * oracle-checkable; thresholding a monotone transform is equivalent
+    * to thresholding the logit anyway. Weights ship with the pipeline
+    * the way a model artifact would. */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         weights: Map[String, Double],
+                         bias: Double = 0.0): DataFrame = {
+    val feats = gopherStats(df, idCol, textCol)
+    val score = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) {
+      case (acc, (feature, w)) => acc + col(feature) * w
+    }
+    feats.withColumn("quality_logit", score)
+  }
+
   /** BPE-ish subword tokenizer: letter runs, digit runs, and single
     * non-alphanumeric marks — the pre-tokenization split every BPE-family
     * tokenizer applies (public GPT-2/SentencePiece convention), a good

@@ -342,6 +342,59 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Model-based quality scoring: linear logit over the gopher features
+    // with literal weights (the trained-classifier stage of a curation
+    // pipeline). Fixed-order multiply-adds -> engine-deterministic ->
+    // fully oracled, keep-flag included.
+    "q82_quality_model" -> q({
+      val toks = toksSql
+      val meanWord = s"CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+      val alphaRatio = s"CAST(len(list_filter($toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+      val symRatio = s"CAST(length(text) - length(regexp_replace(text, '[#@$$%&]', '', 'g')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+      val dupFrac = s"1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) / CAST(len(string_split(text, chr(10))) AS DOUBLE)"
+      // feature order = sorted weight keys, matching linearQualityScore
+      s"""SELECT doc_id,
+                 CAST(-1.0 + ($alphaRatio) * 2.0 + ($dupFrac) * -3.0
+                      + ($meanWord) * 0.1 + CAST(len($toks) AS BIGINT) * 0.001
+                      + ($symRatio) * -5.0 AS DOUBLE) AS quality_logit,
+                 (-1.0 + ($alphaRatio) * 2.0 + ($dupFrac) * -3.0
+                      + ($meanWord) * 0.1 + CAST(len($toks) AS BIGINT) * 0.001
+                      + ($symRatio) * -5.0) >= 1.0 AS keep
+          FROM documents ORDER BY doc_id"""
+    }) { (s, dir) =>
+      TextAnalysis.linearQualityScore(t(s, dir, "documents"), "doc_id", "text",
+        weights = Map(
+          "alpha_word_ratio" -> 2.0,
+          "duplicate_line_fraction" -> -3.0,
+          "mean_word_length" -> 0.1,
+          "n_tokens" -> 0.001,
+          "symbol_to_word_ratio" -> -5.0),
+        bias = -1.0)
+        .select(col("doc_id"), col("quality_logit"),
+          (col("quality_logit") >= 1.0).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus length histogram: decimal-digit-count buckets of n_tokens
+    // per language — exact string/integer ops, no floating log, so the
+    // observability report is engine-deterministic.
+    "q83_length_histogram" -> q(
+      s"""SELECT lang,
+                 CAST(length(CAST(len($toksSql) AS VARCHAR)) AS INTEGER) AS magnitude,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS total_tokens
+          FROM documents
+          GROUP BY lang, magnitude
+          ORDER BY lang, magnitude""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("magnitude", length(col("n_tokens").cast("string")))
+        .groupBy("lang", "magnitude")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("lang", "magnitude")
+    },
+
     // Gopher-style quality gates (public Gopher-paper heuristics):
     // exact integer counts + exact-operand divisions, engine-stable.
     "q67_quality_gopher" -> q(
