@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new SimHash64(args.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("dedup_lines"),
+      new ExpressionInfo(classOf[DedupLinesExpr].getName, "dedup_lines"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "dedup_lines(s) takes 1 argument")
+        DedupLinesExpr(args.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -45,6 +45,9 @@ class ExtensionsSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql("SELECT minhash_sig(array(1L), cast(rand()*4 as int))").collect()
       }
+      // line dedup from SQL: keep-first semantics
+      val dl = spark.sql("SELECT dedup_lines('a\nb\na\nc\nb') AS d").head()
+      assert(dl.getString(0) == "a\nb\nc")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
