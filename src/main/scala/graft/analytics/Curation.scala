@@ -110,8 +110,18 @@ object Curation {
                          resultCol: String, numParts: Int = 0): DataFrame = {
     val parts = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // The pid-stamped relation MUST be materialized before it forks into
+    // the local-cumsum and offsets consumers: repartitionByRange SAMPLES
+    // its input to pick boundaries, and with a nondeterministically-
+    // partitioned upstream (a join under AQE) the two recomputed copies
+    // can sample DIFFERENT boundaries — rows then carry a __pid from one
+    // partitioning while offsets are summed over another, silently
+    // corrupting the prefix (caught by the sf0.1 q78 oracle: 351 rows
+    // with a wrong bin). The cache pins ONE partitioning that both
+    // consumers read.
     val parted = df.repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("__pid").orderBy(orderCol)
     val local = parted.withColumn("__cum",
       sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

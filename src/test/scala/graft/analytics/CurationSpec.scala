@@ -81,6 +81,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefixSum survives a nondeterministically-partitioned upstream") {
+    // Regression for the sf0.1 q78 bin corruption: when the input is a
+    // shuffle join (partition layout chosen at runtime by AQE), the
+    // unfixed implementation re-derived repartitionByRange twice — once
+    // for the local cumsums, once for the offsets — and the two
+    // recomputations could sample DIFFERENT range boundaries, pairing
+    // rows with offsets from a partitioning they were never in. The
+    // deterministic ground truth must hold no matter how the upstream
+    // was laid out.
+    val left = (1L to 20000L).map(i => (i, (i * 2654435761L) % 997 + 1))
+      .toDF("id", "v")
+    val right = (1L to 20000L).filter(_ % 3 != 0).map(i => (i, i % 11))
+      .toDF("id", "tag")
+    val joined = left.repartition(8, $"v").join(right, Seq("id"))
+      .select("id", "v")
+    val expected = joined.withColumn("ps",
+      coalesce(sum($"v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    for (trial <- 1 to 3) {
+      val got = Curation.exclusivePrefixSum(joined, "id", "v", "ps", numParts = 16)
+        .select("id", "ps").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"prefix sum diverged on join upstream, trial $trial")
+    }
+  }
+
   test("packSequences bins are nondecreasing in pack order (property)") {
     val rows = (1L to 500L).map(i => (i, (i * 7919) % 300 + 1)).toDF("id", "n")
     val bins = Curation.packSequences(rows, "id", "n", budget = 1000L)
