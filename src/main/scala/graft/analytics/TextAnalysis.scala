@@ -171,4 +171,75 @@ object TextAnalysis {
     * proxy for LLM token counting without a vocabulary. */
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Per-(doc, term) TF-IDF with LINEAR idf (n_docs/df, no log): keyword
+    * weighting for corpus exploration and topic-mix reports. The linear
+    * variant keeps every float op exactly rounded (integer-valued
+    * doubles through one divide and one multiply), so scores are
+    * bit-identical on any IEEE engine — fully oracle-checkable, unlike
+    * ln-based idf (libm ln is not correctly-rounded and differs across
+    * engines in the last ulp). Ranking is idf-monotone either way.
+    *
+    * Plan shape: explode → (doc, term) count [one shuffle on the pair]
+    * → term document-frequency from that relation [one shuffle on term,
+    * vocabulary-sized output] → tf ⋈ df on term (the df side is
+    * vocabulary-scale — AQE broadcasts it at corpus scale). Never
+    * doc × doc, never a driver-side vocabulary. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.groupBy().agg(count(lit(1)).as("__n_docs"))
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, token) pairs, so df = count(*) per token
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf",
+        col("tf").cast("double")
+          * (col("__n_docs").cast("double") / col("df").cast("double")))
+      .drop("__n_docs")
+  }
+
+  /** The most distinctive term per document: argmax of [[tfIdf]] with a
+    * deterministic token tie-break — the keyword-extraction stage of a
+    * corpus report. One extra shuffle on the doc id for the per-doc
+    * top-1 window. */
+  def topTfIdfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tf_idf").desc, col("token"))
+    tfIdf(df, idCol, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tf_idf"))
+  }
+
+  /** Type-1 (inverse-empirical-CDF) quantiles of the whitespace token
+    * count per group: the value at rank ceil(p·n) in sorted order — pure
+    * integer SELECTION, no interpolation, so the report is engine-exact
+    * where interpolated quantiles (quantile_cont / percentile) differ in
+    * the last ulp across engines. Ties need no tie-break: the VALUE at a
+    * rank under an order by value is well-defined regardless of how
+    * equal values are permuted.
+    *
+    * One shuffle on the group key; the rank window runs per group. For
+    * a 100 TB corpus with few groups (languages), the per-group sort is
+    * the cost — acceptable for an offline report; use approx sketches
+    * when per-group data exceeds a partition. */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String,
+                      ps: Seq[(String, Double)] = Seq(
+                        "p25" -> 0.25, "p50" -> 0.5,
+                        "p75" -> 0.75, "p90" -> 0.9)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("n_tokens")
+    val ranked = df
+      .select(col(groupCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    val aggs = ps.map { case (name, p) =>
+      max(when(col("__rn") === ceil(lit(p) * col("__n")).cast("long"),
+        col("n_tokens"))).as(name)
+    } :+ max(col("__n")).cast("long").as("n_docs")
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
 }

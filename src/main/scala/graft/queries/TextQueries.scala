@@ -528,6 +528,57 @@ object TextQueries {
         .agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= 50)
         .orderBy(col("freq").desc, col("token"))
+    },
+
+    // Keyword extraction: most distinctive term per doc by linear-idf
+    // TF-IDF (tf * n_docs/df — integer-valued doubles through exactly-
+    // rounded ops only, so scores are bit-identical across engines;
+    // ln-idf would drift in the last ulp). Deterministic token
+    // tie-break.
+    "q84_tf_idf" -> q(
+      s"""WITH tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($toksLowerSql) AS token FROM documents)
+            GROUP BY doc_id, token),
+          dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          scored AS (
+            SELECT doc_id, token, tf, df,
+                   CAST(tf AS DOUBLE)
+                     * (CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(df AS DOUBLE)) AS tf_idf
+            FROM tf JOIN dfr USING (token))
+          SELECT doc_id, token, tf, df, tf_idf
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf_idf DESC, token) AS rn
+                FROM scored)
+          WHERE rn = 1
+          ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.topTfIdfTerm(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Per-language token-count quantiles by rank SELECTION (type-1,
+    // value at ceil(p*n)) — integer selection, no interpolation, so the
+    // corpus length report is engine-exact where quantile_cont/
+    // percentile interpolation would differ in the last ulp.
+    "q85_length_quantiles" -> q(
+      s"""WITH c AS (
+            SELECT lang, CAST(len($toksSql) AS INTEGER) AS n_tokens
+            FROM documents),
+          r AS (
+            SELECT lang, n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM c)
+          SELECT lang,
+                 max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_tokens END) AS p25,
+                 max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50,
+                 max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_tokens END) AS p75,
+                 max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90,
+                 CAST(max(n) AS BIGINT) AS n_docs
+          FROM r GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      TextAnalysis.lengthQuantiles(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")
     }
   )
 }
