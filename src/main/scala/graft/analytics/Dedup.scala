@@ -408,6 +408,51 @@ object Dedup {
       .withColumn("is_survivor", col("component") === col("id"))
   }
 
+  /** Corpus-level paragraph dedup (CCNet/Gopher-style boilerplate
+    * removal): every paragraph that appears anywhere in the corpus more
+    * than once survives ONLY at its first occurrence — the minimum
+    * (id, position) — and is removed everywhere else; documents are then
+    * reassembled in original paragraph order. This is the cross-document
+    * complement of [[TextAnalysis.dedupLines]] (which dedups within one
+    * document): navigation chrome, cookie banners, and licence footers
+    * repeat across millions of pages, not within one.
+    *
+    * Scale shape: explode to (id, pos, para) [data volume], ownership by
+    * ONE hash aggregate `min(struct(id, pos))` per paragraph-hash —
+    * partial-aggregation map-side, so a boilerplate paragraph appearing
+    * in every document reduces locally instead of sorting a hot window
+    * partition — then an equi-join back on the hash (one owner row per
+    * hash: no fanout) and a per-doc re-aggregation. Two shuffles on the
+    * exploded relation; never doc × doc.
+    *
+    * Returns (id, text_deduped, n_paras, n_removed); a document whose
+    * every paragraph was claimed earlier keeps an empty string.
+    * `sepRe` splits (a regex), `sep` rejoins. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sepRe: String = "\n", sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), sepRe, -1)).as(Seq("pos", "para")))
+      .withColumn("ph", md5(col("para").cast("binary")))
+    val owners = paras.groupBy("ph")
+      .agg(min(struct(col("id"), col("pos"))).as("own"))
+      .select(col("ph"), col("own.id").as("own_id"), col("own.pos").as("own_pos"))
+    val kept = paras.join(owners, Seq("ph"))
+      .filter(col("id") === col("own_id") && col("pos") === col("own_pos"))
+    val rebuilt = kept.groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as("text_deduped"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), sepRe, -1)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** 64-bit SimHash per document: one compiled expression
     * (graft.functions.SimHash64) running the token×bit vote loop over
     * primitive arrays — no explode, no shuffle, no 64-wide agg buffers. */

@@ -579,6 +579,47 @@ object TextQueries {
           FROM r GROUP BY lang ORDER BY lang""") { (s, dir) =>
       TextAnalysis.lengthQuantiles(t(s, dir, "documents"), "lang", "text")
         .orderBy("lang")
+    },
+
+    // Corpus-level paragraph dedup (CCNet-style boilerplate removal):
+    // the corpus is single-line, so each doc is planted as 3 paragraphs
+    // — its 60-char prefix, a SHARED boilerplate line (the cross-corpus
+    // duplicate), and its next 60 chars — derived identically on both
+    // engines. Only the minimum (doc_id, pos) occurrence of any
+    // duplicated paragraph survives; docs reassemble in order.
+    "q86_dedup_paragraphs" -> q(
+      """WITH d AS (
+           SELECT doc_id,
+                  substring(text, 1, 60) || chr(10)
+                    || 'subscribe to our newsletter for updates' || chr(10)
+                    || substring(text, 61, 60) AS text
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+                  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+                  unnest(string_split(text, chr(10))) AS para
+           FROM d),
+         k AS (
+           SELECT doc_id, pos, para,
+                  row_number() OVER (PARTITION BY md5(para)
+                                     ORDER BY doc_id, pos) AS rn
+           FROM p),
+         r AS (
+           SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_deduped,
+                  count(*) AS n_kept
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(r.text_deduped, '') AS text_deduped,
+                CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_paras,
+                CAST(len(string_split(d.text, chr(10)))
+                     - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+         FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""") { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", substring(col("text"), 1, 60),
+          lit("subscribe to our newsletter for updates"),
+          substring(col("text"), 61, 60)).as("text"))
+      Dedup.dedupParagraphs(planted, "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

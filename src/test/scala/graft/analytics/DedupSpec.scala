@@ -145,6 +145,26 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("dedupParagraphs: boilerplate survives only at its first (id, pos)") {
+    val boiler = "subscribe to our newsletter"
+    val in = Seq(
+      (10L, s"alpha one\n$boiler\nalpha two"),
+      (11L, s"$boiler\nbeta body"),             // later doc: boiler removed
+      (12L, boiler),                            // entirely boilerplate
+      (13L, s"gamma text\ngamma text")          // within-doc repeat too
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(in, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 == s"alpha one\n$boiler\nalpha two") // first owner keeps all
+    assert(out(10L)._4 == 0L)
+    assert(out(11L)._2 == "beta body" && out(11L)._4 == 1L)
+    assert(out(12L)._2 == "" && out(12L)._3 == 1L && out(12L)._4 == 1L)
+    // cross-doc semantics subsume within-doc repeats: second copy removed
+    assert(out(13L)._2 == "gamma text" && out(13L)._4 == 1L)
+    // reassembly preserves original order for untouched docs
+    assert(out(10L)._3 == 3L)
+  }
+
   test("dedup is idempotent (property)") {
     val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .join(docs, Seq("doc_id")).select("doc_id", "text")
