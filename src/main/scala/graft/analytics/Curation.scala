@@ -206,6 +206,35 @@ object Curation {
       idCol, "n_tokens", cfg.packBudget)
   }
 
+  /** Sliding-window document chunking: split each document into
+    * fixed-size token chunks with overlap (`stride` < `chunkSize`) — the
+    * context-length prep step for long documents, complementing
+    * [[packSequences]] (which bins whole short documents). Chunk starts
+    * are 0, stride, 2·stride, … while start < n_tokens, so every token
+    * lands in at least one chunk and consecutive chunks share
+    * (chunkSize − stride) tokens of context.
+    *
+    * A pure per-row generator — tokenize, `sequence` of starts,
+    * posexplode, `slice` — all codegen'd, no shuffle, no UDF; chunking
+    * 100 TB is exactly one pass over the corpus. Emits (id, chunk_idx,
+    * start_token, n_tokens, chunk_text). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int = 128, stride: Int = 96): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__starts",
+        sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))
+      .select(col(idCol),
+        posexplode(col("__starts")).as(Seq("chunk_idx", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("chunk_idx"),
+        col("__start").cast("long").as("start_token"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Concat-and-chunk sequence packing (the standard LLM pretraining
     * batch layout): documents are laid out end-to-end in `orderCol`
     * order and cut every `budget` tokens; a document's bin is

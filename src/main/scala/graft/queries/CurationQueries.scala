@@ -193,6 +193,28 @@ object CurationQueries {
       Curation.packSequences(docs, "doc_id", "n_tokens", budget = 2048L)
         .select("doc_id", "n_tokens", "bin")
         .orderBy("doc_id")
+    },
+
+    // Sliding-window chunking at 32 tokens with stride 24 (sized to the
+    // test corpus's short docs so multi-chunk output is non-vacuous):
+    // starts are 0, 24, 48, ... while start < n_tokens; consecutive
+    // chunks overlap by 8 tokens. Pure generator, no shuffle.
+    "q87_chunk_documents" -> q(
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks), 1), 24)) AS start,
+                       generate_subscripts(range(0, greatest(len(toks), 1), 24), 1) - 1
+                         AS chunk_idx
+                FROM tk)
+          SELECT doc_id,
+                 CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                 CAST(start AS BIGINT) AS start_token,
+                 CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+                 array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+          FROM s ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

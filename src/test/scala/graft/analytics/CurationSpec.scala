@@ -140,6 +140,29 @@ class CurationSpec extends SparkSpec {
     assert(out.select("split").distinct().count() >= 2)
   }
 
+  test("chunkDocuments: every token covered, consecutive chunks overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val in = Seq((1L, text), (2L, "short doc here")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(in, "doc_id", "text",
+      chunkSize = 32, stride = 24)
+      .as[(Long, Int, Long, Long, String)].collect()
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,24,48,72,96 — while start < 100
+    assert(d1.map(_._3).toSeq == Seq(0L, 24L, 48L, 72L, 96L))
+    // full chunks are chunkSize; the tail chunk is the remainder
+    assert(d1.init.forall(c => c._4 == 32L || c._3 + 32 > 100))
+    assert(d1.last._4 == 4L) // tokens 97..100
+    // consecutive chunks share chunkSize - stride = 8 tokens of context
+    val c0 = d1(0)._5.split(" "); val c1 = d1(1)._5.split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._5.split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"t$i").toSet)
+    // a doc shorter than chunkSize yields exactly one whole-doc chunk
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._5 == "short doc here")
+  }
+
   test("packSequences: bins advance exactly at the token budget") {
     val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 100L), (4L, 2000L), (5L, 10L))
       .toDF("id", "n_tokens")
