@@ -206,6 +206,24 @@ object Curation {
       idCol, "n_tokens", cfg.packBudget)
   }
 
+  /** Deterministic stratified head: exactly `k` documents per group,
+    * chosen by md5-hash order (content-independent, engine-portable,
+    * resalt-able) — the "give me 50 docs per language" eval-set / debug
+    * sampler. Where [[sampleByDomain]] keeps an approximate RATE per
+    * group with zero shuffles, this guarantees an exact COUNT per group
+    * at the cost of one shuffle + per-group rank window; with millions
+    * of groups the window input is fine (each group sorts
+    * independently), but a single giant group pays a full sort — prefer
+    * the rate-based sampler when exact counts don't matter. */
+  def stratifiedHead(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pos = md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+    val w = Window.partitionBy(groupCol).orderBy(pos, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Sliding-window document chunking: split each document into
     * fixed-size token chunks with overlap (`stride` < `chunkSize`) — the
     * context-length prep step for long documents, complementing

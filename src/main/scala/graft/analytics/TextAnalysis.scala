@@ -242,4 +242,27 @@ object TextAnalysis {
     } :+ max(col("__n")).cast("long").as("n_docs")
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The 100 TB path for [[lengthQuantiles]]: Spark's built-in GK sketch
+    * (`percentile_approx`) — one mergeable sketch per group with
+    * map-side partial aggregation, no per-group sort, rank error bounded
+    * by n/accuracy. Sketch results depend on merge order within the
+    * accuracy bound, so this registers rows-only; the differential spec
+    * bounds its divergence from the exact rank-selection quantiles. */
+  def lengthQuantilesApprox(df: DataFrame, groupCol: String, textCol: String,
+                            ps: Seq[(String, Double)] = Seq(
+                              "p25" -> 0.25, "p50" -> 0.5,
+                              "p75" -> 0.75, "p90" -> 0.9),
+                            accuracy: Int = 10000): DataFrame = {
+    val sketch = percentile_approx(col("n_tokens"),
+      array(ps.map(p => lit(p._2)): _*), lit(accuracy)).as("__qs")
+    val counts = df
+      .select(col(groupCol), tokenCount(col(textCol)).as("n_tokens"))
+      .groupBy(groupCol)
+      .agg(sketch, count(lit(1)).as("n_docs"))
+    val cols = col(groupCol) +: ps.zipWithIndex.map { case ((name, _), i) =>
+      element_at(col("__qs"), i + 1).as(name)
+    } :+ col("n_docs")
+    counts.select(cols: _*)
+  }
 }

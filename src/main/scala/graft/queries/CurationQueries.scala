@@ -215,6 +215,25 @@ object CurationQueries {
       Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Deterministic stratified head: exactly 20 docs per language by
+    // md5-hash order — the eval-set sampler. Tie-break on doc_id makes
+    // the rank total on any engine.
+    "q88_stratified_head" -> q(
+      """SELECT lang, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+         FROM (SELECT lang, doc_id,
+                      row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id)
+                        AS sample_rank
+               FROM documents)
+         WHERE sample_rank <= 20
+         ORDER BY lang, sample_rank""") { (s, dir) =>
+      Curation.stratifiedHead(t(s, dir, "documents"), "lang", "doc_id",
+        k = 20, salt = "s1")
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
     }
   )
 }

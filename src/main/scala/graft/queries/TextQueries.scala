@@ -620,6 +620,15 @@ object TextQueries {
           substring(col("text"), 61, 60)).as("text"))
       Dedup.dedupParagraphs(planted, "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // GK-sketch length quantiles — the no-sort scale path for q85.
+    // Sketch results are merge-order-dependent within the accuracy
+    // bound, so rows-only; TextQualitySpec bounds divergence from the
+    // exact rank-selection quantiles.
+    "q89_length_quantiles_approx" -> qNoOracle { (s, dir) =>
+      TextAnalysis.lengthQuantilesApprox(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")
     }
   )
 }

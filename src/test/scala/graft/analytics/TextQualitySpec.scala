@@ -57,6 +57,27 @@ class TextQualitySpec extends SparkSpec {
     ref.foreach { case (id, expected) => assert(out(id).toSeq == expected, s"doc $id diverged") }
   }
 
+  test("approx length quantiles track the exact rank-selection quantiles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val exact = TextAnalysis.lengthQuantiles(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = TextAnalysis.lengthQuantilesApprox(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    for (lang <- exact.keySet; i <- 1 to 4) {
+      val e = exact(lang).getInt(i); val a = approx(lang).getInt(i)
+      // accuracy=10000 over <=5000-doc groups: rank error < 1, so the
+      // sketch may differ from ceil(p*n) selection by at most one rank
+      // position — bound the VALUE divergence loosely (10% + 2 tokens)
+      assert(math.abs(e - a) <= math.max(2, e / 10),
+        s"$lang quantile $i: exact=$e approx=$a")
+    }
+    // group sizes agree exactly
+    for (lang <- exact.keySet)
+      assert(exact(lang).getLong(5) == approx(lang).getLong(5))
+  }
+
   test("sampleByDomain is monotone in rate: lower rate yields a subset") {
     import graft.analytics.Curation
     val rows = (0L until 2000L).map(i => (i, "d")).toDF("id", "domain")

@@ -87,6 +87,16 @@ class PlanSpec extends SparkSpec {
       s"split assignment must not shuffle:\n$p")
   }
 
+  test("q87: chunking is a pure generator — zero exchanges, one pass") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val p = graft.analytics.Curation.chunkDocuments(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"expected posexplode generator:\n$p")
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle — it is one pass over the corpus:\n$p")
+  }
+
   test("q65: decontamination joins shingle hashes with a semi-join, never doc x doc") {
     val p = planOf("q65_decontaminate")
     assert(p.contains("LeftSemi"), s"expected left-semi shingle join:\n$p")
