@@ -31,6 +31,13 @@ object TableStore {
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** K1 format breadth: write in any Spark-supported file format
+    * ("parquet", "orc", "csv", "json") — the interchange sinks a
+    * multi-system deployment needs alongside the parquet default. */
+  def writeAs(df: DataFrame, format: String, path: String,
+              mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format(format).save(path)
+
   /** K2/K3: load a batch into a named warehouse table. Creates the table
     * if absent (schema from the DataFrame — the reference's
     * DDL-from-parquet-footer step is unnecessary in Spark), appends

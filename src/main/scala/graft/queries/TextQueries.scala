@@ -622,6 +622,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Heavy-hitter terms via Spark's built-in approx_top_k sketch — the
+    // BOUNDED-STATE path for q36's exact term frequency: one mergeable
+    // aggregate whose memory is O(maxItemsTracked) regardless of
+    // vocabulary size (q36's groupBy state grows with distinct terms).
+    // With maxItemsTracked far above this corpus's vocabulary the
+    // sketch never evicts, counts are exact, and the count>=50 filter
+    // makes the result set tie-order-independent — so the sketch path
+    // shares q36's EXACT oracle, the same differential gate the batched
+    // multimodal decode (q61) uses.
+    "q90_heavy_hitters" -> q(
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest($toksLowerSql) AS token FROM documents)
+          GROUP BY token
+          HAVING count(*) >= 50
+          ORDER BY freq DESC, token""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .agg(expr("approx_top_k(token, 1000, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("freq"))
+        .filter(col("freq") >= 50)
+        .orderBy(col("freq").desc, col("token"))
+    },
+
     // GK-sketch length quantiles — the no-sort scale path for q85.
     // Sketch results are merge-order-dependent within the accuracy
     // bound, so rows-only; TextQualitySpec bounds divergence from the

@@ -163,6 +163,13 @@ object Readers {
   def parquetMerged(spark: SparkSession, path: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path: _*)
 
+  /** Columnar-format breadth beyond the reference's parquet: ORC reads
+    * with the same self-describing-schema semantics (footer schema, no
+    * DDL probe). Predicate pushdown and column pruning work identically
+    * — the PlanSpec pushdown gates apply to any columnar scan. */
+  def orc(spark: SparkSession, path: String*): DataFrame =
+    spark.read.orc(path: _*)
+
   /** S7: folder/table discovery — each subdirectory of `root` is one
     * logical table (reference: snowflake_load.py:81-92 `Delimiter="/"`
     * listing of `staging/`). Returns name -> DataFrame, sorted by name. */

@@ -79,6 +79,37 @@ class ReadersSpec extends SparkSpec {
     assert(auto.count() == 40)
   }
 
+  test("orc: write-read round-trip preserves schema and values") {
+    val root = tmpDir
+    import spark.implicits._
+    val data = Seq((1L, "a", 1.5), (2L, "NULL", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "score")
+    graft.operators.TableStore.writeAs(data, "orc", s"$root/orc")
+    val back = Readers.orc(spark, s"$root/orc")
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.count() == 3)
+    // values, including genuine nulls, survive the round-trip; the
+    // "NULL" literal is NOT narrowed here (that is the CSV ingestion
+    // boundary's contract, not the self-describing formats')
+    val names = back.orderBy("id").select("name").as[String].collect().toSeq
+    assert(names == Seq("a", "NULL", null))
+  }
+
+  test("orc scan prunes columns and pushes filters like parquet") {
+    val root = tmpDir
+    import spark.implicits._
+    (1L to 1000L).map(i => (i, s"n$i", i % 7)).toDF("id", "name", "grp")
+      .write.orc(s"$root/t")
+    val df = Readers.orc(spark, s"$root/t")
+      .filter(org.apache.spark.sql.functions.col("grp") === 3)
+      .select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("grp"),
+      s"filter must reach the ORC scan:\n$plan")
+    assert(!plan.contains("name"), s"pruned column must not be read:\n$plan")
+    assert(df.count() == 143)
+  }
+
   test("discoverTables: one table per subdirectory, sorted (S7)") {
     val root = tmpDir
     import spark.implicits._
