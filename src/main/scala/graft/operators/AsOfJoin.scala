@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for each left row, the most recent right row with
-  * rightTs <= leftTs within the same key (the time-series join Spark has
-  * no native operator for).
+/** As-of join family: for each left row, the nearest right row within
+  * the same key — backward (rightTs <= leftTs, the most recent),
+  * forward (rightTs >= leftTs, the next), or backward with a staleness
+  * tolerance (pandas merge_asof's direction/tolerance semantics).
   *
   * Built by composition, not a custom SparkPlan (SURVEY §7.3 preference
   * order): tag and union both sides, then `last(_, ignoreNulls)` over a
@@ -14,33 +15,74 @@ import org.apache.spark.sql.functions._
   * rows. One shuffle on the key + one per-partition sort — the same cost
   * profile a dedicated sort-merge as-of operator would have, but it
   * inherits AQE, codegen, and spill handling for free. Right rows sort
-  * before left rows at equal ts, so `rightTs == leftTs` matches
-  * (DuckDB/pandas `>=` as-of semantics). */
+  * before left rows at equal ts, so `rightTs == leftTs` matches in both
+  * directions (DuckDB/pandas `>=`/`<=` as-of semantics). */
 object AsOfJoin {
 
-  /** @param rightCols right-side value columns to carry (must be unique
-    *                  per (key, ts) on the right — pre-aggregate if not,
-    *                  otherwise the tie winner is unspecified). */
-  def asof(left: DataFrame, right: DataFrame, key: String,
-           leftTs: String, rightTs: String,
-           rightCols: Seq[String]): DataFrame = {
+  /** Union-tag-fill core: returns left rows with `rightCols` filled from
+    * the nearest right row in the given direction, plus the matched
+    * right timestamp as `__mts` (for tolerance gating). */
+  private def fill(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val nullRight = rightCols.map(c => lit(null).cast(
       right.schema(c).dataType).as(s"__r_$c"))
     val l = left.select(
       (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__is_left") +:
-        leftCols.map(col)) ++ nullRight: _*)
+        leftCols.map(col)) ++ nullRight :+
+        lit(null).cast(right.schema(rightTs).dataType).as("__rts"): _*)
     val r = right.select(
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__is_left") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        rightCols.map(c => col(c).as(s"__r_$c")) :+ col(rightTs).as("__rts"): _*)
+    // forward = traverse time reversed, so "last seen right row" is the
+    // NEXT one; ties keep right before left so equal timestamps match
+    val ts = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy("__key")
-      .orderBy(col("__ts"), col("__is_left"))
+      .orderBy(ts, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r).select(
       (col("__is_left") +: leftCols.map(col)) ++
         rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
-          .as(c)): _*)
+          .as(c)) :+
+        last(col("__rts"), ignoreNulls = true).over(w).as("__mts"): _*)
     filled.filter(col("__is_left") === 1).drop("__is_left")
+  }
+
+  /** Backward as-of: the most recent right row with rightTs <= leftTs.
+    *
+    * @param rightCols right-side value columns to carry (must be unique
+    *                  per (key, ts) on the right — pre-aggregate if not,
+    *                  otherwise the tie winner is unspecified). */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String,
+           rightCols: Seq[String]): DataFrame =
+    fill(left, right, key, leftTs, rightTs, rightCols, forward = false)
+      .drop("__mts")
+
+  /** Forward as-of: the NEXT right row with rightTs >= leftTs — the
+    * "first event after" join (next price tick, next retry, next
+    * deploy). Same cost profile as backward. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightCols: Seq[String]): DataFrame =
+    fill(left, right, key, leftTs, rightTs, rightCols, forward = true)
+      .drop("__mts")
+
+  /** Backward as-of with a staleness bound: a match older than
+    * `toleranceSeconds` is discarded (right columns become null), the
+    * pandas merge_asof `tolerance` contract. Timestamp-typed ts columns
+    * only; the gate compares exact integer epoch-micros. */
+  def asofTolerance(left: DataFrame, right: DataFrame, key: String,
+                    leftTs: String, rightTs: String,
+                    rightCols: Seq[String], toleranceSeconds: Long): DataFrame = {
+    val filled = fill(left, right, key, leftTs, rightTs, rightCols, forward = false)
+    val fresh = col("__mts").isNotNull &&
+      (unix_micros(col(leftTs)) - unix_micros(col("__mts"))
+        <= lit(toleranceSeconds * 1000000L))
+    filled.select(
+      (left.columns.toSeq.map(col) ++
+        rightCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c))): _*)
   }
 }

@@ -116,6 +116,54 @@ object EventsQueries {
         .orderBy("event_id")
     },
 
+    // Forward as-of: each purchase joined to the user's NEXT signup-type
+    // event at or after it (the "first event after" join).
+    "q91_events_asof_forward" -> q(
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, ts, max(value) AS signup_value
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.value, s.signup_value
+         FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts
+         ORDER BY p.event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("signup_value"))
+      graft.operators.AsOfJoin.asofForward(purchases, signups,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("signup_value"))
+        .select("event_id", "user_id", "value", "signup_value")
+        .orderBy("event_id")
+    },
+
+    // Backward as-of with a 6-hour staleness tolerance (pandas
+    // merge_asof tolerance semantics): a signup older than the bound is
+    // no match. Exact integer epoch-micros gate on both engines.
+    "q92_events_asof_tolerance" -> q(
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, ts, max(value) AS signup_value
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.value,
+                CASE WHEN s.ts IS NOT NULL
+                          AND epoch_us(p.ts) - epoch_us(s.ts) <= 21600000000
+                     THEN s.signup_value END AS signup_value
+         FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("signup_value"))
+      graft.operators.AsOfJoin.asofTolerance(purchases, signups,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("signup_value"), toleranceSeconds = 21600L)
+        .select("event_id", "user_id", "value", "signup_value")
+        .orderBy("event_id")
+    },
+
     // HLL (HyperLogLog++) distinct sketch — approximate by design, so no
     // value oracle; correctness asserted vs exact counts in the test
     // suite (±5% rsd).

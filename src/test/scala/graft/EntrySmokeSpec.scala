@@ -8,6 +8,6 @@ class EntrySmokeSpec extends SparkSpec {
   test("every oracleSql key exists in queries (driver contract)") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    assert(qs.size == 90 && SparkEntry.oracleSql.size == 77)
+    assert(qs.size == 92 && SparkEntry.oracleSql.size == 79)
   }
 }

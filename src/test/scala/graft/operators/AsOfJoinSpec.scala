@@ -32,4 +32,32 @@ class AsOfJoinSpec extends SparkSpec {
       .select("v").as[Option[Double]].collect()
     assert(out.toSeq == Seq(None))
   }
+
+  test("asofForward: next right row at or after left ts, per key") {
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(25), "p2"), (2L, ts(5), "p3"))
+      .toDF("uid", "t", "what")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(20), 200.0), (2L, ts(4), 300.0))
+      .toDF("uid", "t", "v")
+    val out = AsOfJoin.asofForward(left, right, "uid", "t", "t", Seq("v"))
+      .select("what", "v").as[(String, Option[Double])].collect().toMap
+    // p1: equal ts matches (>=); p2: nothing after 25; p3: 4 < 5 is past
+    assert(out == Map("p1" -> Some(100.0), "p2" -> None, "p3" -> None))
+  }
+
+  test("asofTolerance: stale matches are discarded, fresh ones kept") {
+    val left = Seq((1L, ts(100), "fresh"), (1L, ts(500), "stale"))
+      .toDF("uid", "t", "what")
+    val right = Seq((1L, ts(90), 1.5)).toDF("uid", "t", "v")
+    val out = AsOfJoin.asofTolerance(left, right, "uid", "t", "t",
+      Seq("v"), toleranceSeconds = 60L)
+      .select("what", "v").as[(String, Option[Double])].collect().toMap
+    // 100-90=10s <= 60s keeps; 500-90=410s > 60s nulls
+    assert(out == Map("fresh" -> Some(1.5), "stale" -> None))
+    // boundary: exactly tolerance old still matches
+    val edge = AsOfJoin.asofTolerance(
+      Seq((1L, ts(150), "edge")).toDF("uid", "t", "what"),
+      right, "uid", "t", "t", Seq("v"), toleranceSeconds = 60L)
+      .select("v").as[Option[Double]].collect()
+    assert(edge.toSeq == Seq(Some(1.5)))
+  }
 }
