@@ -100,11 +100,14 @@ object TextAnalysis {
     * the standard web-corpus quality gates. Pure per-row projection of
     * exact integer counts + exact-operand divisions: codegen'd,
     * shuffle-free, engine-stable. */
-  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val c = col(textCol)
+  /** The gopher feature columns, named — shared by the batch
+    * [[gopherStats]] projection and the streaming curation path (a
+    * stream cannot join features back onto itself, so it projects them
+    * inline alongside the text). */
+  def gopherCols(c: Column): Seq[Column] = {
     val toks = tokens(c)
     val lines = split(c, "\n", -1)
-    df.select(col(idCol),
+    Seq(
       size(toks).cast("long").as("n_tokens"),
       (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
         .cast("double") / size(toks).cast("double")).as("mean_word_length"),
@@ -115,6 +118,9 @@ object TextAnalysis {
       (lit(1.0) - size(array_distinct(lines)).cast("double")
         / size(lines).cast("double")).as("duplicate_line_fraction"))
   }
+
+  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: gopherCols(col(textCol)): _*)
 
   /** Within-document repeated-line removal (the CCNet-style repetition
     * filter): keep each line's FIRST occurrence, preserving order, and

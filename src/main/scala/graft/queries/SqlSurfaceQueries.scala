@@ -233,6 +233,26 @@ object SqlSurfaceQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // Explicit GROUPING SETS — a set combination neither rollup nor
+    // cube expresses: (status, priority) detail, (priority) margins,
+    // and the grand total, skipping the (status) margin.
+    "q93_agg_grouping_sets" -> q(
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // Bucketed interval (range) join: lineitems shipped within 30 days
     // of any order's date — an equi join on time buckets + exact range
     // filter instead of the cartesian plan Spark would pick for a raw

@@ -163,6 +163,24 @@ object Readers {
   def parquetMerged(spark: SparkSession, path: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path: _*)
 
+  /** S1 resilience: PERMISSIVE CSV scan with corrupt-record capture —
+    * a malformed row lands intact in `_corrupt_record` (other columns
+    * null) instead of failing the job or vanishing. At 100 TB a bad row
+    * must be quarantined for audit, never fatal and never silent.
+    * Requires an explicit schema: with inference, a bad row would just
+    * degrade the column types. */
+  def csvWithCorruptCapture(spark: SparkSession, path: String,
+                            schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("nullValue", "NULL")
+      .option("emptyValue", null: String)
+      .csv(path)
+
   /** Columnar-format breadth beyond the reference's parquet: ORC reads
     * with the same self-describing-schema semantics (footer schema, no
     * DDL probe). Predicate pushdown and column pruning work identically

@@ -62,6 +62,37 @@ object IncrementalStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming corpus curation: the continuously-ingested form of
+    * `Curation.curateCorpus`'s per-document stages — PII scrub
+    * (projection), Gopher quality gates (inline feature projection +
+    * filter; a stream cannot join a stats relation back onto itself),
+    * then exact content dedup bounded by the watermark. Near-dedup and
+    * packing stay batch jobs over the landed table (they need
+    * corpus-wide state); this is the standard split: per-document work
+    * at ingest, corpus-global work in the daily batch.
+    *
+    * Every stage is stateless except the fingerprint store, which
+    * `dropDuplicatesWithinWatermark` bounds by event time — state does
+    * not grow with the corpus. */
+  def curateStream(docs: DataFrame, idCol: String, tsCol: String,
+                   textCol: String, watermark: String,
+                   minTokens: Long = 5, maxSymbolRatio: Double = 0.3,
+                   minAlphaRatio: Double = 0.5): DataFrame = {
+    import graft.analytics.TextAnalysis
+    val scrubbed = docs.select(col(idCol), col(tsCol),
+      regexp_replace(
+        regexp_replace(col(textCol), TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.PhoneRe, "<PHONE>").as("text"))
+    val gated = scrubbed
+      .select(col(idCol) +: col(tsCol) +: col("text") +:
+        TextAnalysis.gopherCols(col("text")): _*)
+      .filter(col("n_tokens") >= minTokens
+        && col("symbol_to_word_ratio") <= maxSymbolRatio
+        && col("alpha_word_ratio") >= minAlphaRatio)
+      .select(col(idCol), col(tsCol), col("text"), col("n_tokens"))
+    dedupStream(gated, tsCol, "text", watermark)
+  }
+
   /** Custom-state streaming sessionization via flatMapGroupsWithState:
     * per-user state carries (session count, last event time); an event
     * later than `gapSeconds` after the previous one opens a new session.

@@ -8,6 +8,6 @@ class EntrySmokeSpec extends SparkSpec {
   test("every oracleSql key exists in queries (driver contract)") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    assert(qs.size == 92 && SparkEntry.oracleSql.size == 79)
+    assert(qs.size == 93 && SparkEntry.oracleSql.size == 80)
   }
 }

@@ -79,6 +79,24 @@ class ReadersSpec extends SparkSpec {
     assert(auto.count() == 40)
   }
 
+  test("csvWithCorruptCapture: malformed rows quarantined, not fatal or silent") {
+    val dir = tmpDir
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.csv"),
+      "id,score\n1,2.5\nnot_a_number,whoops\n3,4.0\n".getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows = Readers.csvWithCorruptCapture(spark, s"$dir/m.csv", schema)
+      .collect()
+    assert(rows.length == 3)
+    val corrupt = rows.filter(r => !r.isNullAt(2))
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getString(2) == "not_a_number,whoops") // raw line kept
+    assert(rows.filter(r => r.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("orc: write-read round-trip preserves schema and values") {
     val root = tmpDir
     import spark.implicits._

@@ -56,6 +56,35 @@ class StatefulSessionSpec extends SparkSpec {
     q.stop()
   }
 
+  test("curateStream: scrub + gates + watermark dedup at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val curated = IncrementalStream.curateStream(
+      input.toDS().toDF("doc_id", "ts", "text"),
+      "doc_id", "ts", "text", watermark = "10 minutes")
+    val q = curated.writeStream
+      .format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    // timestamps well above epoch 0: an event time equal to the INITIAL
+    // watermark (0) is treated as late and silently dropped
+    input.addData(
+      (1L, ts(1000), "a perfectly ordinary clean document with enough words here"),
+      (2L, ts(1010), "#### %%%% @@@@"), // fails the gates
+      (3L, ts(1020), "mail me at someone@example.com about the meeting plan today"))
+    q.processAllAvailable()
+    // dup of doc 1's content in a LATER batch: state must still drop it
+    input.addData(
+      (4L, ts(1030), "a perfectly ordinary clean document with enough words here"))
+    q.processAllAvailable()
+    val out = spark.table("curate_out")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 3L), s"got ${out.keySet}")
+    assert(out(3L).contains("<EMAIL>") && !out(3L).contains("example.com"))
+    q.stop()
+  }
+
   test("streaming dropDuplicates: exact dedup state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
