@@ -39,6 +39,40 @@ object Layout {
       .parquet(path)
   }
 
+  /** Morton (Z-order) interleaving of the low `16` bits of two integer
+    * columns — multi-dimensional layout clustering. Sorting or range-
+    * partitioning by the Z-value keeps BOTH dimensions locally bounded
+    * per file, so parquet min/max footer stats prune scans filtered on
+    * EITHER dimension; a single-column sort leaves the other dimension's
+    * per-file range at full width (no pruning). The standard
+    * bit-spreading construction ("Interleave bits by Binary Magic
+    * Numbers", public bit-twiddling identity) as pure codegen'd integer
+    * column arithmetic — no UDF, engine-portable, and exactly
+    * reproducible in SQL for the oracle. Callers quantize/normalize
+    * dimensions into [0, 65536) first (e.g. `pmod`, bucketed ranks). */
+  def zorder2(a: Column, b: Column): Column = {
+    def spread16(c: Column): Column = {
+      val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+  }
+
+  /** Z-order-clustered write: range-partition and sort by the Morton
+    * value of two quantized dimensions, bounding per-file ranges on
+    * both. The multi-dimensional upgrade of [[writeSized]]'s
+    * single-key clustering. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    nFiles: Int, mode: String = "overwrite"): Unit =
+    df.withColumn("__z", zorder2(col(dimA), col(dimB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — the hot key's rows spread over `salt`
     * reducers — phase 2 merges the partials on the key alone. The merge

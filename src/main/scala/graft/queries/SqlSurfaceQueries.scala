@@ -233,6 +233,28 @@ object SqlSurfaceQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // Morton (Z-order) interleaving for multi-dimensional layout: the
+    // oracle mirrors the bit-spreading identity with DuckDB's bitwise
+    // operators — exact 64-bit integer arithmetic on both engines.
+    "q94_zorder_value" -> q({
+      def sp(e: String): String = {
+        val x0 = s"(($e) & 65535)"
+        val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+        val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+        val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+        s"(($x3 | ($x3 << 1)) & 1431655765)"
+      }
+      s"""SELECT o_orderkey,
+                 CAST(${sp("o_custkey")} | (${sp("o_orderkey")} << 1) AS BIGINT) AS z_value
+          FROM orders ORDER BY o_orderkey"""
+    }) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.operators.Layout.zorder2(col("o_custkey"), col("o_orderkey"))
+            .as("z_value"))
+        .orderBy("o_orderkey")
+    },
+
     // Explicit GROUPING SETS — a set combination neither rollup nor
     // cube expresses: (status, priority) detail, (priority) margins,
     // and the grand total, skipping the (status) margin.

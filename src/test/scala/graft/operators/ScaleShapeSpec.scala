@@ -77,6 +77,35 @@ class ScaleShapeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("z-order clustering bounds BOTH dimensions per bucket; single sort does not") {
+    import spark.implicits._
+    // two independent uniform dimensions (decorrelated by multiplicative
+    // hashing), 16 range buckets over 8192 rows
+    val rows = (0L until 8192L)
+      .map(i => (i, (i * 2654435761L) % 65536L, (i * 40503L) % 65536L))
+      .toDF("id", "a", "b")
+    def meanRangeOfB(bucketed: org.apache.spark.sql.DataFrame): Double = {
+      val r = bucketed.groupBy("bucket")
+        .agg((org.apache.spark.sql.functions.max("b")
+          - org.apache.spark.sql.functions.min("b")).as("rb"))
+        .agg(org.apache.spark.sql.functions.avg("rb")).as[Double].head()
+      r
+    }
+    val byZ = rows.withColumn("bucket",
+      org.apache.spark.sql.functions.floor(
+        Layout.zorder2($"a", $"b") / org.apache.spark.sql.functions.lit(
+          (1L << 32) / 16L)))
+    val byA = rows.withColumn("bucket",
+      org.apache.spark.sql.functions.floor($"a" / 4096L)) // 16 buckets on a alone
+    val zRange = meanRangeOfB(byZ)
+    val aRange = meanRangeOfB(byA)
+    // sorting on `a` alone leaves b's per-bucket range at ~full width
+    // (~65k); z-order buckets bound b to a fraction of it
+    assert(aRange > 55000.0, s"single-sort b-range unexpectedly small: $aRange")
+    assert(zRange < aRange / 2,
+      s"z-order must bound the off dimension: z=$zRange vs single=$aRange")
+  }
+
   test("lenient scan skips corrupt files instead of failing the run") {
     val dir = Files.createTempDirectory("lenient").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
