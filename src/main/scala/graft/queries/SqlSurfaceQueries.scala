@@ -233,6 +233,35 @@ object SqlSurfaceQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // Window-function breadth beyond q19 (rank) and q52 (running sums):
+    // lead/lag offsets, ntile quartiles, percent_rank and cume_dist —
+    // the full analytic-window surface, on a (o_orderdate, o_orderkey)
+    // total order so every value is deterministic. percent_rank and
+    // cume_dist are exact-operand integer divisions on both engines.
+    "q95_window_analytics" -> q(
+      """SELECT o_orderkey, o_custkey,
+                CAST(lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER w AS BIGINT) AS prev_cents,
+                CAST(lead(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER w AS BIGINT) AS next_cents,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
+          lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     // Morton (Z-order) interleaving for multi-dimensional layout: the
     // oracle mirrors the bit-spreading identity with DuckDB's bitwise
     // operators — exact 64-bit integer arithmetic on both engines.
