@@ -190,7 +190,13 @@ object TextAnalysis {
     * → term document-frequency from that relation [one shuffle on term,
     * vocabulary-sized output] → tf ⋈ df on term (the df side is
     * vocabulary-scale — AQE broadcasts it at corpus scale). Never
-    * doc × doc, never a driver-side vocabulary. */
+    * doc × doc, never a driver-side vocabulary. The df branch re-runs
+    * the tokenize+explode+partial-agg lineage (one extra linear map
+    * pass — no exchange reuse across different aggregates); this is
+    * deliberate: the alternative `count over (partition by token)`
+    * window would hash every occurrence of a stop word to one
+    * partition, trading a linear pass for a skew hotspot. Cache the
+    * input if the double tokenization dominates. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDocs = df.groupBy().agg(count(lit(1)).as("__n_docs"))
     val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
