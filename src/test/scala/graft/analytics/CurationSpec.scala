@@ -107,6 +107,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments at stride == chunkSize reconstructs the doc (property)") {
+    val texts = Seq(
+      (1L, (1 to 257).map(i => s"w$i").mkString(" ")), // 257 = 2 full + ragged tail
+      (2L, (1 to 64).map(i => s"w$i").mkString(" ")),  // exactly half a chunk
+      (3L, "one"))
+    val chunks = Curation.chunkDocuments(texts.toDF("doc_id", "text"),
+      "doc_id", "text", chunkSize = 128, stride = 128)
+      .as[(Long, Int, Long, Long, String)].collect()
+    for ((id, text) <- texts) {
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      // non-overlapping chunks concatenate back to the original text
+      assert(mine.map(_._5).mkString(" ") == text, s"doc $id")
+      // every chunk except the last is exactly chunkSize tokens
+      assert(mine.init.forall(_._4 == 128L), s"doc $id")
+    }
+  }
+
   test("packSequences bins are nondecreasing in pack order (property)") {
     val rows = (1L to 500L).map(i => (i, (i * 7919) % 300 + 1)).toDF("id", "n")
     val bins = Curation.packSequences(rows, "id", "n", budget = 1000L)

@@ -165,6 +165,22 @@ class DedupSpec extends SparkSpec {
     assert(out(10L)._3 == 3L)
   }
 
+  test("dedupParagraphs is idempotent (property)") {
+    val boiler = "shared footer line"
+    val in = Seq(
+      (1L, s"alpha\n$boiler\nbeta"),
+      (2L, s"$boiler\ngamma"),
+      (3L, s"delta\n$boiler")
+    ).toDF("doc_id", "text")
+    val once = Dedup.dedupParagraphs(in, "doc_id", "text")
+    val twice = Dedup.dedupParagraphs(
+      once.select(col("doc_id"), col("text_deduped").as("text")),
+      "doc_id", "text")
+    // a corpus with no cross-doc duplicates left is a fixed point
+    val changed = twice.filter(col("n_removed") > 0).count()
+    assert(changed == 0, "second pass must remove nothing")
+  }
+
   test("dedup is idempotent (property)") {
     val once = Dedup.exactByFingerprint(docs, "doc_id", "text")
       .join(docs, Seq("doc_id")).select("doc_id", "text")
