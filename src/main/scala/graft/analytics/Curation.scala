@@ -171,14 +171,18 @@ object Curation {
     // 1. scrub
     val scrubbed = TextAnalysis.scrubPii(docs, idCol, textCol)
       .select(col(idCol), col("text_scrubbed").as("text"))
-    // 2. quality gates
-    val stats = TextAnalysis.gopherStats(scrubbed, idCol, "text")
-    val quality = scrubbed.join(
-      stats.filter(col("n_tokens") >= cfg.minTokens
+    // 2. quality gates, projected INLINE next to the text (the same
+    // shape curateStream uses): joining a gopherStats relation back
+    // onto the scrubbed corpus would shuffle the full text twice for a
+    // join both of whose sides derive from the same rows. A projection
+    // + filter is one pass, zero exchanges.
+    val quality = scrubbed
+      .select(col(idCol) +: col("text") +:
+        TextAnalysis.gopherCols(col("text")): _*)
+      .filter(col("n_tokens") >= cfg.minTokens
         && col("symbol_to_word_ratio") <= cfg.maxSymbolRatio
         && col("alpha_word_ratio") >= cfg.minAlphaRatio)
-        .select(col(idCol), col("n_tokens")),
-      Seq(idCol))
+      .select(col(idCol), col("text"), col("n_tokens"))
     // 3. exact dedup: min id per fingerprint survives
     val exactSurvivors = Dedup.exactByFingerprint(quality, idCol, "text")
       .select(col(idCol))
