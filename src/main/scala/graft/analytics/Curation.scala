@@ -154,6 +154,25 @@ object Curation {
       salt: String = "v1",
       packBudget: Long = 2048L)
 
+  /** Stages 1+2 of [[curateCorpus]] as a standalone operator: PII scrub
+    * and Gopher quality gates, fused into a single projection + filter
+    * pass — the gate features are computed INLINE next to the text
+    * (joining a `gopherStats` relation back onto the scrubbed corpus
+    * would shuffle the full document text through two exchanges for a
+    * join both of whose sides derive from the same rows). Returns
+    * (idCol, text, n_tokens) for the surviving documents. PlanSpec pins
+    * the zero-exchange shape. */
+  def scrubAndGate(docs: DataFrame, idCol: String, textCol: String,
+                   cfg: CurateConfig = CurateConfig()): DataFrame =
+    TextAnalysis.scrubPii(docs, idCol, textCol)
+      .select(col(idCol), col("text_scrubbed").as("text"))
+      .select(col(idCol) +: col("text") +:
+        TextAnalysis.gopherCols(col("text")): _*)
+      .filter(col("n_tokens") >= cfg.minTokens
+        && col("symbol_to_word_ratio") <= cfg.maxSymbolRatio
+        && col("alpha_word_ratio") >= cfg.minAlphaRatio)
+      .select(col(idCol), col("text"), col("n_tokens"))
+
   /** The raw-corpus → training-table flow, composed from the library's
     * curation operators in their canonical order:
     *  1. PII scrub (projection)
@@ -168,21 +187,9 @@ object Curation {
     * composition a pipeline would actually deploy. */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    cfg: CurateConfig = CurateConfig()): DataFrame = {
-    // 1. scrub
-    val scrubbed = TextAnalysis.scrubPii(docs, idCol, textCol)
-      .select(col(idCol), col("text_scrubbed").as("text"))
-    // 2. quality gates, projected INLINE next to the text (the same
-    // shape curateStream uses): joining a gopherStats relation back
-    // onto the scrubbed corpus would shuffle the full text twice for a
-    // join both of whose sides derive from the same rows. A projection
-    // + filter is one pass, zero exchanges.
-    val quality = scrubbed
-      .select(col(idCol) +: col("text") +:
-        TextAnalysis.gopherCols(col("text")): _*)
-      .filter(col("n_tokens") >= cfg.minTokens
-        && col("symbol_to_word_ratio") <= cfg.maxSymbolRatio
-        && col("alpha_word_ratio") >= cfg.minAlphaRatio)
-      .select(col(idCol), col("text"), col("n_tokens"))
+    // 1+2. scrub + quality gates: one fused projection+filter pass
+    // (see scrubAndGate — PlanSpec pins the zero-exchange shape)
+    val quality = scrubAndGate(docs, idCol, textCol, cfg)
     // 3. exact dedup: min id per fingerprint survives
     val exactSurvivors = Dedup.exactByFingerprint(quality, idCol, "text")
       .select(col(idCol))

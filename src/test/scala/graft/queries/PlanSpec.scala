@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
       s"chunking must not shuffle — it is one pass over the corpus:\n$p")
   }
 
+  test("q78: scrub+gate stage is one fused pass — no join, zero exchanges") {
+    // the gate features must project inline next to the text; joining a
+    // stats relation back onto the scrubbed corpus would shuffle the
+    // full document text twice for a self-derived join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val p = graft.analytics.Curation.scrubAndGate(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"gates must not join the corpus to itself:\n$p")
+    assert(!p.contains("Exchange"), s"scrub+gate must not shuffle:\n$p")
+  }
+
   test("q65: decontamination joins shingle hashes with a semi-join, never doc x doc") {
     val p = planOf("q65_decontaminate")
     assert(p.contains("LeftSemi"), s"expected left-semi shingle join:\n$p")
