@@ -222,10 +222,12 @@ object Curation {
     * resalt-able) — the "give me 50 docs per language" eval-set / debug
     * sampler. Where [[sampleByDomain]] keeps an approximate RATE per
     * group with zero shuffles, this guarantees an exact COUNT per group
-    * at the cost of one shuffle + per-group rank window; with millions
-    * of groups the window input is fine (each group sorts
-    * independently), but a single giant group pays a full sort — prefer
-    * the rate-based sampler when exact counts don't matter. */
+    * at the cost of one shuffle + per-group rank window. The
+    * `row_number <= k` filter plans as a two-phase WindowGroupLimit
+    * (PlanSpec-pinned): each map task keeps only its local top-k per
+    * group BEFORE the shuffle, so even a group holding the whole corpus
+    * ships k rows per input partition, never the group — the reduce-side
+    * sort is over partitions×k rows, not the data. */
   def stratifiedHead(df: DataFrame, groupCol: String, idCol: String,
                      k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")

@@ -109,6 +109,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"scrub+gate must not shuffle:\n$p")
   }
 
+  test("q88: stratified head plans map-side WindowGroupLimit before the shuffle") {
+    // the sample must shrink to k rows per group per map task BEFORE the
+    // exchange — a skewed group (one language = whole corpus) otherwise
+    // funnels all its rows through a single reduce-side sort
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.analytics.Curation.stratifiedHead(docs, "lang", "doc_id",
+      k = 20, salt = "s1")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    // plan strings print root-first: the map-side (Partial) limit must
+    // sit BELOW the exchange, i.e. later in the string
+    val partialAt = p.indexOf("row_number(), 20, Partial")
+    assert(partialAt > 0 && p.indexOf("Exchange") < partialAt,
+      s"expected a Partial group-limit below the exchange:\n$p")
+  }
+
   test("q65: decontamination joins shingle hashes with a semi-join, never doc x doc") {
     val p = planOf("q65_decontaminate")
     assert(p.contains("LeftSemi"), s"expected left-semi shingle join:\n$p")
