@@ -95,6 +95,50 @@ object Curation {
         col("n_contaminated").cast("double") / col("n_sh").cast("double"))
   }
 
+  /** [[contamination]] for benchmark sets too large to broadcast: the
+    * benchmark's distinct shingle hashes collapse into a Bloom filter
+    * (built by a distributed aggregate, merged on the driver — ~1.2 MB
+    * per million shingles at fpp 0.01, two orders of magnitude smaller
+    * than the hash relation), and every corpus document's shingle array
+    * is prefiltered MAP-SIDE through the filter before anything
+    * explodes or shuffles. Only the surviving ~(contaminated + fpp ·
+    * clean) shingles reach the exact semi-join, which removes the false
+    * positives — so the output is bit-identical to [[contamination]]
+    * (differential spec; shares q65's oracle) while the corpus-side
+    * shuffle shrinks by roughly the contamination rate.
+    *
+    * `expectedItems` sizes the filter; UNDERestimating it only raises
+    * the false-positive rate (more verify-join traffic), never changes
+    * the result — the no-false-negative guarantee does not depend on
+    * sizing (spec: deliberately overloaded filter still exact). */
+  def contaminationBloom(train: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 3, expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val tr = Dedup.shingleHashSets(train, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read twice (bloom build + verify join); persist pins one pass of
+    // the benchmark shingling
+    val bsh = Dedup.shingleHashSets(
+      bench.withColumn("__bid", monotonically_increasing_id()), "__bid", benchTextCol, n)
+      .select(explode(col("shash")).as("shash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = bsh.stat.bloomFilter("shash", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val counts = tr.select(col("id"),
+        explode(graft.functions.BloomKeepHashes(col("shash"), bos.toByteArray))
+          .as("shash"))
+      .join(bsh, Seq("shash"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    tr.select(col("id"), size(col("shash")).cast("long").as("n_sh"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast("double") / col("n_sh").cast("double"))
+  }
+
   /** Distributed exclusive prefix sum of `valueCol` in `orderCol` order:
     * range-repartition on the order key, partition-local running sums
     * under a per-partition window, then a partition-offset join — the

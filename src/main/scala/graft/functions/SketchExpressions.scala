@@ -110,3 +110,52 @@ object MinHashSig {
   def apply(c: Column, k: Int): Column =
     Shim.column(new MinHashSig(Shim.expression(c), k))
 }
+
+/** bloom_keep_hashes(shingleHashes: array<bigint>) -> array<bigint>:
+  * keeps only the hashes a serialized benchmark Bloom filter MIGHT
+  * contain — the map-side prefilter of Curation.contaminationBloom.
+  * One virtual call per DOCUMENT; the per-hash probe loop runs tight
+  * over the primitive array. The filter bytes travel in the serialized
+  * expression (MB-scale for millions of benchmark shingles) and
+  * deserialize lazily once per executor. Bloom filters have no false
+  * negatives, so dropping non-members here never loses a contaminated
+  * shingle; false positives are removed downstream by the exact
+  * semi-join verify. */
+case class BloomKeepHashes(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_keep_hashes requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_keep_hashes"
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        if (bloom.mightContainLong(h)) out += h
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomKeepHashes =
+    copy(child = newChild)
+}
+
+object BloomKeepHashes {
+  def apply(c: Column, bloomBytes: Array[Byte]): Column =
+    Shim.column(new BloomKeepHashes(Shim.expression(c), bloomBytes))
+}

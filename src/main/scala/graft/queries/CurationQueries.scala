@@ -28,6 +28,28 @@ object CurationQueries {
     splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(f => f"${math.round(f * 65536).min(65536)}%04x")
 
+  // Shared by q65 (broadcast-grade semi-join) and q96 (Bloom-prefilter
+  // scale path): both compute the SAME exact contamination counts, so
+  // one oracle gates both plan shapes.
+  private val decontaminateOracle =
+    s"""WITH sh AS (
+          SELECT doc_id, $shinglesSql AS shingles FROM documents),
+        bench AS (
+          SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 10 <> 0),
+        cnt AS (
+          SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM tr) u
+          JOIN bench USING (s)
+          GROUP BY u.doc_id)
+        SELECT tr.doc_id AS id,
+               CAST(len(tr.shingles) AS BIGINT) AS n_sh,
+               coalesce(cnt.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+               CAST(coalesce(cnt.n_contaminated, CAST(0 AS BIGINT)) AS DOUBLE)
+                 / CAST(len(tr.shingles) AS DOUBLE) AS contamination_ratio
+        FROM tr LEFT JOIN cnt ON tr.doc_id = cnt.doc_id
+        ORDER BY id"""
+
   val defs: Map[String, Q] = Map(
 
     // Deterministic hash split: md5-position vs hex cutoffs, identical
@@ -67,28 +89,27 @@ object CurationQueries {
     // Benchmark decontamination: every 10th doc plays the benchmark set;
     // the rest are scored by shared-trigram counts (inverted-index
     // semi-join on the Spark side; string-shingle joins in the oracle).
-    "q65_decontaminate" -> q(
-      s"""WITH sh AS (
-            SELECT doc_id, $shinglesSql AS shingles FROM documents),
-          bench AS (
-            SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
-          tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 10 <> 0),
-          cnt AS (
-            SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
-            FROM (SELECT doc_id, unnest(shingles) AS s FROM tr) u
-            JOIN bench USING (s)
-            GROUP BY u.doc_id)
-          SELECT tr.doc_id AS id,
-                 CAST(len(tr.shingles) AS BIGINT) AS n_sh,
-                 coalesce(cnt.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
-                 CAST(coalesce(cnt.n_contaminated, CAST(0 AS BIGINT)) AS DOUBLE)
-                   / CAST(len(tr.shingles) AS DOUBLE) AS contamination_ratio
-          FROM tr LEFT JOIN cnt ON tr.doc_id = cnt.doc_id
-          ORDER BY id""") { (s, dir) =>
+    "q65_decontaminate" -> q(decontaminateOracle) { (s, dir) =>
       val docs = t(s, dir, "documents")
       Curation.contamination(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        .orderBy("id")
+    },
+
+    // The Bloom-prefilter scale path for q65 — benchmark shingles
+    // collapse into a ~KB Bloom filter probed map-side before any
+    // explode/shuffle; the exact verify join removes false positives,
+    // so it shares q65's EXACT oracle (the same differential gate the
+    // approx paths q61/q90 use). expectedItems is set BELOW the true
+    // benchmark shingle count on purpose: an overloaded filter only
+    // raises fpp (more verify traffic), never changes the result.
+    "q96_decontaminate_bloom" -> q(decontaminateOracle) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.contaminationBloom(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
+        expectedItems = 4096, fpp = 0.01)
         .orderBy("id")
     },
 

@@ -68,6 +68,31 @@ class CurationSpec extends SparkSpec {
     assert(byId(2L)._2 == 0L)          // doc 2 shares nothing
   }
 
+  test("contaminationBloom matches contamination exactly (differential)") {
+    // the bloom prefilter must be invisible in the RESULT: false
+    // positives die in the verify join, and bloom filters have no false
+    // negatives, so every (id, counts) row is identical
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Curation.contamination(train, "doc_id", "text", bench, "text")
+    val bloom = Curation.contaminationBloom(train, "doc_id", "text", bench, "text")
+    assert(exact.except(bloom).isEmpty && bloom.except(exact).isEmpty)
+  }
+
+  test("contaminationBloom stays exact with a deliberately overloaded filter") {
+    // expectedItems far below the true shingle count drives the
+    // false-positive rate up; the result must not change (sizing is a
+    // performance knob, never a correctness one)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Curation.contamination(train, "doc_id", "text", bench, "text")
+    val tiny = Curation.contaminationBloom(train, "doc_id", "text", bench, "text",
+      expectedItems = 64, fpp = 0.5)
+    assert(exact.except(tiny).isEmpty && tiny.except(exact).isEmpty)
+  }
+
   test("exclusivePrefixSum matches the single-partition window (differential)") {
     val rows = (1L to 1000L).map(i => (i, (i * 2654435761L) % 97 + 1)).toDF("id", "v")
     val expected = rows.withColumn("ps",
