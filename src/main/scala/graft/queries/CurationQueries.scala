@@ -98,18 +98,17 @@ object CurationQueries {
     },
 
     // The Bloom-prefilter scale path for q65 — benchmark shingles
-    // collapse into a ~KB Bloom filter probed map-side before any
+    // collapse into a ~MB Bloom filter probed map-side before any
     // explode/shuffle; the exact verify join removes false positives,
     // so it shares q65's EXACT oracle (the same differential gate the
-    // approx paths q61/q90 use). expectedItems is set BELOW the true
-    // benchmark shingle count on purpose: an overloaded filter only
-    // raises fpp (more verify traffic), never changes the result.
+    // approx paths q61/q90 use). The undersized-filter exactness
+    // property is specced (CurationSpec); here the filter is sized for
+    // the corpus so the bench reflects the intended operating point.
     "q96_decontaminate_bloom" -> q(decontaminateOracle) { (s, dir) =>
       val docs = t(s, dir, "documents")
       Curation.contaminationBloom(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
-        expectedItems = 4096, fpp = 0.01)
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
         .orderBy("id")
     },
 
