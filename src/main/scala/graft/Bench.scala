@@ -54,13 +54,18 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\u0000-\\u001f]", " ") + "\""
-    val qs = results.collect { case (k, Right(sec)) => s"${jstr(k)}:$sec" }
+    // ms precision keeps the one-line JSON under the harness's output
+    // capture window (full-precision doubles overflowed it at ~95
+    // queries and the line arrived truncated). Double.toString emits
+    // the shortest decimal, so 0.109 prints as "0.109".
+    def ms3(sec: Double): String = (math.round(sec * 1000) / 1000.0).toString
+    val qs = results.collect { case (k, Right(sec)) => s"${jstr(k)}:${ms3(sec)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(sec) => sec }.sum
     val nErr = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,7 +180,10 @@ object EmbeddingQueries {
 
     // PQ index BUILD (the offline half of q75): k-means codebook via
     // Lloyd iterations in DataFrame algebra + corpus encoding to stored
-    // 8-byte codes. Returns the codebook as (sub, code, centroid) rows.
+    // 8-byte codes. Returns the codebook as fully-scalar
+    // (sub, code, dim, value) rows — the driver's rows-only harness
+    // sorts results with pandas, which cannot hash array cells, so the
+    // centroid vectors are exploded one dimension per row.
     // Rows-only — determinism + strict objective descent asserted in
     // the spec.
     "q79_embed_pq_train" -> qNoOracle { (s, dir) =>
@@ -188,10 +191,10 @@ object EmbeddingQueries {
       pqMemo.remove(dir) // measure a full offline build, not the memo
       val cb = pqIndex(s, dir).cb
       cb.zipWithIndex.flatMap { case (codes, sub) =>
-        codes.zipWithIndex.map { case (centroid, code) =>
-          (sub, code, centroid.toSeq)
+        codes.zipWithIndex.flatMap { case (centroid, code) =>
+          centroid.zipWithIndex.map { case (v, dim) => (sub, code, dim, v) }
         }
-      }.toSeq.toDF("sub", "code", "centroid").orderBy("sub", "code")
+      }.toSeq.toDF("sub", "code", "dim", "value").orderBy("sub", "code", "dim")
     },
 
     // Batch PQ ADC serving: one stored-code scan, five queries, per-qid
