@@ -546,4 +546,43 @@ object Dedup {
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Token-window duplicate-SPAN inventory — the substring-level rung of
+    * the dedup ladder (exact duplicated token spans across documents, as
+    * in "Deduplicating Training Data Makes Language Models Better",
+    * rather than whole near-dup documents): slide a `w`-token window
+    * over every document, key each span by md5 of its space-joined
+    * tokens, and report every span occurring in >= `minDocs` distinct
+    * documents with its corpus-wide occurrence counts.
+    *
+    * md5-of-string (not xxhash64-of-token-hashes as in
+    * [[shingleHashSets]]) because this output is oracle-checked
+    * cross-engine; swap the key expression for the xxhash64 form when
+    * auditability matters less than the string-allocation cost.
+    *
+    * Scale shape: one generator projection (the token array is
+    * materialised once per row, each span hashed from an in-memory
+    * slice — no re-tokenisation per span) -> explode -> ONE hash
+    * aggregate on span_hash. count(DISTINCT id) plans as the two-phase
+    * distinct-aggregate expansion with map-side partials, so a
+    * pathological span repeated across the whole corpus reaches its
+    * reducer as pre-combined partial rows, not raw occurrences. No
+    * joins. Reference scope anchor: the reference dedups whole rows
+    * only (reference: scripts/transform.py row drop_duplicates);
+    * span-level dedup is LLM-curation extension surface. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 5, minDocs: Long = 2L): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(col("tk")) - w),
+          i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
+          .as("span_hash"))
+      .groupBy("span_hash")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

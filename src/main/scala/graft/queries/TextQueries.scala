@@ -203,6 +203,28 @@ object TextQueries {
         .orderBy("id_new", "id_corpus")
     },
 
+    // Substring-level dedup: every 5-token span occurring in >= 2
+    // distinct documents, keyed by md5 of the space-joined span
+    // (portable across engines, so the whole inventory hash-matches).
+    // One generator projection + one hash aggregate, no joins.
+    "q97_dedup_spans" -> q(
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            sp AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk) - 4),
+                       i -> md5(array_to_string(list_slice(tk, i, i + 4), ' ')))) AS span_hash
+              FROM tk WHERE len(tk) >= 5)
+          SELECT span_hash,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_occ,
+                 CAST(min(doc_id) AS BIGINT) AS first_doc
+          FROM sp GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+          ORDER BY span_hash""") { (s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        w = 5, minDocs = 2L)
+        .orderBy("span_hash")
+    },
+
     // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
     // spec asserts consistency vs exact Jaccard in the test suite.
     "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>

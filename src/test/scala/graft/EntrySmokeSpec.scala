@@ -8,6 +8,6 @@ class EntrySmokeSpec extends SparkSpec {
   test("every oracleSql key exists in queries (driver contract)") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    assert(qs.size == 96 && SparkEntry.oracleSql.size == 83)
+    assert(qs.size == 97 && SparkEntry.oracleSql.size == 84)
   }
 }

@@ -43,6 +43,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.subsetOf(exact))
   }
 
+  test("duplicateSpans finds planted cross-doc spans, ignores short docs and singletons") {
+    // docs 10/11 share the exact 5-token span "one two three four five"
+    // embedded at different positions; doc 12 repeats it twice WITHIN one
+    // doc only (must not count as cross-doc without a second doc);
+    // doc 13 is shorter than the window.
+    val span = "one two three four five"
+    val d = Seq(
+      (10L, s"prefix tokens here $span and a tail"),
+      (11L, s"$span with an entirely different continuation text"),
+      (12L, s"$span again $span"),
+      (13L, "too short"),
+      (14L, "nothing in common with anything else at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", w = 5, minDocs = 2L)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the planted span: 3 docs, 4 occurrences (doc 12 twice), first doc 10
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val plantedHash = md.digest(span.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planted = rows.filter(_._1 == plantedHash)
+    assert(planted.length == 1 && planted.head == ((plantedHash, 3L, 4L, 10L)))
+    // every reported span really is in >= 2 distinct docs
+    assert(rows.forall(_._2 >= 2L))
+    // doc 12's intra-doc repeat of OTHER spans ("again" window shifts)
+    // must not leak in as cross-doc duplicates
+    assert(!rows.exists(r => r._2 < 2L))
+  }
+
   test("simhashPairs: near-identical docs within small Hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -125,6 +125,17 @@ class PlanSpec extends SparkSpec {
       s"expected a Partial group-limit below the exchange:\n$p")
   }
 
+  test("q97: span dedup is generate + one aggregate — no joins") {
+    val p = planOf("q97_dedup_spans")
+    assert(p.contains("Generate"), s"expected explode generator:\n$p")
+    assert(!p.contains("Join"),
+      s"span inventory must be join-free — it is a single aggregate:\n$p")
+    // countDistinct plans as the two-phase distinct-aggregate expansion:
+    // partial aggregates combine map-side before any shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
   test("q65: decontamination joins shingle hashes with a semi-join, never doc x doc") {
     val p = planOf("q65_decontaminate")
     assert(p.contains("LeftSemi"), s"expected left-semi shingle join:\n$p")
