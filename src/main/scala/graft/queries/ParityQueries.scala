@@ -209,6 +209,62 @@ object ParityQueries {
                 o_orderpriority
          FROM orders ORDER BY o_orderkey""") { (s, dir) =>
       Narrow.toWarehouseTypes(t(s, dir, "orders")).orderBy("o_orderkey")
+    },
+
+    // SCD type 1 upsert (hand-rolled MERGE): a deterministic "daily
+    // batch" derived from customer — every 10th key re-extracted with a
+    // changed balance/segment, every 100th key re-keyed as a brand-new
+    // customer. Updates win, untouched rows pass through, new keys
+    // append. +100 on a double is IEEE-exact on both engines.
+    "q98_scd1_upsert" -> q(
+      """WITH upd AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+                  'UPDATED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT * FROM upd
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+         ORDER BY c_custkey""") { (s, dir) =>
+      val cur = t(s, dir, "customer")
+      val upd = cur.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .unionByName(cur.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Scd.upsertByKey(cur, upd, Seq("c_custkey")).orderBy("c_custkey")
+    },
+
+    // SCD type 2 history: per-customer runs of identical order status
+    // over the order timeline — effective_from/effective_to intervals
+    // with an open current run. The orderkey breaks same-date ties so
+    // run boundaries are engine-independent.
+    "q99_scd2_history" -> q(
+      """WITH m AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                  lag(o_orderstatus) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         runs AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate AS effective_from, o_orderkey
+           FROM m WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+         fin AS (
+           SELECT o_custkey, o_orderstatus, effective_from,
+                  lead(effective_from) OVER
+                    (PARTITION BY o_custkey ORDER BY effective_from, o_orderkey)
+                    AS effective_to
+           FROM runs)
+         SELECT o_custkey, o_orderstatus, effective_from, effective_to,
+                effective_to IS NULL AS is_current
+         FROM fin ORDER BY o_custkey, effective_from, o_orderstatus""") { (s, dir) =>
+      Scd.scd2FromSnapshots(t(s, dir, "orders"),
+        keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
+        tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+        .orderBy("o_custkey", "effective_from", "o_orderstatus")
     }
   )
 }
