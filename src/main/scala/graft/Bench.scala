@@ -59,13 +59,21 @@ object Bench {
     // queries and the line arrived truncated). Double.toString emits
     // the shortest decimal, so 0.109 prints as "0.109".
     def ms3(sec: Double): String = (math.round(sec * 1000) / 1000.0).toString
-    val qs = results.collect { case (k, Right(sec)) => s"${jstr(k)}:${ms3(sec)}" }
+    // Field ORDER is load-bearing: the harness keeps the TAIL of the
+    // output line, and in two consecutive rounds a head-first "total"
+    // (plus the slowest per-query timings) was truncated away. So: the
+    // per-query dict comes FIRST, sorted ascending by median so the
+    // heaviest queries sit nearest the end, and the headline
+    // total/n_errors/sf fields come LAST where truncation cannot reach.
+    val qs = results.collect { case (k, Right(sec)) => (k, sec) }
+      .toSeq.sortBy(_._2)
+      .map { case (k, sec) => s"${jstr(k)}:${ms3(sec)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(sec) => sec }.sum
     val nErr = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${ms3(total)},"unit":"sec","n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,16 @@ object SparkEntry {
       TextQueries.defs ++ EmbeddingQueries.defs ++ SqlSurfaceQueries.defs ++
       CurationQueries.defs
 
+  /** Registry pin — the single place the expected registry size lives.
+    * EntrySmokeSpec asserts the live registry against these numbers, so
+    * registering (or oracling) a query is a one-edit change: bump here,
+    * in the same file as the registry itself. Keeping the pin next to
+    * the `registry` definition (rather than hardcoded in the spec) is
+    * what makes a stale-count red suite impossible to ship by
+    * forgetting a second file. */
+  val RegisteredQueryCount: Int = 101
+  val OracledQueryCount: Int = 88
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined
     * to broadcast dims, fact columns projected. */

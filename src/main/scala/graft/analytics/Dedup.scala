@@ -585,4 +585,64 @@ object Dedup {
         min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Span-level dedup REMOVAL — the action [[duplicateSpans]]'s
+    * inventory exists for (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ExactSubstr behavior at token-window
+    * granularity): rewrite each document with every token covered by a
+    * corpus-duplicated `w`-token window excised, keeping the FIRST
+    * occurrence — all occurrences inside the span's min-id document are
+    * kept, every occurrence elsewhere is removed. Output is
+    * (`idCol`, `textCol`) with the surviving tokens space-joined (the
+    * tokenizer already collapses runs of whitespace, so the join is the
+    * canonical form of the untouched text too).
+    *
+    * Deterministic and md5-keyed throughout, so the whole rewritten
+    * corpus is DuckDB-oracle-checkable. Not idempotent in the
+    * adversarial case — excision can make previously-separated tokens
+    * adjacent and mint a brand-new duplicated window — but a second
+    * pass is a no-op whenever surviving text is span-unique (the specced
+    * property); what IS guaranteed at any corpus is anti-monotone
+    * coverage: every position excised at width w+1 is excised at width w
+    * (each dup (w+1)-window contains two dup w-windows covering the
+    * same positions).
+    *
+    * Scale shape: the span generator projection runs twice — once under
+    * the dup-span aggregate, once under the position join — both
+    * deterministic, no persist needed. The dup-span side arrives at the
+    * join projected to (span_hash, first_doc) — never the text — and the
+    * excise join is a hash join on span_hash (broadcast when the dup
+    * inventory is small, the common case after the minDocs filter).
+    * Start positions aggregate per doc with collect_set (bounded by
+    * tokens/doc, not corpus size), and the rewrite is a single
+    * codegen'd higher-order filter over the token array — O(tokens ×
+    * dup-starts) per doc, no shuffle. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           w: Int = 5, minDocs: Long = 2L): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    val tk = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    // (id, 0-based start, span_hash) — same generator as duplicateSpans
+    val spans = tk.filter(size(col("tk")) >= w)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - w),
+          i => md5(array_join(slice(col("tk"), i + lit(1), lit(w)), " ")))))
+      .toDF("id", "pos", "span_hash")
+    val dup = spans.groupBy("span_hash")
+      .agg(countDistinct(col("id")).as("n_docs"), min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span_hash", "first_doc")
+    // excise everywhere except the keeper (min-id) document
+    val badStarts = spans.join(dup, Seq("span_hash"))
+      .filter(col("id") =!= col("first_doc"))
+      .groupBy("id")
+      .agg(collect_set(col("pos")).as("starts"))
+    tk.join(badStarts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("starts").isNull, array_join(col("tk"), " "))
+          .otherwise(array_join(
+            filter(col("tk"), (_, i) =>
+              !exists(col("starts"), s => s <= i && i < s + w)), " "))
+          .as(textCol))
+  }
 }

@@ -56,7 +56,8 @@ object Scd {
     * single lag/lead row, so a hot entity costs one task-local sort,
     * never a cross-partition structure. */
   def scd2FromSnapshots(df: DataFrame, keyCols: Seq[String], timeCol: String,
-                        tieCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+                        tieCols: Seq[String], attrCols: Seq[String],
+                        carryCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,
       "scd2FromSnapshots: key and attribute columns required")
     val order = (timeCol +: tieCols).map(col)
@@ -74,7 +75,77 @@ object Scd {
     runs
       .withColumn("effective_to", lead(col("effective_from"), 1).over(wRuns))
       .withColumn("is_current", col("effective_to").isNull)
-      .select((keyCols ++ attrCols ++
+      .select((keyCols ++ attrCols ++ carryCols ++
         Seq("effective_from", "effective_to", "is_current")).map(col): _*)
+  }
+
+  /** Incremental SCD2 merge: fold ONE new snapshot into an existing
+    * history table — the operation a daily pipeline actually runs,
+    * where [[scd2FromSnapshots]] is the one-off backfill. Closed runs
+    * pass through untouched (never re-windowed, never shuffled); only
+    * the open runs meet the snapshot in a single key join:
+    *
+    *  - open run, key absent from snapshot     → unchanged (still open)
+    *  - open run, identical tracked attrs (`<=>`) → unchanged
+    *  - open run, attrs changed → run closed at the snapshot's `timeCol`
+    *    value, and a new open run appended from the snapshot row
+    *  - key new to the history → new open run appended
+    *
+    * Invariant (specced + oracled): for per-key-unique snapshots with
+    * strictly increasing times, folding them through scd2Apply equals
+    * [[scd2FromSnapshots]] over their union — and re-applying the same
+    * snapshot is a no-op.
+    *
+    * `history` must have the [[scd2FromSnapshots]] output schema
+    * (keyCols ++ attrCols ++ effective_from/effective_to/is_current);
+    * `snapshot` carries keyCols ++ attrCols ++ `timeCol`, at most one
+    * row per key, observed no earlier than every open run's
+    * `effective_from`.
+    *
+    * Plan shape: the closed partition of the history is a filter-scan
+    * straight into the union — zero exchanges over the bulk of a
+    * multi-year history. The open×snapshot join keys on `keyCols`; with
+    * a daily-batch-sized snapshot AQE broadcasts it, so the open side
+    * is not shuffled either. The snapshot side of the join is consumed
+    * twice (close pass + append pass) — both consumers are
+    * deterministic projections of the same join, so the fork is safe
+    * without a persist. */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame,
+                keyCols: Seq[String], timeCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2Apply: key and attribute columns required")
+    val outCols = (keyCols ++ attrCols ++
+      Seq("effective_from", "effective_to", "is_current")).map(col)
+    val toType = history.schema("effective_to").dataType
+    val closed = history.filter(!col("is_current")).select(outCols: _*)
+    val open = history.filter(col("is_current"))
+      .withColumn("__in_open", lit(true))
+    val snap = snapshot.select(
+      keyCols.map(col) ++
+        attrCols.map(a => col(a).as(s"__new_$a")) :+
+        col(timeCol).as("__new_time"): _*)
+      .withColumn("__in_snap", lit(true))
+    val j = open.join(snap, keyCols, "full_outer")
+    val sameAttrs = attrCols.map(a => col(a) <=> col(s"__new_$a")).reduce(_ && _)
+    val changed = col("__in_snap").isNotNull && !sameAttrs
+    // every open run survives exactly once: as-is, or closed at the
+    // snapshot time when its tracked attributes moved
+    val openOut = j.filter(col("__in_open").isNotNull).select(
+      (keyCols ++ attrCols).map(col) ++ Seq(
+        col("effective_from"),
+        when(changed, col("__new_time"))
+          .otherwise(col("effective_to")).as("effective_to"),
+        (!changed).as("is_current")): _*)
+    // one new open run per snapshot row that is a new key or a new state
+    val opened = j.filter(
+      col("__in_snap").isNotNull && (col("__in_open").isNull || !sameAttrs))
+      .select(
+        keyCols.map(col) ++
+          attrCols.map(a => col(s"__new_$a").as(a)) ++ Seq(
+          col("__new_time").as("effective_from"),
+          lit(null).cast(toType).as("effective_to"),
+          lit(true).as("is_current")): _*)
+    closed.unionByName(openOut).unionByName(opened)
   }
 }

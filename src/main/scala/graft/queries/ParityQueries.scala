@@ -215,14 +215,18 @@ object ParityQueries {
     // batch" derived from customer — every 10th key re-extracted with a
     // changed balance/segment, every 100th key re-keyed as a brand-new
     // customer. Updates win, untouched rows pass through, new keys
-    // append. +100 on a double is IEEE-exact on both engines.
+    // append. +100 on a double is IEEE-exact on both engines. The
+    // brand-new keys are (-c_custkey - 1): strictly negative for every
+    // non-negative real key (custkey 0 exists, so bare negation would
+    // collide 0 with itself), at every SF — a fixed +offset collides
+    // once the table outgrows it, ~SF 7.
     "q98_scd1_upsert" -> q(
       """WITH upd AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
                   'UPDATED' AS c_mktsegment
            FROM customer WHERE c_custkey % 10 = 0
            UNION ALL
-           SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+           SELECT -c_custkey - 1, c_name, c_nationkey, c_acctbal, c_mktsegment
            FROM customer WHERE c_custkey % 100 = 0)
          SELECT * FROM upd
          UNION ALL
@@ -234,14 +238,16 @@ object ParityQueries {
         .withColumn("c_acctbal", col("c_acctbal") + 100)
         .withColumn("c_mktsegment", lit("UPDATED"))
         .unionByName(cur.filter(col("c_custkey") % 100 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+          .withColumn("c_custkey", -col("c_custkey") - 1))
       Scd.upsertByKey(cur, upd, Seq("c_custkey")).orderBy("c_custkey")
     },
 
     // SCD type 2 history: per-customer runs of identical order status
     // over the order timeline — effective_from/effective_to intervals
     // with an open current run. The orderkey breaks same-date ties so
-    // run boundaries are engine-independent.
+    // run boundaries are engine-independent, and the run-start orderkey
+    // is CARRIED into the output so the final sort is total (same-day
+    // same-status runs would otherwise tie on every sort key).
     "q99_scd2_history" -> q(
       """WITH m AS (
            SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
@@ -253,18 +259,85 @@ object ParityQueries {
            SELECT o_custkey, o_orderstatus, o_orderdate AS effective_from, o_orderkey
            FROM m WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
          fin AS (
-           SELECT o_custkey, o_orderstatus, effective_from,
+           SELECT o_custkey, o_orderstatus, o_orderkey, effective_from,
                   lead(effective_from) OVER
                     (PARTITION BY o_custkey ORDER BY effective_from, o_orderkey)
                     AS effective_to
            FROM runs)
-         SELECT o_custkey, o_orderstatus, effective_from, effective_to,
+         SELECT o_custkey, o_orderstatus, o_orderkey, effective_from, effective_to,
                 effective_to IS NULL AS is_current
-         FROM fin ORDER BY o_custkey, effective_from, o_orderstatus""") { (s, dir) =>
+         FROM fin ORDER BY o_custkey, effective_from, o_orderkey""") { (s, dir) =>
       Scd.scd2FromSnapshots(t(s, dir, "orders"),
         keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
-        tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
-        .orderBy("o_custkey", "effective_from", "o_orderstatus")
+        tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"),
+        carryCols = Seq("o_orderkey"))
+        .orderBy("o_custkey", "effective_from", "o_orderkey")
+    },
+
+    // Incremental SCD2 apply: four deterministic daily snapshots of the
+    // customer dimension (segment mutated by a different modulus each
+    // day; day 3 misses every 7th key — absence leaves the run open;
+    // day 4 introduces brand-new NEGATED keys — appends on a later
+    // apply). The Spark side folds snapshots 2..4 into the day-1 history
+    // one at a time with scd2Apply; the oracle REBUILDS from the full
+    // observation set — green means iterated-apply == rebuild exactly.
+    "q101_scd2_apply" -> q(
+      """WITH snaps AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 2 = 0 THEN 'S0' ELSE c_mktsegment END AS segment,
+                  DATE '1995-01-01' AS snap_date FROM customer
+           UNION ALL
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 3 = 0 THEN 'S1' ELSE c_mktsegment END,
+                  DATE '1995-01-02' FROM customer
+           UNION ALL
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 4 = 0 THEN 'S2' ELSE c_mktsegment END,
+                  DATE '1995-01-03' FROM customer WHERE c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 5 = 0 THEN 'S3' ELSE c_mktsegment END,
+                  DATE '1995-01-04' FROM customer
+           UNION ALL
+           SELECT -c_custkey - 1, 'NEW', DATE '1995-01-04'
+           FROM customer WHERE c_custkey % 50 = 0),
+         m AS (
+           SELECT c_custkey, segment, snap_date,
+                  lag(segment) OVER w AS prev, row_number() OVER w AS rn
+           FROM snaps
+           WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_date)),
+         runs AS (
+           SELECT c_custkey, segment, snap_date AS effective_from
+           FROM m WHERE rn = 1 OR prev IS DISTINCT FROM segment),
+         fin AS (
+           SELECT c_custkey, segment, effective_from,
+                  lead(effective_from) OVER
+                    (PARTITION BY c_custkey ORDER BY effective_from) AS effective_to
+           FROM runs)
+         SELECT c_custkey, segment, effective_from, effective_to,
+                effective_to IS NULL AS is_current
+         FROM fin ORDER BY c_custkey, effective_from""") { (s, dir) =>
+      val cur = t(s, dir, "customer")
+      def snap(i: Int) = {
+        val base = if (i == 2) cur.filter(col("c_custkey") % 7 =!= 0) else cur
+        val rows = base.select(col("c_custkey"),
+          when(col("c_custkey") % (i + 2) === 0, lit("S" + i))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          lit(java.sql.Date.valueOf(s"1995-01-0${i + 1}")).as("snap_date"))
+        if (i == 3) rows.unionByName(
+          cur.filter(col("c_custkey") % 50 === 0).select(
+            (-col("c_custkey") - 1).as("c_custkey"), lit("NEW").as("segment"),
+            lit(java.sql.Date.valueOf("1995-01-04")).as("snap_date")))
+        else rows
+      }
+      val h0 = Scd.scd2FromSnapshots(snap(0),
+        keyCols = Seq("c_custkey"), timeCol = "snap_date",
+        tieCols = Nil, attrCols = Seq("segment"))
+      (1 to 3).foldLeft(h0) { (h, i) =>
+        Scd.scd2Apply(h, snap(i),
+          keyCols = Seq("c_custkey"), timeCol = "snap_date",
+          attrCols = Seq("segment"))
+      }.orderBy("c_custkey", "effective_from")
     }
   )
 }

@@ -225,6 +225,41 @@ object TextQueries {
         .orderBy("span_hash")
     },
 
+    // Substring-level dedup REMOVAL (the action behind q97's inventory):
+    // every token covered by a cross-doc duplicated 5-token window is
+    // excised except in the span's min-id document; output is the full
+    // rewritten corpus (surviving tokens space-joined), so the oracle
+    // hash-checks every byte of every surviving document.
+    "q100_dedup_spans_remove" -> q(
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            sp AS (SELECT doc_id, tk,
+                          unnest(generate_series(1, len(tk) - 4)) AS i
+                   FROM tk WHERE len(tk) >= 5),
+            sph AS (SELECT doc_id, i - 1 AS pos,
+                           md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS h
+                    FROM sp),
+            dup AS (SELECT h, min(doc_id) AS first_doc
+                    FROM sph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            bad AS (SELECT DISTINCT s.doc_id, s.pos
+                    FROM sph s JOIN dup d ON s.h = d.h AND s.doc_id <> d.first_doc),
+            tokv AS (SELECT doc_id, tk,
+                            unnest(generate_series(0, len(tk) - 1)) AS ti
+                     FROM tk),
+            keep AS (SELECT v.doc_id, v.ti, v.tk[v.ti + 1] AS tok
+                     FROM tokv v
+                     WHERE NOT EXISTS (SELECT 1 FROM bad b
+                                       WHERE b.doc_id = v.doc_id
+                                         AND b.pos <= v.ti AND v.ti < b.pos + 5))
+          SELECT tk.doc_id,
+                 coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text
+          FROM tk LEFT JOIN keep k ON tk.doc_id = k.doc_id
+          GROUP BY tk.doc_id
+          ORDER BY tk.doc_id""") { (s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        w = 5, minDocs = 2L)
+        .orderBy("doc_id")
+    },
+
     // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
     // spec asserts consistency vs exact Jaccard in the test suite.
     "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>

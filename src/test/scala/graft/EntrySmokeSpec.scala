@@ -8,6 +8,12 @@ class EntrySmokeSpec extends SparkSpec {
   test("every oracleSql key exists in queries (driver contract)") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    assert(qs.size == 97 && SparkEntry.oracleSql.size == 84)
+    // Expected sizes live in ONE place: the pin constants next to the
+    // registry in SparkEntry itself. Registering a query bumps the pin
+    // in the same file — this spec can never go stale on its own.
+    assert(qs.size == SparkEntry.RegisteredQueryCount,
+      s"registry has ${qs.size} queries; bump SparkEntry.RegisteredQueryCount")
+    assert(SparkEntry.oracleSql.size == SparkEntry.OracledQueryCount,
+      s"registry has ${SparkEntry.oracleSql.size} oracles; bump SparkEntry.OracledQueryCount")
   }
 }

@@ -214,4 +214,49 @@ class DedupSpec extends SparkSpec {
     val twice = Dedup.exactByFingerprint(once, "doc_id", "text")
     assert(once.count() == twice.count())
   }
+
+  test("removeDuplicateSpans excises all but the min-id occurrence") {
+    val span = "one two three four five"
+    val d = Seq(
+      (10L, s"prefix tokens here $span and a tail"),
+      (11L, s"$span with an entirely different continuation text"),
+      (12L, s"$span again $span"),
+      (14L, "nothing in common with anything else at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 5, minDocs = 2L)
+      .as[(Long, String)].collect().toMap
+    // keeper (min doc id) keeps its occurrence; singleton docs intact
+    assert(out(10L) == s"prefix tokens here $span and a tail")
+    assert(out(14L) == "nothing in common with anything else at all here")
+    // every non-keeper occurrence excised — including BOTH repeats in 12
+    assert(out(11L) == "with an entirely different continuation text")
+    assert(out(12L) == "again")
+    // second pass is a no-op once surviving text is span-unique
+    val once = out.toSeq.toDF("doc_id", "text")
+    val twice = Dedup.removeDuplicateSpans(once, "doc_id", "text", w = 5, minDocs = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(twice == out)
+  }
+
+  test("removeDuplicateSpans coverage is anti-monotone in window width") {
+    // every position excised at width w+1 is excised at width w (a dup
+    // (w+1)-window contains two dup w-windows covering the same
+    // positions) — so the w-survivors of each doc must be a sub-multiset
+    // of the (w+1)-survivors. Checked on the real documents corpus.
+    val docs001 = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Dedup.removeDuplicateSpans(docs001, "doc_id", "text", w = 5)
+      .withColumnRenamed("text", "t5")
+    val b = Dedup.removeDuplicateSpans(docs001, "doc_id", "text", w = 6)
+      .withColumnRenamed("text", "t6")
+    def multiset(s: String): Map[String, Int] =
+      s.split("\\s+").filter(_.nonEmpty).groupBy(identity).map { case (k, v) => k -> v.length }
+    a.join(b, "doc_id").select("doc_id", "t5", "t6")
+      .as[(Long, String, String)].collect().foreach { case (id, t5, t6) =>
+        val m5 = multiset(t5); val m6 = multiset(t6)
+        m5.foreach { case (tok, n) =>
+          assert(m6.getOrElse(tok, 0) >= n,
+            s"doc $id: token '$tok' survived w=5 but not w=6")
+        }
+      }
+  }
 }

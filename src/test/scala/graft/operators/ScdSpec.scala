@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD maintenance invariants. q98/q99/q101 oracle the customer/orders
+  * shapes; these specs pin the algebra on hand-built corners (null
+  * attributes, absent keys, re-applied snapshots) that the test tables
+  * don't plant.
+  */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  // three daily snapshots: key 1 changes on day 3; key 2 changes on day
+  // 2 then vanishes (absence leaves its run open); key 3 appears on day
+  // 2; key 4 tracks a NULL attribute (null->null is "unchanged" under
+  // <=>, null->value is a real change)
+  private def s1 = Seq(
+    (1L, Some("A"), d("2020-01-01")), (2L, Some("B"), d("2020-01-01")),
+    (4L, None: Option[String], d("2020-01-01"))).toDF("k", "attr", "ts")
+  private def s2 = Seq(
+    (1L, Some("A"), d("2020-01-02")), (2L, Some("C"), d("2020-01-02")),
+    (3L, Some("D"), d("2020-01-02")),
+    (4L, None: Option[String], d("2020-01-02"))).toDF("k", "attr", "ts")
+  private def s3 = Seq(
+    (1L, Some("E"), d("2020-01-03")), (3L, Some("D"), d("2020-01-03")),
+    (4L, Some("X"), d("2020-01-03"))).toDF("k", "attr", "ts")
+
+  private val keys = Seq("k")
+  private val attrs = Seq("attr")
+
+  private def rows(df: DataFrame) =
+    df.select("k", "attr", "effective_from", "effective_to", "is_current")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+        r.getBoolean(4))).toSet
+
+  private def applied: DataFrame = Seq(s2, s3).foldLeft(
+    Scd.scd2FromSnapshots(s1, keys, "ts", Nil, attrs)) { (h, s) =>
+    Scd.scd2Apply(h, s, keys, "ts", attrs)
+  }
+
+  test("iterated scd2Apply equals scd2FromSnapshots rebuild") {
+    val rebuild = Scd.scd2FromSnapshots(
+      s1.unionByName(s2).unionByName(s3), keys, "ts", Nil, attrs)
+    assert(rows(applied) == rows(rebuild))
+    // and the corners came out right
+    val a = rows(applied)
+    assert(a.contains((2L, Some("C"), "2020-01-02", None, true))) // absent key stays open
+    assert(a.contains((4L, None, "2020-01-01", Some("2020-01-03"), false))) // null->null no run, null->X closes
+    assert(a.contains((1L, Some("E"), "2020-01-03", None, true)))
+  }
+
+  test("re-applying the same snapshot is a no-op") {
+    val h = applied
+    assert(rows(Scd.scd2Apply(h, s3, keys, "ts", attrs)) == rows(h))
+  }
+
+  test("scd2Apply leaves closed runs untouched and appends new keys") {
+    val h = applied
+    val s4 = Seq((9L, Some("Z"), d("2020-01-04"))).toDF("k", "attr", "ts")
+    val out = rows(Scd.scd2Apply(h, s4, keys, "ts", attrs))
+    assert(out == rows(h) + ((9L, Some("Z"), "2020-01-04", None, true)))
+  }
+}
