@@ -104,12 +104,15 @@ object Scd {
     *
     * Plan shape: the closed partition of the history is a filter-scan
     * straight into the union — zero exchanges over the bulk of a
-    * multi-year history. The open×snapshot join keys on `keyCols`; with
-    * a daily-batch-sized snapshot AQE broadcasts it, so the open side
-    * is not shuffled either. The snapshot side of the join is consumed
-    * twice (close pass + append pass) — both consumers are
-    * deterministic projections of the same join, so the fork is safe
-    * without a persist. */
+    * multi-year history. Every join builds a SNAPSHOT-derived side, so
+    * the big open-runs side never shuffles: the close pass and the
+    * reopened runs both come from one open-LEFT-JOIN-snapshot
+    * (broadcast snapshot), and brand-new keys are found by anti-joining
+    * the snapshot against the MATCHED key set (itself at most
+    * snapshot-sized, so it broadcasts too) — never by building a hash
+    * table over the open side, which is what a naive
+    * full-outer/right-outer formulation degrades to (a sort-merge
+    * shuffle of the whole dimension, PlanSpec-pinned against). */
   def scd2Apply(history: DataFrame, snapshot: DataFrame,
                 keyCols: Seq[String], timeCol: String,
                 attrCols: Seq[String]): DataFrame = {
@@ -120,32 +123,40 @@ object Scd {
     val toType = history.schema("effective_to").dataType
     val closed = history.filter(!col("is_current")).select(outCols: _*)
     val open = history.filter(col("is_current"))
-      .withColumn("__in_open", lit(true))
     val snap = snapshot.select(
       keyCols.map(col) ++
         attrCols.map(a => col(a).as(s"__new_$a")) :+
         col(timeCol).as("__new_time"): _*)
       .withColumn("__in_snap", lit(true))
-    val j = open.join(snap, keyCols, "full_outer")
+    val j = open.join(broadcast(snap), keyCols, "left")
     val sameAttrs = attrCols.map(a => col(a) <=> col(s"__new_$a")).reduce(_ && _)
     val changed = col("__in_snap").isNotNull && !sameAttrs
     // every open run survives exactly once: as-is, or closed at the
     // snapshot time when its tracked attributes moved
-    val openOut = j.filter(col("__in_open").isNotNull).select(
+    val openOut = j.select(
       (keyCols ++ attrCols).map(col) ++ Seq(
         col("effective_from"),
         when(changed, col("__new_time"))
           .otherwise(col("effective_to")).as("effective_to"),
         (!changed).as("is_current")): _*)
-    // one new open run per snapshot row that is a new key or a new state
-    val opened = j.filter(
-      col("__in_snap").isNotNull && (col("__in_open").isNull || !sameAttrs))
+    // runs reopened in place: matched keys whose tracked state moved
+    val reopened = j.filter(changed).select(
+      keyCols.map(col) ++
+        attrCols.map(a => col(s"__new_$a").as(a)) ++ Seq(
+        col("__new_time").as("effective_from"),
+        lit(null).cast(toType).as("effective_to"),
+        lit(true).as("is_current")): _*)
+    // brand-new keys: snapshot minus the matched key set (≤ snapshot-
+    // sized by construction, so the anti join broadcasts it)
+    val matchedKeys = j.filter(col("__in_snap").isNotNull)
+      .select(keyCols.map(col): _*)
+    val newRuns = snap.join(broadcast(matchedKeys), keyCols, "left_anti")
       .select(
         keyCols.map(col) ++
           attrCols.map(a => col(s"__new_$a").as(a)) ++ Seq(
           col("__new_time").as("effective_from"),
           lit(null).cast(toType).as("effective_to"),
           lit(true).as("is_current")): _*)
-    closed.unionByName(openOut).unionByName(opened)
+    closed.unionByName(openOut).unionByName(reopened).unionByName(newRuns)
   }
 }

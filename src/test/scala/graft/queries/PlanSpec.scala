@@ -177,6 +177,26 @@ class PlanSpec extends SparkSpec {
       s"expected base64 over the frame slice:\n$p")
   }
 
+  test("q100: span removal joins broadcast; starts aggregate has map-side partials") {
+    val p = finalPlanOf("q100_dedup_spans_remove")
+    // the dup-span inventory and the per-doc starts both arrive at their
+    // joins as broadcasts — the token-array side is never shuffled
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "span joins must not sort-merge at this scale")
+    assert(!p.contains("CartesianProduct"), "span removal must never go all-pairs")
+    // collect_set of starts combines map-side before the per-doc shuffle
+    assert(p.contains("partial_collect_set"),
+      s"starts aggregate must have a partial phase:\n$p")
+  }
+
+  test("q101: scd2Apply broadcasts the snapshot side, never sort-merges") {
+    val p = finalPlanOf("q101_scd2_apply")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast apply join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "open-runs x snapshot must broadcast at daily-batch scale")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
