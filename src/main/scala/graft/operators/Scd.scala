@@ -112,10 +112,13 @@ object Scd {
     * snapshot-sized, so it broadcasts too) — never by building a hash
     * table over the open side, which is what a naive
     * full-outer/right-outer formulation degrades to (a sort-merge
-    * shuffle of the whole dimension, PlanSpec-pinned against). */
+    * shuffle of the whole dimension, PlanSpec-pinned against). Set
+    * `broadcastSnapshot = false` only when one batch is itself beyond
+    * broadcast scale — the joins then fall back to AQE's choice. */
   def scd2Apply(history: DataFrame, snapshot: DataFrame,
                 keyCols: Seq[String], timeCol: String,
-                attrCols: Seq[String]): DataFrame = {
+                attrCols: Seq[String],
+                broadcastSnapshot: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,
       "scd2Apply: key and attribute columns required")
     val outCols = (keyCols ++ attrCols ++
@@ -128,7 +131,8 @@ object Scd {
         attrCols.map(a => col(a).as(s"__new_$a")) :+
         col(timeCol).as("__new_time"): _*)
       .withColumn("__in_snap", lit(true))
-    val j = open.join(broadcast(snap), keyCols, "left")
+    def bc(df: DataFrame) = if (broadcastSnapshot) broadcast(df) else df
+    val j = open.join(bc(snap), keyCols, "left")
     val sameAttrs = attrCols.map(a => col(a) <=> col(s"__new_$a")).reduce(_ && _)
     val changed = col("__in_snap").isNotNull && !sameAttrs
     // every open run survives exactly once: as-is, or closed at the
@@ -150,7 +154,7 @@ object Scd {
     // sized by construction, so the anti join broadcasts it)
     val matchedKeys = j.filter(col("__in_snap").isNotNull)
       .select(keyCols.map(col): _*)
-    val newRuns = snap.join(broadcast(matchedKeys), keyCols, "left_anti")
+    val newRuns = snap.join(bc(matchedKeys), keyCols, "left_anti")
       .select(
         keyCols.map(col) ++
           attrCols.map(a => col(s"__new_$a").as(a)) ++ Seq(

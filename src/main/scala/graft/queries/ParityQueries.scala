@@ -330,13 +330,17 @@ object ParityQueries {
             lit(java.sql.Date.valueOf("1995-01-04")).as("snap_date")))
         else rows
       }
+      // each fold step persists its history — in production the history
+      // is a TABLE between daily applies; without the materialization
+      // every apply level re-derives the whole chain per consumer
+      // (3 consumers/level compound exponentially with depth)
       val h0 = Scd.scd2FromSnapshots(snap(0),
         keyCols = Seq("c_custkey"), timeCol = "snap_date",
-        tieCols = Nil, attrCols = Seq("segment"))
+        tieCols = Nil, attrCols = Seq("segment")).persist()
       (1 to 3).foldLeft(h0) { (h, i) =>
         Scd.scd2Apply(h, snap(i),
           keyCols = Seq("c_custkey"), timeCol = "snap_date",
-          attrCols = Seq("segment"))
+          attrCols = Seq("segment")).persist()
       }.orderBy("c_custkey", "effective_from")
     }
   )
