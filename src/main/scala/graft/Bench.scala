@@ -48,7 +48,11 @@ object Bench {
       name -> (if (errs.nonEmpty) Left(errs.head)
         else {
           val sorted = timings.collect { case Right(s) => s }.sorted
-          Right(sorted(sorted.length / 2))
+          // (median, max/min trial spread) — the spread is the noise
+          // indicator: a 3-5× ratio means the box was busy and the
+          // medians deserve a quiet-window re-run before being read as
+          // regressions (it manufactured four phantom ones in round 4)
+          Right((sorted(sorted.length / 2), sorted.last / sorted.head.max(1e-9)))
         })
     }
     def jstr(s: String): String =
@@ -65,15 +69,17 @@ object Bench {
     // per-query dict comes FIRST, sorted ascending by median so the
     // heaviest queries sit nearest the end, and the headline
     // total/n_errors/sf fields come LAST where truncation cannot reach.
-    val qs = results.collect { case (k, Right(sec)) => (k, sec) }
-      .toSeq.sortBy(_._2)
-      .map { case (k, sec) => s"${jstr(k)}:${ms3(sec)}" }
+    val ok = results.collect { case (k, Right((sec, spread))) => (k, sec, spread) }.toSeq
+    val qs = ok.sortBy(_._2)
+      .map { case (k, sec, _) => s"${jstr(k)}:${ms3(sec)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case Right(sec) => sec }.sum
+    val total = ok.map(_._2).sum
     val nErr = results.values.count(_.isLeft)
-    println(s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${ms3(total)},"unit":"sec","n_errors":$nErr,"sf":"$sfDir"}""")
+    val (noisyQ, _, noisySpread) =
+      if (ok.nonEmpty) ok.maxBy(_._3) else ("", 0.0, 1.0)
+    println(s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${ms3(total)},"unit":"sec","max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
