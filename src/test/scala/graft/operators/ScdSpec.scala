@@ -59,6 +59,14 @@ class ScdSpec extends SparkSpec {
     assert(rows(Scd.scd2Apply(h, s3, keys, "ts", attrs)) == rows(h))
   }
 
+  test("scd2Apply with broadcastSnapshot=false matches the hinted plan") {
+    val h = Scd.scd2FromSnapshots(s1, keys, "ts", Nil, attrs)
+    val hinted = Scd.scd2Apply(h, s2, keys, "ts", attrs)
+    val unhinted = Scd.scd2Apply(h, s2, keys, "ts", attrs,
+      broadcastSnapshot = false)
+    assert(rows(hinted) == rows(unhinted))
+  }
+
   test("scd2Apply leaves closed runs untouched and appends new keys") {
     val h = applied
     val s4 = Seq((9L, Some("Z"), d("2020-01-04"))).toDF("k", "attr", "ts")
