@@ -109,21 +109,20 @@ object Similarity {
     * The partition-pruning shape of IVF: cell assignment is a broadcast
     * join against nCells centroids and the probe reads ~nProbe/nCells of
     * the corpus. */
-  def topKIvf(corpus: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = withQv(corpus, idCol, vecCol)
-    // Deterministic coarse centroids with NO driver-side action: one
-    // representative per id-hash bucket (the min-hash member), produced
-    // by a lazy nCells-row aggregate inside the query job itself — a
-    // deterministic stand-in for k-means on synthetic data. The previous
-    // formulation ran a full corpus count() just to pick a stride.
+  /** Deterministic IVF coarse structure shared by [[topKIvf]] and
+    * [[semanticDedupVerdicts]]: nCells centroids (one min-by
+    * representative per id-hash bucket, produced by a lazy nCells-row
+    * aggregate inside the query job — NO driver-side action; a
+    * deterministic stand-in for k-means on synthetic data) and each
+    * vector's nearest-centroid cell (broadcast crossJoin against the
+    * nCells rows + one max_by aggregate; |a| is constant per vector, so
+    * argmax of dot/|c| == argmax cosine). */
+  private def ivfAssignment(c: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
     val centroids = c
       .withColumn("cell", pmod(xxhash64(col("id")), lit(nCells.toLong)))
       .groupBy("cell")
       .agg(min_by(struct(col("qv"), col("qnorm")), xxhash64(lit(42), col("id"))).as("r"))
       .select(col("cell"), col("r.qv").as("cv"), col("r.qnorm").as("cnorm"))
-    // assign: nearest centroid per corpus vector (broadcast nCells rows);
-    // |a| is constant per vector, so argmax of dot/|c| == argmax cosine
     val assigned = c.crossJoin(broadcast(centroids))
       .groupBy(col("id"))
       .agg(
@@ -131,6 +130,13 @@ object Similarity {
           struct((qdot(col("qv"), col("cv")).cast("double") / col("cnorm")).as("s"),
             (-col("cell")).as("tb"))).as("cell"),
         first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
+    (centroids, assigned)
+  }
+
+  def topKIvf(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = withQv(corpus, idCol, vecCol)
+    val (centroids, assigned) = ivfAssignment(c, nCells)
     // probe: nProbe nearest cells to the query
     val qv = withQv(query, idCol, vecCol, "qid")
       .select(col("qv").as("q_qv"), col("qnorm").as("q_norm"))
@@ -542,5 +548,39 @@ object Similarity {
         (qdot(col("qv_a"), col("qv_b")).cast("double")
           / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): embeddings are bucketed into
+    * coarse IVF cells, cosine near-dup pairs are enumerated WITHIN each
+    * cell only, and pair components reduce to keep-min-id verdicts —
+    * the embedding analog of [[Dedup.dedupVerdicts]] over
+    * [[cosineNearDupPairs]], trading LSH banding for cluster locality
+    * (the published SemDeDup shape; a near-dup pair straddling a cell
+    * boundary is missed, exactly as an LSH pair missing every band is).
+    *
+    * Scale shape: cell assignment is the [[topKIvf]] structure (one
+    * broadcast crossJoin against nCells centroid rows + one max_by
+    * aggregate); the pair join is cell-local (shuffled-hash on cell,
+    * id<id — both sides identical, a sort buys nothing) over quantized
+    * vectors, so the pairwise work is bounded by Σ cell² ≈ n²/nCells,
+    * tuned by nCells, never corpus × corpus; components/verdicts reuse
+    * the shared min-label contraction. Returns (id, component,
+    * is_survivor) for EVERY input id, singletons included. */
+  def semanticDedupVerdicts(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nCells: Int = 16): DataFrame = {
+    val c = withQv(corpus, idCol, vecCol)
+    val (_, assigned) = ivfAssignment(c, nCells)
+    val x = assigned.select(col("id"), col("cell"), col("qv"), col("qnorm"))
+    val pairs = x.as("x")
+      .join(x.as("y").hint("shuffle_hash"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (qdot(col("x.qv"), col("y.qv")).cast("double")
+          / (col("x.qnorm") * col("y.qnorm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    Dedup.dedupVerdicts(corpus, idCol, pairs)
   }
 }

@@ -102,6 +102,18 @@ object EmbeddingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup (Abbas et al. 2023): IVF-cell-bucketed embedding
+    // near-dedup reduced to keep-min-id verdicts — the semantic rung of
+    // the dedup ladder. Cell assignment is engine-hashed -> rows-only;
+    // SimilaritySpec pins twin recall and precision vs the brute-force
+    // pair set.
+    "q102_semantic_dedup" -> qNoOracle { (s, dir) =>
+      Similarity.semanticDedupVerdicts(
+        withTwins(t(s, dir, "embeddings")), "vec_id", "embedding",
+        threshold = 0.95, nCells = 16)
+        .orderBy("id")
+    },
+
     // Brute-force variant of the near-dup operator over a bounded slice:
     // exact all-pairs cosine, fully oracle-checkable (the exactness
     // baseline the LSH path is measured against).

@@ -233,6 +233,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupVerdicts: full verdict coverage, precision 1.0, twin recall >= 0.9") {
+    // plant a twin for every base vector (same construction as q40/q63:
+    // first coordinate scaled 1.5x -> cosine ~0.997 to its base)
+    val base = embeddings.limit(300).select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val corpus = base.unionAll(base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        when(i === 0, x * 1.5d).otherwise(x)).as("embedding")))
+    val v = Similarity.semanticDedupVerdicts(corpus, "vec_id", "embedding",
+      threshold = 0.95, nCells = 8)
+      .select("id", "is_survivor").as[(Long, Boolean)].collect()
+    // every input id gets exactly one verdict, singletons included
+    assert(v.length == corpus.count())
+    // precision: every removed id is a true near-dup of SOMETHING
+    // (components only ever merge actual >= threshold pairs, so a
+    // non-survivor must appear in the brute-force pair set)
+    val brutePairs = Similarity.nearDupPairsBruteForce(
+      corpus, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val trueDupIds = brutePairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val removed = v.collect { case (id, false) => id }.toSet
+    assert(removed.subsetOf(trueDupIds), "precision must be 1.0")
+    // recall on the planted twins: a twin dedups iff it lands in its
+    // base's cell — near-identical vectors share an argmax centroid
+    // unless they straddle a boundary, so the vast majority merge
+    val baseIds = base.select("vec_id").as[Long].collect()
+    val twinRecall = baseIds.count(b => removed.contains(b + 1000000L)).toDouble / baseIds.length
+    assert(twinRecall >= 0.9, s"twin recall $twinRecall")
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")
