@@ -637,12 +637,15 @@ object Dedup {
       .filter(col("id") =!= col("first_doc"))
       .groupBy("id")
       .agg(collect_set(col("pos")).as("starts"))
+    // coalesce: a null-text document surfaces as "" (its surviving token
+    // stream is empty), matching the oracle's string_agg coalesce
     tk.join(badStarts, Seq("id"), "left")
       .select(col("id").as(idCol),
-        when(col("starts").isNull, array_join(col("tk"), " "))
-          .otherwise(array_join(
-            filter(col("tk"), (_, i) =>
-              !exists(col("starts"), s => s <= i && i < s + w)), " "))
-          .as(textCol))
+        coalesce(
+          when(col("starts").isNull, array_join(col("tk"), " "))
+            .otherwise(array_join(
+              filter(col("tk"), (_, i) =>
+                !exists(col("starts"), s => s <= i && i < s + w)), " ")),
+          lit("")).as(textCol))
   }
 }

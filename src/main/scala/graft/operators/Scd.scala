@@ -97,7 +97,9 @@ object Scd {
     * snapshot is a no-op.
     *
     * `history` must have the [[scd2FromSnapshots]] output schema
-    * (keyCols ++ attrCols ++ effective_from/effective_to/is_current);
+    * (keyCols ++ attrCols ++ carryCols ++
+    * effective_from/effective_to/is_current — pass the SAME `carryCols`
+    * the history was built with, or the select fails loudly);
     * `snapshot` carries keyCols ++ attrCols ++ `timeCol`, at most one
     * row per key, observed no earlier than every open run's
     * `effective_from`.
@@ -118,17 +120,20 @@ object Scd {
   def scd2Apply(history: DataFrame, snapshot: DataFrame,
                 keyCols: Seq[String], timeCol: String,
                 attrCols: Seq[String],
-                broadcastSnapshot: Boolean = true): DataFrame = {
+                broadcastSnapshot: Boolean = true,
+                carryCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,
       "scd2Apply: key and attribute columns required")
-    val outCols = (keyCols ++ attrCols ++
+    // carryCols mirror scd2FromSnapshots: run-start-row columns carried
+    // through history; new/reopened runs take theirs from the snapshot
+    val outCols = (keyCols ++ attrCols ++ carryCols ++
       Seq("effective_from", "effective_to", "is_current")).map(col)
     val toType = history.schema("effective_to").dataType
     val closed = history.filter(!col("is_current")).select(outCols: _*)
     val open = history.filter(col("is_current"))
     val snap = snapshot.select(
       keyCols.map(col) ++
-        attrCols.map(a => col(a).as(s"__new_$a")) :+
+        (attrCols ++ carryCols).map(a => col(a).as(s"__new_$a")) :+
         col(timeCol).as("__new_time"): _*)
       .withColumn("__in_snap", lit(true))
     def bc(df: DataFrame) = if (broadcastSnapshot) broadcast(df) else df
@@ -138,7 +143,7 @@ object Scd {
     // every open run survives exactly once: as-is, or closed at the
     // snapshot time when its tracked attributes moved
     val openOut = j.select(
-      (keyCols ++ attrCols).map(col) ++ Seq(
+      (keyCols ++ attrCols ++ carryCols).map(col) ++ Seq(
         col("effective_from"),
         when(changed, col("__new_time"))
           .otherwise(col("effective_to")).as("effective_to"),
@@ -146,7 +151,7 @@ object Scd {
     // runs reopened in place: matched keys whose tracked state moved
     val reopened = j.filter(changed).select(
       keyCols.map(col) ++
-        attrCols.map(a => col(s"__new_$a").as(a)) ++ Seq(
+        (attrCols ++ carryCols).map(a => col(s"__new_$a").as(a)) ++ Seq(
         col("__new_time").as("effective_from"),
         lit(null).cast(toType).as("effective_to"),
         lit(true).as("is_current")): _*)
@@ -157,7 +162,7 @@ object Scd {
     val newRuns = snap.join(bc(matchedKeys), keyCols, "left_anti")
       .select(
         keyCols.map(col) ++
-          attrCols.map(a => col(s"__new_$a").as(a)) ++ Seq(
+          (attrCols ++ carryCols).map(a => col(s"__new_$a").as(a)) ++ Seq(
           col("__new_time").as("effective_from"),
           lit(null).cast(toType).as("effective_to"),
           lit(true).as("is_current")): _*)

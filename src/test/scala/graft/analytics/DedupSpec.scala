@@ -238,6 +238,17 @@ class DedupSpec extends SparkSpec {
     assert(twice == out)
   }
 
+  test("removeDuplicateSpans surfaces a null-text document as empty string") {
+    // the q100 oracle coalesces missing docs to '' — the Spark side must
+    // agree on null text rather than propagating NULL
+    val d = Seq((1L, Option("alpha beta gamma delta epsilon zeta")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out(2L) == "")
+    assert(out(1L) == "alpha beta gamma delta epsilon zeta")
+  }
+
   test("removeDuplicateSpans coverage is anti-monotone in window width") {
     // every position excised at width w+1 is excised at width w (a dup
     // (w+1)-window contains two dup w-windows covering the same

@@ -236,7 +236,7 @@ class SimilaritySpec extends SparkSpec {
   test("semanticDedupVerdicts: full verdict coverage, precision 1.0, twin recall >= 0.9") {
     // plant a twin for every base vector (same construction as q40/q63:
     // first coordinate scaled 1.5x -> cosine ~0.997 to its base)
-    val base = embeddings.limit(300).select($"vec_id",
+    val base = embeddings.filter($"vec_id" < 300).select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("embedding"))
     val corpus = base.unionAll(base.select(($"vec_id" + 1000000L).as("vec_id"),
       transform($"embedding", (x, i) =>

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** SCD maintenance invariants. q98/q99/q101 oracle the customer/orders
   * shapes; these specs pin the algebra on hand-built corners (null
-  * attributes, absent keys, re-applied snapshots) that the test tables
-  * don't plant.
+  * attributes, absent keys, re-applied snapshots, carried columns) that
+  * the test tables don't plant.
   */
 class ScdSpec extends SparkSpec {
   import spark.implicits._
@@ -32,11 +32,13 @@ class ScdSpec extends SparkSpec {
   private val keys = Seq("k")
   private val attrs = Seq("attr")
 
-  private def rows(df: DataFrame) =
+  // sorted MULTISET of rows — a Set would collapse duplicate identical
+  // rows and let a double-emitting union bug pass the invariants
+  private def rows(df: DataFrame): Seq[(Long, Option[String], String, Option[String], Boolean)] =
     df.select("k", "attr", "effective_from", "effective_to", "is_current")
       .collect().map(r => (r.getLong(0), Option(r.getString(1)),
         r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
-        r.getBoolean(4))).toSet
+        r.getBoolean(4))).toSeq.sorted
 
   private def applied: DataFrame = Seq(s2, s3).foldLeft(
     Scd.scd2FromSnapshots(s1, keys, "ts", Nil, attrs)) { (h, s) =>
@@ -48,7 +50,7 @@ class ScdSpec extends SparkSpec {
       s1.unionByName(s2).unionByName(s3), keys, "ts", Nil, attrs)
     assert(rows(applied) == rows(rebuild))
     // and the corners came out right
-    val a = rows(applied)
+    val a = rows(applied).toSet
     assert(a.contains((2L, Some("C"), "2020-01-02", None, true))) // absent key stays open
     assert(a.contains((4L, None, "2020-01-01", Some("2020-01-03"), false))) // null->null no run, null->X closes
     assert(a.contains((1L, Some("E"), "2020-01-03", None, true)))
@@ -71,6 +73,36 @@ class ScdSpec extends SparkSpec {
     val h = applied
     val s4 = Seq((9L, Some("Z"), d("2020-01-04"))).toDF("k", "attr", "ts")
     val out = rows(Scd.scd2Apply(h, s4, keys, "ts", attrs))
-    assert(out == rows(h) + ((9L, Some("Z"), "2020-01-04", None, true)))
+    assert(out == (rows(h) :+ ((9L, Some("Z"), "2020-01-04", None, true))).sorted)
+  }
+
+  test("carryCols compose: apply propagates carried run-start columns") {
+    // carry a per-observation source tag: history rows keep the tag of
+    // their run-START observation; new/reopened runs take the snapshot's
+    def tag(s: DataFrame, t: String) = s.withColumn("src", lit(t))
+    val carried = Seq(tag(s2, "b2"), tag(s3, "b3")).foldLeft(
+      Scd.scd2FromSnapshots(tag(s1, "b1"), keys, "ts", Nil, attrs,
+        carryCols = Seq("src"))) { (h, s) =>
+      Scd.scd2Apply(h, s, keys, "ts", attrs, carryCols = Seq("src"))
+    }
+    assert(carried.columns.contains("src"))
+    val bySig = carried
+      .select("k", "attr", "effective_from", "src")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString) -> r.getString(3)).toMap
+    // each run carries the batch tag of the snapshot that STARTED it
+    assert(bySig((1L, Some("A"), "2020-01-01")) == "b1")
+    assert(bySig((2L, Some("C"), "2020-01-02")) == "b2") // reopened by s2
+    assert(bySig((3L, Some("D"), "2020-01-02")) == "b2") // new key in s2
+    assert(bySig((1L, Some("E"), "2020-01-03")) == "b3")
+    assert(bySig((4L, Some("X"), "2020-01-03")) == "b3")
+    // and it equals the rebuild with the same carry
+    val rebuild = Scd.scd2FromSnapshots(
+      tag(s1, "b1").unionByName(tag(s2, "b2")).unionByName(tag(s3, "b3")),
+      keys, "ts", Nil, attrs, carryCols = Seq("src"))
+    def withSrc(df: DataFrame) = df
+      .select("k", "attr", "src", "effective_from", "effective_to", "is_current")
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+    assert(withSrc(carried) == withSrc(rebuild))
   }
 }
