@@ -583,4 +583,42 @@ object Similarity {
       .select("id_a", "id_b")
     Dedup.dedupVerdicts(corpus, idCol, pairs)
   }
+
+  /** Incremental (daily-ingest) semantic near-dup: every (new, corpus)
+    * embedding pair with cosine >= threshold — the embedding analog of
+    * [[Dedup.crossCorpusNearDupPairs]], and the batch step of an
+    * incremental SemDeDup: only NEW×corpus pairs are ever enumerated,
+    * never corpus×corpus (which [[semanticDedupVerdicts]] already
+    * covers as the backfill).
+    *
+    * Cells derive from the CORPUS side only, so a vector's cell is
+    * stable as batches arrive; both sides assign against the same
+    * broadcast centroids and meet in a cell-local join whose pairwise
+    * work is |new|·|corpus|/nCells expected — with a daily-batch-sized
+    * `newDf` the join input is batch-bounded per cell. A pair whose two
+    * sides straddle a cell boundary is missed, exactly as in
+    * [[semanticDedupVerdicts]].
+    *
+    * Returns (id_new, id_corpus, cosine). */
+  def crossCorpusEmbeddingNearDup(newDf: DataFrame, corpusDf: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double, nCells: Int = 16): DataFrame = {
+    val c = withQv(corpusDf, idCol, vecCol)
+    val (centroids, assignedCorpus) = ivfAssignment(c, nCells)
+    val n = withQv(newDf, idCol, vecCol)
+    val assignedNew = n.crossJoin(broadcast(centroids))
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cell"),
+          struct((qdot(col("qv"), col("cv")).cast("double") / col("cnorm")).as("s"),
+            (-col("cell")).as("tb"))).as("cell"),
+        first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"))
+    assignedNew.as("x")
+      .join(assignedCorpus.as("y").hint("shuffle_hash"),
+        col("x.cell") === col("y.cell"))
+      .select(col("x.id").as("id_new"), col("y.id").as("id_corpus"),
+        (qdot(col("x.qv"), col("y.qv")).cast("double")
+          / (col("x.qnorm") * col("y.qnorm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -114,6 +114,19 @@ object EmbeddingQueries {
         .orderBy("id")
     },
 
+    // Incremental semantic near-dup (daily-ingest SemDeDup): the twinned
+    // slice plays the new batch, the untouched remainder the corpus —
+    // only new×corpus pairs enumerated, mirroring q76 at the embedding
+    // level. Engine-hashed cells -> rows-only; spec pins precision and
+    // twin recall vs the brute-force cross join.
+    "q103_semantic_dedup_incremental" -> qNoOracle { (s, dir) =>
+      val e = withTwins(t(s, dir, "embeddings"))
+      Similarity.crossCorpusEmbeddingNearDup(
+        e.filter(col("vec_id") >= 1000000L), e.filter(col("vec_id") < 1000000L),
+        "vec_id", "embedding", threshold = 0.95, nCells = 16)
+        .orderBy("id_new", "id_corpus")
+    },
+
     // Brute-force variant of the near-dup operator over a bounded slice:
     // exact all-pairs cosine, fully oracle-checkable (the exactness
     // baseline the LSH path is measured against).

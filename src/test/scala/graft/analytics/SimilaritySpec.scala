@@ -263,6 +263,33 @@ class SimilaritySpec extends SparkSpec {
     assert(twinRecall >= 0.9, s"twin recall $twinRecall")
   }
 
+  test("crossCorpusEmbeddingNearDup: precision 1.0, twin recall >= 0.9, batch-only pairs") {
+    val base = embeddings.filter($"vec_id" < 300).select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val batch = base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        when(i === 0, x * 1.5d).otherwise(x)).as("embedding"))
+    val got = Similarity.crossCorpusEmbeddingNearDup(batch, base,
+      "vec_id", "embedding", threshold = 0.95, nCells = 8)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    // every pair is new x corpus, never corpus x corpus
+    assert(got.forall { case (n, c) => n >= 1000000L && c < 1000000L })
+    // precision: subset of the exact cross-join pair set
+    val brute = batch.as("x").crossJoin(base.as("y"))
+      .select(col("x.vec_id").as("id_new"), col("y.vec_id").as("id_corpus"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .withColumn("cos",
+        aggregate(zip_with($"ea", $"eb", (a, b) => a * b), lit(0.0d), (s, x) => s + x) /
+          (sqrt(aggregate($"ea", lit(0.0d), (s, x) => s + x * x)) *
+            sqrt(aggregate($"eb", lit(0.0d), (s, x) => s + x * x))))
+      .filter($"cos" >= 0.95 - 1e-4) // quantization slack at the boundary
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), "precision must be 1.0 up to quantization slack")
+    // recall: each twin finds its base unless they straddle a cell
+    val twinHits = got.count { case (n, c) => n == c + 1000000L }
+    assert(twinHits.toDouble / 300 >= 0.9, s"twin recall $twinHits/300")
+  }
+
   test("quantized cosine equals double-precision cosine within 1e-5") {
     val v = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.2f, 0.1f, 0.3f)))
       .toDF("id", "vec")
