@@ -197,6 +197,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q102/q103: cell joins are shuffled-hash, never a corpus cartesian") {
+    // the only nested-loop allowed is the broadcast against the nCells
+    // centroid rows; a CartesianProduct would mean the cell-local pair
+    // join degenerated to corpus x corpus. q102's component contraction
+    // runs eagerly inside operator construction, so only the verdict
+    // join remains in its final plan — the cell join is pinned via q103,
+    // whose plan is fully lazy.
+    for (name <- Seq("q102_semantic_dedup", "q103_semantic_dedup_incremental")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name must stay cell-local:\n$p")
+    }
+    assert(planOf("q103_semantic_dedup_incremental").contains("ShuffledHashJoin"),
+      "q103 expected shuffled-hash cell join")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
