@@ -122,6 +122,55 @@ object TextAnalysis {
   def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol) +: gopherCols(col(textCol)): _*)
 
+  /** Gopher repetition signals (Rae et al. 2021 appendix A1.1, public
+    * arXiv:2112.11446) — the repeated-n-gram gates [[gopherCols]] lacks:
+    * per document, the most frequent word BIGRAM (tie-break: max count,
+    * then lexicographically smallest — total, so the result is
+    * engine-independent and fully oracle-able), the fraction of
+    * characters it covers (count × gram length / text length; overlaps
+    * can push the signal past 1 on degenerate docs — it is a gate
+    * feature, not a probability), and the fraction of 5-gram
+    * OCCURRENCES that are duplicates (1 − distinct/total).
+    *
+    * Scale shape: a pure per-row projection, zero shuffles — the mode is
+    * computed as the longest RUN in the SORTED gram array via one
+    * `aggregate()` lambda per row (ascending scan + strictly-greater
+    * update keeps the lexicographically-smallest max-count gram), where
+    * the relational formulation (explode → count → window) would shuffle
+    * corpus-volume gram rows twice. The oracle uses the relational form;
+    * green means the two agree on every doc. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def grams(n: Int): Column = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val g2 = grams(2)
+    val g5 = grams(5)
+    val mode = aggregate(array_sort(g2),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bestg")),
+      (s, x) => {
+        val run2 = when(x === s.getField("prev"), s.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          when(run2 > s.getField("best"), run2)
+            .otherwise(s.getField("best")).as("best"),
+          when(run2 > s.getField("best"), x)
+            .otherwise(s.getField("bestg")).as("bestg"))
+      })
+    df.select(col(idCol),
+      when(size(g2) === 0, lit("")).otherwise(mode.getField("bestg"))
+        .as("top_bigram"),
+      when(size(g2) === 0, lit(0.0))
+        .otherwise(mode.getField("best") * length(mode.getField("bestg"))
+          / length(col(textCol)))
+        .as("top_bigram_char_fraction"),
+      when(size(g5) === 0, lit(0.0))
+        .otherwise((size(g5) - size(array_distinct(g5))).cast("double") / size(g5))
+        .as("dup_5gram_fraction"))
+  }
+
   /** Within-document repeated-line removal (the CCNet-style repetition
     * filter): keep each line's FIRST occurrence, preserving order, and
     * report how many were dropped. One hash-set pass per row via the

@@ -260,6 +260,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher repeated-n-gram gates: most-frequent-bigram char fraction
+    // (tie-break pinned: count desc, gram asc) + duplicate-5-gram
+    // occurrence fraction. The engine computes the mode as a zero-
+    // shuffle sorted-run scan per row; the oracle recomputes it
+    // relationally (explode -> count -> window) — green means both
+    // agree on every doc, including the tie-break and the guards.
+    "q104_repetition_stats" -> q(
+      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+            g AS (SELECT doc_id, text,
+                    CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1),
+                      i -> array_to_string(list_slice(tk, i, i + 1), ' ')) ELSE [] END AS g2,
+                    CASE WHEN len(tk) >= 5 THEN list_transform(generate_series(1, len(tk) - 4),
+                      i -> array_to_string(list_slice(tk, i, i + 4), ' ')) ELSE [] END AS g5
+                  FROM tk),
+            ex AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+            cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+            top AS (SELECT doc_id, gram, c FROM (
+                      SELECT doc_id, gram, c,
+                             row_number() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, gram ASC) AS rn
+                      FROM cnt) WHERE rn = 1)
+          SELECT g.doc_id,
+                 coalesce(top.gram, '') AS top_bigram,
+                 CASE WHEN len(g.g2) = 0 THEN 0.0
+                      ELSE top.c * length(top.gram) / length(g.text)
+                 END AS top_bigram_char_fraction,
+                 CASE WHEN len(g.g5) = 0 THEN 0.0
+                      ELSE CAST(len(g.g5) - len(list_distinct(g.g5)) AS DOUBLE) / len(g.g5)
+                 END AS dup_5gram_fraction
+          FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+          ORDER BY g.doc_id""") { (s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
     // spec asserts consistency vs exact Jaccard in the test suite.
     "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>

@@ -88,6 +88,28 @@ class TextQualitySpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
   }
 
+  test("repetitionStats: planted repetition found, tie-break and short-doc guards hold") {
+    val docs = Seq(
+      // "b b" occurs 3x (runs of b), top bigram by count
+      (1L, "a b b b b c"),
+      // all bigrams occur once -> tie broken to lexicographically first ("a b")
+      (2L, "a b c d e"),
+      // 8 tokens of one word: every 5-gram identical -> dup fraction (4-1)/4
+      (3L, "x x x x x x x x"),
+      (4L, "too short"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == "b b")
+    assert(out(1L)._2 == 3.0 * 3 / "a b b b b c".length)
+    assert(out(2L)._1 == "a b" && out(2L)._2 == 1.0 * 3 / "a b c d e".length)
+    assert(out(3L)._1 == "x x" && out(3L)._3 == 3.0 / 4)
+    assert(out(4L) == (("too short", 9.0 / 9, 0.0))) // one bigram, no 5-grams
+    assert(out(5L)._1 == "" && out(5L)._2 == 0.0 && out(5L)._3 == 0.0)
+  }
+
   test("scrubPii: emails and phones replaced with typed placeholders, counted") {
     val docs = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org or 555-123-4567 thanks"),
