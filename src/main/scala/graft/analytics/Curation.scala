@@ -325,4 +325,33 @@ object Curation {
       .withColumn("bin", expr(s"__prefix DIV ${budget}L"))
       .drop("__prefix")
   }
+
+  /** Deterministic token-budget sampling — the mixing step "take N
+    * tokens of this source": documents are ordered by a salted md5 key
+    * (a uniform, reproducible shuffle — never the natural order, whose
+    * head would be whatever the upstream happened to write first) and
+    * the longest prefix fitting the budget is kept: a document survives
+    * iff its exclusive prefix sum plus its own tokens is <= `budget`.
+    * Greedy prefix, not knapsack — the budget shortfall is at most one
+    * document. Raising the budget only ever ADDS documents (the key
+    * order is budget-independent), so mixture ratios can be retuned
+    * without resampling what was already taken (specced).
+    *
+    * Scale shape: one projection for (key, n_tokens), then the
+    * distributed two-pass prefix scan of [[exclusivePrefixSum]] — never
+    * a global single-partition window — and a per-row filter. The md5
+    * keys must be unique (a collision would make the prefix order
+    * engine-dependent); distinct ids guarantee that up to md5 collision
+    * odds. Returns the surviving rows plus (n_tokens, prefix_tokens). */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                          budget: Long, salt: String = "v1"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val keyed = df
+      .withColumn("__key",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    exclusivePrefixSum(keyed, "__key", "n_tokens", "prefix_tokens")
+      .filter(col("prefix_tokens") + col("n_tokens") <= budget)
+      .drop("__key")
+  }
 }

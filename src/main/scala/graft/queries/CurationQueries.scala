@@ -254,6 +254,30 @@ object CurationQueries {
         k = 20, salt = "s1")
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
+    },
+
+    // Token-budget sampling (the mixing step "take N tokens of this
+    // source"): keep the longest md5-ordered prefix fitting 20k tokens.
+    // The oracle recomputes the prefix with a global window; the engine
+    // uses the distributed two-pass scan — green means they agree on
+    // every kept row AND its running total.
+    "q105_token_budget_sample" -> q(
+      s"""WITH k AS (SELECT doc_id,
+                  md5('v1:' || CAST(doc_id AS VARCHAR)) AS key,
+                  CAST(len($toksSql) AS BIGINT) AS n_tokens
+           FROM documents),
+          p AS (SELECT doc_id, n_tokens,
+                  coalesce(SUM(n_tokens) OVER (ORDER BY key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS prefix_tokens
+                FROM k)
+          SELECT doc_id, n_tokens, prefix_tokens FROM p
+          WHERE prefix_tokens + n_tokens <= 20000
+          ORDER BY doc_id""") { (s, dir) =>
+      Curation.sampleToTokenBudget(t(s, dir, "documents"), "doc_id", "text",
+        budget = 20000L, salt = "v1")
+        .select("doc_id", "n_tokens", "prefix_tokens")
+        .orderBy("doc_id")
     }
   )
 }

@@ -213,4 +213,26 @@ class CurationSpec extends SparkSpec {
     // prefixes: 0, 1000, 2000, 2100, 4100 -> bins 0,0,0,1,2
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
+
+  test("sampleToTokenBudget: within budget, monotone in budget, exact edges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def kept(budget: Long) = Curation.sampleToTokenBudget(
+      docs, "doc_id", "text", budget)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val total = kept(Long.MaxValue)
+    val small = kept(5000L)
+    val large = kept(20000L)
+    // the sample never exceeds the budget and is nonempty when it can be
+    assert(small.values.sum <= 5000L && small.nonEmpty)
+    assert(large.values.sum <= 20000L)
+    // raising the budget only ever adds documents
+    assert(small.keySet.subsetOf(large.keySet))
+    assert(large.keySet.subsetOf(total.keySet))
+    // greedy prefix: shortfall is bounded by one more md5-ordered doc,
+    // i.e. the sample isn't pathologically under-filled
+    assert(small.values.sum > 5000L - total.values.max)
+    // edges: zero budget keeps nothing, full budget keeps everything
+    assert(kept(0L).isEmpty)
+    assert(total.size == docs.count())
+  }
 }
