@@ -50,15 +50,23 @@ case class ArrayDotLong(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: two instances of this expression in
+      // ONE generated method (e.g. several dot products in a single
+      // projection over non-nullable inputs) would otherwise declare
+      // duplicate variables — janino fails and the whole stage silently
+      // falls back to interpreted, defeating the expression's purpose
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n$$ = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long s$$ = 0L;
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  if (!$a.isNullAt(i$$) && !$b.isNullAt(i$$)) {
-         |    s$$ += $a.getLong(i$$) * $b.getLong(i$$);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
          |  }
          |}
-         |${ev.value} = s$$;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -41,13 +41,19 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName, not fixed locals — see ArrayDotLong.doGenCode: fixed
+      // names collide when two instances land in one generated method
+      // and the whole stage silently drops to interpreted
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
       s"""
-         |byte[] b$$ = $c.getBytes();
-         |long h$$ = 0xcbf29ce484222325L;
-         |for (int i$$ = 0; i$$ < b$$.length; i$$++) {
-         |  h$$ = (h$$ * 0x100000001b3L) ^ (b$$[i$$] & 0xffL);
+         |byte[] $b = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = ($h * 0x100000001b3L) ^ ($b[$i] & 0xffL);
          |}
-         |${ev.value} = h$$;
+         |${ev.value} = $h;
        """.stripMargin
     })
 

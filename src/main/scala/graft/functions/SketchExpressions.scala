@@ -77,25 +77,34 @@ case class MinHashSig(child: Expression, k: Int)
       s"minhash_sig requires array<bigint>, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an empty hash array yields a NULL signature (below), whatever the
+  // child's nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    // array_min over an empty transform is NULL in the SQL formulation —
+    // match it exactly (a MaxValue sentinel here would give the two
+    // "bit-identical" paths different band hashes on shingle-less docs)
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
-        var s = 0
-        while (s < k) {
-          // xxhash64(seed=s, h): seed int hashed first, then the long —
-          // matches the SQL expression xxhash64(lit(s), h)
-          val hv = XxHash64Function.hash(h,
-            LongType, XxHash64Function.hash(s, IntegerType, 42L))
-          if (hv < mins(s)) mins(s) = hv
-          s += 1
-        }
+      val isNull = arr.isNullAt(i)
+      var s = 0
+      while (s < k) {
+        // xxhash64(seed=s, h): seed int hashed first, then the long —
+        // matches the SQL expression xxhash64(lit(s), h). xxhash64
+        // SKIPS null children (the chain value passes through), so a
+        // null element contributes the seed chain alone — again
+        // matching, not dropping the element as an earlier version did
+        val seeded = XxHash64Function.hash(s, IntegerType, 42L)
+        val hv = if (isNull) seeded
+          else XxHash64Function.hash(arr.getLong(i), LongType, seeded)
+        if (hv < mins(s)) mins(s) = hv
+        s += 1
       }
       i += 1
     }

@@ -26,28 +26,36 @@ object AsOfJoin {
                    leftTs: String, rightTs: String,
                    rightCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
-    val nullRight = rightCols.map(c => lit(null).cast(
-      right.schema(c).dataType).as(s"__r_$c"))
+    // ONE struct per right row (its ts + every carried column), so the
+    // nearest right row is filled WHOLESALE — pandas-merge_asof
+    // semantics. Per-column last(ignoreNulls) fills would skip a
+    // genuinely-null value in the nearest row and serve an OLDER row's
+    // value for just that column, mixing rows and disagreeing with the
+    // __mts the tolerance gate reads.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "__rts", right.schema(rightTs).dataType) +:
+        rightCols.map(c => org.apache.spark.sql.types.StructField(
+          c, right.schema(c).dataType)))
     val l = left.select(
       (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__is_left") +:
-        leftCols.map(col)) ++ nullRight :+
-        lit(null).cast(right.schema(rightTs).dataType).as("__rts"): _*)
+        leftCols.map(col)) :+ lit(null).cast(rStructType).as("__r"): _*)
     val r = right.select(
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__is_left") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) :+ col(rightTs).as("__rts"): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
+        struct(col(rightTs).as("__rts") +: rightCols.map(col): _*).as("__r"): _*)
     // forward = traverse time reversed, so "last seen right row" is the
     // NEXT one; ties keep right before left so equal timestamps match
     val ts = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy("__key")
       .orderBy(ts, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l.unionByName(r).select(
-      (col("__is_left") +: leftCols.map(col)) ++
-        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
-          .as(c)) :+
-        last(col("__rts"), ignoreNulls = true).over(w).as("__mts"): _*)
-    filled.filter(col("__is_left") === 1).drop("__is_left")
+    l.unionByName(r)
+      .withColumn("__row", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__row").getField(c).as(c)) :+
+        col("__row").getField("__rts").as("__mts"): _*)
   }
 
   /** Backward as-of: the most recent right row with rightTs <= leftTs.

@@ -65,10 +65,7 @@ object Pipeline {
           val batchFile = s"${src.name}.batch"
           if (FileLedger.unprocessed(spark, ledgerPath, src.name, Seq(batchFile)).isEmpty) {
             landM.skipped += 1; None
-          } else {
-            FileLedger.append(spark, ledgerPath, Seq((src.name, batchFile)))
-            Some(src.land(spark))
-          }
+          } else Some(src.land(spark))
         }
       landed.foreach { df =>
         // full loads overwrite (re-upload of the same logical files);
@@ -76,6 +73,14 @@ object Pipeline {
         // customerload.py vs s3_copy.py semantics
         val mode = if (src.incremental) "append" else "overwrite"
         df.write.mode(mode).parquet(rawPath)
+        // ledger append strictly AFTER the batch lands (same order as
+        // the warehouse-load stage): an append-first failure would mark
+        // the batch processed and silently skip it forever on re-run
+        // (permanent data loss). Land-then-append fails the safe way —
+        // a crash between the two re-lands the batch on retry
+        // (at-least-once, recoverable by downstream dedup).
+        if (src.incremental)
+          FileLedger.append(spark, ledgerPath, Seq((src.name, s"${src.name}.batch")))
         landM.processed += 1; landM.succeeded += 1
       }
     }

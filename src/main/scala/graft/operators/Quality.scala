@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   /** A2: `unique` test — keys appearing more than once, with their counts.
-    * A single hash aggregate: partial (map-side) + final, one shuffle on
-    * the key. */
+    * NULL keys are excluded (dbt's `unique` test filters `where column
+    * is not null` before grouping — two null-keyed rows are not
+    * duplicates of each other; `not_null` is the separate test for
+    * them). A single hash aggregate: partial (map-side) + final, one
+    * shuffle on the key. */
   def uniqueViolations(df: DataFrame, key: String): DataFrame =
-    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
 
   /** A3: `not_null` test — rows where the key is null. The IsNull filter
     * is pushed into the Parquet scan. */

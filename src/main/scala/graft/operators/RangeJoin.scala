@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * every warehouse engine implements internally. */
 object RangeJoin {
 
-  /** @param maxWidthSec upper bound on interval width (hi - lo), which is
-    *                    also the bucket width. */
+  /** @param maxWidthSec the bucket width, sized to the TYPICAL interval
+    *                    width. An interval claims every bucket it
+    *                    touches — `sequence(floor(lo/w), floor(hi/w))`
+    *                    — so results are correct for ANY width (the old
+    *                    fixed {b, b+1} expansion silently DROPPED
+    *                    matches for intervals wider than one bucket);
+    *                    an interval much wider than the bucket just
+    *                    explodes into proportionally more rows. */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointTs: String, loCol: String, hiCol: String,
                    maxWidthSec: Long, joinType: String = "inner"): DataFrame = {
@@ -27,10 +33,9 @@ object RangeJoin {
     val pb = points.withColumn("__pb",
       floor(epochSec(col(pointTs)) / maxWidthSec).cast("long"))
     val ib = intervals
-      .withColumn("__ib0",
-        floor(epochSec(col(loCol)) / maxWidthSec).cast("long"))
-      .withColumn("__pb", explode(array(col("__ib0"), col("__ib0") + 1)))
-      .drop("__ib0")
+      .withColumn("__pb", explode(sequence(
+        floor(epochSec(col(loCol)) / maxWidthSec).cast("long"),
+        floor(epochSec(col(hiCol)) / maxWidthSec).cast("long"))))
     val joined = ib.join(pb,
       ib("__pb") === pb("__pb")
         && pb(pointTs) >= ib(loCol) && pb(pointTs) <= ib(hiCol),

@@ -46,8 +46,14 @@ object TableStore {
     val normalized = Narrow.lowerCaseColumns(df)
     if (spark.catalog.tableExists(table)) {
       val existing = spark.table(table)
-      // align to the existing table's columns by name, add missing as null
+      // align to the existing table's columns by name: missing columns
+      // fill with null, batch-only columns are DROPPED — appendByName
+      // alone would keep them and make the saveAsTable append throw on
+      // any batch whose drift ADDS a column (the snowflake
+      // MATCH_BY_COLUMN_NAME semantics this models ignore extras)
       val aligned = appendByName(Seq(existing.limit(0), normalized))
+        .select(existing.columns.map(c =>
+          org.apache.spark.sql.functions.col(c.toLowerCase)): _*)
       aligned.write.mode("append").format("parquet").saveAsTable(table)
     } else {
       normalized.write.format("parquet").saveAsTable(table)

@@ -111,6 +111,11 @@ object Readers {
     requireSqlIdentifier(partitionColumn, "partitionColumn")
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
+    // DriverManager ignores the "driver" property and only consults its
+    // own classloader; Class.forName registers the driver the way
+    // spark.read.jdbc's DriverRegistry does, so the bounds probe works
+    // wherever the partitioned scan itself would
+    props.get("driver").foreach(Class.forName(_))
     val conn = java.sql.DriverManager.getConnection(url, p)
     val bounds = try {
       val st = conn.createStatement()
@@ -137,12 +142,25 @@ object Readers {
                     props: Map[String, String] = Map.empty): Seq[(String, DataFrame)] = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
+    props.get("driver").foreach(Class.forName(_))
     val conn = java.sql.DriverManager.getConnection(url, p)
     val names = try {
-      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (rs.next()) buf += rs.getString("TABLE_NAME")
-      buf.toSeq.sorted
+      val md = conn.getMetaData
+      // getTables takes the schema as a search PATTERN: '_' is a
+      // single-char wildcard, so "app_data" would also match tables in
+      // "appXdata" — escape pattern metacharacters with the driver's
+      // escape string before probing
+      val esc = md.getSearchStringEscape
+      val schemaPattern =
+        if (schema == null) null
+        else schema.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getTables(null, schemaPattern, "%", Array("TABLE"))
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) buf += rs.getString("TABLE_NAME")
+        buf.toSeq.sorted
+      } finally rs.close()
     } finally conn.close()
     names.map { t =>
       val qualified = if (schema == null || schema.isEmpty) t else s"$schema.$t"

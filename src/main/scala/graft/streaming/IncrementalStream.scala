@@ -90,7 +90,10 @@ object IncrementalStream {
         && col("symbol_to_word_ratio") <= maxSymbolRatio
         && col("alpha_word_ratio") >= minAlphaRatio)
       .select(col(idCol), col(tsCol), col("text"), col("n_tokens"))
-    dedupStream(gated, tsCol, "text", watermark)
+    // drop the dedup fingerprint: it is internal state, not part of the
+    // documented curated schema (and would silently drift the landed
+    // table vs the batch-curated one)
+    dedupStream(gated, tsCol, "text", watermark).drop("fp")
   }
 
   /** Custom-state streaming sessionization via flatMapGroupsWithState:
