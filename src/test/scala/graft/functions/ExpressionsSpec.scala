@@ -56,4 +56,41 @@ class ExpressionsSpec extends SparkSpec {
       .select(graft.analytics.TextAnalysis.bpeishTokens($"s")).as[Seq[String]].head()
     assert(got == Seq("hello", ",", "world", "42", "!", "ok"))
   }
+
+  test("multiple codegen'd hash/dot instances agree under hardened codegen confs") {
+    // CODEGEN_ONLY + fallback=false make any codegen compile failure a
+    // hard error instead of a silent interpreted fallback. Defensive
+    // pin for the freshName'd generated locals: Spark 4.1 scopes each
+    // expression's code so even fixed names were verified not to
+    // collide, but that is an implementation detail this test would
+    // catch changing.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import org.apache.spark.sql.functions.{lit, array}
+      // non-nullable, non-foldable inputs: the shape with the least
+      // scoping/folding between the two instances
+      val x = $"x".cast("long")
+      val r = Seq(1).toDF("x").select(
+        graft.functions.RollingHash64(x.cast("string")).as("h1"),
+        graft.functions.RollingHash64((x + 1).cast("string")).as("h2"),
+        graft.functions.ArrayDotLong(
+          array(x, lit(2L)), array(lit(3L), lit(4L))).as("d1"),
+        graft.functions.ArrayDotLong(
+          array(x + 4, lit(6L)), array(lit(7L), lit(8L))).as("d2")).head()
+      assert(r.getLong(2) == 11L && r.getLong(3) == 83L)
+      assert(r.getLong(0) != r.getLong(1))
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      prevFallback match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }

@@ -17,6 +17,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("p1" -> Some(100.0), "p2" -> Some(200.0), "p3" -> None))
   }
 
+  test("asof: a null value in the nearest row is served as null, not an older row's value") {
+    // pandas merge_asof carries the nearest row WHOLESALE — a per-column
+    // forward fill would skip the null and mix in price=10 from ts=1
+    val left = Seq((1L, ts(3), "p")).toDF("uid", "t", "what")
+    val right = Seq((1L, ts(1), Option(10.0), Option("a")),
+      (1L, ts(2), None: Option[Double], Option("b")))
+      .toDF("uid", "t", "price", "tag")
+    val out = AsOfJoin.asof(left, right, "uid", "t", "t", Seq("price", "tag"))
+      .select("price", "tag").as[(Option[Double], Option[String])].head()
+    assert(out == ((None, Some("b"))), s"nearest row must win wholesale: $out")
+  }
+
   test("asof: equal timestamps match (>= semantics), like DuckDB/pandas") {
     val left = Seq((1L, ts(10), "x")).toDF("uid", "t", "what")
     val right = Seq((1L, ts(10), 7.0)).toDF("uid", "t", "v")

@@ -43,4 +43,18 @@ class LedgerAndStoreSpec extends SparkSpec {
     val out = spark.table(tbl).orderBy("id").as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("loadIntoTable tolerates drift in BOTH directions") {
+    // batch missing a column fills null; batch ADDING a column drops it
+    // (MATCH_BY_COLUMN_NAME semantics) instead of failing the append
+    val tbl = "t_drift_" + System.nanoTime()
+    TableStore.loadIntoTable(spark, Seq((1L, "a")).toDF("id", "val"), tbl)
+    TableStore.loadIntoTable(spark, Seq(Tuple1(2L)).toDF("id"), tbl)
+    TableStore.loadIntoTable(spark,
+      Seq((3L, "c", true)).toDF("id", "val", "extra"), tbl)
+    val out = spark.table(tbl).orderBy("id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, Some("a")), (2L, None), (3L, Some("c"))))
+    assert(!spark.table(tbl).columns.contains("extra"))
+  }
 }

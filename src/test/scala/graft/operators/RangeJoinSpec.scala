@@ -23,6 +23,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (20L, 2L), (20L, 3L))) // boundary hits both ends
   }
 
+  test("intervalJoin keeps matches for intervals wider than the bucket") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // interval spans 150s with 60s buckets: the point at +130s sits two
+    // buckets past the interval's start — a fixed {b, b+1} expansion
+    // silently dropped it
+    val points = Seq((1L, t(130))).toDF("pid", "pt")
+    val ivals = Seq((9L, t(0), t(150))).toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(points, ivals, "pt", "lo", "hi",
+      maxWidthSec = 60L).select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 9L)))
+  }
+
   test("intervalJoin on real tables equals plain non-equi join") {
     val orders = graft.queries.t(spark, sf, "orders").limit(300)
       .withColumn("o_hi", $"o_orderdate" + expr("INTERVAL 30 DAYS"))

@@ -59,4 +59,15 @@ class StarSchemaQualitySpec extends SparkSpec {
     assert(Quality.notNullViolations(df, "v").count() == 1)
     assert(!Quality.isUnique(df, "id") && Quality.isUnique(df.dropDuplicates("id"), "id"))
   }
+
+  test("unique test ignores NULL keys, exactly like dbt's") {
+    // dbt's unique test filters `where column is not null` first — two
+    // null-keyed rows are NOT duplicates of each other (not_null is the
+    // separate test that flags them)
+    val df = Seq((null: String, 1), (null: String, 2), ("k", 3))
+      .toDF("id", "v")
+    assert(Quality.uniqueViolations(df, "id").count() == 0)
+    assert(Quality.isUnique(df, "id"))
+    assert(Quality.notNullViolations(df, "id").count() == 2)
+  }
 }
