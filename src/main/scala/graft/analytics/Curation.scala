@@ -354,4 +354,101 @@ object Curation {
       .filter(col("prefix_tokens") + col("n_tokens") <= budget)
       .drop("__key")
   }
+
+  /** Per-group [[exclusivePrefixSum]]: each `groupCol` value gets its own
+    * independent running total over `orderCol` order. Same two-pass
+    * shape — range-partition on (group, order) so a group's rows are
+    * contiguous across the partition sequence, per-(pid, group) local
+    * window, then a per-group running offset over the SMALL
+    * (partitions × groups-touching-that-partition) relation, broadcast
+    * back. The naive `Window.partitionBy(group)` would ship each
+    * group's ENTIRE data through one task — with a handful of source
+    * groups over 100 TB that is a guaranteed single-task bottleneck;
+    * here a group's data stays spread over all partitions it spans. */
+  def exclusivePrefixSumBy(df: DataFrame, groupCol: String, orderCol: String,
+                           valueCol: String, resultCol: String,
+                           numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // same materialization requirement as exclusivePrefixSum: pin ONE
+    // sampled range partitioning for both downstream consumers
+    val parted = df.repartitionByRange(parts, col(groupCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(orderCol)
+    val local = parted.withColumn("__cum",
+      sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__off",
+        coalesce(sum(col("__psum")).over(
+          Window.partitionBy(groupCol).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn(resultCol, col("__off") + col("__cum") - col(valueCol))
+      .drop("__pid", "__cum", "__off")
+  }
+
+  /** Per-source token budgets — the mixing table made executable:
+    * "30M tokens of web, 10M of code, 5M of forums". Within each
+    * `groupCol` value, documents are ordered by the salted md5 key (the
+    * same budget-monotone reproducible shuffle as
+    * [[sampleToTokenBudget]]) and the longest prefix fitting that
+    * group's budget survives; groups absent from `budgets` get
+    * `defaultBudget`. Returns surviving rows plus
+    * (n_tokens, prefix_tokens), where prefix_tokens is per-group.
+    * Raising one group's budget never changes another group's sample —
+    * the orders are independent by construction. */
+  def sampleToTokenBudgetBySource(df: DataFrame, idCol: String, textCol: String,
+                                  groupCol: String, budgets: Map[String, Long],
+                                  defaultBudget: Long = 0L,
+                                  salt: String = "v1"): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val keyed = df
+      .withColumn("__key",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    // sorted fold: deterministic when-chain regardless of Map iteration
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    exclusivePrefixSumBy(keyed, groupCol, "__key", "n_tokens", "prefix_tokens")
+      .filter(col("prefix_tokens") + col("n_tokens") <= budgetCol)
+      .drop("__key")
+  }
+
+  /** Train/eval split-leakage audit: after [[hashSplit]] assigns splits,
+    * which held-out documents still have a near-duplicate INSIDE the
+    * training split? Hash splitting is uniform over documents, so two
+    * near-identical documents routinely land on opposite sides of the
+    * boundary — the eval set then measures memorization, not
+    * generalization. This is decontamination's sibling: [[contamination]]
+    * guards against EXTERNAL benchmark leakage, this audits the
+    * pipeline's OWN split. Deduplicate before splitting (or drop the
+    * flagged eval docs this audit returns).
+    *
+    * Composition: [[hashSplit]] tags, then
+    * [[Dedup.crossCorpusNearDupPairs]] with the eval side as the "new"
+    * batch — the eval split is a small fraction of the corpus, so the
+    * pair search is eval × train through the df-capped inverted index,
+    * never corpus × corpus. Returns one row per leaked (eval, train)
+    * pair: (id_eval, split, id_train, common, n_eval, n_train). */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)], trainSplit: String = "train",
+                   salt: String = "v1", n: Int = 3, num: Long = 1, den: Long = 5,
+                   maxDocFreq: Long = Dedup.RecommendedMaxDocFreq): DataFrame = {
+    val tagged = hashSplit(df, idCol, splits, salt)
+    val eval = tagged.filter(col("split") =!= trainSplit)
+    val train = tagged.filter(col("split") === trainSplit)
+    Dedup.crossCorpusNearDupPairs(eval, idCol, textCol, train, idCol, textCol,
+        n, num, den, maxDocFreq)
+      .withColumnRenamed("id_new", "id_eval")
+      .withColumnRenamed("id_corpus", "id_train")
+      .withColumnRenamed("n_new", "n_eval")
+      .withColumnRenamed("n_corpus", "n_train")
+      .join(tagged.select(col(idCol).as("id_eval"), col("split")), Seq("id_eval"))
+      .select("id_eval", "split", "id_train", "common", "n_eval", "n_train")
+  }
 }

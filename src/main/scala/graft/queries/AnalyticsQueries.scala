@@ -109,6 +109,28 @@ object AnalyticsQueries {
           sum(cents(col("o_totalprice"))).as("total_cents"),
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // Salted hot-key join (SkewJoin.saltedEquiJoin): the oracle is the
+    // PLAIN join — green proves salting is result-invisible (every big
+    // row meets exactly the small-side replica carrying its salt).
+    // The revenue agg keeps the output compact and order-independent.
+    "q107_salted_join" -> q(
+      """SELECT s_nationkey,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey
+         ORDER BY s_nationkey""") { (s, dir) =>
+      graft.operators.SkewJoin.saltedEquiJoin(
+          t(s, dir, "lineitem"), "l_suppkey", col("l_orderkey"),
+          t(s, dir, "supplier"), "s_suppkey", nSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(
+          sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_nationkey")
     }
   )
 }

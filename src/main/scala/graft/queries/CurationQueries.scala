@@ -278,6 +278,70 @@ object CurationQueries {
         budget = 20000L, salt = "v1")
         .select("doc_id", "n_tokens", "prefix_tokens")
         .orderBy("doc_id")
+    },
+
+    // Per-source token budgets (the mixing table): independent salted
+    // prefix per language, each cut at its own budget. The oracle's
+    // PARTITION BY window is the single-task formulation the engine
+    // deliberately avoids (per-group two-pass prefix scan instead) —
+    // green proves the distributed form computes the identical sample.
+    "q108_token_budget_by_source" -> q(
+      s"""WITH k AS (SELECT doc_id, lang,
+                  md5('v1:' || CAST(doc_id AS VARCHAR)) AS key,
+                  CAST(len($toksSql) AS BIGINT) AS n_tokens
+           FROM documents),
+          p AS (SELECT doc_id, lang, n_tokens,
+                  coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS prefix_tokens
+                FROM k)
+          SELECT doc_id, lang, n_tokens, prefix_tokens FROM p
+          WHERE prefix_tokens + n_tokens <=
+                CASE WHEN lang = 'en' THEN 8000
+                     WHEN lang = 'es' THEN 4000
+                     ELSE 2000 END
+          ORDER BY doc_id""") { (s, dir) =>
+      Curation.sampleToTokenBudgetBySource(t(s, dir, "documents"),
+        "doc_id", "text", "lang",
+        budgets = Map("en" -> 8000L, "es" -> 4000L),
+        defaultBudget = 2000L, salt = "v1")
+        .select("doc_id", "lang", "n_tokens", "prefix_tokens")
+        .orderBy("doc_id")
+    },
+
+    // Split-leakage audit: hashSplit at 80/10/10, then every held-out
+    // doc with a Jaccard>=1/5 near-dup inside the train split. The
+    // oracle recomputes split assignment AND the pair search
+    // relationally; the engine goes through the df-capped inverted
+    // index — green means identical leaked pairs, splits included.
+    "q109_split_leakage" -> q({
+      def cut(f: Double): String = f"${math.round(f * 65536).min(65536)}%04x"
+      s"""WITH sh AS (
+            SELECT doc_id, $shinglesSql AS shingles FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '${cut(0.8)}' THEN 'train'
+                        WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '${cut(0.9)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+          ev AS (SELECT sh.doc_id, sp.split, sh.shingles
+                 FROM sh JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+          tr AS (SELECT sh.doc_id, sh.shingles
+                 FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train')
+          SELECT ev.doc_id AS id_eval, ev.split, tr.doc_id AS id_train,
+                 CAST(len(list_intersect(ev.shingles, tr.shingles)) AS BIGINT) AS common,
+                 CAST(len(ev.shingles) AS BIGINT) AS n_eval,
+                 CAST(len(tr.shingles) AS BIGINT) AS n_train
+          FROM ev JOIN tr ON true
+          WHERE len(list_intersect(ev.shingles, tr.shingles)) * 5
+                >= (len(ev.shingles) + len(tr.shingles) - len(list_intersect(ev.shingles, tr.shingles))) * 1
+          ORDER BY id_eval, id_train"""
+    }) { (s, dir) =>
+      Curation.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        trainSplit = "train", salt = "v1", n = 3, num = 1, den = 5,
+        maxDocFreq = 1000L)
+        .orderBy("id_eval", "id_train")
     }
   )
 }

@@ -745,6 +745,56 @@ object TextQueries {
     "q89_length_quantiles_approx" -> qNoOracle { (s, dir) =>
       TextAnalysis.lengthQuantilesApprox(t(s, dir, "documents"), "lang", "text")
         .orderBy("lang")
+    },
+
+    // Quality-aware survivor selection: same components as q57, but the
+    // cluster representative is the highest-token-count member (ties ->
+    // min id) instead of the minimum id. The oracle recomputes the
+    // winner with a row_number window; the engine uses one hash
+    // aggregate max(struct(score, -id)) — green means both selections
+    // agree on every cluster, tie-breaks included.
+    "q106_dedup_keep_best" -> q(
+      s"""WITH RECURSIVE
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len($toksSql) - 2, 1)),
+                       i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                    >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            scored AS (
+              SELECT d.doc_id AS id,
+                     coalesce(comp.component, d.doc_id) AS component,
+                     CAST(len($toksSql) AS BIGINT) AS score
+              FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+            best AS (
+              SELECT component, id AS best_id FROM (
+                SELECT component, id,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY score DESC, id ASC) AS rn
+                FROM scored) WHERE rn = 1)
+          SELECT s.id, s.component, s.score, s.id = b.best_id AS keep
+          FROM scored s JOIN best b USING (component)
+          ORDER BY s.id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("score", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Dedup.keepBestPerComponent(docs, "doc_id", "score",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 5,
+          maxDocFreq = 1000L))
+        .select("id", "component", "score", "keep")
+        .orderBy("id")
     }
   )
 }

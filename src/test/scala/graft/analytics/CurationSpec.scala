@@ -235,4 +235,45 @@ class CurationSpec extends SparkSpec {
     assert(kept(0L).isEmpty)
     assert(total.size == docs.count())
   }
+
+  test("exclusivePrefixSumBy matches the per-group window (differential)") {
+    val rows = (1L to 2000L)
+      .map(i => (i, s"g${i % 5}", (i * 2654435761L) % 97 + 1))
+      .toDF("id", "g", "v")
+    val expected = rows.withColumn("ps",
+      coalesce(sum($"v").over(
+        Window.partitionBy("g").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(3, 7, 32)) {
+      val got = Curation.exclusivePrefixSumBy(rows, "g", "id", "v", "ps",
+        numParts = parts)
+        .select("id", "ps").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"per-group prefix diverged at numParts=$parts")
+    }
+  }
+
+  test("sampleToTokenBudgetBySource: per-group budgets are independent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def kept(en: Long) = Curation.sampleToTokenBudgetBySource(
+      docs, "doc_id", "text", "lang",
+      budgets = Map("en" -> en, "es" -> 3000L), defaultBudget = 1000L)
+      .select("doc_id", "lang", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    val a = kept(4000L)
+    val b = kept(12000L)
+    // each group stays within its own budget
+    def byLang(s: Seq[(Long, String, Long)]) =
+      s.groupBy(_._2).map { case (l, xs) => l -> xs.map(_._3).sum }
+    val totalsA = byLang(a.toSeq)
+    assert(totalsA.getOrElse("en", 0L) <= 4000L)
+    assert(totalsA.getOrElse("es", 0L) <= 3000L)
+    totalsA.collect { case (l, t) if l != "en" && l != "es" =>
+      assert(t <= 1000L, s"default budget violated for $l") }
+    // raising en's budget adds en docs and changes NO other group
+    val aIds = a.map(x => (x._1, x._2)).toSet
+    val bIds = b.map(x => (x._1, x._2)).toSet
+    assert(aIds.subsetOf(bIds))
+    assert(aIds.filter(_._2 != "en") == bIds.filter(_._2 != "en"))
+  }
 }

@@ -93,4 +93,36 @@ class DedupClusterSpec extends SparkSpec {
       .filter(col("component") =!= col("min_id")).count()
     assert(bad == 0)
   }
+
+  test("keepBestPerComponent: max score wins, ties break to min id") {
+    // component {1,2,3}: 2 has the top score; component {10,11}: tied
+    // scores -> 10 (min id) wins; 99 unpaired -> keeps itself
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (99L, 1L)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerComponent(docs, "doc_id", "score", pairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 5L, false), (2L, 1L, 9L, true), (3L, 1L, 7L, false),
+      (10L, 10L, 4L, true), (11L, 10L, 4L, false),
+      (99L, 99L, 1L, true)))
+  }
+
+  test("keepBestPerComponent: exactly one keeper per component on real docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("score", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, num = 1, den = 5, maxDocFreq = 1000L)
+    val v = Dedup.keepBestPerComponent(docs, "doc_id", "score", pairs)
+    assert(v.count() == docs.count())
+    val perComp = v.groupBy("component")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        max(col("score")).as("top"))
+    assert(perComp.filter(col("n_keep") =!= 1L).count() == 0)
+    // the keeper carries the component's maximum score
+    val mismatch = v.filter(col("keep"))
+      .join(perComp, Seq("component"))
+      .filter(col("score") =!= col("top")).count()
+    assert(mismatch == 0)
+  }
 }
