@@ -65,4 +65,28 @@ object Events {
                      rsd: Double = 0.05): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(target), rsd).as(s"approx_${target}"))
+
+  /** Weekly retention cohort matrix — the classic product-analytics
+    * rollup: users grouped by first-seen week, distinct-active counts at
+    * each week offset since. Week 0's count is the cohort's size; the
+    * curve per cohort row is its retention.
+    *
+    * Scale shape: the raw event stream reduces FIRST to distinct
+    * (user, week) — one shuffle keyed on the pair, partial map-side
+    * distinct, after which volume is users × weeks-active, not events.
+    * First-seen week is one hash aggregate over that relation; the join
+    * back is user-keyed (co-partitioned with the distinct's output),
+    * and the final matrix aggregate is tiny. No windows, nothing
+    * event-count-sized crosses more than the first exchange. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weeks = df.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).cast("date").as("w")).distinct()
+    val first = weeks.groupBy("user").agg(min(col("w")).as("cohort_week"))
+    weeks.join(first, Seq("user"))
+      // weeks are Monday-aligned, so the day delta is an exact multiple
+      // of 7; DIV keeps it an integer on any engine
+      .withColumn("week_offset", expr("datediff(w, cohort_week) DIV 7"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
 }

@@ -18,6 +18,14 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
 
+  /** Unicode NFC canonicalization (graft.functions.NfcNormalize) — run
+    * BEFORE any byte-keyed operator (fingerprints, exact dedup,
+    * shingles): composed and decomposed spellings of the same text must
+    * collapse to one byte sequence or every hash-based stage double-
+    * counts them. Codegen'd, with an isNormalized fast path that makes
+    * already-clean (e.g. ASCII) corpora near-free. */
+  def normalizeNfc(c: Column): Column = graft.functions.NfcNormalize(c)
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */

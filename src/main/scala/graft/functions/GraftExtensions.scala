@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DedupLinesExpr(args.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(s) takes 1 argument")
+        new NfcNormalize(args.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -170,6 +170,24 @@ object EventsQueries {
     "q26_events_hll_users" -> qNoOracle { (s, dir) =>
       Events.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
         .orderBy("event_type")
+    },
+
+    // Weekly retention cohorts: users bucketed by first-seen week,
+    // distinct-active counts per week offset. Both engines truncate
+    // weeks to Monday, so the matrix is engine-portable exactly.
+    "q110_retention_cohorts" -> q(
+      """WITH wk AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('week', ts) AS DATE) AS w
+                     FROM events),
+            f AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id)
+         SELECT f.cohort_week,
+                CAST((wk.w - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+                CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+         FROM wk JOIN f ON wk.user_id = f.user_id
+         GROUP BY 1, 2
+         ORDER BY 1, 2""") { (s, dir) =>
+      Events.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }

@@ -795,6 +795,21 @@ object TextQueries {
           maxDocFreq = 1000L))
         .select("id", "component", "score", "keep")
         .orderBy("id")
+    },
+
+    // Unicode NFC canonicalization (custom codegen expression vs
+    // DuckDB's nfc_normalize). The corpus is ASCII, so each row gets a
+    // decomposed "cafe<combining acute>" prefix — every row genuinely
+    // recomposes, and the hash compare proves byte-identical output.
+    "q111_normalize_nfc" -> q(
+      """SELECT doc_id,
+                nfc_normalize('cafe' || chr(769) || ' ' || text) AS text_nfc
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeNfc(
+            concat(lit("café "), col("text"))).as("text_nfc"))
+        .orderBy("doc_id")
     }
   )
 }

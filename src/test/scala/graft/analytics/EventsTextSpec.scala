@@ -118,4 +118,21 @@ class EventsTextSpec extends SparkSpec {
     assert(frames.count() >= 10)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_payload"))
   }
+
+  test("retentionCohorts: week-0 counts are cohort sizes, offsets bounded") {
+    val ev = graft.queries.t(spark, sf, "events")
+    val m = Events.retentionCohorts(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long)].collect()
+    // every cohort has a week-0 row, and it's the cohort's largest count
+    val byCohort = m.groupBy(_._1)
+    byCohort.foreach { case (cw, rows) =>
+      val w0 = rows.find(_._2 == 0L)
+      assert(w0.isDefined, s"cohort $cw missing week 0")
+      assert(rows.forall(_._3 <= w0.get._3), s"cohort $cw retains > size")
+      assert(rows.forall(_._2 >= 0L))
+    }
+    // cohort sizes partition the user base
+    val users = ev.select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
 }

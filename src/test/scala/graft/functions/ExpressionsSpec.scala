@@ -41,6 +41,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(h(3) == 0xcbf29ce484222325L)
   }
 
+  test("NfcNormalize recomposes, is idempotent, codegen==interp, null-safe") {
+    // "cafe" + combining acute (decomposed) must recompose to U+00E9
+    val decomposed = "café"
+    val composed = "café"
+    assert(decomposed != composed) // distinct byte sequences going in
+    val df = Seq(decomposed, composed, "plain ascii", "").toDF("s")
+    val out = df.select(NfcNormalize($"s")).as[String].collect()
+    assert(out(0) == composed && out(1) == composed)
+    assert(out(2) == "plain ascii" && out(3) == "")
+    // idempotent: normalizing the output changes nothing
+    val twice = df.select(NfcNormalize(NfcNormalize($"s"))).as[String].collect()
+    assert(twice.toSeq == out.toSeq)
+    // interpreted eval agrees with codegen
+    val interp = new NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType)).eval(null)
+    assert(interp.toString == composed)
+    // nulls pass through
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(NfcNormalize($"s")).collect().head.isNullAt(0))
+    // the byte-keyed pipeline motivation: fingerprints collapse after NFC
+    import graft.analytics.TextAnalysis
+    val fp = Seq((decomposed, composed)).toDF("a", "b").select(
+      TextAnalysis.fingerprint(NfcNormalize($"a")).as("fa"),
+      TextAnalysis.fingerprint(NfcNormalize($"b")).as("fb"),
+      TextAnalysis.fingerprint($"a").as("ra"),
+      TextAnalysis.fingerprint($"b").as("rb")).head()
+    assert(fp.getString(0) == fp.getString(1))
+    assert(fp.getString(2) != fp.getString(3))
+  }
+
   test("fingerprint64 is whitespace/case-invariant like the md5 form") {
     import graft.analytics.TextAnalysis
     val df = Seq(("a B  c", "A b c", "a b d")).toDF("x", "y", "z")
