@@ -78,6 +78,60 @@ object Events {
     * back is user-keyed (co-partitioned with the distinct's output),
     * and the final matrix aggregate is tiny. No windows, nothing
     * event-count-sized crosses more than the first exchange. */
+  /** First-touch funnel: per user, the earliest timestamp of each step;
+    * the user's funnel depth is the number of LEADING steps whose first
+    * occurrences are in strictly increasing time order (the standard
+    * first-touch funnel semantics — "did the first click come after the
+    * first view"). Returns (funnel_depth, n_users): row k counts users
+    * whose depth is exactly k (0 = never did step 1).
+    *
+    * Scale shape: ONE hash aggregate over events keyed by user computes
+    * every step's min timestamp simultaneously (conditional mins,
+    * partial map-side — the event stream crosses one exchange); the
+    * depth fold is a projection and the distribution aggregate is
+    * steps-sized. No per-user sequence sort, no window, no self-join
+    * per step (the naive k-way formulation shuffles the stream k
+    * times). */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val aggs = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"__t$i") }
+    val firsts = df.groupBy(col(userCol).as("user"))
+      .agg(aggs.head, aggs.tail: _*)
+    // reached(i) = reached(i-1) && t_i exists && strictly after t_{i-1}
+    val reached = steps.indices.scanLeft(lit(true): Column) {
+      case (prev, i) =>
+        val ok = if (i == 0) col(s"__t$i").isNotNull
+          else col(s"__t$i").isNotNull && col(s"__t${i - 1}") < col(s"__t$i")
+        prev && ok
+    }.tail
+    val depth = reached.foldLeft(lit(0L)) {
+      (acc, r) => acc + when(r, 1L).otherwise(0L) }
+    firsts.select(depth.as("funnel_depth"))
+      .groupBy("funnel_depth")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Trailing N-day distinct active users per day — the rolling-DAU
+    * series. COUNT(DISTINCT) over a sliding window has no direct window
+    * form; the scalable construction reduces events to distinct
+    * (user, day) FIRST, then fans each activity day out to the N report
+    * days it supports — row amplification is N× the user-day relation
+    * (users × days), never N× the event stream. One distinct shuffle +
+    * one count-distinct aggregate. Report days past the last activity
+    * day are emitted (the decaying tail), matching the generate-based
+    * relational form exactly. */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    df.select(col(userCol).as("user"), to_date(col(tsCol)).as("d")).distinct()
+      .withColumn("report_day",
+        explode(sequence(col("d"), date_add(col("d"), windowDays - 1))))
+      .groupBy("report_day")
+      .agg(countDistinct(col("user")).as("active_users"))
+  }
+
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val weeks = df.select(col(userCol).as("user"),
       date_trunc("week", col(tsCol)).cast("date").as("w")).distinct()

@@ -61,4 +61,34 @@ object Quality {
     * of the reference's in-process counters). */
   def accumulators(spark: SparkSession, names: String*): Map[String, org.apache.spark.util.LongAccumulator] =
     names.map(n => n -> spark.sparkContext.longAccumulator(n)).toMap
+
+  /** Column profile — the load-preflight report (row count, per-column
+    * non-null count, distinct count, min/max) every warehouse loader
+    * eyeballs before trusting a new extract; the executable form of the
+    * reference's schema.yml expectations (unique/not_null are the
+    * pass/fail subset of exactly these numbers).
+    *
+    * ONE aggregate pass computes every column's stats simultaneously —
+    * the naive per-column loop scans the table `cols.size` times.
+    * Multiple exact COUNT(DISTINCT)s in one aggregate plan through
+    * Catalyst's Expand (one input row fans into cols+1 agg streams):
+    * a deliberate trade of cols× map-side rows for single-scan I/O,
+    * which at 100 TB is the right side of the trade by an order of
+    * magnitude (scan dominates). min/max surface as strings so the
+    * report has one schema regardless of the profiled types. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")) }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`").mkString(", ")
+    one.selectExpr("__n AS n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct, min_value, max_value)")
+      .select("column_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_value", "max_value")
+  }
 }

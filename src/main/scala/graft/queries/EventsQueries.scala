@@ -188,6 +188,48 @@ object EventsQueries {
          ORDER BY 1, 2""") { (s, dir) =>
       Events.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // First-touch funnel view -> click -> purchase: depth = number of
+    // leading steps with strictly increasing first-occurrence times.
+    // One conditional-min aggregate; the oracle spells the same
+    // semantics as a CASE ladder.
+    "q112_event_funnel" -> q(
+      """WITH f AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                           min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+                    FROM events GROUP BY user_id),
+            d AS (SELECT CASE
+                    WHEN t0 IS NULL THEN 0
+                    WHEN t1 IS NULL OR t1 <= t0 THEN 1
+                    WHEN t2 IS NULL OR t2 <= t1 THEN 2
+                    ELSE 3 END AS funnel_depth
+                  FROM f)
+         SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM d GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Events.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("funnel_depth")
+    },
+
+    // Trailing 7-day distinct active users: distinct (user, day) fans
+    // out to the 7 report days it supports — N x user-days rows, never
+    // N x events. COUNT(DISTINCT) over a sliding window has no direct
+    // window form on either engine; both spell the same fan-out.
+    "q113_rolling_active_users" -> q(
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            e AS (SELECT user_id,
+                         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                           CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS report_day
+                  FROM ud)
+         SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+         FROM e GROUP BY report_day ORDER BY report_day""") { (s, dir) =>
+      Events.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)
+        .orderBy("report_day")
     }
   )
 }

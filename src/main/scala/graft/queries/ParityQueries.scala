@@ -342,6 +342,27 @@ object ParityQueries {
           keyCols = Seq("c_custkey"), timeCol = "snap_date",
           attrCols = Seq("segment")).persist()
       }.orderBy("c_custkey", "effective_from")
+    },
+
+    // Column profile (Quality.profileColumns): one aggregate pass over
+    // orders producing the per-column preflight report. The oracle is
+    // the UNION ALL of per-column aggregates — same numbers, table
+    // scanned once per column there vs once total in the engine.
+    "q114_profile_columns" -> q({
+      val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      profiled.map(c =>
+        s"""SELECT '$c' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count($c) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_value,
+                   CAST(max($c) AS VARCHAR) AS max_value
+            FROM orders""").mkString("", " UNION ALL ", " ORDER BY column_name")
+    }) { (s, dir) =>
+      graft.operators.Quality.profileColumns(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column_name")
     }
   )
 }

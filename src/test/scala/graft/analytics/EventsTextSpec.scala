@@ -119,6 +119,44 @@ class EventsTextSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_payload"))
   }
 
+  test("funnel: strict first-touch ordering, out-of-order stops the depth") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: view < click < purchase -> depth 3
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: clicked BEFORE first view -> depth stops at 1
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "purchase"),
+      // user 3: view only -> depth 1
+      (3L, ts(1), "view"),
+      // user 4: never viewed -> depth 0
+      (4L, ts(1), "purchase"),
+      // user 5: view then purchase, no click -> depth 1
+      (5L, ts(1), "view"), (5L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 1L -> 3L, 0L -> 1L))
+  }
+
+  test("rollingActiveUsers: trailing window counts exactly") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1 active day 1 and 10; u2 active days 1-3
+    val ev = Seq((1L, ts(1)), (1L, ts(10)),
+      (2L, ts(1)), (2L, ts(2)), (2L, ts(3))).toDF("user_id", "ts")
+    val got = Events.rollingActiveUsers(ev, "user_id", "ts", windowDays = 3)
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toString -> n }.toMap
+    // day 1-3 see both users; day 4 still sees u2 (active day 2,3);
+    // day 5 sees u2 (day 3); day 6+ nobody until u1's day-10 activity
+    assert(got("2024-01-01") == 2L && got("2024-01-03") == 2L)
+    assert(got("2024-01-04") == 1L && got("2024-01-05") == 1L)
+    assert(!got.contains("2024-01-06") && !got.contains("2024-01-09"))
+    assert(got("2024-01-10") == 1L && got("2024-01-12") == 1L)
+  }
+
   test("retentionCohorts: week-0 counts are cohort sizes, offsets bounded") {
     val ev = graft.queries.t(spark, sf, "events")
     val m = Events.retentionCohorts(ev, "user_id", "ts")

@@ -70,4 +70,24 @@ class StarSchemaQualitySpec extends SparkSpec {
     assert(Quality.isUnique(df, "id"))
     assert(Quality.notNullViolations(df, "id").count() == 2)
   }
+
+  test("profileColumns: one row per column with exact stats, one scan") {
+    val df = Seq(
+      (1L, Some("a"), Some(10)), (2L, Some("b"), None),
+      (3L, Some("a"), Some(30)), (4L, None, Some(10))
+    ).toDF("id", "s", "n")
+    val prof = Quality.profileColumns(df, Seq("id", "s", "n"))
+    val rows = prof.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(rows("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(rows("s") == ((4L, 3L, 2L, "a", "b")))
+    assert(rows("n") == ((4L, 3L, 2L, "10", "30")))
+    // single-scan shape: the whole report reads the table ONCE (the
+    // per-column-loop formulation would scan it cols.size times)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = Quality.profileColumns(orders, Seq("o_orderkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one parquet scan, got $scans:\n$plan")
+  }
 }
