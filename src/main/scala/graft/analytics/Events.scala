@@ -66,6 +66,49 @@ object Events {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(target), rsd).as(s"approx_${target}"))
 
+  /** Daily event-rate anomaly gate: flags (type, day) cells whose count
+    * deviates from the trailing `windowDays`-day mean by more than
+    * `zThreshold` sample standard deviations — the monitoring check a
+    * pipeline runs before trusting a day's ingest (a collapsed source
+    * or a bot flood both trip it).
+    *
+    * The z-test is evaluated in EXACT integer arithmetic: with n window
+    * days, sum S and sum-of-squares SS,
+    * z² > z₀²  ⇔  (n·x − S)²·(n−1) > z₀²·n·(n·SS − S²),
+    * so the verdict is engine-portable bit-for-bit (a float stddev
+    * compare can flip on the last ulp across engines). Days with fewer
+    * than `windowDays` predecessors report is_anomaly = false (no
+    * baseline yet).
+    *
+    * Scale shape: the event stream reduces to (type, day) counts in one
+    * hash aggregate; the trailing window runs over that days×types
+    * relation — thousands of rows at ANY corpus size, so the
+    * per-type window partition is never a data-volume concern. */
+  def dailyAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                     windowDays: Int = 7, zThreshold: Int = 3): DataFrame = {
+    require(windowDays >= 2, "windowDays must be >= 2 (variance needs n >= 2)")
+    val n = windowDays.toLong
+    val daily = df.groupBy(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-windowDays, -1)
+    val stats = daily
+      .withColumn("window_n", count(col("n_events")).over(w))
+      .withColumn("window_sum", sum(col("n_events")).over(w))
+      .withColumn("window_sumsq",
+        sum(col("n_events") * col("n_events")).over(w))
+    stats.select(col("event_type"), col("day"), col("n_events"),
+      coalesce(col("window_sum"), lit(0L)).as("window_sum"),
+      coalesce(col("window_sumsq"), lit(0L)).as("window_sumsq"),
+      (col("window_n") === n &&
+        (lit(n) * col("n_events") - col("window_sum")) *
+          (lit(n) * col("n_events") - col("window_sum")) * lit(n - 1) >
+        lit(zThreshold.toLong * zThreshold) * lit(n) *
+          (lit(n) * col("window_sumsq") - col("window_sum") * col("window_sum")))
+        .as("is_anomaly"))
+  }
+
   /** Weekly retention cohort matrix — the classic product-analytics
     * rollup: users grouped by first-seen week, distinct-active counts at
     * each week offset since. Week 0's count is the cohort's size; the

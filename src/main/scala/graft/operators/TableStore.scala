@@ -69,4 +69,25 @@ object TableStore {
   def materializeTable(spark: SparkSession, df: DataFrame, name: String): Unit =
     Narrow.lowerCaseColumns(df).write.mode("overwrite")
       .format("parquet").saveAsTable(name)
+
+  /** Bucketed + sorted materialization — the shuffle-free join layout.
+    * Two tables bucketed on their join key into the SAME bucket count
+    * join with NO exchange on either side (Spark trusts the on-disk
+    * hash layout; with sorted buckets it sort-merges the files
+    * directly). This is the 100 TB answer for a fact table joined on
+    * the same key every day: pay the shuffle ONCE at write time, then
+    * every downstream join of any two co-bucketed tables is
+    * exchange-free. ZeroShuffleJoinSpec pins the plan shape.
+    *
+    * reference: the warehouse-side equivalent is Snowflake's automatic
+    * micro-partitioning after COPY (snowflake_load.py:168-208); Spark
+    * makes the layout an explicit, queryable contract. */
+  def writeBucketed(df: DataFrame, name: String, key: String,
+                    buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    Narrow.lowerCaseColumns(df).write.mode("overwrite")
+      .bucketBy(buckets, key.toLowerCase)
+      .sortBy(key.toLowerCase)
+      .format("parquet").saveAsTable(name)
+  }
 }

@@ -230,6 +230,31 @@ object EventsQueries {
       Events.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts",
         windowDays = 7)
         .orderBy("report_day")
+    },
+
+    // Daily rate anomaly gate: trailing-7-day z-test evaluated in exact
+    // integer algebra ((nx-S)^2 (n-1) > z0^2 n (n SS - S^2)) so the
+    // boolean verdicts hash-match across engines — a float stddev
+    // compare could flip on the last ulp.
+    "q115_event_anomalies" -> q(
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, day, n_events,
+                         count(n_events) OVER w AS window_n,
+                         CAST(coalesce(SUM(n_events) OVER w, 0) AS BIGINT) AS window_sum,
+                         CAST(coalesce(SUM(n_events * n_events) OVER w, 0) AS BIGINT) AS window_sumsq
+                  FROM d
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n_events, window_sum, window_sumsq,
+                (window_n = 7 AND
+                 (7 * n_events - window_sum) * (7 * n_events - window_sum) * 6
+                   > 9 * 7 * (7 * window_sumsq - window_sum * window_sum)) AS is_anomaly
+         FROM s ORDER BY event_type, day""") { (s, dir) =>
+      Events.dailyAnomalies(t(s, dir, "events"), "event_type", "ts",
+        windowDays = 7, zThreshold = 3)
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -157,6 +157,26 @@ class EventsTextSpec extends SparkSpec {
     assert(got("2024-01-10") == 1L && got("2024-01-12") == 1L)
   }
 
+  test("dailyAnomalies: planted spike flagged, warm-up and steady days not") {
+    import java.sql.Timestamp
+    // type "a": ~100 events/day for 14 days with mild jitter, then a
+    // 5x spike on day 15; jitter keeps window variance nonzero
+    val rows = (1 to 15).flatMap { d =>
+      val n = if (d == 15) 500 else 100 + (d % 3)
+      (1 to n).map(i =>
+        (s"a", Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")))
+    }.toDF("event_type", "ts")
+    val out = Events.dailyAnomalies(rows, "event_type", "ts",
+      windowDays = 7, zThreshold = 3)
+      .as[(String, java.sql.Date, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2.toString -> r._6).toMap
+    assert(out("2024-03-15"), "spike day must be flagged")
+    // warm-up days (< 7 predecessors) are never flagged
+    (1 to 7).foreach(d => assert(!out(f"2024-03-$d%02d"), s"warm-up day $d flagged"))
+    // steady days in between are not flagged
+    (8 to 14).foreach(d => assert(!out(f"2024-03-$d%02d"), s"steady day $d flagged"))
+  }
+
   test("retentionCohorts: week-0 counts are cohort sizes, offsets bounded") {
     val ev = graft.queries.t(spark, sf, "events")
     val m = Events.retentionCohorts(ev, "user_id", "ts")
