@@ -363,6 +363,43 @@ object ParityQueries {
       graft.operators.Quality.profileColumns(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column_name")
+    },
+
+    // Cross-table reconciliation (Reconcile.diffSummary): orders vs a
+    // deliberately drifted copy (every 97th priority rewritten, every
+    // 101st row deleted, every 103rd re-keyed out of range). The engine
+    // compares md5 row-hashes; the oracle compares the columns
+    // directly — green means the per-key verdicts agree everywhere.
+    "q116_reconcile_tables" -> q(
+      """WITH l AS (SELECT o_orderkey AS k, o_orderstatus, o_orderpriority, o_custkey
+                    FROM orders),
+            r AS (SELECT o_orderkey AS k, o_orderstatus,
+                         CASE WHEN o_orderkey % 97 = 0 THEN '9-DRIFTED'
+                              ELSE o_orderpriority END AS o_orderpriority,
+                         o_custkey
+                  FROM orders WHERE o_orderkey % 101 <> 0
+                  UNION ALL
+                  SELECT -o_orderkey - 1, o_orderstatus, o_orderpriority, o_custkey
+                  FROM orders WHERE o_orderkey % 103 = 0),
+            j AS (SELECT CASE WHEN l.k IS NULL THEN 'only_right'
+                              WHEN r.k IS NULL THEN 'only_left'
+                              WHEN l.o_orderstatus = r.o_orderstatus
+                                   AND l.o_orderpriority = r.o_orderpriority
+                                   AND l.o_custkey = r.o_custkey THEN 'match'
+                              ELSE 'value_drift' END AS status
+                  FROM l FULL OUTER JOIN r ON l.k = r.k)
+         SELECT status, CAST(count(*) AS BIGINT) AS n
+         FROM j GROUP BY status ORDER BY status""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val drifted = o.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 97 === 0, lit("9-DRIFTED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1))
+      graft.operators.Reconcile.diffSummary(o, drifted, "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+        .orderBy("status")
     }
   )
 }

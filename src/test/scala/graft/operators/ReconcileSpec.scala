@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diffByKey: all four verdicts, null-safe hashing") {
+    val left = Seq(
+      (1L, Some("a"), Some(10L)), // match
+      (2L, Some("b"), Some(20L)), // drift (value changes)
+      (3L, Some("c"), None),      // match with a null value
+      (4L, None, Some(40L)),      // drift: null -> value
+      (5L, Some("e"), Some(50L))  // only_left
+    ).toDF("id", "s", "v")
+    val right = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("B"), Some(20L)),
+      (3L, Some("c"), None),
+      (4L, Some(""), Some(40L)), // null vs empty string must NOT match
+      (6L, Some("f"), Some(60L)) // only_right
+    ).toDF("id", "s", "v")
+    val got = Reconcile.diffByKey(left, right, "id", Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "match", 2L -> "value_drift", 3L -> "match",
+      4L -> "value_drift", 5L -> "only_left", 6L -> "only_right"))
+  }
+
+  test("diffByKey: separator prevents concatenation collisions") {
+    // ("ab", "c") vs ("a", "bc") concatenate identically without a
+    // separator; the verdict must still be drift
+    val l = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val r = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    val got = Reconcile.diffByKey(l, r, "id", Seq("x", "y"))
+      .as[(Long, String)].head()
+    assert(got._2 == "value_drift")
+  }
+
+  test("schemaDrift reports added/removed/retyped, empty when identical") {
+    val old = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val newer = Seq((1L, 2, true)).toDF("id", "score", "active")
+    val drift = Reconcile.schemaDrift(old, newer)
+      .as[(String, String, Option[String], Option[String])].collect().toSet
+    assert(drift == Set(
+      ("name", "removed", Some("string"), None),
+      ("active", "added", None, Some("boolean")),
+      ("score", "retyped", Some("double"), Some("int"))))
+    assert(Reconcile.schemaDrift(old, old).isEmpty)
+  }
+}
