@@ -66,6 +66,35 @@ object Events {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(target), rsd).as(s"approx_${target}"))
 
+  /** Gaps-and-islands: merge overlapping/touching intervals per key.
+    * The classic SQL-hard shape (resource usage windows, user activity
+    * spans, sensor uptime): an interval starts a new island iff its lo
+    * exceeds the running max hi of every earlier interval in its key.
+    * Bounds are NUMERIC (caller converts timestamps with unix_micros /
+    * epoch_us so the arithmetic — and the oracle compare — is exact
+    * integers, not float seconds).
+    *
+    * Scale shape: one window partition per key (running max + island
+    * counter in the same pass, one shuffle); volume per partition is
+    * that key's interval count — bounded by per-entity activity, the
+    * same contract as sessionize. Returns one row per island:
+    * (key, island_lo, island_hi, n_intervals). */
+  def mergeIntervals(df: DataFrame, keyCol: String, loCol: String,
+                     hiCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(loCol, hiCol)
+    df.withColumn("__prev_hi",
+        max(col(hiCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prev_hi").isNull || col(loCol) > col("__prev_hi"), 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(loCol)).as("island_lo"), max(col(hiCol)).as("island_hi"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
   /** Daily event-rate anomaly gate: flags (type, day) cells whose count
     * deviates from the trailing `windowDays`-day mean by more than
     * `zThreshold` sample standard deviations — the monitoring check a

@@ -76,6 +76,27 @@ object Quality {
     * which at 100 TB is the right side of the trade by an order of
     * magnitude (scan dominates). min/max surface as strings so the
     * report has one schema regardless of the profiled types. */
+  /** Count-min-sketch frequency estimates — the fixed-memory answer to
+    * "how often does each of THESE keys appear" over a stream too wide
+    * for an exact group-by dictionary. Spark's built-in CMS aggregates
+    * distributed (mergeable row/width counter grids, partials map-side;
+    * only the KB-scale grid crosses to the driver); probing the handful
+    * of requested keys is driver-side arithmetic on that grid. The CMS
+    * guarantee is one-sided: estimates NEVER undercount, and
+    * overcount <= eps·N with probability >= confidence (specced against
+    * exact counts). Completes the sketch ladder next to HLL (q26),
+    * GK quantiles (q89), Bloom (q96), MinHash/SimHash. */
+  def cmsFrequencies(df: DataFrame, column: String, keys: Seq[Any],
+                     eps: Double = 0.001, confidence: Double = 0.99,
+                     seed: Int = 42): DataFrame = {
+    require(keys.nonEmpty, "cmsFrequencies needs probe keys")
+    val cms = df.stat.countMinSketch(column, eps, confidence, seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    keys.map(k => (k.toString, cms.estimateCount(k)))
+      .toDF(column, "est_count")
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     val aggs = cols.flatMap { c => Seq(

@@ -255,6 +255,57 @@ object EventsQueries {
       Events.dailyAnomalies(t(s, dir, "events"), "event_type", "ts",
         windowDays = 7, zThreshold = 3)
         .orderBy("event_type", "day")
+    },
+
+    // Gaps-and-islands: per-user activity intervals (deterministic
+    // width from the event id) merged into maximal overlapping spans.
+    // Microsecond integer bounds keep the island arithmetic exact on
+    // both engines.
+    "q117_merge_intervals" -> q(
+      """WITH iv AS (SELECT user_id,
+                            epoch_us(ts) AS lo,
+                            epoch_us(ts) + (300 + (event_id % 7) * 200) * 1000000 AS hi
+                     FROM events),
+            m AS (SELECT user_id, lo, hi,
+                         max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+                  FROM iv),
+            f AS (SELECT user_id, lo, hi,
+                         CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END AS is_new
+                  FROM m),
+            g AS (SELECT user_id, lo, hi,
+                         SUM(is_new) OVER (PARTITION BY user_id ORDER BY lo, hi
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                  FROM f),
+            i AS (SELECT user_id, island, min(lo) AS island_lo, max(hi) AS island_hi,
+                         CAST(count(*) AS BIGINT) AS n_intervals
+                  FROM g GROUP BY user_id, island)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(sum(island_hi - island_lo) AS BIGINT) AS covered_us,
+                CAST(sum(n_intervals) AS BIGINT) AS n_intervals
+         FROM i GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      val iv = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) +
+          (lit(300L) + (col("event_id") % 7) * 200L) * 1000000L).as("hi"))
+      Events.mergeIntervals(iv, "user_id", "lo", "hi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_hi") - col("island_lo")).as("covered_us"),
+          sum(col("n_intervals")).as("n_intervals"))
+        .orderBy("user_id")
+    },
+
+    // Count-min-sketch frequency estimates per event type. Approximate
+    // by construction (no value oracle); the spec pins the one-sided
+    // guarantee: never an undercount, overcount tracks eps*N. The probe
+    // keys are the 5 event types — metadata-scale by contract.
+    "q118_event_type_cms" -> qNoOracle { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val keys = ev.select("event_type").distinct()
+        .orderBy("event_type").collect().map(_.getString(0)).toSeq
+      graft.operators.Quality.cmsFrequencies(ev, "event_type", keys)
+        .orderBy("event_type")
     }
   )
 }

@@ -157,6 +157,26 @@ class EventsTextSpec extends SparkSpec {
     assert(got("2024-01-10") == 1L && got("2024-01-12") == 1L)
   }
 
+  test("mergeIntervals: overlap chains merge, touching != overlapping") {
+    val iv = Seq(
+      // key A: [0,10] [5,20] [20,30] chain -> one island [0,30]
+      // ([20,30] starts AT the running max 20, lo > prev_hi is false)
+      ("A", 0L, 10L), ("A", 5L, 20L), ("A", 20L, 30L),
+      // key A: [40,50] separate island
+      ("A", 40L, 50L),
+      // key B: containment [0,100] swallows [10,20]
+      ("B", 0L, 100L), ("B", 10L, 20L),
+      // key C: lo == prev_hi + 1 -> a NEW island (strictly after)
+      ("C", 0L, 10L), ("C", 11L, 20L)
+    ).toDF("k", "lo", "hi")
+    val got = Events.mergeIntervals(iv, "k", "lo", "hi")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 0L, 30L, 3L), ("A", 40L, 50L, 1L),
+      ("B", 0L, 100L, 2L),
+      ("C", 0L, 10L, 1L), ("C", 11L, 20L, 1L)))
+  }
+
   test("dailyAnomalies: planted spike flagged, warm-up and steady days not") {
     import java.sql.Timestamp
     // type "a": ~100 events/day for 14 days with mild jitter, then a

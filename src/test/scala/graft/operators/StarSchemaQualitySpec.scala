@@ -90,4 +90,24 @@ class StarSchemaQualitySpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected one parquet scan, got $scans:\n$plan")
   }
+
+  test("cmsFrequencies: never undercounts, overcount bounded by eps*N") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_type")
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val est = Quality.cmsFrequencies(ev, "event_type",
+      exact.keys.toSeq.sorted, eps = 0.001, confidence = 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS undercounted $k: ${est(k)} < $c")
+      assert(est(k) <= c + math.ceil(0.001 * n).toLong * 2,
+        s"CMS overcount out of band for $k: ${est(k)} vs $c (N=$n)")
+    }
+    // a key never seen estimates near zero (within the eps*N band)
+    val ghost = Quality.cmsFrequencies(ev, "event_type", Seq("no_such_type"))
+      .collect().head.getLong(1)
+    assert(ghost <= math.ceil(0.001 * n).toLong * 2)
+  }
 }
