@@ -419,6 +419,46 @@ object Curation {
       .drop("__key")
   }
 
+  /** Span-level decontamination — the surgical alternative to dropping
+    * whole documents: excise every `w`-token window of a training
+    * document that appears ANYWHERE in the benchmark corpus, keeping
+    * the rest of the document. Doc-level decontamination
+    * ([[contamination]] / [[contaminationBloom]]) discards a 10k-token
+    * document over one leaked test question; this removes the leaked
+    * window (Lee et al.'s ExactSubstr behavior, pointed at an external
+    * benchmark instead of the corpus itself). Returns (idCol, textCol)
+    * rewritten.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT span hashes
+    * (eval sets are tiny relative to the corpus — broadcast-grade, the
+    * same contract as [[contamination]]); the train side generates
+    * (id, pos, hash) and hash-joins against it, flagged starts
+    * aggregate per doc (bounded by tokens/doc), and the rewrite is the
+    * shared codegen'd excision filter — no shuffle carries text except
+    * the final projection's input. */
+  def removeContaminatedSpans(train: DataFrame, idCol: String, textCol: String,
+                              bench: DataFrame, benchTextCol: String,
+                              w: Int = 5): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    def spanHashes(tkCol: Column): Column =
+      transform(sequence(lit(0), size(tkCol) - w),
+        i => md5(array_join(slice(tkCol, i + lit(1), lit(w)), " ")))
+    val tk = train.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val spans = tk.filter(size(col("tk")) >= w)
+      .select(col("id"), posexplode(spanHashes(col("tk"))))
+      .toDF("id", "pos", "span_hash")
+    val benchSpans = bench
+      .select(TextAnalysis.tokens(col(benchTextCol)).as("btk"))
+      .filter(size(col("btk")) >= w)
+      .select(explode(spanHashes(col("btk"))).as("span_hash"))
+      .distinct()
+    val badStarts = spans.join(benchSpans, Seq("span_hash"))
+      .groupBy("id")
+      .agg(collect_set(col("pos")).as("starts"))
+    Dedup.exciseSpansByStarts(tk, badStarts, w, idCol, textCol)
+  }
+
   /** Train/eval split-leakage audit: after [[hashSplit]] assigns splits,
     * which held-out documents still have a near-duplicate INSIDE the
     * training split? Hash splitting is uniform over documents, so two

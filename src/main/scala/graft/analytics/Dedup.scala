@@ -637,8 +637,19 @@ object Dedup {
       .filter(col("id") =!= col("first_doc"))
       .groupBy("id")
       .agg(collect_set(col("pos")).as("starts"))
-    // coalesce: a null-text document surfaces as "" (its surviving token
-    // stream is empty), matching the oracle's string_agg coalesce
+    exciseSpansByStarts(tk, badStarts, w, idCol, textCol)
+  }
+
+  /** Shared rewrite tail for span-excision operators: drop every token
+    * covered by a flagged `w`-token start position; the rewrite is a
+    * single codegen'd higher-order filter over the token array —
+    * O(tokens × dup-starts) per doc, no shuffle. `tk` is (id, tk
+    * tokens); `badStarts` is (id, starts array). A null-text document
+    * surfaces as "" (its surviving token stream is empty), matching the
+    * oracles' string_agg coalesce. */
+  private[analytics] def exciseSpansByStarts(tk: DataFrame, badStarts: DataFrame,
+                                             w: Int, idCol: String,
+                                             textCol: String): DataFrame =
     tk.join(badStarts, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(
@@ -647,7 +658,6 @@ object Dedup {
               filter(col("tk"), (_, i) =>
                 !exists(col("starts"), s => s <= i && i < s + w)), " ")),
           lit("")).as(textCol))
-  }
 
   /** Quality-aware survivor selection over near-dup components — the
     * production variant of [[dedupVerdicts]]: production pipelines keep

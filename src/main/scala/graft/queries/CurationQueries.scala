@@ -342,6 +342,42 @@ object CurationQueries {
         trainSplit = "train", salt = "v1", n = 3, num = 1, den = 5,
         maxDocFreq = 1000L)
         .orderBy("id_eval", "id_train")
+    },
+
+    // Span-level decontamination: excise every 5-token window of a
+    // train doc that appears anywhere in the benchmark split (q65's
+    // doc-level decision made surgical). Same bench membership as
+    // q65/q96 (doc_id % 10 = 0); the whole rewritten corpus is
+    // hash-compared.
+    "q119_decontaminate_spans" -> q(
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            tr AS (SELECT doc_id, tk FROM tk WHERE doc_id % 10 <> 0),
+            be AS (SELECT tk FROM tk WHERE doc_id % 10 = 0),
+            bs AS (SELECT DISTINCT md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS h
+                   FROM (SELECT tk, unnest(generate_series(1, len(tk) - 4)) AS i
+                         FROM be WHERE len(tk) >= 5)),
+            sph AS (SELECT doc_id, i - 1 AS pos,
+                           md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS h
+                    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+                          FROM tr WHERE len(tk) >= 5)),
+            bad AS (SELECT DISTINCT s.doc_id, s.pos FROM sph s JOIN bs USING (h)),
+            tokv AS (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS ti
+                     FROM tr),
+            keep AS (SELECT v.doc_id, v.ti, v.tk[v.ti + 1] AS tok
+                     FROM tokv v
+                     WHERE NOT EXISTS (SELECT 1 FROM bad b
+                                       WHERE b.doc_id = v.doc_id
+                                         AND b.pos <= v.ti AND v.ti < b.pos + 5))
+          SELECT tr.doc_id,
+                 coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text
+          FROM tr LEFT JOIN keep k ON tr.doc_id = k.doc_id
+          GROUP BY tr.doc_id
+          ORDER BY tr.doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.removeContaminatedSpans(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", w = 5)
+        .orderBy("doc_id")
     }
   )
 }

@@ -236,6 +236,31 @@ class CurationSpec extends SparkSpec {
     assert(total.size == docs.count())
   }
 
+  test("removeContaminatedSpans: leaked window excised, clean text intact") {
+    val bench = Seq((100L, "the secret answer is forty two")).toDF("id", "text")
+    val train = Seq(
+      // contains the full benchmark 5-gram "secret answer is forty two"
+      (1L, "intro text the secret answer is forty two outro text"),
+      // shares only a 3-token overlap -> untouched at w=5
+      (2L, "the secret answer here differs completely from that"),
+      (3L, "totally unrelated document body")
+    ).toDF("id", "text")
+    val out = Curation.removeContaminatedSpans(train, "id", "text",
+      bench, "text", w = 5)
+      .as[(Long, String)].collect().toMap
+    // doc 1: the two overlapping leaked windows cover tokens 2..8
+    // ("the secret answer is forty two" spans both 5-gram starts)
+    assert(!out(1L).contains("secret") && !out(1L).contains("forty"))
+    assert(out(1L).startsWith("intro text") && out(1L).endsWith("outro text"))
+    assert(out(2L) == "the secret answer here differs completely from that")
+    assert(out(3L) == "totally unrelated document body")
+    // idempotent here: excising again changes nothing
+    val again = Curation.removeContaminatedSpans(
+      out.toSeq.toDF("id", "text"), "id", "text", bench, "text", w = 5)
+      .as[(Long, String)].collect().toMap
+    assert(again == out)
+  }
+
   test("exclusivePrefixSumBy matches the per-group window (differential)") {
     val rows = (1L to 2000L)
       .map(i => (i, s"g${i % 5}", (i * 2654435761L) % 97 + 1))

@@ -77,6 +77,44 @@ class ScaleShapeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // complements saltedAgg/saltedEquiJoin (the plan-level skew fixes):
+    // AQE's runtime skew split is the zero-code path, and this pins
+    // that our conf surface actually triggers it on a hot key
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 200k rows, 95% on one key, joined to a small-but-not-broadcast dim
+      val big = spark.range(200000).select(
+        when($"id" % 20 === 0, $"id" % 50).otherwise(lit(7L)).as("k"),
+        concat(lit("payload_"), $"id").as("payload"))
+      val dim = spark.range(50).select($"id".as("k2"), concat(lit("d"), $"id").as("dv"))
+      val joined = big.join(dim, $"k" === $"k2")
+      // execute THIS plan (count() would build a separate aggregate
+      // plan and leave joined's AQE plan unfinalized)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x)
+                case None => spark.conf.unset(k) } }
+  }
+
   test("z-order clustering bounds BOTH dimensions per bucket; single sort does not") {
     import spark.implicits._
     // two independent uniform dimensions (decorrelated by multiplicative
