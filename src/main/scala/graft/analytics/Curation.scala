@@ -419,6 +419,31 @@ object Curation {
       .drop("__key")
   }
 
+  /** Global quantile-bucket assignment (deciles by default) WITHOUT a
+    * global sort window: every row gets `bucket = rank·n DIV total`
+    * where rank comes from the distributed two-pass prefix scan over a
+    * zero-padded (score, id) sort key — `ntile`'s unpartitioned window
+    * would ship the whole relation through ONE task, the exact shape
+    * every operator here avoids. Exact integer arithmetic end to end:
+    * bucket boundaries are engine-portable, no percentile
+    * interpolation. Score and id must be non-negative longs (the
+    * fixed-width decimal padding makes lexicographic order numeric).
+    * Returns (idCol, scoreCol, bucket) with bucket in [0, nBuckets). */
+  def rankBuckets(df: DataFrame, idCol: String, scoreCol: String,
+                  nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val keyed = df
+      .select(col(idCol).cast("long").as(idCol), col(scoreCol).cast("long").as(scoreCol))
+      .withColumn("__one", lit(1L))
+      .withColumn("__rk",
+        format_string("%019d%019d", col(scoreCol), col(idCol)))
+    val ranked = exclusivePrefixSum(keyed, "__rk", "__one", "__rank")
+    val totalDf = df.select(count(lit(1)).as("__total"))
+    ranked.crossJoin(broadcast(totalDf))
+      .withColumn("bucket", expr(s"(__rank * $nBuckets) DIV __total"))
+      .select(idCol, scoreCol, "bucket")
+  }
+
   /** Span-level decontamination — the surgical alternative to dropping
     * whole documents: excise every `w`-token window of a training
     * document that appears ANYWHERE in the benchmark corpus, keeping

@@ -378,6 +378,27 @@ object CurationQueries {
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", w = 5)
         .orderBy("doc_id")
+    },
+
+    // Global token-count deciles via the distributed prefix rank. The
+    // oracle's unpartitioned row_number window is the single-task
+    // formulation the engine refuses; green proves the two-pass scan
+    // assigns the identical bucket to every document, boundary ties
+    // included.
+    "q120_quality_deciles" -> q(
+      s"""WITH s AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS score
+                     FROM documents),
+            r AS (SELECT doc_id, score,
+                         row_number() OVER (ORDER BY score, doc_id) - 1 AS rk,
+                         count(*) OVER () AS n
+                  FROM s)
+          SELECT doc_id, score, CAST((rk * 10) // n AS BIGINT) AS bucket
+          FROM r ORDER BY doc_id""") { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("score"))
+      Curation.rankBuckets(scored, "doc_id", "score", nBuckets = 10)
+        .orderBy("doc_id")
     }
   )
 }

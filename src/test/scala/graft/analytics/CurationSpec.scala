@@ -236,6 +236,21 @@ class CurationSpec extends SparkSpec {
     assert(total.size == docs.count())
   }
 
+  test("rankBuckets matches ntile-style global bucketing (differential)") {
+    val rows = (0L until 1000L).map(i => (i, (i * 7919L) % 400)).toDF("id", "score")
+    val expected = rows
+      .withColumn("rk", row_number().over(
+        Window.orderBy("score", "id")) - 1)
+      .withColumn("bucket", expr("CAST((rk * 10) DIV 1000 AS LONG)"))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val got = Curation.rankBuckets(rows, "id", "score", nBuckets = 10)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // buckets are balanced: exactly n/10 rows each here
+    val sizes = got.values.groupBy(identity).map(_._2.size).toSet
+    assert(sizes == Set(100))
+  }
+
   test("removeContaminatedSpans: leaked window excised, clean text intact") {
     val bench = Seq((100L, "the secret answer is forty two")).toDF("id", "text")
     val train = Seq(
