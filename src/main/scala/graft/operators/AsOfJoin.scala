@@ -22,16 +22,17 @@ object AsOfJoin {
   /** Union-tag-fill core: returns left rows with `rightCols` filled from
     * the nearest right row in the given direction, plus the matched
     * right timestamp as `__mts` (for tolerance gating). */
-  private def fill(left: DataFrame, right: DataFrame, key: String,
-                   leftTs: String, rightTs: String,
-                   rightCols: Seq[String], forward: Boolean): DataFrame = {
+  /** Tag-and-union both sides: left rows carry their columns, right rows
+    * carry ONE struct per row (its ts + every carried column), so the
+    * nearest right row is filled WHOLESALE — pandas-merge_asof
+    * semantics. Per-column last(ignoreNulls) fills would skip a
+    * genuinely-null value in the nearest row and serve an OLDER row's
+    * value for just that column, mixing rows and disagreeing with the
+    * __mts the tolerance gate reads. */
+  private def taggedUnion(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // ONE struct per right row (its ts + every carried column), so the
-    // nearest right row is filled WHOLESALE — pandas-merge_asof
-    // semantics. Per-column last(ignoreNulls) fills would skip a
-    // genuinely-null value in the nearest row and serve an OLDER row's
-    // value for just that column, mixing rows and disagreeing with the
-    // __mts the tolerance gate reads.
     val rStructType = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(
         "__rts", right.schema(rightTs).dataType) +:
@@ -44,14 +45,24 @@ object AsOfJoin {
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__is_left") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
         struct(col(rightTs).as("__rts") +: rightCols.map(col): _*).as("__r"): _*)
-    // forward = traverse time reversed, so "last seen right row" is the
-    // NEXT one; ties keep right before left so equal timestamps match
+    l.unionByName(r)
+  }
+
+  /** Window over the tagged union in one direction; ties keep right
+    * before left so equal timestamps match (>=/<= semantics). */
+  private def dirWindow(forward: Boolean) = {
     val ts = if (forward) col("__ts").desc else col("__ts").asc
-    val w = Window.partitionBy("__key")
+    Window.partitionBy("__key")
       .orderBy(ts, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__row", last(col("__r"), ignoreNulls = true).over(w))
+  }
+
+  private def fill(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightCols: Seq[String], forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    taggedUnion(left, right, key, leftTs, rightTs, rightCols)
+      .withColumn("__row", last(col("__r"), ignoreNulls = true).over(dirWindow(forward)))
       .filter(col("__is_left") === 1)
       .select(leftCols.map(col) ++
         rightCols.map(c => col("__row").getField(c).as(c)) :+
@@ -77,6 +88,34 @@ object AsOfJoin {
                   rightCols: Seq[String]): DataFrame =
     fill(left, right, key, leftTs, rightTs, rightCols, forward = true)
       .drop("__mts")
+
+  /** Nearest as-of: the closest right row in EITHER direction (pandas
+    * merge_asof direction='nearest'), ties broken BACKWARD (the earlier
+    * right row — so an exactly-simultaneous row, distance 0 both ways,
+    * resolves deterministically). Timestamp-typed ts columns; distances
+    * compare as exact integer epoch-micros.
+    *
+    * Cost: ONE shuffle on the key feeding two window passes (ascending
+    * and descending sorts over the same partitioning) — not two
+    * separate joins. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val both = taggedUnion(left, right, key, leftTs, rightTs, rightCols)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(dirWindow(forward = false)))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(dirWindow(forward = true)))
+      .filter(col("__is_left") === 1)
+    val db = unix_micros(col("__ts")) - unix_micros(col("__b").getField("__rts"))
+    val df = unix_micros(col("__f").getField("__rts")) - unix_micros(col("__ts"))
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(db <= df, col("__b"))
+      .otherwise(col("__f"))
+    both.withColumn("__row", pick)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__row").getField(c).as(c)): _*)
+  }
 
   /** Backward as-of with a staleness bound: a match older than
     * `toleranceSeconds` is discarded (right columns become null), the

@@ -296,6 +296,41 @@ object EventsQueries {
         .orderBy("user_id")
     },
 
+    // Nearest as-of (pandas merge_asof direction='nearest'): closest
+    // signup in EITHER direction, ties backward. The oracle composes
+    // DuckDB's two directional ASOF joins and picks by exact
+    // epoch-micro distance — green means the engine's one-shuffle
+    // two-window form agrees on every row, ties included.
+    "q121_events_asof_nearest" -> q(
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, ts, max(value) AS signup_value
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+              b AS (SELECT p.event_id, s.ts AS bts, s.signup_value AS bsv
+                    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts),
+              f AS (SELECT p.event_id, s.ts AS fts, s.signup_value AS fsv
+                    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts)
+         SELECT p.event_id, p.user_id, p.value,
+                CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                     WHEN fts IS NULL THEN bsv
+                     WHEN bts IS NULL THEN fsv
+                     WHEN epoch_us(p.ts) - epoch_us(bts)
+                          <= epoch_us(fts) - epoch_us(p.ts) THEN bsv
+                     ELSE fsv END AS signup_value
+         FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+         ORDER BY p.event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("signup_value"))
+      graft.operators.AsOfJoin.asofNearest(purchases, signups,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("signup_value"))
+        .select("event_id", "user_id", "value", "signup_value")
+        .orderBy("event_id")
+    },
+
     // Count-min-sketch frequency estimates per event type. Approximate
     // by construction (no value oracle); the spec pins the one-sided
     // guarantee: never an undercount, overcount tracks eps*N. The probe

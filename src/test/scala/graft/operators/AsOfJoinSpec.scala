@@ -56,6 +56,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("p1" -> Some(100.0), "p2" -> None, "p3" -> None))
   }
 
+  test("asofNearest: closest in either direction, ties break backward") {
+    val left = Seq(
+      (1L, ts(10), "closer_back"),   // back at 8 (d=2), fwd at 20 (d=10)
+      (1L, ts(19), "closer_fwd"),    // back at 8 (d=11), fwd at 20 (d=1)
+      (1L, ts(14), "exact_tie"),     // back 8 (d=6), fwd 20 (d=6) -> back
+      (2L, ts(5), "only_fwd"),       // no earlier row for key 2
+      (3L, ts(5), "no_match")        // key 3 absent on the right
+    ).toDF("uid", "t", "what")
+    val right = Seq((1L, ts(8), 100.0), (1L, ts(20), 200.0), (2L, ts(9), 300.0))
+      .toDF("uid", "t", "v")
+    val out = AsOfJoin.asofNearest(left, right, "uid", "t", "t", Seq("v"))
+      .select("what", "v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "closer_back" -> Some(100.0), "closer_fwd" -> Some(200.0),
+      "exact_tie" -> Some(100.0), "only_fwd" -> Some(300.0),
+      "no_match" -> None))
+  }
+
+  test("asofNearest: simultaneous right row wins at distance zero") {
+    val left = Seq((1L, ts(10), "now")).toDF("uid", "t", "what")
+    val right = Seq((1L, ts(10), 1.0), (1L, ts(11), 2.0)).toDF("uid", "t", "v")
+    val out = AsOfJoin.asofNearest(left, right, "uid", "t", "t", Seq("v"))
+      .select("v").as[Double].collect()
+    assert(out.toSeq == Seq(1.0))
+  }
+
   test("asofTolerance: stale matches are discarded, fresh ones kept") {
     val left = Seq((1L, ts(100), "fresh"), (1L, ts(500), "stale"))
       .toDF("uid", "t", "what")
