@@ -331,6 +331,28 @@ object EventsQueries {
         .orderBy("event_id")
     },
 
+    // Incremental rollup maintenance: the month's per-type stats built
+    // by MERGING three decade states (days 1-10 / 11-20 / 21-30), never
+    // re-aggregating the raw stream. The oracle computes the same
+    // numbers from scratch — green proves merge-of-states == full
+    // recompute, the invariant incremental pipelines stand on.
+    "q122_incremental_rollup" -> q(
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v,
+                CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_v,
+                CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_v
+         FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val decades = Seq(
+        ev.filter(dayofmonth(col("ts")) <= 10),
+        ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+        ev.filter(dayofmonth(col("ts")) > 20))
+      val states = decades.map(d => graft.operators.Rollup.state(
+        d, Seq("event_type"), cents(col("value"))))
+      graft.operators.Rollup.merge(states).orderBy("event_type")
+    },
+
     // Count-min-sketch frequency estimates per event type. Approximate
     // by construction (no value oracle); the spec pins the one-sided
     // guarantee: never an undercount, overcount tracks eps*N. The probe
