@@ -92,7 +92,10 @@ class StarSchemaQualitySpec extends SparkSpec {
   }
 
   test("cmsFrequencies: never undercounts, overcount bounded by eps*N") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // events carries TIMESTAMP(NANOS) — must go through t()'s
+    // nanosAsLong handling (a bare read only works if another suite
+    // already set the conf on the shared session: order-dependent red)
+    val ev = graft.queries.t(spark, "/root/testdata/sf0.001", "events")
       .select("event_type")
     val exact = ev.groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
