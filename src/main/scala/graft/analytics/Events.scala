@@ -66,6 +66,21 @@ object Events {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(target), rsd).as(s"approx_${target}"))
 
+  /** Daily new-user counts with the running total — the growth curve.
+    * First-seen day is one hash aggregate over the event stream; the
+    * cumulative sum runs over the DAYS relation (one row per calendar
+    * day — thousands of rows at any corpus size, so the unpartitioned
+    * window is metadata-scale by construction, not a data-volume
+    * window). */
+  def userGrowth(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstDays = df.groupBy(col(userCol).as("user"))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    firstDays.withColumn("cumulative_users",
+      sum(col("n_new")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Gaps-and-islands: merge overlapping/touching intervals per key.
     * The classic SQL-hard shape (resource usage windows, user activity
     * spans, sensor uptime): an interval starts a new island iff its lo

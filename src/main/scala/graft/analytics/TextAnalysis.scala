@@ -26,6 +26,20 @@ object TextAnalysis {
     * already-clean (e.g. ASCII) corpora near-free. */
   def normalizeNfc(c: Column): Column = graft.functions.NfcNormalize(c)
 
+  /** Full text canonicalization for match keys: NFC first (so composed
+    * and decomposed spellings see the SAME downstream edits — stripping
+    * punctuation before NFC would keep a decomposed base letter but
+    * drop a composed one), then lower-case, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim. A zero-shuffle
+    * projection; the canonical form is what exact dedup and entity
+    * matching should key on. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(normalizeNfc(c)), "\\s+", " "),
+        "[^a-z0-9 ]", ""),
+      " +", " "))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */

@@ -331,6 +331,21 @@ object EventsQueries {
         .orderBy("event_id")
     },
 
+    // Daily new users + running total: the growth curve. The cumulative
+    // window runs over the days relation (30 rows), never the stream.
+    "q125_user_growth" -> q(
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                    FROM events GROUP BY user_id),
+            d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+                  FROM f GROUP BY day)
+         SELECT day, n_new,
+                CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cumulative_users
+         FROM d ORDER BY day""") { (s, dir) =>
+      Events.userGrowth(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")
+    },
+
     // Incremental rollup maintenance: the month's per-type stats built
     // by MERGING three decade states (days 1-10 / 11-20 / 21-30), never
     // re-aggregating the raw stream. The oracle computes the same

@@ -400,6 +400,36 @@ object ParityQueries {
       graft.operators.Reconcile.diffSummary(o, drifted, "o_orderkey",
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
         .orderBy("status")
+    },
+
+    // Fuzzy entity matching (record linkage): part names unioned with
+    // planted one-edit variants (every 50th part re-keyed with its
+    // last character swapped), pairs within 2 edits found via
+    // (first char, length band) blocking. Oracle applies the same
+    // block + unblocked Levenshtein — identical pairs, distances
+    // included.
+    "q123_fuzzy_match" -> q(
+      """WITH n AS (SELECT p_partkey AS id, p_name AS nm FROM part
+                    UNION ALL
+                    SELECT p_partkey + 1000000,
+                           substr(p_name, 1, length(p_name) - 1) || 'x'
+                    FROM part WHERE p_partkey % 50 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM n a JOIN n b
+           ON a.id < b.id
+          AND substr(a.nm, 1, 1) = substr(b.nm, 1, 1)
+          AND abs(length(a.nm) - length(b.nm)) <= 2
+         WHERE levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id_a, id_b""") { (s, dir) =>
+      val p = t(s, dir, "part")
+      val names = p.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .unionByName(p.filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 1000000L).as("id"),
+            concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+              lit("x")).as("nm")))
+      graft.operators.Reconcile.fuzzyMatchPairs(names, "id", "nm", maxDist = 2)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -810,6 +810,24 @@ object TextQueries {
           TextAnalysis.normalizeNfc(
             concat(lit("café "), col("text"))).as("text_nfc"))
         .orderBy("doc_id")
+    },
+
+    // Canonical match-key text: NFC -> lower -> whitespace to single
+    // space -> strip non-[a-z0-9 ] -> collapse -> trim. The decomposed
+    // prefix proves ORDER matters: NFC-first composes e+accent into one
+    // e-acute which the class filter then drops whole; skipping NFC
+    // would leave a bare 'e' behind. Both engines spell the same chain.
+    "q124_canonical_text" -> q(
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  lower(nfc_normalize('Caf' || chr(101) || chr(769) || '!  ' || text)),
+                  '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_canon
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalText(
+            concat(lit("Cafe\u0301!  "), col("text"))).as("text_canon"))
+        .orderBy("doc_id")
     }
   )
 }

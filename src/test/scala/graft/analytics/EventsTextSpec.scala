@@ -157,6 +157,18 @@ class EventsTextSpec extends SparkSpec {
     assert(got("2024-01-10") == 1L && got("2024-01-12") == 1L)
   }
 
+  test("userGrowth: new-user counts partition users, cumulative is monotone") {
+    val ev = graft.queries.t(spark, sf, "events")
+    val g = Events.userGrowth(ev, "user_id", "ts")
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long)].collect()
+    val users = ev.select("user_id").distinct().count()
+    assert(g.map(_._2).sum == users)
+    assert(g.last._3 == users)
+    // running total is the prefix sum of the daily news
+    assert(g.scanLeft(0L)(_ + _._2).tail.toSeq == g.map(_._3).toSeq)
+  }
+
   test("mergeIntervals: overlap chains merge, touching != overlapping") {
     val iv = Seq(
       // key A: [0,10] [5,20] [20,30] chain -> one island [0,30]

@@ -73,6 +73,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(fp.getString(2) != fp.getString(3))
   }
 
+  test("canonicalText: NFC-first ordering, class strip, whitespace collapse") {
+    import graft.analytics.TextAnalysis
+    val decomposed = "Café!  du\tmonde  "
+    val composed = "Café!  du\tmonde  "
+    val df = Seq(decomposed, composed, "  plain   TEXT 42 ").toDF("s")
+    val out = df.select(TextAnalysis.canonicalText($"s")).as[String].collect()
+    // both spellings canonicalize IDENTICALLY: NFC composes e+accent
+    // into é, which the [a-z0-9 ] filter then drops whole
+    assert(out(0) == out(1))
+    assert(out(0) == "caf du monde")
+    assert(out(2) == "plain text 42")
+  }
+
   test("fingerprint64 is whitespace/case-invariant like the md5 form") {
     import graft.analytics.TextAnalysis
     val df = Seq(("a B  c", "A b c", "a b d")).toDF("x", "y", "z")

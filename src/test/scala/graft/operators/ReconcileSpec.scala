@@ -37,6 +37,18 @@ class ReconcileSpec extends SparkSpec {
     assert(got._2 == "value_drift")
   }
 
+  test("fuzzyMatchPairs: within-band edits found, each pair once") {
+    val names = Seq(
+      (1L, "acme corp"), (2L, "acme corp."),   // dist 1
+      (3L, "acme korp"),                        // dist 1 of #1, 2 of #2
+      (4L, "zenith ltd"), (5L, "zenith ltd"),   // dist 0 duplicates
+      (6L, "bcme corp")                         // dist 1 of #1 but first char differs -> blocked out
+    ).toDF("id", "nm")
+    val got = Reconcile.fuzzyMatchPairs(names, "id", "nm", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L), (4L, 5L, 0L)))
+  }
+
   test("schemaDrift reports added/removed/retyped, empty when identical") {
     val old = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
     val newer = Seq((1L, 2, true)).toDF("id", "score", "active")
