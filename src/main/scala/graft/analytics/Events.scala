@@ -81,6 +81,49 @@ object Events {
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Forward fill (last observation carried forward) over per-key time
+    * series: each null in `fillCols` takes the latest preceding non-null
+    * value within its key. The canonical sparse-sensor/slowly-updating
+    * attribute repair; nulls before a key's first observation stay null.
+    *
+    * Scale shape: ONE shuffle on the key — all fill columns ride the
+    * same window frame, so Catalyst collapses them into a single Window
+    * node over a single exchange (n fill columns never means n sorts).
+    * Per-partition volume is one key's history, the same bound as
+    * sessionize. The order columns must form a total order per key or
+    * the filled value is nondeterministic — pass a tiebreaker (e.g. the
+    * event id) alongside the timestamp. */
+  def forwardFill(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                  fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Daily gap fill: per-key daily event counts with missing days
+    * zero-filled between that key's first and last active day — the
+    * regular grid a downstream rolling statistic or chart needs (a
+    * trailing mean over raw counts silently skips absent days).
+    *
+    * Scale shape: the stream reduces to (key, day) counts in one hash
+    * aggregate with map-side partials; the date spine is generated
+    * KEY-LOCALLY with `sequence(lo, hi)` + explode — no driver-side
+    * date loop, no global calendar broadcast — and the fill join is an
+    * equi-join on (key, day), AQE-planned. Spine volume is bounded by
+    * sum over keys of each key's active span in days, never
+    * keys × global-calendar. */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col(keyCol), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+  }
+
   /** Gaps-and-islands: merge overlapping/touching intervals per key.
     * The classic SQL-hard shape (resource usage windows, user activity
     * spans, sensor uptime): an interval starts a new island iff its lo

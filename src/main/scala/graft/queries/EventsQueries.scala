@@ -378,6 +378,47 @@ object EventsQueries {
         .orderBy("event_type").collect().map(_.getString(0)).toSeq
       graft.operators.Quality.cmsFrequencies(ev, "event_type", keys)
         .orderBy("event_type")
+    },
+
+    // Forward fill (LOCF) per user: a deterministically sparsified value
+    // column (kept only on event_id % 3 == 0, in exact cents) repaired
+    // with the latest preceding observation. One shuffle on user_id; the
+    // (ts, event_id) order key is total, so the fill is deterministic.
+    "q126_forward_fill" -> q(
+      """WITH e AS (SELECT event_id, user_id, ts,
+                      CASE WHEN event_id % 3 = 0
+                           THEN CAST(floor(value*100 + 0.5) AS BIGINT) END AS v
+                    FROM events)
+         SELECT event_id, user_id,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         FROM e ORDER BY event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 3 === 0, cents(col("value"))).as("v"))
+      Events.forwardFill(ev, "user_id", Seq("ts", "event_id"), Seq("v"))
+        .select(col("event_id"), col("user_id"), col("v").as("v_filled"))
+        .orderBy("event_id")
+    },
+
+    // Daily per-user activity grid: counts with missing days zero-filled
+    // between each user's first and last active day. The spine is
+    // generated key-locally (sequence + explode), never a driver loop.
+    "q127_gap_fill_daily" -> q(
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(count(*) AS BIGINT) AS n_events
+                        FROM events GROUP BY 1, 2),
+            spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+                      FROM daily GROUP BY 1),
+            spine AS (SELECT user_id,
+                             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM spans)
+         SELECT s.user_id, s.day, COALESCE(d.n_events, 0) AS n_events
+         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY 1, 2""") { (s, dir) =>
+      Events.gapFillDaily(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id", "day")
     }
   )
 }

@@ -169,6 +169,48 @@ class EventsTextSpec extends SparkSpec {
     assert(g.scanLeft(0L)(_ + _._2).tail.toSeq == g.map(_._3).toSeq)
   }
 
+  test("forwardFill: LOCF repairs nulls, leading nulls stay null") {
+    val rows = Seq(
+      ("a", 1L, Some(10L)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(40L)), ("a", 5L, None),
+      ("b", 1L, None), ("b", 2L, Some(7L)), ("b", 3L, None)
+    ).toDF("k", "seq", "v")
+    val got = Events.forwardFill(rows, "k", Seq("seq"), Seq("v"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      ("a", 1L, Some(10L)), ("a", 2L, Some(10L)), ("a", 3L, Some(10L)),
+      ("a", 4L, Some(40L)), ("a", 5L, Some(40L)),
+      ("b", 1L, None), ("b", 2L, Some(7L)), ("b", 3L, Some(7L))))
+  }
+
+  test("forwardFill: n fill columns ride ONE window (one exchange, one sort)") {
+    val rows = Seq(("a", 1L, Some(1L), Some(2L)), ("a", 2L, None, None))
+      .toDF("k", "seq", "x", "y")
+    val plan = Events.forwardFill(rows, "k", Seq("seq"), Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(" Window ".r.findAllIn(plan).size <= 1 &&
+      "Window".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("gapFillDaily: missing days zero-filled within each key's span only") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      ("u1", "2024-02-01"), ("u1", "2024-02-01"), ("u1", "2024-02-04"),
+      ("u2", "2024-02-10")
+    ).map { case (u, d) => (u, Timestamp.valueOf(s"$d 12:00:00")) }
+      .toDF("u", "ts")
+    val got = Events.gapFillDaily(ev, "u", "ts")
+      .as[(String, java.sql.Date, Long)].collect()
+      .map { case (u, d, n) => (u, d.toString, n) }.toSet
+    assert(got == Set(
+      ("u1", "2024-02-01", 2L), ("u1", "2024-02-02", 0L),
+      ("u1", "2024-02-03", 0L), ("u1", "2024-02-04", 1L),
+      // u2's single-day span gets no padding, and u1's span does not
+      // bleed into u2's calendar
+      ("u2", "2024-02-10", 1L)))
+  }
+
   test("mergeIntervals: overlap chains merge, touching != overlapping") {
     val iv = Seq(
       // key A: [0,10] [5,20] [20,30] chain -> one island [0,30]
