@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Grouped statistical aggregates computed from EXACT integer sums
+  * (extension surface; the reference's only statistics are dbt-style
+  * row-count checks, models/marts/call_center_kpis.sql).
+  *
+  * Every estimator here reduces to sums of integer-scaled operands
+  * (DECIMAL(38,0) — exact in any accumulation order, so the result is
+  * identical on any partitioning AND engine-portable bit-for-bit). The
+  * only floating-point steps are the final division / sqrt on two
+  * exact operands, which IEEE 754 defines uniquely — the same
+  * technique q115's anomaly gate uses for its z-test. A float-sum
+  * formulation (Spark's built-in corr/regr_slope, Welford online
+  * variance) is order-dependent in the last bits and so flaps across
+  * retries, partitionings, and engines.
+  *
+  * Scale shape: ONE hash aggregate with map-side partials per call —
+  * n statistics ride one shuffle of one state row per (group × column)
+  * pair. Nothing here ever sorts or windows the raw relation.
+  */
+object Stats {
+
+  private val D = DecimalType(38, 0)
+
+  /** Per-group OLS fit y = slope·x + intercept, from the closed-form
+    * normal equations on exact sums:
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+    *   intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)
+    * Operands must already be integer-scaled (cents / basis points —
+    * see graft.queries.cents); results are rounded to 6 decimals so
+    * the quotient stays far above double ulp at any realistic
+    * magnitude. Degenerate groups (constant x → zero denominator)
+    * yield NULL slope/intercept rather than ±Inf.
+    *
+    * DECIMAL(38,0) headroom: Σxy < 1e38 holds through ~1e12 rows of
+    * 1e13-magnitude products — beyond 100 TB of cents-scaled money
+    * columns; overflow surfaces as NULL (Spark) not silent wrap. */
+  def regressionByGroup(df: DataFrame, keys: Seq[String],
+                        x: Column, y: Column): DataFrame = {
+    val prep = df.select(
+      keys.map(col) ++ Seq(x.cast(D).as("__x"), y.cast(D).as("__y")): _*)
+    val sums = prep.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).cast(D).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val denom = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val slopeNum = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val interceptNum = (col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
+      .cast("double")
+    sums.select(
+      keys.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        round(when(denom =!= 0.0, slopeNum / denom), 6).as("slope"),
+        round(when(denom =!= 0.0, interceptNum / denom), 6).as("intercept")): _*)
+  }
+
+  /** Pearson correlation for every unordered pair of `cols`, in ONE
+    * scan and ONE aggregate:
+    *   corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+    * The single state row carries all k + k·(k+1)/2 sums; the k·(k−1)/2
+    * output rows are EXPLODED from it in one projection — a
+    * union-of-selects per pair would re-derive (and re-scan) the
+    * aggregate once per pair unless exchange reuse happens to fire.
+    * Constant columns correlate as NULL. Rounded to 9 decimals
+    * (|corr| ≤ 1, so 9 decimals sits ~6 orders above double ulp). */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val prep = df.select(cols.map { case (n, c) => c.cast(D).as(n) }: _*)
+    val sumCols =
+      cols.map { case (n, _) => sum(col(n)).as(s"__s_$n") } ++
+        (for {
+          i <- cols.indices; j <- i until cols.size
+        } yield sum(col(cols(i)._1) * col(cols(j)._1))
+          .as(s"__p_${cols(i)._1}_${cols(j)._1}"))
+    val agg = prep.agg(count(lit(1)).cast(D).as("__n"), sumCols: _*)
+    def varPart(n: String) =
+      (col("__n") * col(s"__p_${n}_$n") - col(s"__s_$n") * col(s"__s_$n"))
+        .cast("double")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+      (a, b) = (cols(i)._1, cols(j)._1)
+    } yield {
+      val cov = (col("__n") * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+        .cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(when(varPart(a) > 0.0 && varPart(b) > 0.0,
+          cov / (sqrt(varPart(a)) * sqrt(varPart(b)))), 9).as("corr"))
+    }
+    agg.select(explode(array(pairs: _*)).as("__pair"))
+      .select(col("__pair.col_x").as("col_x"), col("__pair.col_y").as("col_y"),
+        col("__pair.corr").as("corr"))
+  }
+
+  /** Most frequent value of `valCol` per group, ties broken by the
+    * SMALLEST value so the answer is deterministic (Spark's `mode` and
+    * DuckDB's pick an arbitrary winner on ties — useless for a
+    * hash-compared pipeline). Two aggregates: the raw relation reduces
+    * to (group, value) counts with map-side partials first, so the
+    * row_number window only ever sorts the distinct-value relation,
+    * never the data. */
+  def modeByGroup(df: DataFrame, keys: Seq[String], valCol: String): DataFrame = {
+    val counts = df.groupBy(keys.map(col) :+ col(valCol): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("n_rows").desc, col(valCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) :+ col(valCol).as("mode_value") :+ col("n_rows"): _*)
+  }
+}

@@ -131,6 +131,108 @@ object AnalyticsQueries {
           sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_e4"),
           count(lit(1)).as("n_items"))
         .orderBy("s_nationkey")
+    },
+
+    // Pareto frontier: orders no other order beats on BOTH date and
+    // price. Spark side: per-date max + window over distinct dates +
+    // broadcast semi-join (Skyline.frontier2D) — never the O(n²) self
+    // join. The oracle states the same dominance with two row-level
+    // windows (strictly-later-days max via RANGE, same-day max) — an
+    // independent formulation of the identical predicate.
+    "q128_pareto_frontier" -> q(
+      """WITH r AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, o_totalprice,
+                      max(o_totalprice) OVER (ORDER BY CAST(o_orderdate AS DATE)
+                        RANGE BETWEEN INTERVAL 1 DAY FOLLOWING AND UNBOUNDED FOLLOWING)
+                        AS later_max,
+                      max(o_totalprice) OVER (PARTITION BY CAST(o_orderdate AS DATE))
+                        AS day_max
+                    FROM orders)
+         SELECT o_orderkey, day, o_totalprice FROM r
+         WHERE o_totalprice = day_max AND (later_max IS NULL OR o_totalprice > later_max)
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+          col("o_totalprice"))
+      graft.operators.Skyline.frontier2D(orders, "day", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Per-group OLS fit (price explained by quantity) from exact
+    // integer sums — the closed-form normal equations, one hash
+    // aggregate, no float accumulation anywhere (Stats.scala header).
+    "q129_group_regression" -> q(
+      """WITH p AS (SELECT l_returnflag,
+                           CAST(l_quantity AS HUGEINT) AS x,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+                    FROM lineitem),
+            s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x*y) AS sxy, sum(x*x) AS sxx
+                  FROM p GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept
+         FROM s ORDER BY l_returnflag""") { (s, dir) =>
+      graft.operators.Stats.regressionByGroup(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"), cents(col("l_extendedprice")))
+        .orderBy("l_returnflag")
+    },
+
+    // Deterministic mode: each nation's most common order priority,
+    // ties to the smallest value (engines' built-in mode() picks an
+    // arbitrary winner — useless under a hash compare). The window
+    // sorts only the (nation × priority) count relation.
+    "q130_mode_per_group" -> q(
+      """WITH c AS (SELECT c_nationkey, o_orderpriority,
+                           CAST(count(*) AS BIGINT) AS n_rows
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                    GROUP BY 1, 2),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY n_rows DESC, o_orderpriority ASC) AS INTEGER) AS rn
+                  FROM c)
+         SELECT c_nationkey, o_orderpriority AS mode_value, n_rows
+         FROM r WHERE rn = 1 ORDER BY c_nationkey""") { (s, dir) =>
+      val joined = t(s, dir, "orders").join(
+        t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      graft.operators.Stats.modeByGroup(joined, Seq("c_nationkey"), "o_orderpriority")
+        .orderBy("c_nationkey")
+    },
+
+    // Pairwise Pearson correlation over lineitem's four measures, all
+    // six pairs from ONE scan + ONE aggregate of exact integer-scaled
+    // sums; only the final divide/sqrt is floating point (IEEE-defined
+    // on exact operands, so engine-portable).
+    "q131_corr_matrix" -> q(
+      """WITH p AS (SELECT CAST(l_quantity AS HUGEINT) AS qty,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS price,
+                           CAST(floor(l_discount * 10000 + 0.5) AS HUGEINT) AS disc,
+                           CAST(floor(l_tax * 10000 + 0.5) AS HUGEINT) AS tax
+                    FROM lineitem),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(qty) sq, sum(price) sp, sum(disc) sd, sum(tax) st,
+                         sum(qty*qty) sqq, sum(qty*price) sqp, sum(qty*disc) sqd,
+                         sum(qty*tax) sqt, sum(price*price) spp, sum(price*disc) spd,
+                         sum(price*tax) spt, sum(disc*disc) sdd, sum(disc*tax) sdt,
+                         sum(tax*tax) stt
+                  FROM p)
+         SELECT col_x, col_y,
+                round(CAST(cov AS DOUBLE) /
+                      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 9) AS corr
+         FROM (
+           SELECT 'qty' col_x, 'price' col_y, n*sqp - sq*sp cov, n*sqq - sq*sq vx, n*spp - sp*sp vy FROM s
+           UNION ALL SELECT 'qty', 'disc', n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM s
+           UNION ALL SELECT 'qty', 'tax', n*sqt - sq*st, n*sqq - sq*sq, n*stt - st*st FROM s
+           UNION ALL SELECT 'price', 'disc', n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd FROM s
+           UNION ALL SELECT 'price', 'tax', n*spt - sp*st, n*spp - sp*sp, n*stt - st*st FROM s
+           UNION ALL SELECT 'disc', 'tax', n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM s)
+         ORDER BY col_x, col_y""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.operators.Stats.corrMatrix(li, Seq(
+          "qty" -> col("l_quantity"),
+          "price" -> cents(col("l_extendedprice")),
+          "disc" -> tenthCents(col("l_discount")),
+          "tax" -> tenthCents(col("l_tax"))))
+        .orderBy("col_x", "col_y")
     }
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("regressionByGroup: recovers an exact linear fit; constant x is NULL") {
+    val pts = Seq(
+      // group a: y = 2x + 3 exactly
+      ("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L), ("a", 10L, 23L),
+      // group b: constant x -> zero denominator -> NULL fit
+      ("b", 4L, 1L), ("b", 4L, 9L)
+    ).toDF("g", "x", "y")
+    val byG = Stats.regressionByGroup(pts, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(byG("a") == ((4L, Some(2.0), Some(3.0))))
+    assert(byG("b") == ((2L, None, None)))
+  }
+
+  test("corrMatrix: exact +1 / -1 / NULL-on-constant, one scan, one aggregate") {
+    val df = Seq(
+      (1L, 2L, 9L, 5L), (2L, 4L, 8L, 5L), (3L, 6L, 7L, 5L), (4L, 8L, 6L, 5L)
+    ).toDF("x", "y2x", "neg", "const")
+    val got = Stats.corrMatrix(df, Seq(
+        "x" -> col("x"), "y2x" -> col("y2x"),
+        "neg" -> col("neg"), "const" -> col("const")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(got(("x", "y2x")) == Some(1.0))
+    assert(got(("x", "neg")) == Some(-1.0))
+    assert(got(("x", "const")) == None)
+    assert(got(("y2x", "neg")) == Some(-1.0))
+    // all six unordered pairs, exactly once
+    assert(got.size == 6)
+    // one scan feeds the whole matrix (the union-of-selects shape reads
+    // the input once per pair)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = Stats.corrMatrix(orders, Seq(
+        "key" -> col("o_orderkey"), "cust" -> col("o_custkey"),
+        "price" -> graft.queries.cents(col("o_totalprice"))))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("modeByGroup: ties break to the SMALLEST value, deterministically") {
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+      ("g2", "z")
+    ).toDF("g", "v")
+    val got = Stats.modeByGroup(df, Seq("g"), "v")
+      .as[(String, String, Long)].collect().toSet
+    // g1: a and b both count 2 -> a wins the tie
+    assert(got == Set(("g1", "a", 2L), ("g2", "z", 1L)))
+  }
+
+  test("frontier2D: matches the naive NOT-EXISTS dominance check, keeps ties") {
+    val rows = (1 to 200).map { i =>
+      // deterministic scatter with duplicate points and same-x ties
+      val x = (i * 7919) % 50
+      val y = (i * 104729) % 97
+      (i.toLong, x.toLong, y.toLong)
+    }.toDF("id", "x", "y")
+    val fast = Skyline.frontier2D(rows, "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val all = rows.as[(Long, Long, Long)].collect()
+    val naive = all.filter { case (_, x, y) =>
+      !all.exists { case (_, sx, sy) =>
+        sx >= x && sy >= y && (sx > x || sy > y)
+      }
+    }.toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+    // duplicate frontier points must BOTH survive (equal rows don't
+    // dominate each other)
+    val dup = Seq((1L, 10L, 10L), (2L, 10L, 10L), (3L, 0L, 0L)).toDF("id", "x", "y")
+    assert(Skyline.frontier2D(dup, "x", "y").count() == 2)
+  }
+}
