@@ -500,6 +500,62 @@ object Curation {
     * pair search is eval × train through the df-capped inverted index,
     * never corpus × corpus. Returns one row per leaked (eval, train)
     * pair: (id_eval, split, id_train, common, n_eval, n_train). */
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by the log-likelihood ratio of its hashed
+    * unigram features under the TARGET slice's distribution vs the
+    * whole pool's — the standard cheap proxy for "pick pool documents
+    * that look like the high-quality target" ahead of a token-budget
+    * sample (sampleToTokenBudget takes a score column).
+    *
+    *   weight(d) = Σ_{tokens w ∈ d} [ ln((t_b(w)+1)/(T+B)) − ln((r_b(w)+1)/(R+B)) ]
+    *
+    * with t_b/r_b the target/pool occurrence counts of bucket b,
+    * T/R their totals, B the bucket count (add-one smoothing).
+    *
+    * Determinism contract: bucket counts are exact longs; each
+    * bucket's log-ratio is computed ONCE from exact operands, rounded
+    * to 6 decimals, and fixed as DECIMAL(18,6) — per-document weights
+    * are then exact decimal dot-products, identical in any
+    * accumulation order and engine (a raw float Σ log(...) per doc
+    * would be order-dependent in the last bits). md5-hex bucketing
+    * keeps the features engine-portable (same trick as hashSplit).
+    *
+    * Scale shape: one explode + hash aggregate to (doc, bucket)
+    * counts; the bucket-stats relation is B rows (broadcast); totals
+    * are a broadcast 1-row crossJoin; the weight is one more hash
+    * aggregate keyed on the doc id. Nothing doc×doc, nothing sorted,
+    * no driver actions. Documents with zero tokens have no features
+    * and drop out (same as the oracle's join semantics). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 1024,
+                  salt: String = "v1"): DataFrame = {
+    val feats = df
+      .select(col(idCol), targetPred.as("__is_target"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__w"))
+      .select(col(idCol), col("__is_target"),
+        (conv(substring(md5(concat(lit(salt), col("__w")).cast("binary")), 1, 4),
+          16, 10).cast("long") % nBuckets).as("__b"))
+    val docBuckets = feats.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val bucketStats = feats.groupBy(col("__b")).agg(
+      sum(when(col("__is_target"), 1L).otherwise(0L)).as("__t"),
+      count(lit(1)).as("__r"))
+    val totals = bucketStats.agg(
+      sum(col("__t")).as("__tt"), sum(col("__r")).as("__rr"))
+    val llr = bucketStats.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(
+          log((col("__t") + 1).cast("double") / (col("__tt") + nBuckets).cast("double"))
+            - log((col("__r") + 1).cast("double") / (col("__rr") + nBuckets).cast("double")),
+          6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__llr"))
+    docBuckets.join(broadcast(llr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt").cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        * col("__llr")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+        .as("dsir_weight"))
+  }
+
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)], trainSplit: String = "train",
                    salt: String = "v1", n: Int = 3, num: Long = 1, den: Long = 5,

@@ -81,6 +81,29 @@ object Events {
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Mergeable distinct-count rollup: per-day HLL sketches unioned to
+    * weekly estimates — the distinct-count analog of Rollup.state/merge
+    * (sum/min/max states don't extend to COUNT(DISTINCT); sketches
+    * do). A daily pipeline keeps the day sketches and re-derives any
+    * coarser rollup by union, never re-scanning the raw stream; union
+    * with the same lgK is register-wise max, so merge-of-days equals
+    * the sketch built directly over the week — bit-identical, not just
+    * approximately (HllRollupSpec pins this).
+    *
+    * Scale shape: one hash aggregate to day sketches (map-side partial
+    * sketches — Datasketches HLL states merge associatively), then a
+    * union aggregate over the DAYS relation (365 rows/year regardless
+    * of stream size). Sketch size is 2^lgK registers ≈ 4 KB at the
+    * default lgK=12, with ~1.6% relative standard error. */
+  def hllDailyToWeekly(df: DataFrame, userCol: String, tsCol: String,
+                       lgK: Int = 12): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(userCol), lit(lgK)).as("__sk"))
+    daily.groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(hll_union_agg(col("__sk"), lit(false)).as("__u"))
+      .select(col("week"), hll_sketch_estimate(col("__u")).as("approx_users"))
+  }
+
   /** Forward fill (last observation carried forward) over per-key time
     * series: each null in `fillCols` takes the latest preceding non-null
     * value within its key. The canonical sparse-sensor/slowly-updating

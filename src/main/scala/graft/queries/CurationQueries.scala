@@ -399,6 +399,47 @@ object CurationQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("score"))
       Curation.rankBuckets(scored, "doc_id", "score", nBuckets = 10)
         .orderBy("doc_id")
+    },
+
+    // DSIR importance weights: every document scored by how much its
+    // hashed-unigram distribution looks like the English slice vs the
+    // whole pool (Curation.dsirWeights — exact-decimal dot product of
+    // per-bucket log-likelihood ratios, so the hash compare holds).
+    "q132_dsir_weights" -> q({
+      // md5-hex nibble -> int by ascii arithmetic (engine-portable)
+      def nib(h: String, i: Int) =
+        s"(ascii(substring($h, $i, 1)) - CASE WHEN ascii(substring($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+      def hex4(h: String) =
+        s"(${nib(h, 1)} * 4096 + ${nib(h, 2)} * 256 + ${nib(h, 3)} * 16 + ${nib(h, 4)})"
+      val toksLower =
+        """string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')"""
+      s"""WITH feats AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+                   ${hex4("substring(md5('v1' || w), 1, 4)")} % 1024 AS b
+            FROM (SELECT doc_id, lang, unnest($toksLower) AS w FROM documents)),
+          doc_buckets AS (
+            SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+            FROM feats GROUP BY 1, 2),
+          bucket_stats AS (
+            SELECT b, CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS r
+            FROM feats GROUP BY 1),
+          totals AS (SELECT sum(t) AS tt, sum(r) AS rr FROM bucket_stats),
+          llr AS (
+            SELECT b, CAST(round(
+                ln(CAST(t + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+                - ln(CAST(r + 1 AS DOUBLE) / CAST(rr + 1024 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS llr
+            FROM bucket_stats, totals)
+          SELECT d.doc_id,
+                 CAST(sum(CAST(d.cnt AS DECIMAL(20,0)) * l.llr) AS DECIMAL(38,6))
+                   AS dsir_weight
+          FROM doc_buckets d JOIN llr l USING (b)
+          GROUP BY 1 ORDER BY 1"""
+    }) { (s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en")
+        .orderBy("doc_id")
     }
   )
 }

@@ -404,6 +404,17 @@ object EventsQueries {
     // Daily per-user activity grid: counts with missing days zero-filled
     // between each user's first and last active day. The spine is
     // generated key-locally (sequence + explode), never a driver loop.
+    // Mergeable distinct-count rollup: weekly unique users from UNIONED
+    // per-day HLL sketches, never re-scanning the stream (the
+    // COUNT(DISTINCT) analog of q122's mergeable rollup states).
+    // Approximate by construction -> no value oracle; EventsTextSpec
+    // pins merge-of-days == direct weekly sketch (bit-identical) and
+    // estimate-tracks-exact within the lgK=12 error band.
+    "q133_hll_weekly_rollup" -> qNoOracle { (s, dir) =>
+      Events.hllDailyToWeekly(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("week")
+    },
+
     "q127_gap_fill_daily" -> q(
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
                                CAST(count(*) AS BIGINT) AS n_events

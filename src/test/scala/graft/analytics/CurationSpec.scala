@@ -316,4 +316,24 @@ class CurationSpec extends SparkSpec {
     assert(aIds.subsetOf(bIds))
     assert(aIds.filter(_._2 != "en") == bIds.filter(_._2 != "en"))
   }
+
+  test("dsirWeights: target-looking docs score above pool-looking docs") {
+    // target slice speaks "alpha"; the rest of the pool speaks "beta".
+    // A held-out doc written in the target's vocabulary must out-weight
+    // one written in the pool's.
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "alpha alnum apex axiom alpha", true)) ++
+        (21 to 80).map(i => (i.toLong, "beta bravo basalt borough beta", false)) ++
+        Seq((100L, "alpha axiom alpha apex", false),
+          (101L, "beta basalt beta bravo", false))
+    ).toDF("id", "text", "is_target")
+    val w = Curation.dsirWeights(docs, "id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(w(100L).compareTo(w(101L)) > 0,
+      s"target-like ${w(100L)} should beat pool-like ${w(101L)}")
+    // weights are exact decimals: identical under any partitioning
+    val w7 = Curation.dsirWeights(docs.repartition(7), "id", "text",
+      col("is_target")).collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(w == w7)
+  }
 }

@@ -211,6 +211,30 @@ class EventsTextSpec extends SparkSpec {
       ("u2", "2024-02-10", 1L)))
   }
 
+  test("hllDailyToWeekly: merge-of-days == direct weekly sketch; tracks exact") {
+    val ev = graft.queries.t(spark, sf, "events")
+    val merged = Events.hllDailyToWeekly(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long)].collect().toMap
+    // direct weekly sketch over the raw stream: union-with-same-lgK is
+    // register-wise max, so the two paths are bit-identical
+    val direct = ev
+      .groupBy(date_trunc("week", to_date($"ts")).cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("e"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(merged == direct)
+    // and the estimate tracks the exact weekly distinct within the
+    // lgK=12 error band (~1.6% rse; 5% is > 3 sigma)
+    val exact = ev
+      .groupBy(date_trunc("week", to_date($"ts")).cast("date").as("week"))
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(exact.keySet == merged.keySet)
+    exact.foreach { case (w, n) =>
+      assert(math.abs(merged(w) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"week $w: hll ${merged(w)} vs exact $n")
+    }
+  }
+
   test("mergeIntervals: overlap chains merge, touching != overlapping") {
     val iv = Seq(
       // key A: [0,10] [5,20] [20,30] chain -> one island [0,30]
