@@ -81,6 +81,58 @@ object Events {
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Time-weighted average of a sampled value per key: each observation
+    * holds until the next one, so its weight is its holding duration
+    * (the standard irregular-sampling average — a plain AVG
+    * overweights bursts of closely-spaced samples). The final
+    * observation has no duration and contributes nothing.
+    *
+    *   twa(key) = Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)
+    *
+    * Exactness: durations are integer microseconds (lead over a total
+    * (ts, tiebreak) order), values integer-scaled by the caller; the
+    * weighted sum is an exact DECIMAL dot product, one IEEE division
+    * at the end rounded to 6 decimals — engine-portable, partition-
+    * independent (Stats.scala's contract). Keys with a single
+    * observation have no weighted span → NULL.
+    *
+    * Scale shape: one shuffle on the key (the lead window), one hash
+    * aggregate. Per-partition volume is one key's history. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val withDur = df
+      .withColumn("__dur",
+        (unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol))).cast(D))
+    withDur.groupBy(col(keyCol))
+      .agg(
+        sum(col(valCol).cast(D) * col("__dur")).as("__wsum"),
+        sum(col("__dur")).as("__span"))
+      .select(col(keyCol),
+        round(when(col("__span") > 0,
+          col("__wsum").cast("double") / col("__span").cast("double")), 6)
+          .as("twa"))
+  }
+
+  /** First-order transition counts between consecutive event types per
+    * user — the Markov-chain view of user behavior ("what follows
+    * what"). Consecutive means adjacent in the user's total
+    * (ts, tiebreak) order; each user's first event has no predecessor
+    * and opens no transition.
+    *
+    * Scale shape: one shuffle on the user (the lag window), then a
+    * hash aggregate on the (from, to) pair — a types² relation,
+    * metadata-scale regardless of stream size. */
+  def eventTransitions(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Mergeable distinct-count rollup: per-day HLL sketches unioned to
     * weekly estimates — the distinct-count analog of Rollup.state/merge
     * (sum/min/max states don't extend to COUNT(DISTINCT); sketches

@@ -233,6 +233,35 @@ object AnalyticsQueries {
           "disc" -> tenthCents(col("l_discount")),
           "tax" -> tenthCents(col("l_tax"))))
         .orderBy("col_x", "col_y")
+    },
+
+    // Market-basket association rules: part pairs co-ordered in >= 2
+    // orders, with confidence both ways and lift. The pair generator
+    // joins on the ORDER key (per-basket quadratic, corpus-linear) —
+    // see Association.marketBasket.
+    "q134_market_basket" -> q(
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                        FROM lineitem),
+            pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                             CAST(count(*) AS BIGINT) AS pair_n
+                      FROM items a JOIN items b
+                        ON a.basket = b.basket AND a.item < b.item
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+            counts AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+                       FROM items GROUP BY 1),
+            tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS total
+                    FROM items)
+         SELECT item_a, item_b, pair_n,
+                round(CAST(pair_n AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS conf_a_to_b,
+                round(CAST(pair_n AS DOUBLE) / CAST(cb.n AS DOUBLE), 6) AS conf_b_to_a,
+                round(CAST(pair_n * total AS DOUBLE) / CAST(ca.n * cb.n AS DOUBLE), 6) AS lift
+         FROM pairs
+         JOIN counts ca ON item_a = ca.item
+         JOIN counts cb ON item_b = cb.item, tot
+         ORDER BY item_a, item_b""") { (s, dir) =>
+      graft.operators.Association.marketBasket(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy("item_a", "item_b")
     }
   )
 }

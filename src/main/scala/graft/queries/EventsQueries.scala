@@ -415,6 +415,46 @@ object EventsQueries {
         .orderBy("week")
     },
 
+    // Time-weighted average: each sample holds until the next, so its
+    // weight is its holding duration in exact integer microseconds —
+    // the irregular-sampling average a plain AVG gets wrong. Exact
+    // decimal dot product, one rounded IEEE division per user.
+    "q135_time_weighted_avg" -> q(
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+                    FROM events),
+            d AS (SELECT user_id, v,
+                         epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS TIMESTAMP))
+                           - epoch_us(CAST(ts AS TIMESTAMP)) AS dur
+                  FROM e)
+         SELECT user_id,
+                CASE WHEN sum(dur) > 0
+                     THEN round(CAST(sum(CAST(v AS HUGEINT) * dur) AS DOUBLE)
+                                / CAST(sum(dur) AS DOUBLE), 6) END AS twa
+         FROM d GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), cents(col("value")).as("v"))
+      Events.timeWeightedAvg(ev, "user_id", "ts", "event_id", "v")
+        .orderBy("user_id")
+    },
+
+    // First-order Markov transitions between consecutive event types
+    // per user: one lag window on the user key, then a types² count.
+    "q136_event_transitions" -> q(
+      """WITH p AS (SELECT event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                    FROM events)
+         SELECT prev AS from_type, event_type AS to_type,
+                CAST(count(*) AS BIGINT) AS n_transitions
+         FROM p WHERE prev IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      Events.eventTransitions(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    },
+
     "q127_gap_fill_daily" -> q(
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
                                CAST(count(*) AS BIGINT) AS n_events

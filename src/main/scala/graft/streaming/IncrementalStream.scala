@@ -124,6 +124,56 @@ object IncrementalStream {
       }
   }
 
+  /** Micro-batch warehouse upsert: maintain a key-unique "current"
+    * table from a stream of updates — the streaming face of
+    * Scd.upsertByKey (SCD type 1 at ingest). Each batch first reduces
+    * to last-writer-wins per key on `seqCol` (a stream can deliver
+    * several versions of one key in one batch; upsertByKey's contract
+    * is unique-per-key), then upserts into the newest table version and
+    * writes the result as `tableDir/v=<batchId>` — versioned
+    * directories, because overwriting the parquet path a batch is
+    * reading from is a self-destroying write. Old versions are the
+    * retention story (drop or keep for time travel); readers take the
+    * max version, which is complete by construction.
+    *
+    * At scale the per-batch cost is upsertByKey's: the current side is
+    * never shuffled (anti-join on the broadcast key projection), the
+    * LWW window partitions by key over only the BATCH. The version
+    * listing is driver-side metadata (one directory per batch). */
+  def upsertStream(updates: DataFrame, keyCols: Seq[String], seqCol: String,
+                   tableDir: String, checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lww = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val next = latestVersion(tableDir) match {
+          case Some(v) =>
+            graft.operators.Scd.upsertByKey(
+              spark.read.parquet(s"$tableDir/v=$v"), lww, keyCols)
+          case None => lww
+        }
+        next.write.mode("overwrite").parquet(s"$tableDir/v=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Newest complete version under a versioned table dir (see
+    * upsertStream); driver-side metadata listing only. */
+  def latestVersion(tableDir: String): Option[Long] = {
+    val d = new java.io.File(tableDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .sorted(Ordering[Long].reverse).headOption
+  }
+
   /** Run a streaming aggregation over a bounded source to completion
     * into an in-memory table (test/verification harness). */
   def runToMemory(agg: DataFrame, name: String, outputMode: String = "complete"): Unit = {

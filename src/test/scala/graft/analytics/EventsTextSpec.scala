@@ -211,6 +211,35 @@ class EventsTextSpec extends SparkSpec {
       ("u2", "2024-02-10", 1L)))
   }
 
+  test("timeWeightedAvg: holding-duration weights, single-sample key is NULL") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // u1: 10 held 1s, then 20 held 3s, last sample open -> (10+60)/4
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 10L),
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:01"), 2L, 20L),
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:04"), 3L, 99L),
+      // u2: one sample, no span -> NULL
+      ("u2", Timestamp.valueOf("2024-01-01 00:00:00"), 4L, 5L)
+    ).toDF("u", "ts", "eid", "v")
+    val got = Events.timeWeightedAvg(ev, "u", "ts", "eid", "v")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("u1") == Some(17.5))
+    assert(got("u2") == None)
+  }
+
+  test("eventTransitions: consecutive pairs per user, firsts open nothing") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      ("u1", ts(0), 1L, "view"), ("u1", ts(1), 2L, "click"),
+      ("u1", ts(2), 3L, "view"),
+      ("u2", ts(0), 4L, "view"), ("u2", ts(5), 5L, "click")
+    ).toDF("u", "ts", "eid", "et")
+    val got = Events.eventTransitions(ev, "u", "ts", "eid", "et")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("view", "click", 2L), ("click", "view", 1L)))
+  }
+
   test("hllDailyToWeekly: merge-of-days == direct weekly sketch; tracks exact") {
     val ev = graft.queries.t(spark, sf, "events")
     val merged = Events.hllDailyToWeekly(ev, "user_id", "ts")

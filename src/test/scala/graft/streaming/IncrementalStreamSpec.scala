@@ -30,6 +30,37 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 3)
   }
 
+  test("upsertStream: micro-batch SCD1 with in-batch last-writer-wins") {
+    val src = Files.createTempDirectory("ups-src").toString
+    val tbl = Files.createTempDirectory("ups-tbl").toString
+    val ckp = Files.createTempDirectory("ups-ckp").toString
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val updates = spark.readStream.schema(schema).parquet(src)
+      IncrementalStream.upsertStream(updates, Seq("id"), "seq", tbl, ckp)
+        .awaitTermination()
+    }
+    def current(): Map[Long, (String, Long)] = {
+      val v = IncrementalStream.latestVersion(tbl).get
+      spark.read.parquet(s"$tbl/v=$v").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+
+    // batch 1 carries two versions of key 2 -> the higher seq wins
+    Seq((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L))
+      .toDF("id", "v", "seq").write.mode("append").parquet(src)
+    drain()
+    assert(current() == Map(1L -> (("a", 1L)), 2L -> (("b2", 2L))))
+
+    // batch 2 updates key 2 and inserts key 3; key 1 untouched
+    Seq((2L, "c", 3L), (3L, "d", 3L))
+      .toDF("id", "v", "seq").write.mode("append").parquet(src)
+    drain()
+    assert(current() == Map(
+      1L -> (("a", 1L)), 2L -> (("c", 3L)), 3L -> (("d", 3L))))
+  }
+
   test("watermarked windowed counts over a bounded stream match batch") {
     val src = Files.createTempDirectory("stream-ev").toString
     graft.queries.t(spark, sf, "events")
