@@ -348,4 +348,32 @@ object TextAnalysis {
     } :+ col("n_docs")
     counts.select(cols: _*)
   }
+
+  /** Character-pair counts for the FIRST round of BPE vocabulary
+    * induction (Sennrich et al. 2016): every adjacent character pair
+    * inside a word, weighted by the word's corpus frequency — the
+    * statistic a tokenizer trainer's merge step maximizes. Top `k`
+    * pairs by (count desc, pair asc) so the cut is deterministic.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD relation
+    * first (one hash aggregate — Heaps' law makes this orders of
+    * magnitude smaller than the token stream), then pairs explode from
+    * distinct words only, weighted by the word count. Single-character
+    * words carry no pairs and are filtered BEFORE the generator (Spark's
+    * sequence(1, 0) counts DOWN rather than producing the empty array —
+    * the guard is semantics, not just speed). Top-k plans as
+    * TakeOrderedAndProject: map-side partial top-k, no global sort. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__wn"))
+    words
+      .filter(length(col("__w")) >= 2)
+      .select(col("__wn"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("__wn")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+  }
 }

@@ -112,4 +112,37 @@ object Quality {
       .select("column_name", "n_rows", "n_nonnull", "n_distinct",
         "min_value", "max_value")
   }
+
+  /** Join-key skew report: for each candidate key column, the distinct
+    * key count, the hottest key and its row count, and that key's share
+    * of the relation in parts-per-million (exact integer division — no
+    * float ratios to drift). The pre-shuffle health check for a planned
+    * join or aggregation: a top share in the percents says "salt this
+    * key or expect a straggler" (SkewJoin.saltedEquiJoin is the
+    * companion fix).
+    *
+    * Scale shape: ONE scan — the columns are melted to (column, value)
+    * pairs in a single generator projection, counted in one hash
+    * aggregate (map-side partials absorb the hot key itself), then
+    * reduced per column with a min-struct argmax, ties on the count
+    * broken by the SMALLEST value string so the report is
+    * deterministic. The per-column formulation would scan k times. */
+  def keySkewReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keySkewReport needs at least one column")
+    val melted = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("__col", "__val")))
+    val counts = melted.groupBy("__col", "__val")
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(col("__col").as("column_name"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("__n").as("n_rows"),
+        min(struct((-col("__n")).as("__neg"), col("__val"))).as("__top"))
+      .select(col("column_name"), col("n_keys"), col("n_rows"),
+        col("__top.__val").as("top_key"),
+        (-col("__top.__neg")).as("top_n"),
+        ((-col("__top.__neg")) * 1000000L / col("n_rows")).cast("long")
+          .as("top_share_ppm"))
+  }
 }

@@ -99,6 +99,84 @@ object Stats {
         col("__pair.corr").as("corr"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with the per-cell contributions kept deterministic:
+    *   contribution(cell) = (O·N − R·C)² / (N·R·C)
+    * (the (O−E)²/E term with E = R·C/N cleared of fractions). The
+    * numerator/denominator are exact decimals; each cell's quotient is
+    * rounded to 6 decimals and FIXED as a decimal before summing, so
+    * the statistic is identical in any accumulation order (a float
+    * running sum over an unordered cell relation is not). Returns ONE
+    * row: (chi2, dof) with dof = (|A|−1)·(|B|−1).
+    *
+    * Scale shape: one hash aggregate to the |A|×|B| contingency
+    * relation; everything after (marginals, totals, the final sum)
+    * runs over cells — metadata-scale however large the input.
+    * Decimal headroom: (O·N)² must fit DECIMAL(38) — holds while
+    * N·max(O) < 1e19, i.e. beyond 1e9 rows in the largest cell of a
+    * 1e9-row relation; overflow surfaces as NULL, never silent wrap. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast(D).as("__o"))
+    val rowTot = obs.groupBy("__a").agg(sum("__o").as("__r"))
+    val colTot = obs.groupBy("__b").agg(sum("__o").as("__c"))
+    val tot = obs.agg(sum("__o").as("__n"),
+      count_distinct(col("__a")).as("__ka"),
+      count_distinct(col("__b")).as("__kb"))
+    // the FULL |A|×|B| grid, not just observed cells: a zero cell still
+    // contributes (0−E)²/E = E — dropping empty cells understates the
+    // statistic exactly when the association is strongest
+    val grid = rowTot.crossJoin(colTot)
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0).cast(D)))
+    val num = (col("__o") * col("__n") - col("__r") * col("__c"))
+    val contrib = round(
+      (num * num).cast("double")
+        / (col("__n") * col("__r") * col("__c")).cast("double"), 6)
+      .cast(DecimalType(18, 6))
+    grid.crossJoin(broadcast(tot))
+      .agg(sum(contrib).cast(DecimalType(28, 6)).as("chi2"),
+        first((col("__ka") - 1) * (col("__kb") - 1)).as("dof"))
+  }
+
+  /** Two-proportion z-test between arms `armA` and `armB` of an
+    * experiment: are the conversion rates different at the given
+    * significance? The verdict is evaluated in EXACT integer
+    * arithmetic (q115's technique — a float z-score compare can flip
+    * on the last ulp across engines):
+    *   z² > z₀²  ⇔  (c₁n₂ − c₂n₁)²·N·10⁴ > ⌈z₀²·10⁴⌉·n₁n₂·c·(N − c)
+    * with c = c₁+c₂, N = n₁+n₂ (pooled variance). `zSqE4` defaults to
+    * 38416 = 1.96²·10⁴, the two-sided 95% threshold. Rates are
+    * reported rounded to 6 decimals; the verdict never depends on
+    * them. One row out of ONE conditional-aggregate pass (no pivot,
+    * no second scan).
+    *
+    * DECIMAL(38) headroom: the left side peaks at (c₁n₂)²·N·10⁴ —
+    * exact through ~10⁶ users per arm, far past any experiment where
+    * a z-test verdict is in doubt; beyond that the product overflows
+    * to NULL (never a silently wrong verdict). */
+  def twoProportionZTest(df: DataFrame, armCol: String, armA: String,
+                         armB: String, convCol: String,
+                         zSqE4: Long = 38416L): DataFrame = {
+    def n(arm: String) = sum(when(col(armCol) === arm, 1L).otherwise(0L))
+    def c(arm: String) =
+      sum(when(col(armCol) === arm && col(convCol), 1L).otherwise(0L))
+    val s = df.agg(
+      n(armA).cast(D).as("__na"), n(armB).cast(D).as("__nb"),
+      c(armA).cast(D).as("__ca"), c(armB).cast(D).as("__cb"))
+    val bigN = col("__na") + col("__nb")
+    val bigC = col("__ca") + col("__cb")
+    val diff = col("__ca") * col("__nb") - col("__cb") * col("__na")
+    s.select(
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      col("__ca").cast("long").as("conv_a"), col("__cb").cast("long").as("conv_b"),
+      round(col("__ca").cast("double") / col("__na").cast("double"), 6).as("rate_a"),
+      round(col("__cb").cast("double") / col("__nb").cast("double"), 6).as("rate_b"),
+      (diff * diff * bigN * 10000L >
+        lit(zSqE4).cast(D) * col("__na") * col("__nb") * bigC * (bigN - bigC))
+        .as("significant"))
+  }
+
   /** Most frequent value of `valCol` per group, ties broken by the
     * SMALLEST value so the answer is deterministic (Spark's `mode` and
     * DuckDB's pick an arbitrary winner on ties — useless for a

@@ -262,6 +262,30 @@ object AnalyticsQueries {
       graft.operators.Association.marketBasket(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", minSupport = 2L)
         .orderBy("item_a", "item_b")
+    },
+
+    // Join-key skew report over lineitem's join keys: the hottest key's
+    // parts-per-million share, from ONE melted scan (Quality
+    // .keySkewReport) — the pre-shuffle health check for join planning.
+    "q139_key_skew" -> q(
+      """WITH m AS (
+           SELECT 'l_suppkey' AS column_name, CAST(l_suppkey AS VARCHAR) AS val FROM lineitem
+           UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
+            c AS (SELECT column_name, val, CAST(count(*) AS BIGINT) AS n
+                  FROM m GROUP BY 1, 2),
+            r AS (SELECT column_name, val, n,
+                         CAST(row_number() OVER (PARTITION BY column_name
+                           ORDER BY n DESC, val ASC) AS INTEGER) AS rn,
+                         CAST(count(*) OVER (PARTITION BY column_name) AS BIGINT) AS n_keys,
+                         CAST(sum(n) OVER (PARTITION BY column_name) AS BIGINT) AS n_rows
+                  FROM c)
+         SELECT column_name, n_keys, n_rows, val AS top_key, n AS top_n,
+                CAST(n * 1000000 // n_rows AS BIGINT) AS top_share_ppm
+         FROM r WHERE rn = 1 ORDER BY column_name""") { (s, dir) =>
+      graft.operators.Quality.keySkewReport(t(s, dir, "lineitem"),
+          Seq("l_suppkey", "l_partkey", "l_returnflag"))
+        .orderBy("column_name")
     }
   )
 }

@@ -415,6 +415,67 @@ object EventsQueries {
         .orderBy("week")
     },
 
+    // Chi-square independence: does event type depend on day-of-week?
+    // Per-cell contributions on exact operands, rounded-then-summed as
+    // decimals (order-independent); the raw stream reduces to the
+    // types×7 contingency relation in one aggregate.
+    "q137_chi_square" -> q(
+      """WITH obs AS (SELECT event_type AS a,
+                             date_part('dow', CAST(ts AS DATE)) AS b,
+                             CAST(count(*) AS HUGEINT) AS o
+                      FROM events GROUP BY 1, 2),
+            r AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1),
+            c AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+            t AS (SELECT sum(o) AS n,
+                         CAST(count(DISTINCT a) AS BIGINT) AS ka,
+                         CAST(count(DISTINCT b) AS BIGINT) AS kb
+                  FROM obs)
+         SELECT CAST(sum(CAST(round(
+                  CAST((o*n - rt*ct) * (o*n - rt*ct) AS DOUBLE)
+                    / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS chi2,
+                (SELECT (ka - 1) * (kb - 1) FROM t) AS dof
+         FROM (SELECT r.a, c.b, r.rt, c.ct, COALESCE(obs.o, 0) AS o
+               FROM r CROSS JOIN c
+               LEFT JOIN obs ON obs.a = r.a AND obs.b = c.b), t""") { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type").as("a"),
+        (dayofweek(col("ts")) - 1).cast("long").as("b"))
+      graft.operators.Stats.chiSquare(ev, "a", "b")
+    },
+
+    // A/B test: users hash-split 50/50 (the md5 split column — no RNG
+    // state), conversion = any purchase event; the significance verdict
+    // evaluates z² > 1.96² in exact integer arithmetic.
+    "q138_ab_test" -> q(
+      """WITH u AS (SELECT user_id,
+                      CASE WHEN substring(md5('ab1' || CAST(user_id AS VARCHAR)), 1, 4)
+                             < '8000' THEN 'A' ELSE 'B' END AS arm,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                        AS converted
+                    FROM events GROUP BY user_id),
+            s AS (SELECT
+                    CAST(count(*) FILTER (WHERE arm = 'A') AS HUGEINT) AS na,
+                    CAST(count(*) FILTER (WHERE arm = 'B') AS HUGEINT) AS nb,
+                    CAST(count(*) FILTER (WHERE arm = 'A' AND converted) AS HUGEINT) AS ca,
+                    CAST(count(*) FILTER (WHERE arm = 'B' AND converted) AS HUGEINT) AS cb
+                  FROM u)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+                round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
+                round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
+                (ca*nb - cb*na) * (ca*nb - cb*na) * (na + nb) * 10000
+                  > 38416 * na * nb * (ca + cb) * ((na + nb) - (ca + cb))
+                  AS significant
+         FROM s""") { (s, dir) =>
+      val users = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).===(1)
+          .as("converted"))
+        .withColumn("arm", graft.analytics.Curation.splitColumn(
+          col("user_id"), Seq("A" -> 0.5, "B" -> 0.5), salt = "ab1"))
+      graft.operators.Stats.twoProportionZTest(users, "arm", "A", "B", "converted")
+    },
+
     // Time-weighted average: each sample holds until the next, so its
     // weight is its holding duration in exact integer microseconds —
     // the irregular-sampling average a plain AVG gets wrong. Exact

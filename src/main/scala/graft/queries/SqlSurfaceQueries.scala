@@ -341,6 +341,36 @@ object SqlSurfaceQueries {
           sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("n_big"))
         .filter(col("n") > 100)
         .orderBy("o_orderstatus")
+    },
+
+    // Unpivot/melt: lineitem's four measures to (measure, value) long
+    // form via the native unpivot (a generator projection — zero
+    // shuffle; the UNION-ALL formulation scans once per measure).
+    "q141_unpivot" -> q(
+      """WITH p AS (SELECT l_orderkey, l_linenumber,
+                           CAST(l_quantity AS BIGINT) AS quantity,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                           CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS discount_e4,
+                           CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_e4
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value FROM p
+           UNION ALL SELECT l_orderkey, l_linenumber, 'price_cents', price_cents FROM p
+           UNION ALL SELECT l_orderkey, l_linenumber, 'discount_e4', discount_e4 FROM p
+           UNION ALL SELECT l_orderkey, l_linenumber, 'tax_e4', tax_e4 FROM p)
+         ORDER BY l_orderkey, l_linenumber, measure""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("quantity"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          tenthCents(col("l_discount")).as("discount_e4"),
+          tenthCents(col("l_tax")).as("tax_e4"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("price_cents"),
+            col("discount_e4"), col("tax_e4")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
     }
   )
 }

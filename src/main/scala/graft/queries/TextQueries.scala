@@ -828,6 +828,23 @@ object TextQueries {
           TextAnalysis.canonicalText(
             concat(lit("Cafe\u0301!  "), col("text"))).as("text_canon"))
         .orderBy("doc_id")
+    },
+
+    // First BPE merge round: adjacent character pairs weighted by word
+    // frequency, top 100 \u2014 corpus collapses to distinct words BEFORE
+    // the pair generator (TextAnalysis.bpePairCounts).
+    "q140_bpe_pairs" -> q(
+      s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wn
+                         FROM (SELECT unnest($toksLowerSql) AS w FROM documents)
+                         GROUP BY 1),
+             pairs AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wn
+                       FROM words, LATERAL (SELECT unnest(generate_series(1,
+                         length(w) - 1)) AS i) g
+                       WHERE length(w) >= 2)
+          SELECT pair, CAST(sum(wn) AS BIGINT) AS pair_count
+          FROM pairs GROUP BY 1
+          ORDER BY pair_count DESC, pair ASC LIMIT 100""") { (s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 100)
     }
   )
 }

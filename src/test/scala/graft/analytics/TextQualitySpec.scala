@@ -123,4 +123,21 @@ class TextQualitySpec extends SparkSpec {
     assert(!scrubbed.contains("@") && !scrubbed.contains("555"))
     assert(out(2L).getLong(1) == 0L && out(2L).getString(3) == "no pii here at all")
   }
+
+  test("bpePairCounts: word-frequency-weighted char pairs; 1-char words carry none") {
+    val docs = Seq(
+      (1L, "aab aab x"),   // 'aab' twice here...
+      (2L, "aab cd")       // ...once here; 'x' never pairs
+    ).toDF("id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect()
+    // aab x3 -> aa:3, ab:3; cd x1
+    assert(got.toSet == Set(("aa", 3L), ("ab", 3L), ("cd", 1L)))
+    // deterministic order: count desc then pair asc -> aa before ab
+    assert(got.toSeq == Seq(("aa", 3L), ("ab", 3L), ("cd", 1L)))
+    // the k cut happens after that total order
+    val top1 = TextAnalysis.bpePairCounts(docs, "text", k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("aa", 3L)))
+  }
 }

@@ -91,6 +91,27 @@ class StarSchemaQualitySpec extends SparkSpec {
     assert(scans == 1, s"expected one parquet scan, got $scans:\n$plan")
   }
 
+  test("keySkewReport: hottest key per column from one melted scan, ties to min") {
+    val df = Seq(
+      ("k1", "x"), ("k1", "y"), ("k1", "z"), // k1 hot on col a (3/6)
+      ("k2", "x"), ("k3", "x"), ("k4", "y")  // x and y tie? x=3, y=2, z=1
+    ).toDF("a", "b")
+    val got = Quality.keySkewReport(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("a") == ((4L, 6L, "k1", 3L, 500000L)))
+    assert(got("b") == ((3L, 6L, "x", 3L, 500000L)))
+    // count ties break to the smallest value string
+    val tied = Seq(("v2", 0), ("v2", 0), ("v1", 0), ("v1", 0)).toDF("c", "pad")
+    val t2 = Quality.keySkewReport(tied, Seq("c")).collect().head
+    assert(t2.getString(3) == "v1")
+    // single scan feeds every column's report
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = Quality.keySkewReport(orders, Seq("o_custkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("cmsFrequencies: never undercounts, overcount bounded by eps*N") {
     // events carries TIMESTAMP(NANOS) — must go through t()'s
     // nanosAsLong handling (a bare read only works if another suite

@@ -55,6 +55,36 @@ class StatsSkylineSpec extends SparkSpec {
     assert(got == Set(("g1", "a", 2L), ("g2", "z", 1L)))
   }
 
+  test("chiSquare: zero on exact independence, N on complete association") {
+    // proportional rows -> E == O everywhere -> chi2 = 0
+    val indep = (
+      Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+        Seq.fill(20)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    ).toDF("a", "b")
+    val gi = Stats.chiSquare(indep, "a", "b").collect().head
+    assert(gi.getDecimal(0).compareTo(new java.math.BigDecimal("0.000000")) == 0)
+    assert(gi.getLong(1) == 1L)
+    // perfect diagonal association in a 2x2 -> chi2 = N
+    val dep = (Seq.fill(30)(("r1", "c1")) ++ Seq.fill(30)(("r2", "c2")))
+      .toDF("a", "b")
+    val gd = Stats.chiSquare(dep, "a", "b").collect().head
+    assert(gd.getDecimal(0).compareTo(new java.math.BigDecimal("60.000000")) == 0)
+  }
+
+  test("twoProportionZTest: clear lift significant, noise-level lift not") {
+    def arms(ca: Int, cb: Int, n: Int) = (
+      (1 to n).map(i => ("A", i <= ca)) ++ (1 to n).map(i => ("B", i <= cb))
+    ).toDF("arm", "conv")
+    val hit = Stats.twoProportionZTest(arms(50, 10, 100), "arm", "A", "B", "conv")
+      .collect().head
+    assert(hit.getLong(0) == 100L && hit.getLong(2) == 50L)
+    assert(hit.getBoolean(6))
+    assert(hit.getDouble(4) == 0.5 && hit.getDouble(5) == 0.1)
+    val miss = Stats.twoProportionZTest(arms(50, 48, 100), "arm", "A", "B", "conv")
+      .collect().head
+    assert(!miss.getBoolean(6))
+  }
+
   test("frontier2D: matches the naive NOT-EXISTS dominance check, keeps ties") {
     val rows = (1 to 200).map { i =>
       // deterministic scatter with duplicate points and same-x ties
