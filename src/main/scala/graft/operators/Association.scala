@@ -30,8 +30,12 @@ object Association {
     * basket is pathologically wide, the usual per-entity bound. */
   def marketBasket(df: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long = 2L): DataFrame = {
+    // persisted: five consumers (both pair-join sides, two item-count
+    // lookups, the basket total) would otherwise each re-scan and
+    // re-deduplicate the raw lines — 5 full input scans at any scale
     val items = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = items.as("a")
       .join(items.as("b"),
         col(s"a.__basket") === col(s"b.__basket")
