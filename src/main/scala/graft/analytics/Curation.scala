@@ -556,6 +556,31 @@ object Curation {
         .as("dsir_weight"))
   }
 
+  /** Deterministic weighted sampling: keep the k rows with the
+    * smallest priority = hash(id)·10⁶ div weight, hash uniform on
+    * [0, 2³²) from md5 — heavier rows draw proportionally smaller
+    * priorities, so selection probability rises with weight, with NO
+    * RNG state (reproducible on any engine/cluster/retry — the same
+    * md5-position argument as hashSplit, extended per-row by the
+    * weight divisor). Weights must be ≥ 1 (a zero weight would divide
+    * by zero; rows that must never be sampled should be filtered, not
+    * zero-weighted). Ties (hash collisions at equal weight) break on
+    * the id, keeping the cut total.
+    *
+    * Scale shape: a pure projection plus a top-k, which Spark plans as
+    * TakeOrderedAndProject — map-side partial top-k per partition, no
+    * global sort of the relation. */
+  def hashWeightedSample(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int, salt: String = "v1"): DataFrame = {
+    // integer DIV throughout: a double `/` then truncate can land on
+    // the wrong side of the floor when the quotient rounds to an
+    // integer — DuckDB's `//` and this must agree bit-for-bit
+    df.withColumn("__priority",
+        expr(s"cast(conv(substring(md5(cast(concat('$salt', cast($idCol as string)) as binary)), 1, 8), 16, 10) as bigint) * 1000000L DIV $weightCol"))
+      .orderBy(col("__priority").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)], trainSplit: String = "train",
                    salt: String = "v1", n: Int = 3, num: Long = 1, den: Long = 5,

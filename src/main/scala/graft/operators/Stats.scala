@@ -177,6 +177,68 @@ object Stats {
         .as("significant"))
   }
 
+  /** Winsorization: clamp `valCol` (an integer-scaled measure) to its
+    * per-group [pLoPct, pHiPct] exact order-statistic band — the
+    * standard robust-mean preprocessing (outliers pulled to the fence,
+    * not dropped). Cut ranks are computed in INTEGER arithmetic:
+    * rank = max(1, ⌈n·p/100⌉) = (n·p + 99) div 100 — a float
+    * ceil(0.05·n) crosses the wrong side of an integer for some n on
+    * some engines; integers never do. The fence VALUE at a rank is
+    * well-defined under ties (the sorted multiset's k-th element), so
+    * row_number's arbitrary tie order cannot leak into the result.
+    *
+    * Scale shape: one window pass per group for ranks (single shuffle
+    * on the group key), the two fences reduce to a GROUPS-sized
+    * relation broadcast back — the raw relation is never joined to
+    * itself or sorted twice. */
+  def winsorizeByGroup(df: DataFrame, keys: Seq[String], valCol: String,
+                       pLoPct: Int = 5, pHiPct: Int = 95): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val rankLo = greatest(lit(1L), expr(s"(__n * $pLoPct + 99) DIV 100"))
+    val rankHi = greatest(lit(1L), expr(s"(__n * $pHiPct + 99) DIV 100"))
+    val fences = ranked
+      .select(keys.map(col) :+ col(valCol) :+
+        when(col("__rn") === rankLo, col(valCol)).as("__atLo") :+
+        when(col("__rn") === rankHi, col(valCol)).as("__atHi"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(min("__atLo").as("__lo"), min("__atHi").as("__hi"))
+    df.join(broadcast(fences), keys)
+      .withColumn(s"${valCol}_winsorized",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Equal-width histogram over an integer-scaled measure, with EMPTY
+    * bins materialized (a chart or drift monitor needs the zero bars;
+    * a bare GROUP BY silently omits them). Width is the integer
+    * ⌈range/nBins⌉, so bin = (v − min) div width is pure integer
+    * arithmetic end to end.
+    *
+    * Scale shape: one aggregate for min/max (broadcast 1-row), one
+    * generator for the nBins spine, one hash aggregate for counts —
+    * the measure column is scanned twice (bounds, then binning);
+    * callers with a pre-known range can skip the first by filtering.
+    * Degenerate all-equal input lands in bin 0 with width 1. */
+  def equiWidthHistogram(df: DataFrame, valCol: String, nBins: Int = 10): DataFrame = {
+    val mm = df.agg(min(col(valCol)).cast("long").as("__lo"),
+      max(col(valCol)).cast("long").as("__hi"))
+    val width = expr(s"greatest(1L, (__hi - __lo + $nBins) DIV $nBins)")
+    val counts = df.crossJoin(broadcast(mm))
+      .select(expr(s"(${valCol} - __lo) DIV greatest(1L, (__hi - __lo + $nBins) DIV $nBins)")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    mm.select(explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"),
+        col("__lo"), width.as("__w"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("__lo") + col("bin") * col("__w")).as("bin_lo"),
+        (col("__lo") + (col("bin") + 1) * col("__w") - 1).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Most frequent value of `valCol` per group, ties broken by the
     * SMALLEST value so the answer is deterministic (Spark's `mode` and
     * DuckDB's pick an arbitrary winner on ties — useless for a

@@ -286,6 +286,103 @@ object AnalyticsQueries {
       graft.operators.Quality.keySkewReport(t(s, dir, "lineitem"),
           Seq("l_suppkey", "l_partkey", "l_returnflag"))
         .orderBy("column_name")
+    },
+
+    // PageRank over the customer-supplier trade graph in exact
+    // fixed-point integers (Graph.pageRank): 5 iterations of
+    // join-aggregate, persisted one deep; the oracle replays the same
+    // integer recurrence as chained CTEs — bit-identical by
+    // construction, which float PageRank can never promise.
+    "q142_pagerank" -> q({
+      val base =
+        """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                                 's' || CAST(l_suppkey AS VARCHAR) AS dst
+                          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              e AS (SELECT src, dst FROM pairs
+                    UNION ALL SELECT dst, src FROM pairs),
+              deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+              nodes AS (SELECT DISTINCT src AS node FROM e),
+              t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+              r0 AS (SELECT node, 1000000000000 // n AS rank_e12 FROM nodes CROSS JOIN t)"""
+      val iterCtes = (1 to 5).map { k =>
+        s""", r$k AS (
+              SELECT n2.node,
+                     (150000000000 // t.n) + (85 * COALESCE(c.s, 0)) // 100 AS rank_e12
+              FROM nodes n2 CROSS JOIN t
+              LEFT JOIN (SELECT e.dst AS node, sum(r.rank_e12 // d.deg) AS s
+                         FROM r${k - 1} r JOIN e ON r.node = e.src
+                         JOIN deg d ON e.src = d.src
+                         GROUP BY 1) c ON c.node = n2.node)"""
+      }.mkString
+      base + iterCtes +
+        "\nSELECT node, CAST(rank_e12 AS BIGINT) AS rank_e12 FROM r5 ORDER BY node"
+    }) { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.pageRank(sym, "src", "dst", iters = 5)
+        .orderBy("node")
+    },
+
+    // Winsorized pricing: per-flag sums with the tails clamped to the
+    // exact [p5, p95] order statistics (integer cut ranks — see
+    // Stats.winsorizeByGroup). Clip counts fall out of comparing the
+    // value to its clamped self, no fence columns needed downstream.
+    "q143_winsorize" -> q(
+      """WITH p AS (SELECT l_returnflag AS g,
+                           CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+                    FROM lineitem),
+            r AS (SELECT g, v,
+                         CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+                         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                  FROM p),
+            f AS (SELECT g,
+                         min(CASE WHEN rn = greatest(1, (n*5 + 99) // 100) THEN v END) AS lo,
+                         min(CASE WHEN rn = greatest(1, (n*95 + 99) // 100) THEN v END) AS hi
+                  FROM r GROUP BY 1)
+         SELECT g AS l_returnflag,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS sum_winsorized,
+                CAST(count(*) FILTER (WHERE v < lo) AS BIGINT) AS n_clipped_lo,
+                CAST(count(*) FILTER (WHERE v > hi) AS BIGINT) AS n_clipped_hi
+         FROM p JOIN f USING (g) GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val p = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+      graft.operators.Stats.winsorizeByGroup(p, Seq("l_returnflag"), "v")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v_winsorized")).as("sum_winsorized"),
+          sum(when(col("v") < col("v_winsorized"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("v") > col("v_winsorized"), 1L).otherwise(0L)).as("n_clipped_hi"))
+        .orderBy("l_returnflag")
+    },
+
+    // Equal-width order-value histogram with empty bins materialized
+    // (Stats.equiWidthHistogram — integer width/bin arithmetic end to
+    // end, bounds broadcast from a 1-row aggregate).
+    "q145_equiwidth_histogram" -> q(
+      """WITH p AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v FROM orders),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM p),
+            w AS (SELECT lo, hi, greatest(1, (hi - lo + 10) // 10) AS width FROM mm),
+            c AS (SELECT (v - lo) // width AS bin, CAST(count(*) AS BIGINT) AS n
+                  FROM p, w GROUP BY 1),
+            spine AS (SELECT unnest(generate_series(0, 9)) AS bin)
+         SELECT CAST(s.bin AS BIGINT) AS bin,
+                lo + s.bin * width AS bin_lo,
+                lo + (s.bin + 1) * width - 1 AS bin_hi,
+                COALESCE(n, 0) AS n
+         FROM spine s CROSS JOIN w LEFT JOIN c ON c.bin = s.bin
+         ORDER BY 1""") { (s, dir) =>
+      graft.operators.Stats.equiWidthHistogram(
+          t(s, dir, "orders").select(cents(col("o_totalprice")).as("v")),
+          "v", nBins = 10)
+        .orderBy("bin")
     }
   )
 }

@@ -440,6 +440,27 @@ object CurationQueries {
       Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
           targetPred = col("lang") === "en")
         .orderBy("doc_id")
+    },
+
+    // Deterministic weighted sampling: 50 documents drawn with
+    // probability rising in n_chars, via integer hash-priority — no
+    // RNG state, reproducible on any engine (Curation
+    // .hashWeightedSample; top-k plans as TakeOrderedAndProject).
+    "q144_weighted_sample" -> q({
+      def nib(h: String, i: Int) =
+        s"(ascii(substring($h, $i, 1)) - CASE WHEN ascii(substring($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+      val h = "substring(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+      val hex8 = (1 to 8).map(i => nib(h, i))
+        .foldLeft("CAST(0 AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
+      s"""SELECT doc_id, n_chars,
+                 CAST($hex8 AS BIGINT) * 1000000 // n_chars AS priority
+          FROM documents
+          ORDER BY priority, doc_id LIMIT 50"""
+    }) { (s, dir) =>
+      Curation.hashWeightedSample(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 50, salt = "ws1")
+        .withColumnRenamed("__priority", "priority")
     }
   )
 }

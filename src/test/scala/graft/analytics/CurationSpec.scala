@@ -317,6 +317,21 @@ class CurationSpec extends SparkSpec {
     assert(aIds.filter(_._2 != "en") == bIds.filter(_._2 != "en"))
   }
 
+  test("hashWeightedSample: weight-monotone, deterministic, total cut") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 5) 1000000L else 10L))
+      .toDF("id", "w")
+    val got = Curation.hashWeightedSample(docs, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    // the five 100000x-weight rows have priorities ~1e5 smaller than any
+    // light row can draw: all five must be in the sample
+    assert((1L to 5L).toSet.subsetOf(got))
+    assert(got.size == 20)
+    // reproducible under repartitioning (pure hash arithmetic, no RNG)
+    val again = Curation.hashWeightedSample(docs.repartition(11), "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(got == again)
+  }
+
   test("dsirWeights: target-looking docs score above pool-looking docs") {
     // target slice speaks "alpha"; the rest of the pool speaks "beta".
     // A held-out doc written in the target's vocabulary must out-weight

@@ -85,6 +85,39 @@ class StatsSkylineSpec extends SparkSpec {
     assert(!miss.getBoolean(6))
   }
 
+  test("winsorizeByGroup: tails clamp to exact order statistics, middle intact") {
+    // group g: values 1..20 -> p5 rank = (20*5+99)/100 = 1 -> lo = 1;
+    // p95 rank = (20*95+99)/100 = 19 -> hi = 19; only 20 clips
+    val df = (1L to 20L).map(v => ("g", v)).toDF("k", "v")
+    val got = Stats.winsorizeByGroup(df, Seq("k"), "v")
+      .as[(String, Long, Long)].collect()
+      .map { case (_, v, w) => v -> w }.toMap
+    assert(got(20L) == 19L)
+    assert(got(19L) == 19L && got(1L) == 1L && got(10L) == 10L)
+    // a skewed group: outlier pulled to the fence, not dropped
+    val sk = ((1L to 99L) :+ 100000L).map(v => ("s", v)).toDF("k", "v")
+    val gs = Stats.winsorizeByGroup(sk, Seq("k"), "v")
+      .as[(String, Long, Long)].collect()
+    assert(gs.length == 100) // nothing dropped
+    assert(gs.map(_._3).max == 95L) // p95 rank = (100*95+99)/100 = 95
+  }
+
+  test("equiWidthHistogram: empty bins materialized, degenerate input safe") {
+    // values 0..9 and 90..99 over 10 bins of width 10 -> bins 1..8 empty
+    val df = ((0L to 9L) ++ (90L to 99L)).toDF("v")
+    val got = Stats.equiWidthHistogram(df, "v", nBins = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    assert(got.head == ((0L, 0L, 9L, 10L)))
+    assert(got.last == ((9L, 90L, 99L, 10L)))
+    assert(got.slice(1, 9).forall(_._4 == 0L))
+    // all-equal input: one width-1 bin carries everything
+    val flat = Stats.equiWidthHistogram(Seq(7L, 7L, 7L).toDF("v"), "v", nBins = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(flat.head == ((0L, 7L, 7L, 3L)))
+    assert(flat.map(_._4).sum == 3L)
+  }
+
   test("frontier2D: matches the naive NOT-EXISTS dominance check, keeps ties") {
     val rows = (1 to 200).map { i =>
       // deterministic scatter with duplicate points and same-x ties
