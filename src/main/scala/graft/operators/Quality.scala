@@ -113,6 +113,31 @@ object Quality {
         "min_value", "max_value")
   }
 
+  /** dbt's `accepted_values` test: rows whose column value falls
+    * outside the allowed set, reported as (value, n_rows) — NULLs pass
+    * (dbt's does not flag them; not_null is the separate test), exactly
+    * like uniqueViolations mirrors dbt's null handling. One filter +
+    * one hash aggregate; the allowed set is a literal, so the filter
+    * pushes into the scan. */
+  def acceptedValuesViolations(df: DataFrame, column: String,
+                               allowed: Seq[String]): DataFrame = {
+    df.filter(col(column).isNotNull && !col(column).isin(allowed: _*))
+      .groupBy(col(column).as("value"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** dbt's `relationships` test: child rows whose foreign key has no
+    * match in the parent — reported per orphan key value. A left-anti
+    * join on the key (broadcast when the parent's key projection is
+    * small, AQE decides); NULL FKs pass, as in dbt. */
+  def relationshipViolations(child: DataFrame, fkCol: String,
+                             parent: DataFrame, pkCol: String): DataFrame = {
+    child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)), Seq(fkCol), "left_anti")
+      .groupBy(col(fkCol).as("orphan_key"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Join-key skew report: for each candidate key column, the distinct
     * key count, the hottest key and its row count, and that key's share
     * of the relation in parts-per-million (exact integer division — no

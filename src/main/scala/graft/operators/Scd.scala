@@ -39,6 +39,35 @@ object Scd {
     updates.unionByName(survivors)
   }
 
+  /** Apply a CDC change batch (inserts/updates/deletes) to a current
+    * table — the full MERGE semantics a warehouse's `MERGE INTO` gives
+    * and an append-only COPY (the reference's load) cannot:
+    * per key, the batch's LAST operation by `seqCol` wins ("D" removes
+    * the key, anything else upserts the row's payload), earlier
+    * in-batch operations on the same key are superseded, keys the
+    * batch never mentions pass through untouched.
+    *
+    * Plan shape: one window pass over the BATCH for last-writer-wins
+    * (batches are bounded; the table never sorts), then a single
+    * left-anti join of the current table against the batch's key
+    * projection — one broadcast-able relation covers both deletes and
+    * updated keys, so the big side is scanned once and never shuffled
+    * — and a by-name union of the surviving rows with the upsert
+    * payloads. */
+  def applyCdc(current: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               opCol: String, seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc: at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val lastOp = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors = current.join(
+      broadcast(lastOp.select(keyCols.map(col): _*)), keyCols, "left_anti")
+    val upserts = lastOp.filter(col(opCol) =!= "D")
+      .drop(opCol, seqCol)
+    survivors.unionByName(upserts)
+  }
+
   /** SCD type 2 history build from a snapshot/event stream: for each
     * entity (`keyCols`), order observations by (`timeCol`, `tieCols`) and
     * emit one row per RUN of identical tracked attributes (`attrCols`) —

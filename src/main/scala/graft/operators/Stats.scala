@@ -211,6 +211,37 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Robust outlier detection by median absolute deviation: flag rows
+    * where |v − median| > k·MAD per group — the estimator that survives
+    * the outliers it hunts (a z-score's mean/stddev are dragged by the
+    * very points under test; winsorizeByGroup is the repair, this is
+    * the detector). Medians are the LOWER order statistic at rank
+    * ⌈n/2⌉ = (n+1) div 2 — pure integers, no midpoint averaging, so
+    * the verdict |v − med| > k·mad compares exact longs and is
+    * engine-portable bit-for-bit.
+    *
+    * Scale shape: two window passes on the group key (value rank, then
+    * absolute-deviation rank) — same single-shuffle-per-pass contract
+    * as winsorizeByGroup; the median/MAD relations reduce to one row
+    * per group and broadcast back. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valCol: String,
+                  k: Int = 3): DataFrame = {
+    def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("__rn") === expr("(__n + 1) DIV 2"))
+        .select(keys.map(col) :+ col(c).as(out): _*)
+    }
+    val med = medianOf(df, valCol, "median")
+    val withMed = df.join(broadcast(med), keys)
+      .withColumn("__absdev", abs(col(valCol) - col("median")))
+    val mad = medianOf(withMed, "__absdev", "mad")
+    withMed.join(broadcast(mad), keys)
+      .withColumn("is_outlier", col("__absdev") > col("mad") * k)
+      .drop("__absdev")
+  }
+
   /** Equal-width histogram over an integer-scaled measure, with EMPTY
     * bins materialized (a chart or drift monitor needs the zero bars;
     * a bare GROUP BY silently omits them). Width is the integer

@@ -363,6 +363,43 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Robust outliers by median absolute deviation (Stats.madOutliers):
+    // integer lower-median twice, exact |v-med| > 3*mad verdicts —
+    // the detector companion to q143's winsorize repair.
+    "q148_mad_outliers" -> q(
+      """WITH p AS (SELECT l_returnflag AS g,
+                           CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+                    FROM lineitem),
+            r1 AS (SELECT g, v,
+                          CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+                          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                   FROM p),
+            med AS (SELECT g, v AS median FROM r1 WHERE rn = (n + 1) // 2),
+            d AS (SELECT p.g, p.v, med.median, abs(p.v - med.median) AS ad
+                  FROM p JOIN med USING (g)),
+            r2 AS (SELECT g, ad,
+                          CAST(row_number() OVER (PARTITION BY g ORDER BY ad) AS BIGINT) AS rn,
+                          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                   FROM d),
+            mad AS (SELECT g, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT d.g AS l_returnflag,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                first(d.median) AS median,
+                first(mad.mad) AS mad,
+                CAST(count(*) FILTER (WHERE d.ad > 3 * mad.mad) AS BIGINT) AS n_outliers
+         FROM d JOIN mad USING (g)
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val p = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+      graft.operators.Stats.madOutliers(p, Seq("l_returnflag"), "v", k = 3)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          first(col("median")).as("median"),
+          first(col("mad")).as("mad"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    },
+
     // Equal-width order-value histogram with empty bins materialized
     // (Stats.equiWidthHistogram — integer width/bin arithmetic end to
     // end, bounds broadcast from a 1-row aggregate).

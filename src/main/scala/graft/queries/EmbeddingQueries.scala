@@ -265,6 +265,40 @@ object EmbeddingQueries {
           aggregate(array((1 to 64).map(i => col(s"s_$i")): _*),
             lit(0L), (acc, sv) => acc + sv * sv).as("centroid_sq_norm"))
         .orderBy("label")
+    },
+
+    // Higher-order array functions as the per-vector feature pass: the
+    // whole row stays inside one codegen'd projection (transform +
+    // aggregate + array_min/max), no explode, no shuffle — the shape a
+    // 100 TB embedding-stats scan wants. Elements are scaled to exact
+    // 1e-6 integers first, so every statistic is integer-exact.
+    "q147_array_functions" -> q(
+      """SELECT vec_id,
+                CAST(len(embedding) AS INTEGER) AS n_dims,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS sum_e6,
+                CAST(list_min(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS min_e6,
+                CAST(list_max(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS max_e6,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS norm_sq_e12
+         FROM embeddings ORDER BY vec_id""") { (s, dir) =>
+      val scaled = transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000 + 0.5).cast("long"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          aggregate(scaled, lit(0L), (a, x) => a + x).as("sum_e6"),
+          array_min(scaled).as("min_e6"),
+          array_max(scaled).as("max_e6"),
+          aggregate(scaled, lit(0L), (a, x) => a + x * x).as("norm_sq_e12"))
+        .orderBy("vec_id")
     }
   )
 }

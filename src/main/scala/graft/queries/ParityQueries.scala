@@ -432,6 +432,84 @@ object ParityQueries {
               lit("x")).as("nm")))
       graft.operators.Reconcile.fuzzyMatchPairs(names, "id", "nm", maxDist = 2, prefixLen = 8)
         .orderBy("id_a", "id_b")
+    },
+
+    // CDC MERGE: a change batch (deletes, updates with an in-batch
+    // superseded op, inserts on disjoint negative keys) applied to the
+    // customer table in one anti-join + union (Scd.applyCdc) — the
+    // warehouse MERGE INTO the reference's append-only COPY lacks.
+    "q146_cdc_apply" -> q(
+      """WITH cur AS (SELECT c_custkey, c_name FROM customer),
+            changes AS (
+              SELECT c_custkey, c_name, 'D' AS op, 1 AS seq FROM cur
+              WHERE c_custkey % 10 = 0
+              UNION ALL SELECT c_custkey, upper(c_name), 'U', 1 FROM cur
+              WHERE c_custkey % 10 IN (1, 2)
+              UNION ALL SELECT c_custkey, 'STALE', 'U', 0 FROM cur
+              WHERE c_custkey % 10 = 1
+              UNION ALL SELECT -c_custkey, 'NEW' || CAST(c_custkey AS VARCHAR), 'I', 1
+              FROM cur WHERE c_custkey % 100 = 3),
+            last AS (SELECT c_custkey, c_name, op FROM (
+                       SELECT *, row_number() OVER (PARTITION BY c_custkey
+                         ORDER BY seq DESC) AS rn FROM changes)
+                     WHERE rn = 1),
+            survivors AS (SELECT cur.c_custkey, cur.c_name FROM cur
+                          WHERE NOT EXISTS (SELECT 1 FROM last
+                                            WHERE last.c_custkey = cur.c_custkey)),
+            upserts AS (SELECT c_custkey, c_name FROM last WHERE op <> 'D')
+         SELECT c_custkey, c_name FROM survivors
+         UNION ALL SELECT c_custkey, c_name FROM upserts
+         ORDER BY c_custkey""") { (s, dir) =>
+      val cur = t(s, dir, "customer").select("c_custkey", "c_name")
+      val key = col("c_custkey")
+      val changes = cur.filter(key % 10 === 0)
+        .select(key, col("c_name"), lit("D").as("op"), lit(1L).as("seq"))
+        .unionByName(cur.filter((key % 10).isin(1, 2))
+          .select(key, upper(col("c_name")).as("c_name"), lit("U").as("op"), lit(1L).as("seq")))
+        .unionByName(cur.filter(key % 10 === 1)
+          .select(key, lit("STALE").as("c_name"), lit("U").as("op"), lit(0L).as("seq")))
+        .unionByName(cur.filter(key % 100 === 3)
+          .select((-key).as("c_custkey"),
+            concat(lit("NEW"), key.cast("string")).as("c_name"),
+            lit("I").as("op"), lit(1L).as("seq")))
+      graft.operators.Scd.applyCdc(cur, changes, Seq("c_custkey"), "op", "seq")
+        .orderBy("c_custkey")
+    },
+
+    // dbt-test parity beyond unique/not_null: accepted_values (planted
+    // violation: status 'P' outside the allowed set) and relationships
+    // (lineitem parts orphaned against a filtered part dimension), one
+    // violations report (Quality.acceptedValuesViolations /
+    // .relationshipViolations — reference: the dbt tests the models
+    // declare).
+    "q149_dbt_tests" -> q(
+      """WITH av AS (SELECT 'accepted_values_o_orderstatus' AS test_name,
+                            o_orderstatus AS value,
+                            CAST(count(*) AS BIGINT) AS n_rows
+                     FROM orders
+                     WHERE o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F')
+                     GROUP BY 2),
+            rel AS (SELECT 'relationships_l_partkey' AS test_name,
+                           CAST(l_partkey AS VARCHAR) AS value,
+                           CAST(count(*) AS BIGINT) AS n_rows
+                    FROM lineitem
+                    WHERE l_partkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM part
+                                      WHERE p_partkey = l_partkey AND p_size > 25)
+                    GROUP BY 2)
+         SELECT * FROM av UNION ALL SELECT * FROM rel
+         ORDER BY test_name, value""") { (s, dir) =>
+      val av = graft.operators.Quality.acceptedValuesViolations(
+          t(s, dir, "orders"), "o_orderstatus", Seq("O", "F"))
+        .select(lit("accepted_values_o_orderstatus").as("test_name"),
+          col("value"), col("n_rows"))
+      val rel = graft.operators.Quality.relationshipViolations(
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part").filter(col("p_size") > 25), "p_partkey")
+        .select(lit("relationships_l_partkey").as("test_name"),
+          col("orphan_key").cast("string").as("value"), col("n_rows"))
+      av.unionByName(rel).orderBy("test_name", "value")
     }
   )
 }

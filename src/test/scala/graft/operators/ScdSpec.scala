@@ -105,4 +105,23 @@ class ScdSpec extends SparkSpec {
       .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
     assert(withSrc(carried) == withSrc(rebuild))
   }
+
+  test("applyCdc: delete/update/insert in one batch, in-batch LWW, idempotent") {
+    import spark.implicits._
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "x", "D", 2L),   // delete key 1...
+      (1L, "stale", "U", 1L), // ...superseding an earlier in-batch update
+      (2L, "B2", "U", 1L),  // update key 2
+      (9L, "new", "I", 1L)  // insert key 9; key 3 untouched
+    ).toDF("k", "v", "op", "seq")
+    val next = Scd.applyCdc(cur, changes, Seq("k"), "op", "seq")
+    val got = next.as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "B2"), (3L, "c"), (9L, "new")))
+    // re-applying the same batch reaches the same state (deletes are
+    // no-ops on absent keys, upserts overwrite with identical payloads)
+    val again = Scd.applyCdc(next, changes, Seq("k"), "op", "seq")
+      .as[(Long, String)].collect().toSet
+    assert(again == got)
+  }
 }

@@ -91,6 +91,19 @@ class StarSchemaQualitySpec extends SparkSpec {
     assert(scans == 1, s"expected one parquet scan, got $scans:\n$plan")
   }
 
+  test("acceptedValues/relationships: dbt semantics — NULLs pass both tests") {
+    val df = Seq(Some("O"), Some("F"), Some("P"), Some("P"), None)
+      .toDF("status")
+    val av = Quality.acceptedValuesViolations(df, "status", Seq("O", "F"))
+      .as[(String, Long)].collect().toSeq
+    assert(av == Seq(("P", 2L))) // the NULL row is not a violation
+    val child = Seq(Some(1L), Some(2L), Some(7L), Some(7L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rel = Quality.relationshipViolations(child, "fk", parent, "pk")
+      .as[(Long, Long)].collect().toSeq
+    assert(rel == Seq((7L, 2L))) // NULL FK passes, as in dbt
+  }
+
   test("keySkewReport: hottest key per column from one melted scan, ties to min") {
     val df = Seq(
       ("k1", "x"), ("k1", "y"), ("k1", "z"), // k1 hot on col a (3/6)

@@ -118,6 +118,20 @@ class StatsSkylineSpec extends SparkSpec {
     assert(flat.map(_._4).sum == 3L)
   }
 
+  test("madOutliers: planted spike flagged, clean bulk untouched") {
+    // 1..21 centered at 11, MAD = 5 (|v-11| sorted: 0,1,1,...,10 ->
+    // 11th of 21 = 5); fence = 15 -> none of 1..21 is an outlier...
+    val clean = (1L to 21L).map(("g", _)).toDF("k", "v")
+    val gotClean = Stats.madOutliers(clean, Seq("k"), "v")
+      .filter(col("is_outlier")).count()
+    assert(gotClean == 0)
+    // ...but a planted 1000 is (and barely shifts the fences)
+    val spiked = ((1L to 21L) :+ 1000L).map(("g", _)).toDF("k", "v")
+    val flagged = Stats.madOutliers(spiked, Seq("k"), "v")
+      .filter(col("is_outlier")).select("v").as[Long].collect().toSeq
+    assert(flagged == Seq(1000L))
+  }
+
   test("frontier2D: matches the naive NOT-EXISTS dominance check, keeps ties") {
     val rows = (1 to 200).map { i =>
       // deterministic scatter with duplicate points and same-x ties
