@@ -164,6 +164,36 @@ object IncrementalStream {
       .start()
   }
 
+  /** Stream-stream last-touch attribution: each purchase joined to the
+    * clicks that preceded it within `windowSeconds` on the same user —
+    * the canonical two-stream correlation. BOTH sides carry watermarks
+    * and the join condition bounds event-time distance, which is what
+    * lets the engine expire buffered state: without the time bound (or
+    * with only one watermark) the state store grows without limit and
+    * a 100 TB/day stream OOMs on day one. Emits one row per
+    * (purchase, qualifying click) in append mode; downstream picks
+    * last-touch with a batch argmax per purchase if needed.
+    *
+    * Scale shape: state is per-user rows inside the watermark horizon
+    * on each side — bounded by per-entity activity × window, not
+    * stream length; the join itself shuffles both streams on the user
+    * key once. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      userCol: String, tsCol: String,
+                      windowSeconds: Long): DataFrame = {
+    val c = clicks
+      .withWatermark(tsCol, s"$windowSeconds seconds")
+      .select(col(userCol).as("user"), col(tsCol).as("click_ts"))
+    val p = purchases
+      .withWatermark(tsCol, s"$windowSeconds seconds")
+      .select(col(userCol).as("p_user"), col(tsCol).as("purchase_ts"))
+    p.join(c, expr(
+      s"""user = p_user
+          AND click_ts <= purchase_ts
+          AND click_ts >= purchase_ts - INTERVAL $windowSeconds SECONDS"""))
+      .select(col("user"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Newest complete version under a versioned table dir (see
     * upsertStream); driver-side metadata listing only. */
   def latestVersion(tableDir: String): Option[Long] = {

@@ -30,6 +30,32 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 3)
   }
 
+  test("attributionJoin: purchases match in-window same-user clicks only") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val clickDir = Files.createTempDirectory("attr-clicks").toString
+    val purchDir = Files.createTempDirectory("attr-purch").toString
+    Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(0)), (1L, ts(40)))
+      .toDF("user_id", "ts").write.mode("append").parquet(clickDir)
+    Seq((1L, ts(10)), (2L, ts(50)), (3L, ts(10)))
+      .toDF("user_id", "ts").write.mode("append").parquet(purchDir)
+    val schema = spark.read.parquet(clickDir).schema
+    val joined = IncrementalStream.attributionJoin(
+      spark.readStream.schema(schema).parquet(clickDir),
+      spark.readStream.schema(schema).parquet(purchDir),
+      "user_id", "ts", windowSeconds = 30)
+    IncrementalStream.runToMemory(joined, "attr_out", outputMode = "append")
+    val got = spark.table("attr_out")
+      .as[(Long, Timestamp, Timestamp)].collect()
+      .map { case (u, p, c) => (u, p.toString, c.toString) }.toSet
+    // u1@10 matches u1 clicks at 0 and 5 (both within 30s); u2@50 is
+    // 50s after u2's only click -> no match; u3 never clicked; u1's
+    // click at 40 is AFTER the purchase -> excluded
+    assert(got == Set(
+      (1L, ts(10).toString, ts(0).toString),
+      (1L, ts(10).toString, ts(5).toString)))
+  }
+
   test("upsertStream: micro-batch SCD1 with in-batch last-writer-wins") {
     val src = Files.createTempDirectory("ups-src").toString
     val tbl = Files.createTempDirectory("ups-tbl").toString
