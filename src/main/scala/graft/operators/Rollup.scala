@@ -43,4 +43,26 @@ object Rollup {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
   }
+
+  /** Incremental view maintenance for an INNER equi-join: the delta of
+    * A ⋈ B when both sides receive insert batches ΔA, ΔB is
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    * (old×old is already materialized; each new pair has its new row
+    * on the left, the right, or both). The maintained view is
+    * `materialized ∪ joinDelta(...)` — the full tables are NEVER
+    * re-joined, which is the entire economics of a 100 TB materialized
+    * join: per-refresh cost scales with the delta, not the table.
+    *
+    * The two big-side joins probe A and B with the (typically small,
+    * broadcastable) deltas; AQE picks broadcast when the delta fits.
+    * Insert-only by contract — deletions need a subtract channel
+    * (tombstones), which is applyCdc's territory, not a view delta's. */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+                bOld: DataFrame, bDelta: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta: at least one join key")
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }

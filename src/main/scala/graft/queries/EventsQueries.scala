@@ -415,6 +415,33 @@ object EventsQueries {
         .orderBy("week")
     },
 
+    // Incremental view maintenance for a JOIN: both sides split into
+    // (old, insert-delta); the maintained view = materialized old⋈old
+    // plus Rollup.joinDelta — the full tables are never re-joined. The
+    // oracle recomputes the join from scratch: green proves
+    // incremental == recompute, q122's invariant extended from
+    // aggregates to joins.
+    "q150_ivm_join" -> q(
+      """SELECT o_orderkey, o_custkey, c_name,
+                CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      val oOld = o.filter(col("o_orderkey") % 5 =!= 0)
+      val oDelta = o.filter(col("o_orderkey") % 5 === 0)
+      val cOld = c.filter(col("o_custkey") % 7 =!= 0)
+      val cDelta = c.filter(col("o_custkey") % 7 === 0)
+      val materialized = oOld.join(cOld, Seq("o_custkey"))
+      materialized
+        .unionByName(graft.operators.Rollup.joinDelta(
+          oOld, oDelta, cOld, cDelta, Seq("o_custkey")))
+        .select("o_orderkey", "o_custkey", "c_name", "price_cents")
+        .orderBy("o_orderkey")
+    },
+
     // Chi-square independence: does event type depend on day-of-week?
     // Per-cell contributions on exact operands, rounded-then-summed as
     // decimals (order-independent); the raw stream reduces to the

@@ -42,4 +42,26 @@ class RollupSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(m == Seq(("only_a", 1L, 5L, 5L, 5L), ("shared", 1L, 7L, 7L, 7L)))
   }
+
+  test("joinDelta: materialized + delta == full recompute, no double counting") {
+    val a = Seq((1L, "a1"), (1L, "a1b"), (2L, "a2"), (3L, "a3"), (9L, "aNew"))
+      .toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (2L, "b2b"), (9L, "bNew"))
+      .toDF("k", "bv")
+    // deltas: a's rows with value ending in "New" or "b"; disjoint splits
+    val aDelta = a.filter($"av".endsWith("New") || $"av".endsWith("b"))
+    val aOld = a.except(aDelta)
+    val bDelta = b.filter($"bv".endsWith("New") || $"bv".endsWith("b"))
+    val bOld = b.except(bDelta)
+    val maintained = aOld.join(bOld, Seq("k"))
+      .unionByName(Rollup.joinDelta(aOld, aDelta, bOld, bDelta, Seq("k")))
+      .as[(Long, String, String)].collect()
+    val full = a.join(b, Seq("k")).as[(Long, String, String)].collect()
+    // multiset equality: counts matter (double-counting a pair would
+    // preserve the set but not the bag)
+    def bag(xs: Array[(Long, String, String)]) =
+      xs.groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(maintained) == bag(full))
+    assert(maintained.length == full.length)
+  }
 }
