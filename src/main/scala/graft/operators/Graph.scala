@@ -34,9 +34,12 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // degree is folded into the edge list ONCE, so each iteration is a
+    // single join — not a (rank ⋈ edges ⋈ deg) three-way
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val eDeg = e
+      .join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
       .persist(lvl)
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg")).persist(lvl)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct().persist(lvl)
@@ -48,8 +51,7 @@ object Graph {
       .persist(lvl)
     for (_ <- 1 to iters) {
       val contribs = rank
-        .join(e, rank("node") === e("__src"))
-        .join(deg, "__src")
+        .join(eDeg, rank("node") === eDeg("__src"))
         .select(col("__dst").as("node"), expr("rank_e12 DIV __deg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
       val next = nodes.crossJoin(broadcast(nTotal))
