@@ -562,10 +562,12 @@ object Curation {
     * priorities, so selection probability rises with weight, with NO
     * RNG state (reproducible on any engine/cluster/retry — the same
     * md5-position argument as hashSplit, extended per-row by the
-    * weight divisor). Weights must be ≥ 1 (a zero weight would divide
-    * by zero; rows that must never be sampled should be filtered, not
-    * zero-weighted). Ties (hash collisions at equal weight) break on
-    * the id, keeping the cut total.
+    * weight divisor). Rows with weight ≤ 0 are EXCLUDED up front: a
+    * zero divisor yields NULL under Spark's non-ANSI DIV, and NULLs
+    * sort FIRST ascending — without the guard a zero-weight row would
+    * silently jump the queue into every sample, the exact opposite of
+    * its weight. Ties (hash collisions at equal weight) break on the
+    * id, keeping the cut total.
     *
     * Scale shape: a pure projection plus a top-k, which Spark plans as
     * TakeOrderedAndProject — map-side partial top-k per partition, no
@@ -575,7 +577,8 @@ object Curation {
     // integer DIV throughout: a double `/` then truncate can land on
     // the wrong side of the floor when the quotient rounds to an
     // integer — DuckDB's `//` and this must agree bit-for-bit
-    df.withColumn("__priority",
+    df.filter(col(weightCol) > 0)
+      .withColumn("__priority",
         expr(s"cast(conv(substring(md5(cast(concat('$salt', cast($idCol as string)) as binary)), 1, 8), 16, 10) as bigint) * 1000000L DIV $weightCol"))
       .orderBy(col("__priority").asc, col(idCol).asc)
       .limit(k)

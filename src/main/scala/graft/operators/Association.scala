@@ -32,7 +32,10 @@ object Association {
                    minSupport: Long = 2L): DataFrame = {
     // persisted: five consumers (both pair-join sides, two item-count
     // lookups, the basket total) would otherwise each re-scan and
-    // re-deduplicate the raw lines — 5 full input scans at any scale
+    // re-deduplicate the raw lines — 5 full input scans at any scale.
+    // All five read inside the ONE returned plan, so there is no
+    // point the operator could unpersist at; release is session cache
+    // hygiene (clearCache between operators, as Verify/Bench do)
     val items = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

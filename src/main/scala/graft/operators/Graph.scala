@@ -64,6 +64,11 @@ object Graph {
       rank.unpersist()
       rank = next
     }
+    // the final rank is materialized; its inputs can go. The rank frame
+    // itself stays persisted for the caller's action (session cache
+    // hygiene — Verify/Bench clearCache — releases it after).
+    eDeg.unpersist()
+    nodes.unpersist()
     rank.select(col("node"), col("rank_e12"))
   }
 }

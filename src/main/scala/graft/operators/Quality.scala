@@ -167,7 +167,8 @@ object Quality {
       .select(col("column_name"), col("n_keys"), col("n_rows"),
         col("__top.__val").as("top_key"),
         (-col("__top.__neg")).as("top_n"),
-        ((-col("__top.__neg")) * 1000000L / col("n_rows")).cast("long")
-          .as("top_share_ppm"))
+        // integer DIV, not Column./ — the double quotient can cross an
+        // integer boundary within an ulp and flip the truncation
+        expr("(-`__top`.`__neg`) * 1000000L DIV n_rows").as("top_share_ppm"))
   }
 }

@@ -454,7 +454,7 @@ object CurationQueries {
         .foldLeft("CAST(0 AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
       s"""SELECT doc_id, n_chars,
                  CAST($hex8 AS BIGINT) * 1000000 // n_chars AS priority
-          FROM documents
+          FROM documents WHERE n_chars > 0
           ORDER BY priority, doc_id LIMIT 50"""
     }) { (s, dir) =>
       Curation.hashWeightedSample(

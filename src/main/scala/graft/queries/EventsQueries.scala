@@ -401,9 +401,6 @@ object EventsQueries {
         .orderBy("event_id")
     },
 
-    // Daily per-user activity grid: counts with missing days zero-filled
-    // between each user's first and last active day. The spine is
-    // generated key-locally (sequence + explode), never a driver loop.
     // Mergeable distinct-count rollup: weekly unique users from UNIONED
     // per-day HLL sketches, never re-scanning the stream (the
     // COUNT(DISTINCT) analog of q122's mergeable rollup states).
@@ -543,6 +540,9 @@ object EventsQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Daily per-user activity grid: counts with missing days zero-filled
+    // between each user's first and last active day. The spine is
+    // generated key-locally (sequence + explode), never a driver loop.
     "q127_gap_fill_daily" -> q(
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
                                CAST(count(*) AS BIGINT) AS n_events

@@ -152,7 +152,12 @@ object IncrementalStream {
           .withColumn("__rn", row_number().over(
             Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)))
           .filter(col("__rn") === 1).drop("__rn")
-        val next = latestVersion(tableDir) match {
+        // base = newest version STRICTLY BELOW this batch id: on a
+        // failed-batch replay, v=<batchId> may already exist (partially
+        // written) — reading it while overwriting the same path is the
+        // self-destroying write the versioning exists to prevent, so a
+        // replay rebuilds from the predecessor
+        val next = latestVersion(spark, tableDir, below = Some(batchId)) match {
           case Some(v) =>
             graft.operators.Scd.upsertByKey(
               spark.read.parquet(s"$tableDir/v=$v"), lww, keyCols)
@@ -195,12 +200,23 @@ object IncrementalStream {
   }
 
   /** Newest complete version under a versioned table dir (see
-    * upsertStream); driver-side metadata listing only. */
-  def latestVersion(tableDir: String): Option[Long] = {
-    val d = new java.io.File(tableDir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    * upsertStream), optionally restricted to versions strictly below
+    * `below`. Listed through the Hadoop FileSystem of the path — a
+    * java.io.File walk silently returns nothing on HDFS/S3, which
+    * would reset the table to the current batch. A version counts only
+    * with its _SUCCESS marker (a killed write leaves the directory
+    * without one). Driver-side metadata only. */
+  def latestVersion(spark: SparkSession, tableDir: String,
+                    below: Option[Long] = None): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => below.forall(v < _))
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/_SUCCESS")))
       .sorted(Ordering[Long].reverse).headOption
   }
 

@@ -56,6 +56,22 @@ class IncrementalStreamSpec extends SparkSpec {
       (1L, ts(10).toString, ts(5).toString)))
   }
 
+  test("latestVersion: incomplete versions and the replayed batch are invisible") {
+    val tbl = Files.createTempDirectory("lv-tbl").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$tbl/v=0")
+    Seq((1L, "b")).toDF("id", "v").write.parquet(s"$tbl/v=1")
+    // v=2 simulates a KILLED write: directory exists, no _SUCCESS
+    Seq((1L, "c")).toDF("id", "v").write.parquet(s"$tbl/v=2")
+    Files.delete(java.nio.file.Paths.get(s"$tbl/v=2/_SUCCESS"))
+    assert(IncrementalStream.latestVersion(spark, tbl) == Some(1L))
+    // a replay of batch 1 must base itself on v=0, never read its own
+    // about-to-be-overwritten output
+    assert(IncrementalStream.latestVersion(spark, tbl, below = Some(1L)) == Some(0L))
+    assert(IncrementalStream.latestVersion(spark, tbl, below = Some(0L)) == None)
+    assert(IncrementalStream.latestVersion(spark,
+      Files.createTempDirectory("lv-missing").toString + "/nope") == None)
+  }
+
   test("upsertStream: micro-batch SCD1 with in-batch last-writer-wins") {
     val src = Files.createTempDirectory("ups-src").toString
     val tbl = Files.createTempDirectory("ups-tbl").toString
@@ -68,7 +84,7 @@ class IncrementalStreamSpec extends SparkSpec {
         .awaitTermination()
     }
     def current(): Map[Long, (String, Long)] = {
-      val v = IncrementalStream.latestVersion(tbl).get
+      val v = IncrementalStream.latestVersion(spark, tbl).get
       spark.read.parquet(s"$tbl/v=$v").as[(Long, String, Long)]
         .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     }
