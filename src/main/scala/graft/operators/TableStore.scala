@@ -90,4 +90,31 @@ object TableStore {
       .sortBy(key.toLowerCase)
       .format("parquet").saveAsTable(name)
   }
+
+  /** Partitioned write with DYNAMIC partition overwrite: only the
+    * partition values PRESENT in `df` are replaced; every other
+    * partition on disk is untouched. This is the daily-refresh
+    * semantics the reference's cron pipeline needs (re-run one day
+    * without clobbering the table — its append-only COPY instead
+    * accumulates duplicates, snowflake_load.py:168-208) and the
+    * static-overwrite default gets catastrophically wrong (static mode
+    * DELETES the whole table first, then writes one day back).
+    *
+    * At scale, partition pruning on the written layout is what makes
+    * day-ranged scans cheap: `WHERE day = X` reads one directory. The
+    * overwrite-mode conf is set on the session — scoped here because
+    * the write is the only consumer, restored after. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

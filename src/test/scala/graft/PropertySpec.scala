@@ -64,6 +64,58 @@ class PropertySpec extends SparkSpec {
     assert(l.forall { case (a, b) => a < b })
   }
 
+  test("winsorize: row-preserving, fence-bounded, sum-contracting") {
+    import graft.operators.Stats
+    val vals = samples(Gen.choose(1L, 1000000L), 300)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val got = Stats.winsorizeByGroup(df, Seq("k"), "v")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == vals.length) // winsorize never drops rows
+    val clamped = got.map(_._3)
+    // every clamped value is an ORIGINAL value (order statistics are
+    // members of the multiset, and clamping maps into [lo, hi])
+    val orig = vals.toSet
+    assert(clamped.forall(orig.contains))
+    assert(clamped.sum <= vals.sum + 0L || vals.min < 0,
+      "clamping a positive-tailed sample cannot raise the sum above " +
+        "the original when the low fence is the p5 member")
+    // idempotent: winsorizing the winsorized column is a no-op
+    val again = Stats.winsorizeByGroup(
+        got.map { case (k, _, w) => (k, w) }.toSeq.toDF("k", "v"), Seq("k"), "v")
+      .as[(String, Long, Long)].collect().map(_._3).sorted
+    assert(again.toSeq == clamped.sorted.toSeq)
+  }
+
+  test("equiWidthHistogram: counts partition the input for any bin count") {
+    import graft.operators.Stats
+    val vals = samples(Gen.choose(-500L, 500L), 250)
+    for (bins <- Seq(1, 7, 10)) {
+      val h = Stats.equiWidthHistogram(vals.toDF("v"), "v", nBins = bins)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(h.length == bins)
+      assert(h.map(_._4).sum == vals.length, s"bins=$bins must partition rows")
+      // edges tile the range contiguously
+      val sorted = h.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._3 + 1, s"gap between bins ${a._1} and ${b._1}")
+        case _ => // a single bin has no adjacency to check
+      }
+      assert(sorted.head._2 == vals.min)
+    }
+  }
+
+  test("marketBasket: support-threshold monotone") {
+    import graft.operators.Association
+    val lines = samples(Gen.zip(Gen.choose(1L, 40L), Gen.choose(1L, 15L)), 300)
+      .map { case (b, i) => (b, s"i$i") }
+    val df = lines.toDF("basket", "item")
+    def rules(s: Long) = Association.marketBasket(df, "basket", "item", s)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    val s2 = rules(2L); val s3 = rules(3L)
+    assert(s3.subsetOf(s2), "raising minSupport must only remove rules")
+  }
+
   test("weighted-quality Aggregator: partial merge equals single-pass") {
     import graft.functions.WeightedQuality
     val data = samples(Gen.choose(1.0, 100.0), 100)

@@ -57,4 +57,20 @@ class LedgerAndStoreSpec extends SparkSpec {
     assert(out == Seq((1L, Some("a")), (2L, None), (3L, Some("c"))))
     assert(!spark.table(tbl).columns.contains("extra"))
   }
+
+  test("writePartitioned: re-writing one day replaces ONLY that day") {
+    val path = java.nio.file.Files.createTempDirectory("part-tbl").toString
+    TableStore.writePartitioned(
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3"))
+        .toDF("id", "day"), path, Seq("day"))
+    // refresh day d2 with corrected rows; d1/d3 must survive untouched
+    TableStore.writePartitioned(
+      Seq((30L, "d2"), (31L, "d2")).toDF("id", "day"), path, Seq("day"))
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2"), (4L, "d3")))
+    // the written layout partition-prunes: a day filter reads one directory
+    val plan = spark.read.parquet(path).filter($"day" === "d3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+  }
 }
