@@ -343,6 +343,26 @@ object SqlSurfaceQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Interpolated (continuous) percentiles per group: Spark's
+    // percentile() and DuckDB's quantile_cont share the exact
+    // idx = p*(n-1) linear-interpolation definition (verified on
+    // boundary cases); operands are exact cents, results rounded well
+    // above double ulp at cents magnitude.
+    "q151_percentile_cont" -> q(
+      """SELECT o_orderpriority,
+                round(quantile_cont(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 0.25), 4) AS p25,
+                round(quantile_cont(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 0.5), 4) AS p50,
+                round(quantile_cont(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 0.9), 4) AS p90
+         FROM orders GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("v"))
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(v, 0.25D)"), 4).as("p25"),
+          round(expr("percentile(v, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(v, 0.9D)"), 4).as("p90"))
+        .orderBy("o_orderpriority")
+    },
+
     // Unpivot/melt: lineitem's four measures to (measure, value) long
     // form via the native unpivot (a generator projection — zero
     // shuffle; the UNION-ALL formulation scans once per measure).
