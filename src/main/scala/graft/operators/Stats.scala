@@ -234,8 +234,13 @@ object Stats {
         .select(keys.map(col) :+ col(c).as(out): _*)
     }
     val med = medianOf(df, valCol, "median")
+    // persisted: consumed twice inside the one returned plan (the MAD
+    // median pass and the final verdict join) — without it the raw
+    // relation re-scans and re-joins per consumer. Released by session
+    // cache hygiene (clearCache between operators, as Verify/Bench do).
     val withMed = df.join(broadcast(med), keys)
       .withColumn("__absdev", abs(col(valCol) - col("median")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = medianOf(withMed, "__absdev", "mad")
     withMed.join(broadcast(mad), keys)
       .withColumn("is_outlier", col("__absdev") > col("mad") * k)
