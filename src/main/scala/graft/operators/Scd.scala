@@ -68,6 +68,50 @@ object Scd {
     survivors.unionByName(upserts)
   }
 
+  /** Inverse of applyCdc: DIFF two versions of a table into the CDC
+    * batch that transforms the old into the new — the change-data-feed
+    * generator for consumers that want deltas, not snapshots (the
+    * round trip applyCdc(old, diffToCdc(old, new)) == new is pinned by
+    * ScdSpec). Ops: key only in new → I (new payload), key only in
+    * old → D (old payload, tombstone-style), key in both with any
+    * attribute differing under null-safe compare → U (new payload);
+    * identical rows emit NOTHING — the whole point of a diff.
+    *
+    * Both inputs must be unique per key (the SCD1 "current table"
+    * contract). Plan shape: one full outer join on the key — each side
+    * scanned once, shuffled once on the key (or broadcast when one
+    * version is small); the op classification is a pure projection.
+    * `seqCol` is stamped with a constant 1 so the batch slots straight
+    * into applyCdc. */
+  def diffToCdc(oldDf: DataFrame, newDf: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffToCdc: at least one key column")
+    val attrs = oldDf.columns.filterNot(keyCols.contains)
+    require(attrs.sameElements(newDf.columns.filterNot(keyCols.contains)),
+      "diffToCdc: old and new must share a schema")
+    val o = oldDf.select(keyCols.map(col) ++
+      attrs.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      attrs.map(c => col(c).as(s"__n_$c")): _*)
+    // presence must be judged on a never-null marker, not the payload
+    // (an all-null attribute row would read as "absent")
+    val joined = o.withColumn("__in_old", lit(true))
+      .join(n.withColumn("__in_new", lit(true)), keyCols, "full_outer")
+    val changed = attrs
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("op",
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_new").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ attrs.map(c =>
+        when(col("op") === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) ++
+        Seq(col("op"), lit(1L).as("seq")): _*)
+  }
+
   /** SCD type 2 history build from a snapshot/event stream: for each
     * entity (`keyCols`), order observations by (`timeCol`, `tieCols`) and
     * emit one row per RUN of identical tracked attributes (`attrCols`) —

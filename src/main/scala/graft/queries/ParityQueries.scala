@@ -476,6 +476,42 @@ object ParityQueries {
         .orderBy("c_custkey")
     },
 
+    // Change-data-feed generation: diff two table versions into the
+    // I/U/D batch that transforms one into the other (Scd.diffToCdc,
+    // the inverse of q146's applyCdc; ScdSpec pins the round trip).
+    // One full outer join on the key; unchanged rows emit nothing.
+    "q152_cdc_diff" -> q(
+      """WITH oldt AS (SELECT c_custkey, c_name FROM customer),
+            newt AS (SELECT c_custkey,
+                            CASE WHEN c_custkey % 10 IN (1, 2) THEN upper(c_name)
+                                 ELSE c_name END AS c_name
+                     FROM oldt WHERE c_custkey % 10 <> 0
+                     UNION ALL
+                     SELECT -c_custkey, 'NEW' || CAST(c_custkey AS VARCHAR)
+                     FROM oldt WHERE c_custkey % 100 = 3)
+         SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                CASE WHEN n.c_custkey IS NULL THEN o.c_name
+                     ELSE n.c_name END AS c_name,
+                CASE WHEN o.c_custkey IS NULL THEN 'I'
+                     WHEN n.c_custkey IS NULL THEN 'D'
+                     ELSE 'U' END AS op,
+                CAST(1 AS BIGINT) AS seq
+         FROM oldt o FULL JOIN newt n ON o.c_custkey = n.c_custkey
+         WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+            OR o.c_name IS DISTINCT FROM n.c_name
+         ORDER BY c_custkey, op""") { (s, dir) =>
+      val oldT = t(s, dir, "customer").select("c_custkey", "c_name")
+      val key = col("c_custkey")
+      val newT = oldT.filter(key % 10 =!= 0)
+        .select(key, when((key % 10).isin(1, 2), upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"))
+        .unionByName(oldT.filter(key % 100 === 3)
+          .select((-key).as("c_custkey"),
+            concat(lit("NEW"), key.cast("string")).as("c_name")))
+      graft.operators.Scd.diffToCdc(oldT, newT, Seq("c_custkey"))
+        .orderBy("c_custkey", "op")
+    },
+
     // dbt-test parity beyond unique/not_null: accepted_values (planted
     // violation: status 'P' outside the allowed set) and relationships
     // (lineitem parts orphaned against a filtered part dimension), one

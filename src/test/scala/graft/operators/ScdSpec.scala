@@ -124,4 +124,28 @@ class ScdSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(again == got)
   }
+
+  test("diffToCdc: round trip applyCdc(old, diff(old, new)) == new; nulls honest") {
+    import spark.implicits._
+    val oldT = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("gone")), (5L, Some("same"))
+    ).toDF("k", "v")
+    val newT = Seq(
+      (1L, Some("a2")),  // value change -> U
+      (2L, None: Option[String]), // value -> NULL is a real change -> U
+      (3L, None: Option[String]), // NULL == NULL under <=> -> no row
+      (5L, Some("same")), // unchanged -> no row
+      (9L, Some("new"))   // -> I; 4 is absent -> D
+    ).toDF("k", "v")
+    val cdc = Scd.diffToCdc(oldT, newT, Seq("k"))
+    val ops = cdc.select("k", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(1L -> "U", 2L -> "U", 4L -> "D", 9L -> "I"))
+    // the round trip is exact
+    val rebuilt = Scd.applyCdc(oldT, cdc, Seq("k"), "op", "seq")
+      .as[(Long, Option[String])].collect().toSet
+    assert(rebuilt == newT.as[(Long, Option[String])].collect().toSet)
+    // diff of identical tables is empty
+    assert(Scd.diffToCdc(oldT, oldT, Seq("k")).count() == 0)
+  }
 }
