@@ -584,6 +584,39 @@ object Curation {
       .limit(k)
   }
 
+  /** Temperature-balanced language mixing at α = 0.5: sample the
+    * corpus so language l's share moves from p_l toward p_l^α
+    * (up-weighting tail languages, the standard multilingual
+    * pretraining mix), keeping ~`budgetDocs` documents total. α is
+    * FIXED at 0.5 because √n is correctly rounded under IEEE 754 on
+    * every engine while pow(n, α) is not — the whole keep/drop
+    * decision stays engine-portable: √n is rounded to 6 decimals and
+    * fixed as a decimal, all arithmetic to the per-language keep-rate
+    * is exact decimal products, and the single double division lands
+    * in an integer md5 cutoff (the hashSplit argument, per-language).
+    *
+    * Scale shape: language stats are one hash aggregate reduced to a
+    * languages-sized relation; rates broadcast back; the sample
+    * itself is a pure filter projection — no RNG state, no shuffle of
+    * the corpus, reproducible on any cluster layout. */
+  def temperatureMix(df: DataFrame, idCol: String, langCol: String,
+                     budgetDocs: Long, salt: String = "v1"): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(sqrt(col("__n")), 6).cast(D6))
+    val tot = counts.agg(sum(col("__w")).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__cut", least(lit(65536L),
+        expr(s"CAST(floor(CAST($budgetDocs * __w AS DOUBLE)" +
+          s" / CAST(__wsum * __n AS DOUBLE) * 65536 + 0.5) AS BIGINT)")))
+      .select(col(langCol), col("__cut"))
+    df.join(broadcast(rates), Seq(langCol))
+      .filter(
+        expr(s"cast(conv(substring(md5(cast(concat('$salt', cast($idCol as string)) as binary)), 1, 4), 16, 10) as bigint)")
+          < col("__cut"))
+      .drop("__cut")
+  }
+
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)], trainSplit: String = "train",
                    salt: String = "v1", n: Int = 3, num: Long = 1, den: Long = 5,

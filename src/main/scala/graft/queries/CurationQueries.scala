@@ -442,6 +442,38 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature-balanced language mix at alpha = 0.5 (sqrt is
+    // IEEE-exact on both engines, pow is not): tail languages
+    // up-weighted toward sqrt-share, ~300 docs kept, md5-cutoff
+    // sampling with zero RNG state (Curation.temperatureMix).
+    "q153_temperature_mix" -> q({
+      def nib(h: String, i: Int) =
+        s"(ascii(substring($h, $i, 1)) - CASE WHEN ascii(substring($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+      val h = "substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4)"
+      val hex4 = (1 to 4).map(i => nib(h, i))
+        .foldLeft("CAST(0 AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                                 CAST(round(sqrt(CAST(count(*) AS BIGINT)), 6)
+                                   AS DECIMAL(18,6)) AS w
+                          FROM documents GROUP BY 1),
+             tot AS (SELECT sum(w) AS wsum FROM counts),
+             rates AS (SELECT lang,
+                              least(65536, CAST(floor(CAST(300 * w AS DOUBLE)
+                                / CAST(wsum * n AS DOUBLE) * 65536 + 0.5) AS BIGINT))
+                                AS cut
+                       FROM counts, tot)
+          SELECT d.doc_id, d.lang
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE $hex4 < r.cut
+          ORDER BY d.doc_id"""
+    }) { (s, dir) =>
+      Curation.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", budgetDocs = 300L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Deterministic weighted sampling: 50 documents drawn with
     // probability rising in n_chars, via integer hash-priority — no
     // RNG state, reproducible on any engine (Curation

@@ -332,6 +332,31 @@ class CurationSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("temperatureMix: tail languages keep a larger fraction than the head") {
+    val docs = graft.queries.t(spark, sf, "documents").select("doc_id", "lang")
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.temperatureMix(docs, "doc_id", "lang", budgetDocs = 300L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total tracks the budget (md5 positions are uniform; 15% slack)
+    val total = kept.values.sum
+    assert(math.abs(total - 300L) <= 45, s"kept $total of budget 300")
+    // every language survives, none exceeds its corpus count
+    before.keys.foreach { l =>
+      assert(kept.getOrElse(l, 0L) > 0, s"language $l wiped out")
+      assert(kept(l) <= before(l))
+    }
+    // the α=0.5 point: the dominant language's keep-RATE is strictly
+    // below every tail language's (that is what "flattening" means)
+    val head = before.maxBy(_._2)._1
+    val headRate = kept(head).toDouble / before(head)
+    before.keys.filterNot(_ == head).foreach { l =>
+      assert(kept(l).toDouble / before(l) > headRate,
+        s"$l rate ${kept(l).toDouble / before(l)} !> $head rate $headRate")
+    }
+  }
+
   test("dsirWeights: target-looking docs score above pool-looking docs") {
     // target slice speaks "alpha"; the rest of the pool speaks "beta".
     // A held-out doc written in the target's vocabulary must out-weight
