@@ -156,6 +156,32 @@ object Events {
       .select(col("week"), hll_sketch_estimate(col("__u")).as("approx_users"))
   }
 
+  /** Audience overlap via theta sketches: distinct-user INTERSECTIONS
+    * and differences between event types ("how many users both viewed
+    * and purchased") — the set algebra HLL cannot do (HLL unions only;
+    * inclusion-exclusion on HLL estimates compounds error and goes
+    * negative). One sketch per type from one pass over the stream,
+    * then pairwise theta_intersection / theta_difference over the
+    * TYPES×TYPES relation — metadata-scale however large the stream.
+    *
+    * Estimates are approximate by construction (no value oracle);
+    * EventsTextSpec pins them against exact intersection counts. */
+  def audienceOverlap(df: DataFrame, typeCol: String,
+                      userCol: String): DataFrame = {
+    val sk = df.groupBy(col(typeCol))
+      .agg(expr(s"theta_sketch_agg($userCol)").as("__sk"))
+    val a = sk.select(col(typeCol).as("type_a"), col("__sk").as("__ska"))
+    val b = sk.select(col(typeCol).as("type_b"), col("__sk").as("__skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("CAST(theta_sketch_estimate(theta_intersection(__ska, __skb)) AS BIGINT)")
+          .as("both_users"),
+        expr("CAST(theta_sketch_estimate(theta_difference(__ska, __skb)) AS BIGINT)")
+          .as("only_a_users"),
+        expr("CAST(theta_sketch_estimate(theta_difference(__skb, __ska)) AS BIGINT)")
+          .as("only_b_users"))
+  }
+
   /** Forward fill (last observation carried forward) over per-key time
     * series: each null in `fillCols` takes the latest preceding non-null
     * value within its key. The canonical sparse-sensor/slowly-updating

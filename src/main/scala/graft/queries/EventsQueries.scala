@@ -412,6 +412,15 @@ object EventsQueries {
         .orderBy("week")
     },
 
+    // Audience overlap: per-type distinct-user sketches intersected
+    // pairwise (theta sketches — the set algebra HLL cannot express).
+    // Approximate -> rows-only; EventsTextSpec pins estimates against
+    // exact intersections.
+    "q154_audience_overlap" -> qNoOracle { (s, dir) =>
+      Events.audienceOverlap(t(s, dir, "events"), "event_type", "user_id")
+        .orderBy("type_a", "type_b")
+    },
+
     // Incremental view maintenance for a JOIN: both sides split into
     // (old, insert-delta); the maintained view = materialized old⋈old
     // plus Rollup.joinDelta — the full tables are never re-joined. The

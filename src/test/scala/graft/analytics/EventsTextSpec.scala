@@ -240,6 +240,25 @@ class EventsTextSpec extends SparkSpec {
     assert(got == Set(("view", "click", 2L), ("click", "view", 1L)))
   }
 
+  test("audienceOverlap: sketch intersections track exact set algebra") {
+    val ev = graft.queries.t(spark, sf, "events")
+    val got = Events.audienceOverlap(ev, "event_type", "user_id")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val byType = ev.select("event_type", "user_id")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), (both, onlyA, onlyB)) =>
+      val (sa, sb) = (byType(a), byType(b))
+      def ok(est: Long, exact: Int) =
+        math.abs(est - exact) <= math.max(2L, (exact * 0.05).toLong)
+      assert(ok(both, (sa & sb).size), s"($a,$b) both: $both vs ${(sa & sb).size}")
+      assert(ok(onlyA, (sa -- sb).size), s"($a,$b) onlyA")
+      assert(ok(onlyB, (sb -- sa).size), s"($a,$b) onlyB")
+    }
+  }
+
   test("hllDailyToWeekly: merge-of-days == direct weekly sketch; tracks exact") {
     val ev = graft.queries.t(spark, sf, "events")
     val merged = Events.hllDailyToWeekly(ev, "user_id", "ts")
