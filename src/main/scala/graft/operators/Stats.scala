@@ -211,6 +211,36 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Benford first-significant-digit audit: observed digit shares of a
+    * positive measure against Benford's log10(1 + 1/d) expectation —
+    * the classic fabricated-data / broken-generator tell (organic
+    * multiplicative quantities follow it; uniform or hand-typed ones
+    * don't). All nine digits are materialized (a digit with ZERO
+    * observations is the loudest signal). Shares are integer ppm; the
+    * expected constants arrive as caller-side literals so no
+    * engine-side log is ever evaluated.
+    *
+    * Scale shape: first digit is a string head on the integer value —
+    * a pure projection — then one 9-row hash aggregate. */
+  def benfordReport(df: DataFrame, valCol: String): DataFrame = {
+    val expPpm = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000L))
+    val obs = df.filter(col(valCol) > 0)
+      .select(substring(col(valCol).cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = obs.sparkSession.range(1, 10).select(col("id").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val total = obs.agg(sum(col("n_obs")).as("__total"))
+    val expCol = expPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, ppm)) => when(col("digit") === d, lit(ppm)).otherwise(acc)
+    }
+    spine.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000000L DIV __total").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+  }
+
   /** Robust outlier detection by median absolute deviation: flag rows
     * where |v − median| > k·MAD per group — the estimator that survives
     * the outliers it hunts (a z-score's mean/stddev are dragged by the

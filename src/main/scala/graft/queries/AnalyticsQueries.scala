@@ -400,6 +400,34 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Benford first-digit audit over order totals (in cents — the
+    // first digit of a positive integer is its string head, no float
+    // log anywhere engine-side: the nine expected shares are Scala
+    // literals embedded in BOTH queries).
+    "q155_benford" -> q({
+      val exp = (1 to 9).map(d =>
+        d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000L))
+      val expSql = exp.map { case (d, p) => s"WHEN s.digit = $d THEN $p" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH p AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+                     FROM orders),
+             obs AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                            CAST(count(*) AS BIGINT) AS n_obs
+                     FROM p WHERE v > 0 GROUP BY 1),
+             tot AS (SELECT sum(n_obs) AS total FROM obs),
+             spine AS (SELECT unnest(generate_series(1, 9)) AS digit)
+          SELECT CAST(s.digit AS BIGINT) AS digit,
+                 COALESCE(o.n_obs, 0) AS n_obs,
+                 CAST(COALESCE(o.n_obs, 0) * 1000000 // total AS BIGINT) AS obs_ppm,
+                 CAST($expSql AS BIGINT) AS exp_ppm
+          FROM spine s CROSS JOIN tot LEFT JOIN obs o ON o.digit = s.digit
+          ORDER BY 1"""
+    }) { (s, dir) =>
+      graft.operators.Stats.benfordReport(
+          t(s, dir, "orders").select(cents(col("o_totalprice")).as("v")), "v")
+        .orderBy("digit")
+    },
+
     // Equal-width order-value histogram with empty bins materialized
     // (Stats.equiWidthHistogram — integer width/bin arithmetic end to
     // end, bounds broadcast from a 1-row aggregate).

@@ -118,6 +118,26 @@ class StatsSkylineSpec extends SparkSpec {
     assert(flat.map(_._4).sum == 3L)
   }
 
+  test("benfordReport: all nine digits materialized, geometric data fits") {
+    // 1,2,4,...,2^k spans decades -> roughly Benford; digits absent
+    // from the data still get their zero row
+    val geom = (0 to 40).map(k => math.pow(2, k).toLong).toDF("v")
+    val got = Stats.benfordReport(geom, "v")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    assert(got.map(_._2).sum == 41)
+    // digit 1 leads (Benford's signature), and nonpositives are ignored
+    assert(got.head._2 == got.map(_._2).max)
+    val withJunk = Stats.benfordReport(
+      (Seq(-5L, 0L) ++ Seq(100L, 200L)).toDF("v"), "v")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(withJunk.map(_._2).sum == 2)
+    // exp_ppm matches the closed form for every digit
+    got.foreach { case (d, _, _, exp) =>
+      assert(exp == math.round(math.log10(1.0 + 1.0 / d) * 1000000L))
+    }
+  }
+
   test("madOutliers: planted spike flagged, clean bulk untouched") {
     // 1..21 centered at 11, MAD = 5 (|v-11| sorted: 0,1,1,...,10 ->
     // 11th of 21 = 5); fence = 15 -> none of 1..21 is an outlier...
