@@ -212,6 +212,36 @@ class PlanSpec extends SparkSpec {
       "q103 expected shuffled-hash cell join")
   }
 
+  test("q144/q140: deterministic top-k samples plan as TakeOrdered, no global sort") {
+    val p144 = planOf("q144_weighted_sample")
+    assert(p144.contains("TakeOrderedAndProject"), p144)
+    val p140 = planOf("q140_bpe_pairs")
+    assert(p140.contains("TakeOrderedAndProject"), p140)
+  }
+
+  test("q153: temperature mix never shuffles the corpus (broadcast rates + filter)") {
+    val p = finalPlanOf("q153_temperature_mix")
+    // the only exchanges allowed are the language-stats aggregate's and
+    // the output sort's — the document relation itself must reach the
+    // filter via a broadcast join, not a shuffled one
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q128: the skyline semi-join broadcasts the frontier, no cartesian") {
+    val p = finalPlanOf("q128_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q137: chi-square reduces the stream before every join (no raw-side join)") {
+    val p = finalPlanOf("q137_chi_square")
+    // the contingency aggregate must sit BELOW all joins: joins operate
+    // on cells/marginals relations only
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
