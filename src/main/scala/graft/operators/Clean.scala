@@ -75,4 +75,22 @@ object Clean {
     * dedup -> trim (reference: transform.py:85-118). */
   def clean(renames: Map[String, String] = Map.empty)(df: DataFrame): DataFrame =
     trimStrings(dedupExact(dropAllNullRows(renameColumns(renames)(df))))
+
+  /** Consistent pseudonymization for export: each listed column is
+    * replaced by hex sha256(secret ‖ value) — one value always maps to
+    * one token (under one secret), so JOINABILITY SURVIVES: two tables
+    * pseudonymized with the same secret still join on the tokenized
+    * key, which is the property that separates pseudonymization from
+    * redaction. NULLs stay NULL (absence is not a value to protect).
+    * Rotating the secret unlinks every prior export. A pure
+    * projection — no shuffle, and the digest is built-in codegen'd
+    * sha2, not a UDF. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], secret: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: at least one column")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNotNull,
+          sha2(concat(lit(secret), col(c).cast("string")), 256)))
+    }
+  }
 }

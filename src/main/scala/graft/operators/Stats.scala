@@ -305,6 +305,24 @@ object Stats {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Top-N categories with the tail collapsed to one OTHER bucket —
+    * the reporting shape behind every "top products, rest lumped"
+    * chart, made deterministic: winners are the N largest counts with
+    * ties broken by the smallest value. One hash aggregate over the
+    * data; ranking runs on the distinct-values relation only.
+    * OTHER aggregates the remaining mass so totals reconcile (a bare
+    * LIMIT N silently drops it). */
+  def topNWithOther(df: DataFrame, valCol: String, n: Int,
+                    otherLabel: String = "OTHER"): DataFrame = {
+    val counts = df.groupBy(col(valCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("n_rows").desc, col("value").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .withColumn("value", when(col("__rn") <= n, col("value"))
+        .otherwise(lit(otherLabel)))
+      .groupBy("value").agg(sum("n_rows").as("n_rows"))
+  }
+
   /** Most frequent value of `valCol` per group, ties broken by the
     * SMALLEST value so the answer is deterministic (Spark's `mode` and
     * DuckDB's pick an arbitrary winner on ties — useless for a

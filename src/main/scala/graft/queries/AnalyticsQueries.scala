@@ -400,6 +400,24 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Top-N with OTHER: the 10 busiest customers plus the collapsed
+    // tail, totals reconciling (Stats.topNWithOther — ranking runs on
+    // the distinct-values relation, never the stream).
+    "q157_top_n_other" -> q(
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS value,
+                           CAST(count(*) AS BIGINT) AS n_rows
+                    FROM orders GROUP BY 1),
+            r AS (SELECT value, n_rows,
+                         CAST(row_number() OVER (ORDER BY n_rows DESC, value ASC)
+                           AS INTEGER) AS rn
+                  FROM c)
+         SELECT CASE WHEN rn <= 10 THEN value ELSE 'OTHER' END AS value,
+                CAST(sum(n_rows) AS BIGINT) AS n_rows
+         FROM r GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      graft.operators.Stats.topNWithOther(t(s, dir, "orders"), "o_custkey", 10)
+        .orderBy("value")
+    },
+
     // Benford first-digit audit over order totals (in cents — the
     // first digit of a positive integer is its string head, no float
     // log anywhere engine-side: the nine expected shares are Scala

@@ -476,6 +476,38 @@ object ParityQueries {
         .orderBy("c_custkey")
     },
 
+    // Consistent pseudonymization for export (Clean.pseudonymize):
+    // customer keys and names replaced by keyed sha256 tokens; the
+    // query itself PROVES joinability survives by joining orders to
+    // customers on the tokenized key — the property that separates
+    // pseudonymization from redaction.
+    "q156_pseudonymize" -> q(
+      """WITH c AS (SELECT sha256('k1' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+                           sha256('k1' || c_name) AS name_token, c_mktsegment
+                    FROM customer),
+            o AS (SELECT sha256('k1' || CAST(o_custkey AS VARCHAR)) AS cust_token
+                  FROM orders)
+         SELECT c.cust_token, c.name_token, c.c_mktsegment,
+                CAST(count(o.cust_token) AS BIGINT) AS n_orders
+         FROM c LEFT JOIN o ON c.cust_token = o.cust_token
+         GROUP BY 1, 2, 3 ORDER BY 1""") { (s, dir) =>
+      val secret = "k1"
+      val c = graft.operators.Clean.pseudonymize(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+            col("c_mktsegment")),
+          Seq("c_custkey", "c_name"), secret)
+        .select(col("c_custkey").as("cust_token"),
+          col("c_name").as("name_token"), col("c_mktsegment"))
+      val o = graft.operators.Clean.pseudonymize(
+          t(s, dir, "orders").select(col("o_custkey")),
+          Seq("o_custkey"), secret)
+        .select(col("o_custkey").as("cust_token"))
+      c.join(o.withColumn("__hit", lit(1)), Seq("cust_token"), "left")
+        .groupBy("cust_token", "name_token", "c_mktsegment")
+        .agg(count(col("__hit")).as("n_orders"))
+        .orderBy("cust_token")
+    },
+
     // Change-data-feed generation: diff two table versions into the
     // I/U/D batch that transforms one into the other (Scd.diffToCdc,
     // the inverse of q146's applyCdc; ScdSpec pins the round trip).

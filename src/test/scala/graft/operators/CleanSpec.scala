@@ -54,4 +54,24 @@ class CleanSpec extends SparkSpec {
       StructType(Seq(StructField("x", StringType))))
     intercept[IllegalArgumentException] { Clean.requireNonEmpty(empty) }
   }
+
+  test("pseudonymize: joinability survives, NULLs stay NULL, rotation unlinks") {
+    val a = Seq((1L, Some("x")), (2L, None), (3L, Some("y"))).toDF("k", "v")
+    val b = Seq((1L, "o1"), (1L, "o2"), (3L, "o3"), (9L, "o9")).toDF("k", "ref")
+    val pa = Clean.pseudonymize(a, Seq("k"), "s1")
+    val pb = Clean.pseudonymize(b, Seq("k"), "s1")
+    // join on tokens == join on raw keys (the pseudonymization contract)
+    val viaTokens = pa.join(pb, "k").count()
+    val viaRaw = a.join(b, "k").count()
+    assert(viaTokens == viaRaw && viaTokens == 3)
+    // NULL values are preserved, non-null values are unrecognizable hex
+    val rows = pa.collect().map(r => Option(r.getString(0)))
+    assert(rows.forall(_.forall(_.matches("[0-9a-f]{64}"))))
+    assert(Clean.pseudonymize(a, Seq("v"), "s1")
+      .filter($"k" === 2).head().isNullAt(1))
+    // a rotated secret produces disjoint tokens for the same values
+    val rotated = Clean.pseudonymize(a, Seq("k"), "s2")
+      .select("k").as[String].collect().toSet
+    assert(pa.select("k").as[String].collect().toSet.intersect(rotated).isEmpty)
+  }
 }

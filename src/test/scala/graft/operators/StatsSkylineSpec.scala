@@ -118,6 +118,16 @@ class StatsSkylineSpec extends SparkSpec {
     assert(flat.map(_._4).sum == 3L)
   }
 
+  test("topNWithOther: totals reconcile, ties deterministic, OTHER absorbs tail") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(1)("d") ++ Seq.fill(1)("e")).toDF("v")
+    val got = Stats.topNWithOther(df, "v", n = 2)
+      .as[(String, Long)].collect().toMap
+    // a and b tie at 5 -> both win (ties to smallest value fill the N)
+    assert(got == Map("a" -> 5L, "b" -> 5L, "OTHER" -> 5L))
+    assert(got.values.sum == 15L) // nothing silently dropped
+  }
+
   test("benfordReport: all nine digits materialized, geometric data fits") {
     // 1,2,4,...,2^k spans decades -> roughly Benford; digits absent
     // from the data still get their zero row
