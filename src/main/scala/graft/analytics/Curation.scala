@@ -602,7 +602,11 @@ object Curation {
   def temperatureMix(df: DataFrame, idCol: String, langCol: String,
                      budgetDocs: Long, salt: String = "v1"): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    // NULL languages are excluded up front: they would inflate the
+    // weight normalizer (shrinking every real language's cut) while the
+    // equi-join below can never sample them — a silent budget shortfall
+    val known = df.filter(col(langCol).isNotNull)
+    val counts = known.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", round(sqrt(col("__n")), 6).cast(D6))
     val tot = counts.agg(sum(col("__w")).as("__wsum"))
     val rates = counts.crossJoin(broadcast(tot))
@@ -610,7 +614,7 @@ object Curation {
         expr(s"CAST(floor(CAST($budgetDocs * __w AS DOUBLE)" +
           s" / CAST(__wsum * __n AS DOUBLE) * 65536 + 0.5) AS BIGINT)")))
       .select(col(langCol), col("__cut"))
-    df.join(broadcast(rates), Seq(langCol))
+    known.join(broadcast(rates), Seq(langCol))
       .filter(
         expr(s"cast(conv(substring(md5(cast(concat('$salt', cast($idCol as string)) as binary)), 1, 4), 16, 10) as bigint)")
           < col("__cut"))

@@ -81,14 +81,17 @@ object Scd {
     * contract). Plan shape: one full outer join on the key — each side
     * scanned once, shuffled once on the key (or broadcast when one
     * version is small); the op classification is a pure projection.
-    * `seqCol` is stamped with a constant 1 so the batch slots straight
-    * into applyCdc. */
+    * The output appends fixed `op` and `seq` columns (seq a constant 1)
+    * so the batch slots straight into applyCdc — attribute columns may
+    * not already use those names. */
   def diffToCdc(oldDf: DataFrame, newDf: DataFrame,
                 keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffToCdc: at least one key column")
     val attrs = oldDf.columns.filterNot(keyCols.contains)
     require(attrs.sameElements(newDf.columns.filterNot(keyCols.contains)),
       "diffToCdc: old and new must share a schema")
+    require(!(attrs ++ keyCols).exists(c => c == "op" || c == "seq"),
+      "diffToCdc: input columns 'op'/'seq' collide with the CDC output columns")
     val o = oldDf.select(keyCols.map(col) ++
       attrs.map(c => col(c).as(s"__o_$c")): _*)
     val n = newDf.select(keyCols.map(col) ++

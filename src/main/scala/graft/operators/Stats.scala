@@ -220,12 +220,18 @@ object Stats {
     * expected constants arrive as caller-side literals so no
     * engine-side log is ever evaluated.
     *
+    * The measure must be INTEGER-scaled (cents — graft.queries.cents):
+    * rows below 1 are excluded outright, because the string head of
+    * "0.37" is '0', which would inflate the total while appearing in
+    * no digit row — a silently deflated audit. Scale fractions up
+    * before calling.
+    *
     * Scale shape: first digit is a string head on the integer value —
     * a pure projection — then one 9-row hash aggregate. */
   def benfordReport(df: DataFrame, valCol: String): DataFrame = {
     val expPpm = (1 to 9).map(d =>
       d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000L))
-    val obs = df.filter(col(valCol) > 0)
+    val obs = df.filter(col(valCol) >= 1)
       .select(substring(col(valCol).cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val spine = obs.sparkSession.range(1, 10).select(col("id").as("digit"))
@@ -309,18 +315,27 @@ object Stats {
     * the reporting shape behind every "top products, rest lumped"
     * chart, made deterministic: winners are the N largest counts with
     * ties broken by the smallest value. One hash aggregate over the
-    * data; ranking runs on the distinct-values relation only.
-    * OTHER aggregates the remaining mass so totals reconcile (a bare
-    * LIMIT N silently drops it). */
+    * data; the winner cut plans as TakeOrderedAndProject (map-side
+    * partial top-N over the distinct-values relation — a global
+    * row_number window would drag every distinct value through ONE
+    * task, the single-partition shape rankBuckets exists to avoid) and
+    * the tail mass comes from an anti-join aggregate, so totals
+    * reconcile (a bare LIMIT N silently drops it). An empty tail emits
+    * no OTHER row. Pick `otherLabel` outside the value domain — a real
+    * category with the same label would surface as a second,
+    * separate row (never silently merged). */
   def topNWithOther(df: DataFrame, valCol: String, n: Int,
                     otherLabel: String = "OTHER"): DataFrame = {
     val counts = df.groupBy(col(valCol).cast("string").as("value"))
       .agg(count(lit(1)).as("n_rows"))
-    val w = Window.orderBy(col("n_rows").desc, col("value").asc)
-    counts.withColumn("__rn", row_number().over(w))
-      .withColumn("value", when(col("__rn") <= n, col("value"))
-        .otherwise(lit(otherLabel)))
-      .groupBy("value").agg(sum("n_rows").as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = counts.orderBy(col("n_rows").desc, col("value").asc).limit(n)
+    val tail = counts
+      .join(broadcast(winners.select("value")), Seq("value"), "left_anti")
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n_rows"))
+      .select(lit(otherLabel).as("value"), col("n_rows"))
+      .filter(col("n_rows") > 0)
+    winners.unionByName(tail)
   }
 
   /** Most frequent value of `valCol` per group, ties broken by the
