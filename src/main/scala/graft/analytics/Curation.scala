@@ -584,6 +584,46 @@ object Curation {
       .limit(k)
   }
 
+  /** Quantile normalization onto the pooled distribution: each value is
+    * replaced by the corpus-wide value at its group-relative quantile
+    * position — afterwards every group's empirical distribution matches
+    * the pooled one, so per-group scores become comparable (the classic
+    * fix for "source A's quality scorer runs hot": rank 10%-within-A
+    * maps to the same number as rank 10%-within-B). The mapping is
+    * exact integer rank arithmetic: within-group rank r of n targets
+    * pooled position t = ((2r − 1)·N) div (2n) (midpoint rule), and
+    * the pooled value arrives by an equi-join on that position.
+    *
+    * Scale shape: within-group ranks are ordinary per-group windows
+    * (one shuffle on the group key); the POOLED rank — the part a
+    * naive formulation does with a global single-task row_number —
+    * comes from the zero-padded distributed prefix sum (same machinery
+    * as rankBuckets), and the final lookup is an equi-join on the rank
+    * position. Values and ids must be non-negative longs (the
+    * zero-padded sort-key contract). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valCol: String): DataFrame = {
+    val keyed = df
+      .select(col(groupCol), col(idCol).cast("long").as(idCol),
+        col(valCol).cast("long").as(valCol))
+      .withColumn("__one", lit(1L))
+      .withColumn("__rk", format_string("%019d%019d", col(valCol), col(idCol)))
+    val pooled = exclusivePrefixSum(keyed, "__rk", "__one", "__t")
+      .select(col("__t"), col(valCol).as(s"${valCol}_qnorm"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol).cast("long").as(idCol),
+        col(valCol).cast("long").as(valCol))
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .crossJoin(broadcast(df.select(count(lit(1)).as("__tot"))))
+      .withColumn("__t", expr("((2 * __r - 1) * __tot) DIV (2 * __n)"))
+    ranked.join(pooled, "__t")
+      .select(col(groupCol), col(idCol), col(valCol), col(s"${valCol}_qnorm"))
+  }
+
   /** Temperature-balanced language mixing at α = 0.5: sample the
     * corpus so language l's share moves from p_l toward p_l^α
     * (up-weighting tail languages, the standard multilingual

@@ -442,6 +442,31 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Quantile normalization: per-language document lengths mapped onto
+    // the pooled length distribution by exact rank arithmetic — the
+    // pooled rank from the distributed prefix sum, never a single-task
+    // global window (the oracle USES that single-task window, which is
+    // exactly the formulation the engine refuses — q120's precedent).
+    "q158_quantile_normalize" -> q(
+      """WITH p AS (SELECT doc_id, lang, n_chars FROM documents),
+            g AS (SELECT doc_id, lang, n_chars,
+                         CAST(row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS grp_n,
+                         CAST(count(*) OVER () AS BIGINT) AS tot_n FROM p),
+            pooled AS (SELECT n_chars AS vq,
+                              CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                                AS BIGINT) - 1 AS t
+                       FROM p)
+         SELECT g.doc_id, g.lang, g.n_chars, pooled.vq AS n_chars_qnorm
+         FROM g JOIN pooled ON ((2*g.r - 1) * g.tot_n) // (2*g.grp_n) = pooled.t
+         ORDER BY g.doc_id""") { (s, dir) =>
+      Curation.quantileNormalize(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // Temperature-balanced language mix at alpha = 0.5 (sqrt is
     // IEEE-exact on both engines, pow is not): tail languages
     // up-weighted toward sqrt-share, ~300 docs kept, md5-cutoff

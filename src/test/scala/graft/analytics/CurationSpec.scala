@@ -332,6 +332,31 @@ class CurationSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("quantileNormalize: equal-size groups land on identical multisets") {
+    // group A runs 1..10, group B runs 1000..1009 — after mapping onto
+    // the pooled distribution, both groups' normalized multisets must
+    // coincide (that is what makes cross-source scores comparable),
+    // and the map must be monotone within each group
+    val df = ((1L to 10L).map(v => ("A", v, v)) ++
+      (1L to 10L).map(i => ("B", i + 100L, i + 999L)))
+      .toDF("g", "id", "v")
+    val got = Curation.quantileNormalize(df, "g", "id", "v")
+      .as[(String, Long, Long, Long)].collect()
+    val byG = got.groupBy(_._1)
+    assert(byG("A").map(_._4).sorted.toSeq == byG("B").map(_._4).sorted.toSeq)
+    // normalized values are members of the pooled multiset
+    val pooled = df.select("v").as[Long].collect().toSet
+    assert(got.forall(r => pooled.contains(r._4)))
+    // monotone within group: higher raw value -> >= normalized value
+    byG.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4)
+        case _ =>
+      }
+    }
+  }
+
   test("temperatureMix: tail languages keep a larger fraction than the head") {
     val docs = graft.queries.t(spark, sf, "documents").select("doc_id", "lang")
     val before = docs.groupBy("lang").count()
