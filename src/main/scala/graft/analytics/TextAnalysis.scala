@@ -349,6 +349,27 @@ object TextAnalysis {
     counts.select(cols: _*)
   }
 
+  /** Positional inverted index: (term, doc, sorted 1-based positions,
+    * tf) — the search-engine build artifact (posting lists with
+    * positions enable phrase and proximity queries, not just lookup).
+    * Positions come from the posexplode generator (no window, no
+    * zipWithIndex RDD detour); the per-posting list is sorted so the
+    * output is deterministic under any shuffle order — collect_list
+    * alone is arrival-ordered and would flap the hash compare.
+    *
+    * Scale shape: one generator projection + ONE hash aggregate keyed
+    * (term, doc). Postings skew (stop words) lands in the aggregate's
+    * map-side partials, not a join; a df-cap for stop-term pruning is
+    * the caller's filter on tf/df afterwards. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "term")))
+      .select(col(idCol), col("term"), (col("__pos") + 1).cast("long").as("__p"))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("positions"),
+        count(lit(1)).as("tf"))
+  }
+
   /** Character-pair counts for the FIRST round of BPE vocabulary
     * induction (Sennrich et al. 2016): every adjacent character pair
     * inside a word, weighted by the word's corpus frequency — the

@@ -830,6 +830,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Positional inverted index: posting lists with sorted 1-based
+    // term positions — the first array-valued oracle (both engines
+    // produce int64 lists; sort_array/list_sort pin determinism).
+    "q159_inverted_index" -> q(
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+             terms AS (SELECT doc_id, unnest(tk) AS term,
+                              unnest(generate_series(1, len(tk))) AS pos
+                       FROM toks)
+          SELECT term, doc_id, list_sort(list(pos)) AS positions,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("term", "doc_id")
+    },
+
     // First BPE merge round: adjacent character pairs weighted by word
     // frequency, top 100 \u2014 corpus collapses to distinct words BEFORE
     // the pair generator (TextAnalysis.bpePairCounts).

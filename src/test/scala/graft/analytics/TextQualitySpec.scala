@@ -124,6 +124,24 @@ class TextQualitySpec extends SparkSpec {
     assert(out(2L).getLong(1) == 0L && out(2L).getString(3) == "no pii here at all")
   }
 
+  test("invertedIndex: postings carry sorted positions that answer phrase queries") {
+    val docs = Seq(
+      (1L, "new york city new york"),
+      (2L, "york new")
+    ).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getSeq[Long](2), r.getLong(3)))).toMap
+    assert(idx(("new", 1L)) == ((Seq(1L, 4L), 2L)))
+    assert(idx(("york", 1L)) == ((Seq(2L, 5L), 2L)))
+    assert(idx(("city", 1L)) == ((Seq(3L), 1L)))
+    // phrase "new york" in doc d <=> some p in pos(new,d) with p+1 in
+    // pos(york,d): true in doc 1 (1->2, 4->5), false in doc 2 (2->3 no)
+    def phrase(d: Long) = idx.get(("new", d)).toSeq.flatMap(_._1)
+      .exists(p => idx.get(("york", d)).exists(_._1.contains(p + 1)))
+    assert(phrase(1L) && !phrase(2L))
+  }
+
   test("bpePairCounts: word-frequency-weighted char pairs; 1-char words carry none") {
     val docs = Seq(
       (1L, "aab aab x"),   // 'aab' twice here...
