@@ -370,6 +370,42 @@ object TextAnalysis {
         count(lit(1)).as("tf"))
   }
 
+  /** Exact phrase search by positional postings: documents where the
+    * words of `phrase` occur strictly consecutively, with the match
+    * count. The token stream is PRUNED to the phrase's words before
+    * anything aggregates — the postings that materialize are the
+    * phrase terms' only, never the whole index — and the adjacency
+    * test is a higher-order filter over position arrays (p, p+1, …,
+    * p+k all present), no self-join of the corpus.
+    *
+    * Scale shape: one filtered generator + one hash aggregate keyed
+    * (doc, term), then k−1 equi-joins on the doc id between postings
+    * relations already reduced to phrase-term size. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val words = phrase.map(_.toLowerCase)
+    val postings = df
+      .select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__term")))
+      .filter(col("__term").isin(words: _*))
+      .select(col(idCol), col("__term"), (col("__pos") + 1).cast("long").as("__p"))
+      .groupBy(col(idCol), col("__term"))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+    def of(w: String, as: String) =
+      postings.filter(col("__term") === w).select(col(idCol), col("__ps").as(as))
+    val joined = words.indices.tail.foldLeft(of(words.head, "__p0")) {
+      (acc, i) => acc.join(of(words(i), s"__p$i"), Seq(idCol))
+    }
+    val adjacency = org.apache.spark.sql.functions.filter(col("__p0"),
+      p => words.indices.tail
+        .map(i => array_contains(col(s"__p$i"), p + i))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+    joined
+      .select(col(idCol), size(adjacency).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Character-pair counts for the FIRST round of BPE vocabulary
     * induction (Sennrich et al. 2016): every adjacent character pair
     * inside a word, weighted by the word's corpus frequency — the

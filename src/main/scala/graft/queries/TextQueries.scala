@@ -845,6 +845,30 @@ object TextQueries {
         .orderBy("term", "doc_id")
     },
 
+    // Exact phrase search ("table hash") over positional postings —
+    // the consumer of q159's index shape: adjacency via higher-order
+    // position-array filters, corpus pruned to the phrase terms before
+    // any aggregation.
+    "q160_phrase_search" -> q(
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+             terms AS (SELECT doc_id, unnest(tk) AS term,
+                              unnest(generate_series(1, len(tk))) AS pos
+                       FROM toks),
+             p0 AS (SELECT doc_id, list_sort(list(pos)) AS ps
+                    FROM terms WHERE term = 'table' GROUP BY 1),
+             p1 AS (SELECT doc_id, list_sort(list(pos)) AS ps
+                    FROM terms WHERE term = 'hash' GROUP BY 1)
+          SELECT p0.doc_id,
+                 CAST(len(list_filter(p0.ps, p -> list_contains(p1.ps, p + 1)))
+                   AS BIGINT) AS n_matches
+          FROM p0 JOIN p1 USING (doc_id)
+          WHERE len(list_filter(p0.ps, p -> list_contains(p1.ps, p + 1))) > 0
+          ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "hash"))
+        .orderBy("doc_id")
+    },
+
     // First BPE merge round: adjacent character pairs weighted by word
     // frequency, top 100 \u2014 corpus collapses to distinct words BEFORE
     // the pair generator (TextAnalysis.bpePairCounts).

@@ -142,6 +142,25 @@ class TextQualitySpec extends SparkSpec {
     assert(phrase(1L) && !phrase(2L))
   }
 
+  test("phraseSearch: strict adjacency, multi-occurrence counts, 3-gram phrases") {
+    val docs = Seq(
+      (1L, "new york city new york"), // "new york" twice
+      (2L, "york new"),               // reversed -> no match
+      (3L, "new and york"),           // gap -> no match
+      (4L, "new york city")           // 3-gram phrase lives here only
+    ).toDF("id", "text")
+    val two = TextAnalysis.phraseSearch(docs, "id", "text", Seq("new", "york"))
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 2L, 4L -> 1L))
+    val three = TextAnalysis.phraseSearch(docs, "id", "text",
+      Seq("new", "york", "city")).as[(Long, Long)].collect().toMap
+    assert(three == Map(1L -> 1L, 4L -> 1L))
+    // single-word phrase degenerates to term lookup with counts
+    val one = TextAnalysis.phraseSearch(docs, "id", "text", Seq("york"))
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("bpePairCounts: word-frequency-weighted char pairs; 1-char words carry none") {
     val docs = Seq(
       (1L, "aab aab x"),   // 'aab' twice here...
