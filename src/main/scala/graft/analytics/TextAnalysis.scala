@@ -406,6 +406,48 @@ object TextAnalysis {
       .filter(col("n_matches") > 0)
   }
 
+  /** BM25 ranking (Robertson-Spärck Jones) for a bag-of-words query:
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene
+    * variant — never negative). Determinism: tf/df/|d|/N are exact
+    * longs; avgdl enters as the exact ratio sumdl/N so the normalizer
+    * is (tf + k1·(1−b) + k1·b·|d|·N/sumdl) evaluated in one fixed
+    * float order; per-term scores round to 9 decimals and SUM AS
+    * DECIMALS (order-independent — the dsirWeights contract). k1/b
+    * arrive ×100 as integers so the constants are exact.
+    *
+    * Scale shape: postings prune to the query's terms before
+    * aggregating (phraseSearch's trick); df and the length stats are
+    * two tiny aggregates broadcast back; one final per-doc sum. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1E2: Long = 120L, bE2: Long = 75L): DataFrame = {
+    require(query.nonEmpty, "bm25: empty query")
+    val words = query.map(_.toLowerCase).distinct
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = df.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__nd"), sum(col("__dl")).as("__sumdl"))
+    val tf = toks.filter(col("__term").isin(words: _*))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val k1 = k1E2.toDouble / 100.0
+    val b = bE2.toDouble / 100.0
+    val idf = log(
+      (col("__nd") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val norm = col("__tf") + lit(k1) * (lit(1.0 - b)
+      + lit(b) * col("__dl") * col("__nd") / col("__sumdl"))
+    val termScore = round(
+      idf * (col("__tf") * lit(k1 + 1.0)) / norm, 9).cast(D6)
+    tf.join(broadcast(dfreq), "__term")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(termScore)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("bm25"))
+  }
+
   /** Character-pair counts for the FIRST round of BPE vocabulary
     * induction (Sennrich et al. 2016): every adjacent character pair
     * inside a word, weighted by the word's corpus frequency — the

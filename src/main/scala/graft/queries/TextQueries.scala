@@ -869,6 +869,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 retrieval for the query {table, hash, spark}: exact
+    // tf/df/length statistics, one rounded-then-decimal-fixed float
+    // chain per (doc, term) in IDENTICAL operation order on both
+    // engines (even k1+1 is spelled 1.2 + 1.0 — the literal 2.2 can
+    // differ from the sum by an ulp), decimal sums per doc.
+    "q161_bm25" -> q(
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM toks GROUP BY 1),
+             stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM toks WHERE term IN ('table', 'hash', 'spark')
+                    GROUP BY 1, 2),
+             dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                       FROM tf GROUP BY 1)
+          SELECT doc_id,
+                 CAST(sum(CAST(round(
+                     ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) * nd) / sumdl)),
+                     9) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS bm25
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+          GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""") { (s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "hash", "spark"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // First BPE merge round: adjacent character pairs weighted by word
     // frequency, top 100 \u2014 corpus collapses to distinct words BEFORE
     // the pair generator (TextAnalysis.bpePairCounts).

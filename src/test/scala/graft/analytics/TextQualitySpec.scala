@@ -142,6 +142,29 @@ class TextQualitySpec extends SparkSpec {
     assert(phrase(1L) && !phrase(2L))
   }
 
+  test("bm25: term saturation and idf ordering behave like a ranker should") {
+    val docs = Seq(
+      (1L, "cat cat cat cat dog filler filler filler"), // tf-heavy on 'cat'
+      (2L, "cat dog filler filler filler filler filler filler"),
+      (3L, "dog filler filler filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler filler filler")
+    ).toDF("id", "text")
+    val got = TextAnalysis.bm25(docs, "id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    // both-term docs beat single-term; repeated tf beats single tf;
+    // the no-hit doc is absent entirely
+    assert(got(1L).compareTo(got(2L)) > 0)
+    assert(got(2L).compareTo(got(3L)) > 0)
+    assert(!got.contains(4L))
+    // rarer term carries more idf: 'cat' (df 2) must out-score 'dog'
+    // (df 3) at equal tf and equal doc length
+    val rare = TextAnalysis.bm25(docs, "id", "text", Seq("cat"))
+    val common = TextAnalysis.bm25(docs, "id", "text", Seq("dog"))
+    val catIn2 = rare.filter($"id" === 2L).collect().head.getDecimal(1)
+    val dogIn2 = common.filter($"id" === 2L).collect().head.getDecimal(1)
+    assert(catIn2.compareTo(dogIn2) > 0)
+  }
+
   test("phraseSearch: strict adjacency, multi-occurrence counts, 3-gram phrases") {
     val docs = Seq(
       (1L, "new york city new york"), // "new york" twice
