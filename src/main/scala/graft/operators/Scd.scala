@@ -68,6 +68,34 @@ object Scd {
     survivors.unionByName(upserts)
   }
 
+  /** Point-in-time join (the feature store's correctness primitive):
+    * each fact row picks up the dimension attributes that were valid
+    * AT ITS OWN timestamp from an SCD2 history —
+    * effective_from ≤ t < effective_to (open run: effective_to NULL)
+    * — never today's values (training-serving skew) and never a
+    * future leak (the cardinal sin of feature backfills; an as-of join
+    * against raw snapshots can still straddle a change, the history's
+    * half-open intervals cannot).
+    *
+    * Plan shape: an equi-join on the entity key with the interval
+    * predicate as the join residual — the history side holds one row
+    * per attribute RUN (orders of magnitude smaller than snapshots),
+    * so AQE broadcasts it in the common case; per-key run counts bound
+    * the residual scan. Facts with no valid run at t keep NULL
+    * attributes (left join) — "entity not yet born" is data, not an
+    * error. */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      keyCols: Seq[String], factTimeCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "pointInTimeJoin: at least one key column")
+    val cond = keyCols.map(k => facts(k) === history(k)).reduce(_ && _) &&
+      facts(factTimeCol) >= history("effective_from") &&
+      (history("effective_to").isNull ||
+        facts(factTimeCol) < history("effective_to"))
+    keyCols.foldLeft(facts.join(history, cond, "left")) {
+      (d, k) => d.drop(history(k))
+    }
+  }
+
   /** Inverse of applyCdc: DIFF two versions of a table into the CDC
     * batch that transforms the old into the new — the change-data-feed
     * generator for consumers that want deltas, not snapshots (the

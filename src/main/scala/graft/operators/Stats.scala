@@ -247,6 +247,46 @@ object Stats {
         expCol.as("exp_ppm"))
   }
 
+  /** Population stability index between a reference and a current
+    * sample of one measure — the standard model-monitoring drift
+    * score (PSI < 0.1 stable, > 0.25 alarm):
+    *   PSI = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ)
+    * Bins are the REFERENCE's equi-width layout (current values
+    * outside the reference range clamp into the edge bins — new mass
+    * beyond the old support is exactly what must register as drift);
+    * add-one smoothing keeps empty bins finite. Counts are exact
+    * longs; each bin's term is one pinned-order float chain rounded to
+    * 9 decimals and fixed as a decimal — engine-portable like the rest
+    * of this module. Returns one row per bin with both counts and the
+    * PSI term; the total is the exact decimal sum of the terms.
+    *
+    * Scale shape: one min/max aggregate on the reference (broadcast
+    * 1-row), one binning projection + hash aggregate per side over the
+    * nBins spine — neither side is ever joined to the other's rows. */
+  def psiDrift(reference: DataFrame, current: DataFrame, valCol: String,
+               nBins: Int = 10): DataFrame = {
+    val mm = reference.agg(min(col(valCol)).cast("long").as("__lo"),
+      max(col(valCol)).cast("long").as("__hi"))
+    def binned(df: DataFrame, out: String) = df.crossJoin(broadcast(mm))
+      .select(expr(
+        s"least(${nBins - 1}L, greatest(0L, ($valCol - __lo) DIV " +
+          s"greatest(1L, (__hi - __lo + $nBins) DIV $nBins)))").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val spine = mm.select(explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"))
+    val both = spine
+      .join(binned(reference, "n_ref"), Seq("bin"), "left")
+      .join(binned(current, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = both.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val p = (col("n_ref") + 1).cast("double") / (col("__tr") + nBins).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("__tc") + nBins).cast("double")
+    both.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 9).cast(DecimalType(18, 9)).as("psi_term"))
+  }
+
   /** Robust outlier detection by median absolute deviation: flag rows
     * where |v − median| > k·MAD per group — the estimator that survives
     * the outliers it hunts (a z-score's mean/stddev are dragged by the

@@ -400,6 +400,46 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // PSI drift report: order-value distribution of odd-keyed orders
+    // scored against the even-keyed reference (Stats.psiDrift) —
+    // reference-layout bins, add-one smoothing, pinned-order float
+    // terms fixed as decimals.
+    "q162_psi_drift" -> q(
+      """WITH ref AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+                      FROM orders WHERE o_orderkey % 2 = 0),
+            cur AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+                    FROM orders WHERE o_orderkey % 2 = 1),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+            w AS (SELECT lo, hi, greatest(1, (hi - lo + 10) // 10) AS width FROM mm),
+            br AS (SELECT least(9, greatest(0, (v - lo) // width)) AS bin,
+                          CAST(count(*) AS BIGINT) AS n_ref
+                   FROM ref, w GROUP BY 1),
+            bc AS (SELECT least(9, greatest(0, (v - lo) // width)) AS bin,
+                          CAST(count(*) AS BIGINT) AS n_cur
+                   FROM cur, w GROUP BY 1),
+            spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            b AS (SELECT CAST(s.bin AS BIGINT) AS bin,
+                         COALESCE(br.n_ref, 0) AS n_ref,
+                         COALESCE(bc.n_cur, 0) AS n_cur
+                  FROM spine s LEFT JOIN br ON br.bin = s.bin
+                  LEFT JOIN bc ON bc.bin = s.bin),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM b)
+         SELECT bin, n_ref, n_cur,
+                CAST(round(
+                  (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+                    - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+                  * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+                       / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))),
+                  9) AS DECIMAL(18,9)) AS psi_term
+         FROM b, t ORDER BY bin""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+      graft.operators.Stats.psiDrift(
+          o.filter(col("o_orderkey") % 2 === 0).select("v"),
+          o.filter(col("o_orderkey") % 2 === 1).select("v"), "v")
+        .orderBy("bin")
+    },
+
     // Top-N with OTHER: the 10 busiest customers plus the collapsed
     // tail, totals reconciling (Stats.topNWithOther — ranking runs on
     // the distinct-values relation, never the stream).

@@ -476,6 +476,53 @@ object ParityQueries {
         .orderBy("c_custkey")
     },
 
+    // Point-in-time join (Scd.pointInTimeJoin): every third order picks
+    // up the status RUN valid at its own date from the q99 SCD2
+    // history — the feature store's training-serving-skew guard. The
+    // half-open run intervals guarantee exactly one match per fact at
+    // or after the entity's first observation.
+    "q163_point_in_time" -> q(
+      """WITH m AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                  lag(o_orderstatus) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         runs AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate AS effective_from, o_orderkey
+           FROM m WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+         fin AS (
+           SELECT o_custkey, o_orderstatus, effective_from,
+                  lead(effective_from) OVER
+                    (PARTITION BY o_custkey ORDER BY effective_from, o_orderkey)
+                    AS effective_to
+           FROM runs)
+         SELECT f.o_orderkey, f.o_custkey, CAST(f.o_orderdate AS DATE) AS day,
+                fin.o_orderstatus AS run_status,
+                CAST(fin.effective_from AS DATE) AS run_from,
+                CAST(fin.effective_to AS DATE) AS run_to,
+                fin.effective_to IS NULL AS is_current
+         FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) f
+         LEFT JOIN fin ON f.o_custkey = fin.o_custkey
+           AND f.o_orderdate >= fin.effective_from
+           AND (fin.effective_to IS NULL OR f.o_orderdate < fin.effective_to)
+         ORDER BY f.o_orderkey""") { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val history = Scd.scd2FromSnapshots(orders,
+          keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
+          tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderstatus").as("run_status"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+      val facts = orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      Scd.pointInTimeJoin(facts, history, Seq("o_custkey"), "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("day"), col("run_status"),
+          to_date(col("effective_from")).as("run_from"),
+          to_date(col("effective_to")).as("run_to"), col("is_current"))
+        .orderBy("o_orderkey")
+    },
+
     // Consistent pseudonymization for export (Clean.pseudonymize):
     // customer keys and names replaced by keyed sha256 tokens; the
     // query itself PROVES joinability survives by joining orders to

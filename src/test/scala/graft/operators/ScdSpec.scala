@@ -125,6 +125,32 @@ class ScdSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("pointInTimeJoin: each fact sees the run valid AT ITS time, never later") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // entity k1: state A on [d1, d5), B on [d5, open)
+    val history = Seq(
+      ("k1", "A", ts(1), Some(ts(5)), false),
+      ("k1", "B", ts(5), None: Option[Timestamp], true)
+    ).toDF("k", "state", "effective_from", "effective_to", "is_current")
+    val facts = Seq(
+      ("f_pre", "k1", ts(1)),   // first instant -> A
+      ("f_mid", "k1", ts(3)),   // inside run A
+      ("f_edge", "k1", ts(5)),  // boundary: half-open -> B, not A
+      ("f_now", "k1", ts(9)),   // open run -> B
+      ("f_alien", "k2", ts(3))  // unknown entity -> NULLs, row kept
+    ).toDF("fid", "k", "t")
+    val got = Scd.pointInTimeJoin(facts, history, Seq("k"), "t")
+      .select("fid", "state").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "f_pre" -> Some("A"), "f_mid" -> Some("A"),
+      "f_edge" -> Some("B"), "f_now" -> Some("B"),
+      "f_alien" -> None))
+    assert(got.size == 5) // exactly one row per fact: no duplication
+  }
+
   test("diffToCdc: round trip applyCdc(old, diff(old, new)) == new; nulls honest") {
     import spark.implicits._
     val oldT = Seq(

@@ -128,6 +128,23 @@ class StatsSkylineSpec extends SparkSpec {
     assert(got.values.sum == 15L) // nothing silently dropped
   }
 
+  test("psiDrift: identical samples score ~0, a shifted sample alarms, clamps hold") {
+    val ref = (1L to 1000L).toDF("v")
+    val same = Stats.psiDrift(ref, (1L to 1000L).toDF("v"), "v")
+      .agg(sum(col("psi_term"))).collect().head.getDecimal(0)
+    assert(same.abs().doubleValue() < 0.01, s"identical halves scored $same")
+    // current mass pushed far above the reference range: clamped into
+    // the top bin, PSI blows past the 0.25 alarm line
+    val shifted = Stats.psiDrift(ref, (5000L to 6000L).toDF("v"), "v")
+    val rows = shifted.collect()
+    assert(rows.length == 10)
+    val total = shifted.agg(sum(col("psi_term"))).collect().head.getDecimal(0)
+    assert(total.doubleValue() > 0.25, s"shifted sample scored only $total")
+    // all the shifted mass sits in the clamped top bin
+    val top = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top(9L) == 1001L && (0L to 8L).forall(b => top(b) == 0L))
+  }
+
   test("benfordReport: all nine digits materialized, geometric data fits") {
     // 1,2,4,...,2^k spans decades -> roughly Benford; digits absent
     // from the data still get their zero row
