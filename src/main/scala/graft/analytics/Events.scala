@@ -156,6 +156,26 @@ object Events {
       .select(col("week"), hll_sketch_estimate(col("__u")).as("approx_users"))
   }
 
+  /** Trailing-window feature at each fact's own time: per key, the sum
+    * of an integer measure over the [t−windowDays, t−1] DAY range —
+    * strictly before the fact's day, so the feature can never see the
+    * label's own day (the leakage rule point-in-time training sets live
+    * by; pointInTimeJoin covers dimension attributes, this covers
+    * behavioral aggregates). Same-day facts share one value — intra-day
+    * order can't make the result nondeterministic.
+    *
+    * Scale shape: ONE shuffle on the key; the RANGE frame runs on the
+    * integer epoch-day, so frame bounds are exact integer arithmetic,
+    * and the window state is one key's rows inside the trailing span. */
+  def trailingFeature(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, windowDays: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")))
+      .rangeBetween(-windowDays.toLong, -1L)
+    df.withColumn(s"trailing_${windowDays}d",
+      coalesce(sum(col(valCol)).over(w), lit(0L)))
+  }
+
   /** Audience overlap via theta sketches: distinct-user INTERSECTIONS
     * and differences between event types ("how many users both viewed
     * and purchased") — the set algebra HLL cannot do (HLL unions only;

@@ -400,6 +400,28 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Trailing 30-day spend per customer AT each order's own date,
+    // strictly excluding the order's day (Events.trailingFeature —
+    // the no-label-leak behavioral aggregate for point-in-time
+    // training sets; integer epoch-day RANGE frame).
+    "q164_trailing_feature" -> q(
+      """SELECT o_orderkey, o_custkey,
+                CAST(o_orderdate AS DATE) AS day,
+                COALESCE(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0)
+                  AS trailing_30d
+         FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("spend"))
+      graft.analytics.Events.trailingFeature(o, "o_custkey", "o_orderdate", "spend", 30)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("day"), col("trailing_30d"))
+        .orderBy("o_orderkey")
+    },
+
     // PSI drift report: order-value distribution of odd-keyed orders
     // scored against the even-keyed reference (Stats.psiDrift) —
     // reference-layout bins, add-one smoothing, pinned-order float

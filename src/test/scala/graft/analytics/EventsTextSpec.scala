@@ -240,6 +240,25 @@ class EventsTextSpec extends SparkSpec {
     assert(got == Set(("view", "click", 2L), ("click", "view", 1L)))
   }
 
+  test("trailingFeature: strict pre-day window, same-day facts agree") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val facts = Seq(
+      ("u1", ts(1), 100L), ("u1", ts(1), 50L), // day 1: two same-day facts
+      ("u1", ts(2), 10L),                      // day 2 sees day 1 only
+      ("u1", ts(30), 7L),                      // day 30 still sees days 1-2
+      ("u1", ts(31), 1L)                       // day 31 sees days 1-30
+    ).toDF("u", "ts", "v")
+    val got = Events.trailingFeature(facts, "u", "ts", "v", 30)
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // day-1 facts see nothing (strictly before day 1 is empty), and
+    // BOTH see the same value despite different intra-day values
+    assert(got((ts(1), 100L)) == 0L && got((ts(1), 50L)) == 0L)
+    assert(got((ts(2), 10L)) == 150L) // day 1 only, never its own day
+    assert(got((ts(30), 7L)) == 160L) // days 1+2 inside [day0, day29]
+    assert(got((ts(31), 1L)) == 167L) // day 1 exits? [1,30]: 150+10+7
+  }
+
   test("audienceOverlap: sketch intersections track exact set algebra") {
     val ev = graft.queries.t(spark, sf, "events")
     val got = Events.audienceOverlap(ev, "event_type", "user_id")
