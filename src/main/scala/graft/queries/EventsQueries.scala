@@ -412,6 +412,32 @@ object EventsQueries {
         .orderBy("week")
     },
 
+    // Conversion latency: exact micros from each user's first view to
+    // their first purchase (converters only), interpolated p50/p90 via
+    // the proven percentile()==quantile_cont equivalence (q151).
+    "q166_time_to_convert" -> q(
+      """WITH f AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+                    FROM events GROUP BY user_id),
+            c AS (SELECT epoch_us(CAST(t2 AS TIMESTAMP))
+                           - epoch_us(CAST(t0 AS TIMESTAMP)) AS us
+                  FROM f WHERE t0 IS NOT NULL AND t2 IS NOT NULL AND t2 > t0)
+         SELECT CAST(count(*) AS BIGINT) AS n_converting,
+                round(quantile_cont(us, 0.5), 4) AS p50_us,
+                round(quantile_cont(us, 0.9), 4) AS p90_us
+         FROM c""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t2"))
+        .filter(col("t0").isNotNull && col("t2").isNotNull && col("t2") > col("t0"))
+        .select((unix_micros(col("t2")) - unix_micros(col("t0"))).as("us"))
+        .agg(count(lit(1)).as("n_converting"),
+          round(expr("percentile(us, 0.5D)"), 4).as("p50_us"),
+          round(expr("percentile(us, 0.9D)"), 4).as("p90_us"))
+    },
+
     // Audience overlap: per-type distinct-user sketches intersected
     // pairwise (theta sketches — the set algebra HLL cannot express).
     // Approximate -> rows-only; EventsTextSpec pins estimates against

@@ -434,6 +434,66 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Calibration report for the q82 quality model: global score
+    // deciles (rankBuckets' distributed prefix rank over the e6-scaled
+    // logit) against the empirical keep rate per decile — the
+    // reliability-diagram table an ML pipeline reads before trusting a
+    // threshold. All arithmetic after the (already-oracled) logit is
+    // exact integers.
+    "q165_model_calibration" -> q({
+      val toks = toksSql
+      val meanWord = s"CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+      val alphaRatio = s"CAST(len(list_filter($toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+      val symRatio = s"CAST(length(text) - length(regexp_replace(text, '[#@$$%&]', '', 'g')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+      val dupFrac = s"1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) / CAST(len(string_split(text, chr(10))) AS DOUBLE)"
+      val logit = s"""(-1.0 + ($alphaRatio) * 2.0 + ($dupFrac) * -3.0
+                      + ($meanWord) * 0.1 + CAST(len($toks) AS BIGINT) * 0.001
+                      + ($symRatio) * -5.0)"""
+      s"""WITH s AS (SELECT doc_id,
+                            CAST(floor($logit * 1000000 + 0.5) AS BIGINT) AS logit_e6,
+                            $logit >= 1.0 AS keep
+                     FROM documents),
+            r AS (SELECT doc_id, logit_e6, keep,
+                         row_number() OVER (ORDER BY logit_e6, doc_id) - 1 AS rk,
+                         count(*) OVER () AS n
+                  FROM s),
+            b AS (SELECT CAST((rk * 10) // n AS BIGINT) AS bucket, logit_e6, keep FROM r)
+         SELECT bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+                CAST(count(*) FILTER (WHERE keep) * 1000000 // count(*) AS BIGINT)
+                  AS keep_ppm,
+                CAST(sum(logit_e6) // count(*) AS BIGINT) AS mean_logit_e6
+         FROM b GROUP BY 1 ORDER BY 1"""
+    }) { (s, dir) =>
+      val scored = TextAnalysis.linearQualityScore(t(s, dir, "documents"),
+          "doc_id", "text",
+          weights = Map(
+            "alpha_word_ratio" -> 2.0,
+            "duplicate_line_fraction" -> -3.0,
+            "mean_word_length" -> 0.1,
+            "n_tokens" -> 0.001,
+            "symbol_to_word_ratio" -> -5.0),
+          bias = -1.0)
+        .select(col("doc_id"),
+          floor(col("quality_logit") * 1000000 + 0.5).cast("long").as("logit_e6"),
+          (col("quality_logit") >= 1.0).as("keep"))
+      // rankBuckets' zero-padded sort key needs non-negative scores;
+      // logits go negative, so rank on a constant-shifted copy (order
+      // is translation-invariant) and keep the raw logit for the mean
+      graft.analytics.Curation.rankBuckets(scored.select(col("doc_id"),
+            (col("logit_e6") + 10000000000L).as("shifted")),
+          "doc_id", "shifted", nBuckets = 10)
+        .join(scored, "doc_id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          expr("sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000L DIV count(*)")
+            .as("keep_ppm"),
+          expr("sum(logit_e6) DIV count(*)").as("mean_logit_e6"))
+        .orderBy("bucket")
+    },
+
     // Model-based quality scoring: linear logit over the gopher features
     // with literal weights (the trained-classifier stage of a curation
     // pipeline). Fixed-order multiply-adds -> engine-deterministic ->
