@@ -426,9 +426,22 @@ object Curation {
     * would ship the whole relation through ONE task, the exact shape
     * every operator here avoids. Exact integer arithmetic end to end:
     * bucket boundaries are engine-portable, no percentile
-    * interpolation. Score and id must be non-negative longs (the
-    * fixed-width decimal padding makes lexicographic order numeric).
-    * Returns (idCol, scoreCol, bucket) with bucket in [0, nBuckets). */
+    * interpolation. The sort key is TOTAL over all longs — each value
+    * is offset by 2^63 in exact DECIMAL arithmetic before zero-padding,
+    * so negative scores (a quality logit, a signed delta) order
+    * correctly; the former non-negative contract silently inverted
+    * them ("%019d" of a negative emits a sign char that sorts
+    * backwards). Returns (idCol, scoreCol, bucket), bucket in
+    * [0, nBuckets). */
+  /** Order-preserving fixed-width sort key for ANY long: exact
+    * DECIMAL(21,0) offset by 2^63 lands every value in [0, 2^64), then
+    * zero-pad to 20 digits — lexicographic order == numeric order with
+    * no overflow and no sign-character inversion. */
+  private def paddedKey(c: Column): Column =
+    lpad((c.cast(org.apache.spark.sql.types.DecimalType(21, 0))
+      + lit(new java.math.BigDecimal("9223372036854775808"))).cast("string"),
+      20, "0")
+
   def rankBuckets(df: DataFrame, idCol: String, scoreCol: String,
                   nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
@@ -436,7 +449,7 @@ object Curation {
       .select(col(idCol).cast("long").as(idCol), col(scoreCol).cast("long").as(scoreCol))
       .withColumn("__one", lit(1L))
       .withColumn("__rk",
-        format_string("%019d%019d", col(scoreCol), col(idCol)))
+        concat(paddedKey(col(scoreCol)), paddedKey(col(idCol))))
     val ranked = exclusivePrefixSum(keyed, "__rk", "__one", "__rank")
     val totalDf = df.select(count(lit(1)).as("__total"))
     ranked.crossJoin(broadcast(totalDf))
@@ -598,16 +611,15 @@ object Curation {
     * (one shuffle on the group key); the POOLED rank — the part a
     * naive formulation does with a global single-task row_number —
     * comes from the zero-padded distributed prefix sum (same machinery
-    * as rankBuckets), and the final lookup is an equi-join on the rank
-    * position. Values and ids must be non-negative longs (the
-    * zero-padded sort-key contract). */
+    * as rankBuckets, sharing its total-over-all-longs sort key), and
+    * the final lookup is an equi-join on the rank position. */
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valCol: String): DataFrame = {
     val keyed = df
       .select(col(groupCol), col(idCol).cast("long").as(idCol),
         col(valCol).cast("long").as(valCol))
       .withColumn("__one", lit(1L))
-      .withColumn("__rk", format_string("%019d%019d", col(valCol), col(idCol)))
+      .withColumn("__rk", concat(paddedKey(col(valCol)), paddedKey(col(idCol))))
     val pooled = exclusivePrefixSum(keyed, "__rk", "__one", "__t")
       .select(col("__t"), col(valCol).as(s"${valCol}_qnorm"))
     val wg = org.apache.spark.sql.expressions.Window

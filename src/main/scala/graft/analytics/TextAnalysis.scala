@@ -424,6 +424,10 @@ object TextAnalysis {
     require(query.nonEmpty, "bm25: empty query")
     val words = query.map(_.toLowerCase).distinct
     val D6 = org.apache.spark.sql.types.DecimalType(18, 9)
+    // persisted: consumed by the length stats AND the tf branch inside
+    // the one returned plan, so there is no post-consumption point to
+    // unpersist at; release is session cache hygiene (clearCache
+    // between operators, as Verify/Bench do — marketBasket's contract)
     val toks = df.select(col(idCol),
         explode(tokens(lower(col(textCol)))).as("__term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -272,7 +272,11 @@ object Stats {
         s"least(${nBins - 1}L, greatest(0L, ($valCol - __lo) DIV " +
           s"greatest(1L, (__hi - __lo + $nBins) DIV $nBins)))").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(out))
-    val spine = mm.select(explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"))
+    // row-free spine: deriving it from mm would re-scan the whole
+    // reference a third time just to produce 0..nBins-1 (the two
+    // broadcast(mm) copies dedup via exchange reuse; a third non-
+    // broadcast copy does not)
+    val spine = reference.sparkSession.range(0, nBins).select(col("id").as("bin"))
     val both = spine
       .join(binned(reference, "n_ref"), Seq("bin"), "left")
       .join(binned(current, "n_cur"), Seq("bin"), "left")

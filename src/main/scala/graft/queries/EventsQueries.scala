@@ -422,7 +422,9 @@ object EventsQueries {
                     FROM events GROUP BY user_id),
             c AS (SELECT epoch_us(CAST(t2 AS TIMESTAMP))
                            - epoch_us(CAST(t0 AS TIMESTAMP)) AS us
-                  FROM f WHERE t0 IS NOT NULL AND t2 IS NOT NULL AND t2 > t0)
+                  FROM f WHERE t0 IS NOT NULL AND t2 IS NOT NULL
+                    AND epoch_us(CAST(t2 AS TIMESTAMP))
+                        > epoch_us(CAST(t0 AS TIMESTAMP)))
          SELECT CAST(count(*) AS BIGINT) AS n_converting,
                 round(quantile_cont(us, 0.5), 4) AS p50_us,
                 round(quantile_cont(us, 0.9), 4) AS p90_us

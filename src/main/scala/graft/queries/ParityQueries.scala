@@ -501,7 +501,8 @@ object ParityQueries {
                 fin.o_orderstatus AS run_status,
                 CAST(fin.effective_from AS DATE) AS run_from,
                 CAST(fin.effective_to AS DATE) AS run_to,
-                fin.effective_to IS NULL AS is_current
+                CASE WHEN fin.o_custkey IS NULL THEN NULL
+                     ELSE fin.effective_to IS NULL END AS is_current
          FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) f
          LEFT JOIN fin ON f.o_custkey = fin.o_custkey
            AND f.o_orderdate >= fin.effective_from

@@ -478,12 +478,10 @@ object TextQueries {
         .select(col("doc_id"),
           floor(col("quality_logit") * 1000000 + 0.5).cast("long").as("logit_e6"),
           (col("quality_logit") >= 1.0).as("keep"))
-      // rankBuckets' zero-padded sort key needs non-negative scores;
-      // logits go negative, so rank on a constant-shifted copy (order
-      // is translation-invariant) and keep the raw logit for the mean
-      graft.analytics.Curation.rankBuckets(scored.select(col("doc_id"),
-            (col("logit_e6") + 10000000000L).as("shifted")),
-          "doc_id", "shifted", nBuckets = 10)
+      graft.analytics.Curation.rankBuckets(
+          scored.select("doc_id", "logit_e6"), "doc_id", "logit_e6",
+          nBuckets = 10)
+        .drop("logit_e6")
         .join(scored, "doc_id")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),

@@ -332,6 +332,21 @@ class CurationSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("rankBuckets: NEGATIVE scores rank correctly (total sort key)") {
+    // the %019d formulation inverted negatives ("-1" sorted before
+    // "-2"); the decimal-offset key must order ... -2 < -1 < 0 < 1 ...
+    val df = Seq((1L, -20L), (2L, -1L), (3L, 0L), (4L, 5L)).toDF("id", "score")
+    val got = Curation.rankBuckets(df, "id", "score", nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // extreme magnitudes survive the offset without overflow
+    val ex = Seq((1L, Long.MinValue), (2L, -7L), (3L, Long.MaxValue))
+      .toDF("id", "score")
+    val eb = Curation.rankBuckets(ex, "id", "score", nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(eb == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("quantileNormalize: equal-size groups land on identical multisets") {
     // group A runs 1..10, group B runs 1000..1009 — after mapping onto
     // the pooled distribution, both groups' normalized multisets must

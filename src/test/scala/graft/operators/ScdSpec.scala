@@ -141,14 +141,16 @@ class ScdSpec extends SparkSpec {
       ("f_now", "k1", ts(9)),   // open run -> B
       ("f_alien", "k2", ts(3))  // unknown entity -> NULLs, row kept
     ).toDF("fid", "k", "t")
-    val got = Scd.pointInTimeJoin(facts, history, Seq("k"), "t")
+    val rows = Scd.pointInTimeJoin(facts, history, Seq("k"), "t")
       .select("fid", "state").collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // exactly one row per fact — assert BEFORE collapsing to a Map,
+    // or a duplicating join hides behind last-write-wins
+    assert(rows.length == 5)
+    val got = rows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(got == Map(
       "f_pre" -> Some("A"), "f_mid" -> Some("A"),
       "f_edge" -> Some("B"), "f_now" -> Some("B"),
       "f_alien" -> None))
-    assert(got.size == 5) // exactly one row per fact: no duplication
   }
 
   test("diffToCdc: round trip applyCdc(old, diff(old, new)) == new; nulls honest") {
