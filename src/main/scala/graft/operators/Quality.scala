@@ -138,6 +138,32 @@ object Quality {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Format-signature profiling: collapse every string into its
+    * character-class shape — letter runs → `A`, digit runs → `9`,
+    * punctuation kept verbatim — and count the distinct shapes per
+    * column ("Customer#000000001" → "A#9"). One signature dominating a
+    * column is a format CONTRACT; a long tail is dirty data the
+    * min/max/null profile (profileColumns) cannot see. NULLs count as
+    * their own shape (absence is a finding here, unlike the dbt
+    * tests).
+    *
+    * Scale shape: the same single melted scan as keySkewReport — the
+    * signature is a projection, then one hash aggregate on
+    * (column, signature), a relation bounded by format variety, not
+    * rows. */
+  def formatSignatures(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "formatSignatures needs at least one column")
+    val melted = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("__col", "__val")))
+    melted
+      .select(col("__col").as("column_name"),
+        regexp_replace(regexp_replace(col("__val"), "[A-Za-z]+", "A"),
+          "[0-9]+", "9").as("signature"))
+      .groupBy("column_name", "signature")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Join-key skew report: for each candidate key column, the distinct
     * key count, the hottest key and its row count, and that key's share
     * of the relation in parts-per-million (exact integer division — no

@@ -400,6 +400,61 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Format-signature profiling (Quality.formatSignatures): character
+    // -class shapes per column from one melted scan — the format-
+    // contract check min/max profiling can't see.
+    "q168_format_signatures" -> q(
+      """WITH m AS (
+           SELECT 'c_name' AS column_name, c_name AS val FROM customer
+           UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer),
+            s AS (SELECT column_name,
+                         regexp_replace(regexp_replace(val, '[A-Za-z]+', 'A', 'g'),
+                           '[0-9]+', '9', 'g') AS signature
+                  FROM m)
+         SELECT column_name, signature, CAST(count(*) AS BIGINT) AS n_rows
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      graft.operators.Quality.formatSignatures(t(s, dir, "customer"),
+          Seq("c_name", "c_mktsegment"))
+        .orderBy("column_name", "signature")
+    },
+
+    // Two-level contribution analysis: each nation's exact ppm share
+    // of its region's revenue and of the global total — the BI
+    // percent-of-total report in pure integer arithmetic (shares by
+    // integer DIV of exact cents sums; no window over the fact table,
+    // just joins between three aggregate relations).
+    "q167_contribution" -> q(
+      """WITH rev AS (SELECT n.n_regionkey, c.c_nationkey,
+                             CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                      FROM orders o
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+                      GROUP BY 1, 2),
+            reg AS (SELECT n_regionkey, CAST(sum(rev_cents) AS BIGINT) AS reg_cents
+                    FROM rev GROUP BY 1),
+            tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot_cents FROM rev)
+         SELECT rev.n_regionkey, rev.c_nationkey, rev.rev_cents,
+                CAST(rev.rev_cents * 1000000 // reg.reg_cents AS BIGINT)
+                  AS share_of_region_ppm,
+                CAST(rev.rev_cents * 1000000 // tot.tot_cents AS BIGINT)
+                  AS share_of_total_ppm
+         FROM rev JOIN reg USING (n_regionkey), tot
+         ORDER BY rev.n_regionkey, rev.c_nationkey""") { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val reg = rev.groupBy("n_regionkey").agg(sum("rev_cents").as("reg_cents"))
+      val tot = rev.agg(sum("rev_cents").as("tot_cents"))
+      rev.join(broadcast(reg), "n_regionkey").crossJoin(broadcast(tot))
+        .select(col("n_regionkey"), col("c_nationkey"), col("rev_cents"),
+          expr("rev_cents * 1000000L DIV reg_cents").as("share_of_region_ppm"),
+          expr("rev_cents * 1000000L DIV tot_cents").as("share_of_total_ppm"))
+        .orderBy("n_regionkey", "c_nationkey")
+    },
+
     // Trailing 30-day spend per customer AT each order's own date,
     // strictly excluding the order's day (Events.trailingFeature —
     // the no-label-leak behavioral aggregate for point-in-time

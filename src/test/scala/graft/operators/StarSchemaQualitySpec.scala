@@ -104,6 +104,26 @@ class StarSchemaQualitySpec extends SparkSpec {
     assert(rel == Seq((7L, 2L))) // NULL FK passes, as in dbt
   }
 
+  test("formatSignatures: shapes collapse runs, dirty rows surface, NULL is a shape") {
+    val df = Seq(
+      Some("AB-1234"), Some("XY-987"), // both "A-9": runs collapse
+      Some("no digits"),               // "A A"
+      Some("12.50"),                   // "9.9"
+      None                             // NULL shape
+    ).toDF("code")
+    val got = Quality.formatSignatures(df, Seq("code"))
+      .collect().map(r => Option(r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      Some("A-9") -> 2L, Some("A A") -> 1L,
+      Some("9.9") -> 1L, None -> 1L))
+    // single melted scan regardless of column count
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = Quality.formatSignatures(orders,
+        Seq("o_orderstatus", "o_orderpriority"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("keySkewReport: hottest key per column from one melted scan, ties to min") {
     val df = Seq(
       ("k1", "x"), ("k1", "y"), ("k1", "z"), // k1 hot on col a (3/6)
