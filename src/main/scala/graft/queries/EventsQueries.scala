@@ -412,6 +412,52 @@ object EventsQueries {
         .orderBy("week")
     },
 
+    // Cohort LTV curves: cumulative purchase value per weekly signup
+    // cohort by week-offset — the product-analytics money curve. The
+    // stream reduces to (cohort, offset) cells in one aggregate; the
+    // cumulative window runs over that cells relation only. Exact
+    // cents throughout.
+    "q169_cohort_ltv" -> q(
+      """WITH first_day AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+                            FROM events GROUP BY 1),
+            cohorts AS (SELECT user_id,
+                               CAST(date_trunc('week', d0) AS DATE) AS cohort_week
+                        FROM first_day),
+            p AS (SELECT c.cohort_week,
+                         (CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)
+                           - c.cohort_week) // 7 AS week_offset,
+                         CAST(floor(e.value*100 + 0.5) AS BIGINT) AS v
+                  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase'),
+            cells AS (SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+                             CAST(sum(v) AS BIGINT) AS rev_cents
+                      FROM p GROUP BY 1, 2)
+         SELECT cohort_week, week_offset, rev_cents,
+                CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                  ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_rev_cents
+         FROM cells ORDER BY cohort_week, week_offset""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cohorts = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+        .select(col("user_id"),
+          date_trunc("week", col("d0")).cast("date").as("cohort_week"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          (datediff(date_trunc("week", to_date(col("ts"))).cast("date"),
+            col("cohort_week")) / 7).cast("long").as("week_offset"),
+          cents(col("value")).as("v"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(sum("v").as("rev_cents"))
+      import org.apache.spark.sql.expressions.Window
+      cells.withColumn("cum_rev_cents",
+          sum("rev_cents").over(Window.partitionBy("cohort_week")
+            .orderBy("week_offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Conversion latency: exact micros from each user's first view to
     // their first purchase (converters only), interpolated p50/p90 via
     // the proven percentile()==quantile_cont equivalence (q151).
