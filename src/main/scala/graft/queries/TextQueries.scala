@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.analytics.{Dedup, Multimodal, TextAnalysis}
+import graft.analytics.{Curation, Dedup, Multimodal, TextAnalysis}
 
 /** Text-analysis + dedup + multimodal operators over `documents`
   * (SURVEY §7.4). Oracles mirror the token/lexicon arithmetic with DuckDB
@@ -434,6 +434,86 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Out-of-vocabulary rate: per eval-split document, the share of its
+    // tokens absent from the train split's vocabulary (the tokenizer /
+    // domain-shift health check run before trusting eval numbers). The
+    // vocabulary is a distinct-token relation (Heaps' law: far smaller
+    // than the stream) and the membership test is a broadcast-grade
+    // left-anti join — never doc x doc.
+    "q170_oov_rate" -> q(
+      s"""WITH split AS (SELECT doc_id, text,
+                               substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                                 AS is_train
+                        FROM documents),
+             vocab AS (SELECT DISTINCT unnest($toksLowerSql) AS term
+                       FROM split WHERE is_train),
+             eval_toks AS (SELECT doc_id, unnest($toksLowerSql) AS term
+                           FROM split WHERE NOT is_train),
+             oov AS (SELECT e.doc_id,
+                            CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT)
+                              AS n_oov
+                     FROM eval_toks e LEFT JOIN vocab v ON e.term = v.term
+                     GROUP BY 1)
+          SELECT doc_id, n_tokens, n_oov,
+                 CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+          FROM oov ORDER BY doc_id""") { (s, dir) =>
+      val split = Curation.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1), salt = "v1")
+      val toks = (df: org.apache.spark.sql.DataFrame) => df.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      val vocab = toks(split.filter(col("split") === "train"))
+        .select("term").distinct()
+      val evalToks = toks(split.filter(col("split") =!= "train"))
+      val hits = evalToks.join(vocab.withColumn("__known", lit(1)),
+        Seq("term"), "left")
+      hits.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L DIV n_tokens").as("oov_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary growth (Heaps' law profile): cumulative distinct terms
+    // after each decile of the doc_id-ordered corpus. Exact without any
+    // cumulative-distinct scan: each term charges its FIRST-occurrence
+    // document (min doc_id — one hash aggregate over the token stream),
+    // first-occurrences bucket into deciles, and the running total runs
+    // over the 10-row bucket relation.
+    "q171_vocab_growth" -> q(
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+             firsts AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+             ids AS (SELECT doc_id,
+                            CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS rk,
+                            CAST(count(*) OVER () AS BIGINT) AS n
+                     FROM (SELECT DISTINCT doc_id FROM toks)),
+             bucketed AS (SELECT CAST((ids.rk * 10) // ids.n AS BIGINT) AS decile,
+                                 CAST(count(*) AS BIGINT) AS new_terms
+                          FROM firsts JOIN ids ON firsts.first_doc = ids.doc_id
+                          GROUP BY 1)
+          SELECT decile, new_terms,
+                 CAST(sum(new_terms) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+          FROM bucketed ORDER BY decile""") { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("term"))
+      val firsts = toks.groupBy("term").agg(min("doc_id").as("first_doc"))
+      val ids = Curation.rankBuckets(
+          toks.select("doc_id").distinct()
+            .select(col("doc_id"), col("doc_id").as("score")),
+          "doc_id", "score", nBuckets = 10)
+        .select(col("doc_id").as("first_doc"), col("bucket").as("decile"))
+      val bucketed = firsts.join(ids, "first_doc")
+        .groupBy("decile").agg(count(lit(1)).as("new_terms"))
+      import org.apache.spark.sql.expressions.Window
+      bucketed.withColumn("vocab_size",
+          sum("new_terms").over(Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("decile")
+    },
+
     // Calibration report for the q82 quality model: global score
     // deciles (rankBuckets' distributed prefix rank over the e6-scaled
     // logit) against the empirical keep rate per decile — the
@@ -478,7 +558,7 @@ object TextQueries {
         .select(col("doc_id"),
           floor(col("quality_logit") * 1000000 + 0.5).cast("long").as("logit_e6"),
           (col("quality_logit") >= 1.0).as("keep"))
-      graft.analytics.Curation.rankBuckets(
+      Curation.rankBuckets(
           scored.select("doc_id", "logit_e6"), "doc_id", "logit_e6",
           nBuckets = 10)
         .drop("logit_e6")
