@@ -479,4 +479,62 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Adjacent token pairs of a token array as an array of (w1, w2)
+    * structs — a zero-shuffle generator (two slices zipped in-row).
+    * Arrays with fewer than two tokens yield the empty array (slice
+    * with length 0 would throw, so the guard is semantics). */
+  def bigrams(tokensCol: Column): Column =
+    when(size(tokensCol) >= 2,
+      zip_with(
+        slice(tokensCol, lit(1), size(tokensCol) - 1),
+        slice(tokensCol, lit(2), size(tokensCol) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Bigram language-model likelihood scoring — the CCNet-style quality
+    * filter (Wenzek et al. 2020): train an add-1-smoothed bigram LM on
+    * the rows where `isTrainCol` is true, then score every eval row by
+    * its mean per-bigram probability. Output: (idCol, n_bigrams,
+    * score_e9) for eval rows with >= 2 tokens; fluent/common text scores
+    * high, gibberish scores near 1e9/V.
+    *
+    * All arithmetic is exact integers (engine-portable): per-bigram
+    * probability (c2+1)/(c1+V) is carried as `1e9 * (c2+1) DIV (c1+V)`
+    * and the doc score is the integer mean — no floats, no logs, so the
+    * result hash-matches any engine. The e9 scale bounds c2 < 9.2e9;
+    * for corpora beyond ~1e10 occurrences of one bigram, drop to e6.
+    *
+    * Scale shape: bigram extraction is an in-row generator (no
+    * positional self-join); the model relations c2/c1 are bigram-TYPE-
+    * and vocabulary-sized (Heaps' law: far smaller than the token
+    * stream), so the two model joins shuffle on w1[,w2] bounded by type
+    * counts and AQE broadcasts them when small; V is a 1-row broadcast. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    isTrainCol: String): DataFrame = {
+    val toks = df.select(col(idCol), col(isTrainCol).as("__train"),
+      tokens(lower(col(textCol))).as("__toks"))
+    val big = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), col("__train"), explode(bigrams(col("__toks"))).as("__bg"))
+      .select(col(idCol), col("__train"),
+        col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val train = big.filter(col("__train"))
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val v = toks.filter(col("__train"))
+      .select(explode(col("__toks")).as("__term"))
+      .agg(count_distinct(col("__term")).as("__v"))
+    big.filter(!col("__train"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        expr("1000000000L * (coalesce(__c2, 0L) + 1L) DIV (coalesce(__c1, 0L) + __v)")
+          .as("__p_e9"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__p_e9").as("__sp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sp DIV n_bigrams").as("score_e9"))
+  }
 }

@@ -1052,6 +1052,122 @@ object TextQueries {
           FROM pairs GROUP BY 1
           ORDER BY pair_count DESC, pair ASC LIMIT 100""") { (s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 100)
+    },
+
+    // CCNet-style LM quality filter: add-1-smoothed bigram model trained
+    // on the q170 hash-split's train side, eval docs scored by mean
+    // per-bigram probability. All-integer e9 arithmetic (no floats, no
+    // logs) so iterated Spark == DuckDB exactly; the oracle extracts
+    // bigrams by positional self-join while Spark uses an in-row
+    // zip_with generator — same relation, no shuffle on the Spark side.
+    "q172_lm_score" -> q(
+      s"""WITH split AS (SELECT doc_id, text,
+                               substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                                 AS is_train
+                        FROM documents),
+             toks AS (SELECT doc_id, is_train,
+                             unnest($toksLowerSql) AS term,
+                             generate_subscripts($toksLowerSql, 1) AS pos
+                      FROM split),
+             big AS (SELECT a.doc_id, a.is_train, a.term AS w1, b.term AS w2
+                     FROM toks a JOIN toks b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                    FROM big WHERE is_train GROUP BY 1, 2),
+             c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                    FROM big WHERE is_train GROUP BY 1),
+             v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+                   FROM toks WHERE is_train),
+             scored AS (SELECT e.doc_id,
+                               (1000000000 * (COALESCE(c2.c2, 0) + 1))
+                                 // (COALESCE(c1.c1, 0) + v.v) AS p_e9
+                        FROM big e CROSS JOIN v
+                        LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+                        LEFT JOIN c1 ON e.w1 = c1.w1
+                        WHERE NOT e.is_train)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(p_e9) // count(*) AS BIGINT) AS score_e9
+          FROM scored GROUP BY 1 ORDER BY doc_id""") { (s, dir) =>
+      val split = Curation.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1), salt = "v1")
+        .withColumn("is_train", col("split") === "train")
+      TextAnalysis.bigramLmScore(split, "doc_id", "text", "is_train")
+        .orderBy("doc_id")
+    },
+
+    // Lexical-diversity profile per source: type-token ratio, top-term
+    // share, hapax share — the corpus-health numbers read before
+    // trusting a source's contribution to a training mix. One shuffle
+    // on (source, term) then one vocabulary-sized agg on source; all
+    // ratios exact e6 integers.
+    "q173_lexical_diversity" -> q(
+      s"""WITH tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT source, unnest($toksLowerSql) AS term
+                            FROM documents)
+                      GROUP BY 1, 2)
+          SELECT source,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_e6,
+                 CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_e6,
+                 CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
+                   AS BIGINT) AS hapax_e6
+          FROM tc GROUP BY source ORDER BY source""") { (s, dir) =>
+      val tc = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      tc.groupBy("source")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          max("c").as("__max_c"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"))
+        .select(col("source"), col("n_tokens"), col("n_terms"),
+          expr("n_terms * 1000000L DIV n_tokens").as("ttr_e6"),
+          expr("__max_c * 1000000L DIV n_tokens").as("top_share_e6"),
+          expr("__hapax * 1000000L DIV n_terms").as("hapax_e6"))
+        .orderBy("source")
+    },
+
+    // Pairwise source-vocabulary Jaccard: how much two sources' word
+    // inventories overlap (mix-design redundancy check). The corpus
+    // collapses to the DISTINCT (source, term) relation first, so the
+    // term self-join fans out at most nSources^2 per term; exact e6.
+    "q174_vocab_jaccard" -> q(
+      s"""WITH vt AS (SELECT DISTINCT source, term
+                      FROM (SELECT source, unnest($toksLowerSql) AS term
+                            FROM documents)),
+             sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                    FROM vt GROUP BY 1),
+             inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                              CAST(count(*) AS BIGINT) AS n_common
+                       FROM vt a JOIN vt b
+                         ON a.term = b.term AND a.source < b.source
+                       GROUP BY 1, 2)
+          SELECT src_a, src_b, n_common,
+                 CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+                   AS jaccard_e6
+          FROM inter
+          JOIN sz sa ON src_a = sa.source
+          JOIN sz sb ON src_b = sb.source
+          ORDER BY src_a, src_b""") { (s, dir) =>
+      val vt = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .distinct()
+      val sz = vt.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = vt.as("a")
+        .join(vt.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sz.select(col("source").as("src_a"), col("n").as("__na")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("__nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          expr("n_common * 1000000L DIV (__na + __nb - n_common)")
+            .as("jaccard_e6"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

@@ -200,4 +200,29 @@ class TextQualitySpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top1 == Seq(("aa", 3L)))
   }
+
+  test("bigrams: adjacent pairs in order; <2 tokens yield empty, not error") {
+    val df = Seq((1L, "x y z"), (2L, "solo"), (3L, ""))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.bigrams(TextAnalysis.tokens($"text")).as("bg"))
+    val got = df.as[(Long, Seq[(String, String)])].collect().toMap
+    assert(got(1L) == Seq(("x", "y"), ("y", "z")))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty) // tokenizes to [""] -> one token -> no pairs
+  }
+
+  test("bigramLmScore: add-1 bigram LM, exact e9 integers, eval-only output") {
+    // train: "a b a b" -> c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V=2
+    val docs = Seq(
+      (1L, "a b a b", true),
+      (2L, "A b c", false),  // lowercased: p(a,b)=3/4 e9, p(b,c)=1/3 e9
+      (3L, "z", false),      // single token -> no bigrams -> absent
+      (4L, "q r", false)     // both unseen: p=1/(0+2) e9
+    ).toDF("doc_id", "text", "is_train")
+    val byId = TextAnalysis.bigramLmScore(docs, "doc_id", "text", "is_train")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId.keySet == Set(2L, 4L)) // train rows and bigram-less rows excluded
+    assert(byId(2L) == ((2L, (750000000L + 333333333L) / 2))) // = 541666666
+    assert(byId(4L) == ((1L, 500000000L)))
+  }
 }
