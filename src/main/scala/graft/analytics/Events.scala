@@ -58,6 +58,57 @@ object Events {
       .agg(max(col("session_seq")).as("n_sessions"),
         count(lit(1)).as("n_events"))
 
+  /** Top-k session paths: sessionize, join each session's event types
+    * in time order into one `a>b>c` path string, count sessions per
+    * path. The navigation-analysis staple ("what do users actually do")
+    * on top of the same session definition as sessionize/sessionCounts.
+    *
+    * Determinism: events order by (ts, tieBreak) — a total order — via
+    * a min-sorted struct array, and the top-k order (n_sessions DESC,
+    * path ASC) is total, so the cut line is stable on any engine.
+    *
+    * Scale shape: the sessionize window and the per-session collect
+    * share the same user-key exchange (one shuffle); per-session arrays
+    * are gap-bounded, never per-user-history-sized. The path count is
+    * one hash aggregate with map-side partials (paths follow a
+    * power-law — partials absorb the hot heads) and the top-k plans as
+    * TakeOrderedAndProject, never a full sort. */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, gapSeconds: Long, tieBreak: String,
+               k: Int): DataFrame =
+    sessionize(df, userCol, tsCol, gapSeconds, tieBreak)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieBreak), col(typeCol).as("__t")))).as("__evs"))
+      .select(expr("array_join(transform(__evs, e -> e.__t), '>')").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+
+  /** Day-of-week seasonality profile per group: how each weekday's
+    * event volume compares to the group's flat-week expectation
+    * (index_e6 = n*7e6/total; 1e6 = no seasonality). The
+    * capacity-planning / anomaly-baseline companion to dailyAnomalies:
+    * that flags days against a trailing mean, this extracts the
+    * recurring weekly shape the trailing mean silently absorbs.
+    *
+    * The weekday is epoch-day mod 7 (0 = Thursday, 1970-01-01) — an
+    * integer formula every engine computes identically, unlike
+    * DAYOFWEEK's Sunday=0/1/7 dialect lottery. One (group, dow) hash
+    * aggregate, then a group-sized totals join that AQE broadcasts. */
+  def dowSeasonality(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val byDow = df
+      .select(col(groupCol),
+        expr(s"datediff(to_date($tsCol), DATE '1970-01-01') % 7").as("dow"))
+      .groupBy(groupCol, "dow")
+      .agg(count(lit(1)).as("n_events"))
+    val totals = byDow.groupBy(groupCol).agg(sum("n_events").as("__total"))
+    byDow.join(totals, Seq(groupCol))
+      .select(col(groupCol), col("dow"), col("n_events"),
+        expr("n_events * 7000000L DIV __total").as("index_e6"))
+  }
+
   /** HLL distinct-count per group: `approx_count_distinct` is Spark's
     * native HyperLogLog++ — mergeable sketches, so partial aggregation
     * happens map-side and only sketch bytes cross the shuffle. */

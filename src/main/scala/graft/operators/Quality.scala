@@ -197,4 +197,63 @@ object Quality {
         // integer boundary within an ulp and flip the truncation
         expr("(-`__top`.`__neg`) * 1000000L DIV n_rows").as("top_share_ppm"))
   }
+
+  /** Candidate-key discovery across a set of tables: for each listed
+    * column, its row/non-null/distinct counts and whether it is a valid
+    * unique key (distinct == non-null == rows). This is the content
+    * side of the reference's table-discovery story (information_schema
+    * walk, snowflake_load.py:147-154) — discovery tells you the tables
+    * exist; this tells you which columns can KEY them.
+    *
+    * Scale shape: one aggregate scan per table covering all of its
+    * listed columns at once (count_distinct plans two-phase with
+    * map-side partials), melted to rows with a single `stack`
+    * generator; the union is metadata-sized (one row per column). */
+  def keyCandidates(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(tables.nonEmpty, "keyCandidates needs at least one table")
+    tables.map { case (name, df, cols) =>
+      require(cols.nonEmpty, s"keyCandidates($name) needs at least one column")
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd")) }
+      val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      val stackArgs = cols.map(c => s"'$c', `${c}__nn`, `${c}__nd`").mkString(", ")
+      one.selectExpr(s"'$name' AS table_name", "__n AS n_rows",
+          s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct)")
+        .select(col("table_name"), col("column_name"), col("n_rows"),
+          col("n_nonnull"), col("n_distinct"),
+          when(col("n_distinct") === col("n_rows")
+            && col("n_nonnull") === col("n_rows"), 1L).otherwise(0L)
+            .as("is_unique_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Inclusion-dependency (foreign-key) discovery: how much of the
+    * child column's distinct value set is contained in the parent
+    * column's. containment_e6 == 1e6 means every child key resolves —
+    * a valid FK edge; partial containment localizes orphan keys before
+    * a migration (Reconcile is the row-level companion). NULL child
+    * values are excluded, mirroring relationshipViolations/dbt.
+    *
+    * Scale shape: both sides collapse to DISTINCT key projections
+    * first (two-phase partial distinct), so the probe join is
+    * key-type-sized, never row-sized; AQE broadcasts the parent side
+    * when small. Output is one row per candidate edge. */
+  def inclusionCoverage(pairs: Seq[(String, DataFrame, String, String, DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty, "inclusionCoverage needs at least one candidate pair")
+    pairs.map { case (childName, child, childCol, parentName, parent, parentCol) =>
+      val childKeys = child.filter(col(childCol).isNotNull)
+        .select(col(childCol).cast("long").as("__k")).distinct()
+      val parentKeys = parent.filter(col(parentCol).isNotNull)
+        .select(col(parentCol).cast("long").as("__k")).distinct()
+        .withColumn("__hit", lit(1L))
+      childKeys.join(parentKeys, Seq("__k"), "left")
+        .agg(count(lit(1)).as("n_child_keys"), count(col("__hit")).as("n_contained"))
+        .select(
+          lit(s"$childName.$childCol").as("child_ref"),
+          lit(s"$parentName.$parentCol").as("parent_ref"),
+          col("n_child_keys"), col("n_contained"),
+          expr("n_contained * 1000000L DIV n_child_keys").as("containment_e6"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** q175's profiling surface: every table's plausible key columns. */
+  private val KeyDiscoveryCols: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey", "c_mktsegment"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_linenumber"),
+    "part" -> Seq("p_partkey", "p_brand"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "events" -> Seq("event_id", "user_id", "event_type"),
+    "documents" -> Seq("doc_id", "source", "lang"))
+
+  /** q176's candidate edges: (childTable, childCol, parentTable,
+    * parentCol). The last two are deliberate non-FK probes. */
+  private val FkCandidateEdges: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"))
+
   val defs: Map[String, Q] = Map(
 
     // TPC-H Q1-shaped pricing summary: filtered scan -> hash aggregate
@@ -583,6 +608,51 @@ object AnalyticsQueries {
           t(s, dir, "orders").select(cents(col("o_totalprice")).as("v")),
           "v", nBins = 10)
         .orderBy("bin")
+    },
+
+    // Candidate-key discovery across the warehouse: which columns can
+    // uniquely key their table (Quality.keyCandidates — one aggregate
+    // scan per table, metadata-sized output).
+    "q175_key_discovery" -> q({
+      val sqls = KeyDiscoveryCols.map { case (tbl, cols) => cols.map { c =>
+        s"""SELECT '$tbl' AS table_name, '$c' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count($c) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN count(DISTINCT $c) = count(*)
+                              AND count($c) = count(*)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_unique_key
+            FROM $tbl"""
+      }.mkString("\nUNION ALL\n") }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$sqls\n) ORDER BY table_name, column_name"
+    }) { (s, dir) =>
+      graft.operators.Quality.keyCandidates(
+          KeyDiscoveryCols.map { case (tbl, cols) => (tbl, t(s, dir, tbl), cols) })
+        .orderBy("table_name", "column_name")
+    },
+
+    // Inclusion-dependency (FK) discovery over candidate edges — the
+    // star schema's real FK edges plus two deliberate non-edges whose
+    // partial containment the report must localize, not hide
+    // (Quality.inclusionCoverage — DISTINCT key projections only).
+    "q176_fk_discovery" -> q({
+      val sqls = FkCandidateEdges.map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct.$cc' AS child_ref, '$pt.$pc' AS parent_ref,
+                   CAST(count(*) AS BIGINT) AS n_child_keys,
+                   CAST(count(p.k) AS BIGINT) AS n_contained,
+                   CAST(count(p.k) * 1000000 // count(*) AS BIGINT) AS containment_e6
+            FROM (SELECT DISTINCT CAST($cc AS BIGINT) AS k FROM $ct
+                  WHERE $cc IS NOT NULL) c
+            LEFT JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS k FROM $pt
+                       WHERE $pc IS NOT NULL) p USING (k)"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$sqls\n) ORDER BY child_ref, parent_ref"
+    }) { (s, dir) =>
+      graft.operators.Quality.inclusionCoverage(
+          FkCandidateEdges.map { case (ct, cc, pt, pc) =>
+            (ct, t(s, dir, ct), cc, pt, t(s, dir, pt), pc) })
+        .orderBy("child_ref", "parent_ref")
     }
   )
+
 }

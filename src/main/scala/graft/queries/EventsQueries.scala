@@ -641,6 +641,53 @@ object EventsQueries {
          ORDER BY 1, 2""") { (s, dir) =>
       Events.gapFillDaily(t(s, dir, "events"), "user_id", "ts")
         .orderBy("user_id", "day")
+    },
+
+    // Top-100 session paths: the q23 session definition, each session's
+    // event types joined in (ts, event_id) order into one path string,
+    // counted. Total top-k order (count DESC, path ASC) keeps the cut
+    // line deterministic on both engines.
+    "q177_top_paths" -> q(
+      """WITH se AS (
+           SELECT user_id, event_type, ts, event_id,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM (
+             SELECT user_id, event_type, ts, event_id,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              IS NULL THEN 1
+                         WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTE THEN 1
+                         ELSE 0 END AS is_new
+             FROM events)),
+         paths AS (
+           SELECT user_id, session_seq,
+                  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM se GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM paths GROUP BY 1
+         ORDER BY n_sessions DESC, path ASC LIMIT 100""") { (s, dir) =>
+      Events.topPaths(t(s, dir, "events"), "user_id", "ts", "event_type",
+        1800L, "event_id", k = 100)
+    },
+
+    // Day-of-week seasonality per event type (Events.dowSeasonality —
+    // epoch-day mod 7 sidesteps the DAYOFWEEK dialect lottery; 0 =
+    // Thursday). index_e6 = 1e6 means a flat week.
+    "q178_dow_seasonality" -> q(
+      """WITH c AS (SELECT event_type,
+                           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                                AS INTEGER) AS dow,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total
+                    FROM c GROUP BY 1)
+         SELECT c.event_type, c.dow, c.n_events,
+                CAST(c.n_events * 7000000 // tot.total AS BIGINT) AS index_e6
+         FROM c JOIN tot USING (event_type)
+         ORDER BY event_type, dow""") { (s, dir) =>
+      Events.dowSeasonality(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type", "dow")
     }
   )
 }

@@ -358,4 +358,38 @@ class EventsTextSpec extends SparkSpec {
     val users = ev.select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
   }
+
+  test("topPaths: time-ordered within session, sessions split paths, ties on path asc") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val df = Seq(
+      // user 1, one session, out-of-order event_ids: order is by ts
+      (1L, ts(0), 10L, "view"), (1L, ts(60), 5L, "cart"), (1L, ts(120), 7L, "buy"),
+      // user 1, second session (gap > 1800s)
+      (1L, ts(9000), 20L, "view"),
+      // user 2, one session with the same path as user 1's first
+      (2L, ts(0), 30L, "view"), (2L, ts(10), 31L, "cart"), (2L, ts(20), 32L, "buy"),
+      // user 3, a singleton path tied at count 1 with user 1's "view"
+      (3L, ts(0), 40L, "search")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.topPaths(df, "user_id", "ts", "event_type", 1800L, "event_id", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view>cart>buy", 2L), ("search", 1L), ("view", 1L)))
+  }
+
+  test("dowSeasonality: flat week indexes 1e6; missing days absent; skew indexes up") {
+    def day(d: Int) = new java.sql.Timestamp(d.toLong * 86400 * 1000)
+    // type "flat": one event per day over exactly 2 weeks -> every dow index 1e6
+    val flat = (0 until 14).map(d => ("flat", day(d)))
+    // type "spiky": 6 events on dow 0, 1 on dow 1 -> 6*7e6/7 and 1e6
+    val spiky = Seq.fill(6)(("spiky", day(0))) :+ (("spiky", day(1)))
+    val got = Events.dowSeasonality(
+        (flat ++ spiky).toDF("event_type", "ts"), "event_type", "ts")
+      .as[(String, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> ((r._3, r._4))).toMap).toMap
+    assert(got("flat").keySet == (0 to 6).toSet)
+    assert(got("flat").values.forall(_ == ((2L, 1000000L))))
+    assert(got("spiky").keySet == Set(0, 1)) // absent days yield no row
+    assert(got("spiky")(0) == ((6L, 6000000L)))
+    assert(got("spiky")(1) == ((1L, 1000000L)))
+  }
 }

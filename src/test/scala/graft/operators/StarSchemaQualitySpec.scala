@@ -167,4 +167,32 @@ class StarSchemaQualitySpec extends SparkSpec {
       .collect().head.getLong(1)
     assert(ghost <= math.ceil(0.001 * n).toLong * 2)
   }
+
+  test("keyCandidates: unique key detected; nulls and dups disqualify") {
+    val a = Seq((1L, Some("x")), (2L, Some("x")), (3L, None))
+      .toDF("id", "grp")
+    val b = Seq((1L, 1L), (1L, 2L)).toDF("k", "v")
+    val got = Quality.keyCandidates(Seq(
+        ("a", a, Seq("id", "grp")), ("b", b, Seq("k", "v"))))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("a", "id")) == ((3L, 3L, 3L, 1L)))   // the key
+    assert(got(("a", "grp")) == ((3L, 2L, 1L, 0L)))  // null + dup
+    assert(got(("b", "k")) == ((2L, 2L, 1L, 0L)))    // duplicated
+    assert(got(("b", "v")) == ((2L, 2L, 2L, 1L)))
+  }
+
+  test("inclusionCoverage: full, partial, and null-excluded containment") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(5L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Quality.inclusionCoverage(Seq(
+        ("c", child, "fk", "p", parent, "pk"),
+        ("p", parent, "pk", "c", child, "fk")))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // child keys {1,2,5} (null dropped, dup collapsed): 2 of 3 contained
+    assert(got("c.fk") == ((3L, 2L, 666666L)))
+    // reverse: parent keys {1,2,3}, 2 of 3 appear in child
+    assert(got("p.pk") == ((3L, 2L, 666666L)))
+  }
 }
