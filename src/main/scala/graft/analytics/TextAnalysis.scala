@@ -537,4 +537,41 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"),
         expr("__sp DIV n_bigrams").as("score_e9"))
   }
+
+  /** Top-k collocations by lift — observed bigram probability over the
+    * independence expectation, the log-free PMI analog ("new york"
+    * scores high; "of the" near 1e6 despite its count). minCount floors
+    * the bigram count so one-off pairs of rare words can't dominate.
+    *
+    * lift = p(w1w2) / (p(w1)·p(w2)) is computed as a FIXED integer
+    * division sequence — ((c12·Nu DIV c1)·Nu DIV c2)·1e6 DIV Nb — so
+    * every engine truncates identically (the value is lift±rounding,
+    * the bytes are deterministic). Intermediate bound: ≤ Nu²·1e6, safe
+    * in i64 through ~3e6-token corpora; scale the 1e6 down for more.
+    *
+    * Scale shape: bigram/unigram counts are type-sized relations
+    * (Heaps' law); the two unigram joins shuffle on the word keys and
+    * AQE broadcasts them when small; totals are 1-row broadcasts;
+    * top-k plans as TakeOrderedAndProject. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+                   k: Int): DataFrame = {
+    val toks = df.select(tokens(lower(col(textCol))).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+    val nu = uni.agg(sum("__c").as("__nu"))
+    val big = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(bigrams(col("__toks"))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val nb = big.agg(sum("pair_count").as("__nb"))
+    big.filter(col("pair_count") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("__c", "__c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("__c", "__c2"), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        expr("pair_count * __nu DIV __c1 * __nu DIV __c2 * 1000000L DIV __nb")
+          .as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

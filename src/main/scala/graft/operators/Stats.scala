@@ -398,4 +398,29 @@ object Stats {
       .filter(col("__rn") === 1)
       .select(keys.map(col) :+ col(valCol).as("mode_value") :+ col("n_rows"): _*)
   }
+
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group's total (2*cum >= total
+    * — pure integer, no halving division). Unlike percentile_cont this
+    * weights each row, the natural form for pre-aggregated data
+    * (value, count) or quantity-weighted prices.
+    *
+    * Determinism with ties: the cumulative sum's default frame with an
+    * ORDER BY is RANGE UNBOUNDED PRECEDING..CURRENT ROW — on BOTH
+    * Spark and ANSI engines — so tied values share one cumulative
+    * weight and the answer never depends on tie order.
+    *
+    * Scale shape: one shuffle + per-group sort carrying both windows
+    * (same partition key), then a group-sized min aggregate. Weights
+    * and values must be integral (cents) for cross-engine hashes. */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valCol: String,
+                     weightCol: String): DataFrame = {
+    val byVal = Window.partitionBy(keys.map(col): _*).orderBy(col(valCol))
+    val whole = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__cum", sum(col(weightCol)).over(byVal))
+      .withColumn("__total", sum(col(weightCol)).over(whole))
+      .filter(col("__cum") * 2 >= col("__total"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valCol)).as("weighted_median"))
+  }
 }

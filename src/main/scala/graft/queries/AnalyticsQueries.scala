@@ -652,6 +652,69 @@ object AnalyticsQueries {
           FkCandidateEdges.map { case (ct, cc, pt, pc) =>
             (ct, t(s, dir, ct), cc, pt, t(s, dir, pt), pc) })
         .orderBy("child_ref", "parent_ref")
+    },
+
+    // TPC-H Q5-shaped regional revenue: the 6-table star plan in one
+    // query — lineitem⋈orders is the only fact-fact shuffle; customer
+    // and the supplier⋈nation⋈region chain broadcast; the date filter
+    // pushes into the orders scan. The local-supplier predicate
+    // (c_nationkey = s_nationkey) rides the supplier broadcast join.
+    "q179_regional_revenue" -> q(
+      """SELECT n_name,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue_e4 DESC, n_name""") { (s, dir) =>
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val asiaSuppliers = t(s, dir, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+          && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      t(s, dir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaSuppliers),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    },
+
+    // Exact quantity-weighted median price per return flag
+    // (Stats.weightedMedian — RANGE-frame cumulative weights make ties
+    // engine-independent; 2*cum >= total avoids any halving division).
+    "q181_weighted_median" -> q(
+      """WITH x AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                           CAST(floor(l_quantity) AS BIGINT) AS w
+                    FROM lineitem),
+            c AS (SELECT l_returnflag, v,
+                         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS total
+                  FROM x)
+         SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median
+         FROM c WHERE 2 * cum >= total
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      graft.operators.Stats.weightedMedian(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            cents(col("l_extendedprice")).as("v"),
+            floor(col("l_quantity")).cast("long").as("w")),
+          Seq("l_returnflag"), "v", "w")
+        .orderBy("l_returnflag")
     }
   )
 

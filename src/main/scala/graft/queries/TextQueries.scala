@@ -1168,6 +1168,36 @@ object TextQueries {
           expr("n_common * 1000000L DIV (__na + __nb - n_common)")
             .as("jaccard_e6"))
         .orderBy("src_a", "src_b")
+    },
+
+    // Top-100 collocations by lift (TextAnalysis.collocations): the
+    // log-free PMI analog as one FIXED integer-division chain, so the
+    // bytes match any engine; the oracle extracts bigrams positionally
+    // while Spark zips in-row — same relation.
+    "q180_collocations" -> q(
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term,
+                               generate_subscripts($toksLowerSql, 1) AS pos
+                        FROM documents),
+             uni AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS c
+                     FROM toks GROUP BY 1),
+             nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+             big AS (SELECT a.term AS w1, b.term AS w2,
+                            CAST(count(*) AS BIGINT) AS pair_count
+                     FROM toks a JOIN toks b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                     GROUP BY 1, 2),
+             nb AS (SELECT CAST(sum(pair_count) AS BIGINT) AS nb FROM big)
+          SELECT w1, w2, pair_count,
+                 CAST(((((pair_count * nu.nu) // u1.c) * nu.nu) // u2.c)
+                      * 1000000 // nb.nb AS BIGINT) AS lift_e6
+          FROM big
+          JOIN uni u1 ON w1 = u1.w
+          JOIN uni u2 ON w2 = u2.w
+          CROSS JOIN nu CROSS JOIN nb
+          WHERE pair_count >= 5
+          ORDER BY lift_e6 DESC, w1, w2 LIMIT 100""") { (s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, k = 100)
     }
   )
 }

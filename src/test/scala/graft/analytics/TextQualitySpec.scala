@@ -225,4 +225,20 @@ class TextQualitySpec extends SparkSpec {
     assert(byId(2L) == ((2L, (750000000L + 333333333L) / 2))) // = 541666666
     assert(byId(4L) == ((1L, 500000000L)))
   }
+
+  test("collocations: bound pair outranks chance pair; minCount floors rare pairs") {
+    // "x y" always together (5 times); "a b" co-occur among independent
+    // uses of a and b; "q r" appears only once -> floored out.
+    val docs = (Seq.fill(5)("x y") ++ Seq.fill(5)("a b") ++
+      Seq.fill(15)("a c") ++ Seq.fill(15)("d b") :+ "q r")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5L, k = 10)
+      .as[(String, String, Long, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(!byPair.contains(("q", "r")), "count-1 pair must be floored")
+    assert(byPair(("x", "y")) > byPair(("a", "b")),
+      s"exclusive pair must out-lift the chance pair: $byPair")
+    // exclusive pair: p_xy=5/41, p_x=p_y=5/82 -> lift ~ 32.8
+    assert(byPair(("x", "y")) > 30000000L && byPair(("x", "y")) < 34000000L)
+  }
 }

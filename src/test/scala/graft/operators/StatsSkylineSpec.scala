@@ -201,4 +201,21 @@ class StatsSkylineSpec extends SparkSpec {
     val dup = Seq((1L, 10L, 10L), (2L, 10L, 10L), (3L, 0L, 0L)).toDF("id", "x", "y")
     assert(Skyline.frontier2D(dup, "x", "y").count() == 2)
   }
+
+  test("weightedMedian: crossing value, tie-heavy groups, weight-1 degenerates to median") {
+    val df = Seq(
+      // g1: weights 1,1,8 -> total 10, cum at v=30 is 10 >= 5: but v=20 cum=2 < 5 -> median 30
+      ("g1", 10L, 1L), ("g1", 20L, 1L), ("g1", 30L, 8L),
+      // g2: heavy low value -> median is the low value (cum 8 >= 5)
+      ("g2", 10L, 8L), ("g2", 20L, 1L), ("g2", 30L, 1L),
+      // g3: tied values split across rows; RANGE frame pools them:
+      // cum(10)=4 < 5, cum(20)=8 (both rows) >= 5 -> 20
+      ("g3", 10L, 4L), ("g3", 20L, 2L), ("g3", 20L, 2L), ("g3", 30L, 2L),
+      // g4: all weights 1 over 1..4 -> 2*cum>=4 first at v=2 (lower median)
+      ("g4", 1L, 1L), ("g4", 2L, 1L), ("g4", 3L, 1L), ("g4", 4L, 1L)
+    ).toDF("g", "v", "w")
+    val got = Stats.weightedMedian(df, Seq("g"), "v", "w")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("g1" -> 30L, "g2" -> 10L, "g3" -> 20L, "g4" -> 2L))
+  }
 }

@@ -242,6 +242,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q179: only the lineitem-orders join may shuffle; dims all broadcast") {
+    val p = planOf("q179_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    // one fact-fact join: at most one non-broadcast join in the plan
+    val nonBroadcast = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(nonBroadcast <= 1, s"expected <= 1 shuffled join, got $nonBroadcast:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"orderdate filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q181: weighted median shares one exchange across both windows") {
+    val p = planOf("q181_weighted_median")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // one shuffle for the windows (+ the final 3-row orderBy range exchange)
+    assert(exchanges <= 2, s"expected the two windows to share a shuffle:\n$p")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
