@@ -715,6 +715,31 @@ object AnalyticsQueries {
             floor(col("l_quantity")).cast("long").as("w")),
           Seq("l_returnflag"), "v", "w")
         .orderBy("l_returnflag")
+    },
+
+    // Materialized-rollup rewrite (plans.RollupRewrite): the aggregate
+    // is written against the BASE documents scan; the injected Catalyst
+    // rule answers it from the (source, lang) cube parquet instead —
+    // sum-of-sums / sum-of-counts regroup, dim filter re-targeted. The
+    // oracle runs the plain aggregate: green proves the rewrite is
+    // invisible to results. RollupRewriteSpec pins that the plan really
+    // reads the cube, not the fact.
+    "q182_rollup_rewrite" -> q(
+      """SELECT source,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents WHERE lang <> 'zh'
+         GROUP BY source ORDER BY source""") { (s, dir) =>
+      val cubePath = java.nio.file.Files
+        .createTempDirectory("graft-rollup-cube").toString
+      graft.plans.RollupRewrite.materializeAndRegister(s, "documents_cube",
+        t(s, dir, "documents"), s"$dir/documents.parquet",
+        dims = Seq("source", "lang"), measures = Seq("n_chars"), cubePath)
+      t(s, dir, "documents")
+        .filter(col("lang") =!= "zh")
+        .groupBy("source")
+        .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
+        .orderBy("source")
     }
   )
 
