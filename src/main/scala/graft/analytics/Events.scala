@@ -109,6 +109,36 @@ object Events {
         expr("n_events * 7000000L DIV __total").as("index_e6"))
   }
 
+  /** Peak concurrent sessions — the telecom "max simultaneous calls"
+    * metric as a distributed sweep-line. Sessions (same definition as
+    * sessionize) become ±1 deltas keyed by 2·µs: starts at 2t, ends at
+    * 2t+1, so a session is live THROUGH its closing instant and an
+    * equal-instant handoff counts as concurrent; equal keys pre-sum to
+    * make the order total. The running sum is the two-pass distributed
+    * prefix sum (Curation.exclusivePrefixSum — no single-partition
+    * window, holds at any scale), and a 1-row broadcast argmax picks
+    * the FIRST instant the peak is reached.
+    * Output: one row (peak_concurrency, peak_at). */
+  def peakConcurrency(df: DataFrame, userCol: String, tsCol: String,
+                      gapSeconds: Long, tieBreak: String): DataFrame = {
+    val sess = sessionize(df, userCol, tsCol, gapSeconds, tieBreak)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("__start"), max(col(tsCol)).as("__end"))
+    val deltas = sess.select(explode(array(
+        struct((unix_micros(col("__start")) * 2).as("ord"), lit(1L).as("delta")),
+        struct((unix_micros(col("__end")) * 2 + 1).as("ord"), lit(-1L).as("delta"))))
+        .as("d"))
+      .select(col("d.ord").as("ord"), col("d.delta").as("delta"))
+      .groupBy("ord").agg(sum("delta").as("delta"))
+    val conc = Curation.exclusivePrefixSum(deltas, "ord", "delta", "__pre")
+      .select(col("ord"), (col("__pre") + col("delta")).as("conc"))
+    val peak = conc.agg(max(col("conc")).as("peak_concurrency"))
+    conc.join(broadcast(peak), col("conc") === col("peak_concurrency"))
+      .groupBy("peak_concurrency").agg(min(col("ord")).as("__ord"))
+      .select(col("peak_concurrency"),
+        expr("timestamp_micros(__ord DIV 2)").as("peak_at"))
+  }
+
   /** HLL distinct-count per group: `approx_count_distinct` is Spark's
     * native HyperLogLog++ — mergeable sketches, so partial aggregation
     * happens map-side and only sketch bytes cross the shuffle. */

@@ -186,6 +186,32 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors carrying a DIFFERENT label (easy
+    * negatives are free; the near-miss ones move the loss). Same
+    * broadcast + per-query top-k shape as topKBruteForceMany — the
+    * label inequality rides the broadcast join condition, so same-class
+    * pairs are never scored, and the per-query window is map-side
+    * group-limited before the qid shuffle. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qIdCol: String,
+                    k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(labelCol).as("label"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val qs = queries.select(col(qIdCol).as("qid"),
+        col(labelCol).as("q_label"), quantize(col(vecCol)).as("q_qv"))
+      .withColumn("q_norm", sqrt(qdot(col("q_qv"), col("q_qv")).cast("double")))
+    val scored = c.join(broadcast(qs), col("label") =!= col("q_label"))
+      .select(col("qid"), col("id"), col("label"),
+        (qdot(col("qv"), col("q_qv")).cast("double")
+          / (col("qnorm") * col("q_norm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Batch LSH top-k: corpus and queries banded with the same
     * hyperplanes; candidates share a band bucket with their query, the
     * per-query top-k re-ranks exact cosine over candidates only. The

@@ -180,6 +180,32 @@ object EmbeddingQueries {
         .orderBy("qid", "id")
     },
 
+    // Hard-negative mining (Similarity.hardNegatives): per query, the
+    // 10 most-similar vectors with a DIFFERENT label — the contrastive-
+    // training pairs worth shipping. The label inequality rides the
+    // broadcast join, so same-class pairs are never scored.
+    "q183_hard_negatives" -> q(
+      s"""WITH c AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv FROM embeddings),
+               qs AS (SELECT vec_id AS qid, label AS q_label, qv AS q_qv
+                      FROM c WHERE vec_id IN (3, 7, 11, 19, 23)),
+               scored AS (
+                 SELECT qs.qid, c.vec_id AS id, CAST(c.label AS INTEGER) AS label,
+                        CAST(${qdotSql("c.qv", "qs.q_qv")} AS DOUBLE)
+                          / (sqrt(CAST(${qdotSql("c.qv", "c.qv")} AS DOUBLE))
+                             * sqrt(CAST(${qdotSql("qs.q_qv", "qs.q_qv")} AS DOUBLE))) AS cosine
+                 FROM c JOIN qs ON c.label <> qs.q_label)
+          SELECT qid, id, label, cosine FROM (
+            SELECT qid, id, label, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+            FROM scored)
+          WHERE rn <= 10
+          ORDER BY qid, id""") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)), "vec_id", k = 10)
+        .orderBy("qid", "id")
+    },
+
     // Batch LSH top-k (hash-seeded bucketing -> rows-only; recall vs
     // the exact batch asserted in the spec).
     "q74_embed_topk_many_lsh" -> qNoOracle { (s, dir) =>

@@ -688,6 +688,39 @@ object EventsQueries {
          ORDER BY event_type, dow""") { (s, dir) =>
       Events.dowSeasonality(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type", "dow")
+    },
+
+    // Peak concurrent sessions (Events.peakConcurrency): distributed
+    // sweep-line over ±1 session deltas keyed at 2·µs (ends at 2t+1 so
+    // a session is live through its last instant), running sum via the
+    // two-pass prefix scan, first instant of the maximum reported.
+    "q184_peak_concurrency" -> q(
+      """WITH se AS (
+           SELECT user_id, ts,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              IS NULL THEN 1
+                         WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTE THEN 1
+                         ELSE 0 END AS is_new
+             FROM events)),
+         sess AS (SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+                  FROM se GROUP BY 1, 2),
+         deltas AS (SELECT ord, CAST(sum(delta) AS BIGINT) AS delta FROM (
+             SELECT epoch_us(s) * 2 AS ord, 1 AS delta FROM sess
+             UNION ALL
+             SELECT epoch_us(e) * 2 + 1 AS ord, -1 AS delta FROM sess)
+           GROUP BY 1),
+         c AS (SELECT ord, sum(delta) OVER (ORDER BY ord) AS conc FROM deltas),
+         m AS (SELECT max(conc) AS peak FROM c)
+         SELECT CAST(m.peak AS BIGINT) AS peak_concurrency,
+                make_timestamp(min(c.ord) // 2) AS peak_at
+         FROM c, m WHERE c.conc = m.peak GROUP BY m.peak""") { (s, dir) =>
+      Events.peakConcurrency(t(s, dir, "events"), "user_id", "ts",
+        1800L, "event_id")
     }
   )
 }

@@ -392,4 +392,22 @@ class EventsTextSpec extends SparkSpec {
     assert(got("spiky")(0) == ((6L, 6000000L)))
     assert(got("spiky")(1) == ((1L, 1000000L)))
   }
+
+  test("peakConcurrency: overlap counting, closing-instant handoff, first-peak instant") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // u1 session [0, 100]; u2 [50, 150]; u3 [100, 200]: at t=100 all
+    // three overlap (u1 is live THROUGH its closing instant) -> peak 3.
+    // u4 [5000, 5100], u5 [5050, 5150]: later peak of only 2.
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(100), 2L),
+      (2L, ts(50), 3L), (2L, ts(150), 4L),
+      (3L, ts(100), 5L), (3L, ts(200), 6L),
+      (4L, ts(5000), 7L), (4L, ts(5100), 8L),
+      (5L, ts(5050), 9L), (5L, ts(5150), 10L)
+    ).toDF("user_id", "ts", "event_id")
+    val r = Events.peakConcurrency(df, "user_id", "ts", 1800L, "event_id")
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getTimestamp(1) == ts(100)) // first instant the peak is hit
+  }
 }

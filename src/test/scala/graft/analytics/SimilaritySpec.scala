@@ -302,4 +302,19 @@ class SimilaritySpec extends SparkSpec {
       (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum))
     assert(math.abs(got - expect) < 1e-5)
   }
+
+  test("hardNegatives: never the query's own label, equals label-filtered brute top-k") {
+    val e = embeddings
+    val q7 = e.filter($"vec_id" === 7)
+    val qLabel = q7.select("label").as[Int].head()
+    val got = Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+      q7, "vec_id", k = 10).orderBy($"cosine".desc, $"id").collect()
+    assert(got.length == 10)
+    assert(got.forall(_.getInt(2) != qLabel), "a hard negative carried the query label")
+    // agrees with brute-force top-k over the pre-filtered other-label corpus
+    val expect = Similarity.topKBruteForce(
+        e.filter($"label" =!= qLabel), "vec_id", "embedding", q7, k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got.map(_.getLong(1)).toSeq == expect)
+  }
 }
