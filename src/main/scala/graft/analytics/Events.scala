@@ -139,6 +139,31 @@ object Events {
         expr("timestamp_micros(__ord DIV 2)").as("peak_at"))
   }
 
+  /** Per-type session entry/exit/bounce profile — which event types
+    * OPEN sessions, which CLOSE them, and which are one-and-done (the
+    * web-analytics landing/exit/bounce report, generalized). One pass:
+    * the two rank windows partition by (user, session) which the
+    * sessionize exchange on user already satisfies (hash on a subset of
+    * the clustering keys co-locates — only a sort is added, no second
+    * shuffle), then one type-keyed aggregate. */
+  def entryExitProfile(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, gapSeconds: Long,
+                       tieBreak: String): DataFrame = {
+    val bySess = Window.partitionBy(col(userCol), col("session_seq"))
+    val asc = bySess.orderBy(col(tsCol), col(tieBreak))
+    val desc = bySess.orderBy(col(tsCol).desc, col(tieBreak).desc)
+    sessionize(df, userCol, tsCol, gapSeconds, tieBreak)
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col(typeCol))
+      .agg(
+        sum(when(col("__ra") === 1, 1L).otherwise(0L)).as("n_entries"),
+        sum(when(col("__rd") === 1, 1L).otherwise(0L)).as("n_exits"),
+        sum(when(col("__ra") === 1 && col("__rd") === 1, 1L).otherwise(0L))
+          .as("n_bounces"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** HLL distinct-count per group: `approx_count_distinct` is Spark's
     * native HyperLogLog++ — mergeable sketches, so partial aggregation
     * happens map-side and only sketch bytes cross the shuffle. */

@@ -41,14 +41,15 @@ import org.apache.spark.sql.functions.{col, count, lit, sum}
   */
 object RollupRewrite extends Rule[LogicalPlan] {
 
-  /** A registered rollup: base scan path, its dims, measure-column ->
-    * cube-sum-column map, the cube's count column, and the cube's
-    * analyzed read plan. */
+  /** A registered rollup: base scan path, its dims (in cube order),
+    * measure-column -> cube-sum-column pairs, the cube's count column,
+    * its parquet path, and its analyzed read plan. */
   final case class Entry(
       basePath: String,
-      dims: Set[String],
-      sumCols: Map[String, String],
+      dims: Seq[String],
+      sumCols: Seq[(String, String)],
       countCol: String,
+      cubePath: String,
       cube: LogicalPlan)
 
   private val entries = new ConcurrentHashMap[String, Entry]()
@@ -68,12 +69,36 @@ object RollupRewrite extends Rule[LogicalPlan] {
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(cubePath)
     val cube = spark.read.parquet(cubePath).queryExecution.analyzed
-    register(name, Entry(normalize(basePath), dims.toSet,
-      measures.map(m => m -> s"sum_$m").toMap, "n_rows", cube))
+    register(name, Entry(normalize(basePath), dims,
+      measures.map(m => m -> s"sum_$m"), "n_rows", cubePath, cube))
     if (!spark.experimental.extraOptimizations.contains(this)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
     }
+  }
+
+  /** Incremental cube maintenance: aggregate ONLY the delta rows, sum-
+    * merge them into the existing cube (additive measures re-aggregate
+    * losslessly), write the refreshed cube, and swap the registration.
+    * The base fact is never re-scanned; history participates at cube
+    * (dims-type) size. This is the daily-ETL shape: base append + cube
+    * refresh keep the rewrite answering current totals. */
+  def refresh(spark: SparkSession, name: String, delta: DataFrame,
+              newCubePath: String): Unit = {
+    val e = entries.get(name)
+    require(e != null, s"no rollup registered under '$name'")
+    require(normalize(newCubePath) != normalize(e.cubePath),
+      "refresh cannot overwrite the cube it is reading — pass a fresh path")
+    val aggs = e.sumCols.map { case (m, sm) => sum(col(m)).as(sm) } :+
+      count(lit(1)).as(e.countCol)
+    val deltaCube = delta.groupBy(e.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val mergeAggs = (e.sumCols.map(_._2) :+ e.countCol)
+      .map(c => sum(col(c)).as(c))
+    spark.read.parquet(e.cubePath).unionByName(deltaCube)
+      .groupBy(e.dims.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+      .write.mode("overwrite").parquet(newCubePath)
+    val cube = spark.read.parquet(newCubePath).queryExecution.analyzed
+    register(name, e.copy(cubePath = newCubePath, cube = cube))
   }
 
   private def normalize(p: String): String =
@@ -112,6 +137,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
                           e: Entry): Option[LogicalPlan] = {
     val cubeAttr: Map[String, Attribute] =
       e.cube.output.map(a => a.name -> a).toMap
+    val sumCol: Map[String, String] = e.sumCols.toMap
 
     // Grouping keys: bare dim columns only.
     val groupsOk = agg.groupingExpressions.forall {
@@ -125,7 +151,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // aggregate functions may reference dims only.
     def aggCovered(ae: AggregateExpression): Boolean = ae match {
       case AggregateExpression(s: Sum, _, false, None, _) => s.child match {
-        case a: AttributeReference => e.sumCols.contains(a.name)
+        case a: AttributeReference => sumCol.contains(a.name)
         case _ => false
       }
       case AggregateExpression(c: Count, _, false, None, _) =>
@@ -135,7 +161,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val aggsOk = agg.aggregateExpressions.forall { ne =>
       ne.collect { case ae: AggregateExpression => ae }.forall(aggCovered) &&
         ne.references.forall { a =>
-          e.dims.contains(a.name) || e.sumCols.contains(a.name)
+          e.dims.contains(a.name) || sumCol.contains(a.name)
         }
     }
     if (!groupsOk || !condsOk || !aggsOk) return None
@@ -145,7 +171,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def retarget(expr: Expression): Expression = expr.transformUp {
       case ae @ AggregateExpression(s: Sum, _, false, None, _) =>
         val m = s.child.asInstanceOf[AttributeReference].name
-        ae.copy(aggregateFunction = Sum(cubeAttr(e.sumCols(m))))
+        ae.copy(aggregateFunction = Sum(cubeAttr(sumCol(m))))
       case ae @ AggregateExpression(_: Count, _, false, None, _) =>
         Coalesce(Seq(ae.copy(aggregateFunction = Sum(cubeAttr(e.countCol))),
           Literal(0L)))

@@ -740,6 +740,44 @@ object AnalyticsQueries {
         .groupBy("source")
         .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
         .orderBy("source")
+    },
+
+    // TPC-H Q21-flavored blame analysis: for multi-supplier orders, the
+    // single supplier whose shipment arrived LAST (sole max-shipdate
+    // shipper), counted per supplier. Every aggregate and join keys on
+    // l_orderkey — multi/last/atmax co-partition on ONE shuffle key —
+    // and the supplier dim rides a broadcast.
+    "q185_blame_supplier" -> q(
+      """WITH multi AS (SELECT l_orderkey FROM lineitem
+                        GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2),
+            last AS (SELECT l_orderkey, max(l_shipdate) AS mx
+                     FROM lineitem GROUP BY 1),
+            atmax AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                      FROM lineitem l
+                      JOIN last ON l.l_orderkey = last.l_orderkey
+                               AND l.l_shipdate = last.mx
+                      JOIN multi ON l.l_orderkey = multi.l_orderkey),
+            blamed AS (SELECT l_orderkey, min(l_suppkey) AS suppkey
+                       FROM atmax GROUP BY 1 HAVING count(*) = 1)
+         SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_blamed
+         FROM blamed JOIN supplier ON suppkey = s_suppkey
+         GROUP BY 1, 2 ORDER BY n_blamed DESC, s_suppkey LIMIT 20""") { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val multi = li.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("__ns"))
+        .filter(col("__ns") >= 2).select("l_orderkey")
+      val last = li.groupBy("l_orderkey").agg(max("l_shipdate").as("__mx"))
+      val atmax = li.join(last, Seq("l_orderkey"))
+        .filter(col("l_shipdate") === col("__mx"))
+        .join(multi, Seq("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val blamed = atmax.groupBy("l_orderkey")
+        .agg(min("l_suppkey").as("suppkey"), count(lit(1)).as("__n"))
+        .filter(col("__n") === 1)
+      blamed.join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name").agg(count(lit(1)).as("n_blamed"))
+        .orderBy(col("n_blamed").desc, col("s_suppkey")).limit(20)
     }
   )
 

@@ -721,6 +721,40 @@ object EventsQueries {
          FROM c, m WHERE c.conc = m.peak GROUP BY m.peak""") { (s, dir) =>
       Events.peakConcurrency(t(s, dir, "events"), "user_id", "ts",
         1800L, "event_id")
+    },
+
+    // Session entry/exit/bounce profile per event type
+    // (Events.entryExitProfile — the landing/exit/bounce report; the
+    // per-session rank windows ride the sessionize exchange, hash on
+    // user already co-locates (user, session)).
+    "q186_entry_exit" -> q(
+      """WITH se AS (
+           SELECT user_id, event_type, ts, event_id,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM (
+             SELECT user_id, event_type, ts, event_id,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              IS NULL THEN 1
+                         WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTE THEN 1
+                         ELSE 0 END AS is_new
+             FROM events)),
+         r AS (SELECT event_type,
+                      row_number() OVER (PARTITION BY user_id, session_seq
+                                         ORDER BY ts, event_id) AS ra,
+                      row_number() OVER (PARTITION BY user_id, session_seq
+                                         ORDER BY ts DESC, event_id DESC) AS rd
+               FROM se)
+         SELECT event_type,
+                CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+                CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+                CAST(sum(CASE WHEN ra = 1 AND rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM r GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Events.entryExitProfile(t(s, dir, "events"), "user_id", "ts",
+        "event_type", 1800L, "event_id")
+        .orderBy("event_type")
     }
   )
 }

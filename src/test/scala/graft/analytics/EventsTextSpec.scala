@@ -410,4 +410,19 @@ class EventsTextSpec extends SparkSpec {
     assert(r.getLong(0) == 3L)
     assert(r.getTimestamp(1) == ts(100)) // first instant the peak is hit
   }
+
+  test("entryExitProfile: entries/exits per session; singleton session is a bounce") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val df = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(60), 2L, "buy"),  // view enters, buy exits
+      (2L, ts(0), 3L, "view"),                            // bounce on view
+      (2L, ts(9000), 4L, "buy"), (2L, ts(9060), 5L, "view") // buy enters, view exits
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.entryExitProfile(df, "user_id", "ts", "event_type",
+        1800L, "event_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("view") == ((2L, 2L, 1L, 3L))) // 2 entries, 2 exits, 1 bounce
+    assert(got("buy") == ((1L, 1L, 0L, 2L)))
+  }
 }

@@ -76,6 +76,32 @@ class RollupRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     assert(dist.contains("documents.parquet"), s"distinct must not rewrite:\n$dist")
   }
 
+  test("refresh merges a delta into the cube; rewrite answers base+delta totals") {
+    registered
+    val delta = Seq(
+      ("srcX", "en", 100L), ("srcX", "en", 50L), ("srcX", "fr", 7L)
+    ).toDF("source", "lang", "n_chars")
+    val next = java.nio.file.Files
+      .createTempDirectory("graft-rollup-spec").toString + "/v2"
+    RollupRewrite.refresh(spark, "spec_cube", delta, next)
+    val q = base.groupBy("source").agg(sum("n_chars").as("c"), count(lit(1)).as("n"))
+    val p = scan(q)
+    assert(p.contains("v2"), s"expected refreshed cube scan:\n$p")
+    // the rewritten answer now includes the delta rows the BASE never saw
+    val got = q.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("srcX") == ((157L, 3L)))
+    val src0 = base.filter($"source" === "src0")
+      .agg(sum("n_chars"), count(lit(1))).as[(Long, Long)].head()
+    assert(got("src0") == src0) // untouched groups unchanged
+    // re-register the un-refreshed cube for the remaining tests
+    RollupRewrite.clear()
+    val cubePath = java.nio.file.Files
+      .createTempDirectory("graft-rollup-spec").toString
+    RollupRewrite.materializeAndRegister(spark, "spec_cube", base, basePath,
+      dims = Seq("source", "lang"), measures = Seq("n_chars"), cubePath)
+  }
+
   test("dim-subset regroup and dim filter re-target exactly") {
     registered
     val q = base.filter($"lang".isin("en", "fr")).groupBy("lang")
