@@ -763,14 +763,19 @@ object AnalyticsQueries {
          FROM blamed JOIN supplier ON suppkey = s_suppkey
          GROUP BY 1, 2 ORDER BY n_blamed DESC, s_suppkey LIMIT 20""") { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-      val multi = li.groupBy("l_orderkey")
-        .agg(countDistinct("l_suppkey").as("__ns"))
-        .filter(col("__ns") >= 2).select("l_orderkey")
-      val last = li.groupBy("l_orderkey").agg(max("l_shipdate").as("__mx"))
-      val atmax = li.join(last, Seq("l_orderkey"))
-        .filter(col("l_shipdate") === col("__mx"))
-        .join(multi, Seq("l_orderkey"), "left_semi")
-        .select("l_orderkey", "l_suppkey").distinct()
+      // reduce to (order, supplier, its-max-shipdate) FIRST — one
+      // lineitem shuffle with map-side partials; the supplier count,
+      // the order max, and the at-max membership (own max == order max)
+      // all derive from that pair relation, so the raw fact is never
+      // joined and no count-distinct expand doubles the stream
+      val pairs = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max("l_shipdate").as("__smx"))
+      val ord = pairs.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("__ns"), max("__smx").as("__mx"))
+        .filter(col("__ns") >= 2)
+      val atmax = pairs.join(ord, Seq("l_orderkey"))
+        .filter(col("__smx") === col("__mx"))
+        .select("l_orderkey", "l_suppkey")
       val blamed = atmax.groupBy("l_orderkey")
         .agg(min("l_suppkey").as("suppkey"), count(lit(1)).as("__n"))
         .filter(col("__n") === 1)
