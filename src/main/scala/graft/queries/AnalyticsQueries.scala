@@ -783,6 +783,83 @@ object AnalyticsQueries {
           col("suppkey") === col("s_suppkey"))
         .groupBy("s_suppkey", "s_name").agg(count(lit(1)).as("n_blamed"))
         .orderBy(col("n_blamed").desc, col("s_suppkey")).limit(20)
+    },
+
+    // Monthly revenue trend with MoM / YoY deltas and a 3-month moving
+    // average — the finance reporting staple. The fact collapses to the
+    // month rollup FIRST; every window then runs over the month-sized
+    // relation (a no-partition window over ~80 rows, not the fact), so
+    // the plan is one fact shuffle + driver-trivial windows. Integer
+    // cents end to end; moving average is sum DIV count.
+    "q187_revenue_trend" -> q(
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                    FROM orders GROUP BY 1)
+         SELECT CAST(month AS DATE) AS month, revenue_cents,
+                revenue_cents - lag(revenue_cents, 1) OVER w AS mom_delta_cents,
+                revenue_cents - lag(revenue_cents, 12) OVER w AS yoy_delta_cents,
+                CAST(sum(revenue_cents) OVER (ORDER BY month
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     // count(*) OVER (ORDER BY month
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma3_cents
+         FROM m WINDOW w AS (ORDER BY month)
+         ORDER BY month""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      val w = Window.orderBy("month")
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      m.select(col("month").cast("date").as("month"), col("revenue_cents"),
+          (col("revenue_cents") - lag("revenue_cents", 1).over(w)).as("mom_delta_cents"),
+          (col("revenue_cents") - lag("revenue_cents", 12).over(w)).as("yoy_delta_cents"),
+          sum("revenue_cents").over(w3).as("__s3"),
+          count(lit(1)).over(w3).as("__n3"))
+        .select(col("month"), col("revenue_cents"), col("mom_delta_cents"),
+          col("yoy_delta_cents"), expr("__s3 DIV __n3").as("ma3_cents"))
+        .orderBy("month")
+    },
+
+    // ABC (Pareto) part classification: parts ranked by revenue, class
+    // A carries the first 70% of cumulative revenue, B to 90%, C the
+    // tail. The fact collapses to the part rollup first; the cumulative
+    // window runs over the dimension-sized part relation (doc'd: use
+    // the distributed prefix scan if parts outgrow one partition).
+    "q188_abc_classification" -> q(
+      """WITH pr AS (SELECT l_partkey,
+                            CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4
+                     FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS total FROM pr),
+            ranked AS (SELECT l_partkey, rev_e4,
+                              CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey)
+                                   * 1000 // tot.total AS BIGINT) AS cum_share_e3
+                       FROM pr, tot)
+         SELECT CASE WHEN cum_share_e3 <= 700 THEN 'A'
+                     WHEN cum_share_e3 <= 900 THEN 'B'
+                     ELSE 'C' END AS abc_class,
+                CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+         FROM ranked GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pr = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev_e4"))
+      val tot = pr.agg(sum("rev_e4").as("__total"))
+      val w = Window.orderBy(col("rev_e4").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pr.crossJoin(broadcast(tot))
+        .withColumn("__cum", sum(col("rev_e4")).over(w))
+        // e3 share: cum·1e3 stays in i64 up to ~9e15 total e4-units
+        // (≈ $900B of discounted revenue); beyond that, divide first
+        .withColumn("cum_share_e3",
+          expr("__cum * 1000L DIV __total"))
+        .withColumn("abc_class",
+          when(col("cum_share_e3") <= 700L, "A")
+            .when(col("cum_share_e3") <= 900L, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_e4").as("revenue_e4"))
+        .orderBy("abc_class")
     }
   )
 
