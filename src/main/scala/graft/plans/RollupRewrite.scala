@@ -84,21 +84,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * (dims-type) size. This is the daily-ETL shape: base append + cube
     * refresh keep the rewrite answering current totals. */
   def refresh(spark: SparkSession, name: String, delta: DataFrame,
-              newCubePath: String): Unit = {
+              newCubePath: String, fromCubePath: Option[String] = None): Unit = {
     val e = entries.get(name)
     require(e != null, s"no rollup registered under '$name'")
-    require(normalize(newCubePath) != normalize(e.cubePath),
+    val readPath = fromCubePath.getOrElse(e.cubePath)
+    require(normalize(newCubePath) != normalize(readPath),
       "refresh cannot overwrite the cube it is reading — pass a fresh path")
     val aggs = e.sumCols.map { case (m, sm) => sum(col(m)).as(sm) } :+
       count(lit(1)).as(e.countCol)
     val deltaCube = delta.groupBy(e.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val mergeAggs = (e.sumCols.map(_._2) :+ e.countCol)
       .map(c => sum(col(c)).as(c))
-    spark.read.parquet(e.cubePath).unionByName(deltaCube)
+    spark.read.parquet(readPath).unionByName(deltaCube)
       .groupBy(e.dims.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*)
       .write.mode("overwrite").parquet(newCubePath)
     val cube = spark.read.parquet(newCubePath).queryExecution.analyzed
     register(name, e.copy(cubePath = newCubePath, cube = cube))
+  }
+
+  /** The parquet path currently serving a registered rollup. */
+  def cubePathOf(name: String): String = {
+    val e = entries.get(name)
+    require(e != null, s"no rollup registered under '$name'")
+    e.cubePath
   }
 
   private def normalize(p: String): String =

@@ -206,6 +206,30 @@ object IncrementalStream {
     * would reset the table to the current batch. A version counts only
     * with its _SUCCESS marker (a killed write leaves the directory
     * without one). Driver-side metadata only. */
+  /** Streaming materialized-view maintenance: each micro-batch of fact
+    * deltas sum-merges into a registered RollupRewrite cube, so covered
+    * aggregates keep answering CURRENT totals without re-scanning fact
+    * history. Replay-safe the same way upsertStream is: batch b writes
+    * v=b reading from the newest complete version STRICTLY BELOW b (or
+    * the initially-registered cube), so a replayed batch rebuilds from
+    * its predecessor instead of double-counting itself. */
+  def cubeMaintenanceStream(deltas: DataFrame, rollupName: String,
+                            cubeDir: String, checkpoint: String): StreamingQuery = {
+    val initial = graft.plans.RollupRewrite.cubePathOf(rollupName)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val from = latestVersion(spark, cubeDir, below = Some(batchId))
+          .map(v => s"$cubeDir/v=$v").getOrElse(initial)
+        graft.plans.RollupRewrite.refresh(spark, rollupName, batch,
+          s"$cubeDir/v=$batchId", fromCubePath = Some(from))
+        ()
+      }
+      .start()
+  }
+
   def latestVersion(spark: SparkSession, tableDir: String,
                     below: Option[Long] = None): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(tableDir)

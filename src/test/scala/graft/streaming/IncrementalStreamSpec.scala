@@ -103,6 +103,53 @@ class IncrementalStreamSpec extends SparkSpec {
       1L -> (("a", 1L)), 2L -> (("c", 3L)), 3L -> (("d", 3L))))
   }
 
+  test("cubeMaintenanceStream: micro-batch deltas keep the rollup rewrite current") {
+    val src = Files.createTempDirectory("cube-src").toString
+    val cubes = Files.createTempDirectory("cube-ver").toString
+    val ckp = Files.createTempDirectory("cube-ckp").toString
+    val basePath = Files.createTempDirectory("cube-base").toString + "/facts.parquet"
+    val initCube = Files.createTempDirectory("cube-init").toString
+
+    // the registered base fact + its initial cube
+    Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+      .write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    graft.plans.RollupRewrite.materializeAndRegister(spark, "stream_cube",
+      base, basePath, dims = Seq("k"), measures = Seq("v"), initCube)
+    try {
+      def drain(): Unit = {
+        val schema = spark.read.parquet(src).schema
+        IncrementalStream.cubeMaintenanceStream(
+            spark.readStream.schema(schema).parquet(src),
+            "stream_cube", cubes, ckp)
+          .awaitTermination()
+      }
+      // the covered aggregate, rebuilt each time (plan caching)
+      def totals(): Map[String, (Long, Long)] = {
+        val q = spark.read.parquet(basePath).groupBy("k")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        val got = q.as[(String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val p = q.queryExecution.executedPlan.toString
+        assert(!p.contains("facts.parquet"), s"must answer from the cube:\n$p")
+        got
+      }
+
+      Seq(("a", 1L), ("c", 100L)).toDF("k", "v")
+        .write.mode("append").parquet(src)
+      drain()
+      assert(totals() == Map(
+        "a" -> ((31L, 3L)), "b" -> ((5L, 1L)), "c" -> ((100L, 1L))))
+
+      Seq(("c", 1L)).toDF("k", "v").write.mode("append").parquet(src)
+      drain()
+      assert(totals() == Map(
+        "a" -> ((31L, 3L)), "b" -> ((5L, 1L)), "c" -> ((101L, 2L))))
+    } finally {
+      graft.plans.RollupRewrite.clear() // shared session
+    }
+  }
+
   test("watermarked windowed counts over a bounded stream match batch") {
     val src = Files.createTempDirectory("stream-ev").toString
     graft.queries.t(spark, sf, "events")
