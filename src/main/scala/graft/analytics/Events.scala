@@ -139,6 +139,44 @@ object Events {
         expr("timestamp_micros(__ord DIV 2)").as("peak_at"))
   }
 
+  /** Sequence funnel with a per-step conversion window: step i counts
+    * only if it happens strictly AFTER the user's step-(i-1) time and
+    * within `gapSeconds` of it, taking the EARLIEST valid occurrence
+    * (the greedy-earliest semantics product funnels use). Differs from
+    * `funnel`, which only orders first occurrences with no window.
+    *
+    * Every step is one filtered aggregate + one user-keyed join — all
+    * keyed on the user, so the chain co-partitions on a single shuffle
+    * key. Step boundaries compare exact integer MICROSECONDS (not the
+    * double-cast seconds sessionize tolerates): a window boundary is a
+    * product-visible contract, so it must not wobble in an ulp. */
+  def sequenceFunnel(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     gapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "sequenceFunnel needs at least one step")
+    val ev = df.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"))
+    var acc = ev.filter(col("__t") === steps.head)
+      .groupBy("__u").agg(min("__us").as("t0"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = s"t${i - 1}"
+      val ti = ev.filter(col("__t") === st)
+        .join(acc.select(col("__u"), col(prev)), Seq("__u"))
+        .filter(col("__us") > col(prev)
+          && col("__us") <= col(prev) + gapSeconds * 1000000L)
+        .groupBy("__u").agg(min("__us").as(s"t$i"))
+      acc = acc.join(ti, Seq("__u"), "left")
+    }
+    // ascending fold so the DEEPEST completed step is the outermost case
+    val depth = steps.indices.foldLeft(lit(0)) { (els, i) =>
+      when(col(s"t$i").isNotNull, i + 1).otherwise(els)
+    }
+    df.select(col(userCol).as("__u")).distinct()
+      .join(acc, Seq("__u"), "left")
+      .select(depth.cast("long").as("funnel_depth"))
+      .groupBy("funnel_depth").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-type session entry/exit/bounce profile — which event types
     * OPEN sessions, which CLOSE them, and which are one-and-done (the
     * web-analytics landing/exit/bounce report, generalized). One pass:

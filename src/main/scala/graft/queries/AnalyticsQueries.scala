@@ -860,6 +860,37 @@ object AnalyticsQueries {
         .groupBy("abc_class")
         .agg(count(lit(1)).as("n_parts"), sum("rev_e4").as("revenue_e4"))
         .orderBy("abc_class")
+    },
+
+    // Fulfillment SLA report: share of orders whose FIRST shipment left
+    // within 30/60/90 days, by priority. One fact-fact join + the
+    // per-order min both key on o_orderkey (co-partitioned); the final
+    // priority aggregate is 5 groups. Integer day arithmetic.
+    "q190_fulfillment_sla" -> q(
+      """WITH f AS (SELECT o_orderkey, o_orderpriority,
+                           date_diff('day', CAST(o_orderdate AS DATE),
+                                     CAST(min(l_shipdate) AS DATE)) AS lead_days
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY o_orderkey, o_orderpriority, o_orderdate)
+         SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+                CAST(sum(CASE WHEN lead_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_60d,
+                CAST(sum(CASE WHEN lead_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_90d
+         FROM f GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val f = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(min("l_shipdate").as("__first_ship"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("__first_ship")), to_date(col("o_orderdate")))
+            .as("lead_days"))
+      f.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("lead_days") <= 30, 1L).otherwise(0L)).as("n_within_30d"),
+          sum(when(col("lead_days") <= 60, 1L).otherwise(0L)).as("n_within_60d"),
+          sum(when(col("lead_days") <= 90, 1L).otherwise(0L)).as("n_within_90d"))
+        .orderBy("o_orderpriority")
     }
   )
 

@@ -755,6 +755,41 @@ object EventsQueries {
       Events.entryExitProfile(t(s, dir, "events"), "user_id", "ts",
         "event_type", 1800L, "event_id")
         .orderBy("event_type")
+    },
+
+    // Sequence funnel with a 7-day conversion window per step
+    // (Events.sequenceFunnel): click counts only within 7 days AFTER
+    // the first view, purchase within 7 days after that click —
+    // greedy-earliest, exact integer microseconds at the boundaries.
+    "q189_sequence_funnel" -> q(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+            s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t1
+                   FROM events e JOIN s0 ON e.user_id = s0.user_id
+                   WHERE e.event_type = 'click'
+                     AND epoch_us(e.ts) > epoch_us(s0.t0)
+                     AND epoch_us(e.ts) <= epoch_us(s0.t0) + 604800000000
+                   GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > epoch_us(s1.t1)
+                     AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                   GROUP BY 1),
+            d AS (SELECT CASE WHEN s2.user_id IS NOT NULL THEN 3
+                              WHEN s1.user_id IS NOT NULL THEN 2
+                              WHEN s0.user_id IS NOT NULL THEN 1
+                              ELSE 0 END AS funnel_depth
+                  FROM u LEFT JOIN s0 USING (user_id)
+                         LEFT JOIN s1 USING (user_id)
+                         LEFT JOIN s2 USING (user_id))
+         SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM d GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Events.sequenceFunnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), gapSeconds = 604800L)
+        .orderBy("funnel_depth")
     }
   )
 }

@@ -425,4 +425,22 @@ class EventsTextSpec extends SparkSpec {
     assert(got("view") == ((2L, 2L, 1L, 3L))) // 2 entries, 2 exits, 1 bounce
     assert(got("buy") == ((1L, 1L, 0L, 2L)))
   }
+
+  test("sequenceFunnel: strict-after, inclusive gap edge, greedy-earliest step times") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 5L), (1L, "purchase", 8L), // depth 3
+      (2L, "view", 0L), (2L, "click", 11L),                      // click outside 10s -> 1
+      (3L, "view", 0L), (3L, "click", 0L),                       // not strictly after -> 1
+      (4L, "click", 0L),                                         // never viewed -> 0
+      (5L, "view", 0L), (5L, "click", 10L),                      // inclusive edge -> 2
+      // greedy takes click@2; purchase@13 is outside ITS window even
+      // though click@9 would have admitted it -> depth 2
+      (6L, "view", 0L), (6L, "click", 2L), (6L, "click", 9L), (6L, "purchase", 13L)
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val got = Events.sequenceFunnel(rows, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), gapSeconds = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
 }
