@@ -891,6 +891,64 @@ object AnalyticsQueries {
           sum(when(col("lead_days") <= 60, 1L).otherwise(0L)).as("n_within_60d"),
           sum(when(col("lead_days") <= 90, 1L).otherwise(0L)).as("n_within_90d"))
         .orderBy("o_orderpriority")
+    },
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles
+    // (ntile over total orders), segment counts. The fact collapses to
+    // the customer rollup FIRST, so the three ntile windows sort the
+    // dimension-sized relation, never the fact; the reference date is a
+    // 1-row broadcast. Ties broken by custkey -> ntile is total-ordered
+    // and engine-identical.
+    "q191_rfm_segments" -> q(
+      """WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS ref FROM orders),
+            r AS (SELECT o_custkey,
+                         date_diff('day', CAST(max(o_orderdate) AS DATE), mx.ref) AS rec_days,
+                         CAST(count(*) AS BIGINT) AS freq,
+                         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon_cents
+                  FROM orders, mx GROUP BY o_custkey, mx.ref),
+            sc AS (SELECT CAST(ntile(5) OVER (ORDER BY rec_days ASC, o_custkey) AS INTEGER) AS r_score,
+                          CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER) AS f_score,
+                          CAST(ntile(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS INTEGER) AS m_score
+                   FROM r)
+         SELECT r_score, f_score, m_score,
+                CAST(count(*) AS BIGINT) AS n_customers
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("__ref"))
+      val r = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("__last"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("mon_cents"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("__ref"), col("__last")).as("rec_days"),
+          col("freq"), col("mon_cents"))
+      r.select(
+          ntile(5).over(Window.orderBy(col("rec_days").asc, col("o_custkey"))).as("r_score"),
+          ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f_score"),
+          ntile(5).over(Window.orderBy(col("mon_cents").desc, col("o_custkey"))).as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
+    // Column-level lineage (plans.Lineage): which source table columns
+    // feed each output of the q17 revenue query — traced through the
+    // aggregate, both joins, and the money expression by walking the
+    // analyzed plan (no job runs). The oracle DECLARES the expected
+    // lineage as literals: green means the extractor derives exactly
+    // the governance truth a human would write down.
+    "q192_column_lineage" -> q(
+      """SELECT * FROM (VALUES
+           ('c_mktsegment', 'customer', 'c_mktsegment'),
+           ('n_orders', 'orders', 'o_orderkey'),
+           ('revenue_e4', 'lineitem', 'l_discount'),
+           ('revenue_e4', 'lineitem', 'l_extendedprice'))
+         AS t(output_column, source_table, source_column)
+         ORDER BY 1, 2, 3""") { (s, dir) =>
+      graft.plans.Lineage.columnLineage(defs("q17_join_agg_revenue").fn(s, dir))
+        .orderBy("output_column", "source_table", "source_column")
     }
   )
 
