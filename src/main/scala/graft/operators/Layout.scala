@@ -39,6 +39,31 @@ object Layout {
       .parquet(path)
   }
 
+  /** Small-file compaction — the lakehouse maintenance pass: rewrite a
+    * directory of many small parquet files into range-sorted files of
+    * ~`rowsPerFile`, returning (files_before, files_after, rows). The
+    * range partitioning keeps `sortCol` clustered, so parquet footer
+    * min/max stats still prune after the rewrite; a plain coalesce
+    * would interleave ranges and destroy pruning. At 100 TB this runs
+    * per-partition-directory (combine with writePartitioned), never
+    * whole-table. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              destDir: String, sortCol: String,
+              rowsPerFile: Long): (Long, Long, Long) = {
+    def nParquetFiles(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val df = spark.read.parquet(srcDir)
+    val rows = df.count()
+    writeSized(df, destDir, sortCol, rowsPerFile, rows)
+    (nParquetFiles(srcDir), nParquetFiles(destDir), rows)
+  }
+
   /** Morton (Z-order) interleaving of the low `16` bits of two integer
     * columns — multi-dimensional layout clustering. Sorting or range-
     * partitioning by the Z-value keeps BOTH dimensions locally bounded

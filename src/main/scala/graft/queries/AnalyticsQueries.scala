@@ -949,6 +949,66 @@ object AnalyticsQueries {
          ORDER BY 1, 2, 3""") { (s, dir) =>
       graft.plans.Lineage.columnLineage(defs("q17_join_agg_revenue").fn(s, dir))
         .orderBy("output_column", "source_table", "source_column")
+    },
+
+    // Relational division — "suppliers whose shipped parts cover ALL
+    // brands": the classic FOR ALL query shape, computed as
+    // distinct-pair reduction + count == universe (1-row broadcast).
+    // No division-by-double-negation anti-join chain: the count form
+    // is one shuffle on the pair key.
+    "q193_relational_division" -> q(
+      """WITH b AS (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands FROM part),
+            sb AS (SELECT DISTINCT l_suppkey, p_brand
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+            c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_brands_covered
+                  FROM sb GROUP BY 1)
+         SELECT l_suppkey AS s_suppkey, n_brands_covered
+         FROM c, b WHERE c.n_brands_covered = b.n_brands
+         ORDER BY 1""") { (s, dir) =>
+      val sb = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_suppkey", "p_brand").distinct()
+      val universe = t(s, dir, "part")
+        .agg(countDistinct("p_brand").as("__n_brands"))
+      sb.groupBy("l_suppkey").agg(count(lit(1)).as("n_brands_covered"))
+        .crossJoin(broadcast(universe))
+        .filter(col("n_brands_covered") === col("__n_brands"))
+        .select(col("l_suppkey").as("s_suppkey"), col("n_brands_covered"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q7-style trade matrix: revenue by (customer nation,
+    // supplier nation). The only shuffle is lineitem⋈orders; customer,
+    // supplier, and both nation aliases broadcast.
+    "q194_trade_matrix" -> q(
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val cn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("__ck"))
+        .join(broadcast(sn), col("s_nationkey") === col("__sk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy("cust_nation", "supp_nation")
     }
   )
 

@@ -73,4 +73,21 @@ class LedgerAndStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
   }
+
+  test("compact: many small files become few sorted ones, content intact") {
+    val src = java.nio.file.Files.createTempDirectory("compact-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("compact-dst").toString + "/t"
+    spark.range(0, 1000).select($"id", ($"id" % 7).as("v"))
+      .repartition(40) // the small-file problem
+      .write.mode("overwrite").parquet(src)
+    val (before, after, rows) = Layout.compact(spark, src, dst, "id", 600L)
+    assert(before == 40L && rows == 1000L)
+    assert(after <= 3L, s"expected <= 3 compacted files, got $after")
+    val got = spark.read.parquet(dst).as[(Long, Long)].collect().toSet
+    assert(got == (0L until 1000L).map(i => (i, i % 7)).toSet)
+    // range layout preserved: per-file id ranges don't interleave, so
+    // a point filter prunes to one file via footer stats
+    val pruned = spark.read.parquet(dst).filter($"id" === 5L)
+    assert(pruned.count() == 1L)
+  }
 }
