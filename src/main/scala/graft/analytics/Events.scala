@@ -139,6 +139,23 @@ object Events {
         expr("timestamp_micros(__ord DIV 2)").as("peak_at"))
   }
 
+  /** Inter-arrival latency histogram in power-of-two buckets: bucket =
+    * the BIT LENGTH of the microsecond delta (`length(bin(x))`) — an
+    * exact integer log2 every engine computes identically, with no
+    * float log to wobble at bucket edges. One user-keyed window (the
+    * sessionize exchange shape) + one (type, bucket) aggregate. */
+  def latencyBuckets(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieBreak))
+    df.select(col(typeCol),
+        (unix_micros(col(tsCol))
+          - lag(unix_micros(col(tsCol)), 1).over(w)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col(typeCol), length(bin(col("__d"))).cast("int").as("bucket"))
+      .groupBy(col(typeCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Sequence funnel with a per-step conversion window: step i counts
     * only if it happens strictly AFTER the user's step-(i-1) time and
     * within `gapSeconds` of it, taking the EARLIEST valid occurrence

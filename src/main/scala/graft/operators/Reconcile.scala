@@ -109,4 +109,24 @@ object Reconcile {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Order-independent table content fingerprint: XOR of 60-bit
+    * md5-prefix row hashes, plus the row count. Two tables with equal
+    * (n_rows, fingerprint) agree with overwhelming probability — the
+    * O(1)-output companion to diffByKey for cheap continuous migration
+    * monitoring (diff only when the fingerprint moves).
+    *
+    * XOR is commutative/associative → partial aggregation map-side, one
+    * shuffled row total, any row order. Known caveat (why n_rows rides
+    * along): an IDENTICAL duplicate row pair cancels itself out of the
+    * XOR. Values should be pre-canonicalized to integers/strings by the
+    * caller (doubles print differently across engines). */
+  def fingerprint(df: DataFrame, cols: Seq[String], label: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    df.select(conv(substring(md5(rowStr.cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("__h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("fingerprint"))
+      .select(lit(label).as("table_name"), col("n_rows"), col("fingerprint"))
+  }
 }

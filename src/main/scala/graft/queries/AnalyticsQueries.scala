@@ -1009,6 +1009,42 @@ object AnalyticsQueries {
           .as("revenue_e4"),
           count(lit(1)).as("n_items"))
         .orderBy("cust_nation", "supp_nation")
+    },
+
+    // Order-independent table fingerprint (Reconcile.fingerprint): XOR
+    // of 60-bit md5-prefix row hashes + row count, the O(1)-output
+    // migration monitor. Spark decodes the hex prefix with conv(); the
+    // oracle spells the identical integer with ascii digit arithmetic.
+    // A one-row modification flips the fingerprint (second output row).
+    "q196_table_fingerprint" -> q({
+      def hex15(h: String): String =
+        (1 to 15).map { i =>
+          val d = s"(ascii(substring($h, $i, 1)) - CASE WHEN ascii(substring($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+          s"$d * CAST(${java.math.BigInteger.valueOf(16).pow(15 - i)} AS BIGINT)"
+        }.mkString("(", " + ", ")")
+      val rowStr = """concat_ws('|', CAST(o_orderkey AS VARCHAR), st,
+                       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))"""
+      s"""WITH o AS (SELECT o_orderkey, o_orderstatus AS st, o_totalprice FROM orders),
+             m AS (SELECT o_orderkey,
+                          CASE WHEN o_orderkey = 1 THEN 'X' ELSE o_orderstatus END AS st,
+                          o_totalprice FROM orders),
+             fo AS (SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                           CAST(bit_xor(${hex15(s"md5($rowStr)")}) AS BIGINT) AS fingerprint
+                    FROM o),
+             fm AS (SELECT 'orders_modified', CAST(count(*) AS BIGINT),
+                           CAST(bit_xor(${hex15(s"md5($rowStr)")}) AS BIGINT)
+                    FROM m)
+          SELECT * FROM (SELECT * FROM fo UNION ALL SELECT * FROM fm)
+          ORDER BY table_name"""
+    }) { (s, dir) =>
+      val cols = Seq("o_orderkey", "st", "cents")
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus").as("st"), cents(col("o_totalprice")).as("cents"))
+      val m = o.withColumn("st",
+        when(col("o_orderkey") === 1, "X").otherwise(col("st")))
+      graft.operators.Reconcile.fingerprint(o, cols, "orders")
+        .unionByName(graft.operators.Reconcile.fingerprint(m, cols, "orders_modified"))
+        .orderBy("table_name")
     }
   )
 

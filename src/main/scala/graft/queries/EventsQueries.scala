@@ -790,6 +790,25 @@ object EventsQueries {
       Events.sequenceFunnel(t(s, dir, "events"), "user_id", "ts", "event_type",
         steps = Seq("view", "click", "purchase"), gapSeconds = 604800L)
         .orderBy("funnel_depth")
+    },
+
+    // Power-of-two inter-arrival latency histogram
+    // (Events.latencyBuckets): bucket = bit length of the µs delta via
+    // length(bin(x)) — exact integer log2, no float edge wobble; both
+    // engines print bin() without leading zeros.
+    "q195_latency_buckets" -> q(
+      """WITH d AS (SELECT event_type,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+                    FROM events)
+         SELECT event_type,
+                CAST(length(bin(delta_us)) AS INTEGER) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM d WHERE delta_us IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      Events.latencyBuckets(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+        .orderBy("event_type", "bucket")
     }
   )
 }

@@ -60,4 +60,23 @@ class ReconcileSpec extends SparkSpec {
       ("score", "retyped", Some("double"), Some("int"))))
     assert(Reconcile.schemaDrift(old, old).isEmpty)
   }
+
+  test("fingerprint: order-independent, value-sensitive, null-safe; dup-pair caveat holds") {
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Reconcile.fingerprint(df, Seq("k", "v"), "t").collect().head
+      (r.getLong(1), r.getLong(2))
+    }
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None)).toDF("k", "v")
+    val shuffled = Seq((3L, Option.empty[String]), (1L, Some("x")), (2L, Some("y")))
+      .toDF("k", "v").repartition(7)
+    assert(fp(a) == fp(shuffled), "row order and partitioning must not matter")
+    val changed = Seq((1L, Some("x")), (2L, Some("Y")), (3L, None)).toDF("k", "v")
+    assert(fp(a) != fp(changed), "a one-value change must flip the fingerprint")
+    // the documented caveat: an identical duplicated PAIR cancels in the
+    // XOR — only the row count still tells the tables apart
+    val dupPair = Seq((1L, Some("x")), (2L, Some("y")), (2L, Some("y")),
+      (2L, Some("y")), (3L, None)).toDF("k", "v")
+    val (na, xa) = fp(a); val (nd, xd) = fp(dupPair)
+    assert(xa == xd && na != nd)
+  }
 }
