@@ -423,4 +423,25 @@ object Stats {
       .groupBy(keys.map(col): _*)
       .agg(min(col(valCol)).as("weighted_median"))
   }
+
+  /** Exact weighted quantiles, several at once: for each (num, den,
+    * label), the smallest value whose cumulative weight reaches
+    * num/den of the group total. ONE cumulative window pass + ONE
+    * aggregate serves every requested quantile (a conditional min per
+    * label) — not a pass per quantile. Small rational thresholds keep
+    * every product tiny (cum·den), so there is no fixed-point scale to
+    * overflow. Same tie semantics as weightedMedian (RANGE frame). */
+  def weightedQuantiles(df: DataFrame, keys: Seq[String], valCol: String,
+                        weightCol: String,
+                        quantiles: Seq[(Int, Int, String)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val byVal = Window.partitionBy(keys.map(col): _*).orderBy(col(valCol))
+    val whole = Window.partitionBy(keys.map(col): _*)
+    val cum = df.withColumn("__cum", sum(col(weightCol)).over(byVal))
+      .withColumn("__total", sum(col(weightCol)).over(whole))
+    val aggs = quantiles.map { case (num, den, label) =>
+      min(when(col("__cum") * den >= col("__total") * num, col(valCol))).as(label)
+    }
+    cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1045,6 +1045,113 @@ object AnalyticsQueries {
       graft.operators.Reconcile.fingerprint(o, cols, "orders")
         .unionByName(graft.operators.Reconcile.fingerprint(m, cols, "orders_modified"))
         .orderBy("table_name")
+    },
+
+    // Weighted quartiles in ONE pass (Stats.weightedQuantiles): the
+    // cumulative window runs once, every quantile is a conditional min
+    // in the same aggregate; rational thresholds (cum·4 >= 3·total)
+    // leave nothing to overflow at any scale.
+    "q197_weighted_quantiles" -> q(
+      """WITH x AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                           CAST(floor(l_quantity) AS BIGINT) AS w
+                    FROM lineitem),
+            c AS (SELECT l_returnflag, v,
+                         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS total
+                  FROM x)
+         SELECT l_returnflag,
+                CAST(min(CASE WHEN cum * 4 >= total THEN v END) AS BIGINT) AS p25_cents,
+                CAST(min(CASE WHEN cum * 2 >= total THEN v END) AS BIGINT) AS p50_cents,
+                CAST(min(CASE WHEN cum * 4 >= total * 3 THEN v END) AS BIGINT) AS p75_cents
+         FROM c GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      graft.operators.Stats.weightedQuantiles(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            cents(col("l_extendedprice")).as("v"),
+            floor(col("l_quantity")).cast("long").as("w")),
+          Seq("l_returnflag"), "v", "w",
+          Seq((1, 4, "p25_cents"), (1, 2, "p50_cents"), (3, 4, "p75_cents")))
+        .orderBy("l_returnflag")
+    },
+
+    // Revenue concentration per nation — the Gini coefficient over
+    // customer spend, exact integers end to end: gini = (2·Σ(rank·x) −
+    // (n+1)·Σx) / (n·Σx), rank tie-broken by custkey. The fact
+    // collapses to customer spend first; the rank window runs per
+    // nation over the customer-sized relation. e4 scale keeps the
+    // numerator·1e4 in i64 past $10B-per-nation corpora.
+    "q198_revenue_gini" -> q(
+      """WITH cs AS (SELECT c_custkey, c_nationkey,
+                            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+            rk AS (SELECT c_nationkey, spend,
+                          CAST(row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend, c_custkey) AS BIGINT) AS r
+                   FROM cs),
+            g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(spend) AS BIGINT) AS tot,
+                         CAST(sum(r * spend) AS BIGINT) AS rs
+                  FROM rk GROUP BY 1)
+         SELECT n_name,
+                CAST((2 * rs - (n + 1) * tot) * 10000 // (n * tot) AS BIGINT) AS gini_e4,
+                n AS n_customers
+         FROM g JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY n_name""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cs = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spend"))
+      val rk = cs.withColumn("r", row_number().over(
+          Window.partitionBy("c_nationkey").orderBy(col("spend"), col("c_custkey")))
+        .cast("long"))
+      rk.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("spend").as("tot"),
+          sum(col("r") * col("spend")).as("rs"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          expr("(2 * rs - (n + 1) * tot) * 10000L DIV (n * tot)").as("gini_e4"),
+          col("n").as("n_customers"))
+        .orderBy("n_name")
+    },
+
+    // One-aggregate KPI board: each table reduces in a single pass
+    // (count/distinct/sum/max together), melted to (kpi, value) rows
+    // with stack — 4 scans total, not one scan per KPI.
+    "q200_kpi_summary" -> q(
+      """SELECT * FROM (
+           SELECT 'avg_order_cents' AS kpi,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS value FROM orders
+           UNION ALL SELECT 'max_order_cents',
+                  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM orders
+           UNION ALL SELECT 'n_customers', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+           UNION ALL SELECT 'n_documents', CAST(count(*) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_events', CAST(count(*) AS BIGINT) FROM events
+           UNION ALL SELECT 'n_lineitems', CAST(count(*) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'n_orders', CAST(count(*) AS BIGINT) FROM orders
+           UNION ALL SELECT 'revenue_cents',
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM orders)
+         ORDER BY kpi""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"),
+          max(cents(col("o_totalprice"))).as("max_order_cents"))
+        .selectExpr("""stack(5,
+            'avg_order_cents', revenue_cents DIV n_orders,
+            'max_order_cents', max_order_cents,
+            'n_customers', n_customers,
+            'n_orders', n_orders,
+            'revenue_cents', revenue_cents) AS (kpi, value)""")
+      def n(tbl: String, kpi: String) = t(s, dir, tbl)
+        .agg(count(lit(1)).as("value")).select(lit(kpi).as("kpi"), col("value"))
+      o.unionByName(n("lineitem", "n_lineitems"))
+        .unionByName(n("events", "n_events"))
+        .unionByName(n("documents", "n_documents"))
+        .orderBy("kpi")
     }
   )
 

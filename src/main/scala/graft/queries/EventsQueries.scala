@@ -809,6 +809,30 @@ object EventsQueries {
       Events.latencyBuckets(t(s, dir, "events"), "user_id", "ts",
         "event_type", "event_id")
         .orderBy("event_type", "bucket")
+    },
+
+    // Behavioral diversity deciles: per-user Gini-Simpson index
+    // (1 − Σp²) over event-type mix — exact integers (ss·1e6 ≤ 1e6·n²,
+    // no entropy logs), bucketed into deciles. Two stacked aggregates,
+    // both keyed on the user.
+    "q199_type_diversity" -> q(
+      """WITH tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(c * c) AS BIGINT) AS ss
+                  FROM tc GROUP BY 1),
+            d AS (SELECT 1000000 - ss * 1000000 // (n * n) AS div_e6 FROM u)
+         SELECT CAST(div_e6 // 100000 AS BIGINT) AS decile,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM d GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val tc = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      tc.groupBy("user_id")
+        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("ss"))
+        .select(expr("1000000L - ss * 1000000L DIV (n * n)").as("div_e6"))
+        .select(expr("div_e6 DIV 100000L").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("n_users"))
+        .orderBy("decile")
     }
   )
 }

@@ -218,4 +218,23 @@ class StatsSkylineSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("g1" -> 30L, "g2" -> 10L, "g3" -> 20L, "g4" -> 2L))
   }
+
+  test("weightedQuantiles: one pass, monotone, p50 agrees with weightedMedian") {
+    val df = Seq(
+      ("g1", 10L, 1L), ("g1", 20L, 1L), ("g1", 30L, 8L),
+      ("g2", 1L, 1L), ("g2", 2L, 1L), ("g2", 3L, 1L), ("g2", 4L, 1L)
+    ).toDF("g", "v", "w")
+    val got = Stats.weightedQuantiles(df, Seq("g"), "v", "w",
+        Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // g1: cum(10)=1,cum(20)=2,cum(30)=10 of 10 -> p25: 4*1<10,4*2<10 -> 30
+    assert(got("g1") == ((30L, 30L, 30L)))
+    // g2 weights 1: p25 at v=1 (4*1>=4), p50 at v=2, p75 at v=3
+    assert(got("g2") == ((1L, 2L, 3L)))
+    val med = Stats.weightedMedian(df, Seq("g"), "v", "w")
+      .as[(String, Long)].collect().toMap
+    assert(got.forall { case (g, (p25, p50, p75)) =>
+      p25 <= p50 && p50 <= p75 && p50 == med(g) })
+  }
 }
