@@ -444,4 +444,89 @@ object Stats {
     }
     cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Sample autocorrelation function of an already-aggregated series —
+    * one row per lag 1..maxLag with the standard biased estimator
+    *   acf_k = Σ_{t≤n−k} d_t·d_{t+k} / Σ_t d_t²,  d_t = x_t − mean.
+    * The mean never materializes as a rational: with D_t = n·x_t − Σx,
+    * d_t = D_t/n and the n² factors cancel, so both sums are EXACT
+    * integer (DECIMAL(38,0)) sums of products and acf_e6 is a single
+    * truncating division of two exact operands — bit-identical on any
+    * engine and partitioning. Negative numerators truncate toward zero
+    * explicitly (engines disagree on the sign convention of integral
+    * division, so the abs/negate form is spelled out). A constant
+    * series has zero denominator: acf_e6 is NULL (guarded — ANSI mode
+    * would otherwise raise on the division).
+    *
+    * Headroom: |D_t| ≤ n·max|x|, so Σ D² ≤ n³·max|x|² and the e6
+    * numerator needs n³·max|x|²·1e6 < 1e38 — comfortable for daily
+    * series of money-scale integers (n=1e4, x=1e12 → 1e34).
+    *
+    * Input contract: one row per t (pre-aggregate first). Scale shape:
+    * the series is the SMALL relation a 100 TB fact collapses to (one
+    * row per day/hour), so the single-partition window over it is a
+    * deliberate post-reduction step, not a fact-sized sort; all
+    * maxLag leads ride ONE window pass, and the final aggregate is
+    * one row. */
+  def autocorrelation(series: DataFrame, tCol: String, xCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val tot = series.agg(count(lit(1)).cast(D).as("__n"),
+      sum(col(xCol).cast(D)).as("__s"))
+    val w = Window.orderBy(col(tCol))
+    val dev = series.crossJoin(broadcast(tot))
+      .withColumn("__d", col("__n") * col(xCol).cast(D) - col("__s"))
+    val leads = (1 to maxLag).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"__d$k", lead(col("__d"), k).over(w))
+    }
+    val aggs = sum(col("__d") * col("__d")).as("__den") +:
+      (1 to maxLag).flatMap { k => Seq(
+        sum(col("__d") * col(s"__d$k")).as(s"__num$k"),
+        count(col(s"__d$k")).as(s"__np$k")) }
+    val sums = leads.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(k => s"${k}L, __np$k, __num$k").mkString(", ")
+    sums.selectExpr(s"stack($maxLag, $stackArgs) AS (lag, n_pairs, __num)",
+        "__den")
+      .selectExpr("lag", "n_pairs",
+        """CAST(CASE WHEN __den = 0 THEN NULL
+                     WHEN __num < 0
+                     THEN -((-__num) * 1000000 DIV __den)
+                     ELSE (__num * 1000000) DIV __den END AS BIGINT)
+           AS acf_e6""")
+  }
+
+  /** CUSUM changepoint detection on an already-aggregated series: the
+    * first t where the running cumulative deviation from the global
+    * mean peaks in absolute value — the classic level-shift locator
+    * (a series that jumps from level A to level B peaks exactly at the
+    * shift). Multiply-through arithmetic again: the deviation sum
+    *   S_t = Σ_{i≤t} x_i − t·mean   is carried as  n·cum_t − t_idx·Σx
+    * (n-scaled, exact integers), so peak and argmax are engine-exact.
+    * Output: ONE row (changepoint t, rows before the peak, the
+    * n-scaled absolute peak, direction 'up' if the series runs below
+    * the mean first — i.e. the level steps UP at the changepoint).
+    *
+    * Caller must keep n·Σ|x| inside i64 (pre-scale x down — dollars,
+    * not cents, for long daily series). Same post-reduction contract
+    * as autocorrelation: the series is the day-sized relation, the
+    * single-partition window is deliberate. */
+  def cusumChangepoint(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    val tot = series.agg(count(lit(1)).as("__n"), sum(col(xCol)).as("__s"))
+    val w = Window.orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = series.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col(xCol)).over(w))
+      .withColumn("__idx", count(lit(1)).over(w))
+      .withColumn("__dev", col("__n") * col("__cum") - col("__idx") * col("__s"))
+      .withColumn("__adev", abs(col("__dev")))
+    val peak = dev.agg(max(col("__adev")).as("__peak"))
+    dev.join(broadcast(peak), col("__adev") === col("__peak"))
+      .groupBy(col("__peak"))
+      .agg(min(struct(col(tCol), col("__idx"), col("__dev"))).as("__first"))
+      .select(col("__first").getField(tCol).as("changepoint"),
+        col("__first.__idx").as("n_before"),
+        col("__peak").as("peak_dev_nscaled"),
+        when(col("__first.__dev") < 0, "up").otherwise("down").as("direction"))
+  }
 }

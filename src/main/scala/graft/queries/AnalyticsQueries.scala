@@ -1152,6 +1152,100 @@ object AnalyticsQueries {
         .unionByName(n("events", "n_events"))
         .unionByName(n("documents", "n_documents"))
         .orderBy("kpi")
+    },
+
+    // Triangle census of the part co-purchase graph (parts sharing an
+    // order). Graph.triangleStats uses the degree-ordered orientation
+    // (out-degree O(√m) even on power-law graphs, Chiba-Nishizeki
+    // arboricity bound); the oracle counts each a<b<c triangle once
+    // via the canonical-edge 3-way join.
+    "q201_triangle_census" -> q(
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+                    GROUP BY 1),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+                   FROM deg),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+            tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                   FROM e x JOIN e y ON y.lo = x.hi
+                   JOIN e z ON z.lo = x.lo AND z.hi = y.hi)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                CAST(CASE WHEN n_wedges > 0
+                          THEN 3 * n_triangles * 1000000 // n_wedges
+                          ELSE 0 END AS BIGINT) AS clustering_e6
+         FROM ns, ne, tr""") { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+      graft.operators.Graph.triangleStats(pairs, "pa", "pb")
+    },
+
+    // Autocorrelation of daily revenue at lags 1..7 (Stats
+    // .autocorrelation): multiply-through deviations D_t = n·x_t − Σx
+    // keep every sum exact-integer; the oracle replays the identical
+    // recurrence in HUGEINT. One window pass serves all 7 lags.
+    "q202_autocorr_revenue" -> q({
+      val leadCols = (1 to 7).map(k => s"lead(dd, $k) OVER (ORDER BY day) AS d$k").mkString(", ")
+      val aggCols = (1 to 7).map(k =>
+        s"sum(dd * d$k) AS n$k, CAST(count(d$k) AS BIGINT) AS c$k").mkString(", ")
+      val rows = (1 to 7).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS lag, c$k AS n_pairs, n$k AS num, den FROM a").mkString("\n UNION ALL ")
+      s"""WITH s AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                            sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+                     FROM orders GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                            CAST(sum(x) AS HUGEINT) AS sx FROM s),
+             d AS (SELECT day, n * x - sx AS dd FROM s CROSS JOIN tot),
+             l AS (SELECT dd, $leadCols FROM d),
+             a AS (SELECT sum(dd * dd) AS den, $aggCols FROM l)
+          SELECT lag, n_pairs,
+                 CAST(CASE WHEN den = 0 THEN NULL
+                           WHEN num < 0 THEN -((-num) * 1000000 // den)
+                           ELSE (num * 1000000) // den END AS BIGINT) AS acf_e6
+          FROM ($rows)
+          ORDER BY lag"""
+    }) { (s, dir) =>
+      graft.operators.Stats.autocorrelation(
+          t(s, dir, "orders")
+            .groupBy(to_date(col("o_orderdate")).as("day"))
+            .agg(sum(cents(col("o_totalprice"))).as("x")),
+          "day", "x", maxLag = 7)
+        .orderBy("lag")
+    },
+
+    // CUSUM changepoint of the daily revenue series (Stats
+    // .cusumChangepoint): argmax of |n·cum_t − t·Σx| — the level-shift
+    // locator, n-scaled exact integers so peak AND argmax are
+    // engine-exact; first-day tiebreak on the peak.
+    "q203_cusum_revenue" -> q(
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+                    FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(x) AS HUGEINT) AS sx FROM s),
+            c AS (SELECT day, sum(x) OVER (ORDER BY day) AS cum,
+                         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+                  FROM s),
+            d AS (SELECT day, idx, n * cum - idx * sx AS dev,
+                         abs(n * cum - idx * sx) AS adev
+                  FROM c CROSS JOIN tot),
+            p AS (SELECT max(adev) AS peak FROM d)
+         SELECT day AS changepoint, idx AS n_before,
+                CAST(adev AS BIGINT) AS peak_dev_nscaled,
+                CASE WHEN dev < 0 THEN 'up' ELSE 'down' END AS direction
+         FROM d JOIN p ON d.adev = p.peak
+         ORDER BY day LIMIT 1""") { (s, dir) =>
+      graft.operators.Stats.cusumChangepoint(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("x")),
+        "day", "x")
     }
   )
 

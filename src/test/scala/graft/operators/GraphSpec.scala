@@ -30,4 +30,27 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("triangleStats: K4 and star give textbook censuses") {
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, clustering 1.0
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a, b)).toDF("a", "b")
+    val r = Graph.triangleStats(k4, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 6L, 12L, 4L, 1000000L)))
+    // star S4: hub wedges only, no triangles, clustering 0
+    val star = (1 to 4).map(i => (0, i)).toDF("a", "b")
+    val s = Graph.triangleStats(star, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s == ((5L, 4L, 6L, 0L, 0L)))
+  }
+
+  test("triangleStats: canonicalizes dirty input (dups, reversals, self-loops)") {
+    // triangle a-b-c plus pendant a-d, fed as a mess
+    val dirty = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+      ("a", "a"), ("a", "d"), ("a", "d")).toDF("x", "y")
+    val r = Graph.triangleStats(dirty, "x", "y")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // deg a=3,b=2,c=2,d=1 -> wedges 3+1+1 = 5; 3*1e6 DIV 5 = 600000
+    assert(r == ((4L, 4L, 5L, 1L, 600000L)))
+  }
 }

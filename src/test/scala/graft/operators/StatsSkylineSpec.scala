@@ -237,4 +237,42 @@ class StatsSkylineSpec extends SparkSpec {
     assert(got.forall { case (g, (p25, p50, p75)) =>
       p25 <= p50 && p50 <= p75 && p50 == med(g) })
   }
+
+  test("autocorrelation: alternating series gives acf_k = ±(n−k)/n exactly") {
+    // x alternates ±1, mean 0: acf_k = (-1)^k * (n-k)/n, n_pairs = n-k
+    val s = (1 to 10).map(t => (t, if (t % 2 == 0) 1L else -1L)).toDF("t", "x")
+    val got = Stats.autocorrelation(s, "t", "x", maxLag = 3)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 9L, Some(-900000L)), (2L, 8L, Some(800000L)),
+      (3L, 7L, Some(-700000L))))
+  }
+
+  test("autocorrelation: constant series yields NULL (zero variance), no ANSI error") {
+    val const = (1 to 5).map(t => (t, 7L)).toDF("t", "x")
+    val got = Stats.autocorrelation(const, "t", "x", maxLag = 2)
+      .select("acf_e6").as[Option[Long]].collect()
+    assert(got.length == 2 && got.forall(_.isEmpty))
+  }
+
+  test("cusumChangepoint: locates a planted level shift with direction") {
+    // 10 days at 100 then 10 at 200: |S| peaks at t=10, level steps UP
+    val up = ((1 to 10).map(t => (t, 100L)) ++ (11 to 20).map(t => (t, 200L)))
+      .toDF("t", "x")
+    val r = Stats.cusumChangepoint(up, "t", "x")
+      .as[(Int, Long, Long, String)].head()
+    // dev_t = 20*cum - t*3000 = -1000t for t<=10 -> peak |.| 10000 at t=10
+    assert(r == ((10, 10L, 10000L, "up")))
+    val down = ((1 to 10).map(t => (t, 200L)) ++ (11 to 20).map(t => (t, 100L)))
+      .toDF("t", "x")
+    val d = Stats.cusumChangepoint(down, "t", "x")
+      .as[(Int, Long, Long, String)].head()
+    assert(d == ((10, 10L, 10000L, "down")))
+  }
+
+  test("cusumChangepoint: bit-identical under repartitioning") {
+    val s = (1 to 50).map(t => (t, (t * 37 % 11) * 10L + (if (t > 30) 400L else 0L)))
+    val a = Stats.cusumChangepoint(s.toDF("t", "x"), "t", "x").head()
+    val b = Stats.cusumChangepoint(s.toDF("t", "x").repartition(7), "t", "x").head()
+    assert(a == b)
+  }
 }
