@@ -154,4 +154,56 @@ object Graph {
     oriented.unpersist()
     out // stays persisted for the caller's action; clearCache releases it
   }
+
+  /** Fixed-round k-core peeling: run EXACTLY `rounds` iterations of
+    * "drop every node with degree < k, keep edges between survivors",
+    * then report surviving nodes with their final degree (≥ k). With
+    * enough rounds this is the k-core (the maximal subgraph of min
+    * degree k); the round count is part of the contract so the result
+    * is bit-identical on any engine/partitioning BY CONSTRUCTION —
+    * a converge-then-stop variant would tie the output to an
+    * engine-specific iteration count. Peeling is monotone, so extra
+    * rounds past the fixpoint are no-ops.
+    *
+    * Scale shape per round: one hash aggregate for degrees (map-side
+    * partials over the edge list) + two semi-joins of the edge list
+    * against the keep-set. The keep-set is node-sized — broadcast
+    * while the initial node count fits an executor
+    * (≤ maxBroadcastNodes), shuffle semi-joins past that.
+    *
+    * Lineage discipline: each round references the previous edge
+    * frame THREE times (the frame itself + two keep-set subtrees
+    * derived from it), so a persist-only loop grows the logical plan
+    * 3^rounds — `localCheckpoint` (eager) truncates the plan to the
+    * materialized RDD each round, keeping round r's plan O(1). On a
+    * real cluster swap in `Dataset.checkpoint` with a reliable
+    * checkpoint dir for executor-loss tolerance; the algorithm is
+    * unchanged. */
+  def kPeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int, maxBroadcastNodes: Long = 20000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var cur = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("lo").as("node")).union(e.select(col("hi")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    val small = degrees(cur).count() <= maxBroadcastNodes
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(cur).filter(col("deg") >= k).select("node")
+      cur = cur
+        .join({ val s = keep.select(col("node").as("lo"))
+                if (small) broadcast(s) else s }, Seq("lo"), "left_semi")
+        .join({ val s = keep.select(col("node").as("hi"))
+                if (small) broadcast(s) else s }, Seq("hi"), "left_semi")
+        .localCheckpoint(true) // truncate: plan stays O(1) per round
+    }
+    degrees(cur).filter(col("deg") >= k)
+      .select(col("node"), col("deg").as("core_deg"))
+    // checkpoint RDDs are released by the ContextCleaner / clearCache
+  }
 }

@@ -529,4 +529,42 @@ object Stats {
         col("__peak").as("peak_dev_nscaled"),
         when(col("__first.__dev") < 0, "up").otherwise("down").as("direction"))
   }
+
+  /** Mann-Kendall trend test on an already-aggregated series:
+    *   S = Σ_{i<j} sign(x_j − x_i)      (exact integer)
+    *   var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)   (exact integer)
+    *   z = (S ∓ 1) / sqrt(var18/18)     (3 IEEE ops, each correctly
+    *                                     rounded → engine-identical)
+    * — the standard nonparametric monotonic-trend detector. All-tied
+    * or tiny series have var18 = 0: z is NULL (guarded).
+    *
+    * Output: ONE row (n, s_stat, var18, z rounded to 6 decimals).
+    *
+    * Same post-reduction contract as autocorrelation: the series is
+    * the day-sized relation a 100 TB fact collapses to, so the O(n²)
+    * sign-pair join (a broadcast nested loop over the tiny series) is
+    * a deliberate post-rollup step — n=10⁴ days is 5·10⁷ cheap sign
+    * comparisons, and nothing fact-sized ever joins itself. */
+  def mannKendall(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    val s1 = series.select(col(tCol).as("__t1"), col(xCol).as("__x1"))
+    val s2 = series.select(col(tCol).as("__t2"), col(xCol).as("__x2"))
+    val sStat = s1.join(s2, col("__t1") < col("__t2"))
+      .agg(coalesce(sum(
+        when(col("__x2") > col("__x1"), 1L)
+          .when(col("__x2") < col("__x1"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val nRow = series.agg(count(lit(1)).as("n"))
+    val ties = series.groupBy(col(xCol)).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) * (2 * __c + 5)")), lit(0L))
+        .as("__tsum"))
+    nRow.crossJoin(sStat).crossJoin(ties)
+      .withColumn("var18", expr("n * (n - 1) * (2 * n + 5)") - col("__tsum"))
+      .select(col("n"), col("s_stat"), col("var18"),
+        when(col("var18") > 0, round(
+            when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+              .otherwise(0.0)
+              / sqrt(col("var18").cast("double") / 18.0), 6))
+          .as("z"))
+  }
 }

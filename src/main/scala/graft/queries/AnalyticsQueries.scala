@@ -1246,6 +1246,82 @@ object AnalyticsQueries {
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(cents(col("o_totalprice"))).as("x")),
         "day", "x")
+    },
+
+    // k-core of the early-window part co-purchase graph (Graph.kPeel):
+    // EXACTLY 6 peel rounds on both sides — the round count is part of
+    // the contract, so the result is bit-identical by construction
+    // (and 6 rounds reaches the k=4 fixpoint at tested SFs). The
+    // oracle replays the identical peel as chained CTEs.
+    "q204_kcore_parts" -> q({
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each peel round
+      // references the previous round ~5×, so an inlined chain
+      // expands to 5^6 copies of the base scan (observed: "too many
+      // open files"). Materializing keeps the plan linear.
+      val base =
+        """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem
+                       WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+              e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                     FROM li a JOIN li b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+      val peels = (1 to 6).map { r =>
+        s""", d$r AS MATERIALIZED (SELECT node, count(*) AS deg
+                      FROM (SELECT lo AS node FROM e${r - 1}
+                            UNION ALL SELECT hi FROM e${r - 1}) GROUP BY 1),
+              k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= 4),
+              e$r AS MATERIALIZED (SELECT e.lo, e.hi FROM e${r - 1} e
+                      JOIN k$r ka ON e.lo = ka.node
+                      JOIN k$r kb ON e.hi = kb.node)"""
+      }.mkString
+      base + peels +
+        """
+        SELECT node, CAST(deg AS BIGINT) AS core_deg
+        FROM (SELECT node, count(*) AS deg
+              FROM (SELECT lo AS node FROM e6 UNION ALL SELECT hi FROM e6)
+              GROUP BY 1)
+        WHERE deg >= 4 ORDER BY node"""
+    }) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .select("l_orderkey", "l_partkey")
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+      graft.operators.Graph.kPeel(pairs, "pa", "pb", k = 4, rounds = 6)
+        .orderBy("node")
+    },
+
+    // Mann-Kendall monotonic-trend test on daily revenue (Stats
+    // .mannKendall): exact integer S and tie-corrected var·18; z is a
+    // 3-op IEEE chain rounded to 6 decimals — the oracle spells the
+    // SAME expression tree.
+    "q205_mann_kendall" -> q(
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+                    FROM orders GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+            p AS (SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+                                                WHEN b.x < a.x THEN -1
+                                                ELSE 0 END), 0) AS BIGINT) AS s_stat
+                  FROM s a JOIN s b ON a.day < b.day),
+            tt AS (SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tsum
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x)),
+            v AS (SELECT n, s_stat, n * (n - 1) * (2 * n + 5) - tsum AS var18
+                  FROM nn, p, tt)
+         SELECT n, s_stat, var18,
+                CASE WHEN var18 > 0 THEN
+                  round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                              ELSE 0.0 END)
+                        / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+                END AS z
+         FROM v""") { (s, dir) =>
+      graft.operators.Stats.mannKendall(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("x")),
+        "day", "x")
     }
   )
 

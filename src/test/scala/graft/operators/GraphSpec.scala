@@ -53,4 +53,25 @@ class GraphSpec extends SparkSpec {
     // deg a=3,b=2,c=2,d=1 -> wedges 3+1+1 = 5; 3*1e6 DIV 5 = 600000
     assert(r == ((4L, 4L, 5L, 1L, 600000L)))
   }
+
+  test("kPeel: pendant peels off a triangle; extra rounds are no-ops") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")).toDF("x", "y")
+    val got = Graph.kPeel(g, "x", "y", k = 2, rounds = 2)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 2L), ("b", 2L), ("c", 2L)))
+    // fixpoint reached in 1 round; 5 rounds give the identical answer
+    val more = Graph.kPeel(g, "x", "y", k = 2, rounds = 5)
+      .as[(String, Long)].collect().toSet
+    assert(more == got)
+  }
+
+  test("kPeel: a path unravels from the ends; a clique survives intact") {
+    val path = (1 to 4).map(i => (i, i + 1)).toDF("x", "y")
+    // 5-path, k=2: ends peel round by round until nothing remains
+    assert(Graph.kPeel(path, "x", "y", k = 2, rounds = 3).isEmpty)
+    val k5 = (for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (a, b)).toDF("x", "y")
+    val got = Graph.kPeel(k5, "x", "y", k = 4, rounds = 2)
+      .as[(Int, Long)].collect().toSet
+    assert(got == (1 to 5).map(i => (i, 4L)).toSet)
+  }
 }

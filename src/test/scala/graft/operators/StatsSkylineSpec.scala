@@ -269,6 +269,25 @@ class StatsSkylineSpec extends SparkSpec {
     assert(d == ((10, 10L, 10000L, "down")))
   }
 
+  test("mannKendall: monotone series hit ±max S; constant series is NULL z") {
+    val up = (1 to 10).map(t => (t, t * 5L)).toDF("t", "x")
+    val u = Stats.mannKendall(up, "t", "x")
+      .as[(Long, Long, Long, Option[Double])].head()
+    // S = C(10,2) = 45; no ties: var18 = 10*9*25 = 2250; z = 44/sqrt(125)
+    assert(u._1 == 10L && u._2 == 45L && u._3 == 2250L)
+    assert(u._4.exists(z => z > 3.9 && z < 4.0))
+    val down = (1 to 10).map(t => (t, -t * 5L)).toDF("t", "x")
+    val d = Stats.mannKendall(down, "t", "x")
+      .as[(Long, Long, Long, Option[Double])].head()
+    // exact antisymmetry: same |z| to the last rounded decimal
+    assert(d._2 == -45L && d._4 == u._4.map(-_))
+    val const = (1 to 10).map(t => (t, 7L)).toDF("t", "x")
+    val c = Stats.mannKendall(const, "t", "x")
+      .as[(Long, Long, Long, Option[Double])].head()
+    // all tied: S = 0 and the ties term cancels var18 to 0 -> z NULL
+    assert(c._2 == 0L && c._3 == 0L && c._4.isEmpty)
+  }
+
   test("cusumChangepoint: bit-identical under repartitioning") {
     val s = (1 to 50).map(t => (t, (t * 37 % 11) * 10L + (if (t > 30) 400L else 0L)))
     val a = Stats.cusumChangepoint(s.toDF("t", "x"), "t", "x").head()
