@@ -530,6 +530,109 @@ object Stats {
         when(col("__first.__dev") < 0, "up").otherwise("down").as("direction"))
   }
 
+  /** Theil–Sen slope on an already-aggregated series: the median of
+    * all pairwise slopes (x_j − x_i)/(t_j − t_i), i < j — the robust
+    * companion to [[mannKendall]] (MK says WHETHER a monotone trend
+    * exists; Theil–Sen says HOW STEEP, immune to outliers where OLS
+    * is not). Each slope is ONE IEEE division of two exact integers
+    * (correctly rounded → engine-identical); the median is Spark's
+    * exact `percentile`, which interpolates at idx = p·(n−1) exactly
+    * like DuckDB's `quantile_cont` (verified bit-equal). Output: one
+    * row (n_pairs, slope rounded to 6 decimals).
+    *
+    * Same post-reduction contract as [[mannKendall]]: the O(n²) pair
+    * join runs on the day-sized relation a 100 TB fact collapses to,
+    * never on the fact itself. */
+  def theilSen(series: DataFrame, dayCol: String, xCol: String): DataFrame = {
+    val a = series.select(col(dayCol).as("__d1"), col(xCol).as("__x1"))
+    val b = series.select(col(dayCol).as("__d2"), col(xCol).as("__x2"))
+    a.join(b, col("__d1") < col("__d2"))
+      .select(((col("__x2") - col("__x1")).cast("double")
+        / datediff(col("__d2"), col("__d1")).cast("double")).as("__slope"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__slope, 0.5)"), 6).as("slope"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch, md5-keyed so the
+    * estimate is DETERMINISTIC and cross-engine reproducible — unlike
+    * HLL (q26, engine-seeded, rows-only checkable) this sketch is
+    * DuckDB-oracle-able bit-for-bit. Per group: hash each value to a
+    * 60-bit integer h = md5-prefix, keep the k smallest DISTINCT
+    * hashes; if fewer than k exist the group's distinct count is
+    * exact (= m); else estimate = (k−1)·2^60 / h_(k) — the classic
+    * KMV estimator with θ = h_(k)/2^60. (k−1)·2^60 has ≤ 8+60
+    * significant bits but only ~8 after the trailing zeros, so the
+    * double product is EXACT; the one division is correctly rounded.
+    *
+    * Scale shape: one distinct-aggregate shuffle on (group, h), then
+    * a rank-k filter that Spark plans as WindowGroupLimit — map-side
+    * top-k per partition BEFORE the exchange (the q88 stratifiedHead
+    * shape), so only ≤ k·partitions rows shuffle in phase two. This
+    * is the mergeable-sketch layout: per-partition k-smallest sets
+    * union and re-truncate losslessly. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val h = expr(
+      s"CAST(conv(substring(md5(concat('kmv1', CAST($valueCol AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val hashed = df.select(col(groupCol), h.as("__h")).distinct()
+    val rn = row_number().over(
+      Window.partitionBy(groupCol).orderBy(col("__h")))
+    hashed.withColumn("__rn", rn).filter(col("__rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("__m"), max(col("__h")).as("__kth"))
+      .select(col(groupCol),
+        when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+              / col("__kth").cast("double"), 4))
+          .as("distinct_est"))
+  }
+
+  /** Linear-interpolation gap fill of a daily series onto its full
+    * calendar: missing days get prev + (next−prev)·(d−d_prev)/(d_next
+    * −d_prev); leading/trailing gaps take the nearest present value.
+    * The numerator product is exact integer arithmetic, the division
+    * is the single IEEE op, the final add is correctly rounded —
+    * engine-identical, rounded to 6 decimals. Present days pass
+    * through exactly. Output: (day, x_filled, was_present).
+    *
+    * Post-rollup contract: the calendar spine is day-sized (one
+    * `sequence` explode off a 1-row min/max aggregate — thousands of
+    * rows from a 100 TB fact), so the unpartitioned fill windows are
+    * deliberate: this is driver-adjacent smoothing AFTER the one real
+    * shuffle, not a fact-sized window. */
+  def interpolateDaily(series: DataFrame, dayCol: String,
+                       xCol: String): DataFrame = {
+    val s = series.select(col(dayCol).as("day"), col(xCol).as("__x"))
+    val cal = s.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val w = Window.orderBy(col("day"))
+    val prevX = last(col("__x"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val prevD = last(when(col("__x").isNotNull, col("day")), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val nextX = first(col("__x"), ignoreNulls = true)
+      .over(w.rowsBetween(0, Window.unboundedFollowing))
+    val nextD = first(when(col("__x").isNotNull, col("day")), ignoreNulls = true)
+      .over(w.rowsBetween(0, Window.unboundedFollowing))
+    cal.join(s, Seq("day"), "left")
+      .select(col("day"), col("__x"),
+        prevX.as("__px"), prevD.as("__pd"),
+        nextX.as("__nx"), nextD.as("__nd"))
+      .select(col("day"),
+        round(
+          when(col("__x").isNotNull, col("__x").cast("double"))
+            .when(col("__px").isNull, col("__nx").cast("double"))
+            .when(col("__nx").isNull, col("__px").cast("double"))
+            .otherwise(col("__px").cast("double")
+              + ((col("__nx") - col("__px"))
+                   * datediff(col("day"), col("__pd"))).cast("double")
+                / datediff(col("__nd"), col("__pd")).cast("double")),
+          6).as("x_filled"),
+        col("__x").isNotNull.as("was_present"))
+  }
+
   /** Mann-Kendall trend test on an already-aggregated series:
     *   S = Σ_{i<j} sign(x_j − x_i)      (exact integer)
     *   var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)   (exact integer)

@@ -1322,6 +1322,102 @@ object AnalyticsQueries {
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(cents(col("o_totalprice"))).as("x")),
         "day", "x")
+    },
+
+    // Theil-Sen robust slope on daily revenue (Stats.theilSen): median
+    // of pairwise slopes, each ONE IEEE division of exact integers;
+    // Spark exact percentile == DuckDB quantile_cont at idx = p(n-1).
+    // The pair join is day-sized (post-rollup), never fact-sized.
+    "q206_theil_sen" -> q(
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+                    FROM orders GROUP BY 1),
+            p AS (SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+                  FROM s a JOIN s b ON a.day < b.day)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                round(quantile_cont(slope, 0.5), 6) AS slope
+         FROM p""") { (s, dir) =>
+      graft.operators.Stats.theilSen(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("x")),
+        "day", "x")
+    },
+
+    // KMV distinct-count sketch (Stats.kmvDistinct): md5-keyed k-min
+    // values, so unlike HLL (q26) the ESTIMATE itself is deterministic
+    // and oracle-checkable bit-for-bit. The rank-k filter plans as
+    // map-side WindowGroupLimit (the q88 shape); the oracle replays
+    // the 60-bit md5 prefix with ascii nibble arithmetic.
+    "q207_kmv_distinct" -> q({
+      def hex15(h: String): String =
+        (1 to 15).map { i =>
+          val d = s"(ascii(substring($h, $i, 1)) - CASE WHEN ascii(substring($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+          s"$d * CAST(${java.math.BigInteger.valueOf(16).pow(15 - i)} AS BIGINT)"
+        }.mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority,
+                       ${hex15("md5('kmv1' || CAST(o_custkey AS VARCHAR))")} AS hv
+                     FROM orders),
+            r AS (SELECT o_orderpriority, hv,
+                         row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+                  FROM h),
+            t AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS m, max(hv) AS kth
+                  FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT o_orderpriority,
+                CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                     ELSE round(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                                / CAST(kth AS DOUBLE), 4) END AS distinct_est
+         FROM t ORDER BY o_orderpriority"""
+    }) { (s, dir) =>
+      graft.operators.Stats.kmvDistinct(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey", k = 64)
+        .orderBy("o_orderpriority")
+    },
+
+    // Linear-interpolation gap fill (Stats.interpolateDaily): the
+    // sparse urgent-finished daily revenue series (819 of 2403 days
+    // present at sf0.01) stretched onto its full calendar; interior
+    // gaps interpolate with exact-integer numerators and one IEEE
+    // divide, edges clamp to the nearest present value.
+    "q208_linear_interp" -> q(
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+                    FROM orders
+                    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+                    GROUP BY 1),
+            b AS (SELECT min(day) AS d0, max(day) AS d1 FROM s),
+            cal AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                       CAST(d1 AS TIMESTAMP),
+                                                       INTERVAL 1 DAY)) AS DATE) AS day
+                    FROM b),
+            j AS (SELECT c.day, s.x FROM cal c LEFT JOIN s ON s.day = c.day),
+            f AS (SELECT day, x,
+                         last_value(x IGNORE NULLS) OVER
+                           (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+                         last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS) OVER
+                           (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                         first_value(x IGNORE NULLS) OVER
+                           (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx,
+                         first_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS) OVER
+                           (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                  FROM j)
+         SELECT day,
+                round(CASE WHEN x IS NOT NULL THEN CAST(x AS DOUBLE)
+                           WHEN px IS NULL THEN CAST(nx AS DOUBLE)
+                           WHEN nx IS NULL THEN CAST(px AS DOUBLE)
+                           ELSE CAST(px AS DOUBLE)
+                                + CAST((nx - px) * (day - pd) AS DOUBLE)
+                                  / CAST(nd - pd AS DOUBLE) END, 6) AS x_filled,
+                x IS NOT NULL AS was_present
+         FROM f ORDER BY day""") { (s, dir) =>
+      graft.operators.Stats.interpolateDaily(
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("x")),
+        "day", "x")
+        .orderBy("day")
     }
   )
 

@@ -288,6 +288,46 @@ class StatsSkylineSpec extends SparkSpec {
     assert(c._2 == 0L && c._3 == 0L && c._4.isEmpty)
   }
 
+  test("theilSen: robust to one wild outlier where the mean slope is not") {
+    // y = 10x with one corrupted point: median pairwise slope stays 10
+    val pts = (1 to 11).map { i =>
+      (java.sql.Date.valueOf(f"2024-01-${i}%02d"),
+        if (i == 6) 100000L else i * 10L)
+    }
+    val r = Stats.theilSen(pts.toDF("d", "x"), "d", "x")
+      .as[(Long, Double)].head()
+    assert(r._1 == 55L) // C(11,2) pairs
+    assert(r._2 == 10.0)
+  }
+
+  test("kmvDistinct: exact below k, within 15% above k, deterministic") {
+    val small = (1 to 40).map(i => ("a", i)).toDF("g", "v")
+    val s = Stats.kmvDistinct(small, "g", "v", k = 64)
+      .as[(String, Double)].head()
+    assert(s == (("a", 40.0))) // m < k -> exact count, no estimation
+    val big = (1 to 5000).map(i => ("b", i * 7)).toDF("g", "v")
+    val e1 = Stats.kmvDistinct(big, "g", "v", k = 64).as[(String, Double)].head()._2
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.15, s"estimate $e1 off by >15%")
+    val e2 = Stats.kmvDistinct(big.repartition(7), "g", "v", k = 64)
+      .as[(String, Double)].head()._2
+    assert(e1 == e2) // md5-keyed: partitioning cannot move the estimate
+  }
+
+  test("interpolateDaily: interior gaps interpolate, edges clamp") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val sparse = Seq((d("2024-01-02"), 100L), (d("2024-01-05"), 400L),
+      (d("2024-01-06"), 0L)).toDF("day", "x")
+    val got = Stats.interpolateDaily(sparse, "day", "x")
+      .as[(java.sql.Date, Double, Boolean)].collect()
+      .map { case (dd, v, p) => (dd.toString, v, p) }.toList
+    assert(got == List(
+      ("2024-01-02", 100.0, true),
+      ("2024-01-03", 200.0, false), // 100 + 300*1/3
+      ("2024-01-04", 300.0, false),
+      ("2024-01-05", 400.0, true),
+      ("2024-01-06", 0.0, true)))
+  }
+
   test("cusumChangepoint: bit-identical under repartitioning") {
     val s = (1 to 50).map(t => (t, (t * 37 % 11) * 10L + (if (t > 30) 400L else 0L)))
     val a = Stats.cusumChangepoint(s.toDF("t", "x"), "t", "x").head()

@@ -125,6 +125,19 @@ class PlanSpec extends SparkSpec {
       s"expected a Partial group-limit below the exchange:\n$p")
   }
 
+  test("q207: KMV rank-k filter plans map-side WindowGroupLimit") {
+    // the k-smallest-hashes-per-group truncation must happen per map
+    // task before the exchange (mergeable-sketch layout); otherwise a
+    // hot group funnels its whole distinct-hash set into one sort
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val p = graft.operators.Stats.kmvDistinct(orders, "o_orderpriority",
+      "o_custkey", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(p.contains("row_number(), 64, Partial"),
+      s"expected a Partial group-limit (map-side top-k):\n$p")
+  }
+
   test("q97: span dedup is generate + one aggregate — no joins") {
     val p = planOf("q97_dedup_spans")
     assert(p.contains("Generate"), s"expected explode generator:\n$p")
