@@ -701,4 +701,44 @@ object Dedup {
       .withColumn("keep", col("id") === col("best_id"))
       .select("id", "component", "score", "keep")
   }
+
+  /** Corpus-level overlap matrix: exact shingle-set Jaccard between
+    * every pair of SOURCES (not documents) — the dedup-diagnostics view
+    * that tells a curation pipeline which ingest feeds mirror each
+    * other before any doc-level pass runs. Shingles here are the
+    * literal n-token strings (not xxhash64 like the doc-level rungs) so
+    * the numbers are engine-reproducible end-to-end.
+    *
+    * Scale shape: the corpus collapses to distinct (source, shingle)
+    * first — ONE distinct aggregate over the exploded corpus — and the
+    * pair counts come from a self-join keyed on the shingle, whose
+    * per-key fanout is bounded by the SOURCE count (≤ G per side, G²
+    * pairs worst-case for a stop-grade shingle), not by corpus size;
+    * with G in the tens this never skews. Per-source set sizes
+    * broadcast back onto the G² pair relation. Zero-overlap pairs are
+    * absent by construction (inner join semantics — documented). */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val toks = graft.analytics.TextAnalysis.tokens(col(textCol))
+    val sh = df
+      .select(col(groupCol).as("__g"), toks.as("__tk"))
+      .select(col("__g"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__tk")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__tk"), i, lit(n)))))).as("__sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("__g").as("src_a"), col("__sh"))
+      .join(sh.select(col("__g").as("src_b"), col("__sh")), Seq("__sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.select(col("__g").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("__g").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("common"), col("n_a"), col("n_b"),
+        round(col("common").cast("double")
+          / (col("n_a") + col("n_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series / event-stream operators (SURVEY §7.4, extension surface —
   * the reference's closest analog is its daily append micro-batch,
@@ -542,6 +543,56 @@ object Events {
         explode(sequence(col("d"), date_add(col("d"), windowDays - 1))))
       .groupBy("report_day")
       .agg(countDistinct(col("user")).as("active_users"))
+  }
+
+  /** Linear multi-touch attribution: each conversion's value splits
+    * equally across the user's touch events in the lookback window
+    * (touch.ts in [conv.ts − lookback, conv.ts)); conversions with no
+    * touch credit a synthetic "direct" channel in full. Per-credit
+    * arithmetic is ONE IEEE divide of exact integer cents, rounded to
+    * 6 decimals, then summed as DECIMAL(38,6) — rounded-then-decimal-
+    * sum, so the channel totals are exact in any accumulation order.
+    *
+    * Scale shape: touches join conversions on the USER key (one
+    * co-partitioned shuffle); the range predicate prunes within each
+    * user's group, so per-key fanout is (touches × convs) of one user —
+    * bounded by per-user activity, not corpus size. The credit count
+    * per conversion is a window over the joined relation keyed on the
+    * same user-rooted key (no second exchange of the fact). */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, valueCol: String,
+                        touchTypes: Seq[String], convType: String,
+                        lookback: String = "7 days"): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    // same-instant conversions by one user merge (summed cents) so
+    // (__u, __ct) is a UNIQUE conversion key — without this, identical
+    // conversions would be indistinguishable in the credit window
+    val convs = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"), col(tsCol).as("__ct"))
+      .agg(sum(cents).as("__cents"))
+    val touches = df.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tt"),
+        col(typeCol).as("__channel"))
+    val joined = convs.join(touches, Seq("__u"), "left")
+      .withColumn("__hit", col("__tt").isNotNull
+        && col("__tt") < col("__ct")
+        && col("__tt") >= col("__ct") - expr(s"interval $lookback"))
+    val w = Window.partitionBy(col("__u"), col("__ct"), col("__cents"))
+    joined
+      .withColumn("__n", sum(when(col("__hit"), 1L).otherwise(0L)).over(w))
+      .withColumn("__dedup",
+        row_number().over(w.orderBy(col("__hit").desc, col("__tt"))))
+      .filter(col("__hit") || col("__dedup") === 1) // no-touch convs keep 1 row
+      .select(
+        when(col("__n") === 0, lit("direct")).otherwise(col("__channel"))
+          .as("channel"),
+        when(col("__n") === 0, col("__cents").cast("double"))
+          .otherwise(round(col("__cents").cast("double")
+            / col("__n").cast("double"), 6)).as("__credit"))
+      .groupBy("channel")
+      .agg(sum(col("__credit").cast(DecimalType(38, 6)))
+        .cast(DecimalType(38, 6)).as("attributed"),
+        count(lit(1)).as("n_credits"))
   }
 
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {

@@ -633,6 +633,35 @@ object Stats {
         col("__x").isNotNull.as("was_present"))
   }
 
+  /** Floor-clamped running balance — B_t = max(0, B_{t−1} + d_t), the
+    * inventory/reservoir recurrence that looks inherently sequential —
+    * made windowable by the closed form
+    *   B_t = P_t − min(0, min_{j≤t} P_j)
+    * (P = plain prefix sum): clamping at zero only ever SUBTRACTS the
+    * deepest deficit seen so far, so a running min of the prefix sum
+    * replays every clamp at once. Two window passes over ONE exchange
+    * (same frame, same sort), exact integer arithmetic throughout.
+    *
+    * `ordCols` must totally order each partition (pass tie-breaker
+    * columns) or prefix sums are nondeterministic.
+    *
+    * Output: one row per group — final_balance, peak_balance, and
+    * floor_hits (rows that land exactly on the clamp floor). */
+  def clampedRunningSum(df: DataFrame, partCol: String,
+                        ordCols: Seq[String], deltaCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol)
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val p = sum(col(deltaCol)).over(w)
+    val b = p - least(lit(0L), min(p).over(w))
+    df.select(col(partCol), b.as("__b"),
+      struct(ordCols.map(col): _*).as("__ord"))
+      .groupBy(partCol)
+      .agg(expr("max_by(__b, __ord)").as("final_balance"),
+        max(col("__b")).as("peak_balance"),
+        count(when(col("__b") === 0, lit(1))).as("floor_hits"))
+  }
+
   /** Mann-Kendall trend test on an already-aggregated series:
     *   S = Σ_{i<j} sign(x_j − x_i)      (exact integer)
     *   var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)   (exact integer)

@@ -1418,6 +1418,48 @@ object AnalyticsQueries {
           .agg(sum(cents(col("o_totalprice"))).as("x")),
         "day", "x")
         .orderBy("day")
+    },
+
+    // Floor-clamped running inventory per supplier (Stats
+    // .clampedRunningSum): the "inherently sequential" recurrence
+    // B_t = max(0, B+d) via the closed form P_t - min(0, runmin P) —
+    // two window passes over ONE exchange, exact integers. Returns
+    // replenish (+qty), ships deplete (-qty).
+    "q209_clamped_balance" -> q(
+      """WITH d AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                           CASE WHEN l_returnflag = 'R'
+                                THEN CAST(floor(l_quantity) AS BIGINT)
+                                ELSE -CAST(floor(l_quantity) AS BIGINT) END AS delta
+                    FROM lineitem),
+            p AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                         CAST(sum(delta) OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+                  FROM d),
+            b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                         pre - least(CAST(0 AS BIGINT),
+                           CAST(min(pre) OVER (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS bal
+                  FROM p),
+            r AS (SELECT l_suppkey, bal,
+                         row_number() OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+                  FROM b)
+         SELECT l_suppkey,
+                max(CASE WHEN rn = 1 THEN bal END) AS final_balance,
+                max(bal) AS peak_balance,
+                CAST(count(*) FILTER (WHERE bal = 0) AS BIGINT) AS floor_hits
+         FROM r GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_returnflag") === "R",
+            floor(col("l_quantity")).cast("long"))
+            .otherwise(-floor(col("l_quantity")).cast("long")).as("delta"))
+      graft.operators.Stats.clampedRunningSum(li, "l_suppkey",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"), "delta")
+        .orderBy("l_suppkey")
     }
   )
 

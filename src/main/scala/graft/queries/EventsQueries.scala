@@ -833,6 +833,43 @@ object EventsQueries {
         .select(expr("div_e6 DIV 100000L").as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("n_users"))
         .orderBy("decile")
+    },
+
+    // Linear multi-touch attribution (Events.linearAttribution):
+    // purchase value splits equally across the user's view/click/signup
+    // touches in the 7-day lookback; untouched conversions credit
+    // 'direct'. Per-credit divide rounds to 6 decimals, totals sum as
+    // DECIMAL(38,6) (rounded-then-decimal-sum) — exact in any order.
+    "q211_attribution" -> q(
+      """WITH conv AS (SELECT user_id AS u, ts AS ct,
+                              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            tch AS (SELECT user_id AS u, ts AS tt, event_type AS channel
+                    FROM events WHERE event_type IN ('view', 'click', 'signup')),
+            j AS (SELECT c.u, c.ct, c.cents, t.tt, t.channel,
+                         (t.tt IS NOT NULL AND t.tt < c.ct
+                          AND t.tt >= c.ct - INTERVAL 7 DAY) AS hit
+                  FROM conv c LEFT JOIN tch t ON c.u = t.u),
+            n AS (SELECT *,
+                         sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY u, ct) AS nt,
+                         row_number() OVER (PARTITION BY u, ct
+                           ORDER BY hit DESC, tt) AS rn
+                  FROM j),
+            cr AS (SELECT CASE WHEN nt = 0 THEN 'direct' ELSE channel END AS channel,
+                          CASE WHEN nt = 0 THEN CAST(cents AS DOUBLE)
+                               ELSE round(CAST(cents AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                          END AS credit
+                   FROM n WHERE hit OR rn = 1)
+         SELECT channel,
+                CAST(sum(CAST(credit AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS attributed,
+                CAST(count(*) AS BIGINT) AS n_credits
+         FROM cr GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Events.linearAttribution(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "value",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookback = "7 days")
+        .orderBy("channel")
     }
   )
 }

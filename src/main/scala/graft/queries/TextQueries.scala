@@ -1198,6 +1198,35 @@ object TextQueries {
           ORDER BY lift_e6 DESC, w1, w2 LIMIT 100""") { (s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), "text",
         minCount = 5L, k = 100)
+    },
+
+    // Source-pair shingle-Jaccard overlap matrix (Dedup.sourceOverlap):
+    // which ingest feeds mirror each other, BEFORE any doc-level dedup.
+    // Literal trigram strings (q32's shingle definition) so counts are
+    // engine-exact; per-shingle join fanout is bounded by the source
+    // count, never corpus size.
+    "q210_source_overlap" -> q(
+      s"""WITH sh AS (
+            SELECT DISTINCT g, sh FROM (
+              SELECT source AS g,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len($toksSql) - 2, 1)),
+                       i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))) AS sh
+              FROM documents)),
+            sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.g AS src_a, b.g AS src_b,
+                             CAST(count(*) AS BIGINT) AS common
+                      FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+                      GROUP BY 1, 2)
+         SELECT src_a, src_b, common, sa.n AS n_a, sb.n AS n_b,
+                round(CAST(common AS DOUBLE)
+                      / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON src_a = sa.g
+         JOIN sizes sb ON src_b = sb.g
+         ORDER BY src_a, src_b""") { (s, dir) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy("src_a", "src_b")
     }
   )
 }

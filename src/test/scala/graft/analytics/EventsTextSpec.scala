@@ -443,4 +443,58 @@ class EventsTextSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("linearAttribution: equal split, lookback edges, direct fallback") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
+    val rows = Seq(
+      // user 1: 2 in-window touches -> 5.00 each; the view AT the
+      // purchase instant is excluded (strictly-before)
+      (1L, "view", ts(0), 0.0), (1L, "click", ts(5), 0.0),
+      (1L, "view", ts(10), 0.0), (1L, "purchase", ts(10), 10.0),
+      // user 2: touch 8 days old -> outside 7-day lookback -> direct
+      (2L, "click", ts(-8 * 24), 0.0), (2L, "purchase", ts(0), 7.0),
+      // user 3: no touches at all -> direct
+      (3L, "purchase", ts(0), 3.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = Events.linearAttribution(rows, "user_id", "ts", "event_type",
+        "value", Seq("view", "click"), "purchase")
+      .as[(String, BigDecimal, Long)].collect()
+      .map(r => r._1 -> ((r._2.toDouble, r._3))).toMap
+    assert(got == Map( // attributed is integer-cents scaled
+      "view" -> ((500.0, 1L)), "click" -> ((500.0, 1L)),
+      "direct" -> ((1000.0, 2L)))) // 7.00 + 3.00 credited direct
+  }
+
+  test("linearAttribution: credits conserve total conversion value") {
+    def ts(m: Long) = new java.sql.Timestamp(m * 60 * 1000)
+    // pseudo-random activity; invariant: sum of credits == sum of values
+    val rows = (1 to 300).map { i =>
+      val u = i % 7L
+      val typ = Seq("view", "click", "signup", "purchase")(i % 4)
+      (u, typ, ts(i * 31L % 5000), if (typ == "purchase") (i % 50) + 0.25 else 0.0)
+    }.toDF("user_id", "event_type", "ts", "value")
+    val total = rows.filter($"event_type" === "purchase")
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long"))).as[Long].head()
+    val attributed = Events.linearAttribution(rows, "user_id", "ts",
+        "event_type", "value", Seq("view", "click", "signup"), "purchase")
+      .agg(sum($"attributed")).as[BigDecimal].head()
+    // attributed is cents; equal-split rounding loses < 1e-6 per credit
+    assert((attributed - BigDecimal(total)).abs < BigDecimal(0.01))
+  }
+
+  test("sourceOverlap: identical corpora give J=1, disjoint pairs absent") {
+    val docs = Seq(
+      ("A", "the quick brown fox jumps"), // A and B share all shingles
+      ("B", "the quick brown fox jumps"),
+      ("B", "the quick brown fox leaps"), // plus one B-only shingle set
+      ("C", "totally different words entirely here")
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // A: 3 shingles; B: those 3 + "brown fox leaps" etc.
+    val ab = got(("A", "B"))
+    assert(ab._1 == 3L && ab._2 == 3L) // all of A's shingles overlap
+    assert(!got.contains(("A", "C")) && !got.contains(("B", "C")))
+  }
 }

@@ -328,6 +328,23 @@ class StatsSkylineSpec extends SparkSpec {
       ("2024-01-06", 0.0, true)))
   }
 
+  test("clampedRunningSum: matches the sequential fold, clamps at zero") {
+    // deltas 5,-10,3: sequential B = 5,0,3 (the -10 clamps at 0, so the
+    // naive unclamped prefix sum -2 is WRONG — final must be 3)
+    val d = Seq(("s", 1, 5L), ("s", 2, -10L), ("s", 3, 3L)).toDF("g", "t", "d")
+    val r = Stats.clampedRunningSum(d, "g", Seq("t"), "d")
+      .as[(String, Long, Long, Long)].head()
+    assert(r == (("s", 3L, 5L, 1L))) // final 3, peak 5, one floor hit
+    // property check vs the sequential fold on a pseudo-random walk
+    val walk = (1 to 200).map(t => ("w", t, ((t * 131) % 23 - 11).toLong))
+    val seqB = walk.scanLeft(0L) { case (b, (_, _, dd)) => math.max(0L, b + dd) }.tail
+    val got = Stats.clampedRunningSum(walk.toDF("g", "t", "d").repartition(7),
+      "g", Seq("t"), "d")
+      .as[(String, Long, Long, Long)].head()
+    assert(got._2 == seqB.last && got._3 == seqB.max
+      && got._4 == seqB.count(_ == 0L))
+  }
+
   test("cusumChangepoint: bit-identical under repartitioning") {
     val s = (1 to 50).map(t => (t, (t * 37 % 11) * 10L + (if (t > 30) 400L else 0L)))
     val a = Stats.cusumChangepoint(s.toDF("t", "x"), "t", "x").head()
