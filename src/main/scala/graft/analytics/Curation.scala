@@ -673,6 +673,44 @@ object Curation {
       .drop("__cut")
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across groups proportional to integer weights: base_g = N·w_g DIV
+    * W, and the leftover N − Σbase seats go to the largest remainders
+    * (N·w_g mod W), ties broken by group name — the EXACT way to turn
+    * "sample 1M docs proportionally" into per-group integer quotas that
+    * sum to the budget precisely (independent floor/round allocations
+    * drift by up to one per group). Pure integer arithmetic — no float
+    * anywhere — so any engine agrees bit-for-bit.
+    *
+    * Scale shape: the input here is the per-group WEIGHT relation
+    * (group-sized — the caller's one fact-scan rollup produces it), so
+    * the unpartitioned remainder-rank window is over groups, not data.
+    * Output: (group, weight, base, extra, quota) with sum(quota) = N. */
+  def apportionBudget(weights: DataFrame, groupCol: String,
+                      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val tot = weights.agg(sum(col(weightCol)).cast("long").as("__W"))
+    val based = weights.crossJoin(broadcast(tot))
+      .select(col(groupCol), col(weightCol).cast("long").as("weight"),
+        expr(s"$budget * CAST($weightCol AS BIGINT) DIV __W").as("base"),
+        expr(s"$budget * CAST($weightCol AS BIGINT) % __W").as("__rem"),
+        col("__W"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol))
+    val allW = rankW.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    based
+      .withColumn("__rank", row_number().over(rankW))
+      .withColumn("__remsum", sum(col("__rem")).over(allW))
+      // leftover seats: Σ N·w = N·W, so N − Σ base = (Σ rem) / W — an
+      // exact integer division by construction (DIV: no float detour)
+      .select(col(groupCol), col("weight"), col("base"),
+        when(col("__rank") <= expr("__remsum DIV __W"), 1L).otherwise(0L)
+          .as("extra"))
+      .withColumn("quota", col("base") + col("extra"))
+  }
+
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)], trainSplit: String = "train",
                    salt: String = "v1", n: Int = 3, num: Long = 1, den: Long = 5,

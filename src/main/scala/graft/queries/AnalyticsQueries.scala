@@ -1460,6 +1460,22 @@ object AnalyticsQueries {
       graft.operators.Stats.clampedRunningSum(li, "l_suppkey",
         Seq("l_shipdate", "l_orderkey", "l_linenumber"), "delta")
         .orderBy("l_suppkey")
+    },
+
+    // Exact edit-distance-1 record linkage (Dedup.editDistance1Pairs):
+    // SymSpell deletion-neighborhood join — candidates share a single-
+    // deletion variant key (lossless for Levenshtein <= 1), verified
+    // with the exact levenshtein on candidates only. The oracle is the
+    // O(n^2) brute force the operator exists to avoid.
+    "q213_edit1_pairs" -> q(
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""") { (s, dir) =>
+      graft.analytics.Dedup.editDistance1Pairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
     }
   )
 

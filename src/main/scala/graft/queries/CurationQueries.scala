@@ -518,6 +518,35 @@ object CurationQueries {
           t(s, dir, "documents").select("doc_id", "n_chars"),
           "doc_id", "n_chars", k = 50, salt = "ws1")
         .withColumnRenamed("__priority", "priority")
+    },
+
+    // Largest-remainder apportionment (Curation.apportionBudget): a
+    // 1M-token sampling budget split across sources in EXACT integer
+    // quotas that sum to the budget precisely — base = N*w DIV W, the
+    // leftover (sum rem)/W seats to the largest remainders, group-name
+    // tie-break. Pure integers: any engine agrees bit-for-bit.
+    "q212_budget_apportion" -> q(
+      s"""WITH w AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS weight
+                     FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+            b AS (SELECT source, weight,
+                         CAST(1000000 * weight // W AS BIGINT) AS base,
+                         CAST(1000000 * weight % W AS BIGINT) AS rem, W
+                  FROM w, t),
+            r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                         CAST(sum(rem) OVER () // W AS BIGINT) AS leftover
+                  FROM b)
+         SELECT source, weight, base,
+                CASE WHEN rk <= leftover THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS extra,
+                base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+         FROM r ORDER BY source""") { (s, dir) =>
+      import graft.analytics.TextAnalysis
+      val weights = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("toks"))
+      Curation.apportionBudget(weights, "source", "toks", budget = 1000000L)
+        .orderBy("source")
     }
   )
 }

@@ -124,6 +124,53 @@ object IncrementalStream {
       }
   }
 
+  /** Streaming KMV distinct-count sketch via mapGroupsWithState — the
+    * streaming face of Stats.kmvDistinct, and the live proof that the
+    * sketch is MERGEABLE: per-key state is just the k smallest distinct
+    * 60-bit md5-prefix hashes ever seen (bounded: ≤ k longs per key);
+    * each batch unions its hashes in and re-truncates — the same
+    * lossless merge the batch operator's map-side WindowGroupLimit
+    * performs — so after any batch split whatsoever the estimate equals
+    * the batch operator on the union of the batches. Emits (key, m,
+    * kth, estimate) per updated key; the estimate arithmetic is the
+    * IDENTICAL expression chain as the batch side. */
+  final case class KmvState(hashes: Seq[Long])
+  final case class KmvUpdate(key: String, m: Long, distinct_est: Double)
+
+  def kmvDistinctStream(rows: org.apache.spark.sql.Dataset[(String, String)],
+                        k: Int = 64): org.apache.spark.sql.Dataset[KmvUpdate] = {
+    require(k >= 2, "k must be >= 2")
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def hash60(v: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("kmv1" + v)
+          .substring(0, 15), 16)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, String)], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          // merge = union + re-truncate to the k smallest distinct
+          val merged = (prev ++ batch.map(r => hash60(r._2)))
+            .distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val m = merged.size.toLong
+          val est =
+            if (m < k) m.toDouble
+            else {
+              val raw = (k - 1).toDouble * 1152921504606846976L.toDouble /
+                merged.last.toDouble
+              // HALF_UP to 4 dp — the same rounding Spark's round() uses
+              // on the batch side, so stream and batch stay bit-equal
+              BigDecimal(raw)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            }
+          Iterator(KmvUpdate(key, m, est))
+      }
+  }
+
   /** Micro-batch warehouse upsert: maintain a key-unique "current"
     * table from a stream of updates — the streaming face of
     * Scd.upsertByKey (SCD type 1 at ingest). Each batch first reduces

@@ -416,4 +416,27 @@ class CurationSpec extends SparkSpec {
       col("is_target")).collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     assert(w == w7)
   }
+
+  test("apportionBudget: quotas sum to the budget exactly, largest remainders win") {
+    // weights 1,1,1 with budget 10: base 3 each, 1 seat left -> the
+    // group-name tie-break gives it to 'a'
+    val even = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "w")
+    val g1 = Curation.apportionBudget(even, "g", "w", budget = 10L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(g1 == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // skewed weights: quotas still sum EXACTLY to the budget (floats
+    // would drift by up to one per group)
+    val skew = (1 to 37).map(i => (f"g$i%02d", (i * i * 7 + 3).toLong)).toDF("g", "w")
+    val q = Curation.apportionBudget(skew, "g", "w", budget = 999983L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(q.map(_._5).sum == 999983L)
+    assert(q.forall(r => r._4 == 0L || r._4 == 1L))
+    // proportionality: every quota within 1 of the real-valued share
+    val W = skew.as[(String, Long)].collect().map(_._2).sum
+    q.foreach { r =>
+      val ideal = 999983.0 * r._2 / W
+      assert(math.abs(r._5 - ideal) < 1.0, s"${r._1}: ${r._5} vs $ideal")
+    }
+  }
 }

@@ -270,4 +270,33 @@ class DedupSpec extends SparkSpec {
         }
       }
   }
+
+  test("editDistance1Pairs: matches brute force on sub/ins/del neighbors") {
+    val rows = Seq(
+      (1L, "kitten"), (2L, "mitten"),  // substitution -> 1
+      (3L, "kitte"),                   // deletion of 1 -> 1
+      (4L, "kittens"),                 // insertion on 1 -> 1
+      (5L, "sitting"),                 // 3 from kitten -> absent
+      (6L, "mitten")                   // exact dup of 2 -> dist 0
+    ).toDF("id", "s")
+    val got = Dedup.editDistance1Pairs(rows, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all 15 pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strs = rows.as[(Long, String)].collect()
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((2L, 6L, 0L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }

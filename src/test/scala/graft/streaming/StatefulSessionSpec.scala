@@ -101,4 +101,38 @@ class StatefulSessionSpec extends SparkSpec {
     assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
     q.stop()
   }
+
+  test("kmvDistinctStream: merged state equals the batch sketch on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val est = IncrementalStream.kmvDistinctStream(input.toDS(), k = 64)
+    val q = est.writeStream
+      .format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    // 500 distinct values split arbitrarily across two batches, with
+    // overlap between the batches (merge must dedup, not just append)
+    val all = (1 to 500).map(i => ("g", s"v$i"))
+    input.addData(all.take(300): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(250): _*) // 50 values replay across batches
+    q.processAllAvailable()
+    val streamed = spark.table("kmv_out")
+      .as[IncrementalStream.KmvUpdate].collect()
+      .filter(_.key == "g").last.distinct_est
+    val batch = graft.operators.Stats.kmvDistinct(
+        all.toDF("g", "v"), "g", "v", k = 64)
+      .as[(String, Double)].head()._2
+    assert(streamed == batch,
+      s"stream $streamed != batch $batch — merge must be lossless")
+    // below-k path: exact count even across batches
+    input.addData(("h", "x1"), ("h", "x2"))
+    q.processAllAvailable()
+    input.addData(("h", "x2"), ("h", "x3"))
+    q.processAllAvailable()
+    val small = spark.table("kmv_out")
+      .as[IncrementalStream.KmvUpdate].collect().filter(_.key == "h").last
+    assert(small.m == 3L && small.distinct_est == 3.0)
+    q.stop()
+  }
 }
