@@ -179,6 +179,44 @@ object Graph {
     * real cluster swap in `Dataset.checkpoint` with a reliable
     * checkpoint dir for executor-loss tolerance; the algorithm is
     * unchanged. */
+  /** Fixed-round multi-source BFS: hop distance from the nearest seed,
+    * for every node within `rounds` hops. Round r relaxes
+    * dist(v) = min(dist(v), min_{u∈N(v)} dist(u) + 1) — one edge-keyed
+    * join + one min-aggregate per round, lineage truncated per round
+    * with localCheckpoint (swap in reliable `checkpoint` on a cluster
+    * for executor-loss tolerance). The round count is part of the
+    * contract (same determinism-by-construction argument as [[kPeel]]):
+    * nodes farther than `rounds` hops are absent, and a node's distance
+    * is exact once rounds ≥ its true distance (BFS relaxation is
+    * monotone — extra rounds are no-ops).
+    *
+    * Scale shape per round: the frontier relation is node-sized; the
+    * relax join is edge ⋈ dist on the node key (co-partitioned
+    * shuffle), the min-agg has map-side partials. The undirected edge
+    * list is materialized ONCE in both orientations and reused every
+    * round. */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+              seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol), col(aCol)))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      dist = dist
+        .union(und.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   def kPeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
             rounds: Int, maxBroadcastNodes: Long = 20000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")

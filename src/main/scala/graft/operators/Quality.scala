@@ -256,4 +256,34 @@ object Quality {
           expr("n_contained * 1000000L DIV n_child_keys").as("containment_e6"))
     }.reduce(_ unionByName _)
   }
+
+  /** Exact equi-join cardinality forecast WITHOUT running the join:
+    * |A ⋈ B| = Σ_k c_A(k)·c_B(k), computed on the two per-key count
+    * relations — the planner diagnostic that says whether a proposed
+    * join explodes (fanout) or starves (no key overlap) before anyone
+    * pays for it. Also reports the max single-key contribution: the
+    * skew headline (one hot key owning most of the output is the
+    * salted-join trigger, SkewJoin).
+    *
+    * Scale shape: one count-aggregate per side (map-side partials),
+    * then a key-sized ⋈ key-sized join — never touches row-sized data
+    * beyond the two scans. Output: one row (predicted_rows, n_keys_a,
+    * n_keys_b, n_common_keys, max_key_rows). */
+  def joinSizeForecast(a: DataFrame, aKey: String,
+                       b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    val keysA = ca.agg(count(lit(1)).as("n_keys_a"))
+    val keysB = cb.agg(count(lit(1)).as("n_keys_b"))
+    ca.join(cb, Seq("__k"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("predicted_rows"),
+        count(lit(1)).as("n_common_keys"),
+        coalesce(max(col("__ca") * col("__cb")), lit(0L)).as("max_key_rows"))
+      .crossJoin(broadcast(keysA))
+      .crossJoin(broadcast(keysB))
+      .select(col("predicted_rows"), col("n_keys_a"), col("n_keys_b"),
+        col("n_common_keys"), col("max_key_rows"))
+  }
 }

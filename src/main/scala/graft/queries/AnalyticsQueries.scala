@@ -1476,6 +1476,67 @@ object AnalyticsQueries {
       graft.analytics.Dedup.editDistance1Pairs(
         t(s, dir, "customer"), "c_custkey", "c_name")
         .orderBy("id_a", "id_b")
+    },
+
+    // Fixed-round multi-source BFS on the early-window co-purchase
+    // graph (Graph.bfsHops): hop distance from the nearest seed part
+    // (every 100th partkey), 3 relaxation rounds — the round count is
+    // the contract, the oracle replays the identical relaxations as
+    // MATERIALIZED CTEs (inlined they'd exponentiate the base scan).
+    "q214_bfs_hops" -> q({
+      val base =
+        """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem
+                       WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+              und AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+              d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+                     FROM part WHERE p_partkey % 100 = 0)"""
+      val relax = (1 to 3).map { r =>
+        s""", d$r AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d${r - 1}
+                UNION ALL
+                SELECT e.dst, d.dist + 1 FROM und e
+                JOIN d${r - 1} d ON e.src = d.node) GROUP BY 1)"""
+      }.mkString
+      base + relax + "\n SELECT node, dist FROM d3 ORDER BY node"
+    }) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .select("l_orderkey", "l_partkey")
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+      val seeds = t(s, dir, "part").filter(col("p_partkey") % 100 === 0)
+      graft.operators.Graph.bfsHops(pairs, "pa", "pb",
+        seeds, "p_partkey", rounds = 3)
+        .orderBy("node")
+    },
+
+    // Exact join-size forecast (Quality.joinSizeForecast): predicts
+    // |lineitem x part| from the two per-key count relations alone —
+    // sum of c_A(k)*c_B(k) — plus the hot-key headline that triggers
+    // the salted-join path. Never touches row-sized data past the
+    // two count scans.
+    "q215_join_size_forecast" -> q(
+      """WITH ca AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+                     FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+            cb AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM part WHERE p_partkey IS NOT NULL GROUP BY 1),
+            ka AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a FROM ca),
+            kb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b FROM cb),
+            j AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS predicted_rows,
+                         CAST(count(*) AS BIGINT) AS n_common_keys,
+                         CAST(coalesce(max(ca.c * cb.c), 0) AS BIGINT) AS max_key_rows
+                  FROM ca JOIN cb USING (k))
+         SELECT predicted_rows, n_keys_a, n_keys_b, n_common_keys, max_key_rows
+         FROM j, ka, kb""") { (s, dir) =>
+      graft.operators.Quality.joinSizeForecast(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey")
     }
   )
 

@@ -65,6 +65,22 @@ class GraphSpec extends SparkSpec {
     assert(more == got)
   }
 
+  test("bfsHops: exact hop distances, min over multiple seeds, isolated seed kept") {
+    // path a-b-c-d-e with seeds {a, e}: distances collapse to the
+    // nearer seed; z is an isolated seed (no edges) and must still
+    // appear at distance 0
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("x", "y")
+    val seeds = Seq("a", "e", "z").toDF("s")
+    val got = Graph.bfsHops(g, "x", "y", seeds, "s", rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L,
+      "e" -> 0L, "z" -> 0L))
+    // insufficient rounds: far nodes absent, near distances already exact
+    val one = Graph.bfsHops(g, "x", "y", Seq("a").toDF("s"), "s", rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 0L, "b" -> 1L))
+  }
+
   test("kPeel: a path unravels from the ends; a clique survives intact") {
     val path = (1 to 4).map(i => (i, i + 1)).toDF("x", "y")
     // 5-path, k=2: ends peel round by round until nothing remains

@@ -195,4 +195,19 @@ class StarSchemaQualitySpec extends SparkSpec {
     // reverse: parent keys {1,2,3}, 2 of 3 appear in child
     assert(got("p.pk") == ((3L, 2L, 666666L)))
   }
+
+  test("joinSizeForecast: predicts the exact join size without running it") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")       // counts 3,1,1
+    val b = Seq(1L, 1L, 2L, 4L).toDF("kb")          // counts 2,1,1
+    val got = Quality.joinSizeForecast(a, "k", b, "kb")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // 1: 3*2=6, 2: 1*1=1 -> 7 rows predicted; hot key contributes 6
+    assert(got == ((7L, 3L, 3L, 2L, 6L)))
+    // ground truth: the actual join has exactly that many rows
+    assert(a.join(b, $"k" === $"kb").count() == 7L)
+    // disjoint keys: zero forecast, no NULLs
+    val z = Quality.joinSizeForecast(a, "k", Seq(9L).toDF("kb"), "kb")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(z == ((0L, 3L, 1L, 0L, 0L)))
+  }
 }
