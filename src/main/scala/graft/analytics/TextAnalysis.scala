@@ -574,4 +574,60 @@ object TextAnalysis {
       .orderBy(col("lift_e6").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /** Distributed BPE tokenizer training, `rounds` merges. The Spark-
+    * first move: BPE never needs the corpus after ONE scan — it
+    * operates on the WORD-COUNT relation (Heaps-law-sized: a 100 TB
+    * corpus collapses to a few million distinct words), so every merge
+    * round is vocab-sized work. Each word is carried as a space-
+    * delimited symbol string with sentinel spaces (" w o r d "); a
+    * merge of pair "x y" is `replace(s, " x y ", " xy ")`, whose
+    * leftmost-first non-overlapping semantics (scan resumes AFTER the
+    * replacement — "a a a" merges once) is the classic greedy BPE
+    * application, and is implemented identically by every engine's
+    * `replace`. Pair selection is (max weighted count, then smallest
+    * pair string) — a total order, so the merge sequence is
+    * deterministic on any engine/partitioning.
+    *
+    * The argmax pair is a 1-row relation crossJoin-broadcast back onto
+    * the vocab — no driver collect; rounds truncate lineage with
+    * localCheckpoint (reliable checkpoint on a cluster).
+    *
+    * Returns the merge table (round, pair, freq) — the artifact a
+    * tokenizer ships. reference: the reference has no tokenizer; this
+    * is the LLM-pipeline extension surface (SURVEY §7.5). */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val words = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(concat(lit(" "),
+        array_join(expr("regexp_extract_all(__w, '.', 0)"), " "),
+        lit(" ")).as("__s"),
+        col("__c"))
+    var vocab = words.localCheckpoint(true)
+    var merges: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val pairs = vocab
+        .select(split(trim(col("__s")), " ").as("__syms"), col("__c"))
+        .filter(size(col("__syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(__syms) - 2),
+               i -> concat(__syms[i], ' ', __syms[i + 1]))""")).as("pair"),
+          col("__c"))
+        .groupBy("pair").agg(sum(col("__c")).as("freq"))
+      val best = pairs
+        .orderBy(col("freq").desc, col("pair").asc).limit(1)
+        .withColumn("round", lit(r.toLong))
+        .localCheckpoint(true)
+      merges = if (merges == null) best else merges.unionByName(best)
+      vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("__p"))))
+        .select(expr(
+          "replace(__s, concat(' ', __p, ' '), concat(' ', replace(__p, ' ', ''), ' '))")
+          .as("__s"), col("__c"))
+        .localCheckpoint(true)
+    }
+    merges.select(col("round"), col("pair"), col("freq"))
+  }
 }

@@ -1227,6 +1227,88 @@ object TextQueries {
          ORDER BY src_a, src_b""") { (s, dir) =>
       Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
         .orderBy("src_a", "src_b")
+    },
+
+    // Distributed BPE tokenizer training (TextAnalysis.bpeTrain): 6
+    // merge rounds on the word-count relation (ONE corpus scan — the
+    // 100 TB corpus collapses to Heaps-law vocab size). Merge = string
+    // replace with sentinel spaces (leftmost non-overlapping = greedy
+    // BPE); selection (max freq, min pair) is a total order. The
+    // oracle replays the identical rounds as MATERIALIZED CTEs.
+    "q216_bpe_train" -> q({
+      val base =
+        s"""WITH w0 AS MATERIALIZED (
+              SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest($toksSql) AS word FROM documents)
+              WHERE word <> '' GROUP BY 1),
+            s0 AS MATERIALIZED (
+              SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                     || ' ' AS s, c
+              FROM w0)"""
+      val rs = (1 to 6).map { r =>
+        s""", p$r AS MATERIALIZED (
+              SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, len(string_split(trim(s), ' ')) - 1),
+                         i -> string_split(trim(s), ' ')[i] || ' '
+                              || string_split(trim(s), ' ')[i + 1])) AS pair, c
+                FROM s${r - 1}) GROUP BY 1),
+            b$r AS MATERIALIZED (
+              SELECT CAST($r AS BIGINT) AS round, pair, freq
+              FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+            s$r AS MATERIALIZED (
+              SELECT replace(s, ' ' || (SELECT pair FROM b$r) || ' ',
+                             ' ' || replace((SELECT pair FROM b$r), ' ', '')
+                             || ' ') AS s, c
+              FROM s${r - 1})"""
+      }.mkString
+      base + rs +
+        "\n SELECT round, pair, freq FROM (" +
+        (1 to 6).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") +
+        ") ORDER BY round"
+    }) { (s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", rounds = 6)
+        .orderBy("round")
+    },
+
+    // Vocabulary coverage curve: the smallest head-of-Zipf vocab that
+    // covers 50/90/99% of corpus tokens (rank by freq desc, word asc —
+    // total order), plus the full vocab size. The tokenizer-budget
+    // sizing companion to q216. All-integer thresholds (cum*100 >=
+    // total*p), one vocab-sized window after the corpus collapse.
+    "q217_vocab_coverage" -> q(
+      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT unnest($toksSql) AS word FROM documents)
+                     WHERE word <> '' GROUP BY 1),
+            r AS (SELECT c,
+                         CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rk,
+                         CAST(sum(c) OVER (ORDER BY c DESC, word
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(c) OVER () AS BIGINT) AS total
+                  FROM w)
+         SELECT min(CASE WHEN cum * 100 >= total * 50 THEN rk END) AS r50,
+                min(CASE WHEN cum * 100 >= total * 90 THEN rk END) AS r90,
+                min(CASE WHEN cum * 100 >= total * 99 THEN rk END) AS r99,
+                CAST(count(*) AS BIGINT) AS vocab_size
+         FROM r""") { (s, dir) =>
+      val w = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("word"))
+      val all = win.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      w.select(col("c"),
+        row_number().over(win).cast("long").as("rk"),
+        sum(col("c")).over(win.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).as("cum"),
+        sum(col("c")).over(all).as("total"))
+        .agg(min(when(col("cum") * 100 >= col("total") * 50, col("rk"))).as("r50"),
+          min(when(col("cum") * 100 >= col("total") * 90, col("rk"))).as("r90"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("rk"))).as("r99"),
+          count(lit(1)).as("vocab_size"))
     }
   )
 }

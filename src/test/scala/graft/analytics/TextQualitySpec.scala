@@ -241,4 +241,25 @@ class TextQualitySpec extends SparkSpec {
     // exclusive pair: p_xy=5/41, p_x=p_y=5/82 -> lift ~ 32.8
     assert(byPair(("x", "y")) > 30000000L && byPair(("x", "y")) < 34000000L)
   }
+
+  test("bpeTrain: the classic low/lower/newest merge sequence, hand-verified") {
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", rounds = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    // round 1: "l o" and "o w" tie at 5 -> smallest pair wins;
+    // round 3: "e r" (2) beats "low e" (2) lexicographically;
+    // rounds 5-6 chew through newest's frequency-1 tail by pair order
+    assert(got == List(
+      (1L, "l o", 5L), (2L, "lo w", 5L), (3L, "e r", 2L),
+      (4L, "low er", 2L), (5L, "e s", 1L), (6L, "e w", 1L)))
+  }
+
+  test("bpeTrain: non-overlapping greedy merge — 'a a a' merges once per round") {
+    val docs = Seq("aaa aaa").toDF("text") // one word 'aaa', count 2
+    val got = TextAnalysis.bpeTrain(docs, "text", rounds = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    // " a a a ": pair "a a" appears twice but merges leftmost-first
+    // non-overlapping -> " aa a "; round 2 merges "aa a"
+    assert(got == List((1L, "a a", 4L), (2L, "aa a", 2L)))
+  }
 }
