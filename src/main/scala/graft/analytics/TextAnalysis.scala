@@ -596,13 +596,20 @@ object TextAnalysis {
     * Returns the merge table (round, pair, freq) — the artifact a
     * tokenizer ships. reference: the reference has no tokenizer; this
     * is the LLM-pipeline extension surface (SURVEY §7.5). */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeCore(df, textCol, rounds)._1
+
+  /** The train loop, returning (merge table, final vocab) — the vocab
+    * keeps (word, symbol string, count) so encoders can map corpus
+    * words to their post-merge segmentations without re-deriving. */
+  private def bpeCore(df: DataFrame, textCol: String,
+                      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val words = df
       .select(explode(tokens(col(textCol))).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy("__w").agg(count(lit(1)).as("__c"))
-      .select(concat(lit(" "),
+      .select(col("__w"), concat(lit(" "),
         array_join(expr("regexp_extract_all(__w, '.', 0)"), " "),
         lit(" ")).as("__s"),
         col("__c"))
@@ -623,11 +630,36 @@ object TextAnalysis {
         .localCheckpoint(true)
       merges = if (merges == null) best else merges.unionByName(best)
       vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("__p"))))
-        .select(expr(
+        .select(col("__w"), expr(
           "replace(__s, concat(' ', __p, ' '), concat(' ', replace(__p, ' ', ''), ' '))")
           .as("__s"), col("__c"))
         .localCheckpoint(true)
     }
-    merges.select(col("round"), col("pair"), col("freq"))
+    (merges.select(col("round"), col("pair"), col("freq")), vocab)
+  }
+
+  /** BPE compression report per group: train `rounds` merges on the
+    * WHOLE corpus (q216's loop), then measure each group's token /
+    * char / post-merge symbol counts through the word→segmentation
+    * mapping — the "how well does a shared tokenizer fit each source"
+    * diagnostic (a source whose ratio_e6 stays near char count is
+    * out-of-domain for the merges). The encode side never re-runs
+    * merges on documents: corpus words join the vocab-sized mapping.
+    * ratio_e6 = symbols·1e6 DIV chars — exact integers. */
+  def bpeCompression(df: DataFrame, groupCol: String, textCol: String,
+                     rounds: Int): DataFrame = {
+    val vocab = bpeCore(df, textCol, rounds)._2
+      .select(col("__w"),
+        size(split(trim(col("__s")), " ")).cast("long").as("__nsym"))
+    df.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(vocab, Seq("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("__w"))).as("n_chars"),
+        sum(col("__nsym")).as("n_symbols"))
+      .select(col("grp"), col("n_tokens"), col("n_chars"), col("n_symbols"),
+        expr("n_symbols * 1000000L DIV n_chars").as("ratio_e6"))
   }
 }

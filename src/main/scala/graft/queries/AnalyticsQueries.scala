@@ -1537,6 +1537,96 @@ object AnalyticsQueries {
       graft.operators.Quality.joinSizeForecast(
         t(s, dir, "lineitem"), "l_partkey",
         t(s, dir, "part"), "p_partkey")
+    },
+
+    // TPC-H Q3 shape (shipping priority): top-10 undelivered orders of
+    // one segment by revenue. Broadcast the filtered customer keys,
+    // one fact aggregate on (orderkey, date, prio), top-k plans as
+    // TakeOrderedAndProject — never a global sort.
+    "q218_shipping_priority" -> q(
+      """SELECT l_orderkey,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue_e4 DESC, order_date, l_orderkey LIMIT 10""") { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "order_date", "o_orderpriority")
+        .orderBy(col("revenue_e4").desc, col("order_date"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q8 shape (national market share): one nation's share of
+    // regional revenue per year, exact e4 integer operands with ONE
+    // final integer division to e6 share — no float sums anywhere.
+    "q219_market_share" -> q(
+      """WITH base AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS rev_e4,
+                  n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'AMERICA'
+             AND o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01')
+         SELECT yr,
+                CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN rev_e4 ELSE 0 END) AS BIGINT) AS brazil_e4,
+                CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+                CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN rev_e4 ELSE 0 END)
+                     * 1000000 // sum(rev_e4) AS BIGINT) AS share_e6
+         FROM base GROUP BY yr ORDER BY yr""") { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("__cnk"),
+        col("n_regionkey"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("__snk"),
+        col("n_name").as("supp_nation"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+        .select("r_regionkey")
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n1.join(broadcast(reg),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("__cnk"))
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+          && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_e4"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("__snk"))
+        .groupBy("yr")
+        .agg(sum(when(col("supp_nation") === "BRAZIL", col("rev_e4")).otherwise(0L))
+          .as("brazil_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .select(col("yr"), col("brazil_e4"), col("total_e4"),
+          expr("brazil_e4 * 1000000L DIV total_e4").as("share_e6"))
+        .orderBy("yr")
     }
   )
 

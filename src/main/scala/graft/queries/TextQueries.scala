@@ -1309,6 +1309,56 @@ object TextQueries {
           min(when(col("cum") * 100 >= col("total") * 90, col("rk"))).as("r90"),
           min(when(col("cum") * 100 >= col("total") * 99, col("rk"))).as("r99"),
           count(lit(1)).as("vocab_size"))
+    },
+
+    // BPE compression per source (TextAnalysis.bpeCompression): train
+    // q216's 6 merges corpus-wide, then measure each source's chars vs
+    // post-merge symbols through the vocab-sized word→segmentation
+    // mapping — encode never re-runs merges on documents. The oracle
+    // replays training (word column carried through) and the join.
+    "q220_bpe_compression" -> q({
+      val base =
+        s"""WITH w0 AS MATERIALIZED (
+              SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest($toksSql) AS word FROM documents)
+              WHERE word <> '' GROUP BY 1),
+            s0 AS MATERIALIZED (
+              SELECT word,
+                     ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                     || ' ' AS s, c
+              FROM w0)"""
+      val rs = (1 to 6).map { r =>
+        s""", p$r AS MATERIALIZED (
+              SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, len(string_split(trim(s), ' ')) - 1),
+                         i -> string_split(trim(s), ' ')[i] || ' '
+                              || string_split(trim(s), ' ')[i + 1])) AS pair, c
+                FROM s${r - 1}) GROUP BY 1),
+            b$r AS MATERIALIZED (SELECT pair FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+            s$r AS MATERIALIZED (
+              SELECT word, replace(s, ' ' || (SELECT pair FROM b$r) || ' ',
+                             ' ' || replace((SELECT pair FROM b$r), ' ', '')
+                             || ' ') AS s, c
+              FROM s${r - 1})"""
+      }.mkString
+      base + rs +
+        s"""
+          , m AS MATERIALIZED (
+              SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS nsym
+              FROM s6),
+            occ AS (SELECT source AS grp, unnest($toksSql) AS word FROM documents)
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(len(word)) AS BIGINT) AS n_chars,
+                 CAST(sum(nsym) AS BIGINT) AS n_symbols,
+                 CAST(sum(nsym) * 1000000 // sum(len(word)) AS BIGINT) AS ratio_e6
+          FROM occ JOIN m USING (word)
+          WHERE word <> ''
+          GROUP BY grp ORDER BY grp"""
+    }) { (s, dir) =>
+      TextAnalysis.bpeCompression(t(s, dir, "documents"), "source", "text",
+        rounds = 6)
+        .orderBy("grp")
     }
   )
 }
