@@ -1627,6 +1627,47 @@ object AnalyticsQueries {
         .select(col("yr"), col("brazil_e4"), col("total_e4"),
           expr("brazil_e4 * 1000000L DIV total_e4").as("share_e6"))
         .orderBy("yr")
+    },
+
+    // End-to-end entity resolution: SymSpell edit-1 blocking (q213) →
+    // connected components (pointer-jumped contraction) → quality-
+    // aware survivor per cluster (max acctbal cents, min-key tie).
+    // The oracle recomputes components via a recursive transitive-
+    // closure CTE over the brute-force pair set.
+    "q221_entity_resolution" -> q(
+      """WITH RECURSIVE
+            pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            scored AS (
+              SELECT c.c_custkey AS id,
+                     coalesce(comp.component, c.c_custkey) AS component,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score
+              FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id),
+            best AS (
+              SELECT component, id AS best_id FROM (
+                SELECT component, id,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY score DESC, id ASC) AS rn
+                FROM scored) WHERE rn = 1)
+         SELECT s.id, s.component, s.score, s.id = b.best_id AS keep
+         FROM scored s JOIN best b USING (component)
+         ORDER BY s.id""") { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .withColumn("score", cents(col("c_acctbal")))
+      graft.analytics.Dedup.keepBestPerComponent(cust, "c_custkey", "score",
+        graft.analytics.Dedup.editDistance1Pairs(cust, "c_custkey", "c_name"))
+        .select("id", "component", "score", "keep")
+        .orderBy("id")
     }
   )
 

@@ -165,4 +165,29 @@ class ScaleShapeSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter($"id" === 2L && $"v1".isNull).count() == 1)
   }
+
+  test("iterative graph ops keep O(1) plans per round (lineage truncation)") {
+    // kPeel references its previous frame 3x per round: without the
+    // per-round localCheckpoint the logical plan grows 3^rounds and a
+    // 6-round run OOMs just STRINGIFYING the plan (observed). The
+    // regression gate: the round-6 plan must stay within small-constant
+    // size of the round-1 plan.
+    val g = (1 to 40).flatMap(i => Seq((i, i % 7 + 100), (i, i % 5 + 200)))
+      .toDF("x", "y")
+    def planLen(rounds: Int): Int =
+      Graph.kPeel(g, "x", "y", k = 2, rounds = rounds)
+        .queryExecution.optimizedPlan.toString.length
+    val p1 = planLen(1)
+    val p6 = planLen(6)
+    assert(p6 < p1 * 4 + 10000,
+      s"round-6 plan ($p6 chars) blew up vs round-1 ($p1) — lineage leak")
+    val seeds = Seq(1).toDF("s")
+    def bfsLen(rounds: Int): Int =
+      Graph.bfsHops(g, "x", "y", seeds, "s", rounds)
+        .queryExecution.optimizedPlan.toString.length
+    val b1 = bfsLen(1)
+    val b6 = bfsLen(6)
+    assert(b6 < b1 * 4 + 10000,
+      s"round-6 BFS plan ($b6 chars) blew up vs round-1 ($b1) — lineage leak")
+  }
 }
