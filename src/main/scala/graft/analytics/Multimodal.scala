@@ -157,4 +157,21 @@ object Multimodal {
           (i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_payload")
+
+  /** Cross-media frame-level dedup: md5 each sampled frame payload and
+    * report hashes seen in ≥ minMedia DISTINCT media — the "same scene
+    * in many videos" detector (near-universal intro/outro frames are
+    * the video-corpus analog of boilerplate paragraphs). The payload
+    * leaves the plan at the hash projection: only (hash, media_id)
+    * rows shuffle, and count(DISTINCT media_id) expands to the
+    * two-phase distinct aggregate with map-side partials — no frame
+    * payload ever crosses an exchange. */
+  def frameDedup(df: DataFrame, frameBytes: Int, stride: Int,
+                 minMedia: Long = 2L): DataFrame =
+    sampleFrames(df, frameBytes, stride)
+      .select(md5(col("frame_payload")).as("fhash"), col("media_id"))
+      .groupBy("fhash")
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_media") >= minMedia)
 }

@@ -179,6 +179,57 @@ object Graph {
     * real cluster swap in `Dataset.checkpoint` with a reliable
     * checkpoint dir for executor-loss tolerance; the algorithm is
     * unchanged. */
+  /** Personalized PageRank: identical exact fixed-point arithmetic to
+    * [[pageRank]], but the teleport mass lands ONLY on the seed set —
+    *   r'(v) = [v ∈ S]·(0.15·10¹²) div |S| + (85 · Σ_{u→v} r(u) div deg(u)) div 100
+    * — so rank concentrates around the seeds: the "similar to this
+    * cohort" recommender primitive (seeds = one customer segment ⇒
+    * ranks = supplier affinity to that segment). Same per-iteration
+    * scale shape as pageRank (one src-keyed join + one dst-keyed
+    * aggregate, rank frames persisted one round deep); the seed flag
+    * is a node-keyed left join computed once. Nodes unreachable from
+    * the seeds keep rank 0 (reported — their absence would silently
+    * change N-dependent comparisons). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val eDeg = e
+      .join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
+      .persist(lvl)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .persist(lvl)
+    val nSeeds = nodes.agg(sum(col("__seed")).as("__ns"))
+    val teleport = expr("CASE WHEN __seed = 1 THEN 150000000000L DIV __ns ELSE 0L END")
+    var rank = nodes.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("__seed"), col("__ns"),
+        expr("CASE WHEN __seed = 1 THEN 1000000000000L DIV __ns ELSE 0L END")
+          .as("rank_e12"))
+      .persist(lvl)
+    for (_ <- 1 to iters) {
+      val contribs = rank
+        .join(eDeg, rank("node") === eDeg("__src"))
+        .select(col("__dst").as("node"), expr("rank_e12 DIV __deg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      val next = nodes.crossJoin(broadcast(nSeeds))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("__seed"), col("__ns"),
+          (teleport + expr("85L * coalesce(__in, 0L) DIV 100")).as("rank_e12"))
+        .persist(lvl)
+      next.count()
+      rank.unpersist()
+      rank = next
+    }
+    eDeg.unpersist()
+    nodes.unpersist()
+    rank.select(col("node"), col("rank_e12"))
+  }
+
   /** Fixed-round multi-source BFS: hop distance from the nearest seed,
     * for every node within `rounds` hops. Round r relaxes
     * dist(v) = min(dist(v), min_{u∈N(v)} dist(u) + 1) — one edge-keyed
@@ -218,7 +269,10 @@ object Graph {
   }
 
   def kPeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            rounds: Int, maxBroadcastNodes: Long = 20000000L): DataFrame = {
+            rounds: Int, maxBroadcastNodes: Long = 5000000L): DataFrame = {
+    // default sized for ~40 MB of long keys per broadcast (5M × 8 B) —
+    // comfortably inside a 4-8 GiB executor; raise only with memory to
+    // spare, the shuffle semi-join path is correct at any size
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     var cur = edges

@@ -1668,6 +1668,60 @@ object AnalyticsQueries {
         graft.analytics.Dedup.editDistance1Pairs(cust, "c_custkey", "c_name"))
         .select("id", "component", "score", "keep")
         .orderBy("id")
+    },
+
+    // Personalized PageRank (Graph.personalizedPageRank) on the
+    // customer–supplier co-transaction graph, teleport pinned to the
+    // BUILDING segment: supplier ranks become segment-affinity scores
+    // — the recommender primitive, in the same exact fixed-point
+    // integers as q142 (bit-identical on any engine/partitioning).
+    "q223_personalized_pagerank" -> q({
+      val base =
+        """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                                 's' || CAST(l_suppkey AS VARCHAR) AS dst
+                          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              e AS (SELECT src, dst FROM pairs
+                    UNION ALL SELECT dst, src FROM pairs),
+              deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+              nodes AS (SELECT DISTINCT src AS node FROM e),
+              sd AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                     FROM customer WHERE c_mktsegment = 'BUILDING'),
+              n2 AS (SELECT n.node,
+                            CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+                     FROM nodes n LEFT JOIN sd s USING (node)),
+              t AS (SELECT CAST(sum(seed) AS BIGINT) AS ns FROM n2),
+              r0 AS (SELECT node, seed,
+                            CASE WHEN seed = 1 THEN 1000000000000 // ns ELSE 0 END AS rank_e12
+                     FROM n2 CROSS JOIN t)"""
+      val iters = (1 to 5).map { k =>
+        s""", r$k AS (
+              SELECT n2.node, n2.seed,
+                     (CASE WHEN n2.seed = 1 THEN 150000000000 // t.ns ELSE 0 END)
+                     + (85 * COALESCE(c.s, 0)) // 100 AS rank_e12
+              FROM n2 CROSS JOIN t
+              LEFT JOIN (SELECT e.dst AS node, sum(r.rank_e12 // d.deg) AS s
+                         FROM r${k - 1} r JOIN e ON r.node = e.src
+                         JOIN deg d ON e.src = d.src
+                         GROUP BY 1) c ON c.node = n2.node)"""
+      }.mkString
+      base + iters +
+        "\nSELECT node, CAST(rank_e12 AS BIGINT) AS rank_e12 FROM r5 ORDER BY node"
+    }) { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
+        seeds, "node", iters = 5)
+        .orderBy("node")
     }
   )
 

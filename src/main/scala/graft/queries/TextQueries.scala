@@ -1359,6 +1359,32 @@ object TextQueries {
       TextAnalysis.bpeCompression(t(s, dir, "documents"), "source", "text",
         rounds = 6)
         .orderBy("grp")
+    },
+
+    // Cross-media frame dedup (Multimodal.frameDedup): frames sampled
+    // from the stub video payloads (16-byte slices at stride 4), md5'd
+    // in place — only (hash, media) rows shuffle — and reported when
+    // they recur across >= 2 distinct media. The oracle replays the
+    // identical slicing on the ASCII payload (q77's text-as-bytes
+    // equivalence).
+    "q222_frame_dedup" -> q(
+      """WITH fr AS (
+           SELECT doc_id AS media_id,
+                  md5(base64(encode(substring(text, CAST(i * 64 + 1 AS INTEGER), 16)))) AS fhash
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(0,
+                          CAST(greatest(floor(octet_length(encode(text)) / 64) - 1, 0) AS BIGINT))) AS i
+                 FROM documents))
+         SELECT fhash, CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+                CAST(count(*) AS BIGINT) AS n_frames
+         FROM fr GROUP BY 1
+         HAVING count(DISTINCT media_id) >= 2
+         ORDER BY fhash""") { (s, dir) =>
+      Multimodal.frameDedup(
+        Multimodal.withBinaryContent(t(s, dir, "documents"), "doc_id",
+          "text", "video"),
+        frameBytes = 16, stride = 4, minMedia = 2L)
+        .orderBy("fhash")
     }
   )
 }

@@ -482,6 +482,18 @@ class EventsTextSpec extends SparkSpec {
     assert((attributed - BigDecimal(total)).abs < BigDecimal(0.01))
   }
 
+  test("frameDedup: shared aligned slices found, unique media silent") {
+    val docs = Seq(
+      (1L, "SHAREDPREFIX0000" + "a" * 20),
+      (2L, "SHAREDPREFIX0000" + "b" * 30),
+      (3L, "totally different content here")).toDF("doc_id", "text")
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "video")
+    val got = Multimodal.frameDedup(media, frameBytes = 16, stride = 4)
+      .as[(String, Long, Long)].collect()
+    // exactly one frame hash (the shared 16-byte frame 0) in 2 media
+    assert(got.length == 1 && got.head._2 == 2L && got.head._3 == 2L)
+  }
+
   test("sourceOverlap: identical corpora give J=1, disjoint pairs absent") {
     val docs = Seq(
       ("A", "the quick brown fox jumps"), // A and B share all shingles

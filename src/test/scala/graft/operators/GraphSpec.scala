@@ -65,6 +65,20 @@ class GraphSpec extends SparkSpec {
     assert(more == got)
   }
 
+  test("personalizedPageRank: hand-computed exact fixed-point on a star") {
+    // undirected star a-b, a-c (both orientations), seed {b}:
+    // r0: b=1e12; r1: a=85e10, b=15e10; r2 below — integer-exact
+    val und = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = Graph.personalizedPageRank(und, "src", "dst",
+        Seq("b").toDF("s"), "s", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "a" -> 127500000000L,  // 85·(b's 15e10) div 100
+      "b" -> 511250000000L,  // teleport 15e10 + 85·(85e10/2) div 100
+      "c" -> 361250000000L)) // 85·(85e10/2) div 100, no teleport
+  }
+
   test("bfsHops: exact hop distances, min over multiple seeds, isolated seed kept") {
     // path a-b-c-d-e with seeds {a, e}: distances collapse to the
     // nearer seed; z is an isolated seed (no edges) and must still
