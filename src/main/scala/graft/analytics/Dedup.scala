@@ -712,20 +712,24 @@ object Dedup {
     * alternative is never materialized.
     *
     * Scale shape: one explode (L+1 keys per string), one equi-join on
-    * the variant key, distinct pair set, then `levenshtein` verify on
-    * candidates only. Per-key fanout = the number of strings one
-    * deletion away from a given variant — bounded by alphabet size ×
-    * near-dup density, not corpus size (the SymSpell bound). Hot keys
-    * exist only where the corpus genuinely piles near-identical
-    * strings on one template. */
+    * the 64-bit XXHASH of the variant key — hashing before the join
+    * cuts the dominant shuffle's key bytes several-fold (variant
+    * strings ship whole otherwise; id+hash is 16 fixed bytes). A hash
+    * collision only ADDS a candidate pair, and the exact `levenshtein`
+    * verify removes it — losslessness is untouched. Then distinct pair
+    * set and verify on candidates only. Per-key fanout = the number of
+    * strings one deletion away from a given variant — bounded by
+    * alphabet size × near-dup density, not corpus size (the SymSpell
+    * bound). Hot keys exist only where the corpus genuinely piles
+    * near-identical strings on one template. */
   def editDistance1Pairs(df: DataFrame, idCol: String,
                          strCol: String): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
     val keyed = s.select(col("id"), col("s"),
-      explode(array_union(array(col("s")), transform(
+      explode(array_union(array(xxhash64(col("s"))), transform(
         sequence(lit(1), length(col("s"))),
-        p => concat(col("s").substr(lit(1), p - 1),
-          col("s").substr(p + 1, length(col("s"))))))).as("__k"))
+        p => xxhash64(concat(col("s").substr(lit(1), p - 1),
+          col("s").substr(p + 1, length(col("s")))))))).as("__k"))
     val cand = keyed.select(col("id").as("id_a"), col("s").as("s_a"), col("__k"))
       .join(keyed.select(col("id").as("id_b"), col("s").as("s_b"), col("__k")),
         Seq("__k"))

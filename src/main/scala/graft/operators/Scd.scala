@@ -50,10 +50,13 @@ object Scd {
     * Plan shape: one window pass over the BATCH for last-writer-wins
     * (batches are bounded; the table never sorts), then a single
     * left-anti join of the current table against the batch's key
-    * projection — one broadcast-able relation covers both deletes and
-    * updated keys, so the big side is scanned once and never shuffled
-    * — and a by-name union of the surviving rows with the upsert
-    * payloads. */
+    * projection — one relation covers both deletes and updated keys,
+    * so the big side is scanned once — and a by-name union of the
+    * surviving rows with the upsert payloads. The key projection is
+    * NOT broadcast-hinted: a typical CDC batch is small and AQE
+    * broadcasts it from the runtime size, but a backfill-scale batch
+    * (at 100 TB a replayed day can be huge) must degrade to a shuffle
+    * anti-join instead of OOMing the driver on a forced broadcast. */
   def applyCdc(current: DataFrame, changes: DataFrame, keyCols: Seq[String],
                opCol: String, seqCol: String): DataFrame = {
     require(keyCols.nonEmpty, "applyCdc: at least one key column")
@@ -62,7 +65,7 @@ object Scd {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val survivors = current.join(
-      broadcast(lastOp.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      lastOp.select(keyCols.map(col): _*), keyCols, "left_anti")
     val upserts = lastOp.filter(col(opCol) =!= "D")
       .drop(opCol, seqCol)
     survivors.unionByName(upserts)

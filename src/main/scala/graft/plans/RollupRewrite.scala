@@ -57,6 +57,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
   def register(name: String, entry: Entry): Unit = entries.put(name, entry)
   def clear(): Unit = entries.clear()
 
+  /** Remove one registered rollup. After this, aggregates over its base
+    * path plan against the base scan again (correct, just uncubed). The
+    * rule object itself stays in extraOptimizations — with no entries
+    * it matches nothing — so register/deregister cycles are cheap and
+    * never mutate the session's rule list concurrently. */
+  def deregister(name: String): Unit = entries.remove(name)
+
   /** Build the cube (one shuffle on the dims, partial+final agg), write
     * it as parquet, and register it for rewriting. Idempotent per name;
     * appends this rule to the session's extraOptimizations exactly once. */

@@ -487,10 +487,10 @@ object AnalyticsQueries {
     "q164_trailing_feature" -> q(
       """SELECT o_orderkey, o_custkey,
                 CAST(o_orderdate AS DATE) AS day,
-                COALESCE(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                CAST(COALESCE(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
                   PARTITION BY o_custkey
                   ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
-                  RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0)
+                  RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                   AS trailing_30d
          FROM orders ORDER BY o_orderkey""") { (s, dir) =>
       val o = t(s, dir, "orders")
@@ -527,18 +527,25 @@ object AnalyticsQueries {
                   LEFT JOIN bc ON bc.bin = s.bin),
             t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM b)
          SELECT bin, n_ref, n_cur,
-                CAST(round(
+                CAST(CAST(round(
                   (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
                     - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
                   * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
                        / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))),
-                  9) AS DECIMAL(18,9)) AS psi_term
+                  9) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS psi_term_e9
          FROM b, t ORDER BY bin""") { (s, dir) =>
+      // registered output is the e9-scaled BIGINT: the operator's
+      // DECIMAL(18,9) psi_term has exactly 9 decimals, so *1e9 is
+      // lossless, and integers survive the driver harness where
+      // DECIMAL hash-mismatched in r5
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
       graft.operators.Stats.psiDrift(
           o.filter(col("o_orderkey") % 2 === 0).select("v"),
           o.filter(col("o_orderkey") % 2 === 1).select("v"), "v")
+        .withColumn("psi_term_e9",
+          expr("CAST(psi_term * 1000000000 AS BIGINT)"))
+        .drop("psi_term")
         .orderBy("bin")
     },
 
@@ -730,16 +737,35 @@ object AnalyticsQueries {
                 CAST(count(*) AS BIGINT) AS n_docs
          FROM documents WHERE lang <> 'zh'
          GROUP BY source ORDER BY source""") { (s, dir) =>
-      val cubePath = java.nio.file.Files
-        .createTempDirectory("graft-rollup-cube").toString
+      // Registration is SCOPED to this builder: a deterministic cube
+      // path (overwrite-reused across runs, no per-run dir leak), an
+      // eager optimize that proves the rule really answered from the
+      // cube, then deregister — so no later aggregate over the same
+      // documents path is silently served from a possibly-stale cube.
+      val cubePath = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-rollup-cube-" + Integer.toHexString(dir.hashCode)).toString
       graft.plans.RollupRewrite.materializeAndRegister(s, "documents_cube",
         t(s, dir, "documents"), s"$dir/documents.parquet",
         dims = Seq("source", "lang"), measures = Seq("n_chars"), cubePath)
-      t(s, dir, "documents")
-        .filter(col("lang") =!= "zh")
-        .groupBy("source")
-        .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
-        .orderBy("source")
+      try {
+        val out = t(s, dir, "documents")
+          .filter(col("lang") =!= "zh")
+          .groupBy("source")
+          .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
+          .orderBy("source")
+        // executedPlan prints the FileScan location; the optimized
+        // logical plan elides relation paths
+        val planned = out.queryExecution.executedPlan.toString
+        require(planned.contains("graft-rollup-cube"),
+          "rollup rewrite did not answer q182 from the cube")
+        // materialize THROUGH the rewrite (tiny grouped result) so the
+        // registered query exercises the cube read end-to-end even
+        // though consumers re-plan after deregistration
+        val rows = out.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          out.schema)
+      } finally graft.plans.RollupRewrite.deregister("documents_cube")
     },
 
     // TPC-H Q21-flavored blame analysis: for multi-supplier orders, the

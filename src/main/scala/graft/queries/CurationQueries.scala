@@ -267,9 +267,9 @@ object CurationQueries {
                   CAST(len($toksSql) AS BIGINT) AS n_tokens
            FROM documents),
           p AS (SELECT doc_id, n_tokens,
-                  coalesce(SUM(n_tokens) OVER (ORDER BY key
+                  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY key
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS prefix_tokens
+                    0) AS BIGINT) AS prefix_tokens
                 FROM k)
           SELECT doc_id, n_tokens, prefix_tokens FROM p
           WHERE prefix_tokens + n_tokens <= 20000
@@ -291,9 +291,9 @@ object CurationQueries {
                   CAST(len($toksSql) AS BIGINT) AS n_tokens
            FROM documents),
           p AS (SELECT doc_id, lang, n_tokens,
-                  coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY key
+                  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY key
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS prefix_tokens
+                    0) AS BIGINT) AS prefix_tokens
                 FROM k)
           SELECT doc_id, lang, n_tokens, prefix_tokens FROM p
           WHERE prefix_tokens + n_tokens <=
@@ -405,6 +405,11 @@ object CurationQueries {
     // hashed-unigram distribution looks like the English slice vs the
     // whole pool (Curation.dsirWeights — exact-decimal dot product of
     // per-bucket log-likelihood ratios, so the hash compare holds).
+    // Registered output is the e6-scaled BIGINT (the operator's
+    // DECIMAL(38,6) has exactly 6 decimals, so *1e6 is lossless): the
+    // driver harness canonicalizes integers identically in both
+    // engines, while DECIMAL reaches it as Decimal objects from Spark
+    // parquet but float64 from DuckDB fetchdf — r5's hash-mismatch.
     "q132_dsir_weights" -> q({
       // md5-hex nibble -> int by ascii arithmetic (engine-portable)
       def nib(h: String, i: Int) =
@@ -432,13 +437,15 @@ object CurationQueries {
               AS DECIMAL(18,6)) AS llr
             FROM bucket_stats, totals)
           SELECT d.doc_id,
-                 CAST(sum(CAST(d.cnt AS DECIMAL(20,0)) * l.llr) AS DECIMAL(38,6))
-                   AS dsir_weight
+                 CAST(sum(CAST(d.cnt AS DECIMAL(20,0)) * l.llr) * 1000000
+                   AS BIGINT) AS dsir_weight_e6
           FROM doc_buckets d JOIN llr l USING (b)
           GROUP BY 1 ORDER BY 1"""
     }) { (s, dir) =>
       Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
           targetPred = col("lang") === "en")
+        .select(col("doc_id"),
+          expr("CAST(dsir_weight * 1000000 AS BIGINT)").as("dsir_weight_e6"))
         .orderBy("doc_id")
     },
 

@@ -540,14 +540,20 @@ object EventsQueries {
          SELECT CAST(sum(CAST(round(
                   CAST((o*n - rt*ct) * (o*n - rt*ct) AS DOUBLE)
                     / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(18,6)))
-                AS DECIMAL(28,6)) AS chi2,
+                * 1000000 AS BIGINT) AS chi2_e6,
                 (SELECT (ka - 1) * (kb - 1) FROM t) AS dof
          FROM (SELECT r.a, c.b, r.rt, c.ct, COALESCE(obs.o, 0) AS o
                FROM r CROSS JOIN c
                LEFT JOIN obs ON obs.a = r.a AND obs.b = c.b), t""") { (s, dir) =>
+      // e6-scaled BIGINT output (per-cell terms are rounded to 6
+      // decimals, so the decimal sum *1e6 is lossless): in r5 the
+      // DECIMAL output was driver-green only by luck of its digits —
+      // a trailing zero in the 6th decimal would have hash-mismatched
       val ev = t(s, dir, "events").select(col("event_type").as("a"),
         (dayofweek(col("ts")) - 1).cast("long").as("b"))
       graft.operators.Stats.chiSquare(ev, "a", "b")
+        .select(expr("CAST(chi2 * 1000000 AS BIGINT)").as("chi2_e6"),
+          col("dof"))
     },
 
     // A/B test: users hash-split 50/50 (the md5 split column — no RNG
@@ -862,13 +868,20 @@ object EventsQueries {
                           END AS credit
                    FROM n WHERE hit OR rn = 1)
          SELECT channel,
-                CAST(sum(CAST(credit AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS attributed,
+                CAST(sum(CAST(credit AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                  AS attributed_e6,
                 CAST(count(*) AS BIGINT) AS n_credits
          FROM cr GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      // registered output is the e6-scaled BIGINT (credits are rounded
+      // to 6 decimals, so the decimal sum *1e6 is lossless) — DECIMAL
+      // outputs hash-mismatch at the driver harness (r5)
       Events.linearAttribution(t(s, dir, "events"), "user_id", "ts",
         "event_type", "value",
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookback = "7 days")
+        .select(col("channel"),
+          expr("CAST(attributed * 1000000 AS BIGINT)").as("attributed_e6"),
+          col("n_credits"))
         .orderBy("channel")
     }
   )

@@ -969,17 +969,21 @@ object TextQueries {
     },
 
     // Positional inverted index: posting lists with sorted 1-based
-    // term positions — the first array-valued oracle (both engines
-    // produce int64 lists; sort_array/list_sort pin determinism).
+    // term positions. The operator returns the real array<long>
+    // column; the REGISTERED projection serializes it to a ','-joined
+    // string because the driver harness cannot canonicalize array
+    // cells (r5: pandas lexsort died on "unhashable numpy.ndarray").
     "q159_inverted_index" -> q(
       s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
              terms AS (SELECT doc_id, unnest(tk) AS term,
                               unnest(generate_series(1, len(tk))) AS pos
                        FROM toks)
-          SELECT term, doc_id, list_sort(list(pos)) AS positions,
+          SELECT term, doc_id,
+                 string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions,
                  CAST(count(*) AS BIGINT) AS tf
           FROM terms GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("positions", array_join(col("positions"), ","))
         .orderBy("term", "doc_id")
     },
 
@@ -1011,7 +1015,10 @@ object TextQueries {
     // tf/df/length statistics, one rounded-then-decimal-fixed float
     // chain per (doc, term) in IDENTICAL operation order on both
     // engines (even k1+1 is spelled 1.2 + 1.0 — the literal 2.2 can
-    // differ from the sum by an ulp), decimal sums per doc.
+    // differ from the sum by an ulp), decimal sums per doc. The
+    // registered output is the e9-scaled BIGINT (per-term scores are
+    // rounded to 9 decimals, so the decimal sum *1e9 is lossless) —
+    // DECIMAL outputs hash-mismatch at the driver harness (r5).
     "q161_bm25" -> q(
       s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
              dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
@@ -1028,12 +1035,14 @@ object TextQueries {
                      ln((nd - df + 0.5) / (df + 0.5) + 1.0)
                        * (tf * (1.2 + 1.0))
                        / (tf + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) * nd) / sumdl)),
-                     9) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS bm25
+                     9) AS DECIMAL(18,9))) * 1000000000 AS BIGINT) AS bm25_e9
           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
-          GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""") { (s, dir) =>
+          GROUP BY doc_id ORDER BY bm25_e9 DESC, doc_id LIMIT 20""") { (s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
           Seq("table", "hash", "spark"))
-        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .select(col("doc_id"),
+          expr("CAST(bm25 * 1000000000 AS BIGINT)").as("bm25_e9"))
+        .orderBy(col("bm25_e9").desc, col("doc_id").asc)
         .limit(20)
     },
 

@@ -14,17 +14,27 @@ package object queries {
 
   /** Load a driver test table (TESTDATA.md): `$dir/<name>.parquet`.
     *
-    * The `events` table carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert with integer division
-    * (`DIV`, not `/` — double division loses ~200ns of precision at
-    * epoch-nanos magnitude, enough to shift microsecond values). */
+    * The `events.ts` column has shipped in two physical forms across
+    * driver rounds, both normalized here to a session-zone TIMESTAMP so
+    * every downstream query sees ONE type:
+    *   - TIMESTAMP(NANOS) (rounds ≤5): Spark's vectorized reader
+    *     rejects it; read nanos as long and convert with integer
+    *     division (`DIV`, not `/` — double division loses ~200ns at
+    *     epoch-nanos magnitude, enough to shift microsecond values).
+    *   - timestamp[us] without UTC adjustment (round 6 regen): arrives
+    *     as TIMESTAMP_NTZ, which unix_micros()/double casts reject;
+    *     cast to TIMESTAMP — the session zone is pinned UTC everywhere
+    *     (Verify/Bench/tests), so the wall-clock reinterpretation is
+    *     value-identical and matches DuckDB's naive reading. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts"
-        && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case None => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 
