@@ -712,12 +712,14 @@ object Dedup {
     * alternative is never materialized.
     *
     * Scale shape: one explode (L+1 keys per string), one equi-join on
-    * the 64-bit XXHASH of the variant key — hashing before the join
-    * cuts the dominant shuffle's key bytes several-fold (variant
-    * strings ship whole otherwise; id+hash is 16 fixed bytes). A hash
-    * collision only ADDS a candidate pair, and the exact `levenshtein`
-    * verify removes it — losslessness is untouched. Then distinct pair
-    * set and verify on candidates only. Per-key fanout = the number of
+    * the 64-bit XXHASH of the variant key carrying ONLY (id, hash) —
+    * 16 fixed bytes per row where the raw formulation ships every
+    * string L+1 times through the dominant shuffle. A hash collision
+    * only ADDS a candidate pair, and the exact `levenshtein` verify
+    * removes it — losslessness is untouched. The candidate id-pair set
+    * (bounded by near-dup density, orders of magnitude smaller than
+    * the keyed relation) then picks its two strings back up by two
+    * id-equi-joins before the verify. Per-key fanout = the number of
     * strings one deletion away from a given variant — bounded by
     * alphabet size × near-dup density, not corpus size (the SymSpell
     * bound). Hot keys exist only where the corpus genuinely piles
@@ -725,17 +727,18 @@ object Dedup {
   def editDistance1Pairs(df: DataFrame, idCol: String,
                          strCol: String): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val keyed = s.select(col("id"), col("s"),
+    val keyed = s.select(col("id"),
       explode(array_union(array(xxhash64(col("s"))), transform(
         sequence(lit(1), length(col("s"))),
         p => xxhash64(concat(col("s").substr(lit(1), p - 1),
           col("s").substr(p + 1, length(col("s")))))))).as("__k"))
-    val cand = keyed.select(col("id").as("id_a"), col("s").as("s_a"), col("__k"))
-      .join(keyed.select(col("id").as("id_b"), col("s").as("s_b"), col("__k")),
-        Seq("__k"))
+    val cand = keyed.select(col("id").as("id_a"), col("__k"))
+      .join(keyed.select(col("id").as("id_b"), col("__k")), Seq("__k"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "s_a", "id_b", "s_b").distinct()
+      .select("id_a", "id_b").distinct()
     cand
+      .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
