@@ -597,6 +597,30 @@ object Curation {
       .limit(k)
   }
 
+  /** Deterministic stratified sample: the k rows per group whose md5
+    * rank is smallest — every stratum (source, language, shard) is
+    * represented with EXACTLY min(k, |stratum|) rows, chosen with no
+    * RNG state (the hashSplit/hashWeightedSample md5 argument:
+    * reproducible on any engine, cluster, or retry, and stable under
+    * corpus append for rows that keep their hash rank). The per-group
+    * rank is also returned — rank ≤ k' re-cuts a smaller sample
+    * WITHOUT re-ranking, so one pass serves every downstream budget.
+    *
+    * Scale shape: one window partitioned BY GROUP (never a global
+    * single-task window) over a hash-ordered partition; the row_number
+    * frame carries no payload besides the projected columns. Skewed
+    * strata sort within their own partition only. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, groupCol: String,
+                           k: Int, salt: String = "rs1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")),
+        col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Quantile normalization onto the pooled distribution: each value is
     * replaced by the corpus-wide value at its group-relative quantile
     * position — afterwards every group's empirical distribution matches

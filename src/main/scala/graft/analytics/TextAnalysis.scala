@@ -662,4 +662,43 @@ object TextAnalysis {
       .select(col("grp"), col("n_tokens"), col("n_chars"), col("n_symbols"),
         expr("n_symbols * 1000000L DIV n_chars").as("ratio_e6"))
   }
+
+  /** Per-group boilerplate n-grams ("stop-grams"): token n-grams whose
+    * DOCUMENT frequency within a group (source/domain) reaches
+    * `minDfPct` percent — the CCNet/RefinedWeb-style diagnostic for
+    * templated headers, navigation chrome, and license blurbs that
+    * repeat across a crawl source and should be excised before
+    * training. Doc frequency (distinct docs), not term frequency: a
+    * single doc repeating a phrase 100× is content; 20% of a source
+    * sharing it is boilerplate. Documents shorter than n tokens have
+    * no n-grams and contribute nothing (both engines drop them in the
+    * same place).
+    *
+    * Scale shape: one explode of per-doc DISTINCT n-grams (the
+    * distinct runs inside the row — array_distinct — so the exchange
+    * ships each (doc, gram) once), one hash aggregate to (group, gram)
+    * doc counts with map-side partials, and the per-group doc totals
+    * ride a broadcast join onto the gram relation. Nothing is ever
+    * keyed on doc × doc, and the gram relation is bounded by corpus
+    * tokens, not squared. The integer predicate n_docs·100 ≥ total·pct
+    * keeps the threshold engine-exact (a float percentage can flip on
+    * the boundary). */
+  def stopGrams(df: DataFrame, idCol: String, groupCol: String,
+                textCol: String, n: Int = 3, minDfPct: Int = 20): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    val grams = df
+      .select(col(idCol), col(groupCol).as("source"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), col("source"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__tk")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("__tk"), i + o)): _*)))).as("ngram"))
+    val df_ = grams.groupBy(col("source"), col("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = df.groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("__total"))
+    df_.join(broadcast(totals), Seq("source"))
+      .filter(col("n_docs") * 100 >= col("__total") * minDfPct)
+      .select(col("source"), col("ngram"), col("n_docs"))
+  }
 }

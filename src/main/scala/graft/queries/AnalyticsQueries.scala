@@ -1748,6 +1748,79 @@ object AnalyticsQueries {
       graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
         seeds, "node", iters = 5)
         .orderBy("node")
+    },
+
+    // TPC-H Q10 shape: top customers by revenue lost to returned items
+    // in one quarter. The star plan at scale: lineitem⋈orders shuffles
+    // on the orderkey (both fact-sized), orders⋈customer shuffles on
+    // the custkey (AQE may broadcast customer at small SF — no hint
+    // either way), nation rides an explicit broadcast. The quarter
+    // filter reaches the orders scan and the 'R' filter the lineitem
+    // scan BEFORE either join. Revenue in exact 1e-6-dollar integers
+    // (cents × discount_e4), acctbal in cents.
+    "q224_returned_revenue" -> q(
+      """SELECT c_custkey, c_name, n_name,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS revenue_e6
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= DATE '1995-10-01'
+           AND o_orderdate < DATE '1996-01-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue_e6 DESC, c_custkey LIMIT 20""") { (s, dir) =>
+      // direct timestamp compares (values are midnight-aligned) so the
+      // quarter window pushes to the orders parquet scan — a to_date()
+      // wrap would hide the column from the pushdown
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-10-01 00:00:00"))
+          && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"))
+        .agg(sum(cents(col("l_extendedprice"))
+          * (lit(10000L) - tenthCents(col("l_discount")))).as("revenue_e6"))
+        .orderBy(col("revenue_e6").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // TPC-H Q6 shape: the canonical pushdown probe — a single lineitem
+    // scan with three predicates and one arithmetic aggregate, no
+    // joins. The plan MUST show all three filters pushed to the
+    // parquet scan and one partial+final agg (whole-stage codegen'd);
+    // the discount band compares in exact e4 integers so the boundary
+    // rows agree across engines.
+    "q225_forecast_revenue" -> q(
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_e6,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+           AND CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) BETWEEN 500 AND 700
+           AND l_quantity < 24""") { (s, dir) =>
+      // the exact e4-integer band is not scan-pushable (arithmetic on
+      // the column), so a REDUNDANT raw-double band rides along: it
+      // pushes to parquet and prunes row groups by min/max, while the
+      // exact band keeps the boundary engine-portable
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+          && col("l_discount") >= 0.0499 && col("l_discount") <= 0.0701
+          && tenthCents(col("l_discount")).between(500, 700)
+          && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice"))
+          * tenthCents(col("l_discount"))).as("revenue_e6"),
+          count(lit(1)).as("n_items"))
     }
   )
 

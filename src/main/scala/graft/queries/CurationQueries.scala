@@ -554,6 +554,26 @@ object CurationQueries {
         .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("toks"))
       Curation.apportionBudget(weights, "source", "toks", budget = 1000000L)
         .orderBy("source")
+    },
+
+    // Deterministic stratified sample (Curation.stratifiedHashSample):
+    // exactly min(25, |source|) docs per source by md5 rank — no RNG
+    // state, reproducible on any engine/cluster/retry; the returned
+    // rank lets any smaller per-source budget re-cut without
+    // re-ranking. Window partitioned BY SOURCE (never a single-task
+    // global window).
+    "q227_stratified_sample" -> q(
+      """WITH r AS (SELECT doc_id, source,
+                           CAST(row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY md5('rs1' || CAST(doc_id AS VARCHAR)), doc_id)
+                             AS BIGINT) AS rank
+                    FROM documents)
+         SELECT doc_id, source, rank FROM r
+         WHERE rank <= 25 ORDER BY source, rank""") { (s, dir) =>
+      Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id",
+          "source", k = 25)
+        .orderBy("source", "rank")
     }
   )
 }

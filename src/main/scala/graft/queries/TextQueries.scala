@@ -1394,6 +1394,30 @@ object TextQueries {
           "text", "video"),
         frameBytes = 16, stride = 4, minMedia = 2L)
         .orderBy("fhash")
+    },
+
+    // Per-source boilerplate trigrams (TextAnalysis.stopGrams): token
+    // 3-grams shared by ≥5% of a source's documents — the crawl-chrome
+    // detector that runs BEFORE span excision (q100 removes the spans
+    // these identify). Doc frequency via per-row array_distinct, so the
+    // exchange ships each (doc, gram) once; the integer n_docs·100 ≥
+    // total·pct threshold is boundary-exact on both engines.
+    "q226_stop_ngrams" -> q(
+      s"""WITH toks AS (SELECT doc_id, source, $toksLowerSql AS tk FROM documents),
+             grams AS (SELECT DISTINCT doc_id, source,
+                              concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS ngram
+                       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+                       WHERE len(tk) >= 3),
+             df AS (SELECT source, ngram, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM grams GROUP BY 1, 2),
+             tot AS (SELECT source, count(*) AS total FROM documents GROUP BY 1)
+          SELECT source, ngram, n_docs
+          FROM df JOIN tot USING (source)
+          WHERE n_docs * 100 >= total * 5
+          ORDER BY source, ngram""") { (s, dir) =>
+      TextAnalysis.stopGrams(t(s, dir, "documents"), "doc_id", "source",
+          "text", n = 3, minDfPct = 5)
+        .orderBy("source", "ngram")
     }
   )
 }

@@ -439,4 +439,23 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(r._5 - ideal) < 1.0, s"${r._1}: ${r._5} vs $ideal")
     }
   }
+
+  test("stratifiedHashSample: exact per-stratum counts, deterministic, rank re-cuts") {
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "small")) ++
+      Seq((111L, "tiny"))).toDF("id", "grp")
+    val got = Curation.stratifiedHashSample(docs, "id", "grp", k = 25)
+    val bySize = got.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // exactly min(k, |stratum|) per stratum
+    assert(bySize == Map("big" -> 25L, "small" -> 10L, "tiny" -> 1L))
+    // deterministic under repartitioning (md5 rank, no RNG)
+    val again = Curation.stratifiedHashSample(docs.repartition(7), "id", "grp", k = 25)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+    // rank <= k' IS the k'-sample: re-cutting needs no re-rank
+    val k5 = Curation.stratifiedHashSample(docs, "id", "grp", k = 5)
+      .select("id").as[Long].collect().toSet
+    val recut = got.filter($"rank" <= 5).select("id").as[Long].collect().toSet
+    assert(k5 == recut)
+  }
 }

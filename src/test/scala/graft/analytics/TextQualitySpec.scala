@@ -262,4 +262,27 @@ class TextQualitySpec extends SparkSpec {
     // non-overlapping -> " aa a "; round 2 merges "aa a"
     assert(got == List((1L, "a a", 4L), (2L, "aa a", 2L)))
   }
+
+  test("stopGrams: doc frequency not term frequency; threshold boundary exact") {
+    // 10 docs in one source: 'the quick fox' in 2 docs (20%); one doc
+    // repeats 'spam spam spam' 5x internally (TF high, DF=1)
+    val docs = ((1L to 2L).map(i => (i, "s", "the quick fox jumps")) ++
+      Seq((3L, "s", Seq.fill(5)("spam spam spam").mkString(" "))) ++
+      (4L to 10L).map(i => (i, "s", s"unique$i words here now"))).toDF("doc_id", "src", "text")
+    def grams(pct: Int) =
+      graft.analytics.TextAnalysis.stopGrams(docs, "doc_id", "src", "text",
+        n = 3, minDfPct = pct)
+        .select("ngram").as[String].collect().toSet
+    // at 20%: 'the quick fox'/'quick fox jumps' qualify (2/10 = exactly
+    // the boundary, >= holds); the TF-heavy spam gram (DF 1/10) must not
+    val g20 = grams(20)
+    assert(g20.contains("the quick fox") && g20.contains("quick fox jumps"), g20)
+    assert(!g20.exists(_.contains("spam")), g20)
+    // at 21% the 2-doc grams fall below the integer threshold
+    assert(!grams(21).contains("the quick fox"))
+    // docs shorter than n contribute nothing (no crash, no grams)
+    val short = Seq((1L, "s", "one two")).toDF("doc_id", "src", "text")
+    assert(graft.analytics.TextAnalysis.stopGrams(short, "doc_id", "src",
+      "text", n = 3, minDfPct = 0).count() == 0)
+  }
 }

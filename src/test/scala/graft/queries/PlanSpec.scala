@@ -272,6 +272,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected the two windows to share a shuffle:\n$p")
   }
 
+  test("q224: quarter + returnflag filters pushed; nation broadcast; top-20 no global sort") {
+    val p = planOf("q224_returned_revenue")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"orderdate window not pushed to the orders scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_returnflag[^\\]]*\\].*"),
+      s"returnflag not pushed to the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q225: all pushable predicates reach the single lineitem scan; no join") {
+    val p = planOf("q225_forecast_revenue")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.matches(s"(?s).*PushedFilters: \\[[^\\]]*$c[^\\]]*\\].*"),
+        s"$c not pushed:\n$p")
+    assert(!p.contains("Join"), s"Q6 shape must be a single scan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
