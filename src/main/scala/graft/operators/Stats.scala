@@ -699,4 +699,55 @@ object Stats {
               / sqrt(col("var18").cast("double") / 18.0), 6))
           .as("z"))
   }
+
+  /** Reliability (calibration) diagram in exact integers: rows bucketed
+    * by an e6-scaled score into `nBins` equal-width bins, each bin
+    * reporting its size, positive count, and empirical positive rate —
+    * the model-eval primitive that says whether "0.9 confidence" means
+    * 90% correct. bin = min(nBins−1, score·nBins div 10⁶), so the
+    * score-=1e6 edge folds into the top bin and every boundary is
+    * integer-exact (a float bin edge can flip rows across engines).
+    * Bins with no rows are absent (reported rates would be 0/0).
+    *
+    * Scale shape: one projection + one nBins-sized hash aggregate with
+    * map-side partials; nothing sorts, nothing is row-keyed. */
+  def calibrationBins(df: DataFrame, scoreE6Col: String, labelCol: String,
+                      nBins: Int = 10): DataFrame =
+    df.select(
+        least(lit(nBins - 1L),
+          expr(s"$scoreE6Col * $nBins DIV 1000000")).as("bin"),
+        col(labelCol).cast("boolean").as("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_e6", expr("n_pos * 1000000L DIV n"))
+
+  /** Exact ROC AUC by rank statistics (Mann–Whitney U): the
+    * probability that a random positive outscores a random negative,
+    * ties at half credit. Doubled-U integers keep ties exact:
+    *   2U = Σ_scores (2·n_pos(s)·n_neg_below(s) + n_pos(s)·n_neg(s)),
+    * auc_e6 = 2U·10⁶ div (2·P·N). Every operand is an exact integer —
+    * no rank averaging in floats, no sort of the row relation, and the
+    * same number on any engine, partitioning, or retry.
+    *
+    * Scale shape: one hash aggregate to the DISTINCT-SCORE relation —
+    * bounded by score resolution (≤ 10⁶+1 rows for an e6 score, a
+    * hard cap independent of corpus size), NOT by rows — then the
+    * distributed exclusive prefix sum (Curation.exclusivePrefixSum,
+    * never a single-task global window) for n_neg_below, and one
+    * 1-row aggregate. The row relation is touched exactly once. */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__pos"))
+      .groupBy("__s")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__nn"))
+    graft.analytics.Curation
+      .exclusivePrefixSum(byScore, "__s", "__nn", "__cnb")
+      .agg(sum(expr("2L * __np * __cnb + __np * __nn")).as("two_u"),
+        sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"))
+      .withColumn("auc_e6",
+        expr("two_u * 1000000L DIV (2L * n_pos * n_neg)"))
+  }
 }

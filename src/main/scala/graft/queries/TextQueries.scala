@@ -1418,6 +1418,68 @@ object TextQueries {
       TextAnalysis.stopGrams(t(s, dir, "documents"), "doc_id", "source",
           "text", n = 3, minDfPct = 5)
         .orderBy("source", "ngram")
+    },
+
+    // Reliability diagram (Stats.calibrationBins) for a type-token-
+    // ratio "quality score" against the lang=en label: per-decile
+    // size, positives, and empirical rate — all integer-exact (the
+    // min(9, score·10 div 1e6) bin edge cannot flip across engines).
+    "q228_calibration_bins" -> q(
+      s"""WITH s AS (SELECT CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT) AS score_e6,
+                            lang = 'en' AS pos
+                     FROM (SELECT doc_id, lang, $toksLowerSql AS tk FROM documents)
+                     WHERE len(tk) > 0),
+             b AS (SELECT least(9, score_e6 * 10 // 1000000) AS bin, pos FROM s)
+          SELECT CAST(bin AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+                 CAST((count(*) FILTER (WHERE pos)) * 1000000 // count(*) AS BIGINT)
+                   AS pos_rate_e6
+          FROM b GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val tk = TextAnalysis.tokens(lower(col("text")))
+      val scored = t(s, dir, "documents")
+        .select(tk.as("__tk"), (col("lang") === "en").as("pos"))
+        .filter(size(col("__tk")) > 0)
+        .select(expr("size(array_distinct(__tk)) * 1000000L DIV size(__tk)")
+          .as("score_e6"), col("pos"))
+      graft.operators.Stats.calibrationBins(scored, "score_e6", "pos")
+        .orderBy("bin")
+    },
+
+    // Exact ROC AUC (Stats.rankAuc) of the same score/label pair:
+    // doubled-U rank statistics in pure integers (ties at half
+    // credit), the distinct-score relation bounded by e6 resolution,
+    // prefix ranks from the DISTRIBUTED scan — the oracle's global
+    // window is the single-task formulation the engine refuses
+    // (q120's precedent).
+    "q229_rank_auc" -> q(
+      s"""WITH s AS (SELECT CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT) AS score,
+                            lang = 'en' AS pos
+                     FROM (SELECT doc_id, lang, $toksLowerSql AS tk FROM documents)
+                     WHERE len(tk) > 0),
+             g AS (SELECT score,
+                          CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np,
+                          CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS nn
+                   FROM s GROUP BY 1),
+             c AS (SELECT score, np, nn,
+                          CAST(coalesce(sum(nn) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS cnb
+                   FROM g),
+             t AS (SELECT CAST(sum(2 * np * cnb + np * nn) AS BIGINT) AS two_u,
+                          CAST(sum(np) AS BIGINT) AS n_pos,
+                          CAST(sum(nn) AS BIGINT) AS n_neg
+                   FROM c)
+          SELECT two_u, n_pos, n_neg,
+                 CAST(two_u * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6
+          FROM t""") { (s, dir) =>
+      val tk = TextAnalysis.tokens(lower(col("text")))
+      val scored = t(s, dir, "documents")
+        .select(tk.as("__tk"), (col("lang") === "en").as("pos"))
+        .filter(size(col("__tk")) > 0)
+        .select(expr("size(array_distinct(__tk)) * 1000000L DIV size(__tk)")
+          .as("score"), col("pos"))
+      graft.operators.Stats.rankAuc(scored, "score", "pos")
     }
   )
 }

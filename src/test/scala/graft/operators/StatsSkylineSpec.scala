@@ -351,4 +351,31 @@ class StatsSkylineSpec extends SparkSpec {
     val b = Stats.cusumChangepoint(s.toDF("t", "x").repartition(7), "t", "x").head()
     assert(a == b)
   }
+
+  test("rankAuc: hand-computed 2U with a tie; degenerate orderings") {
+    // positives score {3, 2}, negatives {1, 2}: pairs (3,1)(3,2)(2,1)
+    // win, (2,2) ties -> AUC = 3.5/4 = 0.875
+    val df = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("score", "pos")
+    val r = Stats.rankAuc(df, "score", "pos").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((7L, 2L, 2L, 875000L)))
+    // perfect separation -> 1e6; perfectly wrong -> 0
+    val hi = Seq((9L, true), (8L, true), (1L, false)).toDF("score", "pos")
+    assert(Stats.rankAuc(hi, "score", "pos").head().getLong(3) == 1000000L)
+    val lo = Seq((1L, true), (9L, false)).toDF("score", "pos")
+    assert(Stats.rankAuc(lo, "score", "pos").head().getLong(3) == 0L)
+  }
+
+  test("calibrationBins: integer bin edges, top edge folds into last bin") {
+    val df = Seq((0L, false), (999999L, true), (1000000L, true),
+      (500000L, true), (500001L, false)).toDF("score_e6", "pos")
+    val bins = Stats.calibrationBins(df, "score_e6", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 0 -> bin 0; 500000/500001 -> bin 5; 999999 -> bin 9; 1000000 -> folds to 9
+    assert(bins == Map(
+      0L -> ((1L, 0L, 0L)),
+      5L -> ((2L, 1L, 500000L)),
+      9L -> ((2L, 2L, 1000000L))))
+  }
 }
