@@ -30,29 +30,43 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
-      val timings = (1 to trials).map { _ =>
-        val t0 = System.nanoTime()
-        val err: Option[String] =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          }
-        spark.catalog.clearCache()
-        err match {
-          case None    => Right((System.nanoTime() - t0) / 1e9)
-          case Some(m) => Left(m)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
+      spark.catalog.clearCache()
+      err match {
+        case None    => Right((System.nanoTime() - t0) / 1e9)
+        case Some(m) => Left(m)
       }
+    }
+    val firstPass = selected.map { case (name, fn) =>
+      name -> (1 to trials).map(_ => time(fn))
+    }
+    val results = firstPass.map { case (name, timings) =>
       val errs = timings.collect { case Left(m) => m }
       name -> (if (errs.nonEmpty) Left(errs.head)
         else {
-          val sorted = timings.collect { case Right(s) => s }.sorted
+          var sorted = timings.collect { case Right(s) => s }.sorted
           // (median, max/min trial spread) — the spread is the noise
-          // indicator: a 3-5× ratio means the box was busy and the
-          // medians deserve a quiet-window re-run before being read as
-          // regressions (it manufactured four phantom ones in round 4)
-          Right((sorted(sorted.length / 2), sorted.last / sorted.head.max(1e-9)))
+          // indicator: a 3-5× ratio means the box was busy during some
+          // trial and the median may be inflated (it manufactured four
+          // phantom regressions in round 4 and six in round 5). Instead
+          // of shipping the noisy number, SELF-CORRECT: give the query
+          // two more trials — by then the transient load has usually
+          // passed, and the 5-trial median shakes off the outliers. The
+          // reported spread keeps the ORIGINAL ratio so the artifact
+          // still says "this box was noisy here".
+          val rawSpread = sorted.last / sorted.head.max(1e-9)
+          if (rawSpread > 5.0 && sorted.last > 0.3) {
+            val extra = (1 to 2).flatMap(_ => time(selected(name)).toOption)
+            sorted = (sorted ++ extra).sorted
+          }
+          Right((sorted(sorted.length / 2), rawSpread))
         })
     }
     def jstr(s: String): String =
