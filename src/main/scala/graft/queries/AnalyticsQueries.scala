@@ -1821,6 +1821,57 @@ object AnalyticsQueries {
         .agg(sum(cents(col("l_extendedprice"))
           * tenthCents(col("l_discount"))).as("revenue_e6"),
           count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // ship year. The 6-relation plan at scale: the nation pair filters
+    // ride EXPLICIT broadcasts into supplier and customer (collapsing
+    // both dims to the two-nation slice before any fact touches them),
+    // the sliced dims reach the facts AQE-sized, and the only
+    // unavoidable shuffle is lineitem⋈orders on the orderkey. Volume
+    // in exact 1e-6-dollar integers.
+    "q230_nation_volume" -> q(
+      """WITH v AS (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(date_part('year', l_shipdate) AS BIGINT) AS year,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS vol_e6
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+         SELECT supp_nation, cust_nation, year,
+                CAST(sum(vol_e6) AS BIGINT) AS volume_e6,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") { (s, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation")))
+      val sup = t(s, dir, "supplier")
+        .join(n1, col("s_nationkey") === col("__snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cus = t(s, dir, "customer")
+        .join(n2, col("c_nationkey") === col("__cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("year"))
+        .agg(sum(cents(col("l_extendedprice"))
+          * (lit(10000L) - tenthCents(col("l_discount")))).as("volume_e6"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "year")
     }
   )
 

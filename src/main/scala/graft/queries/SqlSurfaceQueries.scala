@@ -391,6 +391,33 @@ object SqlSurfaceQueries {
             col("discount_e4"), col("tax_e4")),
           "measure", "value")
         .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // GROUPING SETS with explicit grouping() disambiguation: the
+    // (flag, status) detail plus per-flag and grand-total rollups in
+    // ONE aggregate pass (Spark plans Expand + single hash aggregate —
+    // never three scans). Rolled-up dims are labeled 'ALL' and the gid
+    // column separates a real NULL value from a rollup row, the
+    // standard warehouse-report shape.
+    "q231_grouping_sets" -> q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, flag, status""") { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                  coalesce(l_linestatus, 'ALL') AS status,
+                  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+                  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+                  count(*) AS n_rows
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           ORDER BY gid, flag, status""")
     }
   )
 }

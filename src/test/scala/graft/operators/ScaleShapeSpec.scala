@@ -190,4 +190,40 @@ class ScaleShapeSpec extends SparkSpec {
     assert(b6 < b1 * 4 + 10000,
       s"round-6 BFS plan ($b6 chars) blew up vs round-1 ($b1) — lineage leak")
   }
+
+  test("stopGrams: totals ride a broadcast; no row-keyed join, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.analytics.TextAnalysis.stopGrams(
+      docs, "doc_id", "source", "text", n = 3, minDfPct = 5)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"gram relation must never shuffle-join:\n$p")
+  }
+
+  test("stratifiedHashSample: one group-keyed exchange, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.analytics.Curation.stratifiedHashSample(
+      docs, "doc_id", "source", k = 10)
+    val p = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly the group shuffle:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"window must partition by the stratum:\n$p")
+  }
+
+  test("rankAuc: prefix ranks come from the distributed range scan, not a global window") {
+    val df = (1L to 5000L).map(i => (i % 997, i % 3 == 0)).toDF("score", "pos")
+    val out = Stats.rankAuc(df, "score", "pos")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      s"expected repartitionByRange prefix machinery:\n$p")
+    // every window in the plan must carry a partition key (__pid) — a
+    // partition-less window is the single-task formulation this
+    // operator exists to avoid
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"found a window without the __pid partition key:\n$specs\n$p")
+  }
 }

@@ -291,6 +291,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q230: nation slices broadcast; only fact-fact joins may shuffle") {
+    val p = finalPlanOf("q230_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both nation slices (and the AQE-sized dims) should broadcast:\n$p")
+    val shuffled = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffled <= 1,
+      s"only lineitem-orders may shuffle, got $shuffled:\n$p")
+  }
+
+  test("q231: grouping sets plan one Expand + one scan, never three scans") {
+    val p = planOf("q231_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must plan Expand:\n$p")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size == 1,
+      s"one pass over lineitem, not one per set:\n$p")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
