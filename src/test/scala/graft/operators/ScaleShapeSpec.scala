@@ -211,6 +211,11 @@ class ScaleShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly the group shuffle:\n$p")
     assert(p.contains("hashpartitioning(source"),
       s"window must partition by the stratum:\n$p")
+    // rank <= k must plan the map-side partial top-k: with few huge
+    // strata (5 sources at 100 TB) a full per-stratum sort is the
+    // difference between shipping k rows and shipping the corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must plan WindowGroupLimit:\n$p")
   }
 
   test("rankAuc: prefix ranks come from the distributed range scan, not a global window") {
