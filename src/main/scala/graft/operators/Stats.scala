@@ -737,9 +737,14 @@ object Stats {
     * never a single-task global window) for n_neg_below, and one
     * 1-row aggregate. The row relation is touched exactly once. */
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // NULL labels are EXCLUDED, not counted as negatives: an unlabeled
+    // row is missing data (and a NULL-producing predicate like
+    // `lang = 'en'` on NULL lang must match the oracle's FILTER
+    // semantics, which drop the row from both counts)
     val byScore = df
       .select(col(scoreCol).cast("long").as("__s"),
         col(labelCol).cast("boolean").as("__pos"))
+      .filter(col("__pos").isNotNull)
       .groupBy("__s")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__nn"))

@@ -21,8 +21,18 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-OK_PREFIXES = ("VARCHAR", "BIGINT", "INTEGER", "DOUBLE", "DATE",
-               "TIMESTAMP", "BOOLEAN")
+OK_EXACT = {"VARCHAR", "BIGINT", "INTEGER", "DOUBLE", "DATE", "BOOLEAN"}
+
+
+def type_ok(ty):
+    t = ty.upper()
+    # exact-match the scalar envelope; TIMESTAMP variants (WITH TIME
+    # ZONE, _NS, ...) pass by prefix. A '[' anywhere is a LIST of an
+    # envelope type (e.g. 'BIGINT[]') — the r5-q159 failure class — and
+    # must NOT ride the prefix match.
+    if "[" in t or t.startswith(("STRUCT", "MAP", "UNION")):
+        return False
+    return t in OK_EXACT or t.startswith("TIMESTAMP")
 
 
 def main(sf_dir, out_dir):
@@ -39,8 +49,7 @@ def main(sf_dir, out_dir):
             print(f"ERR  {name}: oracle does not plan: {e}")
             n_bad += 1
             continue
-        bad = [(c, ty) for c, ty, *_ in desc
-               if not ty.upper().startswith(OK_PREFIXES)]
+        bad = [(c, ty) for c, ty, *_ in desc if not type_ok(ty)]
         if bad:
             n_bad += 1
             cols = ", ".join(f"{c}:{ty}" for c, ty in bad)
