@@ -647,4 +647,55 @@ object Similarity {
           / (col("x.qnorm") * col("y.qnorm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-label centroid dispersion + outlier verdicts — the
+    * embedding-space MISLABEL detector a curation pipeline runs before
+    * trusting labels: each vector's L2 distance to its own label's
+    * centroid, flagged when it sits more than 3σ above the label's
+    * mean distance.
+    *
+    * Exactness: with quantized vectors, n²·dist² = Σ_i (n·x_i − s_i)²
+    * is an EXACT integer (s_i the label's per-dim sum, n its count) —
+    * the centroid itself (s/n) is never materialized as a float. The
+    * only float steps are one sqrt + one divide of exact operands
+    * (IEEE-unique), floored to micro-units. The 3σ verdict is the
+    * all-integer z² compare (q115's technique): d·n > S and
+    * (d·n − S)² > zSq·(n·Q − S²) with S = Σd, Q = Σd² — no float
+    * boundary to flip across engines. DECIMAL(38,0) operands keep the
+    * squares exact far past BIGINT range (DuckDB mirrors via HUGEINT).
+    *
+    * Scale shape: one posexplode + one (label, dim)-keyed aggregate —
+    * the centroid-sum relation is |labels|·dim rows, broadcast back
+    * onto the exploded relation — then one id-keyed aggregate and one
+    * |labels|-row stats broadcast. Nothing vector×vector, no windows,
+    * no driver collects. */
+  def labelCentroidDispersion(df: DataFrame, idCol: String, vecCol: String,
+                              labelCol: String, zSq: Int = 9): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dims = df
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("__i", "__x")))
+    val cent = dims.groupBy("label", "__i")
+      .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+    val dist = dims.join(broadcast(cent), Seq("label", "__i"))
+      .select(col("id"), col("label"), col("__n"),
+        (col("__n").cast(D) * col("__x") - col("__s")).as("__e"))
+      .groupBy("id", "label")
+      .agg(first("__n").as("__n"),
+        sum(col("__e") * col("__e")).cast(D).as("__dd"))
+      .select(col("id"), col("label"),
+        floor(sqrt(col("__dd").cast("double")) / col("__n").cast("double")
+          + 0.5).cast("long").as("dist_micro"))
+    val stats = dist.groupBy("label").agg(
+      count(lit(1)).cast(D).as("__nl"),
+      sum("dist_micro").cast(D).as("__sd"),
+      sum(col("dist_micro") * col("dist_micro")).cast(D).as("__qd"))
+    dist.join(broadcast(stats), Seq("label"))
+      .select(col("id"), col("label"), col("dist_micro"),
+        (col("dist_micro") * col("__nl") > col("__sd")
+          && (col("dist_micro") * col("__nl") - col("__sd"))
+             * (col("dist_micro") * col("__nl") - col("__sd"))
+             > lit(zSq) * (col("__nl") * col("__qd") - col("__sd") * col("__sd")))
+          .as("is_outlier"))
+  }
 }

@@ -325,6 +325,45 @@ object EmbeddingQueries {
           array_max(scaled).as("max_e6"),
           aggregate(scaled, lit(0L), (a, x) => a + x * x).as("norm_sq_e12"))
         .orderBy("vec_id")
+    },
+
+    // Label-centroid dispersion + 3σ outlier verdicts
+    // (Similarity.labelCentroidDispersion): the embedding-space
+    // mislabel detector. n²·dist² is an exact integer (the centroid
+    // s/n is never a float); the verdict is the all-integer z² compare
+    // — HUGEINT in DuckDB mirrors Spark's DECIMAL(38,0).
+    "q232_embed_outliers" -> q(
+      s"""WITH qv AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
+                      FROM embeddings),
+             d AS (SELECT vec_id, label, unnest(qv) AS x,
+                          unnest(generate_series(1, len(qv))) AS i
+                   FROM qv),
+             c AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY 1, 2),
+             t AS (SELECT vec_id, d.label, max(c.n) AS n,
+                          sum(CAST(c.n * d.x - c.s AS HUGEINT)
+                              * CAST(c.n * d.x - c.s AS HUGEINT)) AS dd
+                   FROM d JOIN c ON d.label = c.label AND d.i = c.i
+                   GROUP BY 1, 2),
+             dist AS (SELECT vec_id, label,
+                             CAST(floor(sqrt(CAST(dd AS DOUBLE))
+                               / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS dist_micro
+                      FROM t),
+             st AS (SELECT label, CAST(count(*) AS HUGEINT) AS nl,
+                           CAST(sum(dist_micro) AS HUGEINT) AS sd,
+                           CAST(sum(dist_micro * dist_micro) AS HUGEINT) AS qd
+                    FROM dist GROUP BY 1)
+          SELECT vec_id, dist.label AS label, dist_micro,
+                 (dist_micro * nl > sd
+                  AND (dist_micro * nl - sd) * (dist_micro * nl - sd)
+                      > 9 * (nl * qd - sd * sd)) AS is_outlier
+          FROM dist JOIN st ON dist.label = st.label
+          ORDER BY vec_id""") { (s, dir) =>
+      Similarity.labelCentroidDispersion(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
     }
   )
 }

@@ -317,4 +317,27 @@ class SimilaritySpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(got.map(_.getLong(1)).toSeq == expect)
   }
+
+  test("labelCentroidDispersion: planted far vector flagged, tight cluster clean") {
+    // label 0: fifteen vectors hugging (1, 0) plus one at (-400, -400)
+    // — a single extreme outlier among n points can reach at most
+    // z = sqrt(n-1), so n must exceed 10 for a 3σ flag to be possible;
+    // label 1: a tight clean cluster — nothing flagged there
+    val vecs =
+      (1L to 15L).map(i => (i, Array(1.0f + 0.001f * i, 0.0f), 0)) ++
+        Seq((9000L, Array(-400.0f, -400.0f), 0)) ++
+        (9001L to 9005L).map(i => (i, Array(0.0f, 2.0f + 0.001f * i), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidDispersion(df, "vec_id", "embedding", "label")
+    val flagged = got.filter($"is_outlier").select("id").as[Long].collect().toSet
+    assert(flagged == Set(9000L), s"expected only the planted outlier, got $flagged")
+    // distances are exact integers: bit-identical under repartitioning
+    val again = Similarity
+      .labelCentroidDispersion(df.repartition(7), "vec_id", "embedding", "label")
+      .select("id", "dist_micro").as[(Long, Long)].collect().toMap
+    val first = got.select("id", "dist_micro").as[(Long, Long)].collect().toMap
+    assert(first == again)
+    // the planted point dominates: its distance is far above the cluster's
+    assert(first(9000L) > 10L * first(1L))
+  }
 }

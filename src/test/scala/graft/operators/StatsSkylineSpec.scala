@@ -367,6 +367,26 @@ class StatsSkylineSpec extends SparkSpec {
     assert(Stats.rankAuc(lo, "score", "pos").head().getLong(3) == 0L)
   }
 
+  test("rankAuc matches brute-force pair counting (differential, seeded)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 80).map(_ => (rnd.nextInt(9).toLong, rnd.nextInt(3) != 0))
+      val r = Stats.rankAuc(rows.toDF("score", "pos"), "score", "pos").head()
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val twoU = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert((r.getLong(0), r.getLong(1), r.getLong(2))
+        == ((twoU, pos.size.toLong, neg.size.toLong)), s"seed $seed")
+      assert(r.getLong(3) == twoU * 1000000L / (2L * pos.size * neg.size))
+    }
+    // NULL labels are excluded, not negatives
+    val withNull = Seq((5L, Some(true)), (3L, None), (1L, Some(false)))
+      .toDF("score", "pos")
+    val rn = Stats.rankAuc(withNull, "score", "pos").head()
+    assert((rn.getLong(1), rn.getLong(2)) == ((1L, 1L)))
+  }
+
   test("calibrationBins: integer bin edges, top edge folds into last bin") {
     val df = Seq((0L, false), (999999L, true), (1000000L, true),
       (500000L, true), (500001L, false)).toDF("score_e6", "pos")
