@@ -1872,6 +1872,257 @@ object AnalyticsQueries {
           * (lit(10000L) - tenthCents(col("l_discount")))).as("volume_e6"),
           count(lit(1)).as("n_items"))
         .orderBy("supp_nation", "cust_nation", "year")
+    },
+
+    // TPC-H Q4 shape: order-priority check via EXISTS, decorrelated to a
+    // left-semi join whose condition mixes the equi key with a
+    // correlated non-equi compare (l_shipdate > o_orderdate + 365d — the
+    // reduced schema has no l_commitdate, so "shipped more than a year
+    // after ordering" stands in for the late-commit predicate). The
+    // quarter window pushes to the orders scan; the semi join
+    // deduplicates per order on the shuffle, so no distinct is needed
+    // and each order is counted once no matter how many late lines it
+    // has. Both sides shuffle on the orderkey only.
+    "q233_priority_check" -> q(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q13 shape: customer order-count distribution. The predicate
+    // lives INSIDE the left-outer join condition (orders with status 'F'
+    // drop out without dropping the customer), count(o_orderkey) skips
+    // the unmatched-NULL rows so no-order customers land in bucket 0,
+    // and the count-of-counts re-aggregate is a second tiny shuffle on
+    // the c_count key. At scale the first join shuffles both sides on
+    // the custkey; the distribution aggregate is ~50 rows.
+    "q234_custdist" -> q(
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+               GROUP BY c_custkey)
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""") { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 shape: promo-revenue split as a conditional aggregate
+    // over one month of lineitem joined to the broadcast part dim. Both
+    // legs (promo numerator, total denominator) come out of ONE scan +
+    // ONE aggregate as exact 1e-6-dollar integers — the consumer forms
+    // the ratio; the engine never divides, so no float crosses the
+    // oracle boundary. The month window pushes to the lineitem scan.
+    "q235_promo_revenue" -> q(
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END) AS BIGINT) AS promo_e6,
+                CAST(sum(rev_e6) AS BIGINT) AS total_e6
+         FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS rev_e6,
+                      p_type
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01')""") { (s, dir) =>
+      val p = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+      val rev = cents(col("l_extendedprice")) *
+        (lit(10000L) - tenthCents(col("l_discount")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-09-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_e6"),
+          sum(rev).as("total_e6"))
+    },
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+    // compared against the max OF THAT SAME aggregate (the reference
+    // view + scalar-subquery pattern). The per-supplier rollup is
+    // persisted: it appears twice in the plan (probe side + max input)
+    // with DIFFERENT injected null-filters, so ReuseExchange alone
+    // cannot collapse the two subtrees and lineitem would be scanned
+    // twice; caching the tiny rollup (one row per active supplier)
+    // guarantees one fact scan regardless. The 1-row max rides a
+    // broadcast. Revenue in exact 1e-6 integers makes the = join
+    // engine-stable (never compare floats for equality across engines).
+    "q236_top_supplier" -> q(
+      """WITH r AS (SELECT l_suppkey,
+                           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+                             AS BIGINT) AS total_e6
+                    FROM lineitem
+                    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+                    GROUP BY 1)
+         SELECT s_suppkey, s_name, total_e6
+         FROM supplier JOIN r ON s_suppkey = l_suppkey
+         WHERE total_e6 = (SELECT max(total_e6) FROM r)
+         ORDER BY s_suppkey""") { (s, dir) =>
+      val r = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice"))
+          * (lit(10000L) - tenthCents(col("l_discount")))).as("total_e6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mx = r.agg(max(col("total_e6")).as("__mx"))
+      r.join(broadcast(mx), col("total_e6") === col("__mx"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_e6")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q17 shape: small-quantity-order revenue. The correlated
+    // per-part avg-quantity subquery decorrelates into a grouped
+    // aggregate joined back on the part key; the brand slice broadcasts
+    // into lineitem FIRST so the per-part aggregate only ever sees the
+    // brand's rows (per-part aggregates are untouched by filtering
+    // whole parts out). The avg compare is the integer cross-multiply
+    // 5*q*cnt < sum_q — no division, no float boundary. Both the
+    // aggregate and the join-back key on l_partkey, so the sliced fact
+    // shuffles ONCE and the joined aggregate reuses that partitioning.
+    "q237_small_qty_revenue" -> q(
+      """WITH pa AS (SELECT l_partkey AS pk,
+                            CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM lineitem GROUP BY 1)
+         SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_small
+         FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pk = l_partkey
+         WHERE p_brand = 'Brand#1'
+           AND 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * cnt < sq""") { (s, dir) =>
+      val bparts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(bparts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_cents"))
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+      li.join(pa, col("l_partkey") === col("pk"))
+        .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
+        .agg(sum(col("price_cents")).as("rev_cents"),
+          count(lit(1)).as("n_small"))
+    },
+
+    // TPC-H Q18 shape: large-volume orders — an IN subquery over a
+    // HAVING'd aggregate, decorrelated to a join against the >300-qty
+    // order set. No broadcast hints: the HAVING keeps ~0.2% of orders
+    // here but its true size is data-dependent, so AQE sizes the join
+    // sides at runtime (it broadcasts the filtered-orders side into
+    // customer in the common case instead of risking a driver OOM on a
+    // forced hint). Top-100 by price plans as TakeOrderedAndProject —
+    // per-partition heaps, no global sort.
+    "q238_large_volume_cust" -> q(
+      """WITH big AS (SELECT l_orderkey AS bok,
+                             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300)
+         SELECT c_custkey, c_name, o_orderkey,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents, sum_qty
+         FROM orders JOIN customer ON c_custkey = o_custkey JOIN big ON bok = o_orderkey
+         ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""") { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bok"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(big, col("bok") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("totalprice_cents"), col("sum_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    // TPC-H Q19 shape: a disjunction of per-brand conjunctions spanning
+    // BOTH join sides. Catalyst can't push the OR as-is, so the
+    // implementation carries the hand-derived per-side envelopes
+    // (l_quantity ∈ [1,30] to the lineitem scan; brand/size slice into
+    // the broadcast part dim) — the disjunction then only re-checks
+    // rows that survived both envelopes. This is the classic
+    // OR-pushdown probe: without the derived predicates the scan reads
+    // every row of lineitem.
+    "q239_brand_disjunction" -> q(
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS revenue_e6,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""") { (s, dir) =>
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+          && col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size"))
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(sum(cents(col("l_extendedprice"))
+          * (lit(10000L) - tenthCents(col("l_discount")))).as("revenue_e6"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q22 shape: dormant high-balance customers — balance above
+    // the positive-balance average (scalar subquery → broadcast 1-row
+    // cross join, compared as the integer cross-multiply bal*n > s) who
+    // placed NO order in the trailing window (NOT EXISTS → left-anti on
+    // the custkey; the reduced schema has no c_phone, so the window
+    // stands in for the phone-prefix slice and nation for the country
+    // code). The anti join shuffles both sides on the custkey; nation
+    // rides a broadcast.
+    "q240_dormant_customers" -> q(
+      """WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM customer WHERE c_acctbal > 0)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey, pos
+         WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= DATE '1999-01-01')
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("__s"), count(lit(1)).as("__n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(pos))
+        .filter(cents(col("c_acctbal")) * col("__n") > col("__s"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+        .orderBy("n_name")
     }
   )
 

@@ -307,6 +307,54 @@ class PlanSpec extends SparkSpec {
       s"one pass over lineitem, not one per set:\n$p")
   }
 
+  test("q233: EXISTS decorrelates to a left-semi join; quarter pushed to orders scan") {
+    val p = planOf("q233_priority_check")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"quarter window not pushed to the orders scan:\n$p")
+  }
+
+  /** AQE's executed-plan string repeats the whole tree under an
+    * "== Initial Plan ==" section after execution; operator COUNTS must
+    * only look at the final section or every count doubles. */
+  private def finalSection(p: String): String = {
+    val i = p.indexOf("== Initial Plan ==")
+    if (i >= 0) p.substring(0, i) else p
+  }
+
+  test("q236: the per-supplier rollup is cached — one lineitem scan feeds probe and max") {
+    val p = finalSection(finalPlanOf("q236_top_supplier"))
+    // the two rollup uses carry different injected null-filters, so
+    // ReuseExchange can't collapse them; the persist is what guarantees
+    // the single fact scan (both consumers read the InMemoryRelation)
+    assert(p.contains("InMemoryTableScan"),
+      s"rollup must be served from cache, not recomputed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"1-row max must broadcast:\n$p")
+  }
+
+  test("q237: brand slice broadcasts into lineitem; agg and join-back share the partkey shuffle") {
+    val p = finalSection(finalPlanOf("q237_small_qty_revenue"))
+    assert(p.contains("BroadcastHashJoin"), s"brand parts must broadcast:\n$p")
+    // sliced fact shuffles once on l_partkey; the aggregate's exchange is
+    // reused (or co-planned) for the join-back — never two fact shuffles
+    // feeding the same join key from the same source
+    val exchanges = "Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected at most agg+join partkey exchanges:\n$p")
+  }
+
+  test("q239: derived quantity envelope pushed to the lineitem scan; part slice broadcast") {
+    val p = planOf("q239_brand_disjunction")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      s"derived l_quantity envelope not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"brand/size part slice must broadcast:\n$p")
+  }
+
+  test("q240: NOT EXISTS plans as left-anti; nation broadcast") {
+    val p = planOf("q240_dormant_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
