@@ -326,6 +326,51 @@ object SqlSurfaceQueries {
         .orderBy("o_orderkey")
     },
 
+    // The same interval-join SEMANTICS as q62, but written as the plain
+    // declarative non-equi join — no manual bucketing. The
+    // plans.RangeJoinRewrite optimizer rule (scoped enable/disable, like
+    // q182's rollup rule) detects `point >= lo AND point <= hi` with no
+    // equi key and rewrites it into the bucketed equi join itself; the
+    // builder REQUIRES the nested-loop plan is gone, so a silently
+    // unfired rule fails Verify instead of passing slowly. The points
+    // side is sliced to one quarter (pushed to the scan) to bound the
+    // match cardinality.
+    "q241_range_join_auto" -> q(
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+         FROM orders JOIN lineitem
+           ON l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      graft.plans.RangeJoinRewrite.enable(s, 30L * 86400)
+      try {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .select("l_shipdate")
+        val o = t(s, dir, "orders")
+          .withColumn("o_hi", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .select("o_orderkey", "o_orderdate", "o_hi")
+        val out = li
+          .join(o, col("l_shipdate") >= col("o_orderdate")
+            && col("l_shipdate") <= col("o_hi"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_shipped"))
+          .orderBy("o_orderkey")
+        require(!out.queryExecution.executedPlan.toString
+            .contains("BroadcastNestedLoopJoin"),
+          "range-join rewrite did not fire on the plain non-equi join")
+        // materialize THROUGH the rewrite (q182's pattern): a consumer's
+        // count()/write() re-plans the DataFrame from scratch, and by
+        // then the finally has disabled the rule — the re-plan would
+        // silently fall back to the nested loop. The grouped result is
+        // one row per matched order, small by construction.
+        val rows = out.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          out.schema)
+      } finally graft.plans.RangeJoinRewrite.disable()
+    },
+
     // Conditional aggregation + HAVING.
     "q54_having_case" -> q(
       """SELECT o_orderstatus,
