@@ -755,4 +755,77 @@ object Stats {
       .withColumn("auc_e6",
         expr("two_u * 1000000L DIV (2L * n_pos * n_neg)"))
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic, each group against
+    * the pooled complement ("did this source drift from the rest?").
+    * Returns per group: `d_num` = max_v |F_g(v)·n_rest − F_rest(v)·n_g|
+    * (the KS distance is d_num / (n_g·n_rest)), plus both sample sizes.
+    * Everything stays in cross-multiplied BIGINT counts — no CDF is
+    * ever a float, so the max is engine-exact. Valid while
+    * n_g·n_rest < 2^63 (~3e9 rows per side).
+    *
+    * Shape: one aggregate to per-(group, value) counts, a
+    * (groups × distinct-values) grid so each group's step CDF is
+    * forward-filled at EVERY global jump point (the max can sit where
+    * only the complement's CDF jumps), and the distributed two-pass
+    * prefix scans of [[graft.analytics.Curation]] for both cumsums —
+    * no single-partition window anywhere. Grid cost is
+    * |groups|·|distinct values|; quantize the value first if its
+    * cardinality is unbounded. */
+  def ksPerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val gv = df.select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val pts = gv.groupBy("__v").agg(count(lit(1)).as("__m"))
+    val groups = gv.select("__g").distinct()
+    val grid = groups.crossJoin(pts.select("__v"))
+      .join(gv.groupBy("__g", "__v").agg(count(lit(1)).as("__c")),
+        Seq("__g", "__v"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val fg = graft.analytics.Curation
+      .exclusivePrefixSumBy(grid, "__g", "__v", "__c", "__fb")
+      .withColumn("__f", col("__fb") + col("__c"))
+    val fAll = graft.analytics.Curation
+      .exclusivePrefixSum(pts, "__v", "__m", "__cb")
+      .withColumn("__ftot", col("__cb") + col("__m"))
+      .select("__v", "__ftot")
+    val sizes = gv.groupBy("__g").agg(count(lit(1)).as("n_g"))
+    val total = gv.agg(count(lit(1)).as("__N"))
+    fg.join(fAll, Seq("__v"))
+      .join(broadcast(sizes), Seq("__g"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__g").as(groupCol), col("n_g"),
+        (col("__N") - col("n_g")).as("n_rest"))
+      .agg(max(abs(col("__f") * (col("__N") - col("n_g"))
+        - (col("__ftot") - col("__f")) * col("n_g"))).as("d_num"))
+      .select(groupCol, "d_num", "n_g", "n_rest")
+  }
+
+  /** Exact Mann-Whitney U (rank-sum) statistic, each group against the
+    * pooled complement. Ties get the standard average rank, kept exact
+    * by doubling: ranks at value v span (C_before, C_before + m], so
+    * 2·avgrank = 2·C_before + m + 1 is an integer. Returns per group
+    * `u_x2` = 2·U_g = 2·R_g − n_g·(n_g+1), plus both sample sizes
+    * (2·U is always integral; U itself may end in .5 under ties).
+    * Same overflow bound as [[ksPerGroup]].
+    *
+    * Cheaper than KS: no grid — each group only needs its OWN value
+    * rows joined to the global exclusive-cumsum relation, so the cost
+    * is one aggregate + one distributed prefix scan + one equi join. */
+  def mannWhitneyPerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val gv = df.select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val pts = gv.groupBy("__v").agg(count(lit(1)).as("__m"))
+    val cum = graft.analytics.Curation
+      .exclusivePrefixSum(pts, "__v", "__m", "__cb")
+    val total = gv.agg(count(lit(1)).as("__N"))
+    gv.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+      .join(cum, Seq("__v"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__c") * (lit(2L) * col("__cb") + col("__m") + 1L)).as("__r2"),
+        sum(col("__c")).as("n_g"))
+      .crossJoin(broadcast(total))
+      .select(col(groupCol),
+        (col("__r2") - col("n_g") * (col("n_g") + 1L)).as("u_x2"),
+        col("n_g"), (col("__N") - col("n_g")).as("n_rest"))
+  }
 }

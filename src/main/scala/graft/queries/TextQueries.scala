@@ -1480,6 +1480,57 @@ object TextQueries {
         .select(expr("size(array_distinct(__tk)) * 1000000L DIV size(__tk)")
           .as("score"), col("pos"))
       graft.operators.Stats.rankAuc(scored, "score", "pos")
+    },
+
+    // Exact two-sample KS drift per source (each source's doc-length
+    // distribution vs the pooled rest). Cross-multiplied integer CDFs —
+    // d_num / (n_g*n_rest) is the KS distance, but no float ever forms
+    // inside the engines. The step CDFs are forward-filled on the
+    // (sources × distinct-lengths) grid and both cumsums run on the
+    // distributed two-pass prefix scan, not a single-partition window.
+    "q242_ks_drift" -> q(
+      """WITH pts AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS m FROM documents
+                      WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+              cum AS (SELECT v, CAST(coalesce(sum(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m AS BIGINT) AS f_all FROM pts),
+              grid AS (SELECT g, v FROM (SELECT DISTINCT source AS g FROM documents WHERE source IS NOT NULL) gs,
+                                        (SELECT v FROM pts) vs),
+              gv AS (SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM documents
+                     WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+              f AS (SELECT grid.g, grid.v, CAST(sum(coalesce(gv.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS fg
+                    FROM grid LEFT JOIN gv ON grid.g = gv.g AND grid.v = gv.v),
+              sz AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_g FROM documents
+                     WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                      WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+         SELECT f.g AS source,
+                CAST(max(abs(fg * (n - n_g) - (f_all - fg) * n_g)) AS BIGINT) AS d_num,
+                n_g, CAST(n - n_g AS BIGINT) AS n_rest
+         FROM f JOIN cum USING (v) JOIN sz ON f.g = sz.g, tot
+         GROUP BY 1, n_g, n_rest ORDER BY source""") { (s, dir) =>
+      graft.operators.Stats.ksPerGroup(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source")
+    },
+
+    // Exact Mann-Whitney rank-sum per source vs the pooled rest. Tied
+    // ranks stay integral by doubling (2·avgrank = 2·C_before + m + 1),
+    // so u_x2 = 2·U hash-matches across engines. No grid needed — one
+    // aggregate, one distributed prefix scan, one equi join.
+    "q243_mann_whitney" -> q(
+      """WITH pts AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS m FROM documents
+                      WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+              cum AS (SELECT v, m, CAST(coalesce(sum(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM pts),
+              gv AS (SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM documents
+                     WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                      WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+         SELECT g AS source,
+                CAST(sum(c * (2 * cb + m + 1)) - sum(c) * (sum(c) + 1) AS BIGINT) AS u_x2,
+                CAST(sum(c) AS BIGINT) AS n_g,
+                CAST(n - sum(c) AS BIGINT) AS n_rest
+         FROM gv JOIN cum USING (v), tot
+         GROUP BY g, n ORDER BY source""") { (s, dir) =>
+      graft.operators.Stats.mannWhitneyPerGroup(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source")
     }
   )
 }

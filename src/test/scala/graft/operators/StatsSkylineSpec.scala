@@ -387,6 +387,50 @@ class StatsSkylineSpec extends SparkSpec {
     assert((rn.getLong(1), rn.getLong(2)) == ((1L, 1L)))
   }
 
+  test("ksPerGroup and mannWhitneyPerGroup match brute force (differential, seeded)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val groups = Seq("a", "b", "c")
+      val rows = (1 to 90).map(_ => (groups(rnd.nextInt(3)), rnd.nextInt(12).toLong))
+      val df = rows.toDF("g", "v")
+      val allV = rows.map(_._2).distinct.sorted
+      def split(g: String) =
+        (rows.filter(_._1 == g).map(_._2), rows.filterNot(_._1 == g).map(_._2))
+
+      val ks = Stats.ksPerGroup(df, "g", "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      for (g <- groups) {
+        val (a, b) = split(g)
+        val dRef = allV.map(v =>
+          math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)).max
+        assert(ks(g) == ((dRef, a.size.toLong, b.size.toLong)), s"KS $g seed $seed")
+      }
+
+      val mwu = Stats.mannWhitneyPerGroup(df, "g", "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      for (g <- groups) {
+        val (a, b) = split(g)
+        // 2U = sum over (x in a, y in b) of [2 if x>y, 1 if tie, 0 else]
+        val u2Ref = (for (x <- a; y <- b)
+          yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+        assert(mwu(g) == ((u2Ref, a.size.toLong, b.size.toLong)), s"MWU $g seed $seed")
+      }
+    }
+    // a group whose values all tie: KS distance from the complement is
+    // still well-defined; MWU reduces to pure tie credits
+    val tied = (Seq.fill(4)(("t", 7L)) ++ Seq(("u", 5L), ("u", 9L))).toDF("g", "v")
+    val kt = Stats.ksPerGroup(tied, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at v=7: F_t=4/4, F_u=1/2 -> |4*2 - 1*4| = 4; at v=5: |0*2-1*4|=4
+    assert(kt("t") == 4L)
+    val mt = Stats.mannWhitneyPerGroup(tied, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // t vs u: 4 values of 7 against {5, 9}: each scores 2 (beats 5) + 0 = 8
+    assert(mt("t") == 8L)
+  }
+
   test("calibrationBins: integer bin edges, top edge folds into last bin") {
     val df = Seq((0L, false), (999999L, true), (1000000L, true),
       (500000L, true), (500001L, false)).toDF("score_e6", "pos")
