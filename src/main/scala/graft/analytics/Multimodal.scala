@@ -141,6 +141,39 @@ object Multimodal {
       .withColumn("thumb_checksum", md5(col("thumb")))
   }
 
+  /** Fixed-duration audio chunking by metadata arithmetic ALONE — the
+    * windowing a speech pipeline runs before any model sees a sample.
+    * No decode: chunk boundaries come from the declared byte rate
+    * (`bytesPerSecond`, e.g. sample_rate × bytes_per_sample from the
+    * container header), so the op is exact and cheap at any scale. One
+    * explode per payload (`ceil(n_bytes / bytes_per_chunk)` rows); each
+    * chunk's checksum hashes ONLY its own hex slice — per-row cost is
+    * O(payload), never O(chunks × payload). A codec binding would swap
+    * the hex-slice checksum for real sample frames; offsets, lengths,
+    * timestamps and the generate shape are production-real. */
+  def chunkAudio(media: DataFrame, bytesPerSecond: Long, chunkMs: Long): DataFrame = {
+    require(bytesPerSecond > 0 && chunkMs > 0, "rate and window must be positive")
+    require(bytesPerSecond * chunkMs % 1000 == 0,
+      "bytesPerSecond*chunkMs must be a whole number of bytes")
+    val bpc = bytesPerSecond * chunkMs / 1000
+    media
+      .select(col("media_id"), hex(col("content")).as("__hex"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .select(col("media_id"), col("n_bytes"), col("__hex"),
+        // empty payloads still yield one empty chunk: sequence(0,-1) in
+        // Spark is the DESCENDING [0,-1], not the empty sequence
+        posexplode(sequence(lit(0L),
+          greatest(expr(s"(n_bytes + ${bpc - 1}) DIV $bpc"), lit(1L)) - 1L)))
+      .withColumn("byte_off", col("pos") * bpc)
+      .withColumn("byte_len",
+        greatest(least(lit(bpc), col("n_bytes") - col("byte_off")), lit(0L)))
+      .select(col("media_id"), col("pos").cast("long").as("chunk_idx"),
+        col("byte_off"), col("byte_len"),
+        (col("pos") * chunkMs).cast("long").as("ms_off"),
+        md5(col("__hex").substr(col("byte_off") * 2 + 1, col("byte_len") * 2))
+          .as("chunk_checksum"))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame row (explode = the generate shape
     * a real frame sampler has). Each frame slices ONLY its own bytes

@@ -1531,6 +1531,31 @@ object TextQueries {
          GROUP BY g, n ORDER BY source""") { (s, dir) =>
       graft.operators.Stats.mannWhitneyPerGroup(t(s, dir, "documents"), "source", "n_chars")
         .orderBy("source")
+    },
+
+    // Fixed-window audio chunking from container metadata alone (8 kB/s
+    // byte rate, 50 ms windows → 400-byte chunks): offsets, lengths and
+    // timestamps from pure arithmetic + one explode; each chunk
+    // checksums ONLY its own hex slice, so both engines hash identical
+    // byte ranges without a BLOB-substring primitive. The decode-free
+    // windowing a speech pipeline runs before any model sees a sample.
+    "q244_audio_chunks" -> q(
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                    FROM documents),
+              c AS (SELECT media_id, n_bytes, hx,
+                           CAST(unnest(generate_series(0, greatest((n_bytes + 399) // 400, 1) - 1)) AS BIGINT) AS chunk_idx
+                    FROM m)
+         SELECT media_id, chunk_idx,
+                CAST(chunk_idx * 400 AS BIGINT) AS byte_off,
+                CAST(greatest(least(400, n_bytes - chunk_idx * 400), 0) AS BIGINT) AS byte_len,
+                CAST(chunk_idx * 50 AS BIGINT) AS ms_off,
+                md5(substring(hx, CAST(chunk_idx * 800 + 1 AS BIGINT), CAST(greatest(least(400, n_bytes - chunk_idx*400), 0) * 2 AS BIGINT))) AS chunk_checksum
+         FROM c ORDER BY media_id, chunk_idx""") { (s, dir) =>
+      val media = Multimodal.withBinaryContent(
+        t(s, dir, "documents"), "doc_id", "text", kind = "audio")
+      Multimodal.chunkAudio(media, bytesPerSecond = 8000L, chunkMs = 50L)
+        .orderBy("media_id", "chunk_idx")
     }
   )
 }

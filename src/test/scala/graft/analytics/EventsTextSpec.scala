@@ -87,6 +87,30 @@ class EventsTextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunkAudio: chunks tile each payload exactly, only the tail is short") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "audio")
+    val chunks = Multimodal.chunkAudio(media, bytesPerSecond = 8000L, chunkMs = 50L)
+    val sizes = media.select($"media_id", length($"content").cast("long").as("nb"))
+    val per = chunks.groupBy("media_id")
+      .agg(sum($"byte_len").as("covered"), max($"byte_off" + $"byte_len").as("hi"),
+        count(lit(1)).as("k"),
+        sum(when($"byte_len" < 400L, 1L).otherwise(0L)).as("short_chunks"))
+      .join(sizes, "media_id").collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (covered, hi, k, short, nb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(covered == nb, "chunks must cover every byte exactly once")
+      assert(hi == nb, "last chunk must end at the payload boundary")
+      assert(k == math.max((nb + 399) / 400, 1), "chunk count = ceil(nb/bpc)")
+      assert(short <= 1, "only the tail chunk may be short")
+    }
+    // timestamps advance by the window
+    val ts = chunks.filter($"chunk_idx" === 3L).select("ms_off").distinct().collect()
+    ts.foreach(r => assert(r.getLong(0) == 150L))
+  }
+
   test("resizeStub: aspect-preserving fit-in-box, no upscale, proportional thumbnail") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val media = Multimodal.withBinaryContent(docs, "doc_id", "text", "img")
