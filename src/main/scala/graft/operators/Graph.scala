@@ -22,12 +22,15 @@ object Graph {
     * the edge list on the source key, one hash aggregate on the
     * destination — the canonical distributed PageRank step (shuffles
     * on src then dst; at 1000 executors both are plain key shuffles,
-    * salted upstream if a hub key is pathological). The edge list and
-    * degree relation are computed once and PERSISTED; each new rank
-    * frame is persisted and the previous one released, so the lineage
-    * stays one-iteration deep (an unpersisted loop re-derives every
-    * prior round on each action — quadratic work and a stack-depth
-    * hazard). Nodes with no in-edges keep the teleport term only.
+    * salted upstream if a hub key is pathological). The edge list,
+    * degree relation, and the loop-invariant (node, total) base are
+    * computed once and PERSISTED; each new rank frame is persisted and
+    * the previous one released, so the lineage stays one-iteration
+    * deep (an unpersisted lazy unroll re-derives every prior round on
+    * each action — quadratic work and a stack hazard — and measured
+    * SLOWER even for 5 rounds here: AQE re-optimizes the ever-growing
+    * nested plan at every one of its stages). Nodes with no in-edges
+    * keep the teleport term only.
     *
     * `edges` must be distinct (src, dst) pairs; nodes are whatever
     * appears in either column. */
@@ -43,22 +46,25 @@ object Graph {
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct().persist(lvl)
+    // the (node, n) base for every round's left join is loop-invariant:
+    // join it with the 1-row total ONCE and persist, instead of
+    // re-broadcasting the total inside every iteration (5 extra
+    // broadcast jobs measured as pure overhead)
     val nTotal = nodes.agg(count(lit(1)).as("__n"))
+    val nodesN = nodes.crossJoin(broadcast(nTotal)).persist(lvl)
     val teleport = expr("150000000000L DIV __n")
-    var rank = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"), expr("1000000000000L DIV __n").as("rank_e12"),
-        col("__n"))
+    var rank = nodesN
+      .select(col("node"), expr("1000000000000L DIV __n").as("rank_e12"))
       .persist(lvl)
     for (_ <- 1 to iters) {
       val contribs = rank
         .join(eDeg, rank("node") === eDeg("__src"))
         .select(col("__dst").as("node"), expr("rank_e12 DIV __deg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
-      val next = nodes.crossJoin(broadcast(nTotal))
+      val next = nodesN
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (teleport + expr("85L * coalesce(__in, 0L) DIV 100")).as("rank_e12"),
-          col("__n"))
+          (teleport + expr("85L * coalesce(__in, 0L) DIV 100")).as("rank_e12"))
         .persist(lvl)
       next.count() // materialize before releasing the parent
       rank.unpersist()
@@ -69,6 +75,7 @@ object Graph {
     // hygiene — Verify/Bench clearCache — releases it after).
     eDeg.unpersist()
     nodes.unpersist()
+    nodesN.unpersist()
     rank.select(col("node"), col("rank_e12"))
   }
 
@@ -205,9 +212,12 @@ object Graph {
       .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
       .persist(lvl)
     val nSeeds = nodes.agg(sum(col("__seed")).as("__ns"))
+    // loop-invariant (node, seed, total) base persisted once, as in
+    // pageRank — never re-broadcast the total inside the loop
+    val nodesN = nodes.crossJoin(broadcast(nSeeds)).persist(lvl)
     val teleport = expr("CASE WHEN __seed = 1 THEN 150000000000L DIV __ns ELSE 0L END")
-    var rank = nodes.crossJoin(broadcast(nSeeds))
-      .select(col("node"), col("__seed"), col("__ns"),
+    var rank = nodesN
+      .select(col("node"),
         expr("CASE WHEN __seed = 1 THEN 1000000000000L DIV __ns ELSE 0L END")
           .as("rank_e12"))
       .persist(lvl)
@@ -216,9 +226,9 @@ object Graph {
         .join(eDeg, rank("node") === eDeg("__src"))
         .select(col("__dst").as("node"), expr("rank_e12 DIV __deg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
-      val next = nodes.crossJoin(broadcast(nSeeds))
+      val next = nodesN
         .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("__seed"), col("__ns"),
+        .select(col("node"),
           (teleport + expr("85L * coalesce(__in, 0L) DIV 100")).as("rank_e12"))
         .persist(lvl)
       next.count()
@@ -227,6 +237,7 @@ object Graph {
     }
     eDeg.unpersist()
     nodes.unpersist()
+    nodesN.unpersist()
     rank.select(col("node"), col("rank_e12"))
   }
 
