@@ -701,4 +701,44 @@ object TextAnalysis {
       .filter(col("n_docs") * 100 >= col("__total") * minDfPct)
       .select(col("source"), col("ngram"), col("n_docs"))
   }
+
+  /** N-gram novelty against a reference corpus — decontamination's
+    * inverse, read as an analytics signal: how much of each candidate
+    * document is NOT already covered by the reference (dedup-adjacent
+    * docs score near 0; genuinely new material near 1e6). Per doc:
+    * distinct word n-grams, how many are absent from the reference's
+    * distinct-gram set, and their exact e6 ratio. Docs with fewer than
+    * `n` tokens have no n-grams and are excluded (a 0/0 ratio has no
+    * meaning).
+    *
+    * Scale shape: both gram relations are per-doc distinct at the
+    * explode (each (doc, gram) ships once), the reference collapses to
+    * ONE distinct gram set, and the membership test is a plain
+    * gram-keyed left join — bounded by corpus tokens, never doc×doc.
+    * For a tiny reference against a huge candidate corpus, swap the
+    * join for the Bloom-prefilter path (`Curation.decontaminateBloom`'s
+    * shape) — the exact join is the right default when both sides are
+    * corpus-scale. */
+  def ngramNovelty(candidates: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def grams(src: DataFrame, idCols: Seq[String]) = {
+      val tk = tokens(lower(col(textCol)))
+      src.select(idCols.map(col) :+ tk.as("__tk"): _*)
+        .filter(size(col("__tk")) >= n)
+        .select(idCols.map(col) :+
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("__tk")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(o => element_at(col("__tk"), i + o)): _*))))
+            .as("ngram"): _*)
+    }
+    val cand = grams(candidates, Seq(idCol))
+    val ref = grams(reference, Seq.empty).distinct()
+      .withColumn("__seen", lit(1))
+    cand.join(ref, Seq("ngram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_e6", expr("n_novel * 1000000L DIV n_grams"))
+  }
 }

@@ -1556,6 +1556,33 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", "text", kind = "audio")
       Multimodal.chunkAudio(media, bytesPerSecond = 8000L, chunkMs = 50L)
         .orderBy("media_id", "chunk_idx")
+    },
+
+    // Trigram novelty of every non-src1 document against src1 as the
+    // reference corpus (decontamination's inverse — a "how much of this
+    // is actually new" signal). Exact e6 ratio of per-doc distinct
+    // 3-grams absent from the reference's distinct-gram set; the
+    // membership test is one gram-keyed left join, never doc×doc.
+    "q245_ngram_novelty" -> q(
+      s"""WITH toks AS (SELECT doc_id, source, $toksLowerSql AS tk FROM documents),
+              cg AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS ngram
+                     FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+                     WHERE len(tk) >= 3 AND source <> 'src1'),
+              rg AS (SELECT DISTINCT concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS ngram
+                     FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+                     WHERE len(tk) >= 3 AND source = 'src1')
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(*) FILTER (WHERE rg.ngram IS NULL) AS BIGINT) AS n_novel,
+                 CAST(count(*) FILTER (WHERE rg.ngram IS NULL) * 1000000 // count(*) AS BIGINT) AS novelty_e6
+          FROM cg LEFT JOIN rg ON cg.ngram = rg.ngram
+          GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramNovelty(
+          candidates = docs.filter(col("source") =!= "src1"),
+          reference = docs.filter(col("source") === "src1"),
+          idCol = "doc_id", textCol = "text", n = 3)
+        .orderBy("doc_id")
     }
   )
 }

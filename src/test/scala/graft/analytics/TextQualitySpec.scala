@@ -285,4 +285,24 @@ class TextQualitySpec extends SparkSpec {
     assert(graft.analytics.TextAnalysis.stopGrams(short, "doc_id", "src",
       "text", n = 3, minDfPct = 0).count() == 0)
   }
+
+  test("ngramNovelty: exact novel-gram counts vs a planted reference") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text") // grams: "a b c", "b c d"
+    val cand = Seq(
+      (1L, "a b c d"),       // both grams covered -> novelty 0
+      (2L, "a b c x"),       // "a b c" covered, "b c x" novel -> 1/2
+      (3L, "x y z w"),       // all novel -> 2/2
+      (4L, "a b"),           // too short: excluded
+      (5L, "A B C d")        // case-folded: covered
+    ).toDF("doc_id", "text")
+    val out = graft.analytics.TextAnalysis
+      .ngramNovelty(cand, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 0L, 0L)),
+      2L -> ((2L, 1L, 500000L)),
+      3L -> ((2L, 2L, 1000000L)),
+      5L -> ((2L, 0L, 0L))))
+  }
 }
