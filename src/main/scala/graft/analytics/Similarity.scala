@@ -698,4 +698,51 @@ object Similarity {
              > lit(zSq) * (col("__nl") * col("__qd") - col("__sd") * col("__sd")))
           .as("is_outlier"))
   }
+
+  /** Deterministic DBSCAN over embedding cosine similarity. A point is
+    * `core` when its ε-neighborhood (cosine ≥ threshold, counting
+    * itself) has ≥ minPts members; clusters are the connected
+    * components of the core-core ε-graph, labeled by their minimum id;
+    * a non-core point with a core neighbor is `border`, assigned to the
+    * MINIMUM cluster rep among its core neighbors (classic DBSCAN
+    * leaves border assignment visit-order-dependent — the min rule
+    * makes it a pure function of the data); everything else is `noise`
+    * (cluster_rep NULL).
+    *
+    * Pair generation here is the exact brute-force path (the caller
+    * bounds the slice); at corpus scale swap in [[cosineNearDupPairs]]
+    * — every downstream step is pair-list-driven and unchanged. The
+    * component step is the O(log diameter) min-label contraction of
+    * [[Dedup.connectedComponents]]; nothing is ever keyed doc×doc
+    * beyond the ε-pair relation itself. */
+  def densityClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, minPts: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = nearDupPairsBruteForce(corpus, idCol, vecCol, threshold)
+      .select("id_a", "id_b").persist(lvl)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val cores = sym.groupBy("id").agg((count(lit(1)) + 1L).as("__k"))
+      .filter(col("__k") >= minPts).select("id").persist(lvl)
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(cores.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+    // isolated cores (no core-core edge) are singleton clusters: the
+    // component mapping only covers edge endpoints, so coalesce to self
+    val coreRep = cores
+      .join(Dedup.connectedComponents(coreEdges), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
+      .persist(lvl)
+    val border = sym
+      .join(cores, Seq("id"), "left_anti")
+      .join(coreRep.withColumnRenamed("id", "nb"), Seq("nb"))
+      .groupBy("id").agg(min(col("rep")).as("rep"))
+    val labeled = coreRep.select(col("id"), lit("core").as("role"), col("rep"))
+      .union(border.select(col("id"), lit("border").as("role"), col("rep")))
+    corpus.select(col(idCol).as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("role"), lit("noise")).as("role"),
+        col("rep").as("cluster_rep"))
+  }
 }

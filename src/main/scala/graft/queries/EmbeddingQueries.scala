@@ -364,6 +364,47 @@ object EmbeddingQueries {
           "vec_id", "embedding", "label")
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
+    },
+
+    // Deterministic DBSCAN over embedding cosine (ε-cos 0.32, minPts 4
+    // on a bounded slice): core/border/noise roles + min-id cluster
+    // reps. Border points take the MINIMUM rep among their core
+    // neighbors (classic DBSCAN leaves that visit-order-dependent — the
+    // min rule makes the full labeling a pure function of the data, so
+    // a recursive-CTE oracle can replay it). The oracle's WITH
+    // RECURSIVE min-reachable closure equals the engine's O(log d)
+    // min-label contraction because both compute "min id in my
+    // component" on the same exact ε-graph.
+    "q246_dbscan" -> q(
+      s"""WITH RECURSIVE
+           c AS (SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings WHERE vec_id < 1000),
+           p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM c a JOIN c b ON a.vec_id < b.vec_id
+                 WHERE CAST(${qdotSql("a.qv", "b.qv")} AS DOUBLE)
+                       / (sqrt(CAST(${qdotSql("a.qv", "a.qv")} AS DOUBLE))
+                          * sqrt(CAST(${qdotSql("b.qv", "b.qv")} AS DOUBLE))) >= 0.32),
+           sym AS (SELECT ia AS id, ib AS nb FROM p UNION ALL SELECT ib, ia FROM p),
+           core AS (SELECT id FROM (SELECT id, count(*) + 1 AS k FROM sym GROUP BY 1) WHERE k >= 4),
+           ces AS (SELECT ia AS a, ib AS b FROM p WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+                   UNION ALL
+                   SELECT ib, ia FROM p WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+           reach(id, rep) AS (SELECT id, id FROM core
+                              UNION
+                              SELECT s.b, r.rep FROM reach r JOIN ces s ON s.a = r.id),
+           crep AS (SELECT id, CAST(min(rep) AS BIGINT) AS rep FROM reach GROUP BY 1),
+           brd AS (SELECT s.id, CAST(min(cr.rep) AS BIGINT) AS rep
+                   FROM sym s JOIN crep cr ON s.nb = cr.id
+                   WHERE s.id NOT IN (SELECT id FROM core)
+                   GROUP BY s.id)
+          SELECT id AS vec_id, role, rep AS cluster_rep FROM (
+            SELECT id, 'core' AS role, rep FROM crep
+            UNION ALL SELECT id, 'border', rep FROM brd
+            UNION ALL SELECT vec_id, 'noise', NULL FROM c
+                      WHERE vec_id NOT IN (SELECT id FROM crep) AND vec_id NOT IN (SELECT id FROM brd))
+          ORDER BY vec_id""") { (s, dir) =>
+      Similarity.densityClusters(
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.32, minPts = 4)
+        .orderBy("vec_id")
     }
   )
 }

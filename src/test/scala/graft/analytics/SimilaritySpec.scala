@@ -340,4 +340,59 @@ class SimilaritySpec extends SparkSpec {
     // the planted point dominates: its distance is far above the cluster's
     assert(first(9000L) > 10L * first(1L))
   }
+
+  test("densityClusters matches a brute-force DBSCAN reference (differential, seeded)") {
+    val seenRoles = scala.collection.mutable.Set.empty[String]
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed)
+      // three planted directions + per-point jitter + a few free points:
+      // yields a mix of cores, borders and noise at th=0.9
+      val bases = Seq(Array(1.0, 0, 0), Array(0, 1.0, 0), Array(0.6, 0.6, 0.5))
+      val rows: Seq[(Long, Array[Float])] = (0 until 40).map { i =>
+        val b = if (i < 24) bases(i % 3) else Array(rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble())
+        val v = b.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+        (i.toLong, v)
+      }
+      val (threshold, minPts) = (0.97, 4)
+
+      // independent reference on the SAME quantized-cosine definition
+      def q(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      def cos(a: Array[Float], b: Array[Float]) = {
+        val (qa, qb) = (q(a), q(b))
+        def dot(x: Array[Long], y: Array[Long]) = x.zip(y).map { case (p, r) => p * r }.sum
+        dot(qa, qb).toDouble / (math.sqrt(dot(qa, qa).toDouble) * math.sqrt(dot(qb, qb).toDouble))
+      }
+      val byId = rows.toMap
+      val ids = rows.map(_._1)
+      val nbrs = ids.map(i => i -> ids.filter(j => j != i
+        && cos(byId(i), byId(j)) >= threshold).toSet).toMap
+      val cores = ids.filter(i => nbrs(i).size + 1 >= minPts).toSet
+      // component rep = min reachable core over core-core edges
+      def repOf(c: Long): Long = {
+        var seen = Set(c); var frontier = Set(c)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(x => nbrs(x).filter(cores)) -- seen
+          seen ++= frontier
+        }
+        seen.min
+      }
+      val expected = ids.map { i =>
+        if (cores(i)) i -> (("core", repOf(i)))
+        else {
+          val coreNb = nbrs(i).filter(cores)
+          if (coreNb.nonEmpty) i -> (("border", coreNb.map(repOf).min))
+          else i -> (("noise", -1L))
+        }
+      }.toMap
+
+      val out = Similarity.densityClusters(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold, minPts)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(out == expected, s"seed $seed: ${out.toSeq.sorted.take(8)}...")
+      seenRoles ++= out.values.map(_._1)
+    }
+    // across the seeds, all three roles must actually be exercised
+    assert(seenRoles == Set("core", "border", "noise"), s"roles seen: $seenRoles")
+  }
 }
