@@ -71,6 +71,39 @@ object EventsQueries {
         .orderBy("user_id")
     },
 
+    // Native session windows: Spark's session_window() (MergingSessions
+    // sort-merge after ONE user_id shuffle — the engine-native shape,
+    // vs q23's windowed lag-gap). Boundary semantics differ from q23 on
+    // purpose and the oracle mirrors them: a session's end is
+    // last_event + gap EXCLUSIVE, so an event exactly gap after its
+    // predecessor starts a NEW session (>= in the oracle's break
+    // condition, where q23 uses >).
+    "q247_session_window" -> q(
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                       WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                       ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           sess AS (SELECT user_id, ts,
+                           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM marked)
+         SELECT user_id,
+                CAST(min(ts) AS TIMESTAMP) AS session_start,
+                CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // JSON prop extraction (the engine's semi-structured story; the
     // reference carries JSON complaints — s3_copy.py:113).
     "q24_events_json" -> q(
