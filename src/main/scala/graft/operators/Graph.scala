@@ -79,6 +79,60 @@ object Graph {
     rank.select(col("node"), col("rank_e12"))
   }
 
+  /** HITS hubs-and-authorities in EXACT e6 fixed-point integers.
+    * Each round: authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
+    * auth(v), each L1-normalized to 1e6 total via integer division
+    * (float HITS L2-normalizes; L1 keeps every step an exact integer
+    * so the result is engine- and partitioning-identical — same
+    * trade as pageRank's e12 units). The e6 scale is what keeps every
+    * intermediate Long-safe: Σ hub ≤ 1e6·|nodes| and raw sums ≤
+    * 1e6·|edges|, so the ·1e6 normalization multiply stays < 2^63 for
+    * graphs up to ~1e12 edges.
+    *
+    * Scale shape per round: two edge-keyed join+aggregate passes (the
+    * transposed propagation reuses the SAME persisted edge list — no
+    * second edge relation), each normalization a broadcast 1-row sum.
+    * Returns (node, hub_e6, auth_e6) — zero where a node has no
+    * out-/in-edges. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().persist(lvl)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct().persist(lvl)
+    def normalize(raw: DataFrame, valCol: String): DataFrame = {
+      val total = raw.agg(sum(col(valCol)).as("__t"))
+      raw.crossJoin(broadcast(total))
+        .select(col("node"),
+          expr(s"$valCol * 1000000L DIV __t").as(valCol))
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        hub.join(e, hub("node") === e("__src"))
+          .groupBy(col("__dst").as("node")).agg(sum("h").as("a")), "a")
+        .persist(lvl)
+      auth.count()
+      val nextHub = normalize(
+        auth.join(e, auth("node") === e("__dst"))
+          .groupBy(col("__src").as("node")).agg(sum("a").as("h")), "h")
+        .persist(lvl)
+      nextHub.count()
+      hub = nextHub
+    }
+    val out = nodes
+      .join(hub.withColumnRenamed("h", "hub_e6"), Seq("node"), "left")
+      .join(auth.withColumnRenamed("a", "auth_e6"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_e6"), lit(0L)).as("hub_e6"),
+        coalesce(col("auth_e6"), lit(0L)).as("auth_e6"))
+    e.unpersist()
+    out
+  }
+
   /** Triangle census of an undirected graph: ONE summary row
     * (n_nodes, n_edges, n_wedges, n_triangles, clustering_e6) where
     * n_wedges = Σ_v C(deg v, 2) and clustering_e6 is the global

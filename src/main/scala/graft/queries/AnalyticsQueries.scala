@@ -2123,6 +2123,37 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("numcust"),
           sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
         .orderBy("n_name")
+    },
+
+    // HITS hubs/authorities on the directed customer→supplier trade
+    // graph, exact e6 integers (Graph.hits): 2 rounds of L1-normalized
+    // propagation; the oracle replays the identical integer recurrence
+    // as chained CTEs — bit-equal by construction, like q142's
+    // PageRank. Hub mass lands on customers, authority on suppliers.
+    "q248_hits" -> q(
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                               's' || CAST(l_suppkey AS VARCHAR) AS dst
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+              h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+              a1r AS (SELECT dst AS node, sum(h) AS s FROM h0 JOIN pairs ON h0.node = pairs.src GROUP BY 1),
+              a1 AS (SELECT node, s * 1000000 // (SELECT sum(s) FROM a1r) AS a FROM a1r),
+              h1r AS (SELECT src AS node, sum(a) AS s FROM a1 JOIN pairs ON a1.node = pairs.dst GROUP BY 1),
+              h1 AS (SELECT node, s * 1000000 // (SELECT sum(s) FROM h1r) AS h FROM h1r),
+              a2r AS (SELECT dst AS node, sum(h) AS s FROM h1 JOIN pairs ON h1.node = pairs.src GROUP BY 1),
+              a2 AS (SELECT node, s * 1000000 // (SELECT sum(s) FROM a2r) AS a FROM a2r),
+              h2r AS (SELECT src AS node, sum(a) AS s FROM a2 JOIN pairs ON a2.node = pairs.dst GROUP BY 1),
+              h2 AS (SELECT node, s * 1000000 // (SELECT sum(s) FROM h2r) AS h FROM h2r)
+         SELECT n.node, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_e6,
+                CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_e6
+         FROM nodes n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node
+         ORDER BY n.node""") { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.operators.Graph.hits(pairs, "src", "dst", iters = 2)
+        .orderBy("node")
     }
   )
 

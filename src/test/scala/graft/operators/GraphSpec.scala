@@ -104,4 +104,27 @@ class GraphSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSet
     assert(got == (1 to 5).map(i => (i, 4L)).toSet)
   }
+
+  test("hits: authority concentrates on the shared sink; pure sinks have zero hub") {
+    // h1, h2, h3 all point at a1; h3 also points at a2 -> a1 is the
+    // dominant authority, h3 the dominant hub (it reaches more mass)
+    val edges = Seq(("h1", "a1"), ("h2", "a1"), ("h3", "a1"), ("h3", "a2"))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, "src", "dst", iters = 2)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("a1")._2 > r("a2")._2, "shared sink must out-rank the single-source sink")
+    assert(r("a1")._1 == 0L && r("a2")._1 == 0L, "pure sinks have no hub mass")
+    assert(r("h1")._2 == 0L && r("h2")._2 == 0L && r("h3")._2 == 0L)
+    assert(r("h3")._1 > r("h1")._1, "the two-edge hub out-ranks single-edge hubs")
+    assert(r("h1")._1 == r("h2")._1, "symmetric hubs tie exactly")
+    // L1 normalization: each side's mass sums to ~1e6 (integer-div slack < n)
+    val hubSum = r.values.map(_._1).sum
+    val authSum = r.values.map(_._2).sum
+    assert(hubSum > 1000000L - 10 && hubSum <= 1000000L)
+    assert(authSum > 1000000L - 10 && authSum <= 1000000L)
+    // determinism
+    val again = Graph.hits(edges, "src", "dst", iters = 2)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == again)
+  }
 }
