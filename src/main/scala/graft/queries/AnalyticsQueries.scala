@@ -2154,6 +2154,56 @@ object AnalyticsQueries {
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       graft.operators.Graph.hits(pairs, "src", "dst", iters = 2)
         .orderBy("node")
+    },
+
+    // Difference-in-differences: did the BUILDING segment's average
+    // order value move differently after 1998 than everyone else's?
+    // The 2×2 cell means are exact e6 integers (sum_cents·1e6 DIV n),
+    // so the DiD contrast is engine-exact. ONE conditional-aggregate
+    // pass over the joined fact — the oracle's 4-way cell self-join is
+    // the same arithmetic, the engine's plan is the better one.
+    "q249_did" -> q(
+      """WITH cells AS (
+           SELECT (c_mktsegment = 'BUILDING') AS treated,
+                  (o_orderdate >= DATE '1998-01-01') AS post,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+           m AS (SELECT treated, post, sum_cents, n, sum_cents * 1000000 // n AS mean_e6 FROM cells)
+         SELECT CAST(t1.mean_e6 - t0.mean_e6 - (c1.mean_e6 - c0.mean_e6) AS BIGINT) AS did_e6,
+                CAST(t1.mean_e6 AS BIGINT) AS treated_post_e6,
+                CAST(t0.mean_e6 AS BIGINT) AS treated_pre_e6,
+                CAST(c1.mean_e6 AS BIGINT) AS control_post_e6,
+                CAST(c0.mean_e6 AS BIGINT) AS control_pre_e6,
+                t1.n + t0.n AS n_treated, c1.n + c0.n AS n_control
+         FROM m t1, m t0, m c1, m c0
+         WHERE t1.treated AND t1.post AND t0.treated AND NOT t0.post
+           AND NOT c1.treated AND c1.post AND NOT c0.treated AND NOT c0.post""") { (s, dir) =>
+      val joined = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select((col("c_mktsegment") === "BUILDING").as("treated"),
+          (col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))).as("post"),
+          cents(col("o_totalprice")).as("cents_"))
+      def cell(tr: Boolean, po: Boolean, what: String) = {
+        val in = col("treated") === tr && col("post") === po
+        if (what == "s") sum(when(in, col("cents_")).otherwise(lit(0L)))
+        else sum(when(in, 1L).otherwise(0L))
+      }
+      joined.agg(
+          cell(true, true, "s").as("s_tp"), cell(true, true, "n").as("n_tp"),
+          cell(true, false, "s").as("s_t0"), cell(true, false, "n").as("n_t0"),
+          cell(false, true, "s").as("s_cp"), cell(false, true, "n").as("n_cp"),
+          cell(false, false, "s").as("s_c0"), cell(false, false, "n").as("n_c0"))
+        .select(
+          expr("""s_tp * 1000000L DIV n_tp - s_t0 * 1000000L DIV n_t0
+                  - (s_cp * 1000000L DIV n_cp - s_c0 * 1000000L DIV n_c0)""").as("did_e6"),
+          expr("s_tp * 1000000L DIV n_tp").as("treated_post_e6"),
+          expr("s_t0 * 1000000L DIV n_t0").as("treated_pre_e6"),
+          expr("s_cp * 1000000L DIV n_cp").as("control_post_e6"),
+          expr("s_c0 * 1000000L DIV n_c0").as("control_pre_e6"),
+          (col("n_tp") + col("n_t0")).as("n_treated"),
+          (col("n_cp") + col("n_c0")).as("n_control"))
     }
   )
 
