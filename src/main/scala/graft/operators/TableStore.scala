@@ -83,12 +83,17 @@ object TableStore {
     * micro-partitioning after COPY (snowflake_load.py:168-208); Spark
     * makes the layout an explicit, queryable contract. */
   def writeBucketed(df: DataFrame, name: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, path: Option[String] = None): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    Narrow.lowerCaseColumns(df).write.mode("overwrite")
+    val w = Narrow.lowerCaseColumns(df).write.mode("overwrite")
       .bucketBy(buckets, key.toLowerCase)
       .sortBy(key.toLowerCase)
-      .format("parquet").saveAsTable(name)
+      .format("parquet")
+    // explicit path => external table: the bucketed LAYOUT lives at a
+    // caller-owned location instead of the session warehouse (callers
+    // outside a test harness shouldn't drop files into ./spark-warehouse)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(name)
   }
 
   /** Partitioned write with DYNAMIC partition overwrite: only the
