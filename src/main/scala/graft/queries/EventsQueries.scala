@@ -916,6 +916,58 @@ object EventsQueries {
           expr("CAST(attributed * 1000000 AS BIGINT)").as("attributed_e6"),
           col("n_credits"))
         .orderBy("channel")
+    },
+
+    // Partition pruning as a gated query (the layout trilogy's third
+    // leg next to q250's buckets and q94's Z-order): events written
+    // day-partitioned (offline, memoized; the driver's events span one
+    // month, ~30 partitions), then a one-week slice read back — the
+    // day predicate must land in the scan's PartitionFilters
+    // (directory pruning: 7 of ~30 partitions read, file listing does
+    // the filtering before a single row is touched). The builder
+    // requires the pruned plan, so a layout regression fails Verify
+    // instead of silently scanning everything.
+    "q251_partitioned_scan" -> q(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val path = partitionedEventsPath(s, dir)
+      // the directory key round-trips as an INFERRED DATE; the driver
+      // envelope needs the yyyy-MM-dd string back (pandas renders a
+      // date as 'yyyy-MM-dd 00:00:00' and the hash diverges)
+      val out = s.read.parquet(path)
+        .filter(col("day").between("2024-01-08", "2024-01-14"))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+        "day slice must prune partitions, not scan them")
+      out
     }
   )
+
+  /** q251's day-partitioned events layout, built once per
+    * (session, sfDir) into a tmp dir — same offline-layout memo split
+    * as q250's buckets. Plain parquet path (not a catalog table), so
+    * the day partition column round-trips as the directory key. */
+  private val partMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEventsPath(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    partMemo.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_events_byday_" + Integer.toHexString(dir.hashCode)
+      val ev = t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      // one shuffle on the partition key => one file per day instead
+      // of (tasks × days) small files
+      graft.operators.TableStore.writePartitioned(
+        ev.repartition(col("day")), path, Seq("day"))
+      path
+    })
 }
