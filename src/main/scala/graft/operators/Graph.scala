@@ -363,4 +363,83 @@ object Graph {
       .select(col("node"), col("deg").as("core_deg"))
     // checkpoint RDDs are released by the ContextCleaner / clearCache
   }
+
+  /** Multi-source WEIGHTED shortest paths via `rounds` Bellman-Ford
+    * relaxations, in exact integer weight units (cents here — the same
+    * no-float contract as [[pageRank]]/[[bfsHops]]):
+    *   dist(v) = min(dist(v), min_{(u,v,w)∈E} dist(u) + w)
+    * Parallel edges collapse to their cheapest weight up front, so each
+    * round is ONE edge ⋈ dist equi-join on the source key plus one
+    * min-aggregate on the destination — the canonical distributed
+    * Bellman-Ford step (both shuffles are plain key exchanges at any
+    * cluster size; map-side partials absorb the min).
+    *
+    * The round count is part of the contract: a node's distance is the
+    * cheapest path using ≤ `rounds` edges — exact for all nodes once
+    * rounds ≥ the graph's weighted-shortest-path hop diameter, and
+    * monotonically non-increasing (extra rounds only improve). Nodes
+    * unreached within `rounds` edges are absent. Weights must be
+    * non-negative integral (relaxation is monotone only then). Lineage
+    * is truncated per round (localCheckpoint; swap in reliable
+    * `checkpoint` on a cluster). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame, seedCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      dist = dist
+        .union(e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Common-neighbor link prediction over an incidence list (node,
+    * via): for every node pair sharing ≥ `minCommon` vias, the shared
+    * count plus exact integer-e6 Jaccard of their via sets —
+    *   jaccard_e6 = common·10⁶ div (deg(u) + deg(v) − common).
+    *
+    * Scale shape: the pair enumeration is the classic inverted-index
+    * self-join — grouped on the via key, each via of degree d emits
+    * d·(d−1)/2 candidate pairs. That is quadratic ONLY in per-via
+    * degree, so hub vias are df-capped (`maxViaDegree`, the same
+    * convention as the n-gram dedup ladder's df cap): a via shared by
+    * more than `maxViaDegree` nodes carries almost no link-prediction
+    * signal (its pairs are near-random) but dominates the join cost;
+    * dropping it bounds the blow-up at (cap²/2)·|vias| candidates
+    * regardless of skew. The candidate relation carries bare ids only;
+    * degrees ride a node-sized join afterwards. */
+  def commonNeighborPairs(incidence: DataFrame, nodeCol: String,
+                          viaCol: String, minCommon: Long,
+                          maxViaDegree: Long = 256L): DataFrame = {
+    val inc = incidence
+      .select(col(nodeCol).as("node"), col(viaCol).as("via"))
+      .distinct()
+      .localCheckpoint(true)
+    val viaOk = inc.groupBy("via").agg(count(lit(1)).as("__vd"))
+      .filter(col("__vd") <= maxViaDegree).select("via")
+    val kept = inc.join(viaOk, Seq("via"), "left_semi")
+    val deg = inc.groupBy("node").agg(count(lit(1)).as("deg"))
+    val pairs = kept.select(col("via"), col("node").as("u"))
+      .join(kept.select(col("via"), col("node").as("v")), Seq("via"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"),
+        expr("common * 1000000L DIV (__du + __dv - common)").as("jaccard_e6"))
+  }
 }

@@ -828,4 +828,102 @@ object Stats {
         (col("__r2") - col("n_g") * (col("n_g") + 1L)).as("u_x2"),
         col("n_g"), (col("__N") - col("n_g")).as("n_rest"))
   }
+
+  /** Per-group Wilson 95% score interval for a binary success rate —
+    * the interval that stays inside [0,1] and degrades gracefully at
+    * small n where the Wald interval collapses. Computed from the
+    * exact integer (successes, trials) pair per group; the closed form
+    *   (p̂ + z²/2n ± z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n),  z = 1.96
+    * is evaluated in doubles with the SAME expression tree on any
+    * engine — +, −, ×, ÷, √ are each IEEE-exactly rounded, so exact
+    * integer inputs and an identical shape give bit-identical doubles
+    * (this module's divide/sqrt-last discipline) — then floored to e6
+    * units.
+    *
+    * Scale shape: ONE hash aggregate with map-side partials; the
+    * interval math runs on the GROUPS-sized relation only. */
+  def wilsonIntervals(df: DataFrame, groupCol: String,
+                      successCol: Column): DataFrame = {
+    def bound(sign: String) = expr(
+      s"""CAST(floor(1000000 * (
+            (successes/n + (1.96*1.96)/(2*n)
+             $sign 1.96*sqrt(((successes/n)*(1-successes/n) + (1.96*1.96)/(4*n))/n))
+            / (1 + (1.96*1.96)/n)) + 0.5) AS BIGINT)""")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+      .select(col(groupCol), col("n"), col("successes"),
+        bound("-").as("wilson_lo_e6"), bound("+").as("wilson_hi_e6"))
+  }
+
+  /** Leave-one-group-out jackknife standard error of a ratio-of-sums
+    * metric θ = Σnum / Σden — the estimator behind "revenue per event"
+    * style KPIs, where per-ROW resampling is wrong because rows within
+    * a group (user, session) are correlated; the group is the
+    * resampling unit. Exact pipeline: per-group integer sums
+    * (s_i, n_i) → leave-one-out replicates θ₍ᵢ₎ floored to integer e6
+    * units by integer division → integer deviations from the integer
+    * mean of replicates → Σd² accumulated in DECIMAL(38,0) (exact in
+    * any order) → ONE final double sqrt for SE = √((g−1)/g · Σd²).
+    * Every cross-engine comparison point is an integer or a single
+    * exactly-rounded double op. Requires ≥ 2 groups.
+    *
+    * Scale shape: one hash aggregate over the raw relation (the only
+    * full pass); everything downstream is GROUPS-sized, with the 1-row
+    * totals riding broadcasts. */
+  def jackknifeRatio(df: DataFrame, groupCol: String,
+                     numCol: Column, denCol: Column): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(numCol).as("__s"), sum(denCol).as("__n"))
+    val tot = per.agg(sum("__s").as("__ts"), sum("__n").as("__tn"),
+      count(lit(1)).as("g"))
+    val reps = per.crossJoin(broadcast(tot))
+      .select(col("g"), col("__ts"), col("__tn"),
+        expr("(__ts - __s) * 1000000L DIV (__tn - __n)").as("__t"))
+    val tbar = reps.agg(expr("sum(__t) DIV count(*)").as("__tbar"))
+    reps.crossJoin(broadcast(tbar))
+      .select(col("g"), col("__ts"), col("__tn"),
+        (col("__t") - col("__tbar")).as("__d"))
+      .groupBy("g", "__ts", "__tn")
+      .agg(sum(expr("CAST(__d AS DECIMAL(19,0)) * CAST(__d AS DECIMAL(19,0))"))
+        .as("__ss"))
+      .select(expr("__ts * 1000000L DIV __tn").as("theta_e6"),
+        col("g").as("n_groups"),
+        expr("CAST(floor(sqrt(CAST(__ss AS DOUBLE) * (g - 1) / g) + 0.5) AS BIGINT)")
+          .as("jk_se_e6"))
+  }
+
+  /** Exact dyadic EWMA (α = ½) over a daily integer series:
+    * e₁ = x₁, e_t = (x_t + e_{t−1}) / 2. The textbook float recursion
+    * accumulates engine-ordered rounding; instead note
+    *   e_t = N_t / 2^{t−1}   with   N_t = x₁ + Σ_{s=2..t} x_s·2^{s−2}
+    * — a plain prefix sum of integer terms, exact in Long. The one
+    * float step is the final N/2^{t−1} on two exact operands (both
+    * < 2⁵³, so the casts are exact and the division is the unique
+    * IEEE result), floored to e6 units.
+    *
+    * Long/double headroom: N_t < X·2^{t−1} must stay below 2⁵³ (so
+    * the double cast is exact), i.e. series length ≤ 53 − log₂X —
+    * 30 days at X = 10⁷ cents/day. Chunk longer series by calendar
+    * month, carrying the prior chunk's final e6 value as the seed
+    * term: the α=½ weight of a 30-day-old term is 2⁻³⁰, far below e6
+    * resolution, so chunking changes nothing observable.
+    *
+    * Scale shape: callers pre-aggregate to day grain (one shuffle with
+    * map-side partials); the single-partition window here runs on the
+    * DAYS-sized relation only — the raw relation is never windowed. */
+  def ewmaDaily(daily: DataFrame, dayCol: String, centsCol: String): DataFrame = {
+    val w = Window.orderBy(dayCol)
+    daily.select(col(dayCol).as("day"), col(centsCol).as("day_cents"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__y", expr(
+        "CASE WHEN __rn = 1 THEN day_cents " +
+          "ELSE day_cents * shiftleft(1L, CAST(__rn - 2 AS INT)) END"))
+      .withColumn("__nacc", sum("__y")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("day_cents"),
+        expr("""CAST(floor(1000000 * (CAST(__nacc AS DOUBLE)
+                / CAST(shiftleft(1L, CAST(__rn - 1 AS INT)) AS DOUBLE))
+                + 0.5) AS BIGINT)""").as("ewma_e6"))
+  }
 }

@@ -2266,6 +2266,81 @@ object AnalyticsQueries {
         s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
           out.schema)
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+
+    // Weighted shortest paths (Graph.shortestPaths): 3 Bellman-Ford
+    // relaxations from every 100th customer over the undirected
+    // customer–supplier trade graph, edge weight = cheapest observed
+    // line price in cents. Exact integer arithmetic throughout; the
+    // oracle replays the identical relaxations as materialized CTEs
+    // (q214's unrolled-round convention — the round count is part of
+    // the operator contract).
+    "q252_shortest_path" -> q({
+      val base =
+        """WITH pairs AS MATERIALIZED (
+                SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                       's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                       min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+              e AS MATERIALIZED (SELECT src, dst, w FROM pairs
+                   UNION ALL SELECT dst, src, w FROM pairs),
+              d0 AS MATERIALIZED (
+                SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+                       CAST(0 AS BIGINT) AS dist
+                FROM customer WHERE c_custkey % 100 = 0)"""
+      val relax = (1 to 3).map { r =>
+        s""", d$r AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d${r - 1}
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM e
+                JOIN d${r - 1} d ON e.src = d.node) GROUP BY 1)"""
+      }.mkString
+      base + relax + "\n SELECT node, dist FROM d3 ORDER BY node"
+    }) { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+          cents(col("l_extendedprice")).as("w"))
+      val und = pairs.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+        .select("e.*")
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      graft.operators.Graph.shortestPaths(und, "src", "dst", "w",
+        seeds, "node", rounds = 3)
+        .orderBy("node")
+    },
+
+    // Link prediction (Graph.commonNeighborPairs): supplier pairs
+    // sharing ≥3 parts, scored by shared count + exact integer-e6
+    // Jaccard of their part sets. The pair enumeration is the df-capped
+    // inverted-index self-join (per-via degree ≤ 256 — the dedup
+    // ladder's hot-key convention, quadratic only in the cap); Jaccard
+    // denominators use the FULL uncapped degrees.
+    "q257_link_prediction" -> q(
+      """WITH inc AS MATERIALIZED (
+              SELECT DISTINCT l_suppkey AS node, l_partkey AS via FROM lineitem),
+            deg AS MATERIALIZED (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM inc GROUP BY 1),
+            ok AS (SELECT via FROM inc GROUP BY via HAVING count(*) <= 256),
+            kept AS (SELECT inc.node, inc.via FROM inc JOIN ok USING (via)),
+            p AS (SELECT a.node AS u, b.node AS v,
+                         CAST(count(*) AS BIGINT) AS common
+                  FROM kept a JOIN kept b ON a.via = b.via AND a.node < b.node
+                  GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT u, v, common,
+                (common * 1000000) // (du.deg + dv.deg - common) AS jaccard_e6
+         FROM p JOIN deg du ON p.u = du.node JOIN deg dv ON p.v = dv.node
+         ORDER BY u, v""") { (s, dir) =>
+      graft.operators.Graph.commonNeighborPairs(
+        t(s, dir, "lineitem"), "l_suppkey", "l_partkey",
+        minCommon = 3L, maxViaDegree = 256L)
+        .orderBy("u", "v")
     }
   )
 

@@ -948,6 +948,131 @@ object EventsQueries {
       require(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
         "day slice must prune partitions, not scan them")
       out
+    },
+
+    // Dynamic partition pruning as a gated query (the pruning
+    // trilogy's RUNTIME leg next to q251's static directory pruning):
+    // the day-partitioned events layout joined to a days dim carrying
+    // a selective predicate (every 5th day-of-month). The filter lives
+    // on the DIM side only, so static pruning cannot see it — the scan
+    // must pick its partitions at runtime from the broadcast dim's
+    // values (Spark's DPP subquery reuses the broadcast exchange; at
+    // 100 TB this is the fact-to-date-dim pattern that turns a
+    // month-long scan into 6 directories). The builder requires the
+    // dynamicpruning expression in the scan's PartitionFilters, so a
+    // planner regression fails Verify instead of silently scanning
+    // everything.
+    "q253_dpp_join" -> q(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events
+         WHERE CAST(strftime(ts, '%d') AS INTEGER) % 5 = 0
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val path = partitionedEventsPath(s, dir)
+      val dim = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day")).distinct()
+        .filter(dayofmonth(col("day")) % 5 === 0)
+      val ev = s.read.parquet(path) // partition key `day` infers as DATE
+      val out = ev.join(broadcast(dim), Seq("day"))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy("day")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruningexpression"),
+        "dim-side day predicate must prune fact partitions at runtime (DPP)")
+      out
+    },
+
+    // Wilson 95% score intervals (Stats.wilsonIntervals) for the
+    // high-value rate per event type — exact integer (successes, n)
+    // pairs, one identically-shaped double evaluation per group on
+    // both engines.
+    "q254_wilson_ci" -> q(
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN value >= 5.0 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS successes
+                    FROM events GROUP BY 1)
+         SELECT event_type, n, successes,
+                CAST(floor(1000000 * (
+                  (successes/n + (1.96*1.96)/(2*n)
+                   - 1.96*sqrt(((successes/n)*(1-successes/n) + (1.96*1.96)/(4*n))/n))
+                  / (1 + (1.96*1.96)/n)) + 0.5) AS BIGINT) AS wilson_lo_e6,
+                CAST(floor(1000000 * (
+                  (successes/n + (1.96*1.96)/(2*n)
+                   + 1.96*sqrt(((successes/n)*(1-successes/n) + (1.96*1.96)/(4*n))/n))
+                  / (1 + (1.96*1.96)/n)) + 0.5) AS BIGINT) AS wilson_hi_e6
+         FROM a ORDER BY event_type""") { (s, dir) =>
+      graft.operators.Stats.wilsonIntervals(
+        t(s, dir, "events"), "event_type", col("value") >= 5.0)
+        .orderBy("event_type")
+    },
+
+    // Jackknife SE (Stats.jackknifeRatio) of the revenue-per-event
+    // ratio with the USER as the resampling unit — the
+    // correlated-rows-within-user correction a per-row bootstrap gets
+    // wrong. Exact integer replicates; one final sqrt.
+    "q255_jackknife_ratio" -> q(
+      """WITH per AS (SELECT user_id,
+                             CAST(sum(CASE WHEN event_type = 'purchase'
+                                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                           ELSE 0 END) AS BIGINT) AS s,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1),
+            tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+                           CAST(sum(n) AS BIGINT) AS tn,
+                           CAST(count(*) AS BIGINT) AS g FROM per),
+            reps AS (SELECT tot.g, tot.ts, tot.tn,
+                            ((tot.ts - per.s) * 1000000) // (tot.tn - per.n) AS t
+                     FROM per CROSS JOIN tot),
+            m AS (SELECT CAST(sum(t) AS BIGINT) // CAST(max(g) AS BIGINT) AS tbar
+                  FROM reps),
+            dd AS (SELECT g, ts, tn, t - m.tbar AS d FROM reps CROSS JOIN m)
+         SELECT (ts * 1000000) // tn AS theta_e6,
+                g AS n_groups,
+                CAST(floor(sqrt(CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                  AS DOUBLE) * (g - 1) / g) + 0.5) AS BIGINT) AS jk_se_e6
+         FROM dd GROUP BY ts, tn, g""") { (s, dir) =>
+      graft.operators.Stats.jackknifeRatio(
+        t(s, dir, "events"), "user_id",
+        when(col("event_type") === "purchase", cents(col("value"))).otherwise(0L),
+        lit(1L))
+    },
+
+    // Exact dyadic EWMA (Stats.ewmaDaily, α = ½) over daily purchase
+    // revenue — the prefix-sum reformulation that keeps a recursive
+    // smoother engine-exact.
+    "q256_ewma_revenue" -> q(
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                 AS BIGINT) AS day_cents
+                        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            o AS (SELECT day, day_cents,
+                         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+                  FROM daily),
+            y AS (SELECT day, day_cents, rn,
+                         CASE WHEN rn = 1 THEN day_cents
+                              ELSE day_cents * (CAST(1 AS BIGINT) << CAST(rn - 2 AS INTEGER))
+                         END AS yv
+                  FROM o),
+            n AS (SELECT day, day_cents, rn,
+                         CAST(sum(yv) OVER (ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS nacc
+                  FROM y)
+         SELECT day, day_cents,
+                CAST(floor(1000000 * (CAST(nacc AS DOUBLE)
+                  / CAST((CAST(1 AS BIGINT) << CAST(rn - 1 AS INTEGER)) AS DOUBLE))
+                  + 0.5) AS BIGINT) AS ewma_e6
+         FROM n ORDER BY day""") { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents(col("value"))).as("day_cents"))
+      graft.operators.Stats.ewmaDaily(daily, "day", "day_cents")
+        .orderBy("day")
     }
   )
 

@@ -127,4 +127,50 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
     assert(r == again)
   }
+
+  test("shortestPaths: cheap 2-hop beats expensive direct edge; rounds bound hops") {
+    // a->b (100), b->c (100), a->c direct (500), parallel a->c (400):
+    // best ≤2-edge path a..c = 200; d hangs 3 edges out
+    val e = Seq(("a", "b", 100L), ("b", "c", 100L), ("a", "c", 500L),
+      ("a", "c", 400L), ("c", "d", 50L)).toDF("s", "t", "w")
+    val seeds = Seq("a").toDF("n")
+    val r1 = Graph.shortestPaths(e, "s", "t", "w", seeds, "n", rounds = 1)
+      .as[(String, Long)].collect().toMap
+    // one relaxation: direct edges only, parallel edges take the min
+    assert(r1 == Map("a" -> 0L, "b" -> 100L, "c" -> 400L))
+    val r2 = Graph.shortestPaths(e, "s", "t", "w", seeds, "n", rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("a" -> 0L, "b" -> 100L, "c" -> 200L, "d" -> 450L))
+    val r3 = Graph.shortestPaths(e, "s", "t", "w", seeds, "n", rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3 == r2 + ("d" -> 250L), "round 3 improves d via the cheap chain")
+  }
+
+  test("shortestPaths: bit-identical under repartitioning") {
+    val e = (1 to 60).map(i => (s"n${i % 9}", s"n${(i * 5) % 9}", (i % 7) * 10L + 10L))
+      .filter(p => p._1 != p._2).toDF("s", "t", "w")
+    val seeds = Seq("n0").toDF("n")
+    val a = Graph.shortestPaths(e, "s", "t", "w", seeds, "n", rounds = 3)
+      .as[(String, Long)].collect().toMap
+    val b = Graph.shortestPaths(e.repartition(13), "s", "t", "w", seeds, "n", rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("commonNeighborPairs: exact jaccard; df-cap drops hub vias from pairs only") {
+    // u,v share vias {1,2}; u has {1,2,3}, v has {1,2,4} -> jaccard 2/4
+    val inc = Seq(("u", 1L), ("u", 2L), ("u", 3L),
+      ("v", 1L), ("v", 2L), ("v", 4L), ("x", 3L)).toDF("node", "via")
+    val got = Graph.commonNeighborPairs(inc, "node", "via", minCommon = 2L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("u", "v", 2L, 500000L)))
+    // a hub via shared by everyone: capped out of pair enumeration, but
+    // still counted in the FULL degrees of surviving pairs
+    val withHub = inc.union(Seq(("u", 9L), ("v", 9L), ("x", 9L)).toDF("node", "via"))
+    val capped = Graph.commonNeighborPairs(withHub, "node", "via",
+      minCommon = 2L, maxViaDegree = 2L)
+      .as[(String, String, Long, Long)].collect().toSet
+    // common stays 2 (via 9 dropped); degrees now 4 and 4 -> 2/6
+    assert(capped == Set(("u", "v", 2L, 333333L)))
+  }
 }

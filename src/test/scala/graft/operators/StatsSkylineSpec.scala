@@ -442,4 +442,53 @@ class StatsSkylineSpec extends SparkSpec {
       5L -> ((2L, 1L, 500000L)),
       9L -> ((2L, 2L, 1000000L))))
   }
+
+  test("wilsonIntervals: textbook values; interval brackets p-hat inside [0,1]") {
+    val df = (1 to 100).map(i => ("half", i <= 50)) ++
+      (1 to 10).map(i => ("nine", i <= 9))
+    val got = Stats.wilsonIntervals(df.toDF("g", "ok"), "g", col("ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // scipy.stats.binomtest proportion_ci(method='wilson') agrees to 1e-6
+    assert(got("half") == ((100L, 50L, 403830L, 596170L)))
+    assert(got("nine") == ((10L, 9L, 595844L, 982124L)))
+    got.values.foreach { case (n, s, lo, hi) =>
+      assert(lo >= 0L && hi <= 1000000L && lo <= s * 1000000L / n && s * 1000000L / n <= hi)
+    }
+  }
+
+  test("jackknifeRatio: hand-computed replicates; zero SE for identical groups") {
+    val rows = Seq(("g1", 5L, 1L), ("g1", 5L, 1L), // s=10, n=2
+      ("g2", 6L, 1L), ("g2", 7L, 1L), ("g2", 7L, 1L)) ++ // s=20, n=3
+      Seq.fill(5)(("g3", 6L, 1L)) // s=30, n=5
+    val df = rows.toDF("g", "num", "den")
+    val got = Stats.jackknifeRatio(df, "g", col("num"), col("den"))
+      .as[(Long, Long, Long)].head()
+    // per-group (s,n) = (10,2),(20,3),(30,5): replicates e6 = 6250000,
+    // 5714285, 6000000; tbar 5988095; SE = floor(sqrt(143707874150*2/3)+.5)
+    assert(got == ((6000000L, 3L, 309524L)))
+    // identical groups -> every leave-one-out replicate equals theta -> SE 0
+    val same = Seq(("a", 10L, 2L), ("b", 10L, 2L), ("c", 10L, 2L))
+      .toDF("g", "num", "den")
+    val z = Stats.jackknifeRatio(same, "g", col("num"), col("den"))
+      .as[(Long, Long, Long)].head()
+    assert(z == ((5000000L, 3L, 0L)))
+  }
+
+  test("ewmaDaily: exact alpha=1/2 recursion; month-length headroom holds") {
+    val daily = Seq(("d1", 100L), ("d2", 200L), ("d3", 300L)).toDF("day", "c")
+    val got = Stats.ewmaDaily(daily, "day", "c")
+      .as[(String, Long, Long)].collect()
+      .map { case (d, c, e) => d -> ((c, e)) }.toMap
+    // e1=100, e2=(200+100)/2=150, e3=(300+150)/2=225
+    assert(got == Map("d1" -> ((100L, 100000000L)),
+      "d2" -> ((200L, 150000000L)), "d3" -> ((300L, 225000000L))))
+    // 30 days at the documented 1e7-cents/day ceiling: N_30 = 1e7·2^29
+    // stays < 2^53, and the steady-state EWMA of a constant is the
+    // constant (1e7 cents = 1e13 in e6 units), exactly
+    val month = (1 to 30).map(i => (f"d$i%02d", 10000000L)).toDF("day", "c")
+    val last = Stats.ewmaDaily(month, "day", "c")
+      .as[(String, Long, Long)].collect().maxBy(_._1)
+    assert(last == (("d30", 10000000L, 10000000000000L)))
+  }
 }
