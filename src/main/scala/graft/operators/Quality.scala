@@ -113,6 +113,38 @@ object Quality {
         "min_value", "max_value")
   }
 
+  /** Column-profile DRIFT between two table snapshots (the monitoring
+    * companion to [[profileColumns]]): per column, row/non-null/
+    * distinct counts on both sides, exact integer-e6 null rates, and a
+    * `drifted` verdict — null-rate delta > 1% OR distinct cardinality
+    * off by more than 2× in either direction (both checks pure integer
+    * compares, so the verdict is engine-exact). This is the schema-
+    * stability gate a 100 TB ingest runs between yesterday's and
+    * today's partition before promoting.
+    *
+    * Scale shape: one multi-aggregate pass per side (profileColumns —
+    * a single shuffle each with map-side partials), then a
+    * COLUMNS-sized join. */
+  def profileDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profileColumns(df, cols).select(col("column_name"),
+        col("n_rows").as(s"n_rows_$tag"),
+        col("n_nonnull").as(s"n_nonnull_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"))
+    side(a, "a").join(side(b, "b"), Seq("column_name"))
+      .select(col("column_name"),
+        col("n_rows_a"), col("n_nonnull_a"), col("n_distinct_a"),
+        col("n_rows_b"), col("n_nonnull_b"), col("n_distinct_b"),
+        expr("((n_rows_a - n_nonnull_a) * 1000000L) DIV n_rows_a")
+          .as("null_rate_a_e6"),
+        expr("((n_rows_b - n_nonnull_b) * 1000000L) DIV n_rows_b")
+          .as("null_rate_b_e6"),
+        expr("""abs((((n_rows_a - n_nonnull_a) * 1000000L) DIV n_rows_a)
+                  - (((n_rows_b - n_nonnull_b) * 1000000L) DIV n_rows_b)) > 10000
+                OR n_distinct_a * 2 < n_distinct_b
+                OR n_distinct_b * 2 < n_distinct_a""").as("drifted"))
+  }
+
   /** dbt's `accepted_values` test: rows whose column value falls
     * outside the allowed set, reported as (value, n_rows) — NULLs pass
     * (dbt's does not flag them; not_null is the separate test), exactly

@@ -893,6 +893,47 @@ object Stats {
           .as("jk_se_e6"))
   }
 
+  /** CUPED variance-reduction adjustment (Deng et al., WSDM'13) for an
+    * A/B experiment over per-UNIT rows (one row per user, x = the
+    * pre-period covariate, y = the experiment metric, integer-scaled):
+    *   θ = Cov(x,y)/Var(x)  (pooled),   ŷ_arm = ȳ_arm − θ·(x̄_arm − x̄)
+    * θ's numerator g·Σxy − Σx·Σy and denominator g·Σxx − (Σx)² are
+    * formed EXACTLY in DECIMAL(38,0) (never a float sum), so the only
+    * float steps are the final divisions/multiply on exact operands —
+    * identical expression tree ⇒ bit-identical doubles on any engine —
+    * floored to e6 units. Constant x (zero denominator) degrades to
+    * the unadjusted mean instead of NaN.
+    *
+    * Scale shape: two hash aggregates over the units relation (pooled
+    * moments + per-arm sums) with map-side partials; the ARMS-sized
+    * result joins the 1-row moments by broadcast. */
+  def cupedAdjust(units: DataFrame, armCol: String,
+                  xCol: Column, yCol: Column): DataFrame = {
+    val base = units.select(col(armCol).as("__arm"),
+      xCol.cast(DecimalType(19, 0)).as("__x"),
+      yCol.cast(DecimalType(19, 0)).as("__y"))
+    val tot = base.agg(sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(expr("__x * __y")).as("__sxy"),
+      sum(expr("__x * __x")).as("__sxx"),
+      count(lit(1)).as("__g"))
+    base.groupBy(col("__arm").as("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum("__x").as("__sxa"), sum("__y").as("__sya"))
+      .crossJoin(broadcast(tot))
+      .select(col("arm"), col("n_units"),
+        expr("""CAST(floor(1000000 * (CAST(__sya AS DOUBLE) / CAST(n_units AS DOUBLE))
+                + 0.5) AS BIGINT)""").as("y_mean_e6"),
+        expr("""CAST(floor(1000000 * (
+            CASE WHEN (__g * __sxx - __sx * __sx) = 0
+                 THEN CAST(__sya AS DOUBLE) / CAST(n_units AS DOUBLE)
+                 ELSE CAST(__sya AS DOUBLE) / CAST(n_units AS DOUBLE)
+                      - (CAST(__g * __sxy - __sx * __sy AS DOUBLE)
+                         / CAST(__g * __sxx - __sx * __sx AS DOUBLE))
+                        * (CAST(__sxa AS DOUBLE) / CAST(n_units AS DOUBLE)
+                           - CAST(__sx AS DOUBLE) / CAST(__g AS DOUBLE))
+            END) + 0.5) AS BIGINT)""").as("adj_mean_e6"))
+  }
+
   /** Exact dyadic EWMA (α = ½) over a daily integer series:
     * e₁ = x₁, e_t = (x_t + e_{t−1}) / 2. The textbook float recursion
     * accumulates engine-ordered rounding; instead note

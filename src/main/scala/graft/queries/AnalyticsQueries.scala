@@ -2341,6 +2341,49 @@ object AnalyticsQueries {
         t(s, dir, "lineitem"), "l_suppkey", "l_partkey",
         minCommon = 3L, maxViaDegree = 256L)
         .orderBy("u", "v")
+    },
+
+    // Runtime bloom-filter join pruning as a gated query — the runtime
+    // sibling of q253's DPP for UNPARTITIONED fact data: urgent orders
+    // ⋈ lineitem forced onto the shuffle-join path (broadcast disabled
+    // in-scope), where Spark's InjectRuntimeFilter plants a bloom
+    // filter built from the filtered orders keys into the lineitem
+    // scan — ~80% of fact rows die BEFORE the exchange instead of
+    // shuffling and failing the join. At 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the
+    // matching fifth. The builder requires the might_contain filter in
+    // the plan, so a planner regression fails Verify.
+    "q258_bloom_join" -> q(
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val scoped = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+      val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+          .orderBy("o_orderpriority")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("might_contain"),
+          "the filtered orders side must plant a runtime bloom filter on the lineitem scan")
+        // materialize under the scoped confs (q250's pattern)
+        val rows = out.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          out.schema)
+      } finally prev.foreach { case (k, vOpt) =>
+        vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
     }
   )
 

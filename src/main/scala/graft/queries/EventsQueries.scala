@@ -1073,6 +1073,61 @@ object EventsQueries {
         .agg(sum(cents(col("value"))).as("day_cents"))
       graft.operators.Stats.ewmaDaily(daily, "day", "day_cents")
         .orderBy("day")
+    },
+
+    // CUPED variance reduction (Stats.cupedAdjust) for q138's hash-split
+    // experiment: per-user pre-period purchase cents (days 1-15) as the
+    // covariate, experiment-period cents (days 16-31) as the metric.
+    // θ's moments are exact DECIMAL sums; the adjustment itself is an
+    // identically-shaped double evaluation floored to e6.
+    "q260_cuped" -> q(
+      """WITH u AS (SELECT user_id,
+                           CASE WHEN substring(md5('cu1' || CAST(user_id AS VARCHAR)), 1, 4)
+                                  < '8000' THEN 'A' ELSE 'B' END AS arm,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                                         AND CAST(strftime(ts, '%d') AS INTEGER) <= 15
+                                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                         ELSE 0 END) AS BIGINT) AS x,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                                         AND CAST(strftime(ts, '%d') AS INTEGER) > 15
+                                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                         ELSE 0 END) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+            tot AS (SELECT CAST(sum(x) AS HUGEINT) AS sx,
+                           CAST(sum(y) AS HUGEINT) AS sy,
+                           CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+                           CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+                           CAST(count(*) AS HUGEINT) AS g
+                    FROM u),
+            a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+                         CAST(sum(x) AS HUGEINT) AS sxa,
+                         CAST(sum(y) AS HUGEINT) AS sya
+                  FROM u GROUP BY 1)
+         SELECT arm, n_units,
+                CAST(floor(1000000 * (CAST(sya AS DOUBLE) / CAST(n_units AS DOUBLE))
+                  + 0.5) AS BIGINT) AS y_mean_e6,
+                CAST(floor(1000000 * (
+                  CASE WHEN (g * sxx - sx * sx) = 0
+                       THEN CAST(sya AS DOUBLE) / CAST(n_units AS DOUBLE)
+                       ELSE CAST(sya AS DOUBLE) / CAST(n_units AS DOUBLE)
+                            - (CAST(g * sxy - sx * sy AS DOUBLE)
+                               / CAST(g * sxx - sx * sx AS DOUBLE))
+                              * (CAST(sxa AS DOUBLE) / CAST(n_units AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) / CAST(g AS DOUBLE))
+                  END) + 0.5) AS BIGINT) AS adj_mean_e6
+         FROM a CROSS JOIN tot ORDER BY arm""") { (s, dir) =>
+      val units = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase" && dayofmonth(col("ts")) <= 15,
+            cents(col("value"))).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" && dayofmonth(col("ts")) > 15,
+            cents(col("value"))).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(substring(md5(concat(lit("cu1"), col("user_id").cast("string"))), 1, 4)
+            < "8000", "A").otherwise("B"))
+      graft.operators.Stats.cupedAdjust(units, "arm", col("x"), col("y"))
+        .orderBy("arm")
     }
   )
 

@@ -626,6 +626,41 @@ object ParityQueries {
         .select(lit("relationships_l_partkey").as("test_name"),
           col("orphan_key").cast("string").as("value"), col("n_rows"))
       av.unionByName(rel).orderBy("test_name", "value")
+    },
+
+    // Column-profile drift (Quality.profileDrift): first vs second
+    // half-month of events, per-column counts + exact e6 null rates +
+    // integer-compare drift verdict — the promote-or-hold gate between
+    // yesterday's and today's ingest partition.
+    "q259_profile_drift" -> q({
+      val cols = Seq("event_type", "props", "user_id", "value")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+                   a.nr AS n_rows_a, a.nn AS n_nonnull_a, a.nd AS n_distinct_a,
+                   b.nr AS n_rows_b, b.nn AS n_nonnull_b, b.nd AS n_distinct_b,
+                   ((a.nr - a.nn) * 1000000) // a.nr AS null_rate_a_e6,
+                   ((b.nr - b.nn) * 1000000) // b.nr AS null_rate_b_e6,
+                   (abs((((a.nr - a.nn) * 1000000) // a.nr)
+                        - (((b.nr - b.nn) * 1000000) // b.nr)) > 10000
+                    OR a.nd * 2 < b.nd OR b.nd * 2 < a.nd) AS drifted
+            FROM (SELECT CAST(count(*) AS BIGINT) AS nr,
+                         CAST(count($c) AS BIGINT) AS nn,
+                         CAST(count(DISTINCT $c) AS BIGINT) AS nd
+                  FROM events
+                  WHERE CAST(strftime(ts, '%d') AS INTEGER) <= 15) a
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS nr,
+                               CAST(count($c) AS BIGINT) AS nn,
+                               CAST(count(DISTINCT $c) AS BIGINT) AS nd
+                        FROM events
+                        WHERE CAST(strftime(ts, '%d') AS INTEGER) > 15) b"""
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    }) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val first = ev.filter(dayofmonth(col("ts")) <= 15)
+      val second = ev.filter(dayofmonth(col("ts")) > 15)
+      graft.operators.Quality.profileDrift(first, second,
+        Seq("event_type", "props", "user_id", "value"))
+        .orderBy("column_name")
     }
   )
 }

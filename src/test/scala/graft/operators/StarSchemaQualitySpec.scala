@@ -210,4 +210,22 @@ class StarSchemaQualitySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(z == ((0L, 3L, 1L, 0L, 0L)))
   }
+
+  test("profileDrift: null-rate and cardinality drift flagged, stable columns pass") {
+    // side A: 10 rows, no nulls in c1, 2 distinct in c2
+    val a = (1 to 10).map(i => (s"v$i", if (i % 2 == 0) "x" else "y"))
+      .toDF("c1", "c2")
+    // side B: c1 grows 20% nulls (> 1% delta); c2 explodes to 8 distinct
+    val b = (1 to 10).map(i =>
+      (if (i <= 2) null else s"v$i", s"w${i % 8}")).toDF("c1", "c2")
+    val got = Quality.profileDrift(a, b, Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(7), r.getLong(8), r.getBoolean(9)))).toMap
+    assert(got("c1") == ((0L, 200000L, true)), got.toString)
+    assert(got("c2") == ((0L, 0L, true)), "2 -> 8 distinct is > 2x drift")
+    // identical sides: nothing drifts
+    val same = Quality.profileDrift(a, a, Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(9)).toMap
+    assert(same == Map("c1" -> false, "c2" -> false))
+  }
 }

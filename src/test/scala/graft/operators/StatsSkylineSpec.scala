@@ -475,6 +475,25 @@ class StatsSkylineSpec extends SparkSpec {
     assert(z == ((5000000L, 3L, 0L)))
   }
 
+  test("cupedAdjust: removes covariate-explained variance; constant x degrades to raw mean") {
+    // theta = (4*6100 - 100*200)/(4*3000 - 100*100) = 2.2; arm means
+    // 30/70 adjust to 52/48 (the pre-period explains most of the gap)
+    val units = Seq(("A", 10L, 20L), ("A", 20L, 40L),
+      ("B", 30L, 50L), ("B", 40L, 90L)).toDF("arm", "x", "y")
+    val got = Stats.cupedAdjust(units, "arm", col("x"), col("y"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (a, n, m, j) => a -> ((n, m, j)) }.toMap
+    assert(got == Map("A" -> ((2L, 30000000L, 52000000L)),
+      "B" -> ((2L, 70000000L, 48000000L))))
+    // constant covariate: zero variance -> adjustment is a no-op
+    val const = Seq(("A", 5L, 20L), ("B", 5L, 40L)).toDF("arm", "x", "y")
+    val c = Stats.cupedAdjust(const, "arm", col("x"), col("y"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (a, n, m, j) => a -> ((n, m, j)) }.toMap
+    assert(c == Map("A" -> ((1L, 20000000L, 20000000L)),
+      "B" -> ((1L, 40000000L, 40000000L))))
+  }
+
   test("ewmaDaily: exact alpha=1/2 recursion; month-length headroom holds") {
     val daily = Seq(("d1", 100L), ("d2", 200L), ("d3", 300L)).toDF("day", "c")
     val got = Stats.ewmaDaily(daily, "day", "c")
