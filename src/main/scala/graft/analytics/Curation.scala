@@ -751,4 +751,45 @@ object Curation {
       .join(tagged.select(col(idCol).as("id_eval"), col("split")), Seq("id_eval"))
       .select("id_eval", "split", "id_train", "common", "n_eval", "n_train")
   }
+
+  /** Deterministic k-fold assignment by salted md5 — the cross-
+    * validation split with the same no-RNG-state contract as
+    * [[hashSplit]]: a row's fold is a pure function of (salt, id), so
+    * it is reproducible on any engine, cluster, retry, or re-ingest,
+    * and two pipelines using the same salt agree on every row. Folds
+    * are cut on the first 4 hex chars against ⌈65536·i/k⌉ boundary
+    * STRINGS — the string-compare trick avoids hex-to-int parsing,
+    * which not every engine spells the same way; fold sizes are even
+    * to within 1/65536.
+    *
+    * Scale shape: a zero-shuffle projection (one expression per row).
+    * k ≤ 256 keeps the generated CASE chain codegen-friendly. */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int,
+                  salt: String = "fold1"): DataFrame = {
+    require(k >= 2 && k <= 256, "k must be in [2, 256]")
+    val h = substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4)
+    val fold = (1 until k).map(i => f"${65536 * i / k}%04x").zipWithIndex
+      .foldRight(lit((k - 1).toLong)) { case ((b, i), els) =>
+        when(h < b, lit(i.toLong)).otherwise(els)
+      }
+    df.withColumn("fold", fold)
+  }
+
+  /** Inverse-frequency class-balance weights: for each label,
+    *   weight_e6 = N·10⁶ div (k·n_label)
+    * (sklearn's `class_weight='balanced'`, as an exact integer) — the
+    * loss reweighting that keeps a skewed training set from collapsing
+    * onto its majority class. NULL labels are excluded from both N
+    * and k.
+    *
+    * Scale shape: one hash aggregate to the LABELS-sized relation; the
+    * 1-row total rides a broadcast. */
+  def classBalanceWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val cnt = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum("n").as("__N"), count(lit(1)).as("__k"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("__N * 1000000L DIV (__k * n)").as("weight_e6"))
+  }
 }

@@ -893,6 +893,79 @@ object Stats {
           .as("jk_se_e6"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (annotator vs annotator, or model vs gold): with diag =
+    * Σ_k n_kk and pe_num = Σ_k row_k·col_k,
+    *   κ = (N·diag − pe_num) / (N² − pe_num)
+    * — both operands formed EXACTLY in DECIMAL(38,0) (headroom past
+    * 10⁹-row corpora where N² overflows Long), one final double
+    * division, e6-floored (floor of an identical double is sign-safe
+    * where integer DIV truncation is not — κ can be negative). Rows
+    * with a NULL on either side are excluded. A degenerate table
+    * (N² = pe_num, e.g. constant labels) yields NULL κ.
+    *
+    * Scale shape: one hash aggregate to the LABELS²-sized confusion
+    * relation; margins and sums are labels-sized. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val rows = cm.groupBy(col("__a").as("__l")).agg(sum("__c").as("__ra"))
+    val colsM = cm.groupBy(col("__b").as("__l")).agg(sum("__c").as("__cb"))
+    val pe = rows.join(colsM, Seq("__l"))
+      .agg(coalesce(sum(expr(
+        "CAST(__ra AS DECIMAL(19,0)) * CAST(__cb AS DECIMAL(19,0))")),
+        lit(0L).cast(D)).as("__pe"))
+    cm.agg(sum("__c").as("__n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("__agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("__n").as("n_items"), col("__agree").as("n_agree"),
+        expr("__agree * 1000000L DIV __n").as("po_e6"),
+        expr("""CASE WHEN CAST(__n AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(19,0)) - __pe = 0
+                     THEN NULL
+                     ELSE CAST(floor(1000000 * (
+                       CAST(CAST(__n AS DECIMAL(19,0)) * CAST(__agree AS DECIMAL(19,0)) - __pe AS DOUBLE)
+                       / CAST(CAST(__n AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(19,0)) - __pe AS DOUBLE))
+                       + 0.5) AS BIGINT)
+                END""").as("kappa_e6"))
+  }
+
+  /** Per-class precision/recall/F1 from a (truth, prediction) pair —
+    * the eval primitive next to [[rankAuc]]/[[calibrationBins]]. All
+    * three ratios are EXACT integer e6 divisions (F1 = 2tp/(2tp+fp+fn)
+    * — the algebra that never forms the float intermediate); a class
+    * never predicted has NULL precision, one never true has NULL
+    * recall (sklearn's zero_division=warn case, made explicit).
+    * Classes are the union of both sides' label sets.
+    *
+    * Scale shape: one hash aggregate to the confusion relation, then
+    * labels-sized joins. */
+  def classificationReport(df: DataFrame, truthCol: String,
+                           predCol: String): DataFrame = {
+    val cm = df.select(col(truthCol).as("__t"), col(predCol).as("__p"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull)
+      .groupBy("__t", "__p").agg(count(lit(1)).as("__c"))
+    val tp = cm.filter(col("__t") === col("__p"))
+      .select(col("__t").as("label"), col("__c").as("__tp"))
+    val truthTot = cm.groupBy(col("__t").as("label")).agg(sum("__c").as("__tt"))
+    val predTot = cm.groupBy(col("__p").as("label")).agg(sum("__c").as("__pt"))
+    truthTot.join(predTot, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pt"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fp"),
+        (coalesce(col("__tt"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE tp * 1000000L DIV (tp + fp) END")
+          .as("precision_e6"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE tp * 1000000L DIV (tp + fn) END")
+          .as("recall_e6"),
+        expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                     ELSE 2 * tp * 1000000L DIV (2 * tp + fp + fn) END""")
+          .as("f1_e6"))
+  }
+
   /** CUPED variance-reduction adjustment (Deng et al., WSDM'13) for an
     * A/B experiment over per-UNIT rows (one row per user, x = the
     * pre-period covariate, y = the experiment metric, integer-scaled):

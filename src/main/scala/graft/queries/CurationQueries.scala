@@ -574,6 +574,43 @@ object CurationQueries {
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id",
           "source", k = 25)
         .orderBy("source", "rank")
+    },
+
+    // Deterministic k-fold assignment (Curation.kFoldAssign): fold is
+    // a pure function of (salt, doc_id) — cross-validation splits that
+    // reproduce on any engine/cluster/retry; hex-string boundary
+    // compares, the hashSplit convention. Registered as the per-
+    // (source, fold) composition report.
+    "q262_kfold_assign" -> q({
+      val cases = (1 until 5).map(i => f"${65536 * i / 5}%04x").zipWithIndex
+        .map { case (b, i) =>
+          s"WHEN substring(md5('fold1' || CAST(doc_id AS VARCHAR)), 1, 4) < '$b' THEN $i"
+        }.mkString(" ")
+      s"""SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM (SELECT source, n_chars,
+                       CAST(CASE $cases ELSE 4 END AS BIGINT) AS fold
+                FROM documents)
+          GROUP BY 1, 2 ORDER BY 1, 2"""
+    }) { (s, dir) =>
+      Curation.kFoldAssign(t(s, dir, "documents"), "doc_id", k = 5)
+        .groupBy("source", "fold")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("source", "fold")
+    },
+
+    // Inverse-frequency class-balance weights
+    // (Curation.classBalanceWeights): sklearn's 'balanced' as exact
+    // integer e6 — N·1e6 div (k·n_label) over the embeddings labels.
+    "q263_class_weights" -> q(
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                    FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                           CAST(count(*) AS BIGINT) AS k FROM c)
+         SELECT label, n, (nn * 1000000) // (k * n) AS weight_e6
+         FROM c CROSS JOIN tot ORDER BY label""") { (s, dir) =>
+      Curation.classBalanceWeights(t(s, dir, "embeddings"), "label")
+        .orderBy("label")
     }
   )
 }

@@ -1583,6 +1583,88 @@ object TextQueries {
           reference = docs.filter(col("source") === "src1"),
           idCol = "doc_id", textCol = "text", n = 3)
         .orderBy("doc_id")
+    },
+
+    // Cohen's kappa (Stats.cohenKappa): chance-corrected agreement
+    // between the corpus's declared `lang` labels and the heuristic
+    // lang-ID (q28) — the annotation-audit primitive that says whether
+    // a cheap classifier agrees with gold beyond luck. Exact DECIMAL
+    // operands, one final division.
+    "q261_cohen_kappa" -> q(
+      s"""WITH det AS ($langDetectSql),
+             cm AS (SELECT lang AS a, lang_detected AS b,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM det WHERE lang IS NOT NULL AND lang_detected IS NOT NULL
+                    GROUP BY 1, 2),
+             r AS (SELECT a AS l, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY 1),
+             co AS (SELECT b AS l, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1),
+             pe AS (SELECT COALESCE(CAST(sum(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT))
+                             AS HUGEINT), 0) AS pe
+                    FROM r JOIN co USING (l)),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                            CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+                     FROM cm)
+          SELECT n AS n_items, agree AS n_agree,
+                 (agree * 1000000) // n AS po_e6,
+                 CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe = 0 THEN NULL
+                      ELSE CAST(floor(1000000 * (
+                             CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT) - pe AS DOUBLE)
+                             / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe AS DOUBLE))
+                             + 0.5) AS BIGINT)
+                 END AS kappa_e6
+          FROM tot CROSS JOIN pe""") { (s, dir) =>
+      val det = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_detected"))
+      graft.operators.Stats.cohenKappa(det, "lang", "lang_detected")
+    },
+
+    // Per-class precision/recall/F1 (Stats.classificationReport) for
+    // the same gold-vs-heuristic pair — all ratios exact integer e6
+    // (F1 as 2tp/(2tp+fp+fn), never a float intermediate); classes
+    // the union of both label sets, NULL where sklearn warns on
+    // zero division.
+    "q264_classification_report" -> q(
+      s"""WITH det AS ($langDetectSql),
+             cm AS (SELECT lang AS a, lang_detected AS b,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM det WHERE lang IS NOT NULL AND lang_detected IS NOT NULL
+                    GROUP BY 1, 2),
+             tpt AS (SELECT a AS label, c AS tp FROM cm WHERE a = b),
+             tt AS (SELECT a AS label, CAST(sum(c) AS BIGINT) AS tt FROM cm GROUP BY 1),
+             pt AS (SELECT b AS label, CAST(sum(c) AS BIGINT) AS pt FROM cm GROUP BY 1),
+             j AS (SELECT COALESCE(tt.label, pt.label) AS label,
+                          COALESCE(tpt.tp, 0) AS tp,
+                          COALESCE(pt.pt, 0) - COALESCE(tpt.tp, 0) AS fp,
+                          COALESCE(tt.tt, 0) - COALESCE(tpt.tp, 0) AS fn
+                   FROM tt FULL OUTER JOIN pt ON tt.label = pt.label
+                   LEFT JOIN tpt ON COALESCE(tt.label, pt.label) = tpt.label)
+          SELECT label, tp, fp, fn,
+                 CASE WHEN tp + fp = 0 THEN NULL
+                      ELSE (tp * 1000000) // (tp + fp) END AS precision_e6,
+                 CASE WHEN tp + fn = 0 THEN NULL
+                      ELSE (tp * 1000000) // (tp + fn) END AS recall_e6,
+                 CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                      ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_e6
+          FROM j ORDER BY label""") { (s, dir) =>
+      val det = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_detected"))
+      graft.operators.Stats.classificationReport(det, "lang", "lang_detected")
+        .orderBy("label")
     }
   )
+
+  /** The q28 detection as a reusable DuckDB subquery: (doc_id, lang,
+    * lang_detected) — gold label next to the heuristic argmax. */
+  private def langDetectSql: String = {
+    val hits = TextAnalysis.Stopwords.map { case (lang, lex) =>
+      s"len(list_filter($toksLowerSql, x -> list_contains(${lexList(lex)}, x))) AS h_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val others = langs.zipWithIndex.collect { case (o, j) if j != i => s"h_$lang >= h_$o" }
+      s"WHEN h_$lang > 0 AND ${others.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_detected
+        FROM (SELECT doc_id, lang, $hits FROM documents)"""
+  }
 }

@@ -458,4 +458,44 @@ class CurationSpec extends SparkSpec {
     val recut = got.filter($"rank" <= 5).select("id").as[Long].collect().toSet
     assert(k5 == recut)
   }
+
+  test("kFoldAssign: total partition, near-even folds, salt-stable, salt-sensitive") {
+    val ids = (1L to 5000L).toDF("id")
+    val f = Curation.kFoldAssign(ids, "id", k = 5)
+    val byFold = f.groupBy("fold").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byFold.keySet == (0L to 4L).toSet, "every fold populated")
+    assert(byFold.values.sum == 5000L, "every row assigned exactly once")
+    // md5 is uniform: each fold within ~20% of 1000
+    byFold.values.foreach(n => assert(n > 800 && n < 1200, byFold.toString))
+    // deterministic under the same salt, different under another
+    val again = Curation.kFoldAssign(ids, "id", k = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(again == f.as[(Long, Long)].collect().toSet)
+    val other = Curation.kFoldAssign(ids, "id", k = 5, salt = "fold2")
+      .as[(Long, Long)].collect().toSet
+    assert(other != again, "salt must reshuffle the folds")
+    // k = 2 agrees with the 50/50 boundary convention: fold by '8000'
+    val two = Curation.kFoldAssign(ids, "id", k = 2)
+    val manual = ids.withColumn("fold",
+      when(substring(md5(concat(lit("fold1"), $"id".cast("string"))), 1, 4)
+        < "8000", 0L).otherwise(1L))
+    assert(two.except(manual).isEmpty && manual.except(two).isEmpty)
+  }
+
+  test("classBalanceWeights: inverse frequency, balanced input is weight 1") {
+    val skew = (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c"))
+      .toDF("label")
+    val got = Curation.classBalanceWeights(skew, "label")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, w) => l -> ((n, w)) }.toMap
+    // N=50, k=3: a -> 50e6/(3*30) = 555555; b,c -> 50e6/30 = 1666666
+    assert(got == Map("a" -> ((30L, 555555L)),
+      "b" -> ((10L, 1666666L)), "c" -> ((10L, 1666666L))))
+    // perfectly balanced -> every weight exactly 1.0
+    val bal = (Seq.fill(5)("x") ++ Seq.fill(5)("y")).toDF("label")
+    val w = Curation.classBalanceWeights(bal, "label")
+      .as[(String, Long, Long)].collect()
+    assert(w.forall(_._3 == 1000000L))
+  }
 }

@@ -475,6 +475,41 @@ class StatsSkylineSpec extends SparkSpec {
     assert(z == ((5000000L, 3L, 0L)))
   }
 
+  test("cohenKappa: perfect, chance-corrected, and degenerate agreement") {
+    // confusion (x,x)=20 (x,y)=10 (y,x)=5 (y,y)=15: po=0.70, kappa=0.40
+    val pairs = (Seq.fill(20)(("x", "x")) ++ Seq.fill(10)(("x", "y")) ++
+      Seq.fill(5)(("y", "x")) ++ Seq.fill(15)(("y", "y")) ++
+      Seq(("x", null), (null, "y"))).toDF("a", "b") // NULLs excluded
+    val got = Stats.cohenKappa(pairs, "a", "b").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((50L, 35L, 700000L, 400000L)))
+    // perfect agreement -> kappa exactly 1
+    val perfect = Seq(("p", "p"), ("q", "q"), ("r", "r")).toDF("a", "b")
+    val p = Stats.cohenKappa(perfect, "a", "b").collect().head
+    assert(p.getLong(2) == 1000000L && p.getLong(3) == 1000000L)
+    // constant labels: pe = N^2 -> NULL kappa, not a division error
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    val c = Stats.cohenKappa(const, "a", "b").collect().head
+    assert(c.getLong(2) == 1000000L && c.isNullAt(3))
+  }
+
+  test("classificationReport: exact e6 PRF1; unseen-side classes get NULLs not crashes") {
+    val pairs = (Seq.fill(20)(("x", "x")) ++ Seq.fill(10)(("x", "y")) ++
+      Seq.fill(5)(("y", "x")) ++ Seq.fill(15)(("y", "y")) ++
+      Seq(("z", "x"))).toDF("t", "p") // z never predicted
+    val got = Stats.classificationReport(pairs, "t", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    // x: tp=20 fp=6 fn=10 -> p 20/26, r 20/30, f1 40/56
+    assert(got("x") == ((20L, 6L, 10L,
+      Some(769230L), Some(666666L), Some(714285L))))
+    assert(got("y") == ((15L, 10L, 5L,
+      Some(600000L), Some(750000L), Some(666666L))))
+    // never predicted: precision NULL, recall 0, f1 0
+    assert(got("z") == ((0L, 0L, 1L, None, Some(0L), Some(0L))))
+  }
+
   test("cupedAdjust: removes covariate-explained variance; constant x degrades to raw mean") {
     // theta = (4*6100 - 100*200)/(4*3000 - 100*100) = 2.2; arm means
     // 30/70 adjust to 52/48 (the pre-period explains most of the gap)
