@@ -606,4 +606,67 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user")).as("n_users"))
   }
+
+  /** RFM segmentation — the classic marketing/CRM customer scoring:
+    * per key, Recency (days since last activity, against the corpus
+    * max date), Frequency (row count), Monetary (exact integer cents),
+    * each quintiled with `ntile(5)` (recency inverted so 5 = most
+    * recent) and concatenated into a 3-digit segment label ("555" =
+    * best customers). Quintile ties are broken by the key itself, so
+    * the assignment is total-ordered and engine-deterministic.
+    *
+    * Scale shape: one hash aggregate to the KEYS-sized relation; the
+    * three ntiles are single-partition windows over that SMALL
+    * relation (keys ≪ rows; for key cardinalities that outgrow one
+    * partition, swap ntile for the rank·5 DIV n arithmetic over a
+    * distributed rank — same assignment, no single-partition window).
+    * The 1-row max-date rides a broadcast. */
+  def rfmSegments(df: DataFrame, keyCol: String, dateCol: String,
+                  amountCentsCol: Column): DataFrame = {
+    val mx = df.agg(max(col(dateCol).cast("date")).as("__mdate"))
+    val base = df
+      .groupBy(col(keyCol).as("custkey"))
+      .agg(max(col(dateCol).cast("date")).as("__last"),
+        count(lit(1)).as("f_orders"),
+        sum(amountCentsCol).as("m_cents"))
+      .crossJoin(broadcast(mx))
+      .select(col("custkey"),
+        datediff(col("__mdate"), col("__last")).cast("long").as("r_days"),
+        col("f_orders"), col("m_cents"))
+    val sc = base
+      .withColumn("r_score",
+        (lit(6L) - ntile(5).over(Window.orderBy(col("r_days"), col("custkey"))))
+          .cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("f_orders"), col("custkey"))).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("m_cents"), col("custkey"))).cast("long"))
+    sc.select(col("custkey"), col("r_days"), col("f_orders"), col("m_cents"),
+      col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+  }
+
+  /** Customer lifecycle labeling by inactivity: per key, days since
+    * last activity against the corpus max date, bucketed into
+    * active / at_risk / churned by two caller thresholds — the churn
+    * feed every retention workflow starts from.
+    *
+    * Scale shape: one hash aggregate to the KEYS-sized relation, one
+    * broadcast 1-row max, zero windows. */
+  def lifecycleStatus(df: DataFrame, keyCol: String, dateCol: String,
+                      atRiskDays: Int, churnedDays: Int): DataFrame = {
+    require(churnedDays > atRiskDays, "churnedDays must exceed atRiskDays")
+    val mx = df.agg(max(col(dateCol).cast("date")).as("__mdate"))
+    df.groupBy(col(keyCol).as("custkey"))
+      .agg(max(col(dateCol).cast("date")).as("last_date"))
+      .crossJoin(broadcast(mx))
+      .select(col("custkey"),
+        date_format(col("last_date"), "yyyy-MM-dd").as("last_date"),
+        datediff(col("__mdate"), col("last_date")).cast("long").as("days_inactive"))
+      .withColumn("status",
+        when(col("days_inactive") > churnedDays, "churned")
+          .when(col("days_inactive") > atRiskDays, "at_risk")
+          .otherwise("active"))
+  }
 }

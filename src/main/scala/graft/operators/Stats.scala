@@ -1040,4 +1040,96 @@ object Stats {
                 / CAST(shiftleft(1L, CAST(__rn - 1 AS INT)) AS DOUBLE))
                 + 0.5) AS BIGINT)""").as("ewma_e6"))
   }
+
+  /** Kaplan-Meier product-limit survival curve per group, in EXACT
+    * integer arithmetic. Input is one row per subject: a group key, an
+    * integer duration (time-to-event or time-to-censoring in whatever
+    * unit the caller chose), and observed ∈ {0,1} (1 = the event
+    * happened at `duration`, 0 = right-censored there). Output is one
+    * row per (group, event time) with the at-risk count, event count,
+    * and the survival estimate
+    *   S(tᵢ) = Π_{j≤i} (n_j − d_j)/n_j
+    * evaluated as an e9 integer recurrence s ← s·(n−d) DIV n — every
+    * step is integer floor division, so the curve is bit-identical on
+    * any engine/partitioning (a float product is neither), at the cost
+    * of ≤1e-9·i downward bias, invisible at e9 scale.
+    *
+    * Scale shape: one hash aggregate to the (group × distinct
+    * duration)-sized relation, one window over that SMALL relation for
+    * the at-risk tail sums, then a per-group ordered fold via the
+    * `aggregate` higher-order function over a collected point array.
+    * The array is bounded by DISTINCT DURATIONS per group (callers
+    * bucket durations to days/hours precisely so this is
+    * observation-window-sized, e.g. ≤ a few thousand), never by
+    * subject count — 10⁹ subjects still fold a few-KB array. */
+  def kaplanMeier(subjects: DataFrame, groupCol: String,
+                  durationCol: String, observedCol: String): DataFrame = {
+    val pt = subjects
+      .select(col(groupCol).as("__g"), col(durationCol).cast("long").as("t"),
+        col(observedCol).cast("long").as("__obs"))
+      .groupBy("__g", "t")
+      .agg(sum("__obs").as("d"), count(lit(1)).as("__all"))
+    val atRisk = Window.partitionBy("__g").orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = pt.withColumn("n_risk", sum("__all").over(atRisk))
+      .filter(col("d") > 0)
+    ev.groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("d"))))
+        .as("__pts"))
+      .select(col("__g"), explode(expr(
+        """aggregate(__pts,
+             struct(CAST(1000000000 AS BIGINT) AS s,
+                    CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+                                                 d: BIGINT, surv_e9: BIGINT>>) AS out),
+             (acc, x) -> struct(
+               (acc.s * (x.n_risk - x.d)) DIV x.n_risk AS s,
+               array_append(acc.out, struct(
+                 x.t AS t, x.n_risk AS n_risk, x.d AS d,
+                 (acc.s * (x.n_risk - x.d)) DIV x.n_risk AS surv_e9)) AS out),
+             acc -> acc.out)""")).as("__p"))
+      .select(col("__g").as(groupCol), col("__p.t").as(durationCol),
+        col("__p.n_risk").as("n_risk"), col("__p.d").as("n_events"),
+        col("__p.surv_e9").as("surv_e9"))
+  }
+
+  /** Spearman rank correlation per group — Pearson on AVERAGE ranks
+    * (the tie-correct definition), kept exact by carrying doubled
+    * average ranks as integers: for a value with `rank()` r among c
+    * ties, 2·avgrank = 2r + c − 1. All five moment sums accumulate in
+    * DECIMAL(38,0); the final ρ is one double expression over exact
+    * operands (IEEE-defined), e6-floored sign-safely. Groups where
+    * either variable is constant yield NULL.
+    *
+    * Scale shape: two windows over the raw relation, both partitioned
+    * on `group` alone (the tie count is a RANGE current-row frame —
+    * peers of the sort key — NOT a partition-by-(g,value) window,
+    * which would cost a second exchange): ONE exchange, two local
+    * sorts, then one hash aggregate to the GROUPS-sized relation. */
+  def spearmanByGroup(df: DataFrame, groupCol: String,
+                      xCol: String, yCol: String): DataFrame = {
+    val rkX = Window.partitionBy("__g").orderBy("__x")
+    val rkY = Window.partitionBy("__g").orderBy("__y")
+    val peers = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rangeBetween(Window.currentRow, Window.currentRow)
+    val ranked = df
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"), col(yCol).as("__y"))
+      .withColumn("__ax2", (lit(2L) * rank().over(rkX)
+        + count(lit(1)).over(peers(rkX)) - 1L).cast(D))
+      .withColumn("__ay2", (lit(2L) * rank().over(rkY)
+        + count(lit(1)).over(peers(rkY)) - 1L).cast(D))
+    ranked.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("__ax2").as("__sx"), sum("__ay2").as("__sy"),
+        sum(col("__ax2") * col("__ay2")).as("__sxy"),
+        sum(col("__ax2") * col("__ax2")).as("__sxx"),
+        sum(col("__ay2") * col("__ay2")).as("__syy"))
+      .select(col(groupCol), col("n_rows"),
+        expr("""CASE WHEN n_rows*__sxx - __sx*__sx = 0
+                       OR n_rows*__syy - __sy*__sy = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (
+                       CAST(n_rows*__sxy - __sx*__sy AS DOUBLE)
+                       / (sqrt(CAST(n_rows*__sxx - __sx*__sx AS DOUBLE))
+                          * sqrt(CAST(n_rows*__syy - __sy*__sy AS DOUBLE))))
+                       + 0.5) AS BIGINT) END""").as("spearman_e6"))
+  }
 }

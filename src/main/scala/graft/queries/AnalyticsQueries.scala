@@ -2384,6 +2384,84 @@ object AnalyticsQueries {
           out.schema)
       } finally prev.foreach { case (k, vOpt) =>
         vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+    },
+
+    // RFM customer segmentation (Events.rfmSegments): recency /
+    // frequency / monetary quintiles over orders, ntile ties broken by
+    // custkey so the 555..111 segment labels are engine-deterministic.
+    "q266_rfm_segments" -> q(
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mdate FROM orders),
+            base AS (SELECT o_custkey AS custkey,
+                            CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                              (SELECT mdate FROM mx)) AS BIGINT) AS r_days,
+                            CAST(count(*) AS BIGINT) AS f_orders,
+                            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                              AS BIGINT) AS m_cents
+                     FROM orders GROUP BY 1),
+            sc AS (SELECT *,
+                          CAST(6 - ntile(5) OVER (ORDER BY r_days, custkey) AS BIGINT) AS r_score,
+                          CAST(ntile(5) OVER (ORDER BY f_orders, custkey) AS BIGINT) AS f_score,
+                          CAST(ntile(5) OVER (ORDER BY m_cents, custkey) AS BIGINT) AS m_score
+                   FROM base)
+         SELECT custkey, r_days, f_orders, m_cents, r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+         FROM sc ORDER BY custkey""") { (s, dir) =>
+      graft.analytics.Events.rfmSegments(t(s, dir, "orders"),
+          "o_custkey", "o_orderdate", cents(col("o_totalprice")))
+        .orderBy("custkey")
+    },
+
+    // Spearman rank correlation (Stats.spearmanByGroup) between
+    // quantity and extended price per return flag — tie-correct average
+    // ranks carried as exact doubled integers, moments in DECIMAL(38,0).
+    "q267_spearman" -> q(
+      """WITH v AS (SELECT l_returnflag AS g, l_quantity AS x,
+                           l_extendedprice AS y FROM lineitem),
+            rx AS (SELECT g,
+                          2*rank() OVER (PARTITION BY g ORDER BY x)
+                            + count(*) OVER (PARTITION BY g, x) - 1 AS ax2,
+                          2*rank() OVER (PARTITION BY g ORDER BY y)
+                            + count(*) OVER (PARTITION BY g, y) - 1 AS ay2,
+                          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                   FROM v),
+            agg AS (SELECT g, max(n) AS n,
+                           sum(CAST(ax2 AS DECIMAL(38,0))) AS sx,
+                           sum(CAST(ay2 AS DECIMAL(38,0))) AS sy,
+                           sum(CAST(ax2 AS DECIMAL(38,0)) * CAST(ay2 AS DECIMAL(38,0))) AS sxy,
+                           sum(CAST(ax2 AS DECIMAL(38,0)) * CAST(ax2 AS DECIMAL(38,0))) AS sxx,
+                           sum(CAST(ay2 AS DECIMAL(38,0)) * CAST(ay2 AS DECIMAL(38,0))) AS syy
+                    FROM rx GROUP BY 1)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (CAST(n*sxy - sx*sy AS DOUBLE)
+                            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                               * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) + 0.5) AS BIGINT)
+                END AS spearman_e6
+         FROM agg ORDER BY l_returnflag""") { (s, dir) =>
+      graft.operators.Stats.spearmanByGroup(t(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    },
+
+    // Customer lifecycle labeling (Events.lifecycleStatus): days since
+    // last order vs the corpus max date, bucketed active / at_risk /
+    // churned — the retention feed's input table.
+    "q268_lifecycle" -> q(
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mdate FROM orders),
+            base AS (SELECT o_custkey AS custkey,
+                            max(CAST(o_orderdate AS DATE)) AS last_d
+                     FROM orders GROUP BY 1)
+         SELECT custkey,
+                strftime(last_d, '%Y-%m-%d') AS last_date,
+                CAST(date_diff('day', last_d, (SELECT mdate FROM mx)) AS BIGINT) AS days_inactive,
+                CASE WHEN date_diff('day', last_d, (SELECT mdate FROM mx)) > 365 THEN 'churned'
+                     WHEN date_diff('day', last_d, (SELECT mdate FROM mx)) > 180 THEN 'at_risk'
+                     ELSE 'active' END AS status
+         FROM base ORDER BY custkey""") { (s, dir) =>
+      graft.analytics.Events.lifecycleStatus(t(s, dir, "orders"),
+          "o_custkey", "o_orderdate", atRiskDays = 180, churnedDays = 365)
+        .orderBy("custkey")
     }
   )
 

@@ -1128,6 +1128,75 @@ object EventsQueries {
             < "8000", "A").otherwise("B"))
       graft.operators.Stats.cupedAdjust(units, "arm", col("x"), col("y"))
         .orderBy("arm")
+    },
+
+    // Kaplan-Meier time-to-first-purchase survival (Stats.kaplanMeier),
+    // cohorted by the user's first event type: duration = hours from
+    // first event to first purchase, right-censored at the corpus max
+    // timestamp for users who never purchase. The e9 survival estimate
+    // is an integer floor-division recurrence, so the oracle replays it
+    // bit-identically as a recursive CTE — float KM products can't
+    // hash-match across engines, integer ones do (q142's trick).
+    "q265_kaplan_meier" -> q(
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+            fe AS (SELECT user_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+                   FROM events),
+            org AS (SELECT user_id, event_type AS cohort, ts AS origin_ts
+                    FROM fe WHERE rn = 1),
+            pur AS (SELECT user_id, min(ts) AS p_ts FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1),
+            subj AS (SELECT o.cohort,
+                            CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS observed,
+                            CAST((epoch_us(CASE WHEN p.p_ts IS NOT NULL
+                                                THEN p.p_ts ELSE mx.mts END)
+                                  - epoch_us(o.origin_ts)) // 3600000000 AS BIGINT) AS t_hours
+                     FROM org o LEFT JOIN pur p ON o.user_id = p.user_id CROSS JOIN mx),
+            pt AS (SELECT cohort, t_hours,
+                          CAST(sum(observed) AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS all_n
+                   FROM subj GROUP BY 1, 2),
+            rk AS (SELECT cohort, t_hours, d,
+                          CAST(sum(all_n) OVER (PARTITION BY cohort ORDER BY t_hours
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                            AS BIGINT) AS n_risk
+                   FROM pt),
+            ev AS (SELECT cohort, t_hours, d, n_risk,
+                          CAST(row_number() OVER (PARTITION BY cohort
+                            ORDER BY t_hours) AS BIGINT) AS rn
+                   FROM rk WHERE d > 0),
+            srec AS (
+              WITH RECURSIVE km AS (
+                SELECT cohort, t_hours, d, n_risk, rn,
+                       1000000000 * (n_risk - d) // n_risk AS surv_e9
+                FROM ev WHERE rn = 1
+                UNION ALL
+                SELECT e.cohort, e.t_hours, e.d, e.n_risk, e.rn,
+                       k.surv_e9 * (e.n_risk - e.d) // e.n_risk
+                FROM ev e JOIN km k ON e.cohort = k.cohort AND e.rn = k.rn + 1)
+              SELECT * FROM km)
+         SELECT cohort, t_hours, n_risk, d AS n_events,
+                CAST(surv_e9 AS BIGINT) AS surv_e9
+         FROM srec ORDER BY cohort, t_hours""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val first = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val org2 = ev.withColumn("__rn", row_number().over(first))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("cohort"),
+          col("ts").as("__origin"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("__p"))
+      val mx = ev.agg(max("ts").as("__mts"))
+      val subj = org2.join(pur, Seq("user_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("cohort"),
+          when(col("__p").isNotNull, 1L).otherwise(0L).as("observed"),
+          expr("""(unix_micros(CASE WHEN __p IS NOT NULL THEN __p ELSE __mts END)
+                  - unix_micros(__origin)) DIV 3600000000""").as("t_hours"))
+      graft.operators.Stats.kaplanMeier(subj, "cohort", "t_hours", "observed")
+        .orderBy("cohort", "t_hours")
     }
   )
 

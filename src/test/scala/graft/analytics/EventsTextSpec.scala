@@ -533,4 +533,47 @@ class EventsTextSpec extends SparkSpec {
     assert(ab._1 == 3L && ab._2 == 3L) // all of A's shingles overlap
     assert(!got.contains(("A", "C")) && !got.contains(("B", "C")))
   }
+
+  test("rfmSegments: quintiles with deterministic tie-break, best=555 worst=111") {
+    import java.sql.Date
+    // 5 customers, one order each except c5 (2 orders): recency ranks
+    // c5 (latest) ... c1 (oldest); frequency all 1 except c5=2; monetary
+    // strictly increasing with custkey.
+    val orders = Seq(
+      (1L, Date.valueOf("2024-01-01"), 100L),
+      (2L, Date.valueOf("2024-02-01"), 200L),
+      (3L, Date.valueOf("2024-03-01"), 300L),
+      (4L, Date.valueOf("2024-04-01"), 400L),
+      (5L, Date.valueOf("2024-05-01"), 250L),
+      (5L, Date.valueOf("2024-05-02"), 251L)
+    ).toDF("ck", "d", "amt")
+    val got = Events.rfmSegments(orders, "ck", "d", col("amt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(7)))).toMap
+    // c5: most recent (r_days=0, r=5), highest freq (f=5), m=501 ranks 5th
+    assert(got(5L) == ((0L, 2L, 501L, "555")))
+    // c1: oldest, f ties at 1 broken by custkey -> lowest quintile everywhere
+    assert(got(1L) == ((122L, 1L, 100L, "111")))
+    // frequency ties (c1..c4 all 1) assign quintiles by custkey order
+    assert(got(2L)._4(1) == '2' && got(3L)._4(1) == '3' && got(4L)._4(1) == '4')
+  }
+
+  test("lifecycleStatus: thresholds are strict greater-than") {
+    import java.sql.Date
+    val mx = Date.valueOf("2024-12-31")
+    val orders = Seq(
+      (1L, mx),                           // 0 days -> active
+      (2L, Date.valueOf("2024-07-04")),   // 180 days -> active (not > 180)
+      (3L, Date.valueOf("2024-07-03")),   // 181 days -> at_risk
+      (4L, Date.valueOf("2023-12-31")),   // 366 days -> churned
+      (5L, Date.valueOf("2024-01-01"))    // 365 days -> at_risk (not > 365)
+    ).toDF("ck", "d")
+    val got = Events.lifecycleStatus(orders, "ck", "d", 180, 365)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, "active")))
+    assert(got(2L) == ((180L, "active")))
+    assert(got(3L) == ((181L, "at_risk")))
+    assert(got(4L) == ((366L, "churned")))
+    assert(got(5L) == ((365L, "at_risk")))
+  }
 }

@@ -545,4 +545,55 @@ class StatsSkylineSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().maxBy(_._1)
     assert(last == (("d30", 10000000L, 10000000000000L)))
   }
+
+  test("kaplanMeier: hand-computed integer product-limit curve") {
+    // 10 subjects, one group: 2 events at t=1, 1 censored at t=2,
+    // 1 event at t=3, 2 censored at t=5, 1 event at t=8, 3 censored
+    // at t=9. Steps only at event times; n_risk counts everyone with
+    // duration >= t (same-time censorings still at risk, the standard
+    // deaths-before-censorings convention).
+    val subj = (Seq.fill(2)((1L, 1L)) ++ Seq((2L, 0L)) ++ Seq((3L, 1L)) ++
+      Seq.fill(2)((5L, 0L)) ++ Seq((8L, 1L)) ++ Seq.fill(3)((9L, 0L)))
+      .map { case (t, o) => ("g", t, o) }.toDF("grp", "dur", "obs")
+    val got = Stats.kaplanMeier(subj, "grp", "dur", "obs")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("g", 1L, 10L, 2L, 800000000L),           // 1e9 * 8 DIV 10
+      ("g", 3L, 7L, 1L, 685714285L),            // 8e8 * 6 DIV 7
+      ("g", 8L, 4L, 1L, 514285713L)))           // 685714285 * 3 DIV 4
+  }
+
+  test("kaplanMeier: a fully-censored group emits no curve rows") {
+    val subj = Seq(("a", 5L, 0L), ("a", 7L, 0L), ("b", 2L, 1L))
+      .toDF("grp", "dur", "obs")
+    val got = Stats.kaplanMeier(subj, "grp", "dur", "obs")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("b", 2L, 1L, 1L, 0L))) // lone subject dies: S=0
+  }
+
+  test("spearmanByGroup: monotone=1, reversed=-1, textbook 0.8, constant NULL") {
+    val df = Seq(
+      // monotone but nonlinear: Spearman 1.0 where Pearson isn't
+      ("up", 1.0, 1.0), ("up", 2.0, 4.0), ("up", 3.0, 9.0), ("up", 4.0, 16.0),
+      ("down", 1.0, 16.0), ("down", 2.0, 9.0), ("down", 3.0, 4.0), ("down", 4.0, 1.0),
+      // one swapped pair: rho = 1 - 6*2/(4*15) = 0.8
+      ("mid", 1.0, 1.0), ("mid", 2.0, 3.0), ("mid", 3.0, 2.0), ("mid", 4.0, 4.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0)
+    ).toDF("g", "x", "y")
+    val got = Stats.spearmanByGroup(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(got("up") == Some(1000000L))
+    assert(got("down") == Some(-1000000L))
+    assert(got("mid") == Some(800000L))
+    assert(got("flat") == None)
+  }
+
+  test("spearmanByGroup: ties use average ranks (tie-correct rho)") {
+    // x = [1,2,2,3] vs y strictly descending: doubled avg ranks for x
+    // are [2,5,5,8]; rho = -0.94868... -> floor(-948683.298+0.5) = -948683
+    val df = Seq((1.0, 40.0), (2.0, 30.0), (2.0, 20.0), (3.0, 10.0))
+      .map { case (x, y) => ("t", x, y) }.toDF("g", "x", "y")
+    val got = Stats.spearmanByGroup(df, "g", "x", "y").collect()
+    assert(got.head.getLong(2) == -948683L)
+  }
 }
