@@ -136,7 +136,33 @@ object Dedup {
     * becomes a candidate. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, num: Long = 1, den: Long = 5,
-                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame = {
+                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame =
+    thresholdedPairs(df, idCol, textCol, n, maxDocFreq)(
+      (c, nA, nB) => c * den >= (nA + nB - c) * num)
+
+  /** N-gram CONTAINMENT near-dup pairs: C(A,B) = common / min(nA,nB)
+    * >= threshold — the asymmetric variant of [[ngramJaccardPairs]]
+    * that catches quote-inclusion (a short doc embedded verbatim in a
+    * long one scores near 1 here but near min/max under Jaccard).
+    * Same exact integer inequality (common·den >= min(nA,nB)·num),
+    * same two-phase df-capped plan: the upper bound `common_c +
+    * least(d_a, d_b)` is monotone for containment too (the denominator
+    * min(nA,nB) is cap-independent), so the prefilter keeps every
+    * true pair. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2, num: Long = 4, den: Long = 5,
+                       maxDocFreq: Long = DefaultMaxDocFreq): DataFrame =
+    thresholdedPairs(df, idCol, textCol, n, maxDocFreq)(
+      (c, nA, nB) => c * den >= least(nA, nB) * num)
+
+  /** The shared two-phase engine behind the pairwise similarity
+    * predicates (see [[ngramJaccardPairs]] for the plan rationale).
+    * `pred(common, nA, nB)` must be MONOTONE non-decreasing in
+    * `common` — phase 1 evaluates it on a true upper bound of common,
+    * phase 2 on the exact value. */
+  private def thresholdedPairs(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, maxDocFreq: Long)(
+      pred: (Column, Column, Column) => Column): DataFrame = {
     val sh = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), explode(col("shash")).as("shash"))
@@ -169,7 +195,7 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"),
         col("n_drop").as("d_b")), Seq("id_b"))
       .withColumn("ub", col("common_c") + least(col("d_a"), col("d_b")))
-      .filter(col("ub") * den >= (col("n_a") + col("n_b") - col("ub")) * num)
+      .filter(pred(col("ub"), col("n_a"), col("n_b")))
     val sets = sh.select(col("id"), col("shash"))
     pre.select("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("shash").as("sh_a")), Seq("id_a"))
@@ -178,7 +204,7 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"))
-      .filter(col("common") * den >= (col("n_a") + col("n_b") - col("common")) * num)
+      .filter(pred(col("common"), col("n_a"), col("n_b")))
   }
 
   /** Incremental near-dedup: Jaccard pairs between a NEW batch and an

@@ -741,4 +741,90 @@ object TextAnalysis {
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_e6", expr("n_novel * 1000000L DIV n_grams"))
   }
+
+  /** Zipf's-law fit over the corpus unigram distribution: OLS slope of
+    * ln(freq) on ln(rank) for the top `topN` terms (rank ties broken
+    * by term so the permutation is engine-deterministic). A healthy
+    * natural-language corpus slopes near −1; a scrape full of
+    * boilerplate or generated spam flattens or steepens it — a cheap
+    * corpus-level quality gate next to [[ngramNovelty]].
+    *
+    * Both logs are floored to exact e9 integers BEFORE the regression
+    * (ln on a BIGINT count is one IEEE-envelope step feeding a floor —
+    * the slope then comes from Stats.regressionByGroup's exact
+    * DECIMAL(38,0) sums, and the e9 scale cancels in the slope).
+    *
+    * Scale shape: one token explode + hash aggregate to the TERMS
+    * relation, a top-N rank on the single driver-bounded `topN` slice
+    * (WindowGroupLimit prunes before the global sort), then a
+    * TERMS-free 1-row regression. */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    val tc = df
+      .select(explode(tokens(lower(col(textCol)))).as("__term"))
+      .groupBy("__term").agg(count(lit(1)).as("__c"))
+    val ranked = tc
+      .withColumn("__rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("__c").desc, col("__term").asc)))
+      .filter(col("__rank") <= topN)
+      .select(
+        expr("CAST(floor(1000000000 * ln(CAST(__rank AS DOUBLE)) + 0.5) AS BIGINT)")
+          .as("__x_e9"),
+        expr("CAST(floor(1000000000 * ln(CAST(__c AS DOUBLE)) + 0.5) AS BIGINT)")
+          .as("__y_e9"))
+    graft.operators.Stats.regressionByGroup(
+        ranked, Seq.empty, col("__x_e9"), col("__y_e9"))
+      .select(col("n").as("n_terms"), col("slope").as("zipf_slope"))
+  }
+
+  /** Flesch-style readability per group, ENTIRELY in exact integer
+    * arithmetic: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), with sentences counted as [.!?]+ runs, "syllables" as
+    * vowel-group runs (the standard codeless approximation), and both
+    * ratios formed as e3 floor divisions over corpus-total counts.
+    * Groups with no sentences or no words yield NULL.
+    *
+    * Scale shape: ONE scan, per-row regexp counts (codegen'd), one
+    * hash aggregate to the GROUPS relation. */
+  def readability(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    df.select(col(groupCol).as("__g"),
+        tokenCount(col(textCol)).cast("long").as("__w"),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long").as("__s"),
+        regexp_count(lower(col(textCol)), lit("[aeiou]+")).cast("long").as("__v"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("n_words"),
+        sum("__s").as("n_sentences"), sum("__v").as("n_vowel_groups"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_vowel_groups"),
+        expr("""CASE WHEN n_sentences = 0 OR n_words = 0 THEN NULL
+                     ELSE 206835 - (1015 * n_words) DIV n_sentences
+                          - (84600 * n_vowel_groups) DIV n_words
+                END""").as("flesch_e3"))
+  }
+
+  /** Per-document unigram Shannon entropy (bits), the
+    * gibberish/boilerplate detector next to [[repetitionStats]]:
+    * H = log2(n) − (Σ c·log2(c))/n over the doc's token counts. Each
+    * c·log2(c) term is floored to an exact e9 integer before the
+    * order-independent integer sum; the two remaining double steps
+    * (log2(n), one division) act on exact operands. A one-token doc
+    * has H = 0; empty docs are dropped upstream by the tokenizer
+    * guard.
+    *
+    * Scale shape: one token explode + hash aggregate to (doc, term)
+    * counts, then one hash aggregate back to the DOCS relation —
+    * never a sort. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    df.select(col(idCol), explode(tk).as("__term"))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_tokens"),
+        sum(expr(
+          "CAST(floor(1000000000 * __c * log2(CAST(__c AS DOUBLE)) + 0.5) AS BIGINT)"))
+          .as("__clogc_e9"))
+      .select(col(idCol), col("n_tokens"),
+        expr("""CAST(floor(1000000 * (log2(CAST(n_tokens AS DOUBLE))
+                - CAST(__clogc_e9 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000000))
+                + 0.5) AS BIGINT)""").as("entropy_e6"))
+  }
 }

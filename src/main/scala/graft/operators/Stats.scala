@@ -1132,4 +1132,147 @@ object Stats {
                           * sqrt(CAST(n_rows*__syy - __sy*__sy AS DOUBLE))))
                        + 0.5) AS BIGINT) END""").as("spearman_e6"))
   }
+
+  /** Per-class one-vs-rest Matthews correlation from a (truth,
+    * prediction) pair — the chance-robust single-number companion to
+    * [[classificationReport]] (same confusion relation, plus
+    * tn = n − tp − fp − fn). The numerator tp·tn − fp·fn is formed
+    * EXACTLY in DECIMAL(38,0); the denominator is the product of four
+    * sqrt's of exact counts (each IEEE-defined), multiplied left-to-
+    * right so both engines build the identical double. A class with
+    * any empty margin (tp+fp, tp+fn, tn+fp or tn+fn = 0) yields NULL —
+    * sklearn's undefined-MCC case, made explicit.
+    *
+    * Scale shape: one hash aggregate to the confusion relation (plus
+    * its 1-row total), then labels-sized joins — same as
+    * classificationReport. */
+  def mccPerLabel(df: DataFrame, truthCol: String,
+                  predCol: String): DataFrame = {
+    val cm = df.select(col(truthCol).as("__t"), col(predCol).as("__p"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull)
+      .groupBy("__t", "__p").agg(count(lit(1)).as("__c"))
+    val tot = cm.agg(sum("__c").as("__n"))
+    val tp = cm.filter(col("__t") === col("__p"))
+      .select(col("__t").as("label"), col("__c").as("__tp"))
+    val truthTot = cm.groupBy(col("__t").as("label")).agg(sum("__c").as("__tt"))
+    val predTot = cm.groupBy(col("__p").as("label")).agg(sum("__c").as("__pt"))
+    truthTot.join(predTot, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("label"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pt"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fp"),
+        (coalesce(col("__tt"), lit(0L)) - coalesce(col("__tp"), lit(0L))).as("fn"),
+        col("__n"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        (col("__n") - col("tp") - col("fp") - col("fn")).as("tn"),
+        expr("""CASE WHEN tp + fp = 0 OR tp + fn = 0
+                       OR (__n - tp - fp - fn) + fp = 0
+                       OR (__n - tp - fp - fn) + fn = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (
+                       CAST(CAST(tp AS DECIMAL(38,0)) * (__n - tp - fp - fn)
+                            - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+                       / (sqrt(CAST(tp + fp AS DOUBLE))
+                          * sqrt(CAST(tp + fn AS DOUBLE))
+                          * sqrt(CAST((__n - tp - fp - fn) + fp AS DOUBLE))
+                          * sqrt(CAST((__n - tp - fp - fn) + fn AS DOUBLE))))
+                       + 0.5) AS BIGINT) END""").as("mcc_e6"))
+  }
+
+  /** One-way ANOVA F-statistic of an integer-scaled value across
+    * groups, ENTIRELY in exact integer arithmetic: the between/within
+    * sums of squares are formed with floor divisions (S_g² DIV n_g —
+    * exact, with the identical sub-unit truncation bias on any
+    * engine), so F itself is one exact integer ratio at e6 scale.
+    * Degenerate inputs (k < 2, n ≤ k, or zero within-group variance)
+    * yield NULL F rather than ±Inf.
+    *
+    * Integer headroom: S_g² < 1e38 (DECIMAL) and S_g² DIV n_g ≤
+    * n_g·x̄² must fit BIGINT — holds through ~1e10 rows of 1e4-unit
+    * values per group.
+    *
+    * Scale shape: one hash aggregate to the GROUPS relation with
+    * map-side partials, then a 1-row reduction — the raw relation is
+    * scanned once and never sorted. */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    df.select(col(groupCol).as("__g"), col(valCol).cast(D).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).cast(D).as("__ng"), sum("__x").as("__sg"),
+        sum(expr("__x * __x")).as("__sqg"))
+      .agg(count(lit(1)).as("k_groups"),
+        sum("__ng").cast(D).as("__n"), sum("__sg").as("__s"),
+        sum("__sqg").as("__sq"),
+        sum(expr("(__sg * __sg) DIV __ng")).as("__a"))
+      .select(expr("CAST(__n AS BIGINT)").as("n_rows"), col("k_groups"),
+        expr("CAST(__a - (__s * __s) DIV __n AS BIGINT)").as("ss_between"),
+        expr("CAST(__sq - __a AS BIGINT)").as("ss_within"),
+        expr("""CASE WHEN k_groups < 2 OR __n <= k_groups
+                       OR __sq - __a <= 0 THEN NULL
+                     ELSE CAST((CAST(__a - (__s * __s) DIV __n AS DECIMAL(38,0))
+                                * (__n - k_groups) * 1000000)
+                               DIV (CAST(__sq - __a AS DECIMAL(38,0))
+                                * (k_groups - 1))
+                               AS BIGINT) END""").as("f_e6"))
+  }
+
+  /** NDCG@k per group for a ranking eval: rank rows by score
+    * descending (ties broken by `idCol` so the permutation is
+    * engine-deterministic), take the top k, and accumulate
+    * (2^rel − 1)/log2(pos+1). Each positional term is floored to an
+    * exact e9 integer BEFORE summing — integer sums are
+    * order-independent, so the aggregate never depends on float
+    * accumulation order (the one non-IEEE-pinned step, log2, feeds a
+    * floor with ~1e-9 relative slack — the same envelope q161's BM25
+    * ln() rides). The ideal DCG re-ranks by relevance itself. Groups
+    * with an all-zero top-k ideal yield NULL ndcg.
+    *
+    * Scale shape: one window rank over the grouped relation (ONE
+    * exchange on the group key; the k-limit prunes via
+    * WindowGroupLimit before the sort spills), then one hash
+    * aggregate to the GROUPS relation. */
+  def ndcgAtK(df: DataFrame, groupCol: String, idCol: String,
+              scoreCol: String, relCol: String, k: Int): DataFrame = {
+    val byScore = Window.partitionBy("__g")
+      .orderBy(col("__score").desc, col("__id").asc)
+    val byRel = Window.partitionBy("__g")
+      .orderBy(col("__rel").desc, col("__id").asc)
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      col(scoreCol).as("__score"), col(relCol).as("__rel"))
+    def gain(posCol: String): Column = expr(
+      s"""CAST(floor(1000000000 * (CAST(pow(2, __rel) - 1 AS DOUBLE)
+          / log2(CAST($posCol + 1 AS DOUBLE))) + 0.5) AS BIGINT)""")
+    val scored = base
+      .withColumn("__pos", row_number().over(byScore))
+      .withColumn("__ipos", row_number().over(byRel))
+      .select(col("__g"), col("__rel"),
+        when(col("__pos") <= k, gain("__pos")).otherwise(0L).as("__gain_e9"),
+        when(col("__ipos") <= k, gain("__ipos")).otherwise(0L).as("__igain_e9"))
+    scored.groupBy(col("__g").as(groupCol))
+      .agg(sum("__gain_e9").as("dcg_e9"), sum("__igain_e9").as("idcg_e9"))
+      .select(col(groupCol), col("dcg_e9"), col("idcg_e9"),
+        expr("""CASE WHEN idcg_e9 = 0 THEN NULL
+                     ELSE dcg_e9 * 1000000L DIV idcg_e9 END""").as("ndcg_e6"))
+  }
+
+  /** Per-group Brier score of a probabilistic binary classifier whose
+    * score arrives as an exact e6 integer (p·1e6): the squared error
+    * (score − y·1e6)² is an exact integer per row, summed in
+    * DECIMAL(38,0) and floor-divided by n — NO floating point
+    * anywhere, so the result is bit-identical on any engine and
+    * partitioning. Output is e12-scaled (the square of the e6 input
+    * scale); 0 = perfect, 1e12 = maximally wrong.
+    *
+    * Scale shape: ONE hash aggregate with map-side partials. */
+  def brierScore(df: DataFrame, groupCol: String,
+                 scoreE6Col: String, labelCol: String): DataFrame = {
+    df.select(col(groupCol).as("__g"),
+      (col(scoreE6Col).cast("long")
+        - when(col(labelCol), 1000000L).otherwise(0L)).cast(D).as("__d"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("__d * __d")).as("__se"))
+      .select(col(groupCol), col("n_rows"),
+        expr("CAST(__se DIV n_rows AS BIGINT)").as("brier_e12"))
+  }
 }

@@ -2462,6 +2462,35 @@ object AnalyticsQueries {
       graft.analytics.Events.lifecycleStatus(t(s, dir, "orders"),
           "o_custkey", "o_orderdate", atRiskDays = 180, churnedDays = 365)
         .orderBy("custkey")
+    },
+
+    // One-way ANOVA F (Stats.anovaF) of account balance (cents) across
+    // market segments — between/within sums of squares and F formed as
+    // exact integer ratios (HUGEINT on the oracle side, DECIMAL(38,0)
+    // DIV on the Spark side, identical truncation by construction).
+    "q271_anova_f" -> q(
+      """WITH v AS (SELECT c_mktsegment AS g,
+                           CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS HUGEINT) AS x
+                    FROM customer
+                    WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+            pg AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+                          sum(x) AS sg, sum(x * x) AS sqg
+                   FROM v GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k_groups, sum(ng) AS n,
+                         sum(sg) AS s, sum(sqg) AS sq,
+                         sum((sg * sg) // ng) AS a
+                  FROM pg)
+         SELECT CAST(n AS BIGINT) AS n_rows, k_groups,
+                CAST(a - (s * s) // n AS BIGINT) AS ss_between,
+                CAST(sq - a AS BIGINT) AS ss_within,
+                CASE WHEN k_groups < 2 OR n <= k_groups OR sq - a <= 0 THEN NULL
+                     ELSE CAST(((a - (s * s) // n) * (n - k_groups) * 1000000)
+                               // ((sq - a) * (k_groups - 1)) AS BIGINT) END AS f_e6
+         FROM t""") { (s, dir) =>
+      graft.operators.Stats.anovaF(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), cents(col("c_acctbal")).as("__cents")),
+        "c_mktsegment", "__cents")
     }
   )
 

@@ -1650,6 +1650,196 @@ object TextQueries {
         .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_detected"))
       graft.operators.Stats.classificationReport(det, "lang", "lang_detected")
         .orderBy("label")
+    },
+
+    // Per-class one-vs-rest Matthews correlation (Stats.mccPerLabel)
+    // of the langid heuristic — same confusion relation as q264 plus
+    // the tn margin; exact integer numerator, sqrt-product denominator.
+    "q269_mcc" -> q(
+      s"""WITH det AS ($langDetectSql),
+             cm AS (SELECT lang AS a, lang_detected AS b,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM det WHERE lang IS NOT NULL AND lang_detected IS NOT NULL
+                    GROUP BY 1, 2),
+             nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+             tpt AS (SELECT a AS label, c AS tp FROM cm WHERE a = b),
+             tt AS (SELECT a AS label, CAST(sum(c) AS BIGINT) AS tt FROM cm GROUP BY 1),
+             pt AS (SELECT b AS label, CAST(sum(c) AS BIGINT) AS pt FROM cm GROUP BY 1),
+             j AS (SELECT COALESCE(tt.label, pt.label) AS label,
+                          COALESCE(tpt.tp, 0) AS tp,
+                          COALESCE(pt.pt, 0) - COALESCE(tpt.tp, 0) AS fp,
+                          COALESCE(tt.tt, 0) - COALESCE(tpt.tp, 0) AS fn
+                   FROM tt FULL OUTER JOIN pt ON tt.label = pt.label
+                   LEFT JOIN tpt ON COALESCE(tt.label, pt.label) = tpt.label),
+             w AS (SELECT label, tp, fp, fn,
+                          (SELECT n FROM nn) - tp - fp - fn AS tn FROM j)
+          SELECT label, tp, fp, fn, tn,
+                 CASE WHEN tp + fp = 0 OR tp + fn = 0
+                        OR tn + fp = 0 OR tn + fn = 0 THEN NULL
+                      ELSE CAST(floor(1000000 * (
+                        CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                        / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+                           * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))))
+                        + 0.5) AS BIGINT) END AS mcc_e6
+          FROM w ORDER BY label""") { (s, dir) =>
+      val det = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_detected"))
+      graft.operators.Stats.mccPerLabel(det, "lang", "lang_detected")
+        .orderBy("label")
+    },
+
+    // NDCG@10 per language (Stats.ndcgAtK): rank docs by vocabulary
+    // richness (distinct-token count), grade relevance by document
+    // length — each positional gain floored to an exact e9 integer
+    // before the order-independent integer sum.
+    "q270_ndcg" -> q(
+      s"""WITH s AS (SELECT lang, doc_id,
+                  CAST(len(list_distinct(tk)) AS BIGINT) AS score,
+                  CASE WHEN n_chars >= 450 THEN 3 WHEN n_chars >= 350 THEN 2
+                       WHEN n_chars >= 250 THEN 1 ELSE 0 END AS rel
+                FROM (SELECT lang, doc_id, n_chars, $toksLowerSql AS tk FROM documents)
+                WHERE len(tk) > 0),
+             r AS (SELECT lang, rel,
+                     row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS pos,
+                     row_number() OVER (PARTITION BY lang ORDER BY rel DESC, doc_id ASC) AS ipos
+                   FROM s),
+             g AS (SELECT lang,
+                     CASE WHEN pos <= 10 THEN CAST(floor(1000000000 * (CAST(pow(2, rel) - 1 AS DOUBLE)
+                          / log2(CAST(pos + 1 AS DOUBLE))) + 0.5) AS BIGINT) ELSE 0 END AS gain_e9,
+                     CASE WHEN ipos <= 10 THEN CAST(floor(1000000000 * (CAST(pow(2, rel) - 1 AS DOUBLE)
+                          / log2(CAST(ipos + 1 AS DOUBLE))) + 0.5) AS BIGINT) ELSE 0 END AS igain_e9
+                   FROM r)
+          SELECT lang, CAST(sum(gain_e9) AS BIGINT) AS dcg_e9,
+                 CAST(sum(igain_e9) AS BIGINT) AS idcg_e9,
+                 CASE WHEN sum(igain_e9) = 0 THEN NULL
+                      ELSE CAST(sum(gain_e9) * 1000000 // sum(igain_e9) AS BIGINT) END AS ndcg_e6
+          FROM g GROUP BY 1 ORDER BY lang""") { (s, dir) =>
+      val tk = TextAnalysis.tokens(lower(col("text")))
+      val scored = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), tk.as("__tk"), col("n_chars"))
+        .filter(size(col("__tk")) > 0)
+        .select(col("lang"), col("doc_id"),
+          size(array_distinct(col("__tk"))).cast("long").as("score"),
+          expr("""CAST(CASE WHEN n_chars >= 450 THEN 3 WHEN n_chars >= 350 THEN 2
+                       WHEN n_chars >= 250 THEN 1 ELSE 0 END AS BIGINT)""").as("rel"))
+      graft.operators.Stats.ndcgAtK(scored, "lang", "doc_id", "score", "rel", k = 10)
+        .orderBy("lang")
+    },
+
+    // Per-source Brier score (Stats.brierScore) of the token-uniqueness
+    // "is-English" scorer — squared e6 error summed exactly, e12 output.
+    "q272_brier" -> q(
+      s"""WITH s AS (SELECT source,
+                  CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT) AS score,
+                  lang = 'en' AS pos
+                FROM (SELECT source, lang, $toksLowerSql AS tk FROM documents)
+                WHERE len(tk) > 0),
+             d AS (SELECT source,
+                     CAST(score - CASE WHEN pos THEN 1000000 ELSE 0 END AS HUGEINT) AS dd
+                   FROM s)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(dd * dd) // count(*) AS BIGINT) AS brier_e12
+          FROM d GROUP BY 1 ORDER BY source""") { (s, dir) =>
+      val tk = TextAnalysis.tokens(lower(col("text")))
+      val scored = t(s, dir, "documents")
+        .select(col("source"), tk.as("__tk"), (col("lang") === "en").as("pos"))
+        .filter(size(col("__tk")) > 0)
+        .select(col("source"),
+          expr("size(array_distinct(__tk)) * 1000000L DIV size(__tk)").as("score"),
+          col("pos"))
+      graft.operators.Stats.brierScore(scored, "source", "score", "pos")
+        .orderBy("source")
+    },
+
+    // Zipf's-law slope (TextAnalysis.zipfSlope): OLS of ln(freq) on
+    // ln(rank) over the top corpus terms, logs floored to exact e9
+    // integers before the DECIMAL-exact regression. The synthetic
+    // corpus's ~31-term vocabulary slopes shallow; natural corpora
+    // slope near -1.
+    "q273_zipf_slope" -> q(
+      s"""WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT unnest($toksLowerSql) AS term FROM documents)
+                      GROUP BY 1),
+             r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rnk FROM tc),
+             xy AS (SELECT CAST(floor(1000000000 * ln(CAST(rnk AS DOUBLE)) + 0.5) AS HUGEINT) AS x,
+                           CAST(floor(1000000000 * ln(CAST(c AS DOUBLE)) + 0.5) AS HUGEINT) AS y
+                    FROM r WHERE rnk <= 100),
+             s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                          sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+          SELECT CAST(n AS BIGINT) AS n_terms,
+                 round(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope
+          FROM s""") { (s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", topN = 100)
+    },
+
+    // Flesch-style readability per language (TextAnalysis.readability)
+    // — exact e3 integer arithmetic over corpus-total word / sentence /
+    // vowel-group counts. The synthetic corpus carries no sentence
+    // punctuation, so each doc is closed with '.' (doc = one sentence);
+    // on a real corpus the operator counts [.!?]+ runs as-is.
+    "q274_readability" -> q(
+      s"""WITH d AS (SELECT lang, text || '.' AS text FROM documents),
+             m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len($toksSql)) AS BIGINT) AS n_words,
+                          CAST(sum(len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+                          CAST(sum(len(regexp_extract_all(lower(text), '[aeiou]+'))) AS BIGINT) AS n_vowel_groups
+                   FROM d GROUP BY 1)
+          SELECT lang, n_docs, n_words, n_sentences, n_vowel_groups,
+                 CASE WHEN n_sentences = 0 OR n_words = 0 THEN NULL
+                      ELSE 206835 - (1015 * n_words) // n_sentences
+                           - (84600 * n_vowel_groups) // n_words END AS flesch_e3
+          FROM m ORDER BY lang""") { (s, dir) =>
+      TextAnalysis.readability(
+        t(s, dir, "documents")
+          .select(col("lang"), concat(col("text"), lit(".")).as("text")),
+        "lang", "text")
+        .orderBy("lang")
+    },
+
+    // Per-doc unigram Shannon entropy (TextAnalysis.tokenEntropy) —
+    // the gibberish/boilerplate signal: H = log2(n) - (sum c*log2 c)/n
+    // with each c*log2(c) floored to an exact e9 integer pre-sum.
+    "q275_token_entropy" -> q(
+      s"""WITH tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents)
+                      GROUP BY 1, 2),
+             ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           sum(CAST(floor(1000000000 * c * log2(CAST(c AS DOUBLE)) + 0.5)
+                               AS BIGINT)) AS clogc
+                    FROM tc GROUP BY 1)
+          SELECT doc_id, n_tokens,
+                 CAST(floor(1000000 * (log2(CAST(n_tokens AS DOUBLE))
+                      - CAST(clogc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000000))
+                      + 0.5) AS BIGINT) AS entropy_e6
+          FROM ag ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Asymmetric containment near-dup pairs (Dedup.containmentPairs):
+    // C(A,B) = common / min(|A|,|B|) >= 0.8 over trigram shingles —
+    // catches a short doc quoted verbatim inside a long one, which
+    // Jaccard (q32) dilutes toward min/max. Exact integer inequality;
+    // same df-capped two-phase plan as q32.
+    "q276_containment" -> q(
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len($toksSql) - 2, 1)),
+                     i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
+            FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS common,
+                 CAST(len(a.shingles) AS BIGINT) AS n_a,
+                 CAST(len(b.shingles) AS BIGINT) AS n_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                >= least(len(a.shingles), len(b.shingles)) * 4
+          ORDER BY id_a, id_b""") { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, num = 4, den = 5, maxDocFreq = 1000L)
+        .orderBy("id_a", "id_b")
     }
   )
 

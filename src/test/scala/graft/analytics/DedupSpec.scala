@@ -299,4 +299,27 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 1L)) && got.contains((2L, 6L, 0L)))
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("containmentPairs: finds quote-inclusion that Jaccard misses") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),                 // 3 trigram shingles
+      (2L, "w1 w2 w3 w4 w5 x1 x2 x3"),       // contains doc 1 verbatim (6 shingles)
+      (3L, "q1 q2 q3 q4 q5")                 // unrelated
+    ).toDF("doc_id", "text")
+    // containment(1,2) = 3/min(3,6) = 1.0 >= 0.8 -> pair found
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, num = 4, den = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L, 3L, 3L, 6L)))
+    // Jaccard(1,2) = 3/6 = 0.5 < 0.8 -> same threshold misses the pair
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, num = 4, den = 5).collect()
+    assert(jac.isEmpty)
+    // a df-cap that keeps the shared shingles preserves the pair: the
+    // upper-bound prefilter is lossless for candidates
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, num = 4, den = 5, maxDocFreq = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 3L, 3L, 6L)))
+  }
 }

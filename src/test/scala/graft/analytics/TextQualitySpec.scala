@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
@@ -304,5 +305,39 @@ class TextQualitySpec extends SparkSpec {
       2L -> ((2L, 1L, 500000L)),
       3L -> ((2L, 2L, 1000000L)),
       5L -> ((2L, 0L, 0L))))
+  }
+
+  test("zipfSlope: a perfect 1/rank law fits slope -1 exactly") {
+    // counts 6, 3, 2 = 6/rank for ranks 1..3 -> ln-ln slope exactly -1
+    val docs = Seq((1L, "a a a a a a b b b c c")).toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis.zipfSlope(docs, "text", topN = 100)
+      .collect().head
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == -1.0)
+  }
+
+  test("readability: hand-computed exact e3 Flesch; no sentences -> NULL") {
+    // "go to bed." -> 3 words, 1 sentence run, 3 vowel groups:
+    // 206835 - 1015*3//1 - 84600*3//3 = 119190
+    val docs = Seq(("g", "go to bed."), ("g", "")).toDF("lang", "text")
+    val got = graft.analytics.TextAnalysis.readability(
+      docs.filter(col("text") =!= ""), "lang", "text").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getLong(5)) == ((1L, 3L, 1L, 3L, 119190L)))
+    val flat = Seq(("h", "no punctuation here")).toDF("lang", "text")
+    val n = graft.analytics.TextAnalysis.readability(flat, "lang", "text")
+      .collect().head
+    assert(Option(n.get(5)) == None)
+  }
+
+  test("tokenEntropy: exact bits for uniform and single-token docs") {
+    val docs = Seq((1L, "x x y y"), (2L, "z"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 1000000L)),   // two symbols, p=1/2 each: H = 1 bit
+      2L -> ((1L, 0L)),         // single token: H = 0
+      3L -> ((4L, 2000000L))))  // four uniform symbols: H = 2 bits
   }
 }

@@ -596,4 +596,68 @@ class StatsSkylineSpec extends SparkSpec {
     val got = Stats.spearmanByGroup(df, "g", "x", "y").collect()
     assert(got.head.getLong(2) == -948683L)
   }
+
+  test("mccPerLabel: symmetric 2-class MCC; undefined margins are NULL") {
+    // confusion: (a,a)x4 (a,b)x1 (b,a)x2 (b,b)x3 -> for both classes
+    // num = 4*3 - 2*1 = 10, den = sqrt(6)sqrt(5)sqrt(5)sqrt(4) = 10*sqrt(6)
+    // MCC = 1/sqrt(6) = 0.4082482... -> 408248
+    val pairs = (Seq.fill(4)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "a")) ++ Seq.fill(3)(("b", "b"))).toDF("t", "p")
+    val got = Stats.mccPerLabel(pairs, "t", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5))))).toMap
+    assert(got("a") == ((4L, 2L, 1L, 3L, Some(408248L))))
+    assert(got("b") == ((3L, 1L, 2L, 4L, Some(408248L))))
+    // degenerate: class never predicted -> tp+fp = 0 -> NULL
+    val onesided = Seq(("a", "a"), ("b", "a")).toDF("t", "p")
+    val g2 = Stats.mccPerLabel(onesided, "t", "p")
+      .collect().map(r => r.getString(0) -> Option(r.get(5))).toMap
+    assert(g2("b") == None)
+  }
+
+  test("anovaF: textbook two-group F; degenerate inputs are NULL") {
+    // A=[1,2,3] B=[5,6,7]: SSB=24, SSW=4, F=(24/1)/(4/4)=24 exactly
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 5L), ("B", 6L), ("B", 7L)).toDF("g", "x")
+    val got = Stats.anovaF(df, "g", "x").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((6L, 2L, 24L, 4L, 24000000L)))
+    // one group -> k < 2 -> NULL F
+    val one = Seq(("A", 1L), ("A", 2L)).toDF("g", "x")
+    assert(Option(Stats.anovaF(one, "g", "x").collect().head.get(4)) == None)
+    // zero within-group variance -> NULL F
+    val flat = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L)).toDF("g", "x")
+    assert(Option(Stats.anovaF(flat, "g", "x").collect().head.get(4)) == None)
+  }
+
+  test("ndcgAtK: exact 0 and 1 endpoints at k=1; score ties break by id") {
+    // top-scored item has rel 0 while an rel-3 item exists: ndcg@1 = 0,
+    // idcg = (2^3-1)/log2(2) = 7e9 exactly
+    val bad = Seq(("g", 1L, 10L, 0L), ("g", 2L, 5L, 3L), ("g", 3L, 1L, 1L))
+      .toDF("grp", "id", "score", "rel")
+    val b = Stats.ndcgAtK(bad, "grp", "id", "score", "rel", k = 1).collect().head
+    assert((b.getLong(1), b.getLong(2), Option(b.get(3))) ==
+      ((0L, 7000000000L, Some(0L))))
+    // aligned ranking: ndcg = 1e6 exactly
+    val good = Seq(("g", 1L, 10L, 3L), ("g", 2L, 5L, 1L))
+      .toDF("grp", "id", "score", "rel")
+    val g = Stats.ndcgAtK(good, "grp", "id", "score", "rel", k = 1).collect().head
+    assert((g.getLong(1), g.getLong(2), g.getLong(3)) ==
+      ((7000000000L, 7000000000L, 1000000L)))
+    // tied scores: lower id wins the position (deterministic permutation)
+    val tie = Seq(("g", 1L, 5L, 3L), ("g", 2L, 5L, 0L))
+      .toDF("grp", "id", "score", "rel")
+    val tt = Stats.ndcgAtK(tie, "grp", "id", "score", "rel", k = 1).collect().head
+    assert(tt.getLong(3) == 1000000L)
+  }
+
+  test("brierScore: exact integer squared-error means") {
+    val df = Seq(("g", 1000000L, true), ("g", 0L, false),
+      ("h", 500000L, true), ("h", 500000L, false)).toDF("grp", "p", "y")
+    val got = Stats.brierScore(df, "grp", "p", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("g") == ((2L, 0L)))                    // perfectly confident+right
+    assert(got("h") == ((2L, 250000000000L)))         // p=0.5 both ways: 0.25
+  }
 }
