@@ -442,4 +442,41 @@ object Graph {
       .select(col("u"), col("v"), col("common"),
         expr("common * 1000000L DIV (__du + __dv - common)").as("jaccard_e6"))
   }
+
+  /** Degree assortativity of a SYMMETRIC edge list (Newman 2002):
+    * Pearson correlation of (deg(src), deg(dst)) over directed edge
+    * rows. Positive = hubs attach to hubs; negative = hub-and-spoke
+    * (the usual shape of a customer–supplier bipartite graph). Moments
+    * are EXACT DECIMAL(38,0) sums (Stats's technique — a float sum is
+    * order/engine-dependent); the only float steps are the final
+    * division and two IEEE sqrt's. Constant degree yields NULL.
+    *
+    * Scale shape: one hash aggregate to the NODES-sized degree
+    * relation, two degree joins back to edges (broadcast when nodes
+    * fit, AQE decides), ONE aggregate to a single row. Never sorts. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val deg = e.groupBy(col("__src").as("__node"))
+      .agg(count(lit(1)).as("__deg"))
+    e.join(deg.select(col("__node").as("__src"), col("__deg").as("__dx")),
+        Seq("__src"))
+      .join(deg.select(col("__node").as("__dst"), col("__deg").as("__dy")),
+        Seq("__dst"))
+      .select(col("__dx").cast(D).as("__x"), col("__dy").cast(D).as("__y"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(expr("__x * __y")).as("__sxy"),
+        sum(expr("__x * __x")).as("__sxx"),
+        sum(expr("__y * __y")).as("__syy"))
+      .select(col("n_edges"),
+        expr("""CASE WHEN n_edges*__sxx - __sx*__sx = 0
+                       OR n_edges*__syy - __sy*__sy = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (
+                       CAST(n_edges*__sxy - __sx*__sy AS DOUBLE)
+                       / (sqrt(CAST(n_edges*__sxx - __sx*__sx AS DOUBLE))
+                          * sqrt(CAST(n_edges*__syy - __sy*__sy AS DOUBLE))))
+                       + 0.5) AS BIGINT) END""").as("assortativity_e6"))
+  }
 }

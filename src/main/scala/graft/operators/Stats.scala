@@ -1275,4 +1275,99 @@ object Stats {
       .select(col(groupCol), col("n_rows"),
         expr("CAST(__se DIV n_rows AS BIGINT)").as("brier_e12"))
   }
+
+  /** Cramér's V — the [0,1]-normalized effect size on top of
+    * [[chiSquare]]'s exact contingency machinery:
+    * V = sqrt(χ² / (n · min(|A|−1, |B|−1))). Same full-grid χ²
+    * (zero cells included), same exact per-cell e6 rounding; the final
+    * sqrt/division act on two exact operands. Degenerate tables
+    * (either margin constant) yield NULL V.
+    *
+    * Scale shape: identical to chiSquare — hash aggregate to the
+    * contingency grid, |A|×|B| cross of the margins, one reduction. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast(D).as("__o"))
+    val rowTot = obs.groupBy("__a").agg(sum("__o").as("__r"))
+    val colTot = obs.groupBy("__b").agg(sum("__o").as("__c"))
+    val tot = obs.agg(sum("__o").as("__n"),
+      count_distinct(col("__a")).as("__ka"),
+      count_distinct(col("__b")).as("__kb"))
+    val grid = rowTot.crossJoin(colTot)
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0).cast(D)))
+    val num = (col("__o") * col("__n") - col("__r") * col("__c"))
+    val contrib = round(
+      (num * num).cast("double")
+        / (col("__n") * col("__r") * col("__c")).cast("double"), 6)
+      .cast(DecimalType(18, 6))
+    grid.crossJoin(broadcast(tot))
+      .agg(sum(contrib).cast(DecimalType(28, 6)).as("__chi2"),
+        first(col("__n")).as("__n"),
+        first(col("__ka")).as("__ka"), first(col("__kb")).as("__kb"))
+      .select(
+        expr("CAST(__chi2 * 1000000 AS BIGINT)").as("chi2_e6"),
+        expr("CAST((__ka - 1) * (__kb - 1) AS BIGINT)").as("dof"),
+        expr("CAST(__n AS BIGINT)").as("n_rows"),
+        expr("""CASE WHEN __ka < 2 OR __kb < 2 THEN NULL
+                     ELSE CAST(floor(1000000 * sqrt(
+                       CAST(__chi2 AS DOUBLE)
+                       / (CAST(__n AS DOUBLE) * least(__ka - 1, __kb - 1)))
+                       + 0.5) AS BIGINT) END""").as("v_e6"))
+  }
+
+  /** Odds ratio of a 2×2 (exposure × outcome) table, entirely exact:
+    * OR = (a·d)/(b·c) over the four cells, emitted as an e6 floor
+    * division on DECIMAL products. Empty margins making b·c = 0 yield
+    * NULL (infinite/undefined OR) rather than an overflow.
+    *
+    * Scale shape: ONE conditional-aggregate pass — four FILTER counts
+    * in a single state row, no pivot, no second scan. */
+  def oddsRatio(df: DataFrame, exposureCol: String,
+                outcomeCol: String): DataFrame = {
+    df.select(col(exposureCol).as("__e"), col(outcomeCol).as("__o"))
+      .agg(
+        sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("n_exp_out"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("n_exp_noout"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("n_noexp_out"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("n_noexp_noout"))
+      .select(col("n_exp_out"), col("n_exp_noout"),
+        col("n_noexp_out"), col("n_noexp_noout"),
+        expr("""CASE WHEN n_exp_noout * n_noexp_out = 0 THEN NULL
+                     ELSE CAST((CAST(n_exp_out AS DECIMAL(38,0)) * n_noexp_noout
+                                * 1000000)
+                               DIV (CAST(n_exp_noout AS DECIMAL(38,0))
+                                * n_noexp_out) AS BIGINT) END""").as("odds_ratio_e6"))
+  }
+
+  /** Seasonal-naive forecast backtest over a daily integer series:
+    * forecast(d) = actual(d − season), scored with SMAPE and MAE over
+    * every day where both sides exist (a calendar self-join, so gaps
+    * score only when both endpoints are present). Each day's SMAPE
+    * term 2·|f−a|/(f+a) is an exact e6 floor division (0 when both
+    * sides are 0 — the standard convention, made explicit), summed as
+    * integers and floor-averaged: no floats anywhere.
+    *
+    * Scale shape: the daily relation self-joins on a shifted date key
+    * (DAYS-sized, broadcast/AQE territory) and reduces to one row. */
+  def seasonalNaiveSmape(daily: DataFrame, dayCol: String,
+                         valCol: String, seasonDays: Int = 7): DataFrame = {
+    val a = daily.select(col(dayCol).cast("date").as("__d"),
+      col(valCol).cast("long").as("__a"))
+    val f = daily.select(date_add(col(dayCol).cast("date"), seasonDays).as("__d"),
+      col(valCol).cast("long").as("__f"))
+    a.join(f, Seq("__d"))
+      .select(
+        abs(col("__f") - col("__a")).as("__ae"),
+        (col("__f") + col("__a")).as("__tot"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CASE WHEN __tot = 0 THEN 0 " +
+          "ELSE (__ae * 2000000) DIV __tot END")).as("__sm"),
+        sum("__ae").as("__sae"))
+      .select(col("n_days"),
+        expr("CASE WHEN n_days = 0 THEN NULL ELSE __sm DIV n_days END")
+          .as("smape_e6"),
+        expr("CASE WHEN n_days = 0 THEN NULL ELSE __sae DIV n_days END")
+          .as("mae"))
+  }
 }

@@ -2491,6 +2491,88 @@ object AnalyticsQueries {
         t(s, dir, "customer")
           .select(col("c_mktsegment"), cents(col("c_acctbal")).as("__cents")),
         "c_mktsegment", "__cents")
+    },
+
+    // Degree assortativity (Graph.degreeAssortativity) of the q142
+    // customer-supplier graph — strongly negative, as a bipartite
+    // hub-and-spoke topology must be. Exact DECIMAL moments; sqrt's
+    // on exact operands.
+    "q277_assortativity" -> q(
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                               's' || CAST(l_suppkey AS VARCHAR) AS dst
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+            deg AS (SELECT src AS node, CAST(count(*) AS HUGEINT) AS deg
+                    FROM e GROUP BY 1),
+            xy AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+                   JOIN deg dx ON e.src = dx.node
+                   JOIN deg dy ON e.dst = dy.node),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx, sum(y) AS sy,
+                         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+                  FROM xy)
+         SELECT CAST(m AS BIGINT) AS n_edges,
+                CASE WHEN m*sxx - sx*sx = 0 OR m*syy - sy*sy = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (CAST(m*sxy - sx*sy AS DOUBLE)
+                            / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+                               * sqrt(CAST(m*syy - sy*sy AS DOUBLE)))) + 0.5)
+                       AS BIGINT) END AS assortativity_e6
+         FROM s""") { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.degreeAssortativity(sym, "src", "dst")
+    },
+
+    // Seasonal-naive forecast backtest (Stats.seasonalNaiveSmape):
+    // forecast today's revenue with the value 7 calendar days ago and
+    // score SMAPE/MAE — all-integer terms, no float accumulation.
+    "q278_smape" -> q(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                                 AS BIGINT) AS v
+                        FROM orders GROUP BY 1),
+            j AS (SELECT a.v AS av, f.v AS fv
+                  FROM daily a JOIN daily f ON a.d = f.d + INTERVAL 7 DAY)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CASE WHEN count(*) = 0 THEN NULL
+                     ELSE CAST(sum(CASE WHEN fv + av = 0 THEN 0
+                                        ELSE (abs(fv - av) * 2000000) // (fv + av) END)
+                               // count(*) AS BIGINT) END AS smape_e6,
+                CASE WHEN count(*) = 0 THEN NULL
+                     ELSE CAST(sum(abs(fv - av)) // count(*) AS BIGINT) END AS mae
+         FROM j""") { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      graft.operators.Stats.seasonalNaiveSmape(daily, "d", "v", seasonDays = 7)
+    },
+
+    // Odds ratio (Stats.oddsRatio) of the 2x2 (is-English x is-long)
+    // document table — exact e6 integer cross-product ratio.
+    "q280_odds_ratio" -> q(
+      """WITH cells AS (SELECT
+              CAST(count(*) FILTER (WHERE lang = 'en' AND n_chars >= 300) AS BIGINT) AS n_exp_out,
+              CAST(count(*) FILTER (WHERE lang = 'en' AND n_chars < 300) AS BIGINT) AS n_exp_noout,
+              CAST(count(*) FILTER (WHERE lang <> 'en' AND n_chars >= 300) AS BIGINT) AS n_noexp_out,
+              CAST(count(*) FILTER (WHERE lang <> 'en' AND n_chars < 300) AS BIGINT) AS n_noexp_noout
+            FROM documents)
+         SELECT n_exp_out, n_exp_noout, n_noexp_out, n_noexp_noout,
+                CASE WHEN n_exp_noout * n_noexp_out = 0 THEN NULL
+                     ELSE CAST((CAST(n_exp_out AS HUGEINT) * n_noexp_noout * 1000000)
+                               // (CAST(n_exp_noout AS HUGEINT) * n_noexp_out)
+                       AS BIGINT) END AS odds_ratio_e6
+         FROM cells""") { (s, dir) =>
+      graft.operators.Stats.oddsRatio(
+        t(s, dir, "documents")
+          .select((col("lang") === "en").as("__e"),
+            (col("n_chars") >= 300).as("__o")),
+        "__e", "__o")
     }
   )
 

@@ -1197,6 +1197,40 @@ object EventsQueries {
                   - unix_micros(__origin)) DIV 3600000000""").as("t_hours"))
       graft.operators.Stats.kaplanMeier(subj, "cohort", "t_hours", "observed")
         .orderBy("cohort", "t_hours")
+    },
+
+    // Cramér's V (Stats.cramersV) over the q137 (event_type x
+    // day-of-week) contingency — the normalized effect size the raw
+    // chi-square can't give: same exact full-grid machinery, one more
+    // sqrt on exact operands.
+    "q279_cramers_v" -> q(
+      """WITH obs AS (SELECT event_type AS a,
+                             date_part('dow', CAST(ts AS DATE)) AS b,
+                             CAST(count(*) AS HUGEINT) AS o
+                      FROM events GROUP BY 1, 2),
+            r AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1),
+            c AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+            t AS (SELECT sum(o) AS n,
+                         CAST(count(DISTINCT a) AS BIGINT) AS ka,
+                         CAST(count(DISTINCT b) AS BIGINT) AS kb
+                  FROM obs),
+            chi AS (SELECT sum(CAST(round(
+                      CAST((o*n - rt*ct) * (o*n - rt*ct) AS DOUBLE)
+                        / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(18,6))) AS chi2
+                    FROM (SELECT r.a, c.b, r.rt, c.ct, COALESCE(obs.o, 0) AS o
+                          FROM r CROSS JOIN c
+                          LEFT JOIN obs ON obs.a = r.a AND obs.b = c.b), t)
+         SELECT CAST(chi.chi2 * 1000000 AS BIGINT) AS chi2_e6,
+                CAST((t.ka - 1) * (t.kb - 1) AS BIGINT) AS dof,
+                CAST(t.n AS BIGINT) AS n_rows,
+                CASE WHEN t.ka < 2 OR t.kb < 2 THEN NULL
+                     ELSE CAST(floor(1000000 * sqrt(CAST(chi.chi2 AS DOUBLE)
+                            / (CAST(t.n AS DOUBLE) * least(t.ka - 1, t.kb - 1)))
+                            + 0.5) AS BIGINT) END AS v_e6
+         FROM chi, t""") { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type").as("a"),
+        (dayofweek(col("ts")) - 1).cast("long").as("b"))
+      graft.operators.Stats.cramersV(ev, "a", "b")
     }
   )
 

@@ -173,4 +173,18 @@ class GraphSpec extends SparkSpec {
     // common stays 2 (via 9 dropped); degrees now 4 and 4 -> 2/6
     assert(capped == Set(("u", "v", 2L, 333333L)))
   }
+
+  test("degreeAssortativity: star is exactly -1, regular graph is NULL") {
+    // star: hub degree 3, leaves degree 1 -> every edge pairs (3,1) or
+    // (1,3): perfect anti-correlation
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"),
+      ("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
+    val got = Graph.degreeAssortativity(star, "src", "dst").collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((6L, -1000000L)))
+    // 3-cycle: all degrees equal -> zero variance -> NULL
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "a"), ("c", "b"), ("a", "c")).toDF("src", "dst")
+    assert(Option(Graph.degreeAssortativity(cyc, "src", "dst")
+      .collect().head.get(1)) == None)
+  }
 }

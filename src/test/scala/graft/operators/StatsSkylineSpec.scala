@@ -652,6 +652,37 @@ class StatsSkylineSpec extends SparkSpec {
     assert(tt.getLong(3) == 1000000L)
   }
 
+  test("cramersV: perfect 2x2 association is exactly 1; single class NULL") {
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L)).toDF("a", "b")
+    val got = Stats.cramersV(perfect, "a", "b").collect().head
+    // chi2 = 4 exactly (each of the 4 grid cells contributes 1)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((4000000L, 1L, 4L, 1000000L)))
+    val flat = Seq(("x", 1L), ("x", 2L)).toDF("a", "b")
+    assert(Option(Stats.cramersV(flat, "a", "b").collect().head.get(3)) == None)
+  }
+
+  test("oddsRatio: exact 2x2 cross-product ratio; empty margin NULL") {
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)).toDF("e", "o")
+    val got = Stats.oddsRatio(df, "e", "o").collect().head
+    // (2*2)/(1*1) = 4
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((2L, 1L, 1L, 2L, 4000000L)))
+    val degen = Seq((true, true), (false, false)).toDF("e", "o")
+    assert(Option(Stats.oddsRatio(degen, "e", "o").collect().head.get(4)) == None)
+  }
+
+  test("seasonalNaiveSmape: one matched calendar day, exact terms") {
+    val daily = Seq(("2024-01-01", 100L), ("2024-01-08", 150L),
+      ("2024-01-09", 60L)).toDF("d", "v")
+    val got = Stats.seasonalNaiveSmape(daily, "d", "v", seasonDays = 7)
+      .collect().head
+    // only 01-08 has a value 7 days prior: smape = 2*50/250 = 0.4, mae = 50
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((1L, 400000L, 50L)))
+  }
+
   test("brierScore: exact integer squared-error means") {
     val df = Seq(("g", 1000000L, true), ("g", 0L, false),
       ("h", 500000L, true), ("h", 500000L, false)).toDF("grp", "p", "y")
