@@ -87,6 +87,30 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(k)
 
+  /** Regex pattern matching over each user's full event-type SEQUENCE
+    * — the MATCH_RECOGNIZE-style primitive: encode the history as a
+    * string of one-letter type codes in (ts, tieBreak) order, then
+    * count non-overlapping regex matches (e.g. 'v[^p]*p' = a view
+    * converting to a purchase with no purchase in between). Both the
+    * encoding (deterministic total order) and regexp_count are
+    * engine-portable; patterns must avoid engine-specific regex
+    * extensions (backrefs, lookahead).
+    *
+    * Scale shape: ONE user-key aggregate; the per-user string is
+    * history-bounded (one byte per event) and the regex scan is
+    * linear — no self-join, no window over the raw relation. */
+  def sequencePatternCounts(df: DataFrame, userCol: String, tsCol: String,
+                            typeCol: String, tieBreak: String,
+                            pattern: String): DataFrame =
+    df.groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(tieBreak),
+        substring(col(typeCol), 1, 1).as("__t")))).as("__evs"))
+      .select(col(userCol),
+        expr("array_join(transform(__evs, e -> e.__t), '')").as("seq"))
+      .select(col(userCol),
+        length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
+
   /** Day-of-week seasonality profile per group: how each weekday's
     * event volume compares to the group's flat-week expectation
     * (index_e6 = n*7e6/total; 1e6 = no seasonality). The

@@ -42,4 +42,35 @@ object RangeJoin {
       joinType)
     joined.drop("__pb")
   }
+
+  /** Interval × interval OVERLAP join (the genomics/sessions shape):
+    * every (left, right) pair with `leftLo <= rightHi AND rightLo <=
+    * leftHi` (inclusive endpoints). Both sides explode into the
+    * time bins they touch and meet on an equi-join of the bin key —
+    * the plan Catalyst can hash-partition, instead of the
+    * BroadcastNestedLoopJoin a raw inequality join degenerates to.
+    * A pair sharing several bins is emitted EXACTLY once, gated to
+    * the canonical bin containing the intersection's start — no
+    * distinct pass, no dedup shuffle.
+    *
+    * Scale shape: shuffle on the bin key only; per-bin work is
+    * (left-in-bin × right-in-bin), so size `binSizeSec` near the
+    * typical interval width — wide outliers cost proportionally more
+    * bin rows, never correctness. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftLo: String, leftHi: String,
+                          rightLo: String, rightHi: String,
+                          binSizeSec: Long): DataFrame = {
+    def epochSec(c: Column): Column = c.cast("timestamp").cast("double")
+    def bin(c: Column): Column = floor(epochSec(c) / binSizeSec).cast("long")
+    val lb = left.withColumn("__b",
+      explode(sequence(bin(col(leftLo)), bin(col(leftHi)))))
+    val rb = right.withColumn("__b",
+      explode(sequence(bin(col(rightLo)), bin(col(rightHi)))))
+    lb.join(rb,
+        lb("__b") === rb("__b")
+          && lb(leftLo) <= rb(rightHi) && rb(rightLo) <= lb(leftHi)
+          && lb("__b") === bin(greatest(lb(leftLo), rb(rightLo))))
+      .drop("__b")
+  }
 }

@@ -1231,6 +1231,68 @@ object EventsQueries {
       val ev = t(s, dir, "events").select(col("event_type").as("a"),
         (dayofweek(col("ts")) - 1).cast("long").as("b"))
       graft.operators.Stats.cramersV(ev, "a", "b")
+    },
+
+    // Interval x interval overlap join (RangeJoin.intervalOverlapJoin):
+    // which gap-based user sessions overlap each day's opening hour.
+    // Bin-bucketed equi-join plan with a canonical-bin gate (each pair
+    // once, no distinct), vs the BNLJ a raw inequality join becomes.
+    "q281_interval_overlap" -> q(
+      """WITH s0 AS (SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                     WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                     ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s1 AS (SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                   FROM s0),
+            sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                            min(ts) AS s_lo, max(ts) AS s_hi
+                     FROM s1 GROUP BY 1, 2),
+            win AS (SELECT day, min(ts) AS w_lo, min(ts) + INTERVAL 1 HOUR AS w_hi
+                    FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, ts FROM events)
+                    GROUP BY 1)
+         SELECT s.user_id, s.session_seq, w.day,
+                CAST((epoch_us(least(s.s_hi, w.w_hi))
+                      - epoch_us(greatest(s.s_lo, w.w_lo)))
+                     // 1000000 AS BIGINT) AS overlap_sec
+         FROM sess s JOIN win w ON s.s_lo <= w.w_hi AND w.w_lo <= s.s_hi
+         ORDER BY user_id, session_seq, day""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val sess = Events.sessionize(ev, "user_id", "ts", 1800L, "event_id")
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min("ts").as("s_lo"), max("ts").as("s_hi"))
+      val win = ev
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(min("ts").as("w_lo"))
+        .select(col("day"), col("w_lo"),
+          (col("w_lo") + expr("INTERVAL 1 HOUR")).as("w_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlapJoin(sess, win, "s_lo", "s_hi", "w_lo", "w_hi",
+          binSizeSec = 21600L)
+        .select(col("user_id"), col("session_seq"), col("day"),
+          expr("""(unix_micros(least(s_hi, w_hi))
+                   - unix_micros(greatest(s_lo, w_lo))) DIV 1000000""")
+            .as("overlap_sec"))
+        .orderBy("user_id", "session_seq", "day")
+    },
+
+    // MATCH_RECOGNIZE-style sequence pattern counting
+    // (Events.sequencePatternCounts): encode each user's event history
+    // as a one-letter-per-event string, count non-overlapping
+    // 'view ... purchase' conversions with no purchase in between.
+    "q282_event_pattern" -> q(
+      """WITH s AS (SELECT user_id,
+                      string_agg(substring(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id) AS seq
+                    FROM events GROUP BY 1)
+         SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+                CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_matches
+         FROM s ORDER BY user_id""") { (s, dir) =>
+      Events.sequencePatternCounts(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id", "v[^p]*p")
+        .orderBy("user_id")
     }
   )
 

@@ -576,4 +576,22 @@ class EventsTextSpec extends SparkSpec {
     assert(got(4L) == ((366L, "churned")))
     assert(got(5L) == ((365L, "at_risk")))
   }
+
+  test("sequencePatternCounts: non-overlapping v..p conversions in ts order") {
+    import org.apache.spark.sql.functions._
+    // user 1: v c p v v p p -> "vcpvvpp" -> 2 non-overlapping 'v[^p]*p'
+    // user 2: p c v -> no conversion
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "view"), (1L, 5L, "view"), (1L, 6L, "purchase"),
+      (1L, 7L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "click"), (2L, 3L, "view")
+    ).toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"),
+        col("sec").as("event_id"), col("event_type"))
+    val got = Events.sequencePatternCounts(ev, "user_id", "ts",
+        "event_type", "event_id", "v[^p]*p")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((7L, 2L)), 2L -> ((3L, 0L))))
+  }
 }

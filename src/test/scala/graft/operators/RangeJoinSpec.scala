@@ -50,4 +50,23 @@ class RangeJoinSpec extends SparkSpec {
     val b = brute.orderBy("o_orderkey").as[(Long, Long)].collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("intervalOverlapJoin: each overlapping pair exactly once, endpoints inclusive") {
+    import org.apache.spark.sql.functions._
+    val left = Seq(("A", 0L, 100L), ("B", 200L, 300L), ("C", 400L, 500L))
+      .toDF("lid", "lo_s", "hi_s")
+      .select(col("lid"), to_timestamp(col("lo_s")).as("l_lo"),
+        to_timestamp(col("hi_s")).as("l_hi"))
+    val right = Seq(("R1", 50L, 250L), ("R2", 300L, 310L))
+      .toDF("rid", "lo_s", "hi_s")
+      .select(col("rid"), to_timestamp(col("lo_s")).as("r_lo"),
+        to_timestamp(col("hi_s")).as("r_hi"))
+    // 60s bins: A and R1 share bins 0 and 1 — the canonical-bin gate
+    // must emit the pair ONCE; R2 touches B only at the inclusive
+    // endpoint 300
+    val got = RangeJoin.intervalOverlapJoin(left, right,
+        "l_lo", "l_hi", "r_lo", "r_hi", binSizeSec = 60L)
+      .select("lid", "rid").as[(String, String)].collect().toList
+    assert(got.sorted == List(("A", "R1"), ("B", "R1"), ("B", "R2")))
+  }
 }
