@@ -745,4 +745,51 @@ object Similarity {
         coalesce(col("role"), lit("noise")).as("role"),
         col("rep").as("cluster_rep"))
   }
+
+  /** Nearest-centroid (Rocchio) classification accuracy over labeled
+    * embeddings, ENTIRELY in exact integer arithmetic: centroids are
+    * elementwise FLOOR-division means of the quantized vectors
+    * (DIV truncates toward zero, so negatives are floor-emulated —
+    * mathematical floor division is the engine-portable definition),
+    * distances are exact integer squared-euclidean sums, and ties
+    * break to the smallest label. Reports per-true-label accuracy —
+    * the label-quality signal for a curated embedding set.
+    *
+    * Integer headroom: per-dim diff ≲ 2·max|x|·1e6; the squared sum
+    * fits BIGINT through dim·(2·max|x|·1e6)² < 9.2e18 — unit-scale
+    * embeddings to dim ~1e4.
+    *
+    * Scale shape: one posexplode + hash aggregate to the (labels ×
+    * dim)-sized centroid relation (collected to LABELS rows, broadcast
+    * back); assignment is a corpus × labels broadcast cross join with
+    * a codegen'd zip_with/aggregate distance — one scan, one argmin
+    * aggregate, one accuracy aggregate. Never a corpus self-join. */
+  def nearestCentroid(corpus: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val q = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),
+      quantize(col(vecCol)).as("qv"))
+    val cen = q
+      .select(col("__label").as("__clabel"), posexplode(col("qv")).as(Seq("__pos", "__v")))
+      .groupBy("__clabel", "__pos")
+      .agg(sum("__v").as("__s"), count(lit(1)).as("__n"))
+      .select(col("__clabel"), col("__pos"),
+        // floor division, negative-safe (DIV truncates toward zero)
+        expr("""CASE WHEN __s >= 0 THEN __s DIV __n
+                     ELSE -((-__s + __n - 1) DIV __n) END""").as("__c"))
+      .groupBy("__clabel")
+      .agg(expr("transform(sort_array(collect_list(struct(__pos, __c))), e -> e.__c)")
+        .as("cv"))
+    q.crossJoin(broadcast(cen))
+      .select(col("__id"), col("__label"), col("__clabel"),
+        expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("__d2"))
+      .groupBy(col("__id"), col("__label"))
+      .agg(min(struct(col("__d2"), col("__clabel"))).as("__m"))
+      .select(col("__label"), col("__m.__clabel").as("__pred"))
+      .groupBy(col("__label").as(labelCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__pred") === col("__label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col(labelCol), col("n_vectors"), col("n_correct"),
+        expr("n_correct * 1000000L DIV n_vectors").as("accuracy_e6"))
+  }
 }

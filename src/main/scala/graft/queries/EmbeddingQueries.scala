@@ -405,6 +405,38 @@ object EmbeddingQueries {
           t(s, dir, "embeddings").filter(col("vec_id") < 1000),
           "vec_id", "embedding", threshold = 0.32, minPts = 4)
         .orderBy("vec_id")
+    },
+
+    // Nearest-centroid (Rocchio) classification accuracy per label
+    // (Similarity.nearestCentroid) — exact integer centroids (floor
+    // division, negative-safe), exact squared-euclidean assignment,
+    // ties to the smallest label. The label-quality audit for an
+    // embedding set.
+    "q283_nearest_centroid" -> q(
+      s"""WITH q AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
+                     FROM embeddings),
+             e0 AS (SELECT vec_id, label,
+                      unnest(list_transform(generate_series(1, len(qv)),
+                        i -> {'i': i, 'v': qv[i]})) AS iv
+                    FROM q),
+             e AS (SELECT vec_id, label, iv.i AS i, iv.v AS v FROM e0),
+             cen AS (SELECT label AS clabel, i, sum(v) // count(*) AS c
+                     FROM e GROUP BY 1, 2),
+             d AS (SELECT e.vec_id, e.label, cen.clabel,
+                          sum(CAST(e.v - cen.c AS HUGEINT) * (e.v - cen.c)) AS dist
+                   FROM e JOIN cen ON e.i = cen.i GROUP BY 1, 2, 3),
+             pred AS (SELECT vec_id, label, clabel AS pred
+                      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, clabel) AS rn
+                            FROM d) WHERE rn = 1)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(count(*) FILTER (WHERE pred = label) AS BIGINT) AS n_correct,
+                 CAST(count(*) FILTER (WHERE pred = label) * 1000000 // count(*)
+                   AS BIGINT) AS accuracy_e6
+          FROM pred GROUP BY 1 ORDER BY label""") { (s, dir) =>
+      Similarity.nearestCentroid(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("label")
     }
   )
 }

@@ -395,4 +395,22 @@ class SimilaritySpec extends SparkSpec {
     // across the seeds, all three roles must actually be exercised
     assert(seenRoles == Set("core", "border", "noise"), s"roles seen: $seenRoles")
   }
+
+  test("nearestCentroid: separable labels score 1.0; ties go to the smallest label") {
+    val sep = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1), (4L, Array(10.2f, 10.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroid(sep, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(0 -> ((2L, 2L, 1000000L)), 1 -> ((2L, 2L, 1000000L))))
+    // identical centroids: every vector ties -> predicted label is the
+    // smallest -> label 0 scores 1.0, label 1 scores 0
+    val tie = Seq((1L, Array(1.0f), 0), (2L, Array(1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val t2 = Similarity.nearestCentroid(tie, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(t2 == Map(0 -> 1000000L, 1 -> 0L))
+  }
 }

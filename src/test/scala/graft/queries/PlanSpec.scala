@@ -355,6 +355,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
   }
 
+  test("q281: interval overlap meets on a bin equi-join, never a nested loop") {
+    val p = planOf("q281_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bin bucketing must give Catalyst an equi-join key:\n$p")
+    assert(p.contains("__b"), s"bin key missing from the join:\n$p")
+  }
+
+  test("q282: sequence encoding is ONE user-key aggregate, no window/self-join") {
+    val p = planOf("q282_event_pattern")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 0, s"no join expected:\n$p")
+  }
+
   test("every registered query has a resolvable, executable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
