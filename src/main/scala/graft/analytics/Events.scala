@@ -111,6 +111,38 @@ object Events {
         length(col("seq")).cast("long").as("n_events"),
         regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
 
+  /** Inter-arrival burstiness per stream (Goh & Barabási 2008):
+    * B = (σ−μ)/(σ+μ) of the microsecond gaps between consecutive
+    * events — +1 = extreme bursts, 0 = Poisson, −1 = metronome. With
+    * exact integer gap moments the n's cancel:
+    * B = (√(n·Σg²−(Σg)²) − Σg) / (√(n·Σg²−(Σg)²) + Σg), so the only
+    * float steps are one IEEE sqrt and one division on exact
+    * DECIMAL(38,0) operands. Streams with a zero gap sum yield NULL.
+    *
+    * Scale shape: one stream-key exchange + per-stream sort for the
+    * lag, then ONE hash aggregate — the standard sessionize shape. */
+  def burstiness(df: DataFrame, streamCol: String, tsCol: String,
+                 tieBreak: String): DataFrame = {
+    val byStream = Window.partitionBy("__s").orderBy(col("__ts"), col("__tb"))
+    df.select(col(streamCol).as("__s"), col(tsCol).as("__ts"),
+        col(tieBreak).as("__tb"))
+      .withColumn("__gap",
+        unix_micros(col("__ts")) - unix_micros(lag(col("__ts"), 1).over(byStream)))
+      .filter(col("__gap").isNotNull)
+      .select(col("__s"), col("__gap").cast(DecimalType(38, 0)).as("__g"))
+      .groupBy(col("__s").as(streamCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("__g").as("__sg"), sum(expr("__g * __g")).as("__sq"))
+      .select(col(streamCol), col("n_gaps"),
+        expr("""CASE WHEN __sg = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (
+                       (sqrt(CAST(n_gaps * __sq - __sg * __sg AS DOUBLE))
+                        - CAST(__sg AS DOUBLE))
+                       / (sqrt(CAST(n_gaps * __sq - __sg * __sg AS DOUBLE))
+                          + CAST(__sg AS DOUBLE))) + 0.5) AS BIGINT)
+                END""").as("burstiness_e6"))
+  }
+
   /** Day-of-week seasonality profile per group: how each weekday's
     * event volume compares to the group's flat-week expectation
     * (index_e6 = n*7e6/total; 1e6 = no seasonality). The

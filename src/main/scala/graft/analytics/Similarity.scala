@@ -748,10 +748,9 @@ object Similarity {
 
   /** Nearest-centroid (Rocchio) classification accuracy over labeled
     * embeddings, ENTIRELY in exact integer arithmetic: centroids are
-    * elementwise FLOOR-division means of the quantized vectors
-    * (DIV truncates toward zero, so negatives are floor-emulated —
-    * mathematical floor division is the engine-portable definition),
-    * distances are exact integer squared-euclidean sums, and ties
+    * elementwise truncating-division means of the quantized vectors
+    * (Spark DIV and DuckDB // both truncate toward zero, so the plain
+    * integer division is engine-portable for signed sums), distances are exact integer squared-euclidean sums, and ties
     * break to the smallest label. Reports per-true-label accuracy —
     * the label-quality signal for a curated embedding set.
     *
@@ -764,6 +763,55 @@ object Similarity {
     * back); assignment is a corpus × labels broadcast cross join with
     * a codegen'd zip_with/aggregate distance — one scan, one argmin
     * aggregate, one accuracy aggregate. Never a corpus self-join. */
+  /** Sampled silhouette score per label over quantized embeddings —
+    * the cluster-quality audit next to [[nearestCentroid]] and
+    * densityClusters. For each sampled query point: a = mean distance
+    * to its own label, b = min over other labels of the mean distance;
+    * s = (b − a)/max(a, b). Distances are e0-floored integer
+    * euclidean (one IEEE sqrt per pair feeding a floor — exact
+    * integers from there), means are truncating integer divisions
+    * (identical on both engines for signed operands), and the final
+    * ratio is one exact integer division per point, averaged as exact
+    * integers per label. The sample (`idCol % sampleMod == 0`) is
+    * deterministic and engine-portable.
+    *
+    * Scale shape: sample × corpus — LINEAR in the corpus for a fixed
+    * sample, never corpus². One broadcast-friendly join (the sample
+    * side is tiny), one (point, label) aggregate, one argmin/accuracy
+    * reduction. */
+  def silhouetteSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, sampleMod: Long = 5): DataFrame = {
+    val base = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),
+      quantize(col(vecCol)).as("qv"))
+    val sample = base.filter(pmod(col("__id"), lit(sampleMod)) === 0)
+      .select(col("__id").as("__qid"), col("__label").as("__qlabel"),
+        col("qv").as("__qqv"))
+    val dists = base.crossJoin(broadcast(sample))
+      .filter(col("__id") =!= col("__qid"))
+      .select(col("__qid"), col("__qlabel"), col("__label"),
+        expr("""CAST(floor(sqrt(CAST(aggregate(zip_with(qv, __qqv,
+                (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)
+                AS DOUBLE))) AS BIGINT)""").as("__d"))
+    val byLabel = dists.groupBy("__qid", "__qlabel", "__label")
+      .agg(expr("sum(__d) DIV count(*)").as("__mean_d"))
+    val s = byLabel
+      .groupBy(col("__qid"), col("__qlabel"))
+      .agg(
+        min(when(col("__label") === col("__qlabel"), col("__mean_d"))).as("__a"),
+        min(when(col("__label") =!= col("__qlabel"), col("__mean_d"))).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .select(col("__qlabel"),
+        // integer division truncates toward zero on BOTH engines
+        // (Spark DIV and DuckDB // agree: -7/2 = -3), so the plain
+        // form is already engine-portable for signed operands
+        expr("""CASE WHEN greatest(__a, __b) = 0 THEN 0L
+                     ELSE (__b - __a) * 1000000 DIV greatest(__a, __b)
+                END""").as("__s_e6"))
+    s.groupBy(col("__qlabel").as(labelCol))
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("sum(__s_e6) DIV count(*)").as("silhouette_e6"))
+  }
+
   def nearestCentroid(corpus: DataFrame, idCol: String, vecCol: String,
                       labelCol: String): DataFrame = {
     val q = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),
@@ -773,9 +821,9 @@ object Similarity {
       .groupBy("__clabel", "__pos")
       .agg(sum("__v").as("__s"), count(lit(1)).as("__n"))
       .select(col("__clabel"), col("__pos"),
-        // floor division, negative-safe (DIV truncates toward zero)
-        expr("""CASE WHEN __s >= 0 THEN __s DIV __n
-                     ELSE -((-__s + __n - 1) DIV __n) END""").as("__c"))
+        // Spark DIV and DuckDB // both truncate toward zero — plain
+        // integer division is engine-portable for signed sums
+        expr("__s DIV __n").as("__c"))
       .groupBy("__clabel")
       .agg(expr("transform(sort_array(collect_list(struct(__pos, __c))), e -> e.__c)")
         .as("cv"))

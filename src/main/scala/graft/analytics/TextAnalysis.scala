@@ -801,6 +801,63 @@ object TextAnalysis {
                 END""").as("flesch_e3"))
   }
 
+  /** TF-IDF cosine near-dup pairs within a blocking key — the sparse
+    * (lexical) counterpart of Similarity's dense-embedding near-dup:
+    * weights are exact integers (tf × e3-floored idf, identical on any
+    * engine), dot products and norms are exact integer sums, and the
+    * threshold is the exact inequality den²·dot² ≥ num²·|a|²·|b|²
+    * (cos ≥ num/den, dot ≥ 0) — the reported cosine's only float steps
+    * are one division and two sqrt's on exact operands.
+    *
+    * Corpus-wide terms (df = N) carry zero idf and are dropped — the
+    * built-in stop-term cap; `blockCol` bounds pair enumeration the
+    * way LSH bands do (the all-pairs variant of this join is
+    * quadratic by definition — ALWAYS block at scale).
+    *
+    * Integer headroom (e3 idf): weights ≲ tf·7e3, norms ≲ 1e12 for
+    * 1e3-term docs, den²·dot² ≲ 1e26 — deep inside DECIMAL(38,0).
+    *
+    * Scale shape: term-keyed inverted-index self-join inside blocks
+    * (one shuffle on (block, term)), map-side-combining dot aggregate,
+    * then pairs-sized norm joins. Never doc × doc. */
+  def tfIdfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, num: Long = 4,
+                       den: Long = 5): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tf = df
+      .select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("__term"))
+      .groupBy("__blk", "__id", "__term").agg(count(lit(1)).as("__tf"))
+    val nd = tf.agg(count_distinct(col("__id")).as("__nd"))
+    val dft = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val w = tf.join(dft, Seq("__term"))
+      .crossJoin(broadcast(nd))
+      .filter(col("__df") < col("__nd"))
+      .select(col("__blk"), col("__id"), col("__term"),
+        (col("__tf") * expr(
+          "CAST(floor(1000 * ln(CAST(__nd AS DOUBLE) / __df) + 0.5) AS BIGINT)"))
+          .cast(D).as("__w"))
+    val norm = w.groupBy(col("__id"))
+      .agg(sum(expr("__w * __w")).as("__n2"))
+    val dot = w.select(col("__blk"), col("__term"),
+        col("__id").as("id_a"), col("__w").as("__wa"))
+      .join(w.select(col("__blk"), col("__term"),
+        col("__id").as("id_b"), col("__w").as("__wb"))
+        .hint("shuffle_hash"), Seq("__blk", "__term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(expr("__wa * __wb")).as("__dot"))
+    dot
+      .join(norm.select(col("__id").as("id_a"), col("__n2").as("__na")), Seq("id_a"))
+      .join(norm.select(col("__id").as("id_b"), col("__n2").as("__nb")), Seq("id_b"))
+      .filter(col("__dot") >= 0
+        && expr(s"__dot * __dot * ${den * den} >= __na * __nb * ${num * num}"))
+      .select(col("id_a"), col("id_b"),
+        expr("""CAST(floor(1000000 * (CAST(__dot AS DOUBLE)
+                / (sqrt(CAST(__na AS DOUBLE)) * sqrt(CAST(__nb AS DOUBLE))))
+                + 0.5) AS BIGINT)""").as("cosine_e6"))
+  }
+
   /** Per-document unigram Shannon entropy (bits), the
     * gibberish/boilerplate detector next to [[repetitionStats]]:
     * H = log2(n) − (Σ c·log2(c))/n over the doc's token counts. Each

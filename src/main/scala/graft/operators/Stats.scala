@@ -1340,6 +1340,31 @@ object Stats {
                                 * n_noexp_out) AS BIGINT) END""").as("odds_ratio_e6"))
   }
 
+  /** Herfindahl–Hirschman concentration index per group: Σ shareᵢ²
+    * over each member's share of the group total, as ONE exact integer
+    * ratio (Σvᵢ²·1e6) DIV (Σvᵢ)² — 1e6 = monopoly, →0 = atomized.
+    * The market-concentration companion to the Gini (q198): HHI weighs
+    * the head, Gini the whole curve. Groups with a zero total yield
+    * NULL.
+    *
+    * DECIMAL(38,0) headroom: Σvᵢ²·1e6 < 1e38 ⇔ member values < 1e16.
+    *
+    * Scale shape: two hash aggregates (members, then groups), both
+    * with map-side partials — never a sort or window. */
+  def hhi(df: DataFrame, groupCol: String, memberCol: String,
+          valCol: String): DataFrame = {
+    df.select(col(groupCol).as("__g"), col(memberCol).as("__m"),
+        col(valCol).cast(D).as("__v"))
+      .groupBy("__g", "__m").agg(sum("__v").as("__mv"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum("__mv").as("__s"), sum(expr("__mv * __mv")).as("__sq"))
+      .select(col(groupCol), col("n_members"),
+        expr("""CASE WHEN __s = 0 THEN NULL
+                     ELSE CAST((__sq * 1000000) DIV (__s * __s) AS BIGINT)
+                END""").as("hhi_e6"))
+  }
+
   /** Seasonal-naive forecast backtest over a daily integer series:
     * forecast(d) = actual(d − season), scored with SMAPE and MAE over
     * every day where both sides exist (a calendar self-join, so gaps

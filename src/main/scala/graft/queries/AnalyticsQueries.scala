@@ -2573,6 +2573,28 @@ object AnalyticsQueries {
           .select((col("lang") === "en").as("__e"),
             (col("n_chars") >= 300).as("__o")),
         "__e", "__o")
+    },
+
+    // Herfindahl-Hirschman supplier-concentration index per nation
+    // (Stats.hhi): one exact integer ratio per nation over supplier
+    // revenue shares — the market-power audit next to Gini (q198).
+    "q285_hhi" -> q(
+      """WITH r AS (SELECT s_nationkey AS nation, l_suppkey,
+                           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                             AS HUGEINT) AS rev
+                    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    GROUP BY 1, 2)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_members,
+                CASE WHEN sum(rev) = 0 THEN NULL
+                     ELSE CAST(sum(rev * rev) * 1000000 // (sum(rev) * sum(rev))
+                       AS BIGINT) END AS hhi_e6
+         FROM r GROUP BY 1 ORDER BY nation""") { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nation"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("__rev"))
+      graft.operators.Stats.hhi(rev, "nation", "l_suppkey", "__rev")
+        .orderBy("nation")
     }
   )
 

@@ -437,6 +437,39 @@ object EmbeddingQueries {
       Similarity.nearestCentroid(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label")
         .orderBy("label")
+    },
+
+    // Sampled silhouette per label (Similarity.silhouetteSampled):
+    // deterministic 1-in-5 sample x corpus distances, exact integer
+    // means and ratios (floor-division negative-safe on both engines)
+    // — the cluster-separation audit for the label set.
+    "q287_silhouette" -> q(
+      s"""WITH q AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
+                     FROM embeddings),
+             smp AS (SELECT vec_id AS qid, label AS qlabel, qv AS qqv
+                     FROM q WHERE vec_id % 5 = 0),
+             d AS (SELECT s.qid, s.qlabel, p.label,
+                     CAST(floor(sqrt(CAST(list_sum(list_transform(
+                          generate_series(1, len(p.qv)),
+                          i -> CAST(p.qv[i] - s.qqv[i] AS HUGEINT)
+                               * (p.qv[i] - s.qqv[i]))) AS DOUBLE))) AS BIGINT) AS dist
+                   FROM q p CROSS JOIN smp s WHERE p.vec_id <> s.qid),
+             bl AS (SELECT qid, qlabel, label, sum(dist) // count(*) AS mean_d
+                    FROM d GROUP BY 1, 2, 3),
+             sil AS (SELECT qid, qlabel,
+                       min(CASE WHEN label = qlabel THEN mean_d END) AS a,
+                       min(CASE WHEN label <> qlabel THEN mean_d END) AS b
+                     FROM bl GROUP BY 1, 2),
+             se AS (SELECT qlabel,
+                      CASE WHEN greatest(a, b) = 0 THEN 0
+                           ELSE ((b - a) * 1000000) // greatest(a, b) END AS s_e6
+                    FROM sil WHERE a IS NOT NULL AND b IS NOT NULL)
+          SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(s_e6) // count(*) AS BIGINT) AS silhouette_e6
+          FROM se GROUP BY 1 ORDER BY label""") { (s, dir) =>
+      Similarity.silhouetteSampled(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", sampleMod = 5)
+        .orderBy("label")
     }
   )
 }

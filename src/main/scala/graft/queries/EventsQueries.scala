@@ -1293,6 +1293,29 @@ object EventsQueries {
       Events.sequencePatternCounts(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id", "v[^p]*p")
         .orderBy("user_id")
+    },
+
+    // Inter-arrival burstiness per event type (Events.burstiness):
+    // (sigma - mu)/(sigma + mu) of microsecond gaps, the n-cancelling
+    // exact-operand form — bursty streams > 0, metronomes < 0.
+    "q286_burstiness" -> q(
+      """WITH ia AS (SELECT event_type,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                                             ORDER BY ts, event_id)) AS gap
+                     FROM events),
+            m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(gap AS HUGEINT)) AS s,
+                         sum(CAST(gap AS HUGEINT) * gap) AS sq
+                  FROM ia WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+                CASE WHEN s = 0 THEN NULL
+                     ELSE CAST(floor(1000000 * (
+                       (sqrt(CAST(n*sq - s*s AS DOUBLE)) - CAST(s AS DOUBLE))
+                       / (sqrt(CAST(n*sq - s*s AS DOUBLE)) + CAST(s AS DOUBLE)))
+                       + 0.5) AS BIGINT) END AS burstiness_e6
+         FROM m ORDER BY event_type""") { (s, dir) =>
+      Events.burstiness(t(s, dir, "events"), "event_type", "ts", "event_id")
+        .orderBy("event_type")
     }
   )
 

@@ -1840,6 +1840,40 @@ object TextQueries {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, num = 4, den = 5, maxDocFreq = 1000L)
         .orderBy("id_a", "id_b")
+    },
+
+    // Sparse TF-IDF cosine near-dup pairs within each source block
+    // (TextAnalysis.tfIdfCosinePairs): exact integer weights/dots/
+    // norms, exact-inequality 0.8 threshold — the lexical counterpart
+    // of the embedding near-dup ladder.
+    "q284_tfidf_cosine" -> q(
+      s"""WITH tf AS (SELECT source, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT source, doc_id, unnest($toksLowerSql) AS term
+                            FROM documents)
+                      GROUP BY 1, 2, 3),
+             n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             w AS (SELECT tf.source, tf.doc_id, tf.term,
+                      CAST(tf.tf * CAST(floor(1000 * ln(CAST((SELECT nd FROM n) AS DOUBLE)
+                        / df.df) + 0.5) AS BIGINT) AS HUGEINT) AS w
+                   FROM tf JOIN df USING (term)
+                   WHERE df.df < (SELECT nd FROM n)),
+             norm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+             dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+                     FROM w a JOIN w b ON a.term = b.term AND a.source = b.source
+                       AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 CAST(floor(1000000 * (CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+                      + 0.5) AS BIGINT) AS cosine_e6
+          FROM dot JOIN norm na ON na.doc_id = dot.id_a
+                   JOIN norm nb ON nb.doc_id = dot.id_b
+          WHERE dot >= 0 AND 25 * dot * dot >= 16 * na.n2 * nb.n2
+          ORDER BY id_a, id_b""") { (s, dir) =>
+      TextAnalysis.tfIdfCosinePairs(t(s, dir, "documents"),
+          "doc_id", "text", "source", num = 4, den = 5)
+        .orderBy("id_a", "id_b")
     }
   )
 

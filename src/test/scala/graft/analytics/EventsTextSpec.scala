@@ -594,4 +594,16 @@ class EventsTextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map(1L -> ((7L, 2L)), 2L -> ((3L, 0L))))
   }
+
+  test("burstiness: metronome is exactly -1; hand-computed mixed gaps") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      ("tick", 0L), ("tick", 10L), ("tick", 20L),      // equal gaps -> -1
+      ("mix", 0L), ("mix", 1L), ("mix", 4L)            // gaps 1,3 -> -1/3
+    ).toDF("stream", "sec")
+      .select(col("stream"), to_timestamp(col("sec")).as("ts"), col("sec").as("event_id"))
+    val got = Events.burstiness(ev, "stream", "ts", "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("tick" -> ((2L, -1000000L)), "mix" -> ((2L, -333333L))))
+  }
 }

@@ -413,4 +413,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
     assert(t2 == Map(0 -> 1000000L, 1 -> 0L))
   }
+
+  test("silhouetteSampled: tight separated clusters near +1; merged labels negative") {
+    // labels 0 and 1 far apart, points nearly coincident within a label;
+    // ids multiples of 5 so every point is sampled
+    val sep = Seq(
+      (0L, Array(0.0f), 0), (5L, Array(0.001f), 0),
+      (10L, Array(100.0f), 1), (15L, Array(100.001f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouetteSampled(sep, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(0, 1))
+    assert(got.values.forall { case (n, s) => n == 2L && s > 990000L })
+    // the same coincident points split across two labels: a >> b is
+    // impossible, b ~ 0 ~ a -> strongly negative for at least one side
+    val merged = Seq(
+      (0L, Array(0.0f), 0), (5L, Array(1.0f), 1),
+      (10L, Array(0.0f), 0), (15L, Array(1.0f), 1),
+      (20L, Array(1.0f), 0), (25L, Array(0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.silhouetteSampled(merged, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(2))
+    assert(m.forall(_ < 0L), s"merged labels must score negative: ${m.toList}")
+  }
 }

@@ -330,6 +330,23 @@ class TextQualitySpec extends SparkSpec {
     assert(Option(n.get(5)) == None)
   }
 
+  test("tfIdfCosinePairs: identical docs hit cosine 1; blocking and zero-idf terms prune") {
+    val docs = Seq(
+      (1L, "x x y", "b1"), (2L, "x x y", "b1"),   // identical -> cos 1
+      (3L, "z z z z", "b1"),                      // shares no weighted term
+      (4L, "x x y", "b2")                         // identical but other block
+    ).toDF("doc_id", "text", "source")
+    val got = graft.analytics.TextAnalysis
+      .tfIdfCosinePairs(docs, "doc_id", "text", "source", num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1000000L)))
+    // a corpus-wide term carries idf 0 and is dropped: docs sharing
+    // ONLY that term never pair
+    val allShare = Seq((1L, "w a", "b"), (2L, "w b", "b")).toDF("doc_id", "text", "source")
+    assert(graft.analytics.TextAnalysis
+      .tfIdfCosinePairs(allShare, "doc_id", "text", "source").collect().isEmpty)
+  }
+
   test("tokenEntropy: exact bits for uniform and single-token docs") {
     val docs = Seq((1L, "x x y y"), (2L, "z"), (3L, "a b c d"))
       .toDF("doc_id", "text")

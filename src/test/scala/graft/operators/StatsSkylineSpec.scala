@@ -673,6 +673,15 @@ class StatsSkylineSpec extends SparkSpec {
     assert(Option(Stats.oddsRatio(degen, "e", "o").collect().head.get(4)) == None)
   }
 
+  test("hhi: duopoly 0.5, monopoly 1.0, zero total NULL") {
+    val df = Seq(("A", 1L, 50L), ("A", 2L, 50L), ("B", 1L, 7L),
+      ("Z", 1L, 0L), ("Z", 2L, 0L)).toDF("g", "m", "v")
+    val got = Stats.hhi(df, "g", "m", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got == Map("A" -> ((2L, Some(500000L))),
+      "B" -> ((1L, Some(1000000L))), "Z" -> ((2L, None))))
+  }
+
   test("seasonalNaiveSmape: one matched calendar day, exact terms") {
     val daily = Seq(("2024-01-01", 100L), ("2024-01-08", 150L),
       ("2024-01-09", 60L)).toDF("d", "v")
