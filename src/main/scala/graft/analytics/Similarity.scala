@@ -812,6 +812,43 @@ object Similarity {
         expr("sum(__s_e6) DIV count(*)").as("silhouette_e6"))
   }
 
+  /** kNN label-agreement audit over quantized embeddings: for each
+    * deterministically sampled point, the fraction of its k exact
+    * nearest neighbors (squared-euclidean, ties by id) sharing its
+    * label — the per-label noise signal cleanlab-style label QA is
+    * built on. All arithmetic is exact integers; the only ordering is
+    * the per-query top-k (WindowGroupLimit prunes it map-side).
+    *
+    * Scale shape: sample × corpus (linear for a fixed sample) through
+    * one broadcast join, a rank-limit window partitioned by query
+    * point, one agreement aggregate. */
+  def knnLabelAgreement(corpus: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int = 10,
+                        sampleMod: Long = 5): DataFrame = {
+    val base = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),
+      quantize(col(vecCol)).as("qv"))
+    val sample = base.filter(pmod(col("__id"), lit(sampleMod)) === 0)
+      .select(col("__id").as("__qid"), col("__label").as("__qlabel"),
+        col("qv").as("__qqv"))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("__qid")
+      .orderBy(col("__d2").asc, col("__id").asc)
+    base.crossJoin(broadcast(sample))
+      .filter(col("__id") =!= col("__qid"))
+      .select(col("__qid"), col("__qlabel"), col("__label"), col("__id"),
+        expr("""aggregate(zip_with(qv, __qqv, (a, b) -> (a - b) * (a - b)),
+                0L, (acc, x) -> acc + x)""").as("__d2"))
+      .withColumn("__rn", row_number().over(byQ))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__qid"), col("__qlabel"))
+      .agg(sum(when(col("__label") === col("__qlabel"), 1L).otherwise(0L))
+        .as("__match"))
+      .groupBy(col("__qlabel").as(labelCol))
+      .agg(count(lit(1)).as("n_sampled"), sum("__match").as("n_matches"))
+      .select(col(labelCol), col("n_sampled"), col("n_matches"),
+        expr(s"n_matches * 1000000L DIV (n_sampled * $k)")
+          .as("knn_agreement_e6"))
+  }
+
   def nearestCentroid(corpus: DataFrame, idCol: String, vecCol: String,
                       labelCol: String): DataFrame = {
     val q = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),

@@ -443,6 +443,35 @@ object Graph {
         expr("common * 1000000L DIV (__du + __dv - common)").as("jaccard_e6"))
   }
 
+  /** Newman modularity of a GIVEN partition over a SYMMETRIC edge
+    * list with per-endpoint community labels:
+    *   Q = Σ_c [E_in(c)/m − (d_c/2m)²]
+    * evaluated as ONE exact integer ratio
+    * (D·in − Σd_c²)·1e6 DIV D² with D = 2m directed rows and `in` the
+    * directed within-community rows — no floats anywhere. The
+    * partition-quality score for any community assignment (nation,
+    * connected component, label-propagation output).
+    *
+    * Scale shape: two hash aggregates over the edge relation (total +
+    * per-community degree) and a 1-row reduction — never a sort, never
+    * a join beyond what produced the labeled edges. */
+  def modularity(edges: DataFrame, srcComCol: String,
+                 dstComCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcComCol).as("__sc"), col(dstComCol).as("__dc"))
+    val tot = e.agg(count(lit(1)).cast(D).as("__dd"),
+      sum(when(col("__sc") === col("__dc"), 1L).otherwise(0L)).cast(D).as("__in"))
+    val dc = e.groupBy("__sc").agg(count(lit(1)).cast(D).as("__d"))
+    dc.agg(count(lit(1)).as("n_communities"),
+        sum(expr("__d * __d")).as("__sdd"))
+      .crossJoin(broadcast(tot))
+      .select(
+        expr("CAST(__dd AS BIGINT) DIV 2").as("n_edges"),
+        col("n_communities"),
+        expr("""CAST((__dd * __in - __sdd) * 1000000 DIV (__dd * __dd)
+                AS BIGINT)""").as("modularity_e6"))
+  }
+
   /** Degree assortativity of a SYMMETRIC edge list (Newman 2002):
     * Pearson correlation of (deg(src), deg(dst)) over directed edge
     * rows. Positive = hubs attach to hubs; negative = hub-and-spoke

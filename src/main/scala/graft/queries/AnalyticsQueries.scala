@@ -2595,6 +2595,43 @@ object AnalyticsQueries {
           cents(col("l_extendedprice")).as("__rev"))
       graft.operators.Stats.hhi(rev, "nation", "l_suppkey", "__rev")
         .orderBy("nation")
+    },
+
+    // Newman modularity (Graph.modularity) of the NATION partition of
+    // the customer-supplier graph — one exact integer ratio; near 0
+    // here, as trade does not cluster by nation in this data.
+    "q288_modularity" -> q(
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT c.c_nationkey AS src_com, s.s_nationkey AS dst_com
+                  FROM pairs JOIN customer c ON ck = c.c_custkey
+                             JOIN supplier s ON sk = s.s_suppkey),
+            sym AS (SELECT src_com, dst_com FROM e
+                    UNION ALL SELECT dst_com, src_com FROM e),
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS dd,
+                         CAST(count(*) FILTER (WHERE src_com = dst_com) AS HUGEINT) AS ind
+                  FROM sym),
+            dc AS (SELECT src_com AS com, CAST(count(*) AS HUGEINT) AS d
+                   FROM sym GROUP BY 1),
+            sq AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                          sum(d * d) AS sdd FROM dc)
+         SELECT CAST(t.dd AS BIGINT) // 2 AS n_edges, sq.n_communities,
+                CAST((t.dd * t.ind - sq.sdd) * 1000000 // (t.dd * t.dd)
+                  AS BIGINT) AS modularity_e6
+         FROM t, sq""") { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = pairs
+        .join(t(s, dir, "customer"), col("ck") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src_com"), col("s_nationkey").as("dst_com"))
+      val sym = e.select(explode(array(
+          struct(col("src_com"), col("dst_com")),
+          struct(col("dst_com").as("src_com"), col("src_com").as("dst_com")))).as("p"))
+        .select(col("p.src_com").as("src_com"), col("p.dst_com").as("dst_com"))
+      graft.operators.Graph.modularity(sym, "src_com", "dst_com")
     }
   )
 

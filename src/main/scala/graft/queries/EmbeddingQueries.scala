@@ -470,6 +470,36 @@ object EmbeddingQueries {
       Similarity.silhouetteSampled(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", sampleMod = 5)
         .orderBy("label")
+    },
+
+    // kNN label agreement (Similarity.knnLabelAgreement): fraction of
+    // each sampled point's 10 exact nearest neighbors sharing its
+    // label — the cleanlab-style label-noise audit; near 1/|labels|
+    // here (weak clusters, consistent with q287's silhouette).
+    "q289_knn_agreement" -> q(
+      s"""WITH q AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
+                     FROM embeddings),
+             smp AS (SELECT vec_id AS qid, label AS qlabel, qv AS qqv
+                     FROM q WHERE vec_id % 5 = 0),
+             d AS (SELECT s.qid, s.qlabel, p.label, p.vec_id AS pid,
+                     CAST(list_sum(list_transform(generate_series(1, len(p.qv)),
+                          i -> CAST(p.qv[i] - s.qqv[i] AS HUGEINT)
+                               * (p.qv[i] - s.qqv[i]))) AS BIGINT) AS d2
+                   FROM q p CROSS JOIN smp s WHERE p.vec_id <> s.qid),
+             r AS (SELECT qid, qlabel, label,
+                     row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS rn
+                   FROM d),
+             agree AS (SELECT qid, qlabel,
+                         CAST(count(*) FILTER (WHERE label = qlabel) AS BIGINT) AS n_match
+                       FROM r WHERE rn <= 10 GROUP BY 1, 2)
+          SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(n_match) AS BIGINT) AS n_matches,
+                 CAST(sum(n_match) * 1000000 // (count(*) * 10) AS BIGINT)
+                   AS knn_agreement_e6
+          FROM agree GROUP BY 1 ORDER BY label""") { (s, dir) =>
+      Similarity.knnLabelAgreement(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 10, sampleMod = 5)
+        .orderBy("label")
     }
   )
 }

@@ -414,6 +414,18 @@ class SimilaritySpec extends SparkSpec {
     assert(t2 == Map(0 -> 1000000L, 1 -> 0L))
   }
 
+  test("knnLabelAgreement: clean pair agrees fully; isolated label scores 0") {
+    val vecs = Seq(
+      (0L, Array(0.0f), 0), (5L, Array(0.1f), 0),   // mutual NNs, same label
+      (10L, Array(100.0f), 1)                        // its NN is label 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label",
+        k = 1, sampleMod = 5)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(0 -> ((2L, 2L, 1000000L)), 1 -> ((1L, 0L, 0L))))
+  }
+
   test("silhouetteSampled: tight separated clusters near +1; merged labels negative") {
     // labels 0 and 1 far apart, points nearly coincident within a label;
     // ids multiples of 5 so every point is sampled

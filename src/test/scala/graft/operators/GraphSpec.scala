@@ -174,6 +174,25 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set(("u", "v", 2L, 333333L)))
   }
 
+  test("modularity: two bridged triangles score 5/14 exactly; one community 0") {
+    val tri = for {
+      (com, ns) <- Seq(("A", Seq("a1", "a2", "a3")), ("B", Seq("b1", "b2", "b3")))
+      Seq(u, v) <- ns.combinations(2).toSeq
+      (s, d) <- Seq((u, v), (v, u))
+    } yield (com, com, s, d)
+    val bridge = Seq(("A", "B", "a1", "b1"), ("B", "A", "b1", "a1"))
+    val edges = (tri ++ bridge).map { case (sc, dc, _, _) => (sc, dc) }
+      .toDF("src_com", "dst_com")
+    val got = Graph.modularity(edges, "src_com", "dst_com").collect().head
+    // Q = 12/14 - 2*(7/14)^2 = 5/14 = 0.357142...
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((7L, 2L, 357142L)))
+    val one = edges
+      .withColumn("src_com", org.apache.spark.sql.functions.lit("X"))
+      .withColumn("dst_com", org.apache.spark.sql.functions.lit("X"))
+    assert(Graph.modularity(one, "src_com", "dst_com").collect().head.getLong(2) == 0L)
+  }
+
   test("degreeAssortativity: star is exactly -1, regular graph is NULL") {
     // star: hub degree 3, leaves degree 1 -> every edge pairs (3,1) or
     // (1,3): perfect anti-correlation
