@@ -725,4 +725,34 @@ object Events {
           .when(col("days_inactive") > atRiskDays, "at_risk")
           .otherwise("active"))
   }
+
+  /** Gaps-and-islands activity streaks: per key, the runs of
+    * CONSECUTIVE active calendar days, summarized as total active days,
+    * number of distinct streaks, and the longest streak — the
+    * engagement shape behind "7-day streak" product metrics.
+    *
+    * Classic island trick: distinct active days per key, then
+    * `day - row_number()` is constant within a consecutive run, so one
+    * group-by on that anchor date materializes the islands without a
+    * self-join.
+    *
+    * Scale shape: one hash aggregate to (key, day) — the only relation
+    * that is data-sized — then a key-partitioned window and two more
+    * key-sized aggregates. No global window, no join. */
+  def activityStreaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df
+      .select(col(keyCol).as("k"), col(tsCol).cast("date").as("d"))
+      .distinct()
+    val islands = days
+      .withColumn("__anchor",
+        date_sub(col("d"),
+          row_number().over(Window.partitionBy("k").orderBy("d"))))
+      .groupBy(col("k"), col("__anchor"))
+      .agg(count(lit(1)).as("__len"))
+    islands.groupBy(col("k").as(keyCol))
+      .agg(sum("__len").cast("long").as("n_active_days"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max("__len").cast("long").as("longest_streak"))
+  }
 }

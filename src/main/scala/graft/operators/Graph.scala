@@ -508,4 +508,57 @@ object Graph {
                           * sqrt(CAST(n_edges*__syy - __sy*__sy AS DOUBLE))))
                        + 0.5) AS BIGINT) END""").as("assortativity_e6"))
   }
+
+  /** Synchronous frequency-based label propagation (community
+    * detection). Labels start as the node id; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * by the smallest label (the deterministic variant — classic async
+    * LPA is run-order-dependent and un-oracle-able). A node with no
+    * edges keeps its own label. Distinct from connected components
+    * (Dedup.groups): frequency voting can split a connected graph
+    * into several communities, which is the point.
+    *
+    * `edges` must be SYMMETRIC (caller unions both directions) and
+    * distinct. Returns (node, label) after `rounds` synchronous
+    * rounds.
+    *
+    * Scale shape per round: one equi-join of the label relation to the
+    * edge list, one (node, label) count aggregate, one node-partitioned
+    * top-1 window — all key-partitioned shuffles, no global ordering.
+    * Same persisted one-deep lineage discipline as pageRank: each
+    * round's labels are persisted and the parent released, so the plan
+    * never nests. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist(lvl)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct().persist(lvl)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(lvl)
+    for (_ <- 1 to rounds) {
+      val votes = labels
+        .join(e, labels("node") === e("__src"))
+        .groupBy(col("__dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val winner = votes
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("__c").desc, col("label"))))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("label"))
+      val next = nodes
+        .join(winner, Seq("node"), "left")
+        .select(nodes("node"),
+          coalesce(col("label"), col("node")).as("label"))
+        .persist(lvl)
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    labels
+  }
 }

@@ -83,6 +83,41 @@ object Reconcile {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Jaro-Winkler record linkage over the same (prefix, length-band)
+    * blocking as [[fuzzyMatchPairs]]: candidate pairs share their first
+    * `prefixLen` chars and differ in length by <= `lenBand`, scored by
+    * the codegen'd [[graft.functions.JaroWinklerE6]] expression and
+    * kept when the score reaches `minScoreE6` micro-units.
+    *
+    * Where Levenshtein linkage counts edits, JW rewards shared
+    * prefixes and tolerates transpositions — the conventional scorer
+    * for person/vendor name linkage. Same scale contract as
+    * fuzzyMatchPairs: the scorer only ever runs inside blocks, and the
+    * equi-join on (prefix, banded length) bounds block volume.
+    * Returns (id_a, id_b, jw_e6), each pair once (id_a < id_b). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+                       minScoreE6: Long, prefixLen: Int = 4,
+                       lenBand: Int = 2): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(lenBand >= 0, s"lenBand must be >= 0, got $lenBand")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(nameCol).as("nm"))
+      .withColumn("fc", substring(col("nm"), 1, prefixLen))
+      .withColumn("ln", length(col("nm")))
+    val probe = base
+      .withColumn("lnb", explode(sequence(col("ln") - lenBand, col("ln") + lenBand)))
+      .select(col("id").as("id_a"), col("nm").as("nm_a"),
+        col("fc"), col("lnb").as("ln"))
+    probe
+      .join(base.select(col("id").as("id_b"), col("nm").as("nm_b"),
+        col("fc"), col("ln")), Seq("fc", "ln"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_e6",
+        graft.functions.JaroWinklerE6(col("nm_a"), col("nm_b")))
+      .filter(col("jw_e6") >= minScoreE6)
+      .select("id_a", "id_b", "jw_e6")
+  }
+
   /** Schema drift between two relations: added / removed / retyped
     * columns by lower-cased name. Pure metadata (schemas live on the
     * driver); returns a DataFrame for report composition. Columns with

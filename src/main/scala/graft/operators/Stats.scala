@@ -1395,4 +1395,43 @@ object Stats {
         expr("CASE WHEN n_days = 0 THEN NULL ELSE __sae DIV n_days END")
           .as("mae"))
   }
+
+  /** Period-over-period mix-shift decomposition: per segment, split
+    * the metric delta between period 1 and period 2 into a VOLUME
+    * effect (unit-count change at the old per-unit rate) and a RATE
+    * effect (per-unit-rate change at the new unit count) — the
+    * standard "is revenue down because fewer orders or smaller
+    * orders?" analyst decomposition.
+    *
+    * Exact-integer contract: per-unit rates are e6 floor divisions of
+    * non-negative sums (engine-identical); both effects are then pure
+    * integer MULTIPLICATIONS of those rounded rates — no division of a
+    * possibly-negative delta anywhere, sidestepping the Spark-DIV
+    * (truncate) vs DuckDB-// (floor) disagreement on negatives. The
+    * effects are in e6-value units; `residual_e6` (delta minus both
+    * effects) carries the rate-rounding slack plus the interaction
+    * term, so the decomposition visibly sums.
+    *
+    * Scale shape: ONE hash aggregate over the fact (conditional sums
+    * per segment — the period split rides the same pass, no join, no
+    * window), output is segments-sized. */
+  def mixShift(df: DataFrame, keyCol: String, periodCol: String,
+               valCol: String): DataFrame = {
+    def s(p: Int, c: Column) = sum(when(col(periodCol) === p, c).otherwise(0L))
+    df.groupBy(col(keyCol))
+      .agg(s(1, lit(1L)).cast("long").as("u1"),
+        s(2, lit(1L)).cast("long").as("u2"),
+        s(1, col(valCol)).cast("long").as("v1"),
+        s(2, col(valCol)).cast("long").as("v2"))
+      .select(col(keyCol), col("u1"), col("u2"), col("v1"), col("v2"),
+        (col("v2") - col("v1")).as("delta"),
+        expr("CASE WHEN u1 = 0 THEN NULL ELSE v1 * 1000000L DIV u1 END")
+          .as("rate1_e6"),
+        expr("CASE WHEN u2 = 0 THEN NULL ELSE v2 * 1000000L DIV u2 END")
+          .as("rate2_e6"))
+      .withColumn("volume_effect_e6", (col("u2") - col("u1")) * col("rate1_e6"))
+      .withColumn("rate_effect_e6", col("u2") * (col("rate2_e6") - col("rate1_e6")))
+      .withColumn("residual_e6",
+        col("delta") * 1000000L - col("volume_effect_e6") - col("rate_effect_e6"))
+  }
 }

@@ -2632,6 +2632,100 @@ object AnalyticsQueries {
           struct(col("dst_com").as("src_com"), col("src_com").as("dst_com")))).as("p"))
         .select(col("p.src_com").as("src_com"), col("p.dst_com").as("dst_com"))
       graft.operators.Graph.modularity(sym, "src_com", "dst_com")
+    },
+
+    // Synchronous frequency-based label propagation
+    // (Graph.labelPropagation, 3 rounds) on the symmetric customer-
+    // supplier trade graph (suppliers offset by 10M into a disjoint id
+    // space). Deterministic variant: most-frequent neighbor label,
+    // ties to the smallest — so the 3 rounds unroll EXACTLY into the
+    // oracle's three vote/winner/relabel CTE stages.
+    "q291_label_propagation" -> q(
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e0 AS (SELECT ck AS src, sk + 10000000 AS dst FROM pairs),
+            e AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+            w1 AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+                     FROM v1) WHERE rn = 1),
+            l1 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+                   FROM nodes n LEFT JOIN w1 w ON n.node = w.node),
+            v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+            w2 AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+                     FROM v2) WHERE rn = 1),
+            l2 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+                   FROM nodes n LEFT JOIN w2 w ON n.node = w.node),
+            v3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+            w3 AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+                     FROM v3) WHERE rn = 1),
+            l3 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+                   FROM nodes n LEFT JOIN w3 w ON n.node = w.node)
+         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+         FROM l3 ORDER BY node""") { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val sym = pairs.select(col("src"), col("dst"))
+        .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.labelPropagation(sym, "src", "dst", rounds = 3)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    },
+
+    // Period-over-period mix-shift decomposition (Stats.mixShift):
+    // per-nation revenue delta between the 1995-97 and 1998-2001
+    // halves, split into a volume effect (order-count change at the
+    // old per-order rate) and a rate effect (per-order-rate change at
+    // the new count), residual carrying rounding + interaction. The
+    // "fewer orders or smaller orders?" analyst question as one exact
+    // integer aggregate.
+    "q292_mix_shift" -> q(
+      """WITH f AS (SELECT c_nationkey AS nation,
+                           CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                THEN 1 ELSE 2 END AS p,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+            g AS (SELECT nation,
+                         CAST(count(*) FILTER (WHERE p = 1) AS BIGINT) AS u1,
+                         CAST(count(*) FILTER (WHERE p = 2) AS BIGINT) AS u2,
+                         CAST(coalesce(sum(v) FILTER (WHERE p = 1), 0) AS BIGINT) AS v1,
+                         CAST(coalesce(sum(v) FILTER (WHERE p = 2), 0) AS BIGINT) AS v2
+                  FROM f GROUP BY 1),
+            r AS (SELECT *, v2 - v1 AS delta,
+                         CASE WHEN u1 = 0 THEN NULL
+                              ELSE CAST(v1 * 1000000 // u1 AS BIGINT) END AS rate1_e6,
+                         CASE WHEN u2 = 0 THEN NULL
+                              ELSE CAST(v2 * 1000000 // u2 AS BIGINT) END AS rate2_e6
+                  FROM g)
+         SELECT nation, u1, u2, v1, v2, delta, rate1_e6, rate2_e6,
+                CAST((u2 - u1) * rate1_e6 AS BIGINT) AS volume_effect_e6,
+                CAST(u2 * (rate2_e6 - rate1_e6) AS BIGINT) AS rate_effect_e6,
+                CAST(delta * 1000000 - (u2 - u1) * rate1_e6
+                     - u2 * (rate2_e6 - rate1_e6) AS BIGINT) AS residual_e6
+         FROM r ORDER BY nation""") { (s, dir) =>
+      val f = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"),
+          when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1)
+            .otherwise(2).as("__p"),
+          cents(col("o_totalprice")).as("__v"))
+      graft.operators.Stats.mixShift(f, "nation", "__p", "__v")
+        .orderBy("nation")
     }
   )
 

@@ -1316,6 +1316,62 @@ object EventsQueries {
          FROM m ORDER BY event_type""") { (s, dir) =>
       Events.burstiness(t(s, dir, "events"), "event_type", "ts", "event_id")
         .orderBy("event_type")
+    },
+
+    // Gaps-and-islands activity streaks (Events.activityStreaks): per
+    // user, total active days / number of runs / longest run of
+    // consecutive calendar days — the classic `day - row_number()`
+    // island anchor, no self-join. Exercises a key-partitioned window
+    // over the (user, day)-deduped relation.
+    "q290_activity_streaks" -> q(
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+            isl AS (SELECT user_id,
+                           d - CAST(row_number() OVER (
+                             PARTITION BY user_id ORDER BY d) AS INTEGER)
+                             AS anchor
+                    FROM days),
+            runs AS (SELECT user_id, anchor,
+                            CAST(count(*) AS BIGINT) AS len
+                     FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(count(*) AS BIGINT) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak
+         FROM runs GROUP BY 1 ORDER BY user_id""") { (s, dir) =>
+      Events.activityStreaks(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id")
+    },
+
+    // Keyed linear recurrence via the CUSTOM PHYSICAL OPERATOR
+    // (plans/Recurrence: DecayedScan logical node -> GraftStrategy ->
+    // DecayedScanExec): per user, the exponentially-decayed running
+    // activity value s := floorDiv(s*9, 10) + v over every event in
+    // (ts, event_id) order — the per-key fold a window frame cannot
+    // express. Every intermediate state is emitted and hash-checked
+    // against a recursive-CTE oracle.
+    "q294_decayed_activity" -> q(
+      """WITH RECURSIVE seq AS (
+           SELECT user_id, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, event_id, rn, v AS s FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT seq.user_id, seq.event_id, seq.rn,
+                  (r.s * 9) // 10 + seq.v
+           FROM rec r JOIN seq
+             ON seq.user_id = r.user_id AND seq.rn = r.rn + 1)
+         SELECT user_id, event_id, CAST(s AS BIGINT) AS decayed_cents
+         FROM rec ORDER BY user_id, event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cents(col("value")).as("__v"))
+      graft.plans.Recurrence.decayedSum(ev, "user_id", Seq("ts", "event_id"),
+          "__v", num = 9, den = 10, outName = "decayed_cents")
+        .select(col("user_id"), col("event_id"), col("decayed_cents"))
+        .orderBy("user_id", "event_id")
     }
   )
 

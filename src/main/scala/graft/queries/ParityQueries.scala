@@ -434,6 +434,39 @@ object ParityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Jaro-Winkler record linkage (Reconcile.jaroWinklerPairs) over the
+    // q123 corrupted-names corpus: the transposition-tolerant scorer
+    // runs as a codegen'd native expression (functions/JaroWinkler
+    // .scala) inside the same (prefix, length-band) blocks. The e6
+    // integer scores are bit-identical to DuckDB's
+    // jaro_winkler_similarity (verified over all 32k blocked pairs:
+    // same IEEE op order — see the expression's Scaladoc).
+    "q293_jw_linkage" -> q(
+      """WITH n AS (SELECT p_partkey AS id, p_name AS nm FROM part
+                    UNION ALL
+                    SELECT p_partkey + 1000000,
+                           substr(p_name, 1, length(p_name) - 1) || 'x'
+                    FROM part WHERE p_partkey % 50 = 0),
+            cand AS (SELECT a.id AS id_a, b.id AS id_b,
+                            CAST(floor(jaro_winkler_similarity(a.nm, b.nm)
+                                       * 1000000 + 0.5) AS BIGINT) AS jw_e6
+                     FROM n a JOIN n b
+                       ON a.id < b.id
+                      AND substr(a.nm, 1, 8) = substr(b.nm, 1, 8)
+                      AND abs(length(a.nm) - length(b.nm)) <= 2)
+         SELECT id_a, id_b, jw_e6 FROM cand WHERE jw_e6 >= 800000
+         ORDER BY id_a, id_b""") { (s, dir) =>
+      val p = t(s, dir, "part")
+      val names = p.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .unionByName(p.filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 1000000L).as("id"),
+            concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+              lit("x")).as("nm")))
+      graft.operators.Reconcile.jaroWinklerPairs(names, "id", "nm",
+          minScoreE6 = 800000L, prefixLen = 8, lenBand = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // CDC MERGE: a change batch (deletes, updates with an in-batch
     // superseded op, inserts on disjoint negative keys) applied to the
     // customer table in one anti-join + union (Scd.applyCdc) — the

@@ -12,6 +12,15 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a catalyst LogicalPlan back into a DataFrame
+    * (`Dataset.ofRows` is `private[sql]`) — needed by custom logical
+    * operators (plans/Recurrence) that have no Column-level API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Block until every event already posted to the shared listener bus
     * has been delivered (`listenerBus.waitUntilEmpty` is
     * `private[spark]`). Deterministic alternative to sleep-loop

@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DecayedScan custom physical operator: correctness against a
+  * hand-rolled fold, plan shape (our exec node + exactly one exchange),
+  * and key-boundary isolation across partitions. */
+class RecurrenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def referenceFold(rows: Seq[(Long, Long, Long)],
+                            num: Long, den: Long): Map[(Long, Long), Long] = {
+    // (key, ord, value) -> (key, ord) -> expected state
+    rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = 0L
+      rs.sortBy(_._2).map { case (_, o, v) =>
+        s = Math.floorDiv(s * num, den) + v
+        (k, o) -> s
+      }
+    }
+  }
+
+  test("matches a hand-rolled per-key fold on shuffled input") {
+    val data = Seq(
+      (1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 0L), (1L, 4L, 7L),
+      (2L, 1L, 10L), (2L, 2L, 10L), (2L, 3L, 10L),
+      (3L, 1L, 999L))
+    val expected = referenceFold(data, 1, 2)
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(data), 5)
+      .toDF("k", "o", "v")
+    val out = Recurrence.decayedSum(df, "k", Seq("o"), "v", 1, 2, "s")
+      .select("k", "o", "s").as[(Long, Long, Long)].collect()
+    assert(out.length == data.length)
+    out.foreach { case (k, o, s) => assert(s == expected((k, o)), s"key $k ord $o") }
+  }
+
+  test("plan contains DecayedScanExec fed by ONE exchange + sort") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        (col("value") * 100).cast("long").as("v"))
+    val out = Recurrence.decayedSum(df, "user_id", Seq("event_id"), "v", 9, 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("DecayedScan"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(plan.contains("Sort ["), plan.take(2000))
+  }
+
+  test("differential vs window closed form for pure running sum (num=den=1)") {
+    // with decay 1/1 the recurrence IS a running sum, which windows can
+    // express — differential-test the custom exec against the built-in
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value") * 100).cast("long").as("v"))
+    val custom = Recurrence.decayedSum(ev, "user_id", Seq("ts", "event_id"), "v", 1, 1, "s")
+      .select(col("user_id"), col("event_id"), col("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val builtin = ev.select(col("user_id"), col("event_id"),
+      sum("v").over(w).as("s"))
+    assert(custom.exceptAll(builtin).isEmpty && builtin.exceptAll(custom).isEmpty)
+  }
+
+  test("null values contribute zero; key groups never bleed") {
+    val df = Seq((1L, 1L, Some(5L)), (1L, 2L, None), (1L, 3L, Some(3L)),
+      (2L, 1L, None)).toDF("k", "o", "v")
+    val out = Recurrence.decayedSum(df, "k", Seq("o"), "v", 1, 1, "s")
+      .select("k", "o", "s").as[(Long, Long, Long)].collect().toMap2
+    assert(out((1L, 1L)) == 5L && out((1L, 2L)) == 5L && out((1L, 3L)) == 8L)
+    assert(out((2L, 1L)) == 0L)
+  }
+
+  private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = arr.map(t => (t._1, t._2) -> t._3).toMap
+  }
+}
