@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FULL Damerau-Levenshtein distance (Lowrance-Wagner: adjacent
+  * transposition counts 1 even with intervening edits — "CA"→"ABC" is
+  * 2, where the restricted OSA variant says 3). Spark ships only plain
+  * `levenshtein`; transposition-aware distance is the better linkage
+  * metric for keyboard/OCR noise. Matches DuckDB's
+  * `damerau_levenshtein` exactly (all-integer DP — no float parity
+  * concerns; verified equal over all 32k blocked part-name pairs).
+  *
+  * Cost is O(l1·l2) time and memory per pair — callers MUST block
+  * first (Reconcile.fuzzyMatchPairs-style prefix/length blocking);
+  * this never runs on unblocked pairs.
+  */
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"damerau_levenshtein requires string inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshteinExpr.dist(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DamerauLevenshteinExpr.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshteinExpr {
+
+  /** Lowrance-Wagner DP with the extra "last row containing each char"
+    * bookkeeping. UTF-16 code-unit comparison (ASCII corpus; still
+    * deterministic beyond BMP). */
+  def dist(a: UTF8String, b: UTF8String): Long = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0) return l2.toLong
+    if (l2 == 0) return l1.toLong
+    val maxd = l1 + l2
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = maxd
+    var i = 0
+    while (i <= l1) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k: Int = { val v = da.get(s2.charAt(j - 1)); if (v == null) 0 else v }
+        val l = db
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 } else 1
+        var m = d(i)(j) + cost
+        if (d(i + 1)(j) + 1 < m) m = d(i + 1)(j) + 1
+        if (d(i)(j + 1) + 1 < m) m = d(i)(j + 1) + 1
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        if (tr < m) m = tr
+        d(i + 1)(j + 1) = m
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    d(l1 + 1)(l2 + 1).toLong
+  }
+
+  /** Column wrapper: `damerau_levenshtein(a, b)`. */
+  def apply(a: Column, b: Column): Column =
+    Shim.column(new DamerauLevenshteinExpr(Shim.expression(a), Shim.expression(b)))
+}

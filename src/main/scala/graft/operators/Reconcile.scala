@@ -118,6 +118,34 @@ object Reconcile {
       .select("id_a", "id_b", "jw_e6")
   }
 
+  /** Transposition-aware linkage: [[fuzzyMatchPairs]] with FULL
+    * Damerau-Levenshtein (graft.functions.DamerauLevenshteinExpr) in
+    * place of plain Levenshtein — a swapped character pair costs 1,
+    * not 2, so keyboard/OCR transpositions link at tighter thresholds.
+    * Same blocking equi-join, same scale contract. All-integer, so no
+    * float-parity caveats. Returns (id_a, id_b, dist), id_a < id_b. */
+  def damerauMatchPairs(df: DataFrame, idCol: String, nameCol: String,
+                        maxDist: Int = 2, prefixLen: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(nameCol).as("nm"))
+      .withColumn("fc", substring(col("nm"), 1, prefixLen))
+      .withColumn("ln", length(col("nm")))
+    val probe = base
+      .withColumn("lnb", explode(sequence(col("ln") - maxDist, col("ln") + maxDist)))
+      .select(col("id").as("id_a"), col("nm").as("nm_a"),
+        col("fc"), col("lnb").as("ln"))
+    probe
+      .join(base.select(col("id").as("id_b"), col("nm").as("nm_b"),
+        col("fc"), col("ln")), Seq("fc", "ln"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        graft.functions.DamerauLevenshteinExpr(col("nm_a"), col("nm_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Schema drift between two relations: added / removed / retyped
     * columns by lower-cased name. Pure metadata (schemas live on the
     * driver); returns a DataFrame for report composition. Columns with

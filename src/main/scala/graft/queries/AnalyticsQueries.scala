@@ -2726,6 +2726,104 @@ object AnalyticsQueries {
           cents(col("o_totalprice")).as("__v"))
       graft.operators.Stats.mixShift(f, "nation", "__p", "__v")
         .orderBy("nation")
+    },
+
+    // Decile migration matrix: customers active in BOTH halves of the
+    // date range, ranked into revenue deciles per period (ntile over a
+    // deterministic (revenue, key) total order), crossed into a 10x10
+    // movement matrix — the "who moved up/down" retention view.
+    // Scale shape: the global ntile windows run on the CUSTOMER-grain
+    // aggregate (fact already reduced by one hash agg), not the fact.
+    "q295_decile_migration" -> q(
+      """WITH r AS (SELECT o_custkey AS ck,
+                           CAST(coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                             FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01'), 0)
+                             AS BIGINT) AS v1,
+                           CAST(coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                             FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01'), 0)
+                             AS BIGINT) AS v2
+                    FROM orders GROUP BY 1
+                    HAVING count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01') > 0
+                       AND count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01') > 0),
+            d AS (SELECT ck,
+                         CAST(ntile(10) OVER (ORDER BY v1, ck) AS BIGINT) AS d1,
+                         CAST(ntile(10) OVER (ORDER BY v2, ck) AS BIGINT) AS d2
+                  FROM r)
+         SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_customers
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val p1 = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      val r = o.groupBy(col("o_custkey").as("ck"))
+        .agg(sum(when(p1, cents(col("o_totalprice"))).otherwise(0L)).as("v1"),
+          sum(when(!p1, cents(col("o_totalprice"))).otherwise(0L)).as("v2"),
+          sum(when(p1, 1L).otherwise(0L)).as("__n1"),
+          sum(when(!p1, 1L).otherwise(0L)).as("__n2"))
+        .where(col("__n1") > 0 && col("__n2") > 0)
+      r.select(col("ck"),
+          ntile(10).over(Window.orderBy(col("v1"), col("ck"))).cast("long").as("d1"),
+          ntile(10).over(Window.orderBy(col("v2"), col("ck"))).cast("long").as("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_customers"))
+        .orderBy("d1", "d2")
+    },
+
+    // Repeat-purchase cohort curve: customers grouped by first-order
+    // month; for each months-since-first offset k, how many distinct
+    // cohort members ordered again — month arithmetic as exact
+    // (year*12+month) integers so both engines agree on bucket edges.
+    // Scale shape: one min-aggregate to customer grain, one broadcast-
+    // sized join back (customer-grain), one distinct-count aggregate.
+    "q297_repeat_cohort" -> q(
+      """WITH f AS (SELECT o_custkey AS ck,
+                           min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+                    FROM orders GROUP BY 1),
+            hits AS (SELECT DISTINCT o.o_custkey AS ck, f.m0,
+                            year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.m0 AS k
+                     FROM orders o JOIN f ON o.o_custkey = f.ck)
+         SELECT CAST(m0 AS BIGINT) AS cohort_month, CAST(k AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n_customers
+         FROM hits GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      val f = o.groupBy("ck").agg(min("m").as("m0"))
+      o.join(f, "ck")
+        .select(col("ck"), col("m0"), (col("m") - col("m0")).as("k"))
+        .distinct()
+        .groupBy(col("m0").cast("long").as("cohort_month"),
+          col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("cohort_month", "k")
+    },
+
+    // Inter-order gap histogram: days between consecutive orders per
+    // customer (lag over a deterministic (date, orderkey) order),
+    // bucketed into weeks — the purchase-cadence distribution.
+    // Scale shape: one key-partitioned window on the (custkey, date,
+    // key) projection, one hash agg to the buckets.
+    "q298_order_gaps" -> q(
+      """WITH s AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                           o_orderkey AS okey
+                    FROM orders),
+            g AS (SELECT ck,
+                         date_diff('day',
+                           lag(d) OVER (PARTITION BY ck ORDER BY d, okey), d)
+                           AS gap_days
+                  FROM s)
+         SELECT CAST(gap_days // 7 AS BIGINT) AS week_bucket,
+                CAST(count(*) AS BIGINT) AS n_gaps
+         FROM g WHERE gap_days IS NOT NULL
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          col("o_orderdate").cast("date").as("d"), col("o_orderkey").as("okey"))
+      val w = Window.partitionBy("ck").orderBy("d", "okey")
+      o.select(datediff(col("d"), lag(col("d"), 1).over(w)).as("gap_days"))
+        .where(col("gap_days").isNotNull)
+        .select(expr("CAST(gap_days DIV 7 AS BIGINT)").as("week_bucket"))
+        .groupBy("week_bucket").agg(count(lit(1)).as("n_gaps"))
+        .orderBy("week_bucket")
     }
   )
 

@@ -467,6 +467,37 @@ object ParityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // FULL Damerau-Levenshtein linkage (Reconcile.damerauMatchPairs,
+    // codegen'd functions/DamerauLevenshtein.scala — Lowrance-Wagner,
+    // transpositions cost 1 even across intervening edits, matching
+    // DuckDB's damerau_levenshtein). All-integer DP: no float parity
+    // caveats at all. Same corpus + blocks as q123, so the two result
+    // sets diff exactly where a transposition was double-counted.
+    "q299_dl_linkage" -> q(
+      """WITH n AS (SELECT p_partkey AS id, p_name AS nm FROM part
+                    UNION ALL
+                    SELECT p_partkey + 1000000,
+                           substr(p_name, 1, length(p_name) - 1) || 'x'
+                    FROM part WHERE p_partkey % 50 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(damerau_levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM n a JOIN n b
+           ON a.id < b.id
+          AND substr(a.nm, 1, 8) = substr(b.nm, 1, 8)
+          AND abs(length(a.nm) - length(b.nm)) <= 2
+         WHERE damerau_levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id_a, id_b""") { (s, dir) =>
+      val p = t(s, dir, "part")
+      val names = p.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .unionByName(p.filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 1000000L).as("id"),
+            concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+              lit("x")).as("nm")))
+      graft.operators.Reconcile.damerauMatchPairs(names, "id", "nm",
+          maxDist = 2, prefixLen = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // CDC MERGE: a change batch (deletes, updates with an in-batch
     // superseded op, inserts on disjoint negative keys) applied to the
     // customer table in one anti-join + union (Scd.applyCdc) — the

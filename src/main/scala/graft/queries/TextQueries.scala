@@ -1874,6 +1874,37 @@ object TextQueries {
       TextAnalysis.tfIdfCosinePairs(t(s, dir, "documents"),
           "doc_id", "text", "source", num = 4, den = 5)
         .orderBy("id_a", "id_b")
+    },
+
+    // Hapax-legomena ratio per source: the share of vocabulary types
+    // occurring exactly once — the classic corpus-freshness /
+    // boilerplate-contamination signal (a heavily templated source has
+    // few hapaxes; a diverse one approaches Zipf's ~50%). Same
+    // tokenizer contract as the rest of the text battery.
+    // Scale shape: one (source, term) hash agg with map-side partials,
+    // then one source-sized agg — no window, no join.
+    "q296_hapax_ratio" -> q(
+      s"""WITH tok AS (SELECT source, unnest($toksLowerSql) AS term
+                       FROM documents),
+             tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY 1, 2),
+             agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                            CAST(count(*) FILTER (WHERE c = 1) AS BIGINT)
+                              AS n_hapax
+                     FROM tc GROUP BY 1)
+          SELECT source, n_types, n_hapax,
+                 CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_e6
+          FROM agg ORDER BY source""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_hapax"),
+          expr("n_hapax * 1000000L DIV n_types").as("hapax_e6"))
+        .orderBy("source")
     }
   )
 
