@@ -2824,6 +2824,48 @@ object AnalyticsQueries {
         .select(expr("CAST(gap_days DIV 7 AS BIGINT)").as("week_bucket"))
         .groupBy("week_bucket").agg(count(lit(1)).as("n_gaps"))
         .orderBy("week_bucket")
+    },
+
+    // Holt double-exponential smoothing (Recurrence.holt — the SECOND
+    // instantiation of the custom-plan framework: two COUPLED integer
+    // states per key, which neither a window nor the single-state
+    // DecayedScan expresses) over per-nation daily revenue; every
+    // (nation, day) level/trend state plus the 7-step-ahead linear
+    // forecast is hash-checked against a recursive-CTE oracle.
+    "q300_holt_forecast" -> q(
+      """WITH RECURSIVE s AS (
+           SELECT c_nationkey AS nation,
+                  strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         seq AS (SELECT nation, day, v,
+                        row_number() OVER (PARTITION BY nation
+                                           ORDER BY day) AS rn
+                 FROM s),
+         rec AS (
+           SELECT nation, day, rn, v AS l, CAST(0 AS BIGINT) AS b
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT seq.nation, seq.day, seq.rn,
+                  (seq.v + r.l + r.b) // 2,
+                  (r.b + ((seq.v + r.l + r.b) // 2 - r.l)) // 2
+           FROM rec r JOIN seq
+             ON seq.nation = r.nation AND seq.rn = r.rn + 1)
+         SELECT nation, day, CAST(l AS BIGINT) AS level,
+                CAST(b AS BIGINT) AS trend,
+                CAST(l + 7 * b AS BIGINT) AS forecast_7d
+         FROM rec ORDER BY nation, day""") { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      graft.plans.Recurrence.holt(daily, "nation", Seq("day"), "v")
+        .select(col("nation"), col("day"), col("level"), col("trend"),
+          (col("level") + lit(7L) * col("trend")).as("forecast_7d"))
+        .orderBy("nation", "day")
     }
   )
 

@@ -15,7 +15,7 @@ class RecurrenceSpec extends SparkSpec {
     rows.groupBy(_._1).flatMap { case (k, rs) =>
       var s = 0L
       rs.sortBy(_._2).map { case (_, o, v) =>
-        s = Math.floorDiv(s * num, den) + v
+        s = (s * num) / den + v // truncating, like DuckDB // and Spark DIV
         (k, o) -> s
       }
     }
@@ -69,6 +69,27 @@ class RecurrenceSpec extends SparkSpec {
       .select("k", "o", "s").as[(Long, Long, Long)].collect().toMap2
     assert(out((1L, 1L)) == 5L && out((1L, 2L)) == 5L && out((1L, 3L)) == 8L)
     assert(out((2L, 1L)) == 0L)
+  }
+
+  test("holt: hand-computed coupled level/trend, including negative trend") {
+    // key 1: v = 100, 40, 40, 40 — a level drop pulls trend negative,
+    // exercising truncating (not floor) division on negatives
+    //   t1: l=100 b=0
+    //   t2: l=(40+100+0)/2=70,  b=(0+(70-100))/2  = -15
+    //   t3: l=(40+70-15)/2=47,  b=(-15+(47-70))/2 = -19
+    //   t4: l=(40+47-19)/2=34,  b=(-19+(34-47))/2 = -16
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 40L), (1L, 3L, 40L), (1L, 4L, 40L),
+      (2L, 1L, 10L), (2L, 2L, 30L)).toDF("k", "o", "v")
+    val out = Recurrence.holt(df, "k", Seq("o"), "v")
+      .select("k", "o", "level", "trend")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(out((1L, 1L)) == (100L, 0L))
+    assert(out((1L, 2L)) == (70L, -15L))
+    assert(out((1L, 3L)) == (47L, -19L))
+    assert(out((1L, 4L)) == (34L, -16L))
+    assert(out((2L, 1L)) == (10L, 0L))
+    assert(out((2L, 2L)) == (20L, 5L)) // l=(30+10+0)/2=20, b=(0+10)/2=5
   }
 
   private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
