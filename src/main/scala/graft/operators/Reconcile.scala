@@ -146,6 +146,50 @@ object Reconcile {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Sorted-neighborhood record linkage (Hernandez-Stolfo): globally
+    * sort by the name key, then score only pairs within `window`
+    * positions of each other. The classic complement to blocking —
+    * blocking misses pairs that differ inside the block key; sorted
+    * neighborhood misses pairs that sort far apart; production linkage
+    * runs both and unions.
+    *
+    * Scale contract: the global rank comes from
+    * [[graft.analytics.Curation.exclusivePrefixSum]]'s two-pass
+    * distributed scan (range repartition + local window + offset
+    * join) — NOT a single-partition `row_number()` window, which is
+    * the naive formulation's bottleneck. The neighborhood join is an
+    * equi-join on rank (each row exploded into `window` probe ranks),
+    * so volume is exactly `window · n` — linear, never quadratic.
+    *
+    * The sort key is `nm || '|' || lpad(id)` — id-padded so it is
+    * UNIQUE (a prefix-sum requirement) and deterministic under
+    * duplicate names. NOTE the ordering is the BINARY order of that
+    * concatenated string, which differs from (nm, id) tuple order when
+    * one name strictly prefixes another; an oracle must sort by the
+    * same concatenated key. Returns (id_a, id_b, dist) where id_a is
+    * the lower-ranked row, dist <= maxDist. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
+                              window: Int = 3, maxDist: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = graft.analytics.Curation.exclusivePrefixSum(
+        df.select(col(idCol).cast("long").as("id"), col(nameCol).as("nm"))
+          .withColumn("__sk", concat(col("nm"), lit("|"),
+            lpad(col("id").cast("string"), 12, "0")))
+          .withColumn("__one", lit(1L)),
+        "__sk", "__one", "__rk")
+      .select(col("id"), col("nm"), (col("__rk") + 1L).as("__rk"))
+    val probe = ranked
+      .withColumn("__off", explode(sequence(lit(1), lit(window))))
+      .select(col("id").as("id_a"), col("nm").as("nm_a"),
+        (col("__rk") + col("__off")).as("__rk"))
+    probe
+      .join(ranked.select(col("id").as("id_b"), col("nm").as("nm_b"),
+        col("__rk")), Seq("__rk"))
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Schema drift between two relations: added / removed / retyped
     * columns by lower-cased name. Pure metadata (schemas live on the
     * driver); returns a DataFrame for report composition. Columns with

@@ -498,6 +498,40 @@ object ParityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Sorted-neighborhood linkage (Reconcile.sortedNeighborhoodPairs):
+    // the Hernandez-Stolfo complement to q123/q299's blocking — global
+    // sort by name, score only rank-adjacent pairs (window 3). The
+    // Spark rank is the DISTRIBUTED two-pass prefix sum (no global
+    // window); the oracle's row_number() over the SAME concatenated
+    // sort key pins exact agreement, pair for pair.
+    "q301_sorted_neighborhood" -> q(
+      """WITH n AS (SELECT p_partkey AS id, p_name AS nm FROM part
+                    UNION ALL
+                    SELECT p_partkey + 1000000,
+                           substr(p_name, 1, length(p_name) - 1) || 'x'
+                    FROM part WHERE p_partkey % 50 = 0),
+            r AS (SELECT id, nm,
+                         row_number() OVER (ORDER BY
+                           nm || '|' || lpad(CAST(id AS VARCHAR), 12, '0'))
+                           AS rk
+                  FROM n)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM r a JOIN r b
+           ON b.rk - a.rk BETWEEN 1 AND 3
+         WHERE levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id_a, id_b, dist""") { (s, dir) =>
+      val p = t(s, dir, "part")
+      val names = p.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .unionByName(p.filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 1000000L).as("id"),
+            concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+              lit("x")).as("nm")))
+      graft.operators.Reconcile.sortedNeighborhoodPairs(names, "id", "nm",
+          window = 3, maxDist = 2)
+        .orderBy("id_a", "id_b", "dist")
+    },
+
     // CDC MERGE: a change batch (deletes, updates with an in-batch
     // superseded op, inserts on disjoint negative keys) applied to the
     // customer table in one anti-join + union (Scd.applyCdc) — the

@@ -66,6 +66,23 @@ class MixStreaksLpaSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("volume_effect_e6")))
   }
 
+  test("sortedNeighborhoodPairs links sort-adjacent near-dups without a global window") {
+    val names = Seq((1L, "alpha"), (2L, "alphx"), (3L, "beta"),
+      (4L, "betb"), (5L, "zzzzz")).toDF("id", "nm")
+    val out = Reconcile.sortedNeighborhoodPairs(names, "id", "nm",
+        window = 3, maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L))) // alpha ~ alphx, adjacent in sort
+    assert(out.contains((3L, 4L))) // beta ~ betb, adjacent in sort
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L)) // zzzzz links to nothing
+    // the rank comes from the distributed pid-stamped prefix sum (the
+    // scale contract), not a naive global row_number over the data
+    val plan = Reconcile.sortedNeighborhoodPairs(names, "id", "nm", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      "rank must come from the pid-partitioned prefix sum")
+  }
+
   test("jaroWinklerPairs only scores within blocks and respects the threshold") {
     val names = Seq((1L, "alphabravo"), (2L, "alphabrav"), (3L, "alphabrava"),
       (4L, "zuluwhiskey")).toDF("id", "nm")
