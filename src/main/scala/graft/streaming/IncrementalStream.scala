@@ -124,6 +124,43 @@ object IncrementalStream {
       }
   }
 
+  /** Streaming face of the batch DecayedScan custom operator
+    * (plans/Recurrence): per-key exponentially-decayed running value
+    *   s := (s*num) quot den + v     (truncating integer division)
+    * via flatMapGroupsWithState. State per key is ONE long plus the
+    * last-seen order key — bounded, watermark-free. Rows inside a
+    * batch are folded in `ord` order; the PARITY CONTRACT with the
+    * batch operator (same recurrence, same division semantics, so a
+    * replayed stream reproduces the batch result bit-for-bit) is
+    * pinned by RecurrenceSpec's streaming-parity test. Out-of-order
+    * arrival ACROSS batches is the caller's contract to prevent
+    * (source ordered by ord, e.g. a file-per-day feed) — the state
+    * carries lastOrd and rows at-or-before it are dropped as
+    * late-duplicates, matching exactly-once replay semantics. */
+  final case class DecayState(s: Long, lastOrd: Long)
+  final case class DecayUpdate(key: Long, ord: Long, decayed: Long)
+
+  def decayedSumStream(rows: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+                       num: Long, den: Long): org.apache.spark.sql.Dataset[DecayUpdate] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[DecayState, DecayUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long)], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DecayUpdate]
+          it.toSeq.sortBy(_._2).foreach { case (_, ord, v) =>
+            if (ord > st.lastOrd) {
+              st = DecayState((st.s * num) / den + v, ord)
+              out += DecayUpdate(key, ord, st.s)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming KMV distinct-count sketch via mapGroupsWithState — the
     * streaming face of Stats.kmvDistinct, and the live proof that the
     * sketch is MERGEABLE: per-key state is just the k smallest distinct
