@@ -50,7 +50,14 @@ object DamerauLevenshteinExpr {
 
   /** Lowrance-Wagner DP with the extra "last row containing each char"
     * bookkeeping. UTF-16 code-unit comparison (ASCII corpus; still
-    * deterministic beyond BMP). */
+    * deterministic beyond BMP).
+    *
+    * Hot-path layout: the DP matrix is a FLAT int array (one
+    * allocation, sequential row stride — the 2-D nested version plus a
+    * boxed HashMap for the char index measured ~2× slower over the
+    * q299 3.2M-pair join at sf0.1), and the "last row with char c"
+    * index is an int[256] for Latin-1 with a lazily-created map spill
+    * for wider chars. */
   def dist(a: UTF8String, b: UTF8String): Long = {
     val s1 = a.toString
     val s2 = b.toString
@@ -59,33 +66,47 @@ object DamerauLevenshteinExpr {
     if (l1 == 0) return l2.toLong
     if (l2 == 0) return l1.toLong
     val maxd = l1 + l2
-    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
-    d(0)(0) = maxd
+    val w = l2 + 2 // row stride
+    val d = new Array[Int]((l1 + 2) * w)
+    d(0) = maxd
     var i = 0
-    while (i <= l1) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
+    while (i <= l1) { d((i + 1) * w) = maxd; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= l2) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    while (j <= l2) { d(j + 1) = maxd; d(w + j + 1) = j; j += 1 }
+    val daAscii = new Array[Int](256)
+    var daWide: java.util.HashMap[Character, Integer] = null
+    def daGet(c: Char): Int =
+      if (c < 256) daAscii(c)
+      else if (daWide == null) 0
+      else { val v = daWide.get(c); if (v == null) 0 else v.intValue() }
+    def daPut(c: Char, v: Int): Unit =
+      if (c < 256) daAscii(c) = v
+      else {
+        if (daWide == null) daWide = new java.util.HashMap[Character, Integer]()
+        daWide.put(c, v)
+      }
     i = 1
     while (i <= l1) {
       var db = 0
+      val c1 = s1.charAt(i - 1)
       j = 1
       while (j <= l2) {
-        val k: Int = { val v = da.get(s2.charAt(j - 1)); if (v == null) 0 else v }
+        val c2 = s2.charAt(j - 1)
+        val k = daGet(c2)
         val l = db
-        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 } else 1
-        var m = d(i)(j) + cost
-        if (d(i + 1)(j) + 1 < m) m = d(i + 1)(j) + 1
-        if (d(i)(j + 1) + 1 < m) m = d(i)(j + 1) + 1
-        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        val cost = if (c1 == c2) { db = j; 0 } else 1
+        var m = d(i * w + j) + cost
+        if (d((i + 1) * w + j) + 1 < m) m = d((i + 1) * w + j) + 1
+        if (d(i * w + j + 1) + 1 < m) m = d(i * w + j + 1) + 1
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
         if (tr < m) m = tr
-        d(i + 1)(j + 1) = m
+        d((i + 1) * w + j + 1) = m
         j += 1
       }
-      da.put(s1.charAt(i - 1), i)
+      daPut(c1, i)
       i += 1
     }
-    d(l1 + 1)(l2 + 1).toLong
+    d((l1 + 1) * w + l2 + 1).toLong
   }
 
   /** Column wrapper: `damerau_levenshtein(a, b)`. */
