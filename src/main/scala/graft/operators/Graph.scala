@@ -523,42 +523,39 @@ object Graph {
     * rounds.
     *
     * Scale shape per round: one equi-join of the label relation to the
-    * edge list, one (node, label) count aggregate, one node-partitioned
-    * top-1 window — all key-partitioned shuffles, no global ordering.
-    * Same persisted one-deep lineage discipline as pageRank: each
-    * round's labels are persisted and the parent released, so the plan
-    * never nests. */
+    * edge list, one (node, label) count aggregate, then ONE max-struct
+    * aggregate picking the winner — two key shuffles, no sort, no
+    * window (a row_number top-1 window was measured slower: it re-sorts
+    * every partition and its partitionBy(node) cannot reuse the
+    * (node, label) aggregate's partitioning), and NO nodes left-join:
+    * edges are symmetric by contract, so every node receives at least
+    * one vote every round. Same persisted one-deep lineage discipline
+    * as pageRank: each round's labels are persisted and the parent
+    * released, so the plan never nests. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .persist(lvl)
     val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst"))).distinct().persist(lvl)
+      .union(e.select(col("__dst"))).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .persist(lvl)
     for (_ <- 1 to rounds) {
-      val votes = labels
+      // max of (count, -label) == most-frequent label, ties to SMALLEST
+      val next = labels
         .join(e, labels("node") === e("__src"))
         .groupBy(col("__dst").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val winner = votes
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("__c").desc, col("label"))))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("label"))
-      val next = nodes
-        .join(winner, Seq("node"), "left")
-        .select(nodes("node"),
-          coalesce(col("label"), col("node")).as("label"))
+        .groupBy("node")
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__w"))
+        .select(col("node"), (-col("__w.__nl")).as("label"))
         .persist(lvl)
       next.count()
       labels.unpersist()
       labels = next
     }
     e.unpersist()
-    nodes.unpersist()
     labels
   }
 }
