@@ -2866,6 +2866,73 @@ object AnalyticsQueries {
         .select(col("nation"), col("day"), col("level"), col("trend"),
           (col("level") + lit(7L) * col("trend")).as("forecast_7d"))
         .orderBy("nation", "day")
+    },
+
+    // Did label propagation find structure? Newman modularity of the
+    // q291 LPA partition on the same symmetric trade graph —
+    // labelPropagation composed into Graph.modularity, the standard
+    // community-quality audit (compare against q288's by-nation
+    // partition baseline).
+    "q302_lpa_modularity" -> q(
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e0 AS (SELECT ck AS src, sk + 10000000 AS dst FROM pairs),
+            e AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+            w1 AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+                     FROM v1) WHERE rn = 1),
+            l1 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+                   FROM nodes n LEFT JOIN w1 w ON n.node = w.node),
+            v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+            w2 AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+                     FROM v2) WHERE rn = 1),
+            l2 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+                   FROM nodes n LEFT JOIN w2 w ON n.node = w.node),
+            v3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+            w3 AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+                     FROM v3) WHERE rn = 1),
+            l3 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+                   FROM nodes n LEFT JOIN w3 w ON n.node = w.node),
+            m AS (SELECT ls.label AS src_com, ld.label AS dst_com
+                  FROM e JOIN l3 ls ON e.src = ls.node
+                         JOIN l3 ld ON e.dst = ld.node),
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS dd,
+                         CAST(count(*) FILTER (WHERE src_com = dst_com)
+                           AS HUGEINT) AS ind
+                  FROM m),
+            dc AS (SELECT src_com AS com, CAST(count(*) AS HUGEINT) AS d
+                   FROM m GROUP BY 1),
+            sq AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                          sum(d * d) AS sdd FROM dc)
+         SELECT CAST(t.dd AS BIGINT) // 2 AS n_edges, sq.n_communities,
+                CAST((t.dd * t.ind - sq.sdd) * 1000000 // (t.dd * t.dd)
+                  AS BIGINT) AS modularity_e6
+         FROM t, sq""") { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val sym = pairs.select(col("src"), col("dst"))
+        .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = graft.operators.Graph.labelPropagation(sym, "src", "dst", rounds = 3)
+      val m = sym
+        .join(labels.select(col("node").as("src"), col("label").as("src_com")), "src")
+        .join(labels.select(col("node").as("dst"), col("label").as("dst_com")), "dst")
+        .select("src_com", "dst_com")
+      graft.operators.Graph.modularity(m, "src_com", "dst_com")
     }
   )
 

@@ -1372,6 +1372,43 @@ object EventsQueries {
           "__v", num = 9, den = 10, outName = "decayed_cents")
         .select(col("user_id"), col("event_id"), col("decayed_cents"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Each user's CURRENT decayed activity score — the q294 recurrence
+    // reduced to its final per-key state via one max-struct aggregate
+    // (the serving table a decay-scored ranking reads), plus the event
+    // count. Composition of the custom physical operator.
+    "q303_decayed_last" -> q(
+      """WITH RECURSIVE seq AS (
+           SELECT user_id, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, event_id, rn, v AS s FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT seq.user_id, seq.event_id, seq.rn,
+                  (r.s * 9) // 10 + seq.v
+           FROM rec r JOIN seq
+             ON seq.user_id = r.user_id AND seq.rn = r.rn + 1),
+         last AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events
+                  FROM seq GROUP BY 1)
+         SELECT r.user_id, l.n_events, CAST(r.s AS BIGINT) AS decayed_cents
+         FROM rec r JOIN last l
+           ON r.user_id = l.user_id AND r.rn = l.n_events
+         ORDER BY r.user_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cents(col("value")).as("__v"))
+      graft.plans.Recurrence.decayedSum(ev, "user_id", Seq("ts", "event_id"),
+          "__v", num = 9, den = 10, outName = "decayed_cents")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("decayed_cents"))).as("__m"))
+        .select(col("user_id"), col("n_events"),
+          col("__m.decayed_cents").as("decayed_cents"))
+        .orderBy("user_id")
     }
   )
 
