@@ -92,6 +92,16 @@ class RecurrenceSpec extends SparkSpec {
     assert(out((2L, 2L)) == (20L, 5L)) // l=(30+10+0)/2=20, b=(0+10)/2=5
   }
 
+  test("holt plan: HoltScanExec fed by ONE exchange + sort, like DecayedScan") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        (col("value") * 100).cast("long").as("v"))
+    val plan = Recurrence.holt(df, "user_id", Seq("event_id"), "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HoltScan"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
   private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = arr.map(t => (t._1, t._2) -> t._3).toMap
   }
