@@ -789,9 +789,8 @@ object Similarity {
     val dists = base.crossJoin(broadcast(sample))
       .filter(col("__id") =!= col("__qid"))
       .select(col("__qid"), col("__qlabel"), col("__label"),
-        expr("""CAST(floor(sqrt(CAST(aggregate(zip_with(qv, __qqv,
-                (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)
-                AS DOUBLE))) AS BIGINT)""").as("__d"))
+        floor(sqrt(graft.functions.ArrayL2Long(col("qv"), col("__qqv"))
+          .cast("double"))).cast("long").as("__d"))
     val byLabel = dists.groupBy("__qid", "__qlabel", "__label")
       .agg(expr("sum(__d) DIV count(*)").as("__mean_d"))
     val s = byLabel
@@ -835,8 +834,7 @@ object Similarity {
     base.crossJoin(broadcast(sample))
       .filter(col("__id") =!= col("__qid"))
       .select(col("__qid"), col("__qlabel"), col("__label"), col("__id"),
-        expr("""aggregate(zip_with(qv, __qqv, (a, b) -> (a - b) * (a - b)),
-                0L, (acc, x) -> acc + x)""").as("__d2"))
+        graft.functions.ArrayL2Long(col("qv"), col("__qqv")).as("__d2"))
       .withColumn("__rn", row_number().over(byQ))
       .filter(col("__rn") <= k)
       .groupBy(col("__qid"), col("__qlabel"))
@@ -866,8 +864,7 @@ object Similarity {
         .as("cv"))
     q.crossJoin(broadcast(cen))
       .select(col("__id"), col("__label"), col("__clabel"),
-        expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-          .as("__d2"))
+        graft.functions.ArrayL2Long(col("qv"), col("cv")).as("__d2"))
       .groupBy(col("__id"), col("__label"))
       .agg(min(struct(col("__d2"), col("__clabel"))).as("__m"))
       .select(col("__label"), col("__m.__clabel").as("__pred"))

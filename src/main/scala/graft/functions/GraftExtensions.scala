@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotLong(args(0), args(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("array_l2_long"),
+      new ExpressionInfo(classOf[ArrayL2Long].getName, "array_l2_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_l2_long(a, b) takes 2 arguments")
+        ArrayL2Long(args(0), args(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (args: Seq[Expression]) => {

@@ -27,6 +27,22 @@ class ExpressionsSpec extends SparkSpec {
     intercept[Exception] { df.select(ArrayDotLong($"a", $"b")).collect() }
   }
 
+  test("ArrayL2Long matches interpreted aggregate/zip_with squared distance") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),     // 9+9+9 = 27
+      (Array(-7L, 0L, 2L), Array(3L, 9L, -1L))).toDF("a", "b") // 100+81+9 = 190
+    val got = df.select(ArrayL2Long($"a", $"b")).as[Long].collect().toSeq
+    val ref = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)).as[Long].collect().toSeq
+    assert(got == ref && got == Seq(27L, 190L))
+  }
+
+  test("ArrayL2Long truncates to the shorter array, nulls contribute 0") {
+    val df = Seq((Seq(Some(2L), None, Some(4L)), Seq(Some(10L), Some(10L)))).toDF("a", "b")
+    assert(df.select(ArrayL2Long($"a", $"b")).as[Long].head() == 64L)
+  }
+
   test("RollingHash64 is deterministic, content-sensitive, codegen==interp") {
     val df = Seq("hello world", "hello worlD", "hello world", "").toDF("s")
     val h = df.select(RollingHash64($"s")).as[Long].collect()
