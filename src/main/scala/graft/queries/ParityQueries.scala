@@ -532,6 +532,49 @@ object ParityQueries {
         .orderBy("id_a", "id_b", "dist")
     },
 
+    // Jaro-Winkler entity clusters: the new scorer composed into the
+    // dedup ladder — blocked JW pairs at >= 0.95 become edges, pointer-
+    // jumped connected components pick the canonical id, survivors
+    // flagged (q57's verdict shape over the linkage graph; recursive-
+    // CTE components oracle).
+    "q304_jw_components" -> q(
+      """WITH RECURSIVE n AS (
+              SELECT p_partkey AS id, p_name AS nm FROM part
+              UNION ALL
+              SELECT p_partkey + 1000000,
+                     substr(p_name, 1, length(p_name) - 1) || 'x'
+              FROM part WHERE p_partkey % 50 = 0),
+            cand AS (SELECT a.id AS id_a, b.id AS id_b
+                     FROM n a JOIN n b
+                       ON a.id < b.id
+                      AND substr(a.nm, 1, 8) = substr(b.nm, 1, 8)
+                      AND abs(length(a.nm) - length(b.nm)) <= 2
+                     WHERE CAST(floor(jaro_winkler_similarity(a.nm, b.nm)
+                                      * 1000000 + 0.5) AS BIGINT) >= 950000),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION ALL SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT n.id, coalesce(comp.component, n.id) AS component,
+                coalesce(comp.component, n.id) = n.id AS is_survivor
+         FROM n LEFT JOIN comp ON n.id = comp.id
+         ORDER BY n.id""") { (s, dir) =>
+      val p = t(s, dir, "part")
+      val names = p.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .unionByName(p.filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 1000000L).as("id"),
+            concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+              lit("x")).as("nm")))
+      graft.analytics.Dedup.dedupVerdicts(names, "id",
+          graft.operators.Reconcile.jaroWinklerPairs(names, "id", "nm",
+            minScoreE6 = 950000L, prefixLen = 8, lenBand = 2))
+        .select("id", "component", "is_survivor")
+        .orderBy("id")
+    },
+
     // CDC MERGE: a change batch (deletes, updates with an in-batch
     // superseded op, inserts on disjoint negative keys) applied to the
     // customer table in one anti-join + union (Scd.applyCdc) — the
