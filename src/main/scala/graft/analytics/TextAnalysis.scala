@@ -809,20 +809,48 @@ object TextAnalysis {
     * (cos ≥ num/den, dot ≥ 0) — the reported cosine's only float steps
     * are one division and two sqrt's on exact operands.
     *
-    * Corpus-wide terms (df = N) carry zero idf and are dropped — the
-    * built-in stop-term cap; `blockCol` bounds pair enumeration the
-    * way LSH bands do (the all-pairs variant of this join is
-    * quadratic by definition — ALWAYS block at scale).
+    * Corpus-wide terms (df = N) carry zero idf and are dropped;
+    * `blockCol` bounds pair enumeration the way LSH bands do (the
+    * all-pairs variant of this join is quadratic by definition —
+    * ALWAYS block at scale).
+    *
+    * EXACT df-capped two-phase plan (the sibling of
+    * Dedup.ngramJaccardPairs' counted prefilter, adapted to weighted
+    * cosine — the result is cap-INDEPENDENT, unlike Jaccard's
+    * documented recall caveat):
+    *  1a. the (block, term) self-join runs only on KEPT terms
+    *      (df ≤ maxDocFreq), so per-term fanout is ≤ maxDocFreq² and
+    *      total join volume ≤ maxDocFreq · |postings| — a stop-ish
+    *      term with df = 0.9·n can no longer emit (0.9·n)² rows. The
+    *      dropped-term contribution is bounded by Cauchy-Schwarz:
+    *      dot_D ≤ √(n2d_a·n2d_b) (all weights ≥ 0), and with
+    *      (x+s)² ≤ 2(x²+s²) the candidate filter
+    *      `2·den²·(dotK² + n2d_a·n2d_b) ≥ num²·n2_a·n2_b` is a pure-
+    *      integer TRUE superset of the exact predicate — no float
+    *      step, no missed pair.
+    *  1b. a pair sharing NO kept term passes that bound only if BOTH
+    *      docs hold ≥ num²/(2·den²) of their TF-IDF mass in dropped
+    *      terms (n2d·2·den² ≥ n2·num²) — the "heavy" docs. Their
+    *      candidate pairs come from a dropped-term self-join
+    *      restricted to heavy docs (per-term fanout ≤ |heavy|²,
+    *      and |heavy| is the stop-word-dominated fringe, tiny under
+    *      any reasonable cap). Docs sharing no term at all have
+    *      dot = 0 and can never pass a positive threshold.
+    *  2.  exact full-vector dot recomputed ONLY for surviving
+    *      candidates (pair-keyed joins at near-final volume), then
+    *      the exact threshold — so the emitted rows are identical to
+    *      the uncapped plan for every cap value.
     *
     * Integer headroom (e3 idf): weights ≲ tf·7e3, norms ≲ 1e12 for
-    * 1e3-term docs, den²·dot² ≲ 1e26 — deep inside DECIMAL(38,0).
+    * 1e3-term docs, 2·den²·dotK² ≲ 5e25 — inside DECIMAL(38,0).
     *
-    * Scale shape: term-keyed inverted-index self-join inside blocks
-    * (one shuffle on (block, term)), map-side-combining dot aggregate,
-    * then pairs-sized norm joins. Never doc × doc. */
+    * Scale shape: one bounded (block, term) shuffle with map-side-
+    * combining dot aggregate, pairs-sized norm joins, pair-keyed
+    * exact verification. Never doc × doc, never uncapped fanout. */
   def tfIdfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, num: Long = 4,
-                       den: Long = 5): DataFrame = {
+                       den: Long = 5,
+                       maxDocFreq: Long = 256L): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val tf = df
       .select(col(blockCol).as("__blk"), col(idCol).as("__id"),
@@ -836,15 +864,50 @@ object TextAnalysis {
       .select(col("__blk"), col("__id"), col("__term"),
         (col("__tf") * expr(
           "CAST(floor(1000 * ln(CAST(__nd AS DOUBLE) / __df) + 0.5) AS BIGINT)"))
-          .cast(D).as("__w"))
+          .cast(D).as("__w"),
+        (col("__df") <= maxDocFreq).as("__kept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zero = lit(0).cast(D)
     val norm = w.groupBy(col("__id"))
-      .agg(sum(expr("__w * __w")).as("__n2"))
-    val dot = w.select(col("__blk"), col("__term"),
+      .agg(sum(expr("__w * __w")).as("__n2"),
+        sum(when(!col("__kept"), expr("__w * __w")).otherwise(zero)).as("__n2d"))
+    // Phase 1a: capped dot + integer Cauchy-Schwarz candidate bound.
+    val wk = w.filter(col("__kept"))
+    val dotK = wk.select(col("__blk"), col("__term"),
         col("__id").as("id_a"), col("__w").as("__wa"))
-      .join(w.select(col("__blk"), col("__term"),
+      .join(wk.select(col("__blk"), col("__term"),
         col("__id").as("id_b"), col("__w").as("__wb"))
         .hint("shuffle_hash"), Seq("__blk", "__term"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(expr("__wa * __wb")).as("__dotk"))
+    val cand1 = dotK
+      .join(norm.select(col("__id").as("id_a"), col("__n2").as("__na"),
+        col("__n2d").as("__nda")), Seq("id_a"))
+      .join(norm.select(col("__id").as("id_b"), col("__n2").as("__nb"),
+        col("__n2d").as("__ndb")), Seq("id_b"))
+      .filter(expr(s"2 * ${den * den} * (__dotk * __dotk + __nda * __ndb)" +
+        s" >= ${num * num} * __na * __nb"))
+      .select(col("id_a"), col("id_b"))
+    // Phase 1b: pairs that could pass on dropped terms alone — both
+    // docs must be "heavy" (dropped mass ≥ (num/den)²/2 of the norm).
+    val heavy = norm
+      .filter(expr(s"2 * ${den * den} * __n2d >= ${num * num} * __n2"))
+      .select(col("__id"))
+    val wd = w.filter(!col("__kept"))
+      .join(heavy.hint("broadcast"), Seq("__id"))
+    val cand2 = wd.select(col("__blk"), col("__term"), col("__id").as("id_a"))
+      .join(wd.select(col("__blk"), col("__term"), col("__id").as("id_b"))
+        .hint("shuffle_hash"), Seq("__blk", "__term"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val cand = cand1.union(cand2).distinct()
+    // Phase 2: exact full-vector dot for candidates only.
+    val dot = cand
+      .join(w.select(col("__id").as("id_a"), col("__term"),
+        col("__w").as("__wa")), Seq("id_a"))
+      .join(w.select(col("__id").as("id_b"), col("__term"),
+        col("__w").as("__wb")), Seq("id_b", "__term"))
       .groupBy("id_a", "id_b")
       .agg(sum(expr("__wa * __wb")).as("__dot"))
     dot

@@ -1845,7 +1845,10 @@ object TextQueries {
     // Sparse TF-IDF cosine near-dup pairs within each source block
     // (TextAnalysis.tfIdfCosinePairs): exact integer weights/dots/
     // norms, exact-inequality 0.8 threshold — the lexical counterpart
-    // of the embedding near-dup ladder.
+    // of the embedding near-dup ladder. The Spark side runs the
+    // df-capped two-phase plan (bounded per-term fanout + heavy-doc
+    // completion + exact verify), which is provably identical to this
+    // uncapped oracle for any cap — TextQualitySpec differentials it.
     "q284_tfidf_cosine" -> q(
       s"""WITH tf AS (SELECT source, doc_id, term, CAST(count(*) AS BIGINT) AS tf
                       FROM (SELECT source, doc_id, unnest($toksLowerSql) AS term

@@ -347,6 +347,37 @@ class TextQualitySpec extends SparkSpec {
       .tfIdfCosinePairs(allShare, "doc_id", "text", "source").collect().isEmpty)
   }
 
+  test("tfIdfCosinePairs: df cap is EXACT — capped == uncapped, incl. dropped-only pairs") {
+    // Constructed so the cap bites: with maxDocFreq = 2, term h (df 3)
+    // is dropped, so the (1,2) pair shares ONLY dropped terms and must
+    // survive via the heavy-doc phase-1b path; (3,4) pairs on kept
+    // terms through the capped phase-1a join. Fillers push nd to 8 so
+    // no term is corpus-wide (idf stays > 0).
+    val docs = Seq(
+      (1L, "h h h h h h u1", "b"), (2L, "h h h h h h u2", "b"),
+      (3L, "k k k m u3", "b"), (4L, "k k k m u4", "b"),
+      (5L, "h z1 z2", "b"), (6L, "u5 u6", "b"), (7L, "u7", "b"),
+      (8L, "u8", "b")).toDF("doc_id", "text", "source")
+    def pairs(cap: Long) = graft.analytics.TextAnalysis
+      .tfIdfCosinePairs(docs, "doc_id", "text", "source", num = 4, den = 5,
+        maxDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+    assert(pairs(2L) == uncapped)   // bit-identical cosines, both paths
+    assert(pairs(1L) == uncapped)   // everything dropped -> all heavy-path
+    // and on real data: the default cap changes nothing
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val capped = graft.analytics.TextAnalysis
+      .tfIdfCosinePairs(real, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.analytics.TextAnalysis
+      .tfIdfCosinePairs(real, "doc_id", "text", "source",
+        maxDocFreq = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == full)
+  }
+
   test("tokenEntropy: exact bits for uniform and single-token docs") {
     val docs = Seq((1L, "x x y y"), (2L, "z"), (3L, "a b c d"))
       .toDF("doc_id", "text")
