@@ -145,10 +145,15 @@ object Dedup {
     * that catches quote-inclusion (a short doc embedded verbatim in a
     * long one scores near 1 here but near min/max under Jaccard).
     * Same exact integer inequality (common·den >= min(nA,nB)·num),
-    * same two-phase df-capped plan: the upper bound `common_c +
-    * least(d_a, d_b)` is monotone for containment too (the denominator
-    * min(nA,nB) is cap-independent), so the prefilter keeps every
-    * true pair. */
+    * same two-phase df-capped plan: the upper-bound FILTER keeps every
+    * candidate (the bound `common_c + least(d_a, d_b)` is monotone for
+    * containment too — the denominator min(nA,nB) is cap-independent).
+    * RECALL CAVEAT, same as [[ngramJaccardPairs]]: candidate
+    * GENERATION still needs one shared KEPT (df <= maxDocFreq)
+    * shingle, so a short doc composed ENTIRELY of stop-grade shingles
+    * quoted inside a long one is missed — exactly the case containment
+    * targets, so size maxDocFreq relative to the corpus (q276 runs
+    * cap-free at oracle scale for this reason). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 2, num: Long = 4, den: Long = 5,
                        maxDocFreq: Long = DefaultMaxDocFreq): DataFrame =

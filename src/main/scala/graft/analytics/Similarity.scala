@@ -772,18 +772,32 @@ object Similarity {
     * integers from there), means are truncating integer divisions
     * (identical on both engines for signed operands), and the final
     * ratio is one exact integer division per point, averaged as exact
-    * integers per label. The sample (`idCol % sampleMod == 0`) is
-    * deterministic and engine-portable.
+    * integers per label. The sample is the `maxSample` rows of smallest
+    * md5('s1' || id) rank (ties by id) — deterministic, engine-portable
+    * (ORDER BY md5 || LIMIT on both engines), and COUNT-bounded: the
+    * broadcast side is ≤ maxSample rows at ANY corpus size (a modulus
+    * sample would grow with the corpus and eventually not broadcast).
     *
     * Scale shape: sample × corpus — LINEAR in the corpus for a fixed
-    * sample, never corpus². One broadcast-friendly join (the sample
-    * side is tiny), one (point, label) aggregate, one argmin/accuracy
-    * reduction. */
+    * sample, never corpus². The sample itself is a TakeOrderedAndProject
+    * (per-partition top-N merge, no global sort), then one broadcast
+    * join (the sample side is a fixed ≤ maxSample rows), one
+    * (point, label) aggregate, one argmin/accuracy reduction. */
+  /** Count-bounded deterministic sample: the `n` rows of smallest
+    * md5('s1' || __id) rank, ties by __id — the hashSplit md5 argument
+    * (reproducible on any engine or cluster), planned as
+    * TakeOrderedAndProject so no global sort ever materializes. Oracle
+    * twin: `ORDER BY md5('s1' || CAST(id AS VARCHAR)), id LIMIT n`. */
+  private def hashSample(base: DataFrame, n: Int): DataFrame =
+    base.orderBy(
+      md5(concat(lit("s1"), col("__id").cast("string")).cast("binary")),
+      col("__id")).limit(n)
+
   def silhouetteSampled(corpus: DataFrame, idCol: String, vecCol: String,
-                        labelCol: String, sampleMod: Long = 5): DataFrame = {
+                        labelCol: String, maxSample: Int = 200): DataFrame = {
     val base = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),
       quantize(col(vecCol)).as("qv"))
-    val sample = base.filter(pmod(col("__id"), lit(sampleMod)) === 0)
+    val sample = hashSample(base, maxSample)
       .select(col("__id").as("__qid"), col("__label").as("__qlabel"),
         col("qv").as("__qqv"))
     val dists = base.crossJoin(broadcast(sample))
@@ -816,17 +830,21 @@ object Similarity {
     * nearest neighbors (squared-euclidean, ties by id) sharing its
     * label — the per-label noise signal cleanlab-style label QA is
     * built on. All arithmetic is exact integers; the only ordering is
-    * the per-query top-k (WindowGroupLimit prunes it map-side).
+    * the per-query top-k (WindowGroupLimit prunes it map-side). The
+    * sample is the `maxSample` smallest md5('s1' || id) ranks (see
+    * [[silhouetteSampled]]) — the broadcast side is COUNT-bounded at
+    * ≤ maxSample rows for any corpus.
     *
     * Scale shape: sample × corpus (linear for a fixed sample) through
-    * one broadcast join, a rank-limit window partitioned by query
-    * point, one agreement aggregate. */
+    * one broadcast join against a TakeOrderedAndProject-built sample,
+    * a rank-limit window partitioned by query point, one agreement
+    * aggregate. */
   def knnLabelAgreement(corpus: DataFrame, idCol: String, vecCol: String,
                         labelCol: String, k: Int = 10,
-                        sampleMod: Long = 5): DataFrame = {
+                        maxSample: Int = 200): DataFrame = {
     val base = corpus.select(col(idCol).as("__id"), col(labelCol).as("__label"),
       quantize(col(vecCol)).as("qv"))
-    val sample = base.filter(pmod(col("__id"), lit(sampleMod)) === 0)
+    val sample = hashSample(base, maxSample)
       .select(col("__id").as("__qid"), col("__label").as("__qlabel"),
         col("qv").as("__qqv"))
     val byQ = org.apache.spark.sql.expressions.Window.partitionBy("__qid")

@@ -349,6 +349,31 @@ object TextAnalysis {
     counts.select(cols: _*)
   }
 
+  /** Driver-green verdict for [[lengthQuantilesApprox]]: the GK sketch
+    * quantiles checked against the exact rank-selection quantiles
+    * (both computed here), emitting the EXACT values (plain SQL — the
+    * q85 oracle shape) plus a per-quantile within-bound boolean using
+    * the differential spec's pinned bound |exact − approx| ≤
+    * max(2, exact DIV 10). Deterministic: the sketch's merge-order
+    * wobble stays inside the bound for any partitioning, so the
+    * boolean is stable.
+    *
+    * Scale shape: the sketch path is the mergeable no-sort build; the
+    * exact path is the per-group window (the verdict deliberately pays
+    * it — the invariant is the point); the join is groups-sized. */
+  def lengthQuantilesApproxVerdict(df: DataFrame, groupCol: String,
+                                   textCol: String): DataFrame = {
+    val ps = Seq("p25", "p50", "p75", "p90")
+    val exact = lengthQuantiles(df, groupCol, textCol)
+    val approx = lengthQuantilesApprox(df, groupCol, textCol)
+      .select(col(groupCol) +: ps.map(p => col(p).as(s"__a_$p")): _*)
+    val okCols = ps.map(p =>
+      (abs(col(p) - col(s"__a_$p"))
+        <= greatest(lit(2), expr(s"$p DIV 10"))).as(s"${p}_ok"))
+    exact.join(approx, groupCol)
+      .select((col(groupCol) +: ps.map(col)) ++ (col("n_docs") +: okCols): _*)
+  }
+
   /** Positional inverted index: (term, doc, sorted 1-based positions,
     * tf) — the search-engine build artifact (posting lists with
     * positions enable phrase and proximity queries, not just lookup).

@@ -111,16 +111,23 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      val prevHub = hub
+      val prevAuth = auth
+      // auth is persisted but NOT counted: the hub action below computes
+      // it once, populating the cache en route (one job per round, the
+      // pageRank shape) — a separate auth.count() would be a second
+      // materializing action doing the same work.
       auth = normalize(
         hub.join(e, hub("node") === e("__src"))
           .groupBy(col("__dst").as("node")).agg(sum("h").as("a")), "a")
         .persist(lvl)
-      auth.count()
       val nextHub = normalize(
         auth.join(e, auth("node") === e("__dst"))
           .groupBy(col("__src").as("node")).agg(sum("a").as("h")), "h")
         .persist(lvl)
-      nextHub.count()
+      nextHub.count() // materializes auth AND hub before releasing parents
+      prevHub.unpersist() // no-op on round 1's unpersisted seed
+      if (prevAuth != null) prevAuth.unpersist()
       hub = nextHub
     }
     val out = nodes

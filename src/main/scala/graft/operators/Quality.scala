@@ -97,6 +97,34 @@ object Quality {
       .toDF(column, "est_count")
   }
 
+  /** Driver-green verdict for [[cmsFrequencies]]: the CMS estimates
+    * checked against exact per-key counts — the sketch's one-sided
+    * guarantee (never an undercount) and width bound (overcount ≤
+    * eps·N, deterministic for a fixed seed and dataset) emitted as
+    * booleans next to the EXACT count (plain SQL on any engine).
+    *
+    * Scale shape: the sketch is the existing single-pass build; the
+    * exact side is one grouped count sharing the scan; N arrives via a
+    * broadcast 1-row aggregate, never a driver-side count action. */
+  def cmsFrequenciesVerdict(df: DataFrame, column: String, keys: Seq[Any],
+                            eps: Double = 0.001, confidence: Double = 0.99,
+                            seed: Int = 42): DataFrame = {
+    val est = cmsFrequencies(df, column, keys, eps, confidence, seed)
+    val exact = df.groupBy(col(column))
+      .agg(count(lit(1)).as("exact_count"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    est.join(exact, column)
+      .crossJoin(broadcast(n))
+      .select(col(column), col("exact_count"),
+        (col("est_count") >= col("exact_count")).as("never_undercounts"),
+        // ceil(eps·N) in exact integer arithmetic: eps is a power-of-10
+        // rational (1/1000 here) — (N·1000·eps + 999) DIV 1000 with the
+        // multiplier folded to a literal per-thousand rate
+        (col("est_count") <= col("exact_count")
+          + expr(s"(__n * ${math.round(eps * 1000)} + 999) DIV 1000"))
+          .as("overcount_within_eps"))
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     val aggs = cols.flatMap { c => Seq(

@@ -178,7 +178,11 @@ object Reconcile {
     val ranked = graft.analytics.Curation.exclusivePrefixSum(
         df.select(col(idCol).cast("long").as("id"), col(nameCol).as("nm"))
           .withColumn("__sk", concat(col("nm"), lit("|"),
-            lpad(col("id").cast("string"), 12, "0")))
+            // 20 chars covers every Long's decimal form (incl. the sign):
+            // lpad TRUNCATES longer inputs, so a narrower pad would
+            // collide ids >= 1e12 and break the uniqueness the prefix
+            // sum requires.
+            lpad(col("id").cast("string"), 20, "0")))
           .withColumn("__one", lit(1L)),
         "__sk", "__one", "__rk")
       .select(col("id"), col("nm"), (col("__rk") + 1L).as("__rk"))

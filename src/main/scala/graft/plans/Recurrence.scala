@@ -244,7 +244,7 @@ case class HoltScanExec(key: Expression, ord: Seq[Expression],
         if (first) { l = vl; b = 0L; first = false }
         else {
           val lNew = Math.addExact(vl, Math.addExact(l, b)) / 2
-          b = Math.addExact(b, lNew - l) / 2
+          b = Math.addExact(b, Math.subtractExact(lNew, l)) / 2
           l = lNew
         }
         state.setLong(0, l)

@@ -440,14 +440,17 @@ object EmbeddingQueries {
     },
 
     // Sampled silhouette per label (Similarity.silhouetteSampled):
-    // deterministic 1-in-5 sample x corpus distances, exact integer
+    // deterministic COUNT-bounded md5-rank sample (fixed 200-row
+    // broadcast side at any corpus) x corpus distances, exact integer
     // means and ratios (floor-division negative-safe on both engines)
     // — the cluster-separation audit for the label set.
     "q287_silhouette" -> q(
       s"""WITH q AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
                      FROM embeddings),
              smp AS (SELECT vec_id AS qid, label AS qlabel, qv AS qqv
-                     FROM q WHERE vec_id % 5 = 0),
+                     FROM q
+                     ORDER BY md5('s1' || CAST(vec_id AS VARCHAR)), vec_id
+                     LIMIT 200),
              d AS (SELECT s.qid, s.qlabel, p.label,
                      CAST(floor(sqrt(CAST(list_sum(list_transform(
                           generate_series(1, len(p.qv)),
@@ -468,7 +471,7 @@ object EmbeddingQueries {
                  CAST(sum(s_e6) // count(*) AS BIGINT) AS silhouette_e6
           FROM se GROUP BY 1 ORDER BY label""") { (s, dir) =>
       Similarity.silhouetteSampled(t(s, dir, "embeddings"),
-          "vec_id", "embedding", "label", sampleMod = 5)
+          "vec_id", "embedding", "label", maxSample = 200)
         .orderBy("label")
     },
 
@@ -480,7 +483,9 @@ object EmbeddingQueries {
       s"""WITH q AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
                      FROM embeddings),
              smp AS (SELECT vec_id AS qid, label AS qlabel, qv AS qqv
-                     FROM q WHERE vec_id % 5 = 0),
+                     FROM q
+                     ORDER BY md5('s1' || CAST(vec_id AS VARCHAR)), vec_id
+                     LIMIT 200),
              d AS (SELECT s.qid, s.qlabel, p.label, p.vec_id AS pid,
                      CAST(list_sum(list_transform(generate_series(1, len(p.qv)),
                           i -> CAST(p.qv[i] - s.qqv[i] AS HUGEINT)
@@ -498,7 +503,7 @@ object EmbeddingQueries {
                    AS knn_agreement_e6
           FROM agree GROUP BY 1 ORDER BY label""") { (s, dir) =>
       Similarity.knnLabelAgreement(t(s, dir, "embeddings"),
-          "vec_id", "embedding", "label", k = 10, sampleMod = 5)
+          "vec_id", "embedding", "label", k = 10, maxSample = 200)
         .orderBy("label")
     }
   )

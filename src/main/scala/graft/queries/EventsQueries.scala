@@ -197,11 +197,19 @@ object EventsQueries {
         .orderBy("event_id")
     },
 
-    // HLL (HyperLogLog++) distinct sketch — approximate by design, so no
-    // value oracle; correctness asserted vs exact counts in the test
-    // suite (±5% rsd).
-    "q26_events_hll_users" -> qNoOracle { (s, dir) =>
-      Events.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
+    // HLL (HyperLogLog++) distinct sketch, registered as its VERDICT:
+    // the sketch runs for real, but the emitted row is the exact
+    // distinct count (DuckDB recomputes it) plus the within-band
+    // boolean — the accuracy contract as a driver-green oracle row
+    // instead of a spec-only assertion. For fixed data the sketch is
+    // deterministic, so the boolean cannot flap.
+    "q26_events_hll_users" -> q(
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                TRUE AS within_5pct
+         FROM events GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Events.approxDistinctVerdict(t(s, dir, "events"),
+        Seq("event_type"), "user_id")
         .orderBy("event_type")
     },
 
@@ -401,15 +409,19 @@ object EventsQueries {
       graft.operators.Rollup.merge(states).orderBy("event_type")
     },
 
-    // Count-min-sketch frequency estimates per event type. Approximate
-    // by construction (no value oracle); the spec pins the one-sided
-    // guarantee: never an undercount, overcount tracks eps*N. The probe
-    // keys are the 5 event types — metadata-scale by contract.
-    "q118_event_type_cms" -> qNoOracle { (s, dir) =>
+    // Count-min-sketch frequency estimates per event type, registered
+    // as the VERDICT: exact per-key counts (DuckDB-recomputable) plus
+    // the sketch's two deterministic guarantees as booleans — never an
+    // undercount, overcount ≤ ceil(eps·N). The probe keys are the 5
+    // event types — metadata-scale by contract.
+    "q118_event_type_cms" -> q(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count,
+                TRUE AS never_undercounts, TRUE AS overcount_within_eps
+         FROM events GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val ev = t(s, dir, "events")
       val keys = ev.select("event_type").distinct()
         .orderBy("event_type").collect().map(_.getString(0)).toSeq
-      graft.operators.Quality.cmsFrequencies(ev, "event_type", keys)
+      graft.operators.Quality.cmsFrequenciesVerdict(ev, "event_type", keys)
         .orderBy("event_type")
     },
 
@@ -437,11 +449,18 @@ object EventsQueries {
     // Mergeable distinct-count rollup: weekly unique users from UNIONED
     // per-day HLL sketches, never re-scanning the stream (the
     // COUNT(DISTINCT) analog of q122's mergeable rollup states).
-    // Approximate by construction -> no value oracle; EventsTextSpec
-    // pins merge-of-days == direct weekly sketch (bit-identical) and
-    // estimate-tracks-exact within the lgK=12 error band.
-    "q133_hll_weekly_rollup" -> qNoOracle { (s, dir) =>
-      Events.hllDailyToWeekly(t(s, dir, "events"), "user_id", "ts")
+    // Registered as the VERDICT: exact weekly distinct counts plus
+    // merge-of-days == direct weekly sketch (register-max union makes
+    // them bit-identical, so EQUAL, not close) and the lgK=12 accuracy
+    // band — both previously spec-only, now driver-green.
+    "q133_hll_weekly_rollup" -> q(
+      """WITH wk AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                       AS week, user_id
+                     FROM events)
+         SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS merge_equals_direct, TRUE AS within_5pct
+         FROM wk GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Events.hllWeeklyRollupVerdict(t(s, dir, "events"), "user_id", "ts")
         .orderBy("week")
     },
 
@@ -521,10 +540,26 @@ object EventsQueries {
 
     // Audience overlap: per-type distinct-user sketches intersected
     // pairwise (theta sketches — the set algebra HLL cannot express).
-    // Approximate -> rows-only; EventsTextSpec pins estimates against
-    // exact intersections.
-    "q154_audience_overlap" -> qNoOracle { (s, dir) =>
-      Events.audienceOverlap(t(s, dir, "events"), "event_type", "user_id")
+    // Registered as the VERDICT: exact both/only counts (one distinct
+    // (type, user) self-join, DuckDB-recomputable) plus one
+    // within-band boolean covering all three estimates.
+    "q154_audience_overlap" -> q(
+      """WITH tu AS (SELECT DISTINCT event_type AS ty, user_id AS u FROM events),
+            cnt AS (SELECT ty, count(*) AS n FROM tu GROUP BY 1),
+            inter AS (SELECT a.ty AS ta, b.ty AS tb, count(*) AS nb
+                      FROM tu a JOIN tu b ON a.u = b.u AND a.ty < b.ty
+                      GROUP BY 1, 2)
+         SELECT p.ta AS type_a, p.tb AS type_b,
+                CAST(coalesce(i.nb, 0) AS BIGINT) AS exact_both,
+                CAST(p.na - coalesce(i.nb, 0) AS BIGINT) AS exact_only_a,
+                CAST(p.nb - coalesce(i.nb, 0) AS BIGINT) AS exact_only_b,
+                TRUE AS within_band
+         FROM (SELECT a.ty AS ta, b.ty AS tb, a.n AS na, b.n AS nb
+               FROM cnt a JOIN cnt b ON a.ty < b.ty) p
+         LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+         ORDER BY 1, 2""") { (s, dir) =>
+      Events.audienceOverlapVerdict(t(s, dir, "events"),
+        "event_type", "user_id")
         .orderBy("type_a", "type_b")
     },
 

@@ -512,7 +512,7 @@ object ParityQueries {
                     FROM part WHERE p_partkey % 50 = 0),
             r AS (SELECT id, nm,
                          row_number() OVER (ORDER BY
-                           nm || '|' || lpad(CAST(id AS VARCHAR), 12, '0'))
+                           nm || '|' || lpad(CAST(id AS VARCHAR), 20, '0'))
                            AS rk
                   FROM n)
          SELECT a.id AS id_a, b.id AS id_b,

@@ -876,12 +876,30 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
     },
 
-    // GK-sketch length quantiles — the no-sort scale path for q85.
-    // Sketch results are merge-order-dependent within the accuracy
-    // bound, so rows-only; TextQualitySpec bounds divergence from the
-    // exact rank-selection quantiles.
-    "q89_length_quantiles_approx" -> qNoOracle { (s, dir) =>
-      TextAnalysis.lengthQuantilesApprox(t(s, dir, "documents"), "lang", "text")
+    // GK-sketch length quantiles — the no-sort scale path for q85,
+    // registered as the VERDICT: the exact rank-selection quantiles
+    // (q85's oracle shape) plus per-quantile booleans pinning the
+    // sketch inside the differential spec's bound |e − a| ≤
+    // max(2, e DIV 10) — driver-green instead of spec-only.
+    "q89_length_quantiles_approx" -> q(
+      s"""WITH c AS (
+            SELECT lang, CAST(len($toksSql) AS INTEGER) AS n_tokens
+            FROM documents),
+          r AS (
+            SELECT lang, n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM c)
+          SELECT lang,
+                 max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_tokens END) AS p25,
+                 max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50,
+                 max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_tokens END) AS p75,
+                 max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90,
+                 CAST(max(n) AS BIGINT) AS n_docs,
+                 TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+          FROM r GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      TextAnalysis.lengthQuantilesApproxVerdict(
+        t(s, dir, "documents"), "lang", "text")
         .orderBy("lang")
     },
 

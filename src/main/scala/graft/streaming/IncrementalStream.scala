@@ -152,7 +152,11 @@ object IncrementalStream {
           val out = scala.collection.mutable.ArrayBuffer.empty[DecayUpdate]
           it.toSeq.sortBy(_._2).foreach { case (_, ord, v) =>
             if (ord > st.lastOrd) {
-              st = DecayState((st.s * num) / den + v, ord)
+              // Math.*Exact to match DecayedScanExec: both faces of the
+              // parity contract fail identically on overflow instead of
+              // the stream silently wrapping while the batch throws.
+              st = DecayState(
+                Math.addExact(Math.multiplyExact(st.s, num) / den, v), ord)
               out += DecayUpdate(key, ord, st.s)
             }
           }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.LongType
+
+/** The production wire-up: `spark.sql.extensions=
+  * graft.GraftSessionExtensions` is a STATIC conf set on the conf that
+  * creates the SparkContext (SparkSpec's builder — the same line a
+  * cluster's spark-defaults carries), and every session built on that
+  * context — including a fresh one with no programmatic registration
+  * anywhere — must carry the SQL functions, both optimizer rules, and
+  * the custom-plan strategy from session start, via the reflective
+  * config path. */
+class GraftSessionExtensionsSpec extends SparkSpec {
+
+  test("config-only session: functions, optimizer rules, strategy all injected") {
+    val orig = spark // force the shared (extensions-configured) context
+    assert(orig.sparkContext.getConf.get("spark.sql.extensions") ==
+      "graft.GraftSessionExtensions")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // A FRESH session over the configured context: extensions come
+      // only from the reflective static-conf path.
+      val ext = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(ext ne orig, "builder must create a fresh session, not reuse")
+
+      // SQL functions resolve with zero programmatic registration.
+      val r = ext.sql(
+        """SELECT rolling_hash64('hello') AS h,
+                  array_dot_long(array(1L, 2L), array(3L, 4L)) AS d,
+                  array_l2_long(array(1L, 2L), array(3L, 4L)) AS l2,
+                  dedup_lines('a\na\nb') AS dl,
+                  nfc_normalize('é') AS n
+        """).collect().head
+      assert(r.getLong(1) == 11L)
+      assert(r.getLong(2) == 8L)
+      assert(r.getString(3) == "a\nb")
+      assert(r.getString(4) == "é")
+
+      // Both Catalyst rewrites are in the session's optimizer (identity —
+      // the injected thunks return the singleton rule objects).
+      val rules = ext.sessionState.optimizer.batches.flatMap(_.rules)
+      assert(rules.exists(_ eq graft.plans.RollupRewrite))
+      assert(rules.exists(_ eq graft.plans.RangeJoinRewrite))
+
+      // The custom-plan strategy plans a DecayedScan with NO runtime
+      // self-registration: extraStrategies stays empty, so the injected
+      // strategy is the only thing that can have planned the node.
+      assert(ext.sessionState.experimentalMethods.extraStrategies.isEmpty)
+      val df = ext.createDataFrame(Seq(
+        (1L, 1L, 100L), (1L, 2L, 50L), (2L, 1L, 10L), (2L, 2L, 10L)))
+        .toDF("k", "o", "v")
+      val node = graft.plans.DecayedScan(
+        Shim.expression(df.col("k")), Seq(Shim.expression(df.col("o"))),
+        Shim.expression(df.col("v")), 1L, 2L,
+        AttributeReference("s", LongType, nullable = false)(),
+        df.queryExecution.analyzed)
+      val out = Shim.ofRows(ext, node)
+        .select("k", "o", "s").collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(out == Map((1L, 1L) -> 100L, (1L, 2L) -> 100L,
+        (2L, 1L) -> 10L, (2L, 2L) -> 15L))
+      assert(ext.sessionState.experimentalMethods.extraStrategies.isEmpty,
+        "planning must not have self-registered the strategy")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}

@@ -15,6 +15,12 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // The production wire-up, via the reflective STATIC-conf path (it
+      // must be on the conf that creates the SparkContext — a later
+      // builder can't add it): every suite runs on an extensions-
+      // injected session, exactly like a configured cluster. The rules
+      // are internally gated no-ops until an operator enables them.
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxMetadataStringLength", "2000") // full PushedFilters in plans

@@ -420,7 +420,7 @@ class SimilaritySpec extends SparkSpec {
       (10L, Array(100.0f), 1)                        // its NN is label 0
     ).toDF("vec_id", "embedding", "label")
     val got = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label",
-        k = 1, sampleMod = 5)
+        k = 1) // default maxSample covers all rows: every point sampled
       .collect().map(r => r.getInt(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == Map(0 -> ((2L, 2L, 1000000L)), 1 -> ((1L, 0L, 0L))))
@@ -447,5 +447,20 @@ class SimilaritySpec extends SparkSpec {
     val m = Similarity.silhouetteSampled(merged, "vec_id", "embedding", "label")
       .collect().map(r => r.getLong(2))
     assert(m.forall(_ < 0L), s"merged labels must score negative: ${m.toList}")
+  }
+
+  test("diagnostic samples are COUNT-bounded: n_sampled sums to maxSample") {
+    // 60 points, maxSample 7: the broadcast side must be exactly 7 rows
+    // regardless of corpus size (the fixed-broadcast contract).
+    val vecs = (0L until 60L).map(i => (i, Array(i.toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val sil = Similarity.silhouetteSampled(vecs, "vec_id", "embedding", "label",
+        maxSample = 7)
+      .agg(sum("n_sampled")).collect().head.getLong(0)
+    assert(sil <= 7L && sil >= 1L, s"silhouette sampled $sil, cap 7")
+    val knn = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label",
+        k = 3, maxSample = 7)
+      .agg(sum("n_sampled")).collect().head.getLong(0)
+    assert(knn == 7L, s"knn sampled $knn, cap 7")
   }
 }
