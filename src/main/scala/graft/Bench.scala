@@ -31,6 +31,20 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    // One untimed run per memoized OFFLINE artifact (bucketed layout,
+    // day-partitioned events, PQ index): the first-touch build otherwise
+    // lands inside trial 1 of whichever query reaches the memo first and
+    // inflates max_trial_spread with a one-time cost that is NOT box
+    // noise (r6's 14.2x spread was q250's layout build). q79 is left
+    // out on purpose — it clears the PQ memo to measure the full build.
+    Seq("q250_bucketed_join", "q251_partitioned_scan", "q75_embed_topk_pq")
+      .foreach { n =>
+        selected.get(n).foreach { fn =>
+          try { fn(spark, sfDir).count(); () }
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+      }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()

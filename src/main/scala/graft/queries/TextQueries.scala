@@ -295,18 +295,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // MinHash+LSH near-dup: engine-specific hashing -> rows-only; the
-    // spec asserts consistency vs exact Jaccard in the test suite.
-    "q33_dedup_minhash_lsh" -> qNoOracle { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+    // MinHash+LSH near-dup, registered as its VERDICT: the hashing is
+    // engine-specific, but the ⊆-exact invariant is not — every LSH
+    // pair must be in the exact trigram-Jaccard pair set (recomputed
+    // independently in Spark, counted independently by DuckDB). Emits
+    // (n_exact_pairs, n_violations): the exact count is real oracle
+    // work, the zero is the invariant the whole rung stands on.
+    "q33_dedup_minhash_lsh" -> q(
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len($toksSql) - 2, 1)),
+                     i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
+            FROM documents)
+          SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                 CAST(0 AS BIGINT) AS n_violations
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                >= (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) * 1""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, num = 1, den = 5)
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, num = 1, den = 5, maxDocFreq = 1000L)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      lsh.withColumn("__l", lit(1L))
+        .join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(coalesce(col("__e"), lit(0L))).as("n_exact_pairs"),
+          sum(when(col("__e").isNull, 1L).otherwise(0L)).as("n_violations"))
     },
 
-    // SimHash near-dup: engine-specific hashing -> rows-only.
-    "q34_dedup_simhash" -> qNoOracle { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
-        .orderBy("id_a", "id_b")
+    // SimHash near-dup, registered as its VERDICT: identical texts get
+    // identical 64-bit signatures, so every identical-text pair MUST be
+    // emitted at hamming 0 — and the corpus is twinned (every 10th doc
+    // copied at id+1e6, replicated exactly in the oracle) so the
+    // invariant has real pairs to bite on. n_identical_pairs is
+    // DuckDB-recomputed; the zeros are the recall/bound invariants.
+    "q34_dedup_simhash" -> q(
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents
+                    WHERE doc_id % 10 = 0)
+         SELECT CAST((SELECT count(*) FROM d a JOIN d b
+                      ON a.doc_id < b.doc_id AND a.text = b.text) AS BIGINT)
+                  AS n_identical_pairs,
+                CAST(0 AS BIGINT) AS n_identical_missed,
+                CAST(0 AS BIGINT) AS n_hamming_violations""") { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      val ident = docs.as("a").join(docs.as("b"),
+          col("a.doc_id") < col("b.doc_id") && col("a.text") === col("b.text"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          lit(1L).as("__i"))
+      val joined = pairs.join(ident, Seq("id_a", "id_b"), "full_outer")
+      joined.agg(
+        sum(coalesce(col("__i"), lit(0L))).as("n_identical_pairs"),
+        sum(when(col("__i").isNotNull
+          && (col("hamming").isNull || col("hamming") =!= 0L), 1L)
+          .otherwise(0L)).as("n_identical_missed"),
+        sum(when(col("hamming") > 6L, 1L).otherwise(0L))
+          .as("n_hamming_violations"))
     },
 
     // Multimodal plumbing: binary content column + stub decode. The
@@ -339,13 +391,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Engine-native rolling-hash fingerprint (codegen'd custom
-    // expression; engine-specific values -> rows-only, determinism and
-    // collision behavior covered in the spec).
-    "q56_text_rolling_hash" -> qNoOracle { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
-        .orderBy("doc_id")
+    // Engine-native rolling-hash fingerprint, registered as its
+    // VERDICT: the 64-bit values are engine-specific, but the
+    // fingerprint CONTRACT is not — equal texts must share one
+    // fingerprint (determinism across partitions/runs) and distinct
+    // texts must not collide on this corpus. Doc/text counts are
+    // DuckDB-recomputed; the booleans are the contract.
+    "q56_text_rolling_hash" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+                TRUE AS fp_deterministic, TRUE AS fp_collision_free
+         FROM documents""") { (s, dir) =>
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.fingerprint64(col("text")).as("fp64"))
+      fp.agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("n_distinct_texts"),
+          count_distinct(col("text"), col("fp64")).as("__nd_pair"),
+          count_distinct(col("fp64")).as("__nd_fp"))
+        .select(col("n_docs"), col("n_distinct_texts"),
+          (col("__nd_pair") === col("n_distinct_texts")).as("fp_deterministic"),
+          (col("__nd_fp") === col("n_distinct_texts")).as("fp_collision_free"))
     },
 
     // Length-weighted mean quality per language via the typed

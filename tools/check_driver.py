@@ -86,6 +86,13 @@ def main(argv):
         import os
         oracle = {k: v for k, v in oracle.items()
                   if os.path.isdir(f"{out_dir}/{k}")}
+    # --only=q1,q2 pins an explicit query list (the sf0.1 sweep runs
+    # one query per process so a pathological oracle can be timed out
+    # without losing the rest of the sweep).
+    for a in argv:
+        if a.startswith("--only="):
+            names = set(a[len("--only="):].split(","))
+            oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
