@@ -856,11 +856,15 @@ object TextAnalysis {
     *  1b. a pair sharing NO kept term passes that bound only if BOTH
     *      docs hold ≥ num²/(2·den²) of their TF-IDF mass in dropped
     *      terms (n2d·2·den² ≥ n2·num²) — the "heavy" docs. Their
-    *      candidate pairs come from a dropped-term self-join
-    *      restricted to heavy docs (per-term fanout ≤ |heavy|²,
-    *      and |heavy| is the stop-word-dominated fringe, tiny under
-    *      any reasonable cap). Docs sharing no term at all have
-    *      dot = 0 and can never pass a positive threshold.
+    *      candidate pairs are the BLOCK-LOCAL heavy-pair grid
+    *      (Σ_blk |heavy_blk|² — never keyed by a hot dropped term,
+    *      whose corpus-scale df would replay each pair once per
+    *      shared term). At scale |heavy| is the stop-word-dominated
+    *      fringe, tiny under any reasonable cap; on a small-vocab
+    *      corpus where stop-mass dominates everywhere the grid IS the
+    *      problem's inherent density, and phase 2 still resolves it
+    *      exactly. Docs sharing no term at all have dot = 0 and can
+    *      never pass a positive threshold.
     *  2.  exact full-vector dot recomputed ONLY for surviving
     *      candidates (pair-keyed joins at near-final volume), then
     *      the exact threshold — so the emitted rows are identical to
@@ -919,13 +923,22 @@ object TextAnalysis {
     val heavy = norm
       .filter(expr(s"2 * ${den * den} * __n2d >= ${num * num} * __n2"))
       .select(col("__id"))
+    // Enumerated as the BLOCK-LOCAL heavy-pair GRID, not a (blk, term)
+    // self-join: a dropped term's df is corpus-scale by definition (it
+    // exceeded the cap), so keying heavy pairs by term would replay
+    // each pair once per shared dropped term and reintroduce exactly
+    // the hot-key fanout the cap exists to kill (measured: 4.5e8 join
+    // rows on a 31-term corpus whose heavy grid is 2.5e6). The grid is
+    // the problem's inherent density when stop-mass dominates — never
+    // more than Σ_blk |heavy_blk|², never keyed by a hot term.
     val wd = w.filter(!col("__kept"))
       .join(heavy.hint("broadcast"), Seq("__id"))
-    val cand2 = wd.select(col("__blk"), col("__term"), col("__id").as("id_a"))
-      .join(wd.select(col("__blk"), col("__term"), col("__id").as("id_b"))
-        .hint("shuffle_hash"), Seq("__blk", "__term"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val heavyB = wd.select(col("__blk"), col("__id")).distinct()
+    val cand2 = heavyB.as("hx")
+      .join(heavyB.as("hy").hint("shuffle_hash"),
+        col("hx.__blk") === col("hy.__blk")
+          && col("hx.__id") < col("hy.__id"))
+      .select(col("hx.__id").as("id_a"), col("hy.__id").as("id_b"))
     val cand = cand1.union(cand2).distinct()
     // Phase 2: exact full-vector dot for candidates only.
     val dot = cand
