@@ -893,8 +893,9 @@ object TextAnalysis {
       .select(col("__blk"), col("__id"), col("__term"),
         (col("__tf") * expr(
           "CAST(floor(1000 * ln(CAST(__nd AS DOUBLE) / __df) + 0.5) AS BIGINT)"))
-          .cast(D).as("__w"),
+          .as("__wl"),
         (col("__df") <= maxDocFreq).as("__kept"))
+      .withColumn("__w", col("__wl").cast(D))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zero = lit(0).cast(D)
     val norm = w.groupBy(col("__id"))
@@ -940,14 +941,29 @@ object TextAnalysis {
           && col("hx.__id") < col("hy.__id"))
       .select(col("hx.__id").as("id_a"), col("hy.__id").as("id_b"))
     val cand = cand1.union(cand2).distinct()
-    // Phase 2: exact full-vector dot for candidates only.
+    // Phase 2: exact full-vector dot for candidates only — per-doc
+    // sorted sparse vectors built ONCE (docs-sized aggregate), then one
+    // compiled merge-scan per candidate pair (functions.SparseDotLong).
+    // The relational alternative (explode postings, equi-join on
+    // (doc, term), re-aggregate) shuffles candidates × terms rows
+    // twice; here nothing per-term crosses an exchange after the
+    // vector build. Long headroom: dot ≤ norm ≲ 1e12-term·weight²
+    // bounds from the note above — far inside 2^63; the Decimal cast
+    // happens after the scan, for the squared threshold compare only.
+    val vecs = w.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__term"), col("__wl"))))
+        .as("__v"))
+      .select(col("__id"),
+        transform(col("__v"), e => e.getField("__term")).as("__ts"),
+        transform(col("__v"), e => e.getField("__wl")).as("__ws"))
     val dot = cand
-      .join(w.select(col("__id").as("id_a"), col("__term"),
-        col("__w").as("__wa")), Seq("id_a"))
-      .join(w.select(col("__id").as("id_b"), col("__term"),
-        col("__w").as("__wb")), Seq("id_b", "__term"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(expr("__wa * __wb")).as("__dot"))
+      .join(vecs.select(col("__id").as("id_a"), col("__ts").as("__tsa"),
+        col("__ws").as("__wsa")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__ts").as("__tsb"),
+        col("__ws").as("__wsb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SparseDotLong(col("__tsa"), col("__wsa"),
+          col("__tsb"), col("__wsb")).cast(D).as("__dot"))
     dot
       .join(norm.select(col("__id").as("id_a"), col("__n2").as("__na")), Seq("id_a"))
       .join(norm.select(col("__id").as("id_b"), col("__n2").as("__nb")), Seq("id_b"))

@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayL2Long(args(0), args(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("sparse_dot_long"),
+      new ExpressionInfo(classOf[SparseDotLong].getName, "sparse_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "sparse_dot_long(termsA, weightsA, termsB, weightsB) takes 4 arguments")
+        SparseDotLong(args(0), args(1), args(2), args(3))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (args: Seq[Expression]) => {

@@ -27,6 +27,56 @@ class ExpressionsSpec extends SparkSpec {
     intercept[Exception] { df.select(ArrayDotLong($"a", $"b")).collect() }
   }
 
+  test("SparseDotLong: merge-scan equals a map-based reference; disjoint terms dot 0") {
+    val df = Seq(
+      (Seq("a", "c", "d"), Seq(2L, 3L, 5L), Seq("b", "c", "d"), Seq(7L, 11L, 13L)),
+      (Seq("a", "b"), Seq(1L, 2L), Seq("c", "d"), Seq(3L, 4L)),
+      (Seq[String](), Seq[Long](), Seq("x"), Seq(9L)))
+      .toDF("ta", "wa", "tb", "wb")
+    val got = df.select(SparseDotLong($"ta", $"wa", $"tb", $"wb"))
+      .as[Long].collect().toSeq
+    // reference: scala map intersection
+    val ref = df.select($"ta", $"wa", $"tb", $"wb")
+      .as[(Seq[String], Seq[Long], Seq[String], Seq[Long])].collect().toSeq
+      .map { case (ta, wa, tb, wb) =>
+        val m = ta.zip(wa).toMap
+        tb.zip(wb).collect { case (t, w) if m.contains(t) => m(t) * w }.sum
+      }
+    assert(got == ref && got == Seq(3L * 11 + 5 * 13, 0L, 0L))
+  }
+
+  test("SparseDotLong matches the relational explode/join/sum dot on random-ish vectors") {
+    // the phase-2 equivalence tfIdfCosinePairs relies on: per-doc sorted
+    // sparse vectors vs the (doc, term)-keyed equi-join aggregate
+    val docs = (0L until 20L).map { i =>
+      val terms = (0 until 12).map(j => s"t${(i * 7 + j * 3) % 17}").distinct.sorted
+      (i, terms, terms.map(t => (t.length + i % 5 + 1).toLong))
+    }
+    val vecs = docs.toDF("id", "ts", "ws")
+    val pairs = for (a <- 0L until 20L; b <- a + 1 until 20L) yield (a, b)
+    val cand = pairs.toDF("id_a", "id_b")
+    val got = cand
+      .join(vecs.select($"id".as("id_a"), $"ts".as("tsa"), $"ws".as("wsa")), Seq("id_a"))
+      .join(vecs.select($"id".as("id_b"), $"ts".as("tsb"), $"ws".as("wsb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        SparseDotLong($"tsa", $"wsa", $"tsb", $"wsb").as("dot"))
+      .as[(Long, Long, Long)].collect().toSeq.toMap2
+    val posting = vecs.select($"id", explode(arrays_zip($"ts", $"ws")).as("e"))
+      .select($"id", $"e.ts".as("t"), $"e.ws".as("w"))
+    val rel = cand
+      .join(posting.select($"id".as("id_a"), $"t", $"w".as("wa")), Seq("id_a"))
+      .join(posting.select($"id".as("id_b"), $"t", $"w".as("wb")), Seq("id_b", "t"))
+      .groupBy("id_a", "id_b").agg(sum($"wa" * $"wb").as("dot"))
+      .as[(Long, Long, Long)].collect().toSeq.toMap2
+    // the relational form drops share-nothing pairs; the scan gives 0
+    rel.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+    got.foreach { case (k, v) => if (!rel.contains(k)) assert(v == 0L, s"pair $k") }
+  }
+
+  private implicit class TupleSeqOps(s: Seq[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] = s.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
   test("ArrayL2Long matches interpreted aggregate/zip_with squared distance") {
     val df = Seq(
       (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),     // 9+9+9 = 27
