@@ -35,12 +35,15 @@ class GraftSessionExtensionsSpec extends SparkSpec {
                   array_dot_long(array(1L, 2L), array(3L, 4L)) AS d,
                   array_l2_long(array(1L, 2L), array(3L, 4L)) AS l2,
                   dedup_lines('a\na\nb') AS dl,
-                  nfc_normalize('é') AS n
+                  nfc_normalize('é') AS n,
+                  sparse_dot_long(array('a', 'c'), array(2L, 3L),
+                                  array('b', 'c'), array(5L, 7L)) AS sd
         """).collect().head
       assert(r.getLong(1) == 11L)
       assert(r.getLong(2) == 8L)
       assert(r.getString(3) == "a\nb")
       assert(r.getString(4) == "é")
+      assert(r.getLong(5) == 21L)
 
       // Both Catalyst rewrites are in the session's optimizer (identity —
       // the injected thunks return the singleton rule objects).
