@@ -58,6 +58,36 @@ object AnalyticsQueries {
     ("events", "user_id", "customer", "c_custkey"),
     ("customer", "c_custkey", "orders", "o_custkey"))
 
+  /** TPC-H partsupp reconstructed from the fact table (the reduced test
+    * schema ships no partsupp.parquet; reference star schema:
+    * dbt/coretelecom/models — the dims it materializes are similarly
+    * derived from staged facts): one hash aggregate on (partkey,
+    * suppkey) with map-side partial combine, so the shuffle carries the
+    * DISTINCT pair count (catalog-scale) rather than fact rows. Unit
+    * supply cost is the cheapest observed per-unit price in 1e-4 units
+    * — a per-row IEEE divide+multiply DuckDB reproduces bit-for-bit —
+    * and availability is the shipped-quantity sum (exact: quantities
+    * are integral). Callers push their dimension filters below this
+    * aggregate (they commute with the per-pair min/sum) by passing a
+    * pre-filtered lineitem slice.
+    */
+  private def derivedPartsupp(
+      lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineitem
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        min(floor(col("l_extendedprice") / col("l_quantity") * 10000 + 0.5).cast("long"))
+          .as("ps_cost_e4"),
+        sum(col("l_quantity").cast("long")).as("ps_avail"))
+
+  /** The DuckDB face of [[derivedPartsupp]], spliced into q305-q308's
+    * oracles as a WITH clause. */
+  private val PsSql =
+    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     min(CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT)) AS ps_cost_e4,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_avail
+              FROM lineitem GROUP BY 1, 2)"""
+
   val defs: Map[String, Q] = Map(
 
     // TPC-H Q1-shaped pricing summary: filtered scan -> hash aggregate
@@ -2933,6 +2963,209 @@ object AnalyticsQueries {
         .join(labels.select(col("node").as("dst"), col("label").as("dst_com")), "dst")
         .select("src_com", "dst_com")
       graft.operators.Graph.modularity(m, "src_com", "dst_com")
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): for each part of one
+    // type/size band, the cheapest regional supplier. The reduced test
+    // schema ships no partsupp, so the relation is reconstructed from
+    // the fact table (derivedPartsupp): the part filter is pushed BELOW
+    // the pair aggregate via a broadcast semi-join (commutes with the
+    // per-pair min/sum), so the shuffle carries only the filtered
+    // pairs. The correlated min-cost subquery becomes a window min over
+    // p_partkey — one extra catalog-scale shuffle, never a self-join.
+    "q305_min_cost_supplier" -> q(
+      s"""WITH $PsSql,
+            esupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE'),
+            cand AS (SELECT p_partkey, s_name, n_name, s_acctbal, ps_cost_e4,
+                            min(ps_cost_e4) OVER (PARTITION BY p_partkey) AS mc
+                     FROM part JOIN ps ON p_partkey = ps_partkey
+                     JOIN esupp ON ps_suppkey = s_suppkey
+                     WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20)
+         SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+                s_name, n_name, p_partkey, ps_cost_e4 AS cost_e4
+         FROM cand WHERE ps_cost_e4 = mc
+         ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val esupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+        .select("p_partkey")
+      derivedPartsupp(t(s, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi"))
+        .join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("mc", min(col("ps_cost_e4")).over(Window.partitionBy("ps_partkey")))
+        .filter(col("ps_cost_e4") === col("mc"))
+        .select(cents(col("s_acctbal")).as("acctbal_cents"), col("s_name"),
+          col("n_name"), col("ps_partkey").as("p_partkey"), col("ps_cost_e4").as("cost_e4"))
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape (product-type profit): revenue minus supply cost
+    // by supplier nation and order year for one part family. Supply
+    // cost comes from the derived partsupp, built from the part-name-
+    // filtered fact slice (the filter commutes with the per-pair min),
+    // then joined back on the composite (partkey, suppkey) — the one
+    // fact-scale shuffle; part and supplier⋈nation ride broadcasts.
+    // Profit is exact integer e4 per line (IEEE divide/multiply is
+    // reproduced bit-for-bit by DuckDB), so the sum is order-free.
+    "q306_product_type_profit" -> q(
+      s"""WITH $PsSql
+         SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                         - ps_cost_e4 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+         FROM lineitem
+         JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""") { (s, dir) =>
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").like("%red%")).select("p_partkey")
+      val supNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val redLines = t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      redLines
+        .join(derivedPartsupp(redLines),
+          col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - col("ps_cost_e4") * col("l_quantity").cast("long")).as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape (important stock): per-part inventory value for
+    // one nation's suppliers, kept where it exceeds twice the average
+    // part value. (Q11's literal 0.0001 fraction is 1/SF-scaled in the
+    // spec precisely because a fixed fraction of the total degenerates
+    // as the catalog grows — the relative-to-mean form is the
+    // scale-free equivalent: ~7-8% of parts at both test SFs.) The
+    // nation filter is a broadcast semi-join pushed below the pair
+    // aggregate; the global (sum, count) is a 1-row broadcast cross
+    // join compared as the integer cross-multiply value*n > 2*sum — no
+    // fraction doubles anywhere.
+    "q307_important_stock" -> q(
+      s"""WITH $PsSql,
+            nsup AS (SELECT s_suppkey FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey
+                     WHERE n_name = 'NATION_7'),
+            vals AS (SELECT ps_partkey,
+                            CAST(sum(ps_avail * ps_cost_e4) AS BIGINT) AS value_e4
+                     FROM ps JOIN nsup ON ps_suppkey = s_suppkey GROUP BY 1),
+            tot AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4,
+                           CAST(count(*) AS BIGINT) AS n_parts FROM vals)
+         SELECT ps_partkey, value_e4 FROM vals, tot
+         WHERE value_e4 * n_parts > 2 * total_e4
+         ORDER BY value_e4 DESC, ps_partkey""") { (s, dir) =>
+      val nsup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = derivedPartsupp(t(s, dir, "lineitem")
+          .join(broadcast(nsup), col("l_suppkey") === col("s_suppkey"), "left_semi"))
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_avail") * col("ps_cost_e4")).as("value_e4"))
+      val tot = vals.agg(sum(col("value_e4")).as("total_e4"),
+        count(lit(1)).as("n_parts"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value_e4") * col("n_parts") > lit(2) * col("total_e4"))
+        .select("ps_partkey", "value_e4")
+        .orderBy(col("value_e4").desc, col("ps_partkey"))
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    // counts per (brand, type, size) slice, excluding complaint-proxy
+    // suppliers (negative-ish balance) via NOT IN → broadcast left-anti.
+    // The impl counts distinct straight off the fact lines (identical
+    // to counting over the distinct-pair relation, one shuffle); the
+    // oracle spells the same thing over the derived partsupp.
+    "q308_supplier_part_counts" -> q(
+      s"""WITH $PsSql
+         SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ps JOIN part ON p_partkey = ps_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+           AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""") { (s, dir) =>
+      val goodParts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complaint = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 500).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(goodParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaint), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q20 shape (potential part promotion): regional suppliers
+    // whose 1995 volume of one part family more than doubled their 1996
+    // volume — the nested-semi-join chain, adapted to the derived
+    // inventory (no static availqty exists, so the year-over-year
+    // volume comparison stands in for avail > ½·shipped). Both year
+    // windows ride ONE conditional aggregate over the part-filtered
+    // fact slice (one shuffle, not two plus a join); the qualifying
+    // suppkey set is tiny and broadcasts into a semi-join against the
+    // supplier dim.
+    "q309_potential_promotion" -> q(
+      """WITH blueparts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+            pairs AS (SELECT l_partkey, l_suppkey,
+                             CAST(sum(CAST(l_quantity AS BIGINT))
+                               FILTER (WHERE l_shipdate < TIMESTAMP '1996-01-01') AS BIGINT) AS qty95,
+                             CAST(sum(CAST(l_quantity AS BIGINT))
+                               FILTER (WHERE l_shipdate >= TIMESTAMP '1996-01-01') AS BIGINT) AS qty96
+                      FROM lineitem JOIN blueparts ON l_partkey = p_partkey
+                      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                      GROUP BY 1, 2),
+            eligible AS (SELECT DISTINCT l_suppkey AS suppkey FROM pairs
+                         WHERE qty96 > 0 AND qty95 > 2 * qty96)
+         SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN eligible ON s_suppkey = suppkey
+         WHERE r_name = 'EUROPE'
+         ORDER BY s_name""") { (s, dir) =>
+      val blueParts = t(s, dir, "part")
+        .filter(col("p_name").like("%blue%")).select("p_partkey")
+      val y96 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val eligible = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+          coalesce(sum(when(col("l_shipdate") < y96, col("l_quantity").cast("long"))), lit(0L)).as("qty95"),
+          coalesce(sum(when(col("l_shipdate") >= y96, col("l_quantity").cast("long"))), lit(0L)).as("qty96"))
+        .filter(col("qty96") > 0 && col("qty95") > lit(2) * col("qty96"))
+        .select(col("l_suppkey").as("suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(eligible), col("s_suppkey") === col("suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     }
   )
 
