@@ -783,6 +783,66 @@ object Similarity {
     * (per-partition top-N merge, no global sort), then one broadcast
     * join (the sample side is a fixed ≤ maxSample rows), one
     * (point, label) aggregate, one argmin/accuracy reduction. */
+  /** Lloyd k-means over quantized embeddings with EXACT integer state,
+    * the clustering face of semantic data mixing (cluster the corpus,
+    * then balance the sample across clusters — q310/q311). Every step
+    * is engine-portable so a SQL engine can replay the recurrence
+    * bit-for-bit: seeds are the k smallest md5(salt || id) ranks (same
+    * hex on any engine), assignment is exact squared-L2 through the
+    * codegen'd ArrayL2Long with a lexicographic (dist, cluster) struct
+    * min for ties, and the centroid update is the truncating integer
+    * mean (Spark `div` == DuckDB `//`, both toward zero).
+    *
+    * Scale shape per round: the k centroids BROADCAST into the scored
+    * aggregate (one shuffle on id); the centroid rebuild is posexplode
+    * → hash agg on (cluster, pos) — a k·dim-sized relation. The corpus
+    * is never collected and never self-joined; rounds grow the plan
+    * linearly, each persisted implicitly by the next round's reuse of
+    * the same lineage (cheap at the fixed small `rounds` this serves).
+    * Returns (id, qv, cluster, dist) for the LAST assignment round.
+    *
+    * reference: clustering-based corpus curation sits upstream of the
+    * reference's ETL surface (airflow/dags, README.md:1); this is that
+    * operator, Spark-first. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, rounds: Int, seedSalt: String = "km"): DataFrame = {
+    require(rounds >= 1, "kmeansAssign needs at least one assignment round")
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    // k smallest hash ranks plan as TakeOrderedAndProject; the
+    // row_number window then orders only those k rows.
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col("id"))
+    var centroids = v
+      .withColumn("__h",
+        md5(concat(lit(seedSalt), col("id").cast("string")).cast("binary")))
+      .orderBy(col("__h"), col("id")).limit(k)
+      .withColumn("cluster", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("cluster"), col("qv").as("cv"))
+    var assigned: DataFrame = null
+    for (r <- 1 to rounds) {
+      assigned = v.crossJoin(broadcast(centroids))
+        .groupBy(col("id"))
+        .agg(min(struct(
+          graft.functions.ArrayL2Long(col("qv"), col("cv")).as("dist"),
+          col("cluster").as("cluster"))).as("m"),
+          first(col("qv")).as("qv"))
+        .select(col("id"), col("qv"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist"))
+      if (r < rounds)
+        centroids = assigned
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .withColumn("cval", expr("s div n"))
+          .groupBy("cluster")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cval")))),
+            s => s("cval")).as("cv"))
+    }
+    assigned
+  }
+
   /** Count-bounded deterministic sample: the `n` rows of smallest
     * md5('s1' || __id) rank, ties by __id — the hashSplit md5 argument
     * (reproducible on any engine or cluster), planned as

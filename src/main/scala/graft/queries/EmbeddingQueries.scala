@@ -18,6 +18,33 @@ object EmbeddingQueries {
   private def qdotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  // Exact squared L2 between two quantized BIGINT lists (HUGEINT
+  // per-term like q289's oracle, so no double rounding anywhere).
+  private def l2Sql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
+        i -> CAST($a[i] - $b[i] AS HUGEINT) * ($a[i] - $b[i]))) AS BIGINT)"""
+
+  /** The DuckDB face of Similarity.kmeansAssign (k=8, rounds=2),
+    * spliced into q310/q311: seed by md5 rank, assign by exact L2 with
+    * the [dist, cluster] lexicographic list-min (== Spark's struct
+    * min), rebuild centroids as the truncating integer mean (`//` ==
+    * Spark `div`, both toward zero), assign again. `a2` ends the chain
+    * with m = [dist, cluster] per id. */
+  private val KmeansSql =
+    s"""v AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+        sd AS (SELECT id, qv, row_number() OVER (ORDER BY md5('km' || CAST(id AS VARCHAR)), id) - 1 AS cluster
+               FROM v),
+        c0 AS (SELECT CAST(cluster AS BIGINT) AS cluster, qv AS cv FROM sd WHERE cluster < 8),
+        a1 AS (SELECT v.id, v.qv, min([${l2Sql("v.qv", "c.cv")}, c.cluster]) AS m
+               FROM v CROSS JOIN c0 c GROUP BY v.id, v.qv),
+        u1 AS (SELECT m[2] AS cluster, u.i,
+                      CAST(sum(a1.qv[u.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS cval
+               FROM a1, unnest(generate_series(1, len(a1.qv))) AS u(i)
+               GROUP BY 1, 2),
+        c1 AS (SELECT cluster, list(cval ORDER BY i) AS cv FROM u1 GROUP BY 1),
+        a2 AS (SELECT v.id, min([${l2Sql("v.qv", "c.cv")}, c.cluster]) AS m
+               FROM v CROSS JOIN c1 c GROUP BY v.id)"""
+
   /** K-means PQ index per scale-factor dir, built once and reused:
     * training + corpus encoding are explicit OFFLINE actions in real PQ
     * deployments — the stored 8-byte codes ARE the index, and serving
@@ -680,6 +707,53 @@ object EmbeddingQueries {
       Similarity.knnLabelAgreement(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", k = 10, maxSample = 200)
         .orderBy("label")
+    },
+
+    // Exact-integer Lloyd k-means (Similarity.kmeansAssign, k=8, 2
+    // rounds): md5-seeded centroids, squared-L2 assignment with a
+    // lexicographic (dist, cluster) tie-break, truncating integer-mean
+    // update — the oracle replays the identical recurrence in chained
+    // CTEs (seed rank → assign → unnest-rebuild → assign), bit-equal by
+    // construction like q142's PageRank. Output is the final per-
+    // cluster census: size and exact integer inertia.
+    "q310_kmeans_clusters" -> q(
+      s"""WITH $KmeansSql
+         SELECT m[2] AS cluster, CAST(count(*) AS BIGINT) AS n_points,
+                CAST(sum(m[1]) AS BIGINT) AS inertia
+         FROM a2 GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+        .orderBy("cluster")
+    },
+
+    // Cluster-balanced sampling — the "semantic mixing" step that
+    // follows the clustering: cap every k-means cluster at the same
+    // per-cluster budget via the md5-rank stratified sampler (window
+    // partitioned BY CLUSTER, WindowGroupLimit-prunable, never a global
+    // sort), so no semantic region dominates the training mix. The
+    // exact sampled-id sum pins the precise sample membership, not just
+    // its size.
+    "q311_cluster_balanced_sample" -> q(
+      s"""WITH $KmeansSql,
+            smp AS (SELECT id, m[2] AS cluster,
+                           row_number() OVER (PARTITION BY m[2]
+                             ORDER BY md5('s2' || CAST(id AS VARCHAR)), id) AS rn
+                    FROM a2)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n_total,
+                CAST(count(*) FILTER (WHERE rn <= 25) AS BIGINT) AS n_sampled,
+                CAST(sum(id) FILTER (WHERE rn <= 25) AS BIGINT) AS sampled_id_sum
+         FROM smp GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val a = Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, rounds = 2)
+      val samp = graft.analytics.Curation
+        .stratifiedHashSample(a, "id", "cluster", k = 25, salt = "s2")
+      a.groupBy("cluster").agg(count(lit(1)).as("n_total"))
+        .join(samp.groupBy("cluster")
+          .agg(count(lit(1)).as("n_sampled"), sum(col("id")).as("sampled_id_sum")),
+          Seq("cluster"))
+        .orderBy("cluster")
     }
   )
 }
