@@ -24,11 +24,11 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 311
+  val RegisteredQueryCount: Int = 312
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
   // contract) instead of rows-only dumps.
-  val OracledQueryCount: Int = 311
+  val OracledQueryCount: Int = 312
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

@@ -3166,6 +3166,36 @@ object AnalyticsQueries {
         .join(broadcast(eligible), col("s_suppkey") === col("suppkey"), "left_semi")
         .select("s_name", "n_name")
         .orderBy("s_name")
+    },
+
+    // TPC-H Q12 shape (shipping modes / priority): per line status, how
+    // many LATE lines (shipped > 90 days after the order date — the
+    // reduced schema has no shipmode or receipt/commit dates, so
+    // lateness-vs-orderdate stands in for receipt-vs-commit) carried
+    // critical vs non-critical order priority, one ship year. The
+    // year filter prunes the fact scan BEFORE the one orderkey shuffle;
+    // the priority split is a conditional aggregate, never two passes.
+    "q312_late_priority_counts" -> q(
+      """SELECT l_linestatus,
+                CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+                CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
     }
   )
 
