@@ -395,13 +395,29 @@ object Events {
       .select(col("week"), hll_sketch_estimate(col("__u")).as("approx_users"))
   }
 
-  /** Driver-green verdict for [[hllDailyToWeekly]]: the merged weekly
-    * estimate compared against (a) the sketch built DIRECTLY over the
-    * week (the mergeability invariant — register-max union makes them
-    * bit-identical, so the estimates must be EQUAL, not just close)
-    * and (b) the exact weekly distinct count (the accuracy band).
-    * Emits (week, exact_users, merge_equals_direct, within band) —
-    * everything but the booleans plain SQL on any engine.
+  /** Driver-green verdict for [[hllDailyToWeekly]]: both the
+    * merged-from-days weekly estimate AND the sketch built directly
+    * over the week must sit within the lgK accuracy band of the exact
+    * weekly distinct count. Emits (week, exact_users,
+    * merged_within_5pct, direct_within_5pct) — everything but the
+    * booleans plain SQL on any engine.
+    *
+    * Why the mergeability claim is an ACCURACY band, not equality (or
+    * even a tight merged-vs-direct delta): DataSketches HLL estimates
+    * with the HIP estimator when a sketch was built by direct
+    * insertion, but falls back to the composite estimator after a
+    * merge — and under Spark's partial aggregation BOTH paths merge
+    * partials, in a partition-split-dependent order. Estimates are
+    * therefore run-varying at dense cardinalities (observed at sf0.1's
+    * ~1500 users/week: the same week's merged-vs-direct gap measured 6
+    * on one run, >15 on another; sf0.01's ~150 users stay in coupon
+    * mode where estimates are exact counts — which is why only the
+    * round-7 sf0.1 sweep caught the original bit-equality claim). The
+    * stable contract is that merging day sketches loses NO accuracy
+    * beyond the band — estimates deviate ≲2% from exact (3σ ≈ 5% at
+    * lgK=12), so the 5% verdict holds on every run and every engine.
+    * Coupon-mode bit-equality stays pinned in EventsTextSpec at small
+    * scale.
     *
     * Scale shape: three aggregates over the same weekly grouping (the
     * merged path adds its day-level pre-aggregate), joined at
@@ -415,11 +431,12 @@ object Events {
         .as("direct_users"))
     val exact = df.groupBy(week)
       .agg(count_distinct(col(userCol)).as("exact_users"))
+    def inBand(c: Column) =
+      abs(c - col("exact_users")) * 100 <= col("exact_users") * bandPct
     merged.join(direct, Seq("week")).join(exact, Seq("week"))
       .select(col("week"), col("exact_users"),
-        (col("approx_users") === col("direct_users")).as("merge_equals_direct"),
-        (abs(col("approx_users") - col("exact_users")) * 100
-          <= col("exact_users") * bandPct).as(s"within_${bandPct}pct"))
+        inBand(col("approx_users")).as(s"merged_within_${bandPct}pct"),
+        inBand(col("direct_users")).as(s"direct_within_${bandPct}pct"))
   }
 
   /** Trailing-window feature at each fact's own time: per key, the sum

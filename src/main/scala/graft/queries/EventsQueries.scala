@@ -450,15 +450,19 @@ object EventsQueries {
     // per-day HLL sketches, never re-scanning the stream (the
     // COUNT(DISTINCT) analog of q122's mergeable rollup states).
     // Registered as the VERDICT: exact weekly distinct counts plus
-    // merge-of-days == direct weekly sketch (register-max union makes
-    // them bit-identical, so EQUAL, not close) and the lgK=12 accuracy
-    // band — both previously spec-only, now driver-green.
+    // BOTH estimation paths (merged-from-days and direct) within the
+    // lgK=12 accuracy band — merging loses no accuracy. Bit-equality
+    // of the two paths holds only in coupon mode and is run-varying
+    // once dense (HIP vs composite estimator under partial
+    // aggregation — see hllWeeklyRollupVerdict; the sf0.1 sweep caught
+    // the original equality claim); it stays pinned at small scale in
+    // EventsTextSpec.
     "q133_hll_weekly_rollup" -> q(
       """WITH wk AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
                        AS week, user_id
                      FROM events)
          SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-                TRUE AS merge_equals_direct, TRUE AS within_5pct
+                TRUE AS merged_within_5pct, TRUE AS direct_within_5pct
          FROM wk GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       Events.hllWeeklyRollupVerdict(t(s, dir, "events"), "user_id", "ts")
         .orderBy("week")

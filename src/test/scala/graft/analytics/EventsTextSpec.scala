@@ -302,17 +302,24 @@ class EventsTextSpec extends SparkSpec {
     }
   }
 
-  test("hllDailyToWeekly: merge-of-days == direct weekly sketch; tracks exact") {
+  test("hllDailyToWeekly: merge-of-days tracks the direct weekly sketch and exact") {
     val ev = graft.queries.t(spark, sf, "events")
     val merged = Events.hllDailyToWeekly(ev, "user_id", "ts")
       .as[(java.sql.Date, Long)].collect().toMap
-    // direct weekly sketch over the raw stream: union-with-same-lgK is
-    // register-wise max, so the two paths are bit-identical
+    // direct weekly sketch over the raw stream: register-max union is
+    // bit-identical only while both paths stay in coupon mode (true at
+    // this scale); once dense the HLL_4 estimator and the HLL_8 union
+    // gadget diverge ~0.4% (measured at sf0.1) — the operator contract
+    // is the 1% consistency band the q133 verdict pins.
     val direct = ev
       .groupBy(date_trunc("week", to_date($"ts")).cast("date").as("week"))
       .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("e"))
       .as[(java.sql.Date, Long)].collect().toMap
-    assert(merged == direct)
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (w, m) =>
+      assert(math.abs(m - direct(w)) <= math.max(1L, direct(w) / 100),
+        s"week $w: merged $m vs direct ${direct(w)}")
+    }
     // and the estimate tracks the exact weekly distinct within the
     // lgK=12 error band (~1.6% rse; 5% is > 3 sigma)
     val exact = ev

@@ -34,6 +34,20 @@ def main():
                 capture_output=True, text=True, timeout=timeout)
             took = time.time() - t0
             ok = f"PASS {name}" in r.stdout
+            if not ok:
+                # One retry before recording a FAIL: a multi-hour sweep
+                # must not go red on a transient (seen once: q209 flaked
+                # under concurrent load, then passed 4/4 re-runs).
+                r = subprocess.run(
+                    [sys.executable, checker, sf_dir, out_dir,
+                     f"--only={name}"],
+                    capture_output=True, text=True, timeout=timeout)
+                took = time.time() - t0
+                if f"PASS {name}" in r.stdout:
+                    print(f"PASS {name} ({took:.1f}s, on retry — "
+                          "first attempt flaked)", flush=True)
+                    n_pass += 1
+                    continue
             if ok:
                 n_pass += 1
                 print(f"PASS {name} ({took:.1f}s)", flush=True)
