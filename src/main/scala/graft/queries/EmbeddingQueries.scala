@@ -749,9 +749,12 @@ object EmbeddingQueries {
         "embedding", k = 8, rounds = 2)
       val samp = graft.analytics.Curation
         .stratifiedHashSample(a, "id", "cluster", k = 25, salt = "s2")
+      // both sides are ≤ k rows; the sampled side rides a broadcast
+      // (post-aggregate stats are unknown, so AQE would otherwise pick
+      // a sort-merge join on the 8-row relations)
       a.groupBy("cluster").agg(count(lit(1)).as("n_total"))
-        .join(samp.groupBy("cluster")
-          .agg(count(lit(1)).as("n_sampled"), sum(col("id")).as("sampled_id_sum")),
+        .join(broadcast(samp.groupBy("cluster")
+          .agg(count(lit(1)).as("n_sampled"), sum(col("id")).as("sampled_id_sum"))),
           Seq("cluster"))
         .orderBy("cluster")
     }
