@@ -17,27 +17,25 @@ import org.apache.spark.sql.SparkSessionExtensions
   *  - the custom codegen'd SQL functions (rolling_hash64, simhash64,
   *    array_dot_long, array_l2_long, dedup_lines, nfc_normalize,
   *    minhash_sig) via [[graft.functions.GraftExtensions]];
-  *  - the materialized-rollup rewrite ([[graft.plans.RollupRewrite]])
-  *    and the range-join bucketing rewrite
-  *    ([[graft.plans.RangeJoinRewrite]]) as post-optimizer rules —
-  *    both are internally gated (an empty rollup registry / unset
-  *    bucket width match nothing), so injection is free until an
-  *    operator enables them;
   *  - the planner strategy for the custom logical nodes
   *    ([[graft.plans.GraftStrategy]]: DecayedScan, HoltScan).
   *
-  * The operators' runtime self-registration via
-  * `spark.experimental.*` stays in place (idempotent) so ad-hoc
-  * sessions keep working without the config; on an extensions-built
-  * session the self-registration is a harmless duplicate — both rules
-  * are fixed-point (they never re-fire on their own output), and the
-  * strategy returns the same physical node either way.
+  * The two GATED rewrites — [[graft.plans.RollupRewrite]] and
+  * [[graft.plans.RangeJoinRewrite]] — are deliberately NOT injected
+  * here. `injectOptimizerRule` would place them inside the fixed-point
+  * operator-optimization batch, but both are specified to run AFTER
+  * the main optimizer batches (they match fully-normalized Aggregate /
+  * Join shapes), and both already self-register on the correct hook:
+  * `RollupRewrite.materializeAndRegister` / `RangeJoinRewrite.enable`
+  * append the singleton rule to `spark.experimental.extraOptimizations`
+  * exactly once — the last optimizer batch, i.e. the documented
+  * placement — so an enabled session carries exactly ONE instance of
+  * each (pinned by GraftSessionExtensionsSpec). Until enabled they are
+  * absent from the optimizer entirely: zero per-query probe cost.
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     new graft.functions.GraftExtensions().apply(e)
-    e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
-    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

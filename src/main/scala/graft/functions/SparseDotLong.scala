@@ -30,7 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * through ~1e4-term docs, see the caller's headroom note). Any null
   * input array yields null; null elements are never produced by the
   * builders and are treated as term-mismatch-impossible (weights read
-  * raw).
+  * raw). A terms/weights pair of UNEQUAL length is a mis-built vector,
+  * not a degenerate dot: since the function is registered user-facing
+  * SQL (`sparse_dot_long`), both the interpreted and codegen paths
+  * fail fast with IllegalArgumentException instead of silently
+  * truncating to the shorter array and returning a plausible wrong
+  * value.
   */
 case class SparseDotLong(tA: Expression, wA: Expression,
                          tB: Expression, wB: Expression)
@@ -66,8 +71,10 @@ case class SparseDotLong(tA: Expression, wA: Expression,
     val wa = b.asInstanceOf[ArrayData]
     val tb = c.asInstanceOf[ArrayData]
     val wb = d.asInstanceOf[ArrayData]
-    val na = math.min(ta.numElements(), wa.numElements())
-    val nb = math.min(tb.numElements(), wb.numElements())
+    SparseDotLong.requireAligned(
+      ta.numElements(), wa.numElements(), tb.numElements(), wb.numElements())
+    val na = ta.numElements()
+    val nb = tb.numElements()
     var ia = 0
     var ib = 0
     var s = 0L
@@ -90,8 +97,11 @@ case class SparseDotLong(tA: Expression, wA: Expression,
       val s = ctx.freshName("s")
       val cmp = ctx.freshName("cmp")
       s"""
-         |int $na = java.lang.Math.min($ta.numElements(), $wa.numElements());
-         |int $nb = java.lang.Math.min($tb.numElements(), $wb.numElements());
+         |graft.functions.SparseDotLong.requireAligned(
+         |  $ta.numElements(), $wa.numElements(),
+         |  $tb.numElements(), $wb.numElements());
+         |int $na = $ta.numElements();
+         |int $nb = $tb.numElements();
          |int $ia = 0; int $ib = 0; long $s = 0L;
          |while ($ia < $na && $ib < $nb) {
          |  int $cmp = $ta.getUTF8String($ia).compareTo($tb.getUTF8String($ib));
@@ -113,4 +123,13 @@ object SparseDotLong {
   def apply(ta: Column, wa: Column, tb: Column, wb: Column): Column =
     Shim.column(new SparseDotLong(Shim.expression(ta), Shim.expression(wa),
       Shim.expression(tb), Shim.expression(wb)))
+
+  /** Shared by the interpreted and generated paths (the codegen calls
+    * this via the companion's static forwarder): parallel arrays of
+    * unequal length are a caller bug — fail fast, never truncate. */
+  def requireAligned(na: Int, nwa: Int, nb: Int, nwb: Int): Unit =
+    if (na != nwa || nb != nwb)
+      throw new IllegalArgumentException(
+        s"sparse_dot_long: terms/weights must be parallel arrays of equal " +
+          s"length, got ($na terms, $nwa weights) x ($nb terms, $nwb weights)")
 }

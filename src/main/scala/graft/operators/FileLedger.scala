@@ -16,13 +16,24 @@ import org.apache.spark.sql.functions._
   * file under the same name is NOT reprocessed. That is the reference's
   * observable behavior and is preserved (SURVEY §7.5.3).
   *
-  * Scale note: the ledger is (folder, file) pairs — millions of rows at
-  * most, i.e. broadcastable. `newFiles` is a broadcast left_anti join, so
-  * candidate discovery never shuffles the candidate side.
+  * Scale note: the ledger is (folder, file) pairs — usually small enough
+  * to broadcast, so `newFiles` hints broadcast and candidate discovery
+  * never shuffles the candidate side. But a 100 TB daily-ingest lake
+  * accumulates 10⁷-10⁸ ledger rows over years — past the driver's
+  * broadcast envelope — so the hint is SIZE-CONDITIONAL: above
+  * [[BroadcastMaxBytes]] (estimated from the plan's statistics, a
+  * driver-side metadata read, no job) the join is left hintless and
+  * AQE picks the strategy from the runtime size (a shuffled left_anti
+  * at worst — same result, no driver OOM).
   */
 object FileLedger {
 
   val Schema = "folder_name STRING, file_name STRING, loaded_at TIMESTAMP"
+
+  /** Past this estimated ledger size the broadcast hint is dropped and
+    * AQE chooses the anti-join strategy. Overridable per session via
+    * `graft.ledger.broadcastMaxBytes` (runtime conf). */
+  val BroadcastMaxBytes: Long = 64L << 20
 
   /** Read the ledger, or an empty one if it doesn't exist yet. */
   def load(spark: SparkSession, ledgerPath: String): DataFrame = {
@@ -36,12 +47,19 @@ object FileLedger {
   }
 
   /** J4: the reference's only anti-join — candidates minus already-seen,
-    * keyed on (folder_name, file_name). Ledger side is broadcast (it is
-    * file names, not data). */
-  def newFiles(candidates: DataFrame, ledger: DataFrame): DataFrame =
-    candidates.join(
-      broadcast(ledger.select("folder_name", "file_name")),
-      Seq("folder_name", "file_name"), "left_anti")
+    * keyed on (folder_name, file_name). The ledger side is broadcast
+    * while its ESTIMATED size (logical-plan statistics — parquet footer
+    * metadata, no job) stays under the threshold; a lake-lifetime
+    * ledger past it degrades to a hintless join AQE plans from runtime
+    * size, instead of force-broadcasting 10⁸ rows through the driver. */
+  def newFiles(candidates: DataFrame, ledger: DataFrame): DataFrame = {
+    val keys = ledger.select("folder_name", "file_name")
+    val maxBytes = ledger.sparkSession.conf
+      .get("graft.ledger.broadcastMaxBytes", BroadcastMaxBytes.toString).toLong
+    val est = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+    val side = if (est <= maxBytes) broadcast(keys) else keys
+    candidates.join(side, Seq("folder_name", "file_name"), "left_anti")
+  }
 
   /** K4: append processed (folder, file) pairs with a load timestamp
     * (reference: snowflake_load.py:123-133 + `LOADED_AT` default :68). */
@@ -54,13 +72,19 @@ object FileLedger {
   }
 
   /** Driver-side convenience used by the orchestrator: which of `files`
-    * under `folder` are unprocessed, in deterministic (sorted) order. */
+    * under `folder` are unprocessed, in deterministic (sorted) order.
+    * Expressed AS the [[newFiles]] anti-join it otherwise duplicates —
+    * the ledger's seen-set is filtered and joined distributed (the
+    * folder filter pushes to the parquet scan), so a lake-lifetime
+    * ledger never materializes on the driver; the only collect is the
+    * result, bounded by the CALLER's candidate list (already
+    * driver-side by signature). */
   def unprocessed(spark: SparkSession, ledgerPath: String, folder: String,
                   files: Seq[String]): Seq[String] = {
-    val seen = load(spark, ledgerPath)
-      .filter(col("folder_name") === folder)
-      .select("file_name")
-      .collect().map(_.getString(0)).toSet
-    files.filterNot(seen).sorted
+    import spark.implicits._
+    val cands = files.toDF("file_name").withColumn("folder_name", lit(folder))
+    val ledger = load(spark, ledgerPath).filter(col("folder_name") === folder)
+    newFiles(cands, ledger)
+      .select("file_name").collect().map(_.getString(0)).toSeq.sorted
   }
 }

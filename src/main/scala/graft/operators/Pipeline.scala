@@ -38,18 +38,48 @@ object Pipeline {
   }
 
   /** Run the full flow. Returns per-stage metrics (A4 analog) plus the
-    * per-action run report (C3 analog). */
+    * per-action run report (C3 analog). `retries` is the reference's
+    * per-task `retries: 2` (pipeline.py:110) as a job-level knob: each
+    * per-unit stage body (a landing write, a clean, a table load, a
+    * model materialization) is re-attempted up to `retries` times on a
+    * transient failure, and every re-attempt is recorded in the stage's
+    * OperationMetadata (`retried`); only a unit that exhausts its
+    * retries marks `failed` and aborts the run. */
   def run(spark: SparkSession, sources: Seq[Source], root: String,
           buildStar: Map[String, DataFrame] => Map[String, DataFrame] =
-            identity[Map[String, DataFrame]] _): RunReport = {
+            identity[Map[String, DataFrame]] _,
+          retries: Int = 2): RunReport = {
     val hook = graft.operators.RunReport.attach(spark)
-    try runInner(spark, sources, root, buildStar, hook)
+    try runInner(spark, sources, root, buildStar, hook, retries)
     finally hook.detach(spark)
+  }
+
+  /** Retry wrapper for one unit of stage work. Counter contract:
+    * success (possibly after re-attempts) bumps processed+succeeded;
+    * each re-attempt bumps retried; exhaustion bumps failed and
+    * rethrows. Bodies are Spark writes — a failed write job never
+    * commits its output (the committer discards uncommitted task
+    * attempts), so re-running the body is safe. */
+  private def attempt[T](m: Quality.MetricsBuilder, retries: Int)(body: => T): T = {
+    var attemptsLeft = retries
+    while (true) {
+      try {
+        val r = body
+        m.processed += 1; m.succeeded += 1
+        return r
+      } catch {
+        case _: Throwable if attemptsLeft > 0 =>
+          attemptsLeft -= 1; m.retried += 1
+        case e: Throwable =>
+          m.processed += 1; m.failed += 1; throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def runInner(spark: SparkSession, sources: Seq[Source], root: String,
                        buildStar: Map[String, DataFrame] => Map[String, DataFrame],
-                       hook: graft.operators.RunReport): RunReport = {
+                       hook: graft.operators.RunReport, retries: Int): RunReport = {
     val ledgerPath = s"$root/_ledger"
     val stages = scala.collection.mutable.ArrayBuffer.empty[Quality.OperationMetadata]
 
@@ -57,17 +87,16 @@ object Pipeline {
     val landM = Quality.timed("land")
     sources.foreach { src =>
       val rawPath = s"$root/raw/${src.name}"
-      val landed =
-        if (!src.incremental) Some(src.land(spark))
-        else {
-          // file-level exactly-once: one logical "file" per landing batch,
-          // keyed by the batch id the caller encodes in the source name
-          val batchFile = s"${src.name}.batch"
-          if (FileLedger.unprocessed(spark, ledgerPath, src.name, Seq(batchFile)).isEmpty) {
-            landM.skipped += 1; None
-          } else Some(src.land(spark))
-        }
-      landed.foreach { df =>
+      // file-level exactly-once: one logical "file" per landing batch,
+      // keyed by the batch id the caller encodes in the source name
+      val skip = src.incremental && FileLedger.unprocessed(
+        spark, ledgerPath, src.name, Seq(s"${src.name}.batch")).isEmpty
+      if (skip) landM.skipped += 1
+      else attempt(landM, retries) {
+        // the whole unit (source read + landing write + ledger mark)
+        // re-attempts together: a transient source failure is the
+        // reference's canonical retry case (retries: 2, pipeline.py:110)
+        val df = src.land(spark)
         // full loads overwrite (re-upload of the same logical files);
         // incremental batches append (new daily files) — reference
         // customerload.py vs s3_copy.py semantics
@@ -81,7 +110,6 @@ object Pipeline {
         // (at-least-once, recoverable by downstream dedup).
         if (src.incremental)
           FileLedger.append(spark, ledgerPath, Seq((src.name, s"${src.name}.batch")))
-        landM.processed += 1; landM.succeeded += 1
       }
     }
     stages += landM.complete()
@@ -89,11 +117,12 @@ object Pipeline {
     // Stage 3: transform raw/ -> staging/ (clean: rename/dropnull/dedup/trim)
     val cleanM = Quality.timed("transform")
     sources.foreach { src =>
-      val raw = Readers.parquet(spark, s"$root/raw/${src.name}")
-      val cleaned = Clean.requireNonEmpty(
-        Clean.clean(src.renames)(raw), src.name)
-      TableStore.writeParquet(cleaned, s"$root/staging/${src.name}")
-      cleanM.processed += 1; cleanM.succeeded += 1
+      attempt(cleanM, retries) {
+        val raw = Readers.parquet(spark, s"$root/raw/${src.name}")
+        val cleaned = Clean.requireNonEmpty(
+          Clean.clean(src.renames)(raw), src.name)
+        TableStore.writeParquet(cleaned, s"$root/staging/${src.name}")
+      }
     }
     stages += cleanM.complete()
 
@@ -107,9 +136,10 @@ object Pipeline {
         val folder = s"staging/$name"
         val logicalFile = s"$name.parquet"
         if (FileLedger.unprocessed(spark, ledgerPath, folder, Seq(logicalFile)).nonEmpty) {
-          TableStore.loadIntoTable(spark, df, name)
-          FileLedger.append(spark, ledgerPath, Seq((folder, logicalFile)))
-          loadM.processed += 1; loadM.succeeded += 1
+          attempt(loadM, retries) {
+            TableStore.loadIntoTable(spark, df, name)
+            FileLedger.append(spark, ledgerPath, Seq((folder, logicalFile)))
+          }
         } else loadM.skipped += 1
         name -> spark.table(name)
     }.toMap
@@ -119,8 +149,9 @@ object Pipeline {
     val starM = Quality.timed("star_schema")
     val models = buildStar(tables)
     models.foreach { case (name, df) =>
-      TableStore.materializeTable(spark, df, name)
-      starM.processed += 1; starM.succeeded += 1
+      attempt(starM, retries) {
+        TableStore.materializeTable(spark, df, name)
+      }
     }
     stages += starM.complete()
 

@@ -39,20 +39,24 @@ object Quality {
     notNullViolations(df, key).head(1).isEmpty
 
   /** A4: run-metrics accumulation (reference: utilities.py:25-67 —
-    * processed/success/failed/skipped counters + duration). */
+    * processed/success/failed/skipped counters + duration; `retried`
+    * counts transient failures that were re-attempted and may then have
+    * succeeded — the reference's Airflow `retries: 2` task knob,
+    * pipeline.py:110, surfaced as a metric instead of scheduler
+    * state). */
   final case class OperationMetadata(
       operation: String,
       processed: Long, succeeded: Long, failed: Long, skipped: Long,
-      durationSeconds: Double)
+      durationSeconds: Double, retried: Long = 0L)
 
   /** Time a stage and produce its report; counters supplied by the stage
     * body via the returned builder. */
   final class MetricsBuilder(operation: String) {
     private val t0 = System.nanoTime()
-    var processed, succeeded, failed, skipped = 0L
+    var processed, succeeded, failed, skipped, retried = 0L
     def complete(): OperationMetadata =
       OperationMetadata(operation, processed, succeeded, failed, skipped,
-        (System.nanoTime() - t0) / 1e9)
+        (System.nanoTime() - t0) / 1e9, retried)
   }
 
   def timed(operation: String): MetricsBuilder = new MetricsBuilder(operation)
@@ -109,6 +113,27 @@ object Quality {
   def cmsFrequenciesVerdict(df: DataFrame, column: String, keys: Seq[Any],
                             eps: Double = 0.001, confidence: Double = 0.99,
                             seed: Int = 42): DataFrame = {
+    // ceil(eps·N) in exact integer arithmetic for ANY decimal eps: find
+    // the smallest power-of-10 denominator that makes eps integral
+    // (eps = mult/scale exactly) and compute (N·mult + scale-1) DIV
+    // scale. A non-decimal eps (or one finer than 1e-9) fails loudly
+    // here instead of silently checking a different bound — the old
+    // hardcoded /1000 form rounded eps=0.0025 to 3/1000 and collapsed
+    // eps<5e-4 to a zero bound.
+    require(eps > 0, "eps must be positive")
+    val scale = (0 to 9).map(k => math.pow(10, k).toLong)
+      .find { s =>
+        val m = math.round(eps * s)
+        // absolute closeness to the rational m/s, not closeness of the
+        // scaled product to an integer — at s = 1e9 the latter admits
+        // ANY eps (every double is within 1 of an integer at that
+        // magnitude) and would silently check a different bound
+        m >= 1 && math.abs(eps - m.toDouble / s) <= 1e-12
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"eps=$eps is not a decimal rational with <= 9 fractional digits; " +
+          "the exact-integer width bound needs eps = k/10^d"))
+    val mult = math.round(eps * scale)
     val est = cmsFrequencies(df, column, keys, eps, confidence, seed)
     val exact = df.groupBy(col(column))
       .agg(count(lit(1)).as("exact_count"))
@@ -117,11 +142,8 @@ object Quality {
       .crossJoin(broadcast(n))
       .select(col(column), col("exact_count"),
         (col("est_count") >= col("exact_count")).as("never_undercounts"),
-        // ceil(eps·N) in exact integer arithmetic: eps is a power-of-10
-        // rational (1/1000 here) — (N·1000·eps + 999) DIV 1000 with the
-        // multiplier folded to a literal per-thousand rate
         (col("est_count") <= col("exact_count")
-          + expr(s"(__n * ${math.round(eps * 1000)} + 999) DIV 1000"))
+          + expr(s"(__n * $mult + ${scale - 1}) DIV $scale"))
           .as("overcount_within_eps"))
   }
 

@@ -119,9 +119,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // Empty-registry fast path: with nothing registered the rule can
+    // match nothing — skip the per-Aggregate transformUp probe entirely
+    // (the rule sits in every enabled session's optimizer; an
+    // unregistered session must pay zero per-query cost).
+    if (entries.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
 
   /** Walk down through column-pruning Projects and Filters to the scan,
     * collecting filter conditions. Any other operator → no rewrite. */

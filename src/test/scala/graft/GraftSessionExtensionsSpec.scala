@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.LongType
   * creates the SparkContext (SparkSpec's builder — the same line a
   * cluster's spark-defaults carries), and every session built on that
   * context — including a fresh one with no programmatic registration
-  * anywhere — must carry the SQL functions, both optimizer rules, and
-  * the custom-plan strategy from session start, via the reflective
-  * config path. */
+  * anywhere — must carry the SQL functions and the custom-plan strategy
+  * from session start, via the reflective config path. The gated
+  * rewrites are NOT part of the extension: they self-append to
+  * extraOptimizations (the final optimizer batch) on enable/register,
+  * exactly once. */
 class GraftSessionExtensionsSpec extends SparkSpec {
 
   test("config-only session: functions, optimizer rules, strategy all injected") {
@@ -45,11 +47,45 @@ class GraftSessionExtensionsSpec extends SparkSpec {
       assert(r.getString(4) == "é")
       assert(r.getLong(5) == 21L)
 
-      // Both Catalyst rewrites are in the session's optimizer (identity —
-      // the injected thunks return the singleton rule objects).
-      val rules = ext.sessionState.optimizer.batches.flatMap(_.rules)
-      assert(rules.exists(_ eq graft.plans.RollupRewrite))
-      assert(rules.exists(_ eq graft.plans.RangeJoinRewrite))
+      // The GATED rewrites are NOT injected by the extension (their
+      // documented placement is extraOptimizations, appended on
+      // enable/register) — until an operator enables them the optimizer
+      // must not carry them at all...
+      def instances(s: SparkSession) = {
+        val rules = s.sessionState.optimizer.batches.flatMap(_.rules)
+        (rules.count(_ eq graft.plans.RollupRewrite),
+          rules.count(_ eq graft.plans.RangeJoinRewrite))
+      }
+      assert(instances(ext) == ((0, 0)),
+        "gated rewrites must be absent until enabled")
+      // ...and once enabled, exactly ONE instance each, in the
+      // post-main-batches User Provided Optimizers slot (the double
+      // registration the old injectOptimizerRule path produced — rule
+      // both mid-batch and appended — is the regression this pins).
+      graft.plans.RangeJoinRewrite.enable(ext, 3600L)
+      val cubeDir = java.nio.file.Files
+        .createTempDirectory("graft-ext-cube").toString
+      val docs = graft.queries.t(ext, sf, "documents")
+      graft.plans.RollupRewrite.materializeAndRegister(ext, "ext_spec_cube",
+        docs, s"$sf/documents.parquet", dims = Seq("lang"),
+        measures = Seq("n_chars"), cubeDir)
+      try {
+        assert(instances(ext) == ((1, 1)),
+          "enabled session must carry exactly one instance of each rewrite")
+        // ...in the post-main-batches User Provided Optimizers slot
+        // (extraOptimizations), after every operator-optimization batch
+        val batches = ext.sessionState.optimizer.batches
+        val upo = batches.indexWhere(_.name == "User Provided Optimizers")
+        assert(upo >= 0, batches.map(_.name).mkString(", "))
+        assert(batches(upo).rules.exists(_ eq graft.plans.RollupRewrite)
+          && batches(upo).rules.exists(_ eq graft.plans.RangeJoinRewrite),
+          "rewrites must sit in the extraOptimizations batch")
+        assert(upo > batches.indexWhere(_.name.contains("Operator Optimization")),
+          "extraOptimizations must run after the main operator-optimization batches")
+      } finally {
+        graft.plans.RangeJoinRewrite.disable()
+        graft.plans.RollupRewrite.deregister("ext_spec_cube")
+      }
 
       // The custom-plan strategy plans a DecayedScan with NO runtime
       // self-registration: extraStrategies stays empty, so the injected

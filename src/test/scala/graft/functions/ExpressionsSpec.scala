@@ -45,6 +45,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == ref && got == Seq(3L * 11 + 5 * 13, 0L, 0L))
   }
 
+  test("SparseDotLong fails fast on mismatched parallel arrays (no silent truncation)") {
+    // user-facing SQL function: a mis-built vector pair must error, not
+    // return a plausible wrong dot from the shorter prefix
+    val df = Seq(
+      (Seq("a", "b"), Seq(1L), Seq("a"), Seq(2L))) // 2 terms, 1 weight
+      .toDF("ta", "wa", "tb", "wb")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Throwable] {
+      df.select(SparseDotLong($"ta", $"wa", $"tb", $"wb")).collect()
+    }
+    assert(messages(ex).exists(_.contains("parallel arrays")), s"got: $ex")
+    // ...and on the other side too
+    val ex2 = intercept[Throwable] {
+      df.select(SparseDotLong($"tb", $"wb", $"ta", $"wa")).collect()
+    }
+    assert(messages(ex2).exists(_.contains("parallel arrays")), s"got: $ex2")
+  }
+
   test("SparseDotLong matches the relational explode/join/sum dot on random-ish vectors") {
     // the phase-2 equivalence tfIdfCosinePairs relies on: per-doc sorted
     // sparse vectors vs the (doc, term)-keyed equi-join aggregate

@@ -16,6 +16,32 @@ class LedgerAndStoreSpec extends SparkSpec {
     assert(out == Set(("a", "f2"), ("b", "f1")))
   }
 
+  test("newFiles past the broadcast threshold degrades to a shuffled anti-join, same result") {
+    val cand = Seq(("a", "f1"), ("a", "f2"), ("b", "f1"))
+      .toDF("folder_name", "file_name")
+    val ledger = Seq(("a", "f1")).toDF("folder_name", "file_name")
+      .withColumn("loaded_at", current_timestamp())
+    // zero the size threshold (hint dropped) AND disable the planner's
+    // own auto-broadcast, so the fallback really is the shuffled
+    // left_anti a lake-lifetime ledger would get
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.ledger.broadcastMaxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = FileLedger.newFiles(cand, ledger)
+      val out = df.as[(String, String)].collect().toSet
+      assert(out == Set(("a", "f2"), ("b", "f1")))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"oversized ledger must not broadcast:\n$plan")
+      assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+    } finally {
+      spark.conf.unset("graft.ledger.broadcastMaxBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("FileLedger append + reload is idempotent on rerun (I2 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("ledger").toString
     assert(FileLedger.load(spark, dir).count() == 0) // missing -> empty

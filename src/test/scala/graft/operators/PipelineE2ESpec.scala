@@ -112,4 +112,38 @@ class PipelineE2ESpec extends SparkSpec {
     assert(spark.table("fact_call_logs").select("call_id").as[String]
       .collect().toSet == Set("k1", "k2"))
   }
+
+  test("transient source failure is retried and recorded (reference retries: 2)") {
+    val root = Files.createTempDirectory("pipe-retry").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType)))
+    var landCalls = 0
+    val flaky = Pipeline.Source("flaky_src", s => {
+      landCalls += 1
+      // first attempt dies (transient outage); the retry succeeds —
+      // the run must complete, record the re-attempt, and mark no failure
+      if (landCalls == 1) throw new RuntimeException("transient source outage")
+      Readers.rows(s, Seq(Row("r1", "x"), Row("r2", "y")), schema)
+    })
+    // no star models: the default identity buildStar would re-materialize
+    // the warehouse table onto itself (UNSUPPORTED_OVERWRITE)
+    val report = Pipeline.run(spark, Seq(flaky), root, _ => Map.empty)
+    val land = report.stages.find(_.operation == "land").get
+    assert(land.retried == 1, s"expected 1 recorded re-attempt, got $land")
+    assert(land.succeeded == 1 && land.failed == 0 && land.processed == 1)
+    assert(landCalls == 2)
+    assert(spark.table("flaky_src").count() == 2)
+
+    // retry exhaustion: the unit marks failed and the run aborts
+    val root2 = Files.createTempDirectory("pipe-retry-exhaust").toString
+    var calls2 = 0
+    val dead = Pipeline.Source("dead_src", _ => {
+      calls2 += 1; throw new RuntimeException("permanent outage")
+    })
+    val ex = intercept[RuntimeException] {
+      Pipeline.run(spark, Seq(dead), root2, _ => Map.empty, retries = 1)
+    }
+    assert(ex.getMessage == "permanent outage")
+    assert(calls2 == 2, "retries = 1 means exactly two attempts")
+  }
 }

@@ -168,6 +168,27 @@ class StarSchemaQualitySpec extends SparkSpec {
     assert(ghost <= math.ceil(0.001 * n).toLong * 2)
   }
 
+  test("cmsFrequenciesVerdict: bound derived for any decimal eps; non-decimal rejected") {
+    val ev = graft.queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_type")
+    val keys = ev.distinct().as[String].collect().toSeq.sorted
+    // eps values the old hardcoded /1000 bound silently mangled:
+    // 0.0025 rounded to 3/1000, 0.0002 collapsed the bound to 0
+    Seq(0.0025, 0.0002, 0.05).foreach { eps =>
+      val rows = Quality.cmsFrequenciesVerdict(ev, "event_type", keys, eps = eps)
+        .collect()
+      assert(rows.length == keys.length)
+      assert(rows.forall(_.getBoolean(2)), s"undercount at eps=$eps")
+      assert(rows.forall(_.getBoolean(3)),
+        s"eps=$eps width bound must hold (it is ceil(eps*N), not a rounded /1000)")
+    }
+    // a non-decimal eps cannot form the exact integer bound: loud error
+    val ex = intercept[IllegalArgumentException] {
+      Quality.cmsFrequenciesVerdict(ev, "event_type", keys, eps = 1.0 / 3.0)
+    }
+    assert(ex.getMessage.contains("decimal"))
+  }
+
   test("keyCandidates: unique key detected; nulls and dups disqualify") {
     val a = Seq((1L, Some("x")), (2L, Some("x")), (3L, None))
       .toDF("id", "grp")
