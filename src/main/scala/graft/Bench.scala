@@ -62,6 +62,19 @@ object Bench {
     val firstPass = selected.map { case (name, fn) =>
       name -> (1 to trials).map(_ => time(fn))
     }
+    // SERVING-ONLY timings for the verdict rungs (registry rows time
+    // operator + in-query exact verification; these time the operator
+    // alone) — reported in a separate "serving" dict, never mixed into
+    // the headline total, so the serving path's cost stays comparable
+    // round-over-round.
+    val servingSelected = SparkEntry.servingQueries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val serving = servingSelected.toSeq.map { case (name, fn) =>
+      val timings = (1 to trials).map(_ => time(fn)).collect { case Right(s) => s }
+      name -> (if (timings.isEmpty) None
+        else Some(timings.sorted.apply(timings.length / 2)))
+    }
     val results = firstPass.map { case (name, timings) =>
       val errs = timings.collect { case Left(m) => m }
       name -> (if (errs.nonEmpty) Left(errs.head)
@@ -108,7 +121,10 @@ object Bench {
     val nErr = results.values.count(_.isLeft)
     val (noisyQ, _, noisySpread) =
       if (ok.nonEmpty) ok.maxBy(_._3) else ("", 0.0, 1.0)
-    println(s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${ms3(total)},"unit":"sec","max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"sf":"$sfDir"}""")
+    val servingJson = serving.sortBy(_._1)
+      .collect { case (k, Some(sec)) => s"${jstr(k)}:${ms3(sec)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"errors":$errs,"serving":$servingJson,"metric":"total","value":${ms3(total)},"unit":"sec","max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

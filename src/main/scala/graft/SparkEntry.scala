@@ -15,7 +15,7 @@ object SparkEntry {
   private val registry: Map[String, Q] =
     ParityQueries.defs ++ AnalyticsQueries.defs ++ EventsQueries.defs ++
       TextQueries.defs ++ EmbeddingQueries.defs ++ SqlSurfaceQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ StreamingParityQueries.defs
 
   /** Registry pin — the single place the expected registry size lives.
     * EntrySmokeSpec asserts the live registry against these numbers, so
@@ -24,11 +24,13 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 312
+  val RegisteredQueryCount: Int = 321
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
-  // contract) instead of rows-only dumps.
-  val OracledQueryCount: Int = 312
+  // contract) instead of rows-only dumps. Round 8 adds the 8 streaming
+  // batch-parity verdicts (q313-q320) and lexicon sentiment (q321),
+  // all oracled.
+  val OracledQueryCount: Int = 321
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined
@@ -44,4 +46,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.collect { case (name, Q(_, Some(sql))) => name -> sql }
+
+  /** Serving-only faces of the verdict rungs (ANN ladder, MinHash/
+    * SimHash): the operator without its in-query exact verification.
+    * Timed by Bench into the artifact's "serving" section so the
+    * serving path's cost stays observable round-over-round; NOT part
+    * of the oracled registry (the verdict rows are the correctness
+    * gate). */
+  def servingQueries: Map[String, (SparkSession, String) => DataFrame] =
+    EmbeddingQueries.servingDefs ++ TextQueries.servingDefs
 }

@@ -242,6 +242,47 @@ object TextAnalysis {
     feats.withColumn("quality_logit", score)
   }
 
+  /** Default sentiment lexicon: AFINN-style integer valences (public
+    * convention: -5..+5 per term) for general sentiment words plus the
+    * service/performance terms of the reference's complaint-analytics
+    * domain (reference README.md:5-7 — resolution status, service
+    * quality). Ships with the pipeline the way linearQualityScore's
+    * weights do; callers pass their own lexicon for other domains. */
+  val SentimentLexicon: Map[String, Int] = Map(
+    "good" -> 3, "great" -> 3, "excellent" -> 5, "happy" -> 3,
+    "love" -> 3, "best" -> 3, "helpful" -> 2, "thanks" -> 2,
+    "resolved" -> 2, "fast" -> 1, "quick" -> 1, "big" -> 1,
+    "bad" -> -3, "terrible" -> -5, "awful" -> -4, "worst" -> -5,
+    "hate" -> -4, "angry" -> -3, "poor" -> -2, "broken" -> -3,
+    "unresolved" -> -2, "problem" -> -2, "error" -> -2, "fail" -> -3,
+    "slow" -> -1, "delay" -> -1, "dup" -> -1, "small" -> -1)
+
+  /** Lexicon sentiment scoring (SURVEY §7.4): per document, the number
+    * of lexicon-matched tokens, the integer valence sum, and the sign
+    * label. The lexicon is an in-row MAP LITERAL probed per token
+    * (`element_at` inside higher-order functions) — a zero-shuffle
+    * codegen'd projection, which at 100 TB beats the relational
+    * explode→join→re-aggregate by the full corpus-token shuffle it
+    * never does (a lexicon is KBs; shipping it in the plan costs
+    * nothing, the classic broadcast-join degenerate case). Exact
+    * integer arithmetic end to end — fully oracle-checkable. */
+  def sentimentScore(df: DataFrame, idCol: String, textCol: String,
+                     lexicon: Map[String, Int] = SentimentLexicon): DataFrame = {
+    require(lexicon.nonEmpty, "sentimentScore needs a non-empty lexicon")
+    val lex = typedlit(lexicon.map { case (k, v) => k -> v.toLong })
+    val toks = tokens(lower(col(textCol)))
+    df.select(col(idCol),
+        size(filter(toks, t => element_at(lex, t).isNotNull)).cast("long")
+          .as("n_scored_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + coalesce(element_at(lex, t), lit(0L)))
+          .as("sentiment_score"))
+      .withColumn("sentiment_label",
+        when(col("sentiment_score") > 0, "positive")
+          .when(col("sentiment_score") < 0, "negative")
+          .otherwise("neutral"))
+  }
+
   /** BPE-ish subword tokenizer: letter runs, digit runs, and single
     * non-alphanumeric marks — the pre-tokenization split every BPE-family
     * tokenizer applies (public GPT-2/SentencePiece convention), a good
@@ -875,11 +916,18 @@ object TextAnalysis {
     *
     * Scale shape: one bounded (block, term) shuffle with map-side-
     * combining dot aggregate, pairs-sized norm joins, pair-keyed
-    * exact verification. Never doc × doc, never uncapped fanout. */
+    * exact verification. Never doc × doc, never uncapped fanout.
+    * `maxHeavyPerBlock` is the loud-failure guard on phase 1b's grid:
+    * a block with more heavy docs than the cap throws (with the block
+    * named) instead of quietly going quadratic within the block —
+    * the caller either raises the guard knowingly or raises
+    * `maxDocFreq` so less mass is dropped. */
   def tfIdfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, num: Long = 4,
                        den: Long = 5,
-                       maxDocFreq: Long = 256L): DataFrame = {
+                       maxDocFreq: Long = 256L,
+                       maxHeavyPerBlock: Long = 1L << 16): DataFrame = {
+    require(maxHeavyPerBlock > 0, "maxHeavyPerBlock must be positive")
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val tf = df
       .select(col(blockCol).as("__blk"), col(idCol).as("__id"),
@@ -934,7 +982,27 @@ object TextAnalysis {
     // more than Σ_blk |heavy_blk|², never keyed by a hot term.
     val wd = w.filter(!col("__kept"))
       .join(heavy.hint("broadcast"), Seq("__id"))
-    val heavyB = wd.select(col("__blk"), col("__id")).distinct()
+    // Loud-failure guard on the grid's quadratic term: a block whose
+    // heavy-doc count exceeds `maxHeavyPerBlock` would make
+    // Σ_blk |heavy_blk|² the dominant (and genuinely quadratic) cost —
+    // on a stop-mass-dominated corpus that is the problem's inherent
+    // density, but it must be an explicit caller decision (raise the
+    // cap, or raise maxDocFreq so less mass is dropped), never a
+    // silent degradation. The check is a block-sized aggregate riding
+    // the same tiny heavy relation; assert_true keeps it inside the
+    // plan (no extra driver action), and `.isNull` both forces
+    // evaluation and passes every surviving row (assert_true yields
+    // NULL on success, throws on failure).
+    val heavyB0 = wd.select(col("__blk"), col("__id")).distinct()
+    val heavyCnt = heavyB0.groupBy("__blk").agg(count(lit(1)).as("__hc"))
+    val heavyB = heavyB0.join(heavyCnt.hint("broadcast"), Seq("__blk"))
+      .filter(assert_true(col("__hc") <= maxHeavyPerBlock,
+        concat(lit("tfIdfCosinePairs: block "), col("__blk").cast("string"),
+          lit(s" has "), col("__hc").cast("string"),
+          lit(s" heavy docs > maxHeavyPerBlock=$maxHeavyPerBlock — its " +
+            "dropped-mass pair grid would be quadratic; raise " +
+            "maxHeavyPerBlock explicitly or raise maxDocFreq"))).isNull)
+      .select(col("__blk"), col("__id"))
     val cand2 = heavyB.as("hx")
       .join(heavyB.as("hy").hint("shuffle_hash"),
         col("hx.__blk") === col("hy.__blk")

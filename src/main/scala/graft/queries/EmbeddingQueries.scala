@@ -759,4 +759,58 @@ object EmbeddingQueries {
         .orderBy("cluster")
     }
   )
+
+  /** SERVING-ONLY faces of the ANN-ladder verdict rungs: the operator
+    * alone, without the exact counterpart (brute-force top-k, exact
+    * pair set, rerun) the registered verdict deliberately recomputes
+    * in-query. The registry rows time operator + verification — the
+    * right correctness gate, the wrong round-over-round cost signal
+    * for the serving path — so Bench times these separately into the
+    * artifact's "serving" section. Never oracled: the verdict rows
+    * remain the correctness gate. q37/q73 are included for a complete
+    * ladder even though their registry form is already serving-only
+    * (brute force IS the operator there). */
+  val servingDefs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q37_embed_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topKBruteForce(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 7), k = 20)
+    }),
+    "q38_embed_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topKLsh(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 7), k = 20)
+    }),
+    "q39_embed_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topKIvf(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 7), k = 20)
+    }),
+    "q40_embed_near_dup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(withTwins(t(s, dir, "embeddings")),
+        "vec_id", "embedding", threshold = 0.95)
+    }),
+    "q73_embed_topk_many" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topKBruteForceMany(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)), "vec_id", k = 10)
+    }),
+    "q74_embed_topk_many_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topKLshMany(e, "vec_id", "embedding",
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)), "vec_id", k = 10)
+    }),
+    "q75_embed_topk_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndex(s, dir)
+      Similarity.topKPqAdcFromCodes(s.read.parquet(idx.codesPath),
+        e.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20, idx.cb)
+    }),
+    "q81_embed_ivfpq_serve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndex(s, dir)
+      Similarity.topKIvfPqFromIndex(s, idx.ivfPath,
+        e.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20, idx.cb)
+    }))
 }

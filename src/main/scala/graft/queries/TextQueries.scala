@@ -318,8 +318,13 @@ object TextQueries {
       val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, num = 1, den = 5)
         .select("id_a", "id_b")
+      // The exact baseline runs CAP-FREE (the DefaultMaxDocFreq = no
+      // cap), matching the uncapped DuckDB oracle by construction: a
+      // df-capped baseline can miss true pairs sharing only stop-grade
+      // shingles, which would desync n_exact_pairs from the oracle AND
+      // count genuine LSH pairs as violations on a hot-trigram corpus.
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, num = 1, den = 5, maxDocFreq = 1000L)
+        n = 3, num = 1, den = 5)
         .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
       lsh.withColumn("__l", lit(1L))
         .join(exact, Seq("id_a", "id_b"), "full_outer")
@@ -1992,8 +1997,53 @@ object TextQueries {
         .select(col("source"), col("n_types"), col("n_hapax"),
           expr("n_hapax * 1000000L DIV n_types").as("hapax_e6"))
         .orderBy("source")
+    },
+
+    // Lexicon sentiment scoring (SURVEY §7.4; reference domain is
+    // complaint analytics — README.md:5-7): integer AFINN-style
+    // valences summed per document via an in-row map-literal probe
+    // (zero shuffle). The oracle replays the same lexicon as an inline
+    // VALUES relation through the relational explode→join→sum form —
+    // green means the map-probe projection and the join agree on every
+    // document, counts, sums, and labels.
+    "q321_sentiment_lexicon" -> q({
+      val lexValues = TextAnalysis.SentimentLexicon.toSeq.sorted
+        .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      s"""WITH lex(term, w) AS (VALUES $lexValues),
+            tk AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+            sc AS (SELECT tk.doc_id,
+                          CAST(count(lex.w) AS BIGINT) AS n_scored_tokens,
+                          CAST(coalesce(sum(lex.w), 0) AS BIGINT) AS sentiment_score
+                   FROM tk LEFT JOIN lex ON tk.term = lex.term
+                   GROUP BY tk.doc_id)
+          SELECT doc_id, n_scored_tokens, sentiment_score,
+                 CASE WHEN sentiment_score > 0 THEN 'positive'
+                      WHEN sentiment_score < 0 THEN 'negative'
+                      ELSE 'neutral' END AS sentiment_label
+          FROM sc ORDER BY doc_id"""
+    }) { (s, dir) =>
+      TextAnalysis.sentimentScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
+
+  /** SERVING-ONLY faces of the text-dedup verdict rungs (see
+    * EmbeddingQueries.servingDefs for the contract): the LSH / SimHash
+    * operator alone, without the exact pair set the registered verdict
+    * recomputes in-query. Timed by Bench into the "serving" section;
+    * never oracled. */
+  val servingDefs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q33_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, num = 1, den = 5)
+    }),
+    "q34_dedup_simhash" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    }))
 
   /** The q28 detection as a reusable DuckDB subquery: (doc_id, lang,
     * lang_detected) — gold label next to the heuristic argmax. */

@@ -113,7 +113,16 @@ object IncrementalStream {
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2.getTime / 1000.0).toSeq.sorted
+          // full microsecond precision (getTime alone truncates to
+          // millis): the batch sessionize compares ts.cast(double)
+          // seconds, so a gap within 1ms of the threshold must resolve
+          // identically on both faces. micros/1e6 is exact in double
+          // at epoch magnitude (~51 significant bits).
+          val sorted = rows.map { r =>
+            val ts = r._2
+            (math.floorDiv(ts.getTime, 1000L) * 1000000L
+              + ts.getNanos / 1000L) / 1e6
+          }.toSeq.sorted
           var s = state.getOption.getOrElse(SessionState(0L, 0L, Double.NegativeInfinity))
           sorted.foreach { sec =>
             val newSession = sec - s.lastSec > gapSeconds

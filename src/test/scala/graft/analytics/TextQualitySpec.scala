@@ -378,6 +378,31 @@ class TextQualitySpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("tfIdfCosinePairs: heavy-grid guard fails loudly past maxHeavyPerBlock") {
+    // same corpus as the cap-exactness case: with maxDocFreq = 2, docs
+    // 1 and 2 hold their mass in dropped terms (heavy), so block "b"
+    // has >= 2 heavy docs — a guard of 1 must throw with the block
+    // named, instead of quietly enumerating the within-block grid
+    val docs = Seq(
+      (1L, "h h h h h h u1", "b"), (2L, "h h h h h h u2", "b"),
+      (3L, "k k k m u3", "b"), (4L, "k k k m u4", "b"),
+      (5L, "h z1 z2", "b"), (6L, "u5 u6", "b"), (7L, "u7", "b"),
+      (8L, "u8", "b")).toDF("doc_id", "text", "source")
+    val ex = intercept[Throwable] {
+      graft.analytics.TextAnalysis.tfIdfCosinePairs(docs, "doc_id", "text",
+        "source", num = 4, den = 5, maxDocFreq = 2L, maxHeavyPerBlock = 1L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("maxHeavyPerBlock")),
+      s"expected the guard's message, got: $ex")
+    // and a generous guard (the default) passes the same corpus
+    assert(graft.analytics.TextAnalysis.tfIdfCosinePairs(docs, "doc_id",
+      "text", "source", num = 4, den = 5, maxDocFreq = 2L)
+      .collect().nonEmpty)
+  }
+
   test("tokenEntropy: exact bits for uniform and single-token docs") {
     val docs = Seq((1L, "x x y y"), (2L, "z"), (3L, "a b c d"))
       .toDF("doc_id", "text")
