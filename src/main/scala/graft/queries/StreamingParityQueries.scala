@@ -94,10 +94,20 @@ object StreamingParityQueries {
                  CAST(0 AS BIGINT) AS n_fp_mismatches,
                  CAST(0 AS BIGINT) AS n_duplicate_emits
           FROM documents""") { (s, dir) =>
-      // synthetic event time OFFSET from epoch 0: the initial watermark
-      // is epoch 0 and a row AT the watermark is dropped as late, so
-      // doc_id=0 at timestamp_micros(0) would silently vanish
-      val stream = tStream(s, dir, "documents")
+      // Real cross-batch dedup state: the corpus streams as 3 files,
+      // one per micro-batch — WHICH doc of a dup group survives then
+      // depends on batch order, but the surviving FINGERPRINT SET is
+      // split-order invariant (state persists across batches inside
+      // the watermark), which is exactly what the verdict compares.
+      // Synthetic event time OFFSET from epoch 0: the initial
+      // watermark is epoch 0 and a row AT the watermark is dropped as
+      // late, so doc_id=0 at timestamp_micros(0) would silently
+      // vanish.
+      val docs0 = t(s, dir, "documents").select("doc_id", "text")
+      val srcDir = tmpDir("graft_q313_src")
+      docs0.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(docs0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
       val out = runToParquet(
         IncrementalStream.dedupStream(stream, "ts", "text", "1 day"), "q313")
@@ -155,7 +165,14 @@ object StreamingParityQueries {
             concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
               lit("@example.com or 555-123-4567")))
           .otherwise(col("text")).as("text"))
-      val stream = plant(tStream(s, dir, "documents")
+      // 3 micro-batches, same split-order-invariance argument as q313
+      // (scrub and gates are per-document; the dedup fp set is the
+      // cross-batch state)
+      val docs0 = t(s, dir, "documents").select("doc_id", "text")
+      val srcDir = tmpDir("graft_q314_src")
+      docs0.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = plant(s.readStream.schema(docs0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L)))
       val out = runToParquet(
         IncrementalStream.curateStream(stream, "doc_id", "ts", "text", "1 day"),

@@ -613,4 +613,31 @@ class EventsTextSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map("tick" -> ((2L, -1000000L)), "mix" -> ((2L, -333333L))))
   }
+
+  test("sentimentScore: hand-computed valences, labels, and zero-shuffle plan") {
+    import graft.analytics.TextAnalysis
+    val docs = Seq(
+      (1L, "service was GOOD and fast"),     // good(3) + fast(1) = 4
+      (2L, "slow and terrible error"),       // slow(-1) terrible(-5) error(-2) = -8
+      (3L, "the line was open"),             // no lexicon hits
+      (4L, "good good bad"),                 // 3 + 3 - 3 = 3, every occurrence counts
+      (5L, "  fast  "),                      // trim + tokenize -> fast(1)
+      (6L, "")                               // empty text -> one '' token, no hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentimentScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 4L, "positive")))
+    assert(got(2L) == ((3L, -8L, "negative")))
+    assert(got(3L) == ((0L, 0L, "neutral")))
+    assert(got(4L) == ((3L, 3L, "positive")))
+    assert(got(5L) == ((1L, 1L, "positive")))
+    assert(got(6L) == ((0L, 0L, "neutral")))
+    // the scaladoc's scale claim, pinned: an in-row map-literal probe
+    // must plan as a pure projection — no Exchange, no Join
+    val plan = TextAnalysis.sentimentScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"sentimentScore must be a zero-shuffle projection:\n$plan")
+  }
 }
