@@ -425,7 +425,14 @@ object Similarity {
     * parquet level (PartitionFilters — gated by PlanSpec), and ADC runs
     * with driver-built literal tables. Approximate on two axes by
     * construction (cell recall × code quantization) — the standard
-    * IVF-PQ serving trade. */
+    * IVF-PQ serving trade.
+    *
+    * Freshness: if the index carries a `codes_stream` delta (written
+    * by [[graft.streaming.IncrementalStream.ivfPqMaintenanceStream]] —
+    * the streaming file sink, so the manifest gives an exactly-once
+    * row set), serving reads base ∪ delta, both pruned to the probe
+    * cells before the union. Ingested vectors are retrievable without
+    * an index rebuild. */
   def topKIvfPqFromIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, query: DataFrame,
                          idCol: String, vecCol: String, k: Int,
@@ -449,10 +456,74 @@ object Similarity {
       (cell, dot.toDouble / r.getDouble(2))
     }.sortBy { case (cell, score) => (-score, cell) }
       .take(nProbe).map(_._1)
-    val codes = spark.read.parquet(s"$path/codes")
+    val base = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probeCells: _*))
       .select("id", "pq_code")
+    val streamDir = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
+    val fs = streamDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes =
+      if (!fs.exists(streamDir)) base
+      else base.unionByName(
+        // explicit schema: a delta dir holding only the sink manifest
+        // (zero committed batches) must read as empty, not fail inference
+        spark.read.schema(spark.read.parquet(s"$path/codes").schema)
+          .parquet(s"$path/codes_stream")
+          .filter(col("cell").isin(probeCells: _*))
+          .select("id", "pq_code"))
     topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
+  }
+
+  /** Incremental index maintenance, batch face: assign NEW vectors to
+    * the index's FROZEN cell geometry (centroids are read back from
+    * the index, never recomputed — the whole point of maintenance is
+    * that the existing codes stay valid) via the build's relational
+    * argmax (broadcast centroid join + max_by), encode with the
+    * existing codebook, and append into the cell-partitioned code
+    * store. Daily-ingest shape: cost is O(|new| · nCells) — the
+    * history is never touched. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newVecs: DataFrame,
+                         idCol: String, vecCol: String,
+                         codebook: Array[Array[Array[Long]]]): Unit = {
+    val c = withQv(newVecs, idCol, vecCol)
+    val cent = broadcast(spark.read.parquet(s"$path/centroids"))
+    val assigned = c.crossJoin(cent)
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cell"),
+          struct((qdot(col("qv"), col("cv")).cast("double") / col("cnorm")).as("s"),
+            (-col("cell")).as("tb"))).as("cell"),
+        first(col("qv")).as("qv"))
+    assigned
+      .select(col("id"), col("cell"),
+        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Incremental index maintenance, per-row form: cell assignment as a
+    * PURE LITERAL EXPRESSION over the collected centroid table (nCells
+    * rows — the same KB-scale relation serving collects). This is the
+    * STREAM-SAFE face: a streaming micro-batch cannot run the build's
+    * groupBy/max_by assignment (stateful aggregation wants a
+    * watermark), but a greatest()-over-struct-literals projection is
+    * stateless and codegen'd. Tie-break (score desc, cell asc) matches
+    * the relational max_by struct exactly — the two faces are
+    * bit-equal (pinned by the q322 verdict differential). */
+  def encodeForIndex(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[(Long, Array[Long], Double)],
+                     codebook: Array[Array[Array[Long]]]): DataFrame = {
+    require(centroids.nonEmpty, "encodeForIndex needs the index centroids")
+    val qv = quantize(col(vecCol))
+    val scored = centroids.toSeq.map { case (cell, cv, cnorm) =>
+      struct((qdot(qv, lit(cv)).cast("double") / cnorm).as("s"),
+        lit(-cell).as("tb"), lit(cell).as("cell"))
+    }
+    val best =
+      if (scored.size == 1) scored.head
+      else greatest(scored: _*) // struct order = (score, -cell) lexicographic
+    df.select(col(idCol).as("id"),
+        best.getField("cell").as("cell"),
+        graft.functions.PqExpressions.encode(qv, codebook).as("pq_code"))
   }
 
   /** ADC over a code relation for an already-collected query vector —

@@ -55,6 +55,13 @@ object EmbeddingQueries {
       cb: Array[Array[Array[Long]]], codesPath: String, ivfPath: String)
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
+  /** The memoized whole-corpus codebook, shared with q322's incremental
+    * index-maintenance verdict (a codebook is an input artifact there —
+    * training again on the base slice would just duplicate work). */
+  private[queries] def sharedCodebook(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): Array[Array[Array[Long]]] =
+    pqIndex(s, dir).cb
+
   private def pqIndex(s: org.apache.spark.sql.SparkSession,
                       dir: String): PqIndex =
     pqMemo.computeIfAbsent(dir, _ => {

@@ -399,6 +399,86 @@ object StreamingParityQueries {
       } finally graft.plans.RollupRewrite.deregister(name)
     },
 
+    // Streaming ANN-index maintenance (ivfPqMaintenanceStream): new
+    // embedding vectors appended into a base IVF-PQ index as 3 delta
+    // micro-batches through the exactly-once parquet file sink. The
+    // verdict is a real DIFFERENTIAL: the stream's stateless
+    // literal-expression cell assignment vs the batch face's
+    // relational broadcast-join/max_by assignment (appendToIvfPqIndex
+    // into a twin index) must produce the identical code set, serving
+    // from both indexes must be bit-equal for a base query AND an
+    // ingested query, and an ingested vector must be retrievable
+    // without a rebuild. n_new is DuckDB-recomputed.
+    "q322_stream_ann_ingest" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_new,
+                CAST(0 AS BIGINT) AS n_code_mismatches,
+                TRUE AS serve_equals_batch_face,
+                TRUE AS ingested_retrievable
+         FROM embeddings WHERE vec_id % 4 = 0""") { (s, dir) =>
+      import graft.analytics.Similarity
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 =!= 0)
+      val newbies = e.filter(col("vec_id") % 4 === 0)
+      val cb = EmbeddingQueries.sharedCodebook(s, dir)
+      // twin base indexes: same base corpus -> identical frozen cell
+      // geometry (centroids are hash-picked from the same rows)
+      val idxA = tmpDir("graft_q322_idxA")
+      val idxB = tmpDir("graft_q322_idxB")
+      Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idxA)
+      Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idxB)
+      // stream face into A (3 micro-batches, exactly-once file sink)
+      val srcDir = tmpDir("graft_q322_src")
+      newbies.select("vec_id", "embedding").repartition(3)
+        .write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream
+        .schema(newbies.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val sq = IncrementalStream.ivfPqMaintenanceStream(stream, "vec_id",
+        "embedding", idxA, cb, tmpDir("graft_q322_ckpt"))
+      sq.awaitTermination()
+      // batch face into B
+      Similarity.appendToIvfPqIndex(s, idxB, newbies, "vec_id", "embedding", cb)
+      // code-set differential (pq_code as a joinable string key)
+      def codeRel(path: String, extra: Option[String]): org.apache.spark.sql.DataFrame = {
+        val baseCodes = s.read.parquet(s"$path/codes")
+        val all = extra match {
+          case Some(d) => baseCodes.unionByName(
+            s.read.schema(baseCodes.schema).parquet(d))
+          case None => baseCodes
+        }
+        all.select(col("id"), col("cell"),
+          concat_ws(",", col("pq_code")).as("code"))
+      }
+      val mism = codeRel(idxA, Some(s"$idxA/codes_stream")).withColumn("__a", lit(1))
+        .join(codeRel(idxB, None).withColumn("__b", lit(1)),
+          Seq("id", "cell", "code"), "full_outer")
+        .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
+          .otherwise(0L)).as("n_code_mismatches"))
+      // serving parity on a base query (7 % 4 != 0) and an ingested
+      // query (8 % 4 == 0), and ingested-vector retrievability
+      def serveEq(qid: Long) = {
+        val qv = e.filter(col("vec_id") === qid)
+        Similarity.topKIvfPqFromIndex(s, idxA, qv, "vec_id", "embedding",
+            k = 20, cb)
+          .select(col("id"), col("adc_dist").as("__da"))
+          .join(Similarity.topKIvfPqFromIndex(s, idxB, qv, "vec_id",
+            "embedding", k = 20, cb)
+            .select(col("id"), col("adc_dist").as("__db")), Seq("id"), "full_outer")
+      }
+      val eq = serveEq(7L).unionByName(serveEq(8L))
+        .agg(sum(when(col("__da").isNull || col("__db").isNull
+          || col("__da") =!= col("__db"), 1L).otherwise(0L)).as("__ne"))
+      val found = Similarity.topKIvfPqFromIndex(s,
+          idxA, e.filter(col("vec_id") === 8L), "vec_id", "embedding",
+          k = 20, cb)
+        .filter(col("id") === 8L).agg(count(lit(1)).as("__f"))
+      newbies.agg(count(lit(1)).as("n_new"))
+        .crossJoin(mism).crossJoin(eq).crossJoin(found)
+        .select(col("n_new"), col("n_code_mismatches"),
+          (col("__ne") === 0L).as("serve_equals_batch_face"),
+          (col("__f") === 1L).as("ingested_retrievable"))
+    },
+
     // Streaming keyed decayed recurrence (flatMapGroupsWithState) ==
     // the batch DecayedScan custom physical operator, on the full
     // events table: same recurrence, same truncating division, so

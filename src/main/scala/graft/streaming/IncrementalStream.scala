@@ -327,6 +327,40 @@ object IncrementalStream {
       .start()
   }
 
+  /** Streaming ANN-index maintenance: continuously ingested embedding
+    * vectors are assigned to the stored IVF-PQ index's FROZEN cell
+    * geometry and appended as PQ codes — serving
+    * (Similarity.topKIvfPqFromIndex) reads base ∪ delta with cell
+    * pruning intact, so new vectors are retrievable without an index
+    * rebuild (the daily-ingest face of the ANN ladder).
+    *
+    * Assignment runs as the stateless literal-expression form
+    * (Similarity.encodeForIndex — a micro-batch cannot run the build's
+    * stateful max_by assignment), bit-equal to the batch face by the
+    * q322 verdict differential. The delta lands through the streaming
+    * PARQUET FILE SINK into `<indexPath>/codes_stream`, partitioned by
+    * cell: the sink's manifest commits each batch atomically, so a
+    * replayed batch never double-appends — exactly-once without the
+    * versioned-directory machinery upsertStream needs (appends are the
+    * one shape the file sink already solves). */
+  def ivfPqMaintenanceStream(newVecs: DataFrame, idCol: String, vecCol: String,
+                             indexPath: String,
+                             codebook: Array[Array[Array[Long]]],
+                             checkpoint: String): StreamingQuery = {
+    val spark = newVecs.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("cv"), col("cnorm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+    graft.analytics.Similarity
+      .encodeForIndex(newVecs, idCol, vecCol, centroids, codebook)
+      .writeStream.format("parquet")
+      .option("path", s"$indexPath/codes_stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def latestVersion(spark: SparkSession, tableDir: String,
                     below: Option[Long] = None): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(tableDir)

@@ -496,4 +496,49 @@ class SimilaritySpec extends SparkSpec {
       assert(sm == math.min(5L, sz), s"cluster ${r.getLong(0)}: $sm of $sz")
     }
   }
+
+  test("encodeForIndex: score ties break to the smaller cell; single centroid trivial") {
+    val cb = Similarity.trainPqCodebook(embeddings, "vec_id", "embedding")
+    val v = Seq((1L, Array.fill(64)(0.001f).toSeq)).toDF("vec_id", "embedding")
+    val qv = Array.fill(64)(1000L) // quantize(0.001) = 1000 micro-units
+    // two centroids with IDENTICAL direction (equal cosine score):
+    // (score, -cell) lexicographic max must pick the SMALLER cell id —
+    // the relational max_by's exact tie-break
+    val cnorm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val tied = Array((5L, qv, cnorm), (2L, qv, cnorm))
+    val got = Similarity.encodeForIndex(v, "vec_id", "embedding", tied, cb)
+      .collect().head
+    assert(got.getLong(1) == 2L, s"tie must break to the smaller cell: $got")
+    // single centroid: no greatest() needed, still assigns
+    val single = Similarity.encodeForIndex(v, "vec_id", "embedding",
+      Array((9L, qv, cnorm)), cb)
+      .collect().head
+    assert(single.getLong(1) == 9L)
+    assert(single.getSeq[Any](2).length == cb.length)
+  }
+
+  test("appendToIvfPqIndex + codes_stream delta: serving sees ingested vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    val base = embeddings.filter($"vec_id" % 4 =!= 0)
+    val cb = Similarity.trainPqCodebook(embeddings, "vec_id", "embedding")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, dir)
+    val q8 = embeddings.filter($"vec_id" === 8)
+    // before ingest: vec 8 (8 % 4 == 0) is absent from the index
+    val before = Similarity.topKIvfPqFromIndex(spark, dir, q8,
+      "vec_id", "embedding", k = 20, cb)
+    assert(before.filter($"id" === 8).count() == 0)
+    // batch-append the missing quarter; now it must be retrievable
+    Similarity.appendToIvfPqIndex(spark, dir,
+      embeddings.filter($"vec_id" % 4 === 0), "vec_id", "embedding", cb)
+    val after = Similarity.topKIvfPqFromIndex(spark, dir, q8,
+      "vec_id", "embedding", k = 20, cb)
+    assert(after.filter($"id" === 8).count() == 1,
+      "appended vector must be retrievable without a rebuild")
+    // an empty codes_stream dir (manifest-only / not yet committed)
+    // must read as empty, not break serving
+    new java.io.File(s"$dir/codes_stream").mkdirs()
+    val still = Similarity.topKIvfPqFromIndex(spark, dir, q8,
+      "vec_id", "embedding", k = 20, cb)
+    assert(still.filter($"id" === 8).count() == 1)
+  }
 }
