@@ -311,11 +311,32 @@ object Dedup {
     * -> pair dedup -> verify join back to the shingle sets. Bucket sizes
     * are controlled by band width (rows = numHashes/bands): more rows per
     * band = fewer, more-similar candidates. */
+  /** Banded LSH bucket rows (id, band, bh) from hashed shingle sets:
+    * signature as ONE compiled expression per doc (tight shingle×seed
+    * loop, graft.functions.MinHashSig — no row explosion, no k-wide agg
+    * buffers, no extra shuffle), then one band-struct explode. Shared
+    * by the in-query LSH join and the persisted-index build/probe, so
+    * stored and freshly-computed buckets are identical by
+    * construction. */
+  private def bandRowsOf(hashed: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = hashed.select(col("id"),
+      graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
+    sig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows)
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))): _*))
+        .as("bucket"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, numHashes: Int = 32, bands: Int = 8,
                       num: Long = 1, den: Long = 5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // stage 1: hashed shingle sets. PERSISTED: this subtree is referenced
     // 4× downstream (both sides of the band self-join and both verify
     // joins); without materialization the tokenize+shingle+hash work runs
@@ -323,19 +344,8 @@ object Dedup {
     // engine materializes.
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stage 2: signature as ONE compiled expression per doc (tight
-    // shingle×seed loop, graft.functions.MinHashSig) — no row explosion,
-    // no k-wide agg buffers, no extra shuffle
-    val sig = hashed.select(col("id"),
-      graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
-    // bucket rows carry only (id, band, bandHash)
-    val bandRows = sig.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows)
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))): _*))
-        .as("bucket"))
-      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+    // stage 2: banded bucket rows carry only (id, band, bandHash)
+    val bandRows = bandRowsOf(hashed, numHashes, bands)
     val cand = bandRows.as("x")
       .join(bandRows.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -352,6 +362,92 @@ object Dedup {
       .withColumn("n_b", size(col("sh_b")).cast("long"))
       .filter(col("common") * den >= (col("n_a") + col("n_b") - col("common")) * num)
       .select("id_a", "id_b", "common", "n_a", "n_b")
+  }
+
+  /** Persisted MinHash-LSH corpus index (the text analog of the stored
+    * IVF-PQ code index): the posting-list build — hashed shingle SETS
+    * (`path/shingles`: id, shash) and banded signature BUCKETS
+    * (`path/bands`: id, band, bh) — is written ONCE as an offline
+    * artifact. Daily near-dup probing then pays only the NEW batch's
+    * tokenize/shingle/minhash cost; the corpus-side build (the dominant
+    * cost of [[crossCorpusNearDupPairs]], recomputed there per run)
+    * is amortized across every probe. Buckets are produced by the SAME
+    * compiled expressions as [[minhashLshPairs]], so stored and fresh
+    * signatures are identical by construction (pinned by the q323
+    * verdict differential). */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 2, numHashes: Int = 32,
+                        bands: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val hashed = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.write.mode("overwrite").parquet(s"$path/shingles")
+    bandRowsOf(hashed, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    hashed.unpersist()
+    ()
+  }
+
+  /** Daily-ingest face: append a new batch's shingle sets and band
+    * buckets into the stored index. Cost is O(|batch|) — the corpus
+    * history is never re-read. Banding parameters must match the
+    * build's (they define the bucket space). */
+  def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                           path: String, n: Int = 2, numHashes: Int = 32,
+                           bands: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val hashed = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.write.mode("append").parquet(s"$path/shingles")
+    bandRowsOf(hashed, numHashes, bands)
+      .write.mode("append").parquet(s"$path/bands")
+    hashed.unpersist()
+    ()
+  }
+
+  /** Probe a new batch against the stored index: batch×corpus verified
+    * near-dup pairs (id_new, id_corpus, common, n_new, n_corpus) with
+    * exact Jaccard >= num/den — [[crossCorpusNearDupPairs]] semantics
+    * at probe-only cost.
+    *
+    * Scale shape: the CORPUS relations are only ever scanned map-side —
+    * the batch's band rows broadcast into the stored-bucket scan, and
+    * the (batch-bounded) candidate set broadcasts into the stored
+    * shingle scan — so a probe never shuffles a byte of corpus history.
+    * The broadcast sides are daily-batch-sized by contract; a
+    * backfill-scale "batch" should run [[crossCorpusNearDupPairs]]
+    * instead (shuffle-join both sides) rather than force a huge
+    * broadcast. */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, newDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 2, numHashes: Int = 32, bands: Int = 8,
+                        num: Long = 1, den: Long = 5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandRowsOf(newHashed, numHashes, bands)
+    val stored = spark.read.parquet(s"$path/bands")
+    val cand = stored.as("c")
+      .join(broadcast(newBands.as("x")),
+        col("c.band") === col("x.band") && col("c.bh") === col("x.bh")
+          && col("c.id") =!= col("x.id"))
+      .select(col("x.id").as("id_new"), col("c.id").as("id_corpus"))
+      .dropDuplicates("id_new", "id_corpus")
+    // attach the batch-side sets first (both relations batch-sized),
+    // then broadcast the enriched candidates into the corpus-set scan
+    val withNew = cand.join(
+      newHashed.select(col("id").as("id_new"), col("shash").as("sh_a")),
+      Seq("id_new"))
+    spark.read.parquet(s"$path/shingles")
+      .select(col("id").as("id_corpus"), col("shash").as("sh_b"))
+      .join(broadcast(withNew), Seq("id_corpus"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_new", size(col("sh_a")).cast("long"))
+      .withColumn("n_corpus", size(col("sh_b")).cast("long"))
+      .filter(col("common") * den
+        >= (col("n_new") + col("n_corpus") - col("common")) * num)
+      .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
   }
 
   /** Iteration checkpoint: reliable `checkpoint()` when the session has a

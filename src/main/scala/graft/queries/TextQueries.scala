@@ -1999,6 +1999,47 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Persisted MinHash-LSH index, probed by a daily batch (every 10th
+    // doc twinned at id+1e6), registered as its VERDICT: the stored
+    // index's probe result must equal the full from-scratch LSH
+    // recomputation restricted to batch×corpus pairs (stored signatures
+    // == fresh signatures by construction — this pins it), and every
+    // identical-text twin MUST be found (identical shingles => identical
+    // signature => collision in every band). n_probe_docs is
+    // DuckDB-recomputed.
+    "q323_minhash_index_probe" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_probe_docs,
+                CAST(0 AS BIGINT) AS n_index_fresh_mismatches,
+                TRUE AS all_twins_found
+         FROM documents WHERE doc_id % 10 = 0""") { (s, dir) =>
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q323_idx").toString
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+      val probe = Dedup.probeMinhashIndex(s, idx, batch, "doc_id", "text", n = 3)
+      val fresh = Dedup.minhashLshPairs(corpus.unionByName(batch),
+          "doc_id", "text", n = 3)
+        .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+        .select(col("id_b").as("id_new"), col("id_a").as("id_corpus"),
+          col("common"), col("n_b").as("n_new"), col("n_a").as("n_corpus"))
+      val mism = probe.withColumn("__p", lit(1))
+        .join(fresh.withColumn("__f", lit(1)),
+          Seq("id_new", "id_corpus", "common", "n_new", "n_corpus"),
+          "full_outer")
+        .agg(sum(when(col("__p").isNull || col("__f").isNull, 1L)
+          .otherwise(0L)).as("n_index_fresh_mismatches"))
+      val missingTwins = batch.select(col("doc_id").as("id_new"))
+        .join(probe.filter(col("id_corpus") === col("id_new") - 1000000L),
+          Seq("id_new"), "left_anti")
+        .agg(count(lit(1)).as("__missing"))
+      batch.agg(count(lit(1)).as("n_probe_docs"))
+        .crossJoin(mism).crossJoin(missingTwins)
+        .select(col("n_probe_docs"), col("n_index_fresh_mismatches"),
+          (col("__missing") === 0L).as("all_twins_found"))
+    },
+
     // Lexicon sentiment scoring (SURVEY §7.4; reference domain is
     // complaint analytics — README.md:5-7): integer AFINN-style
     // valences summed per document via an in-row map-literal probe

@@ -322,4 +322,29 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(capped == Set((1L, 2L, 3L, 3L, 6L)))
   }
+
+  test("minhash index: probe finds planted near-dups; append extends the corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical plans here"),
+      (3L, "another unrelated document mentioning warehouses and ledgers")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("mh-idx").toString
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", path = idx, n = 2)
+    // probe: one exact twin of doc 1 + one unrelated doc
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "nothing in common with anything stored in this index")
+    ).toDF("doc_id", "text")
+    val got = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text", n = 2)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L)), s"probe found $got")
+    // append doc 4 (near-dup of 102's future probe); re-probe sees it
+    Dedup.appendToMinhashIndex(
+      Seq((4L, "nothing in common with anything stored in this index"))
+        .toDF("doc_id", "text"), "doc_id", "text", path = idx, n = 2)
+    val got2 = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text", n = 2)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((101L, 1L), (102L, 4L)), s"post-append probe found $got2")
+  }
 }
