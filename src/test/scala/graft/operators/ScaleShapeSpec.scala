@@ -202,6 +202,26 @@ class ScaleShapeSpec extends SparkSpec {
       s"gram relation must never shuffle-join:\n$p")
   }
 
+  test("probeMinhashIndex: corpus scans join map-side, never shuffled") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("mh-shape").toString
+    graft.analytics.Dedup.writeMinhashIndex(docs, "doc_id", "text", idx, n = 3)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val out = graft.analytics.Dedup.probeMinhashIndex(
+      spark, idx, batch, "doc_id", "text", n = 3)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // both corpus relations (stored bands, stored shingles) must sit on
+    // the STREAMED side of broadcast joins — a probe that sort-merges
+    // would shuffle the whole index per daily batch
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"bands and shingles must broadcast-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus index must never be shuffled by a probe:\n$p")
+  }
+
   test("stratifiedHashSample: one group-keyed exchange, no global sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.analytics.Curation.stratifiedHashSample(
