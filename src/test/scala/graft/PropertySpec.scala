@@ -127,4 +127,53 @@ class PropertySpec extends SparkSpec {
     val expect = data.map(s => s.score * s.weight).sum / data.map(_.weight).sum
     assert(math.abs(got - expect) < 1e-9)
   }
+
+  test("sentimentScore equals the relational explode/join/sum on random docs") {
+    import graft.analytics.TextAnalysis
+    val word: Gen[String] = Gen.oneOf(
+      "good", "bad", "slow", "fast", "terrible", "the", "line", "was",
+      "open", "error", "ok", "fine", "dup")
+    val docGen: Gen[String] =
+      Gen.chooseNum(0, 8).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val docs = samples(docGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.sentimentScore(docs, "doc_id", "text")
+      .select("doc_id", "n_scored_tokens", "sentiment_score")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // relational reference: explode tokens, join the lexicon as a
+    // DataFrame, re-aggregate — the shape the operator deliberately
+    // avoids at scale, used here as its oracle
+    val lex = TextAnalysis.SentimentLexicon.toSeq.toDF("term", "w")
+    val rel = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .join(lex, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("w")).as("n"), coalesce(sum(col("w")), lit(0L)).as("s"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == rel)
+  }
+
+  test("minhash index probe: split-invariant — build(a)+append(b) == build(a++b)") {
+    val word: Gen[String] = Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docGen: Gen[String] =
+      Gen.chooseNum(4, 10).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val corpus = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val (a, b) = corpus.splitAt(35)
+    val batch = samples(docGen, 10).zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+    val idx1 = java.nio.file.Files.createTempDirectory("mh-p1").toString
+    Dedup.writeMinhashIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", idx1)
+    val idx2 = java.nio.file.Files.createTempDirectory("mh-p2").toString
+    Dedup.writeMinhashIndex(a.toDF("doc_id", "text"), "doc_id", "text", idx2)
+    Dedup.appendToMinhashIndex(b.toDF("doc_id", "text"), "doc_id", "text", idx2)
+    def pairs(idx: String) =
+      Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(pairs(idx1) == pairs(idx2),
+      "a probe must not distinguish one-shot build from build+append")
+  }
 }
