@@ -257,6 +257,13 @@ object TextAnalysis {
     "unresolved" -> -2, "problem" -> -2, "error" -> -2, "fail" -> -3,
     "slow" -> -1, "delay" -> -1, "dup" -> -1, "small" -> -1)
 
+  /** Default negation cues for [[sentimentScore]]'s negation-aware mode
+    * (public sentiment-analysis convention: a valence flips sign when
+    * immediately preceded by a negator). */
+  val Negators: Seq[String] = Seq(
+    "not", "no", "never", "nor", "cannot", "isnt", "dont", "wont",
+    "cant", "didnt", "wasnt", "doesnt")
+
   /** Lexicon sentiment scoring (SURVEY §7.4): per document, the number
     * of lexicon-matched tokens, the integer valence sum, and the sign
     * label. The lexicon is an in-row MAP LITERAL probed per token
@@ -265,22 +272,47 @@ object TextAnalysis {
     * explode→join→re-aggregate by the full corpus-token shuffle it
     * never does (a lexicon is KBs; shipping it in the plan costs
     * nothing, the classic broadcast-join degenerate case). Exact
-    * integer arithmetic end to end — fully oracle-checkable. */
+    * integer arithmetic end to end — fully oracle-checkable.
+    *
+    * With `negators` non-empty, a matched token's valence flips sign
+    * when the IMMEDIATELY preceding token is a negation cue ("not
+    * fast" scores −1, not +1) — the standard unigram-negation rule,
+    * still one shuffle-free projection: tokens are zipped against
+    * their one-left-shifted selves, so no self-join and no window. */
   def sentimentScore(df: DataFrame, idCol: String, textCol: String,
-                     lexicon: Map[String, Int] = SentimentLexicon): DataFrame = {
+                     lexicon: Map[String, Int] = SentimentLexicon,
+                     negators: Seq[String] = Nil): DataFrame = {
     require(lexicon.nonEmpty, "sentimentScore needs a non-empty lexicon")
     val lex = typedlit(lexicon.map { case (k, v) => k -> v.toLong })
     val toks = tokens(lower(col(textCol)))
-    df.select(col(idCol),
-        size(filter(toks, t => element_at(lex, t).isNotNull)).cast("long")
-          .as("n_scored_tokens"),
-        aggregate(toks, lit(0L),
-          (acc, t) => acc + coalesce(element_at(lex, t), lit(0L)))
-          .as("sentiment_score"))
-      .withColumn("sentiment_label",
-        when(col("sentiment_score") > 0, "positive")
-          .when(col("sentiment_score") < 0, "negative")
-          .otherwise("neutral"))
+    val scored =
+      if (negators.isEmpty)
+        df.select(col(idCol),
+          size(filter(toks, t => element_at(lex, t).isNotNull)).cast("long")
+            .as("n_scored_tokens"),
+          aggregate(toks, lit(0L),
+            (acc, t) => acc + coalesce(element_at(lex, t), lit(0L)))
+            .as("sentiment_score"))
+      else {
+        val negLit = typedlit(negators)
+        // prev[i] = toks[i-1] ('' for the first token): zip the array
+        // against its shifted self — per-row, no window, no shuffle
+        val prev = concat(array(lit("")),
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+        val signed = zip_with(toks, prev, (t, p) =>
+          when(element_at(lex, t).isNotNull,
+            when(array_contains(negLit, p), -element_at(lex, t))
+              .otherwise(element_at(lex, t))))
+        df.select(col(idCol),
+          size(filter(signed, x => x.isNotNull)).cast("long")
+            .as("n_scored_tokens"),
+          aggregate(signed, lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+            .as("sentiment_score"))
+      }
+    scored.withColumn("sentiment_label",
+      when(col("sentiment_score") > 0, "positive")
+        .when(col("sentiment_score") < 0, "negative")
+        .otherwise("neutral"))
   }
 
   /** BPE-ish subword tokenizer: letter runs, digit runs, and single

@@ -2048,8 +2048,7 @@ object TextQueries {
     // green means the map-probe projection and the join agree on every
     // document, counts, sums, and labels.
     "q321_sentiment_lexicon" -> q({
-      val lexValues = TextAnalysis.SentimentLexicon.toSeq.sorted
-        .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      val lexValues = sentimentLexValues
       s"""WITH lex(term, w) AS (VALUES $lexValues),
             tk AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
             sc AS (SELECT tk.doc_id,
@@ -2065,8 +2064,59 @@ object TextQueries {
     }) { (s, dir) =>
       TextAnalysis.sentimentScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Negation-aware sentiment (the standard unigram-negation rule: a
+    // valence flips when immediately preceded by a negation cue).
+    // Negations are PLANTED deterministically (the synthetic vocabulary
+    // has none): every 5th doc opens "not fast ..." (flips +1 to -1),
+    // every 7th-plus-3 "never slow ..." (flips -1 to +1) — so the rule
+    // has real sign flips to bite on. The Spark side is the zipped
+    // shifted-array projection (zero shuffle); the oracle replays the
+    // rule relationally with generate_subscripts ordinality and a lag
+    // via list indexing.
+    "q324_sentiment_negation" -> q({
+      val negList = TextAnalysis.Negators.map(n => s"'$n'").mkString(", ")
+      s"""WITH lex(term, w) AS (VALUES $sentimentLexValues),
+            planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'not fast ' || text
+                          WHEN doc_id % 7 = 3 THEN 'never slow ' || text
+                          ELSE text END AS text
+              FROM documents),
+            tok AS (SELECT doc_id, $toksLowerSql AS toks FROM planted),
+            tk AS (SELECT doc_id, unnest(toks) AS term,
+                          generate_subscripts(toks, 1) AS i, toks
+                   FROM tok),
+            tk2 AS (SELECT doc_id, term,
+                           CASE WHEN i = 1 THEN '' ELSE toks[i - 1] END AS prev
+                    FROM tk),
+            sc AS (SELECT tk2.doc_id,
+                          CAST(count(l.w) AS BIGINT) AS n_scored_tokens,
+                          CAST(coalesce(sum(CASE WHEN tk2.prev IN ($negList)
+                                                 THEN -l.w ELSE l.w END), 0)
+                               AS BIGINT) AS sentiment_score
+                   FROM tk2 LEFT JOIN lex l ON tk2.term = l.term
+                   GROUP BY tk2.doc_id)
+          SELECT doc_id, n_scored_tokens, sentiment_score,
+                 CASE WHEN sentiment_score > 0 THEN 'positive'
+                      WHEN sentiment_score < 0 THEN 'negative'
+                      ELSE 'neutral' END AS sentiment_label
+          FROM sc ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit("not fast "), col("text")))
+          .when(col("doc_id") % 7 === 3, concat(lit("never slow "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.sentimentScore(planted, "doc_id", "text",
+          negators = TextAnalysis.Negators)
+        .orderBy("doc_id")
     }
   )
+
+  private def sentimentLexValues: String =
+    TextAnalysis.SentimentLexicon.toSeq.sorted
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
 
   /** SERVING-ONLY faces of the text-dedup verdict rungs (see
     * EmbeddingQueries.servingDefs for the contract): the LSH / SimHash

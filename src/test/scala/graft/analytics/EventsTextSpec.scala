@@ -640,4 +640,35 @@ class EventsTextSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"sentimentScore must be a zero-shuffle projection:\n$plan")
   }
+
+  test("sentimentScore negation: immediate-predecessor cue flips the valence") {
+    import graft.analytics.TextAnalysis
+    val docs = Seq(
+      (1L, "not good"),            // good(3) flipped -> -3
+      (2L, "never slow again"),    // slow(-1) flipped -> +1
+      (3L, "good not bad"),        // 3 + flipped(-3->+3) = 6
+      (4L, "not the good one"),    // 'the' breaks adjacency: good stays +3
+      (5L, "not not good"),        // only the IMMEDIATE predecessor counts:
+                                   // second 'not' negates good -> -3
+      (6L, "not"),                 // lone negator scores nothing
+      (7L, "fast")                 // no negation context -> +1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentimentScore(docs, "doc_id", "text",
+        negators = TextAnalysis.Negators)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, -3L, "negative")))
+    assert(got(2L) == ((1L, 1L, "positive")))
+    assert(got(3L) == ((2L, 6L, "positive")))
+    assert(got(4L) == ((1L, 3L, "positive")))
+    assert(got(5L) == ((1L, -3L, "negative")))
+    assert(got(6L) == ((0L, 0L, "neutral")))
+    assert(got(7L) == ((1L, 1L, "positive")))
+    // negation mode is still a zero-shuffle projection
+    val plan = TextAnalysis.sentimentScore(docs, "doc_id", "text",
+        negators = TextAnalysis.Negators)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"negation-aware sentiment must stay a projection:\n$plan")
+  }
 }
