@@ -379,6 +379,15 @@ object Dedup {
                         path: String, n: Int = 2, numHashes: Int = 32,
                         bands: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the index is SELF-DESCRIBING: shingle width and banding live in
+    // `path/meta` and append/probe read them back — probing with
+    // different parameters than the build's would silently hash into a
+    // disjoint bucket space and return zero pairs, the worst kind of
+    // wrong answer
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.write.mode("overwrite").parquet(s"$path/shingles")
@@ -388,14 +397,22 @@ object Dedup {
     ()
   }
 
+  /** (n, numHashes, bands) the index at `path` was built with. */
+  def minhashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("n", "num_hashes", "bands").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
   /** Daily-ingest face: append a new batch's shingle sets and band
     * buckets into the stored index. Cost is O(|batch|) — the corpus
-    * history is never re-read. Banding parameters must match the
-    * build's (they define the bucket space). */
+    * history is never re-read. Shingle width and banding come from the
+    * index's own meta, so an append can never hash into a different
+    * bucket space than the build. */
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
-                           path: String, n: Int = 2, numHashes: Int = 32,
-                           bands: Int = 8): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+                           path: String): Unit = {
+    val (n, numHashes, bands) = minhashIndexParams(df.sparkSession, path)
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.write.mode("append").parquet(s"$path/shingles")
@@ -421,9 +438,8 @@ object Dedup {
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, newDocs: DataFrame,
                         idCol: String, textCol: String,
-                        n: Int = 2, numHashes: Int = 32, bands: Int = 8,
                         num: Long = 1, den: Long = 5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (n, numHashes, bands) = minhashIndexParams(spark, path)
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRowsOf(newHashed, numHashes, bands)

@@ -2018,7 +2018,7 @@ object TextQueries {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_q323_idx").toString
       Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
-      val probe = Dedup.probeMinhashIndex(s, idx, batch, "doc_id", "text", n = 3)
+      val probe = Dedup.probeMinhashIndex(s, idx, batch, "doc_id", "text")
       val fresh = Dedup.minhashLshPairs(corpus.unionByName(batch),
           "doc_id", "text", n = 3)
         .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)

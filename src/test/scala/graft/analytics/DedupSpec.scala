@@ -336,14 +336,14 @@ class DedupSpec extends SparkSpec {
       (101L, "the quick brown fox jumps over the lazy dog tonight"),
       (102L, "nothing in common with anything stored in this index")
     ).toDF("doc_id", "text")
-    val got = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text", n = 2)
+    val got = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text")
       .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
     assert(got == Set((101L, 1L)), s"probe found $got")
     // append doc 4 (near-dup of 102's future probe); re-probe sees it
     Dedup.appendToMinhashIndex(
       Seq((4L, "nothing in common with anything stored in this index"))
-        .toDF("doc_id", "text"), "doc_id", "text", path = idx, n = 2)
-    val got2 = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text", n = 2)
+        .toDF("doc_id", "text"), "doc_id", "text", path = idx)
+    val got2 = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text")
       .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
     assert(got2 == Set((101L, 1L), (102L, 4L)), s"post-append probe found $got2")
   }

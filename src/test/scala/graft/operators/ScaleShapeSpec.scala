@@ -210,7 +210,7 @@ class ScaleShapeSpec extends SparkSpec {
     val batch = docs.filter($"doc_id" % 10 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val out = graft.analytics.Dedup.probeMinhashIndex(
-      spark, idx, batch, "doc_id", "text", n = 3)
+      spark, idx, batch, "doc_id", "text")
     out.collect()
     val p = out.queryExecution.executedPlan.toString
     // both corpus relations (stored bands, stored shingles) must sit on
