@@ -404,6 +404,19 @@ object Similarity {
       .agg(min_by(struct(col("qv"), col("qnorm")), xxhash64(lit(42), col("id"))).as("r"))
       .select(col("cell"), col("r.qv").as("cv"), col("r.qnorm").as("cnorm"))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // the index is SELF-DESCRIBING: the codebook that encoded the codes
+    // is stored alongside them, so maintenance (appendToIvfPqIndex /
+    // ivfPqMaintenanceStream) can never encode new vectors with a
+    // DIFFERENT codebook than the build's — mixed-codebook codes would
+    // make ADC distances silently incomparable
+    locally {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      codebook.zipWithIndex.flatMap { case (sub, si) =>
+        sub.zipWithIndex.map { case (cvec, ci) => (si, ci, cvec.toSeq) }
+      }.toSeq.toDF("sub", "code", "vals")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    }
     val cent = broadcast(
       corpus.sparkSession.read.parquet(s"$path/centroids"))
     val assigned = c.crossJoin(cent)
@@ -473,18 +486,32 @@ object Similarity {
     topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
   }
 
+  /** Read back the codebook an index at `path` was built with. */
+  def codebookOf(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Array[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select(col("sub"), col("code"), col("vals")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    require(rows.nonEmpty, s"no codebook at $path/codebook")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, subs) =>
+      subs.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
   /** Incremental index maintenance, batch face: assign NEW vectors to
     * the index's FROZEN cell geometry (centroids are read back from
     * the index, never recomputed — the whole point of maintenance is
     * that the existing codes stay valid) via the build's relational
     * argmax (broadcast centroid join + max_by), encode with the
-    * existing codebook, and append into the cell-partitioned code
+    * index's OWN stored codebook (passing one in is impossible, so
+    * mixed-codebook codes — silently incomparable ADC distances —
+    * cannot be expressed), and append into the cell-partitioned code
     * store. Daily-ingest shape: cost is O(|new| · nCells) — the
     * history is never touched. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, newVecs: DataFrame,
-                         idCol: String, vecCol: String,
-                         codebook: Array[Array[Array[Long]]]): Unit = {
+                         idCol: String, vecCol: String): Unit = {
+    val codebook = codebookOf(spark, path)
     val c = withQv(newVecs, idCol, vecCol)
     val cent = broadcast(spark.read.parquet(s"$path/centroids"))
     val assigned = c.crossJoin(cent)

@@ -434,10 +434,10 @@ object StreamingParityQueries {
         .schema(newbies.select("vec_id", "embedding").schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val sq = IncrementalStream.ivfPqMaintenanceStream(stream, "vec_id",
-        "embedding", idxA, cb, tmpDir("graft_q322_ckpt"))
+        "embedding", idxA, tmpDir("graft_q322_ckpt"))
       sq.awaitTermination()
       // batch face into B
-      Similarity.appendToIvfPqIndex(s, idxB, newbies, "vec_id", "embedding", cb)
+      Similarity.appendToIvfPqIndex(s, idxB, newbies, "vec_id", "embedding")
       // code-set differential (pq_code as a joinable string key)
       def codeRel(path: String, extra: Option[String]): org.apache.spark.sql.DataFrame = {
         val baseCodes = s.read.parquet(s"$path/codes")

@@ -345,9 +345,12 @@ object IncrementalStream {
     * one shape the file sink already solves). */
   def ivfPqMaintenanceStream(newVecs: DataFrame, idCol: String, vecCol: String,
                              indexPath: String,
-                             codebook: Array[Array[Array[Long]]],
                              checkpoint: String): StreamingQuery = {
     val spark = newVecs.sparkSession
+    // cell geometry AND codebook come from the index itself (it is
+    // self-describing) — encoding with any other codebook would make
+    // the appended codes' ADC distances silently incomparable
+    val codebook = graft.analytics.Similarity.codebookOf(spark, indexPath)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .select(col("cell"), col("cv"), col("cnorm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))

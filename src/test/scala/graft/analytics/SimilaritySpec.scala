@@ -529,7 +529,7 @@ class SimilaritySpec extends SparkSpec {
     assert(before.filter($"id" === 8).count() == 0)
     // batch-append the missing quarter; now it must be retrievable
     Similarity.appendToIvfPqIndex(spark, dir,
-      embeddings.filter($"vec_id" % 4 === 0), "vec_id", "embedding", cb)
+      embeddings.filter($"vec_id" % 4 === 0), "vec_id", "embedding")
     val after = Similarity.topKIvfPqFromIndex(spark, dir, q8,
       "vec_id", "embedding", k = 20, cb)
     assert(after.filter($"id" === 8).count() == 1,
