@@ -522,6 +522,11 @@ class SimilaritySpec extends SparkSpec {
     val base = embeddings.filter($"vec_id" % 4 =!= 0)
     val cb = Similarity.trainPqCodebook(embeddings, "vec_id", "embedding")
     Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, dir)
+    // the index is self-describing: the stored codebook round-trips
+    // bit-identically (what append/maintenance encode with)
+    val stored = Similarity.codebookOf(spark, dir)
+    assert(stored.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+    assert(stored.length == cb.length && stored(0).length == cb(0).length)
     val q8 = embeddings.filter($"vec_id" === 8)
     // before ingest: vec 8 (8 % 4 == 0) is absent from the index
     val before = Similarity.topKIvfPqFromIndex(spark, dir, q8,
