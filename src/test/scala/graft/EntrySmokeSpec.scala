@@ -15,5 +15,10 @@ class EntrySmokeSpec extends SparkSpec {
       s"registry has ${qs.size} queries; bump SparkEntry.RegisteredQueryCount")
     assert(SparkEntry.oracleSql.size == SparkEntry.OracledQueryCount,
       s"registry has ${SparkEntry.oracleSql.size} oracles; bump SparkEntry.OracledQueryCount")
+    // serving-only faces shadow REGISTRY names (Bench reports them as
+    // the same rung's serving cost) — an unknown name would silently
+    // time an orphan
+    assert(SparkEntry.servingQueries.keySet.subsetOf(qs),
+      s"serving names must be registry names: ${SparkEntry.servingQueries.keySet -- qs}")
   }
 }
