@@ -24,14 +24,15 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 324
+  val RegisteredQueryCount: Int = 325
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
   // contract) instead of rows-only dumps. Round 8 adds the 8 streaming
   // batch-parity verdicts (q313-q320), lexicon sentiment (q321), and
   // streaming ANN-index maintenance (q322) + the persisted MinHash index
-  // probe (q323), all oracled.
-  val OracledQueryCount: Int = 324
+  // probe (q323), all oracled; q325 is incremental dedup-group
+  // maintenance, oracled against the full recompute (exact equality).
+  val OracledQueryCount: Int = 325
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

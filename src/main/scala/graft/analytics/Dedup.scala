@@ -551,6 +551,74 @@ object Dedup {
       .withColumn("is_survivor", col("component") === col("id"))
   }
 
+  /** Incremental connected-components maintenance — the dedup-groups
+    * daily update: fold a day's NEW near-dup edges into a stored
+    * `(id, comp)` assignment WITHOUT re-materializing, re-shuffling, or
+    * even re-reading the historical pair set.
+    *
+    * Exactness: the result equals [[connectedComponents]] over
+    * (historical pairs ∪ new edges), joined back over all ids. The full
+    * graph's components are the stored components merged along the new
+    * edges, and because labels are canonical (min id in the group) the
+    * merged label — min over constituent old labels and new-doc ids —
+    * is computable from the day's edges alone; no historical edge can
+    * change it.
+    *
+    * Scale shape (100 TB lake, day-sized batch): the CC fixpoint runs
+    * ONLY on the label graph induced by the day's edges (batch-sized,
+    * never corpus-sized); the corpus assignment is touched by exactly
+    * two joins whose other side is batch-sized — the endpoint-label
+    * lookup and the relabel application — i.e. two linear scans, zero
+    * corpus shuffles. Those small sides carry a `broadcast` hint while
+    * `graft.dedup.incrementalBroadcastHint` (default true) holds; unset
+    * it past the broadcast envelope and AQE plans the joins from
+    * runtime sizes instead (results identical — spec-pinned).
+    *
+    * Endpoints absent from the stored assignment (brand-new docs) enter
+    * with their own id as the starting label. Returns the updated
+    * assignment `(id, comp)` covering stored ids ∪ edge endpoints;
+    * brand-new docs with no edges are the caller's coalesce(comp, id),
+    * exactly as with [[connectedComponents]] output. */
+  def incrementalComponents(oldComponents: DataFrame, newEdges: DataFrame): DataFrame = {
+    val spark = oldComponents.sparkSession
+    val hint = spark.conf
+      .get("graft.dedup.incrementalBroadcastHint", "true").toBoolean
+    def daySized(df: DataFrame): DataFrame = if (hint) broadcast(df) else df
+
+    val edges = newEdges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val ep = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    // Corpus scan 1: current label of each endpoint — stored comp, else
+    // (brand-new doc) its own id. The corpus streams past the broadcast
+    // endpoint set; output is endpoint-sized. Checkpointed so the three
+    // downstream uses don't re-scan the corpus.
+    val known = oldComponents.select(col("id"), col("comp")).join(daySized(ep), Seq("id"))
+    val epLbl = iterCheckpoint(ep.join(known, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("lab")))
+    // The day's edges projected onto current labels; the fixpoint runs
+    // over this batch-sized graph only.
+    val lblEdges = edges
+      .join(epLbl.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+      .join(epLbl.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // Relabel map old-label -> merged-label; identity rows are no-ops.
+    val rel = iterCheckpoint(connectedComponents(lblEdges)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("oldLab"), col("comp").as("newLab")))
+    // Corpus scan 2: apply the relabel map to the stored assignment.
+    val updatedOld = oldComponents.select(col("id"), col("comp"))
+      .join(daySized(rel), col("comp") === col("oldLab"), "left")
+      .select(col("id"), coalesce(col("newLab"), col("comp")).as("comp"))
+    // Brand-new endpoints enter at their merged label.
+    val newRows = epLbl
+      .join(oldComponents.select(col("id")), Seq("id"), "left_anti")
+      .join(rel, col("lab") === col("oldLab"), "left")
+      .select(col("id"), coalesce(col("newLab"), col("lab")).as("comp"))
+    updatedOld.unionByName(newRows)
+  }
+
   /** Corpus-level paragraph dedup (CCNet/Gopher-style boilerplate
     * removal): every paragraph that appears anywhere in the corpus more
     * than once survives ONLY at its first occurrence — the minimum

@@ -203,6 +203,65 @@ object TextQueries {
         .orderBy("id_new", "id_corpus")
     },
 
+    // Incremental dedup-GROUP maintenance: the stored corpus assignment
+    // (yesterday's components over corpus-only pairs) is folded together
+    // with the day's new edges (batch x corpus + batch x batch) by
+    // incrementalComponents — the CC fixpoint runs only on the
+    // batch-sized label graph; the corpus assignment is never shuffled.
+    // The oracle is the FULL recompute over all documents (q57's
+    // recursive transitive closure): exact equality, not a verdict —
+    // min-id labels make the incremental result bit-identical to
+    // recomputing from scratch. Pairs run cap-free on both sides so the
+    // split computation matches the uncapped oracle by construction
+    // (a df cap is corpus-dependent and would desync the subsets).
+    "q325_dedup_incr_components" -> q(
+      s"""WITH RECURSIVE
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len($toksSql) - 2, 1)),
+                       i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS shingles
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+                    >= (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) * 1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          SELECT d.doc_id AS id,
+                 coalesce(comp.component, d.doc_id) AS component,
+                 coalesce(comp.component, d.doc_id) = d.doc_id AS is_survivor
+          FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+          ORDER BY id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val stored = corpus.select(col("doc_id").as("id"))
+        .join(Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, num = 1, den = 5)
+              .select("id_a", "id_b")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      val dayEdges = Dedup.crossCorpusNearDupPairs(
+          batch, "doc_id", "text", corpus, "doc_id", "text", n = 3, num = 1, den = 5)
+          .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+        .unionByName(Dedup.ngramJaccardPairs(batch, "doc_id", "text", n = 3, num = 1, den = 5)
+          .select("id_a", "id_b"))
+      val updated = Dedup.incrementalComponents(stored, dayEdges)
+      docs.select(col("doc_id").as("id"))
+        .join(updated, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+        .withColumn("is_survivor", col("component") === col("id"))
+        .orderBy("id")
+    },
+
     // Substring-level dedup: every 5-token span occurring in >= 2
     // distinct documents, keyed by md5 of the space-joined span
     // (portable across engines, so the whole inventory hash-matches).

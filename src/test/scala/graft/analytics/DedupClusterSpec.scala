@@ -69,6 +69,53 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents: folding day edges equals full recompute") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val all = Seq.fill(130)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (day2, rest) = all.partition(_ => rnd.nextBoolean())
+      val (day1, base) = rest.partition(_ => rnd.nextBoolean())
+      val ids = (0L until n.toLong).toDF("id")
+      def assignment(edges: Seq[(Long, Long)]) = ids
+        .join(Dedup.connectedComponents(edges.toDF("id_a", "id_b")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      val expected = assignment(all).as[(Long, Long)].collect().toMap
+      // two consecutive daily folds over the stored base assignment
+      val afterDay1 = Dedup.incrementalComponents(
+        assignment(base), day1.toDF("id_a", "id_b"))
+      val got = Dedup.incrementalComponents(afterDay1, day2.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert((0L until n.toLong).forall(id => got(id) == expected(id)),
+        s"seed=$seed incremental != full recompute")
+    }
+  }
+
+  test("incrementalComponents: brand-new docs enter, including a new min label") {
+    // stored: {5,6} comp 5, {10} comp 10. Day: brand-new doc 2 bridges
+    // into {5,6} and STEALS the label (2 < 5 — the canonical min moves);
+    // new pair (50,51) forms a fresh component; 10 is untouched.
+    val stored = Seq((5L, 5L), (6L, 5L), (10L, 10L)).toDF("id", "comp")
+    val newE = Seq((2L, 6L), (50L, 51L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalComponents(stored, newE)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 2L, 6L -> 2L, 10L -> 10L,
+      2L -> 2L, 50L -> 50L, 51L -> 50L))
+  }
+
+  test("incrementalComponents without the broadcast hint: identical result") {
+    spark.conf.set("graft.dedup.incrementalBroadcastHint", "false")
+    try {
+      val stored = Seq((5L, 5L), (6L, 5L), (10L, 10L)).toDF("id", "comp")
+      val newE = Seq((2L, 6L), (50L, 51L)).toDF("id_a", "id_b")
+      val got = Dedup.incrementalComponents(stored, newE)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(5L -> 2L, 6L -> 2L, 10L -> 10L,
+        2L -> 2L, 50L -> 50L, 51L -> 50L))
+    } finally spark.conf.unset("graft.dedup.incrementalBroadcastHint")
+  }
+
   test("dedupVerdicts: unpaired docs survive as their own component") {
     val docs = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
