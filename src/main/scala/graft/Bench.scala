@@ -70,10 +70,15 @@ object Bench {
     val servingSelected = SparkEntry.servingQueries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    // A serving query that fails EVERY trial records an error entry in
+    // "serving_errors" instead of silently vanishing from the artifact —
+    // a disappeared key would read as "query removed", not "regression".
     val serving = servingSelected.toSeq.map { case (name, fn) =>
-      val timings = (1 to trials).map(_ => time(fn)).collect { case Right(s) => s }
-      name -> (if (timings.isEmpty) None
-        else Some(timings.sorted.apply(timings.length / 2)))
+      val raw = (1 to trials).map(_ => time(fn))
+      val timings = raw.collect { case Right(s) => s }
+      name -> (if (timings.isEmpty)
+        Left(raw.collectFirst { case Left(m) => m }.getOrElse("no trials"))
+        else Right(timings.sorted.apply(timings.length / 2)))
     }
     val results = firstPass.map { case (name, timings) =>
       val errs = timings.collect { case Left(m) => m }
@@ -122,9 +127,13 @@ object Bench {
     val (noisyQ, _, noisySpread) =
       if (ok.nonEmpty) ok.maxBy(_._3) else ("", 0.0, 1.0)
     val servingJson = serving.sortBy(_._1)
-      .collect { case (k, Some(sec)) => s"${jstr(k)}:${ms3(sec)}" }
+      .collect { case (k, Right(sec)) => s"${jstr(k)}:${ms3(sec)}" }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"errors":$errs,"serving":$servingJson,"metric":"total","value":${ms3(total)},"unit":"sec","max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"sf":"$sfDir"}""")
+    val servingErrs = serving.sortBy(_._1)
+      .collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val nServingErr = serving.count(_._2.isLeft)
+    println(s"""{"queries":$qs,"errors":$errs,"serving":$servingJson,"serving_errors":$servingErrs,"metric":"total","value":${ms3(total)},"unit":"sec","max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"n_serving_errors":$nServingErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

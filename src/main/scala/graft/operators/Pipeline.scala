@@ -57,9 +57,14 @@ object Pipeline {
   /** Retry wrapper for one unit of stage work. Counter contract:
     * success (possibly after re-attempts) bumps processed+succeeded;
     * each re-attempt bumps retried; exhaustion bumps failed and
-    * rethrows. Bodies are Spark writes — a failed write job never
-    * commits its output (the committer discards uncommitted task
-    * attempts), so re-running the body is safe. */
+    * rethrows. Only NonFatal failures are retried: a fatal JVM error
+    * (OutOfMemoryError, ThreadDeath) or an interrupt cannot be cured
+    * by re-running a Spark job, and retrying it would both waste
+    * cluster time and swallow the interrupt. Single-write bodies are
+    * retry-safe because a failed write job never commits its output
+    * (the committer discards uncommitted task attempts); multi-write
+    * bodies must carry their own committed-phase tracking (see the
+    * incremental landing unit's `landed` flag in runInner). */
   private def attempt[T](m: Quality.MetricsBuilder, retries: Int)(body: => T): T = {
     var attemptsLeft = retries
     while (true) {
@@ -68,10 +73,13 @@ object Pipeline {
         m.processed += 1; m.succeeded += 1
         return r
       } catch {
-        case _: Throwable if attemptsLeft > 0 =>
+        case scala.util.control.NonFatal(_) if attemptsLeft > 0 =>
           attemptsLeft -= 1; m.retried += 1
         case e: Throwable =>
-          m.processed += 1; m.failed += 1; throw e
+          m.processed += 1; m.failed += 1
+          if (e.isInstanceOf[InterruptedException])
+            Thread.currentThread().interrupt()
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -92,24 +100,37 @@ object Pipeline {
       val skip = src.incremental && FileLedger.unprocessed(
         spark, ledgerPath, src.name, Seq(s"${src.name}.batch")).isEmpty
       if (skip) landM.skipped += 1
-      else attempt(landM, retries) {
+      else {
         // the whole unit (source read + landing write + ledger mark)
         // re-attempts together: a transient source failure is the
-        // reference's canonical retry case (retries: 2, pipeline.py:110)
-        val df = src.land(spark)
-        // full loads overwrite (re-upload of the same logical files);
-        // incremental batches append (new daily files) — reference
-        // customerload.py vs s3_copy.py semantics
-        val mode = if (src.incremental) "append" else "overwrite"
-        df.write.mode(mode).parquet(rawPath)
-        // ledger append strictly AFTER the batch lands (same order as
-        // the warehouse-load stage): an append-first failure would mark
-        // the batch processed and silently skip it forever on re-run
-        // (permanent data loss). Land-then-append fails the safe way —
-        // a crash between the two re-lands the batch on retry
-        // (at-least-once, recoverable by downstream dedup).
-        if (src.incremental)
-          FileLedger.append(spark, ledgerPath, Seq((src.name, s"${src.name}.batch")))
+        // reference's canonical retry case (retries: 2, pipeline.py:110).
+        // The unit performs TWO writes (data append, then ledger mark),
+        // so a bare re-run after the data append committed would land
+        // the batch twice; `landed` records the committed phase across
+        // in-process re-attempts (the only scope attempt() retries in),
+        // making the unit idempotent under retry — a re-attempt after a
+        // ledger-append failure retries ONLY the ledger append.
+        var landed = false
+        attempt(landM, retries) {
+          if (!landed) {
+            val df = src.land(spark)
+            // full loads overwrite (re-upload of the same logical
+            // files); incremental batches append (new daily files) —
+            // reference customerload.py vs s3_copy.py semantics
+            val mode = if (src.incremental) "append" else "overwrite"
+            df.write.mode(mode).parquet(rawPath)
+            landed = true
+          }
+          // ledger append strictly AFTER the batch lands (same order as
+          // the warehouse-load stage): an append-first failure would mark
+          // the batch processed and silently skip it forever on re-run
+          // (permanent data loss). Land-then-append fails the safe way —
+          // a whole-JOB crash between the two (outside attempt()'s
+          // in-process retry scope) re-lands the batch on the next run
+          // (at-least-once, recoverable by downstream dedup).
+          if (src.incremental)
+            FileLedger.append(spark, ledgerPath, Seq((src.name, s"${src.name}.batch")))
+        }
       }
     }
     stages += landM.complete()

@@ -37,9 +37,11 @@ object StreamingParityQueries {
 
   /** Fresh temp dir per invocation — checkpoints must never be reused
     * across bench trials (a reused checkpoint sees zero new files and
-    * the "stream" would measure nothing). Outputs are verdict-sized. */
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    * the "stream" would measure nothing). Registered with the enclosing
+    * tempScoped wrapper (see `defs`), so every invocation's source
+    * copies / twin indexes / checkpoints are deleted once the verdict
+    * row is materialized. */
+  private def tmpDir(prefix: String): String = scratchDir(prefix)
 
   /** Streaming read of a driver test table with queries.t()'s ts
     * normalization (TESTDATA nanos/NTZ forms) applied on the stream.
@@ -81,7 +83,15 @@ object StreamingParityQueries {
   private val toksSql =
     """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
 
-  val defs: Map[String, Q] = Map(
+  // every body allocates per-invocation scratch dirs and returns a
+  // verdict-sized row set — tempScoped materializes the rows and
+  // deletes the scratch (ADVICE round 8: unbounded /tmp growth)
+  val defs: Map[String, Q] = rawDefs.map { case (name, qd) =>
+    name -> qd.copy(fn = tempScoped(qd.fn))
+  }
+
+  // def, not val: `defs` above initializes first in object-init order
+  private def rawDefs: Map[String, Q] = Map(
 
     // Streaming exact dedup (dropDuplicatesWithinWatermark on the md5
     // content fingerprint) == batch exact dedup: the streamed survivor

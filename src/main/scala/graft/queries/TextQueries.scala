@@ -2070,12 +2070,11 @@ object TextQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_probe_docs,
                 CAST(0 AS BIGINT) AS n_index_fresh_mismatches,
                 TRUE AS all_twins_found
-         FROM documents WHERE doc_id % 10 = 0""") { (s, dir) =>
+         FROM documents WHERE doc_id % 10 = 0""")(tempScoped { (s, dir) =>
       val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val batch = corpus.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_q323_idx").toString
+      val idx = scratchDir("graft_q323_idx")
       Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
       val probe = Dedup.probeMinhashIndex(s, idx, batch, "doc_id", "text")
       val fresh = Dedup.minhashLshPairs(corpus.unionByName(batch),
@@ -2097,7 +2096,7 @@ object TextQueries {
         .crossJoin(mism).crossJoin(missingTwins)
         .select(col("n_probe_docs"), col("n_index_fresh_mismatches"),
           (col("__missing") === 0L).as("all_twins_found"))
-    },
+    }),
 
     // Lexicon sentiment scoring (SURVEY §7.4; reference domain is
     // complaint analytics — README.md:5-7): integer AFINN-style

@@ -38,6 +38,49 @@ package object queries {
     }
   }
 
+  private val tempDirReg =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[java.io.File]]
+
+  /** Fresh per-invocation temp dir (stream checkpoints must never be
+    * reused across bench trials — a reused checkpoint sees zero new
+    * files and the "stream" would measure nothing). When called inside
+    * a [[tempScoped]] body the dir is registered for deletion as soon
+    * as the body's result is materialized; a bench run otherwise leaves
+    * corpus-sized source copies and twin indexes behind on every one of
+    * its 3×N trials and /tmp grows without bound across a round. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Option(tempDirReg.get()).foreach(_ += p.toFile)
+    p.toString
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  /** Scope a VERDICT-SIZED query body's scratch dirs to its invocation:
+    * the returned function runs the body, MATERIALIZES its result (the
+    * lazy plan may read the scratch dirs, so deletion must wait until
+    * the rows are in hand — verdict rows are driver-small by contract),
+    * then recursively deletes every dir the body allocated via
+    * [[scratchDir]]. Streams started in the body have terminated by the
+    * time it returns (AvailableNow + awaitTermination), so nothing
+    * still holds the paths. */
+  def tempScoped(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      tempDirReg.set(buf)
+      try {
+        val df = f(s, dir)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        s.createDataFrame(rows, df.schema)
+      } finally {
+        tempDirReg.remove()
+        buf.foreach(deleteRec)
+      }
+    }
+
   /** Exact integer-cents arithmetic for money columns. The test tables
     * carry 2-decimal doubles; summing doubles directly is order-dependent
     * in the last bits (and so engine-dependent), while integer sums are

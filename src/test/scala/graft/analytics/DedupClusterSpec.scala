@@ -39,7 +39,16 @@ class DedupClusterSpec extends SparkSpec {
       // reliable checkpoint files actually landed in the dir
       val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
       assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty)
-    } finally sc.setCheckpointDir(null)
+    } finally {
+      sc.setCheckpointDir(null)
+      // delete the checkpoint dir: each suite run otherwise leaves one
+      // behind in /tmp forever
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("connectedComponents matches union-find on seeded random graphs") {
