@@ -318,8 +318,8 @@ object Dedup {
     * by the in-query LSH join and the persisted-index build/probe, so
     * stored and freshly-computed buckets are identical by
     * construction. */
-  private def bandRowsOf(hashed: DataFrame, numHashes: Int,
-                         bands: Int): DataFrame = {
+  private[graft] def bandRowsOf(hashed: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = hashed.select(col("id"),
@@ -409,18 +409,44 @@ object Dedup {
     * buckets into the stored index. Cost is O(|batch|) — the corpus
     * history is never re-read. Shingle width and banding come from the
     * index's own meta, so an append can never hash into a different
-    * bucket space than the build. */
+    * bucket space than the build.
+    *
+    * EXACTLY-ONCE under retry/replay (FileLedger pattern, reference
+    * snowflake_load.py:108-133): each batch lands as its OWN
+    * `batch=<id>` directory under `shingles_delta`/`bands_delta`
+    * written with mode=overwrite — a re-run of a half-failed write
+    * rewrites the same rows into the same dir instead of appending a
+    * second copy — and the batch id is recorded in the index's ledger
+    * strictly AFTER both components commit. A replayed append whose id
+    * is already ledgered is a no-op, so an at-least-once orchestrator
+    * (Pipeline retry, a re-run daily job) can fire this any number of
+    * times; duplicated shingle rows would otherwise make
+    * [[probeMinhashIndex]] emit the same verified pair per copy.
+    * Probes only read delta batches THROUGH the ledger (see
+    * [[ledgeredDelta]]), so a crashed write that never retried is
+    * invisible rather than half-visible. */
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
-                           path: String): Unit = {
-    val (n, numHashes, bands) = minhashIndexParams(df.sparkSession, path)
+                           path: String, batchId: String): Unit = {
+    val spark = df.sparkSession
+    if (IndexStore.batchAlreadyAppended(spark, path, batchId))
+      return // replayed batch: already fully appended and ledgered
+    val (n, numHashes, bands) = minhashIndexParams(spark, path)
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hashed.write.mode("append").parquet(s"$path/shingles")
-    bandRowsOf(hashed, numHashes, bands)
-      .write.mode("append").parquet(s"$path/bands")
+    hashed.write.mode("overwrite")
+      .parquet(s"$path/shingles_delta/batch=$batchId")
+    bandRowsOf(hashed, numHashes, bands).write.mode("overwrite")
+      .parquet(s"$path/bands_delta/batch=$batchId")
     hashed.unpersist()
-    ()
+    IndexStore.ledgerBatch(spark, path, batchId)
   }
+
+  /** Full stored relation of a MinHash index component: base ∪ ledgered
+    * batch delta ∪ stream delta — the single visibility rule every
+    * probe and the compactor share. */
+  private def storedComponent(spark: org.apache.spark.sql.SparkSession,
+                              path: String, component: String): DataFrame =
+    IndexStore.storedComponent(spark, path, component)
 
   /** Probe a new batch against the stored index: batch×corpus verified
     * near-dup pairs (id_new, id_corpus, common, n_new, n_corpus) with
@@ -443,7 +469,9 @@ object Dedup {
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRowsOf(newHashed, numHashes, bands)
-    val stored = spark.read.parquet(s"$path/bands")
+    // base ∪ ledgered batch delta ∪ stream delta: appended corpus
+    // batches are probed exactly like build-time corpus
+    val stored = storedComponent(spark, path, "bands")
     val cand = stored.as("c")
       .join(broadcast(newBands.as("x")),
         col("c.band") === col("x.band") && col("c.bh") === col("x.bh")
@@ -455,7 +483,7 @@ object Dedup {
     val withNew = cand.join(
       newHashed.select(col("id").as("id_new"), col("shash").as("sh_a")),
       Seq("id_new"))
-    spark.read.parquet(s"$path/shingles")
+    storedComponent(spark, path, "shingles")
       .select(col("id").as("id_corpus"), col("shash").as("sh_b"))
       .join(broadcast(withNew), Seq("id_corpus"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -464,6 +492,51 @@ object Dedup {
       .filter(col("common") * den
         >= (col("n_new") + col("n_corpus") - col("common")) * num)
       .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
+  }
+
+  /** Lakehouse maintenance for the persisted MinHash index: months of
+    * daily `batch=` appends and stream-sink micro-batches fragment the
+    * shingle and band stores into thousands of small files, and every
+    * probe's corpus scan pays the per-file open cost. Compaction merges
+    * base ∪ ledgered batch delta ∪ stream delta of each component (the
+    * exact relation probes read — a bit-equal rewrite by construction)
+    * into a fresh range-sorted base of ~`rowsPerFile` files
+    * (Layout.writeSized: footer min/max stats stay selective), then
+    * swaps it in and drops the delta dirs. Returns
+    * (files_before, files_after, rows) summed over both components.
+    *
+    * The batch-id LEDGER survives compaction on purpose: a late replay
+    * of an already-compacted batch must still be recognized and
+    * skipped — dropping the ledger would let it re-append rows the
+    * compacted base already holds.
+    *
+    * Run QUIESCED (no concurrent probe/append/maintenance stream), like
+    * any lakehouse OPTIMIZE. The swap is rename-based and not atomic,
+    * but every crash window leaves a recoverable superset: the compacted
+    * dir is complete before the old base moves aside, and the old base
+    * is deleted only after the compacted one is in place. A maintenance
+    * stream restarted after compaction needs a fresh checkpoint (its
+    * sink manifest is dropped with the stream delta); restart it only
+    * after a clean AvailableNow termination so no in-flight batch
+    * straddles the compaction. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
+    def one(component: String): (Long, Long, Long) = {
+      val before = Seq(s"$path/$component", s"$path/${component}_delta",
+        s"$path/${component}_stream")
+        .map(graft.operators.Layout.nParquetFiles(spark, _)).sum
+      val merged = storedComponent(spark, path, component)
+      val rows = merged.count()
+      graft.operators.Layout.writeSized(merged, s"$path/${component}_compact",
+        "id", rowsPerFile, rows)
+      IndexStore.swapCompacted(spark, path, component)
+      (before, graft.operators.Layout.nParquetFiles(spark, s"$path/$component"),
+        rows)
+    }
+    val s = one("shingles")
+    val b = one("bands")
+    (s._1 + b._1, s._2 + b._2, s._3 + b._3)
   }
 
   /** Iteration checkpoint: reliable `checkpoint()` when the session has a

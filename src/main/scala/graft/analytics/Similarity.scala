@@ -417,6 +417,21 @@ object Similarity {
       }.toSeq.toDF("sub", "code", "vals")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     }
+    // build-time quantization-error baseline (exact integer sum + count):
+    // the yardstick indexHealthReport measures drift against — the cell
+    // geometry and codebook are frozen after this write, so a corpus
+    // whose distribution drifts shows up as a rising mean error vs this
+    // number, the documented retrain trigger
+    locally {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val r = c.agg(
+        sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook))
+          .as("err_sum"),
+        count(lit(1)).as("n_vectors")).head()
+      Seq((r.getLong(0), r.getLong(1))).toDF("err_sum", "n_vectors")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/quant_baseline")
+    }
     val cent = broadcast(
       corpus.sparkSession.read.parquet(s"$path/centroids"))
     val assigned = c.crossJoin(cent)
@@ -469,20 +484,20 @@ object Similarity {
       (cell, dot.toDouble / r.getDouble(2))
     }.sortBy { case (cell, score) => (-score, cell) }
       .take(nProbe).map(_._1)
-    val base = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(probeCells: _*))
-      .select("id", "pq_code")
-    val streamDir = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
-    val fs = streamDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes =
-      if (!fs.exists(streamDir)) base
-      else base.unionByName(
-        // explicit schema: a delta dir holding only the sink manifest
-        // (zero committed batches) must read as empty, not fail inference
-        spark.read.schema(spark.read.parquet(s"$path/codes").schema)
-          .parquet(s"$path/codes_stream")
-          .filter(col("cell").isin(probeCells: _*))
-          .select("id", "pq_code"))
+    // base ∪ ledgered batch delta ∪ stream delta (IndexStore's single
+    // visibility rule), each pruned to the probe cells BEFORE the union
+    // — `cell` is a partition column in all three locations, so the
+    // pruning is a PartitionFilter everywhere and serving physically
+    // skips (nCells-nProbe)/nCells of base and deltas alike
+    val baseAll = spark.read.parquet(s"$path/codes")
+    def pruned(df: DataFrame): DataFrame =
+      df.filter(col("cell").isin(probeCells: _*)).select("id", "pq_code")
+    val cols = Seq("id", "pq_code", "cell")
+    val withBatch = IndexStore.ledgeredDelta(spark, path, "codes", cols)
+      .map(d => pruned(baseAll).unionByName(pruned(d)))
+      .getOrElse(pruned(baseAll))
+    val codes = IndexStore.streamDelta(spark, path, "codes", baseAll, cols)
+      .map(d => withBatch.unionByName(pruned(d))).getOrElse(withBatch)
     topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
   }
 
@@ -505,12 +520,26 @@ object Similarity {
     * argmax (broadcast centroid join + max_by), encode with the
     * index's OWN stored codebook (passing one in is impossible, so
     * mixed-codebook codes — silently incomparable ADC distances —
-    * cannot be expressed), and append into the cell-partitioned code
-    * store. Daily-ingest shape: cost is O(|new| · nCells) — the
-    * history is never touched. */
+    * cannot be expressed), and land the codes as the batch's own
+    * `codes_delta/batch=<id>` partition (still cell-partitioned below
+    * it, so serving's PartitionFilter pruning reaches the delta).
+    * Daily-ingest shape: cost is O(|new| · nCells) — the history is
+    * never touched.
+    *
+    * EXACTLY-ONCE under retry/replay (FileLedger pattern, reference
+    * snowflake_load.py:108-133): the per-batch dir is written with
+    * mode=overwrite (a retried half-write rewrites itself, never
+    * appends a second copy) and the batch id is ledgered strictly
+    * after the write commits; a replayed id is a no-op. Serving reads
+    * delta batches only THROUGH the ledger, so a crashed write that
+    * never retried is invisible — duplicated codes would otherwise
+    * make a top-k return the same id twice. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, newVecs: DataFrame,
-                         idCol: String, vecCol: String): Unit = {
+                         idCol: String, vecCol: String,
+                         batchId: String): Unit = {
+    if (IndexStore.batchAlreadyAppended(spark, path, batchId))
+      return // replayed batch: already fully appended and ledgered
     val codebook = codebookOf(spark, path)
     val c = withQv(newVecs, idCol, vecCol)
     val cent = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -524,7 +553,124 @@ object Similarity {
     assigned
       .select(col("id"), col("cell"),
         graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes_delta/batch=$batchId")
+    IndexStore.ledgerBatch(spark, path, batchId)
+  }
+
+  /** Lakehouse maintenance for the IVF-PQ index: months of daily batch
+    * appends and stream-sink micro-batches leave thousands of small
+    * files per cell, and every serve pays the per-file open cost across
+    * its probe cells. Compaction merges base ∪ ledgered batch delta ∪
+    * stream delta (exactly the relation serving reads — a bit-equal
+    * rewrite by construction) into a fresh cell-partitioned base — one
+    * shuffle on `cell`, so each cell lands as ~1 file (maxRecordsPerFile
+    * caps stragglers) and the PartitionFilter pruning contract is
+    * preserved — then swaps it in and drops the delta dirs. Returns
+    * (files_before, files_after, rows).
+    *
+    * The batch-id ledger survives compaction on purpose: a late replay
+    * of an already-compacted batch must still be skipped. Run QUIESCED
+    * (no concurrent serve/append/maintenance stream); a maintenance
+    * stream restarted after compaction needs a fresh checkpoint (its
+    * sink manifest is dropped with the stream delta) and a clean
+    * AvailableNow termination beforehand. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
+    val before = Seq(s"$path/codes", s"$path/codes_delta",
+      s"$path/codes_stream")
+      .map(graft.operators.Layout.nParquetFiles(spark, _)).sum
+    val merged = IndexStore.storedComponent(spark, path, "codes")
+    val rows = merged.count()
+    merged.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("cell").parquet(s"$path/codes_compact")
+    IndexStore.swapCompacted(spark, path, "codes")
+    (before, graft.operators.Layout.nParquetFiles(spark, s"$path/codes"), rows)
+  }
+
+  /** Index staleness / health report — the monitoring loop a FROZEN
+    * cell geometry needs: the centroids and codebook never move after
+    * build (by design — moving them would invalidate every stored
+    * code), so under distribution drift recall decays silently unless
+    * something measures it. One row of exact-integer metrics plus the
+    * operational verdict booleans:
+    *
+    *   - n_base_codes / n_delta_codes / delta_pct — how much of the
+    *     index now lives outside the compacted base (ledgered batch
+    *     delta + stream delta); `needs_compaction` fires past
+    *     `maxDeltaPct` (run [[compactIvfPqIndex]]).
+    *   - mean_quant_err_base / mean_quant_err_current — the build-time
+    *     quantization-error baseline (stored in `quant_baseline` by
+    *     [[writeIvfPqIndex]]) vs the SAME statistic over `current`
+    *     (today's corpus or a sample); `quant_drift_detected` fires
+    *     when the current mean exceeds the baseline by more than
+    *     `maxQuantErrDriftPct` percent (exact BigInt cross-multiply,
+    *     no float compare) — the codebook no longer fits the data.
+    *   - recall_pct / recall_ok — sampled end-to-end recall: each
+    *     held-out query served from the stored index vs exact brute
+    *     force over `current`; below `recallFloorPct` the index needs
+    *     retraining even if nothing else fired.
+    *
+    * `queries` is a held-out serving sample (driver-bounded: at most
+    * `maxQueries` rows — health runs daily on a handful, not a corpus).
+    * Cost: two metadata counts, one linear pass over `current` for the
+    * error statistic, and |queries| brute-force scans — a daily
+    * maintenance job, not a serving-path cost. */
+  def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                       path: String, current: DataFrame,
+                       idCol: String, vecCol: String, queries: DataFrame,
+                       k: Int = 20, nProbe: Int = 4,
+                       recallFloorPct: Int = 25,
+                       maxDeltaPct: Int = 20,
+                       maxQuantErrDriftPct: Int = 50,
+                       maxQueries: Int = 100): DataFrame = {
+    import spark.implicits._
+    val codebook = codebookOf(spark, path)
+    val nBase = spark.read.parquet(s"$path/codes").count()
+    val baseAll = spark.read.parquet(s"$path/codes")
+    val cols = Seq("id", "pq_code", "cell")
+    val nDelta =
+      IndexStore.ledgeredDelta(spark, path, "codes", cols)
+        .map(_.count()).getOrElse(0L) +
+      IndexStore.streamDelta(spark, path, "codes", baseAll, cols)
+        .map(_.count()).getOrElse(0L)
+    val deltaPct =
+      if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
+    val baseline = spark.read.parquet(s"$path/quant_baseline")
+      .select("err_sum", "n_vectors").head()
+    val (errBase, nVecBase) = (baseline.getLong(0), baseline.getLong(1))
+    val cur = withQv(current, idCol, vecCol)
+      .agg(sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook))
+        .as("e"), count(lit(1)).as("n")).head()
+    val (errCur, nVecCur) = (cur.getLong(0), cur.getLong(1))
+    require(nVecBase > 0 && nVecCur > 0, "ivfPqIndexHealth: empty corpus")
+    // exact rational compare (BigInt — the cross-multiply overflows
+    // long at corpus scale): errCur/nCur > errBase/nBase * (1+pct/100)
+    val drift = BigInt(errCur) * BigInt(nVecBase) * 100 >
+      BigInt(errBase) * BigInt(nVecCur) * (100 + maxQuantErrDriftPct)
+    val qRows = queries.limit(maxQueries + 1).collect()
+    require(qRows.nonEmpty && qRows.length <= maxQueries,
+      s"ivfPqIndexHealth expects 1..$maxQueries held-out query rows")
+    var hits = 0L
+    qRows.foreach { r =>
+      val qDf = spark.createDataFrame(
+        java.util.Arrays.asList(r), queries.schema)
+      val served = topKIvfPqFromIndex(spark, path, qDf, idCol, vecCol,
+        k, codebook, nProbe).select("id").collect().map(_.getLong(0)).toSet
+      val brute = topKBruteForce(current, idCol, vecCol, qDf, k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      hits += served.intersect(brute).size.toLong
+    }
+    val recallPct = hits * 100L / (k.toLong * qRows.length)
+    Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct,
+      errBase / nVecBase, errCur / nVecCur, drift,
+      recallPct, recallPct >= recallFloorPct))
+      .toDF("n_base_codes", "n_delta_codes", "delta_pct",
+        "needs_compaction", "mean_quant_err_base", "mean_quant_err_current",
+        "quant_drift_detected", "recall_pct", "recall_ok")
   }
 
   /** Incremental index maintenance, per-row form: cell assignment as a

@@ -50,18 +50,23 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
               destDir: String, sortCol: String,
               rowsPerFile: Long): (Long, Long, Long) = {
-    def nParquetFiles(dir: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
     val df = spark.read.parquet(srcDir)
     val rows = df.count()
     writeSized(df, destDir, sortCol, rowsPerFile, rows)
-    (nParquetFiles(srcDir), nParquetFiles(destDir), rows)
+    (nParquetFiles(spark, srcDir), nParquetFiles(spark, destDir), rows)
+  }
+
+  /** Recursive parquet data-file count of a directory tree (0 when the
+    * dir is absent) — the before/after metric every compaction returns. */
+  private[graft] def nParquetFiles(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
   }
 
   /** Morton (Z-order) interleaving of the low `16` bits of two integer

@@ -447,20 +447,17 @@ object StreamingParityQueries {
         "embedding", idxA, tmpDir("graft_q322_ckpt"))
       sq.awaitTermination()
       // batch face into B
-      Similarity.appendToIvfPqIndex(s, idxB, newbies, "vec_id", "embedding")
-      // code-set differential (pq_code as a joinable string key)
-      def codeRel(path: String, extra: Option[String]): org.apache.spark.sql.DataFrame = {
-        val baseCodes = s.read.parquet(s"$path/codes")
-        val all = extra match {
-          case Some(d) => baseCodes.unionByName(
-            s.read.schema(baseCodes.schema).parquet(d))
-          case None => baseCodes
-        }
-        all.select(col("id"), col("cell"),
-          concat_ws(",", col("pq_code")).as("code"))
-      }
-      val mism = codeRel(idxA, Some(s"$idxA/codes_stream")).withColumn("__a", lit(1))
-        .join(codeRel(idxB, None).withColumn("__b", lit(1)),
+      Similarity.appendToIvfPqIndex(s, idxB, newbies, "vec_id", "embedding",
+        batchId = "q322-batch")
+      // code-set differential (pq_code as a joinable string key), each
+      // index read under IndexStore's single visibility rule — base ∪
+      // ledgered batch delta ∪ stream delta covers both faces
+      def codeRel(path: String): org.apache.spark.sql.DataFrame =
+        graft.analytics.IndexStore.storedComponent(s, path, "codes")
+          .select(col("id"), col("cell"),
+            concat_ws(",", col("pq_code")).as("code"))
+      val mism = codeRel(idxA).withColumn("__a", lit(1))
+        .join(codeRel(idxB).withColumn("__b", lit(1)),
           Seq("id", "cell", "code"), "full_outer")
         .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
           .otherwise(0L)).as("n_code_mismatches"))

@@ -364,6 +364,46 @@ object IncrementalStream {
       .start()
   }
 
+  /** Streaming MinHash-index maintenance — the text sibling of
+    * [[ivfPqMaintenanceStream]]: continuously ingested documents are
+    * shingle-hashed and banded with the index's OWN stored parameters
+    * (self-describing meta — a different shingle width or banding would
+    * silently hash into a disjoint bucket space) and appended as
+    * `shingles_stream` / `bands_stream` deltas that
+    * [[graft.analytics.Dedup.probeMinhashIndex]] reads alongside the
+    * base, so new corpus documents are probe-visible without an index
+    * rebuild.
+    *
+    * Both projections are STATELESS (tokenize → shingle-hash →
+    * signature → band explode: per-row expressions, no watermark, no
+    * state store) and land through the streaming PARQUET FILE SINK,
+    * whose manifest commits each micro-batch atomically — a replayed
+    * batch never double-appends (same exactly-once argument as the
+    * IVF-PQ face). The two components are separate sink queries over
+    * the same source, each with its own checkpoint under `checkpoint/`;
+    * probe after BOTH have terminated — between the two commits of an
+    * in-flight batch a band row may precede its shingle row, and the
+    * probe's verify join would transiently drop that candidate. */
+  def minhashMaintenanceStream(newDocs: DataFrame, idCol: String,
+                               textCol: String, indexPath: String,
+                               checkpoint: String): Seq[StreamingQuery] = {
+    val spark = newDocs.sparkSession
+    val (n, numHashes, bands) =
+      graft.analytics.Dedup.minhashIndexParams(spark, indexPath)
+    val hashed = graft.analytics.Dedup
+      .shingleHashSets(newDocs, idCol, textCol, n)
+    def sink(df: DataFrame, component: String): StreamingQuery =
+      df.writeStream.format("parquet")
+        .option("path", s"$indexPath/${component}_stream")
+        .option("checkpointLocation", s"$checkpoint/$component")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    Seq(
+      sink(hashed, "shingles"),
+      sink(graft.analytics.Dedup.bandRowsOf(hashed, numHashes, bands),
+        "bands"))
+  }
+
   def latestVersion(spark: SparkSession, tableDir: String,
                     below: Option[Long] = None): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(tableDir)

@@ -169,7 +169,8 @@ class PropertySpec extends SparkSpec {
     Dedup.writeMinhashIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", idx1)
     val idx2 = java.nio.file.Files.createTempDirectory("mh-p2").toString
     Dedup.writeMinhashIndex(a.toDF("doc_id", "text"), "doc_id", "text", idx2)
-    Dedup.appendToMinhashIndex(b.toDF("doc_id", "text"), "doc_id", "text", path = idx2)
+    Dedup.appendToMinhashIndex(b.toDF("doc_id", "text"), "doc_id", "text",
+      path = idx2, batchId = "b1")
     def pairs(idx: String) =
       Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text")
         .as[(Long, Long, Long, Long, Long)].collect().toSet

@@ -342,7 +342,8 @@ class DedupSpec extends SparkSpec {
     // append doc 4 (near-dup of 102's future probe); re-probe sees it
     Dedup.appendToMinhashIndex(
       Seq((4L, "nothing in common with anything stored in this index"))
-        .toDF("doc_id", "text"), "doc_id", "text", path = idx)
+        .toDF("doc_id", "text"), "doc_id", "text", path = idx,
+      batchId = "day1")
     val got2 = Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text")
       .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
     assert(got2 == Set((101L, 1L), (102L, 4L)), s"post-append probe found $got2")

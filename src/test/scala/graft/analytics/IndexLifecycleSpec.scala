@@ -1,0 +1,237 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Day-2 lifecycle of the two persisted index families: exactly-once
+  * batch appends (a replayed/retried daily job must not duplicate
+  * posting rows or PQ codes), ledger-gated visibility (a crashed,
+  * never-retried write is invisible), delta compaction (bounded file
+  * counts, bit-equal probe/serve, pruning intact), the MinHash
+  * streaming maintenance face, and the IVF-PQ health report. */
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select($"doc_id", $"text")
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def probePairs(idx: String, batch: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    Dedup.probeMinhashIndex(spark, idx, batch, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("appendToMinhashIndex: replaying the same batch id is a no-op (probe unchanged, no duplicate pairs)") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val day1 = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    // probe batch: exact twins of the appended day-1 docs
+    val probe = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val idx = tmp("mh-replay")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx, batchId = "d1")
+    val once = probePairs(idx, probe)
+    assert(once.exists(_._2 >= 1000L), "appended docs must be probe-visible")
+    // replay the SAME batch id — an at-least-once orchestrator retry
+    Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx, batchId = "d1")
+    Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx, batchId = "d1")
+    val twice = probePairs(idx, probe)
+    assert(twice == once, "replayed append must not change the probe result")
+    // and no duplicate PAIR ROWS from duplicated shingle fanout: the
+    // probe result is a set of distinct keys with one row each
+    val rows = Dedup.probeMinhashIndex(spark, idx, probe, "doc_id", "text")
+    assert(rows.count() == rows.dropDuplicates("id_new", "id_corpus").count(),
+      "no duplicated verified-pair rows")
+  }
+
+  test("minhash index: an unledgered (crashed, never-retried) batch dir is invisible to probes") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val ghost = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val probe = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val idx = tmp("mh-ghost")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val baseline = probePairs(idx, probe)
+    // simulate the crash window: component dirs written, ledger never
+    // appended (appendToMinhashIndex ledgers LAST)
+    val (n, numHashes, bands) = Dedup.minhashIndexParams(spark, idx)
+    val hashed = Dedup.shingleHashSets(ghost, "doc_id", "text", n)
+    hashed.write.mode("overwrite").parquet(s"$idx/shingles_delta/batch=ghost")
+    Dedup.bandRowsOf(hashed, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$idx/bands_delta/batch=ghost")
+    assert(probePairs(idx, probe) == baseline,
+      "an unledgered batch must not be probe-visible")
+    // the retry completes the append (same id, same dirs) and ledgers it
+    Dedup.appendToMinhashIndex(ghost, "doc_id", "text", idx, batchId = "ghost")
+    assert(probePairs(idx, probe) != baseline,
+      "the completed retry makes the batch visible exactly once")
+  }
+
+  test("compactMinhashIndex: bounded files, bit-equal probe, ledger survives") {
+    val corpus = docs.filter($"doc_id" % 4 === 1)
+    val idx = tmp("mh-compact")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    // several small daily batches -> many small delta files
+    (0 until 3).foreach { d =>
+      val day = docs.filter($"doc_id" % 4 === 2 && $"doc_id" % 3 === d)
+        .select(($"doc_id" + 1000L * (d + 1)).as("doc_id"), $"text")
+      Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = s"d$d")
+    }
+    val probe = docs.filter($"doc_id" % 4 === 2)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val before = probePairs(idx, probe)
+    val (filesBefore, filesAfter, rows) = Dedup.compactMinhashIndex(spark, idx)
+    assert(rows > 0 && filesAfter < filesBefore,
+      s"compaction must shrink the file population ($filesBefore -> $filesAfter)")
+    // default rowsPerFile >> this corpus: one file per component
+    assert(filesAfter <= 2, s"post-compaction file count bounded: $filesAfter")
+    assert(probePairs(idx, probe) == before,
+      "compaction is a bit-equal rewrite of the probed relation")
+    // the ledger survives: a late replay of a compacted batch is still
+    // skipped (its rows are already in the compacted base)
+    val day0 = docs.filter($"doc_id" % 4 === 2 && $"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day0, "doc_id", "text", idx, batchId = "d0")
+    assert(probePairs(idx, probe) == before,
+      "a replayed pre-compaction batch must still be a no-op")
+  }
+
+  test("appendToIvfPqIndex: replaying the same batch id is a no-op (serve unchanged, no duplicate ids)") {
+    val e = embeddings
+    val base = e.filter($"vec_id" % 4 =!= 0)
+    val newbies = e.filter($"vec_id" % 4 === 0)
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-replay")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx)
+    Similarity.appendToIvfPqIndex(spark, idx, newbies, "vec_id", "embedding",
+      batchId = "d1")
+    def serve(qid: Long): Seq[(Long, Long)] =
+      Similarity.topKIvfPqFromIndex(spark, idx, e.filter($"vec_id" === qid),
+        "vec_id", "embedding", k = 20, cb)
+        .as[(Long, Long)].collect().toSeq
+    val once = serve(8L)
+    assert(once.map(_._1).contains(8L), "ingested vector retrievable")
+    Similarity.appendToIvfPqIndex(spark, idx, newbies, "vec_id", "embedding",
+      batchId = "d1")
+    val twice = serve(8L)
+    assert(twice == once, "replayed append must not change serving")
+    // duplicated codes would surface as the same id twice in a top-k
+    assert(twice.map(_._1).distinct.size == twice.size,
+      "no duplicate ids in the served top-k")
+    // code count unchanged by the replay
+    val n1 = IndexStore.storedComponent(spark, idx, "codes").count()
+    Similarity.appendToIvfPqIndex(spark, idx, newbies, "vec_id", "embedding",
+      batchId = "d1")
+    assert(IndexStore.storedComponent(spark, idx, "codes").count() == n1)
+  }
+
+  test("compactIvfPqIndex: merges base+delta+stream, bounded files, bit-equal serving, pruning intact") {
+    val e = embeddings
+    val base = e.filter($"vec_id" % 4 === 1)
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-compact")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx)
+    // batch delta
+    Similarity.appendToIvfPqIndex(spark, idx,
+      e.filter($"vec_id" % 4 === 2), "vec_id", "embedding", batchId = "d1")
+    // stream delta through the file sink
+    val src = tmp("ivfpq-compact-src")
+    e.filter($"vec_id" % 4 === 3).select("vec_id", "embedding")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(e.select("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val sq = graft.streaming.IncrementalStream.ivfPqMaintenanceStream(
+      stream, "vec_id", "embedding", idx, tmp("ivfpq-compact-ckpt"))
+    sq.awaitTermination()
+    def serve(qid: Long): Seq[(Long, Long)] =
+      Similarity.topKIvfPqFromIndex(spark, idx, e.filter($"vec_id" === qid),
+        "vec_id", "embedding", k = 20, cb)
+        .as[(Long, Long)].collect().toSeq
+    val before7 = serve(7L)
+    val beforeCount = IndexStore.storedComponent(spark, idx, "codes").count()
+    val (filesBefore, filesAfter, rows) =
+      Similarity.compactIvfPqIndex(spark, idx)
+    assert(rows == beforeCount)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink files ($filesBefore -> $filesAfter)")
+    // one file per cell (16 default cells) is the target shape
+    assert(filesAfter <= 16, s"bounded by the cell count: $filesAfter")
+    assert(serve(7L) == before7, "compaction is serve-bit-equal")
+    assert(IndexStore.storedComponent(spark, idx, "codes").count() == beforeCount)
+    // the PartitionFilters pruning contract survives the rewrite
+    val plan = Similarity.topKIvfPqFromIndex(spark, idx,
+      e.filter($"vec_id" === 7), "vec_id", "embedding", k = 20, cb)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"expected cell partition pruning post-compaction in:\n$plan")
+    // a replayed pre-compaction batch is still skipped
+    Similarity.appendToIvfPqIndex(spark, idx,
+      e.filter($"vec_id" % 4 === 2), "vec_id", "embedding", batchId = "d1")
+    assert(IndexStore.storedComponent(spark, idx, "codes").count() == beforeCount)
+  }
+
+  test("minhashMaintenanceStream == appendToMinhashIndex: probe parity, replayed stream batch never double-appends") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val newbies = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val probe = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val idxS = tmp("mh-stream")
+    val idxB = tmp("mh-batch")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxS, n = 3)
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxB, n = 3)
+    // stream face into S (2 micro-batches per component sink)
+    val src = tmp("mh-stream-src")
+    newbies.repartition(2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(newbies.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val qs = graft.streaming.IncrementalStream.minhashMaintenanceStream(
+      stream, "doc_id", "text", idxS, tmp("mh-stream-ckpt"))
+    qs.foreach(_.awaitTermination())
+    // batch face into B
+    Dedup.appendToMinhashIndex(newbies, "doc_id", "text", idxB, batchId = "d1")
+    val fromStream = probePairs(idxS, probe)
+    assert(fromStream == probePairs(idxB, probe),
+      "stream-appended and batch-appended indexes must probe identically")
+    assert(fromStream.exists(_._2 >= 1000L), "ingested docs probe-visible")
+    // restart the stream with the SAME checkpoint over the same source:
+    // nothing new to commit — the sink manifest guards double-append
+    val n1 = IndexStore.storedComponent(spark, idxS, "shingles").count()
+    assert(probePairs(idxS, probe) == fromStream)
+    assert(IndexStore.storedComponent(spark, idxS, "shingles").count() == n1)
+  }
+
+  test("ivfPqIndexHealth: counts exact, no drift on the build corpus, recall above floor") {
+    val e = embeddings
+    val base = e.filter($"vec_id" % 4 =!= 0)
+    val newbies = e.filter($"vec_id" % 4 === 0)
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-health")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx)
+    Similarity.appendToIvfPqIndex(spark, idx, newbies, "vec_id", "embedding",
+      batchId = "d1")
+    // recall floor: measured 13% on this sf0.001 fixture (150-vector
+    // corpus — ADC quantization noise dominates at tiny scale; the
+    // registered health query pins the sf0.01/sf0.1-measured floor)
+    val h = Similarity.ivfPqIndexHealth(spark, idx, e, "vec_id", "embedding",
+      queries = e.filter($"vec_id".isin(7, 8, 11)), k = 10,
+      recallFloorPct = 10).collect().head
+    assert(h.getLong(0) == base.count(), "n_base_codes exact")
+    assert(h.getLong(1) == newbies.count(), "n_delta_codes exact")
+    assert(h.getLong(2) == h.getLong(1) * 100 / (h.getLong(0) + h.getLong(1)))
+    // ~25% of the corpus is delta -> past the default 20% threshold
+    assert(h.getBoolean(3), "needs_compaction fires at 25% delta")
+    // the health sample IS the build distribution (base ∪ delta drawn
+    // from the same table): no drift
+    assert(!h.getBoolean(6), "no quant drift on the build distribution")
+    assert(h.getLong(7) >= 10 && h.getBoolean(8),
+      s"sampled recall ${h.getLong(7)} above floor")
+  }
+}

@@ -534,7 +534,8 @@ class SimilaritySpec extends SparkSpec {
     assert(before.filter($"id" === 8).count() == 0)
     // batch-append the missing quarter; now it must be retrievable
     Similarity.appendToIvfPqIndex(spark, dir,
-      embeddings.filter($"vec_id" % 4 === 0), "vec_id", "embedding")
+      embeddings.filter($"vec_id" % 4 === 0), "vec_id", "embedding",
+      batchId = "day1")
     val after = Similarity.topKIvfPqFromIndex(spark, dir, q8,
       "vec_id", "embedding", k = 20, cb)
     assert(after.filter($"id" === 8).count() == 1,
