@@ -24,7 +24,7 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 325
+  val RegisteredQueryCount: Int = 328
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
   // contract) instead of rows-only dumps. Round 8 adds the 8 streaming
@@ -32,7 +32,10 @@ object SparkEntry {
   // streaming ANN-index maintenance (q322) + the persisted MinHash index
   // probe (q323), all oracled; q325 is incremental dedup-group
   // maintenance, oracled against the full recompute (exact equality).
-  val OracledQueryCount: Int = 325
+  // Round 9 adds the index-lifecycle verdicts: q326 streaming MinHash
+  // ingest (stream face == batch face), q327 IVF-PQ health report,
+  // q328 IVF-PQ delta compaction (bit-equal serve, bounded files).
+  val OracledQueryCount: Int = 328
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

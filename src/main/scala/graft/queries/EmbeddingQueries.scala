@@ -764,7 +764,96 @@ object EmbeddingQueries {
           .agg(count(lit(1)).as("n_sampled"), sum(col("id")).as("sampled_id_sum"))),
           Seq("cluster"))
         .orderBy("cluster")
-    }
+    },
+
+    // IVF-PQ index health report (Similarity.ivfPqIndexHealth) — the
+    // monitoring loop the frozen cell geometry needs, registered as its
+    // VERDICT on a base(3/4)+delta(1/4) index: exact base/delta code
+    // counts and the integer delta percentage (DuckDB recomputes all
+    // three), needs_compaction firing at 25% delta (> the 20% default),
+    // no quantization drift (the health sample IS the build
+    // distribution), and sampled serving recall above the measured
+    // floor (base+ingested queries vs brute force; 20% pinned — the
+    // 4-query k=20 sample MEASURED 32% at sf0.01 and 22% at sf0.1,
+    // deterministic across rounds on the driver-seeded data; the
+    // current-vs-baseline mean quantization error sits within 0.4%).
+    "q327_index_health" -> q(
+      """SELECT CAST(count(*) FILTER (WHERE vec_id % 4 <> 0) AS BIGINT)
+                  AS n_base_codes,
+                CAST(count(*) FILTER (WHERE vec_id % 4 = 0) AS BIGINT)
+                  AS n_delta_codes,
+                CAST(count(*) FILTER (WHERE vec_id % 4 = 0) * 100
+                  // count(*) AS BIGINT) AS delta_pct,
+                TRUE AS needs_compaction,
+                FALSE AS quant_drift_detected,
+                TRUE AS recall_ok
+         FROM embeddings""")(tempScoped { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 =!= 0)
+      val newbies = e.filter(col("vec_id") % 4 === 0)
+      val cb = sharedCodebook(s, dir)
+      val idx = scratchDir("graft_q327_idx")
+      Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx)
+      Similarity.appendToIvfPqIndex(s, idx, newbies, "vec_id", "embedding",
+        batchId = "q327-day1")
+      Similarity.ivfPqIndexHealth(s, idx, e, "vec_id", "embedding",
+          queries = e.filter(col("vec_id").isin(3, 7, 8, 11)), k = 20,
+          recallFloorPct = 20)
+        .select(col("n_base_codes"), col("n_delta_codes"), col("delta_pct"),
+          col("needs_compaction"), col("quant_drift_detected"),
+          col("recall_ok"))
+    }),
+
+    // IVF-PQ index compaction (Similarity.compactIvfPqIndex) — the
+    // lakehouse maintenance pass over the code store, registered as its
+    // VERDICT: base quarter + three ledgered daily appends are merged
+    // into a fresh cell-partitioned base; serving collected BEFORE the
+    // rewrite must equal serving after it bit-for-bit (for a base query
+    // AND an appended one), the post-compaction file population is
+    // bounded by the cell count, and replaying a pre-compaction batch
+    // id stays a no-op (the ledger survives the rewrite). n_codes is
+    // DuckDB-recomputed (== the full corpus).
+    "q328_index_compaction" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_codes,
+                CAST(0 AS BIGINT) AS n_serve_mismatches,
+                TRUE AS files_bounded,
+                TRUE AS replay_after_compaction_noop
+         FROM embeddings""")(tempScoped { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = sharedCodebook(s, dir)
+      val idx = scratchDir("graft_q328_idx")
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", cb, idx)
+      Seq(2L, 3L, 0L).zipWithIndex.foreach { case (m, i) =>
+        Similarity.appendToIvfPqIndex(s, idx,
+          e.filter(col("vec_id") % 4 === m), "vec_id", "embedding",
+          batchId = s"q328-d$i")
+      }
+      def serve(qid: Long): Seq[(Long, Long)] =
+        Similarity.topKIvfPqFromIndex(s, idx, e.filter(col("vec_id") === qid),
+          "vec_id", "embedding", k = 20, cb)
+          .select(col("id"), col("adc_dist"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // MATERIALIZED before the rewrite: a lazy pre-compaction plan
+      // would re-read the swapped dirs after the swap
+      val before = Seq(7L, 8L).map(serve)
+      val (filesBefore, filesAfter, rows) =
+        Similarity.compactIvfPqIndex(s, idx)
+      val after = Seq(7L, 8L).map(serve)
+      val mism = before.zip(after)
+        .map { case (b, a) => if (b == a) 0L else 1L }.sum
+      // the ledger survives: a replayed pre-compaction batch stays
+      // skipped (its rows are already in the compacted base)
+      Similarity.appendToIvfPqIndex(s, idx,
+        e.filter(col("vec_id") % 4 === 2), "vec_id", "embedding",
+        batchId = "q328-d0")
+      val replayNoop = graft.analytics.IndexStore
+        .storedComponent(s, idx, "codes").count() == rows
+      e.agg(count(lit(1)).as("n_codes"))
+        .select(col("n_codes"), lit(mism).as("n_serve_mismatches"),
+          lit(filesAfter <= 16 && filesAfter < filesBefore).as("files_bounded"),
+          lit(replayNoop).as("replay_after_compaction_noop"))
+    })
   )
 
   /** SERVING-ONLY faces of the ANN-ladder verdict rungs: the operator

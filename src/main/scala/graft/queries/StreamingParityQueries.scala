@@ -486,6 +486,92 @@ object StreamingParityQueries {
           (col("__f") === 1L).as("ingested_retrievable"))
     },
 
+    // Streaming MinHash-index maintenance (minhashMaintenanceStream):
+    // newly ingested documents appended into a stored MinHash-LSH index
+    // as shingle/band deltas through the exactly-once parquet file
+    // sink, symmetric with q322's IVF-PQ face. The verdict is a real
+    // DIFFERENTIAL against the batch face (appendToMinhashIndex into a
+    // twin index): stored shingle and band row sets must be identical,
+    // a probe batch must return the identical verified pair set from
+    // both indexes, every probe doc must find its stream-INGESTED
+    // identical-text twin (ingest is probe-visible without a rebuild),
+    // and replaying the batch append must be a no-op (the exactly-once
+    // ledger). n_ingested is DuckDB-recomputed.
+    "q326_stream_minhash_ingest" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_ingested,
+                CAST(0 AS BIGINT) AS n_store_mismatches,
+                CAST(0 AS BIGINT) AS n_probe_mismatches,
+                TRUE AS all_ingested_twins_found,
+                TRUE AS append_replay_noop
+         FROM documents WHERE doc_id % 10 = 0""") { (s, dir) =>
+      import graft.analytics.{Dedup, IndexStore}
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newbies = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val probe = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val idxA = tmpDir("graft_q326_idxA")
+      val idxB = tmpDir("graft_q326_idxB")
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxA, n = 3)
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxB, n = 3)
+      // stream face into A: 2 micro-batches per component sink
+      val srcDir = tmpDir("graft_q326_src")
+      newbies.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(newbies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val sqs = IncrementalStream.minhashMaintenanceStream(stream,
+        "doc_id", "text", idxA, tmpDir("graft_q326_ckpt"))
+      sqs.foreach(_.awaitTermination())
+      // batch face into B
+      Dedup.appendToMinhashIndex(newbies, "doc_id", "text", idxB,
+        batchId = "q326-batch")
+      // stored-relation differential: shingle sets compared by id +
+      // array hash (same expression both sides of the same plan), band
+      // rows by their plain columns
+      def shingleRel(p: String) =
+        IndexStore.storedComponent(s, p, "shingles")
+          .select(col("id"), hash(col("shash")).as("h"))
+      def bandRel(p: String) =
+        IndexStore.storedComponent(s, p, "bands")
+          .select(col("id"), col("band"), col("bh"))
+      val shMism = shingleRel(idxA).withColumn("__a", lit(1))
+        .join(shingleRel(idxB).withColumn("__b", lit(1)),
+          Seq("id", "h"), "full_outer")
+        .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
+          .otherwise(0L)).as("__m"))
+      val bdMism = bandRel(idxA).withColumn("__a", lit(1))
+        .join(bandRel(idxB).withColumn("__b", lit(1)),
+          Seq("id", "band", "bh"), "full_outer")
+        .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
+          .otherwise(0L)).as("__m"))
+      val storeMism = shMism.crossJoin(bdMism.select(col("__m").as("__m2")))
+        .select((col("__m") + col("__m2")).as("n_store_mismatches"))
+      // probe parity + ingested-twin visibility
+      val pA = Dedup.probeMinhashIndex(s, idxA, probe, "doc_id", "text")
+      val pB = Dedup.probeMinhashIndex(s, idxB, probe, "doc_id", "text")
+      val probeMism = pA.withColumn("__a", lit(1))
+        .join(pB.withColumn("__b", lit(1)),
+          Seq("id_new", "id_corpus", "common", "n_new", "n_corpus"),
+          "full_outer")
+        .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
+          .otherwise(0L)).as("n_probe_mismatches"))
+      val missingTwins = probe.select(col("doc_id").as("id_new"))
+        .join(pA.filter(col("id_corpus") === col("id_new") - 1000000L),
+          Seq("id_new"), "left_anti")
+        .agg(count(lit(1)).as("__missing"))
+      // replay the batch append on B: the ledger makes it a no-op
+      val nShB1 = IndexStore.storedComponent(s, idxB, "shingles").count()
+      Dedup.appendToMinhashIndex(newbies, "doc_id", "text", idxB,
+        batchId = "q326-batch")
+      val nShB2 = IndexStore.storedComponent(s, idxB, "shingles").count()
+      newbies.agg(count(lit(1)).as("n_ingested"))
+        .crossJoin(storeMism).crossJoin(probeMism).crossJoin(missingTwins)
+        .select(col("n_ingested"), col("n_store_mismatches"),
+          col("n_probe_mismatches"),
+          (col("__missing") === 0L).as("all_ingested_twins_found"),
+          lit(nShB1 == nShB2).as("append_replay_noop"))
+    },
+
     // Streaming keyed decayed recurrence (flatMapGroupsWithState) ==
     // the batch DecayedScan custom physical operator, on the full
     // events table: same recurrence, same truncating division, so
