@@ -266,22 +266,54 @@ object TextAnalysis {
 
   /** Lexicon sentiment scoring (SURVEY §7.4): per document, the number
     * of lexicon-matched tokens, the integer valence sum, and the sign
-    * label. The lexicon is an in-row MAP LITERAL probed per token
-    * (`element_at` inside higher-order functions) — a zero-shuffle
-    * codegen'd projection, which at 100 TB beats the relational
-    * explode→join→re-aggregate by the full corpus-token shuffle it
-    * never does (a lexicon is KBs; shipping it in the plan costs
-    * nothing, the classic broadcast-join degenerate case). Exact
-    * integer arithmetic end to end — fully oracle-checkable.
+    * label — one native codegen'd pass over the token array
+    * ([[graft.functions.SentimentExpr]]), zero shuffle, which at 100 TB
+    * beats the relational explode→join→re-aggregate by the full
+    * corpus-token shuffle it never does (a lexicon is KBs; shipping it
+    * in the plan costs nothing, the classic broadcast-join degenerate
+    * case). Exact integer arithmetic end to end — fully
+    * oracle-checkable.
     *
     * With `negators` non-empty, a matched token's valence flips sign
     * when the IMMEDIATELY preceding token is a negation cue ("not
     * fast" scores −1, not +1) — the standard unigram-negation rule,
-    * still one shuffle-free projection: tokens are zipped against
-    * their one-left-shifted selves, so no self-join and no window. */
+    * folded into the same single pass.
+    *
+    * §7.3 A/B vs the prior higher-order-function route (three
+    * interpreted lambda walks per document — kept as
+    * [[sentimentScoreHof]], the differential anchor), sf0.1 corpus,
+    * 3-trial medians in one session (2026-08-15): scoring projection
+    * alone (sum-aggregated) plain 0.44→0.37 s (1.2×), negation
+    * 0.80→0.37 s (2.2×); the registered query shape (orderBy+collect)
+    * plain 1.07→0.58 s (1.8×), negation 3.05→0.54 s (5.6×) — the
+    * zip_with/shifted-self construction was the expensive half, and it
+    * folds into the same generated loop for free. The per-document
+    * projection cost is what scales to 100 TB. */
   def sentimentScore(df: DataFrame, idCol: String, textCol: String,
                      lexicon: Map[String, Int] = SentimentLexicon,
                      negators: Seq[String] = Nil): DataFrame = {
+    require(lexicon.nonEmpty, "sentimentScore needs a non-empty lexicon")
+    val s = graft.functions.SentimentExpr(
+      tokens(lower(col(textCol))), lexicon, negators)
+    df.select(col(idCol),
+        s.getField("n_scored_tokens").as("n_scored_tokens"),
+        s.getField("sentiment_score").as("sentiment_score"))
+      .withColumn("sentiment_label",
+        when(col("sentiment_score") > 0, "positive")
+          .when(col("sentiment_score") < 0, "negative")
+          .otherwise("neutral"))
+  }
+
+  /** The pre-§7.3-A/B higher-order-function formulation of
+    * [[sentimentScore]] (in-row map literal probed via
+    * `filter`/`aggregate`/`zip_with`): kept as the independent second
+    * implementation SentimentExprSpec differentials the codegen'd
+    * expression against — same contract, different evaluation engine
+    * (interpreted lambdas vs generated loop). Not on any hot path. */
+  private[graft] def sentimentScoreHof(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       lexicon: Map[String, Int] = SentimentLexicon,
+                                       negators: Seq[String] = Nil): DataFrame = {
     require(lexicon.nonEmpty, "sentimentScore needs a non-empty lexicon")
     val lex = typedlit(lexicon.map { case (k, v) => k -> v.toLong })
     val toks = tokens(lower(col(textCol)))
