@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope harness for the persisted-index OPERATOR faces (the
+  * daily-ingest paths of q322/q323/q325/q326, without their verdicts'
+  * in-query exact recomputation): run against two corpus dirs — the
+  * driver's sf0.1 and the 10× set from `tools/gen_scale.py` — and
+  * compare per-operation seconds. The contract being measured: with a
+  * FIXED batch size, append cost is flat in corpus size (the corpus is
+  * never read), probe/serve cost grows at most linearly in the stored
+  * artifact scanned map-side (MinHash probe) or in the probed cell
+  * fraction (IVF-PQ serve), and the incremental-components fixpoint
+  * stays batch-sized (its two corpus joins are linear scans against a
+  * broadcast day-sized side).
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleSlopes <corpusDir>"
+  *
+  * Prints one JSON line of median-of-3 seconds per operation. The
+  * probe/batch inputs are drawn from the base id range (< 5000 /
+  * < 2000), present identically at both scales, so batch size and
+  * content are held constant while only the corpus grows. */
+object ScaleSlopes {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: ScaleSlopes <corpusDir>")
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.analytics.{Dedup, Similarity}
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nDocs = docs.count()
+    val nEmb = emb.count()
+
+    // fixed-size, fixed-content batches from the base id range (present
+    // at every scale): 500 docs / 500 vectors, ids offset out of range
+    val docBatch = docs.filter(col("doc_id") < 500)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+    val embBatch = emb.filter(col("vec_id") < 500)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var batchSeq = 0
+    def time(name: String, trials: Int = 3)(body: => Unit): Unit = {
+      val ts = (1 to trials).map { _ =>
+        val t0 = System.nanoTime(); body
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timings(name) = ts.sorted.apply(trials / 2)
+    }
+
+    // ---- MinHash index family ----
+    val mhIdx = java.nio.file.Files.createTempDirectory("slope-mh").toString
+    time("minhash_build", trials = 1) {
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", mhIdx, n = 3)
+    }
+    time("minhash_append_batch") {
+      batchSeq += 1
+      Dedup.appendToMinhashIndex(docBatch, "doc_id", "text", mhIdx,
+        batchId = s"slope-$batchSeq")
+    }
+    time("minhash_probe_batch") {
+      Dedup.probeMinhashIndex(spark, mhIdx, docBatch, "doc_id", "text")
+        .count(); ()
+    }
+
+    // ---- IVF-PQ index family ----
+    val pqIdx = java.nio.file.Files.createTempDirectory("slope-pq").toString
+    val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding")
+    time("ivfpq_build", trials = 1) {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cb, pqIdx)
+    }
+    time("ivfpq_append_batch") {
+      batchSeq += 1
+      Similarity.appendToIvfPqIndex(spark, pqIdx, embBatch,
+        "vec_id", "embedding", batchId = s"slope-$batchSeq")
+    }
+    time("ivfpq_serve_top20") {
+      Similarity.topKIvfPqFromIndex(spark, pqIdx,
+        emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+        k = 20, cb).count(); ()
+    }
+
+    // ---- incremental dedup-group maintenance (q325's operator) ----
+    // stored assignment: corpus-sized (singletons); day's edges: 500,
+    // pairing each batch doc to a base doc — the operator's fixpoint
+    // must stay batch-sized regardless of |corpus|
+    val stored = docs.select(col("doc_id").as("id"),
+      col("doc_id").as("comp"))
+    val edges = docs.filter(col("doc_id") < 500)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 900000000L).as("id_b"))
+    time("incr_components_batch") {
+      Dedup.incrementalComponents(stored, edges).count(); ()
+    }
+
+    def js(d: Double) = (math.round(d * 1000) / 1000.0).toString
+    val fields = timings.map { case (k, v) => s""""$k":${js(v)}""" }
+      .mkString(",")
+    println(s"""{"dir":"$dir","n_docs":$nDocs,"n_embeddings":$nEmb,$fields}""")
+    spark.stop()
+  }
+}
