@@ -539,6 +539,48 @@ object Dedup {
     (s._1 + b._1, s._2 + b._2, s._3 + b._3)
   }
 
+  /** MinHash-index staleness/health report — the monitoring loop for
+    * the text index family. Unlike the IVF-PQ index there is no frozen
+    * trained geometry to drift (shingle width and banding are exact
+    * parameters, not fitted ones — recall never decays with the data
+    * distribution), so health here is purely OPERATIONAL: how much of
+    * the index lives outside the compacted base and how fragmented the
+    * file population is, i.e. when to run [[compactMinhashIndex]].
+    * One row of exact-integer metrics + the verdict booleans:
+    *
+    *   - n_base_docs / n_delta_docs / delta_pct — shingle-store rows
+    *     (one per indexed doc) in base vs ledgered-batch + stream
+    *     deltas; `needs_compaction` fires past `maxDeltaPct`.
+    *   - n_files / files_per_kdoc — the probe-side scan cost driver
+    *     (every probe opens every file of both components);
+    *     `fragmented` fires when the file count exceeds
+    *     `maxFilesPerComponent` × 2 components.
+    *
+    * Driver-side metadata reads + two row counts — a daily maintenance
+    * job, not a probe-path cost. */
+  def minhashIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         maxDeltaPct: Int = 20,
+                         maxFilesPerComponent: Int = 64): DataFrame = {
+    import spark.implicits._
+    val nBase = spark.read.parquet(s"$path/shingles").count()
+    val baseAll = spark.read.parquet(s"$path/shingles")
+    val nDelta =
+      IndexStore.ledgeredDelta(spark, path, "shingles", Seq("id"))
+        .map(_.count()).getOrElse(0L) +
+      IndexStore.streamDelta(spark, path, "shingles", baseAll, Seq("id"))
+        .map(_.count()).getOrElse(0L)
+    val deltaPct =
+      if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
+    val nFiles = Seq("shingles", "bands").flatMap(c =>
+      Seq(s"$path/$c", s"$path/${c}_delta", s"$path/${c}_stream"))
+      .map(graft.operators.Layout.nParquetFiles(spark, _)).sum
+    Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct, nFiles,
+      nFiles > 2L * maxFilesPerComponent))
+      .toDF("n_base_docs", "n_delta_docs", "delta_pct",
+        "needs_compaction", "n_files", "fragmented")
+  }
+
   /** Iteration checkpoint: reliable `checkpoint()` when the session has a
     * checkpoint dir configured (`sc.setCheckpointDir` — HDFS/S3 in a real
     * cluster), else `localCheckpoint`. Reliable checkpoints survive

@@ -208,6 +208,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexStore.storedComponent(spark, idxS, "shingles").count() == n1)
   }
 
+  test("minhashIndexHealth: exact counts, compaction clears the delta and the fragmentation signal") {
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val idx = tmp("mh-health")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day1 = docs.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx, batchId = "d1")
+    val h = Dedup.minhashIndexHealth(spark, idx).collect().head
+    assert(h.getLong(0) == corpus.count(), "n_base_docs exact")
+    assert(h.getLong(1) == day1.count(), "n_delta_docs exact")
+    assert(h.getLong(2) == h.getLong(1) * 100 / (h.getLong(0) + h.getLong(1)))
+    // ~33% delta -> past the 20% default
+    assert(h.getBoolean(3), "needs_compaction fires")
+    assert(h.getLong(4) > 0, "file census populated")
+    // a tight fragmentation threshold fires on the pre-compaction layout
+    val tight = Dedup.minhashIndexHealth(spark, idx,
+      maxFilesPerComponent = 1).collect().head
+    assert(tight.getBoolean(5), "fragmented fires under a tight bound")
+    // compaction folds the delta into the base and shrinks the census
+    Dedup.compactMinhashIndex(spark, idx)
+    val post = Dedup.minhashIndexHealth(spark, idx).collect().head
+    assert(post.getLong(0) == corpus.count() + day1.count())
+    assert(post.getLong(1) == 0L && post.getLong(2) == 0L)
+    assert(!post.getBoolean(3) && post.getLong(4) <= 2)
+  }
+
   test("ivfPqIndexHealth: counts exact, no drift on the build corpus, recall above floor") {
     val e = embeddings
     val base = e.filter($"vec_id" % 4 =!= 0)
