@@ -589,12 +589,24 @@ object Dedup {
     * kill the whole dedup job. Either way lineage is truncated — an
     * iterative fixpoint otherwise doubles its logical plan every round
     * (the plan tree, not the data, OOMs the driver by round ~10). */
-  private def iterCheckpoint(df: DataFrame): DataFrame =
+  private def iterCheckpoint(df: DataFrame): DataFrame = {
     // lazy (eager=false): materialization piggybacks on the round's next
     // action instead of paying a dedicated job per checkpoint — with
     // ~5 checkpoints per contraction round the job-count halves
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
-    else df.localCheckpoint(false)
+    val cut =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+    // Cap the statistics the checkpoint carries across the cut: this
+    // fixpoint SELF-joins its relations (jumpOnce: l ⋈ l), and Spark
+    // estimates a join as the product of its children's sizeInBytes —
+    // carried stats therefore SQUARE per jump, the BigInt's digit count
+    // doubles, and by round ~15 the planner sits in million-digit
+    // BigInteger.multiply for minutes per .stats walk regardless of
+    // data size (it hung DedupClusterSpec's 200-node graphs). The cap
+    // clamps only the astronomically-wrong tail; real small-round
+    // estimates (and their broadcast decisions) pass through.
+    org.apache.spark.sql.graftshim.Shim.capCarriedStats(cut)
+  }
 
   /** Resolve near-dup PAIRS into dedup GROUPS: connected components by
     * min-label contraction — each round every node adopts the minimum of
