@@ -359,12 +359,19 @@ object Graph {
     val small = degrees(cur).count() <= maxBroadcastNodes
     (1 to rounds).foreach { _ =>
       val keep = degrees(cur).filter(col("deg") >= k).select("node")
-      cur = cur
+      cur = org.apache.spark.sql.graftshim.Shim.capCarriedStats(cur
         .join({ val s = keep.select(col("node").as("lo"))
                 if (small) broadcast(s) else s }, Seq("lo"), "left_semi")
         .join({ val s = keep.select(col("node").as("hi"))
                 if (small) broadcast(s) else s }, Seq("hi"), "left_semi")
-        .localCheckpoint(true) // truncate: plan stays O(1) per round
+        // truncate: plan stays O(1) per round. The carried-stats cap
+        // matters here for the same reason as Dedup.iterCheckpoint:
+        // each round references `cur` THREE times (the frame + two
+        // keep-set subtrees), so checkpoint-carried size estimates
+        // CUBE per round — digits triple, and a deep-enough peel
+        // would hang the planner in BigInteger math (the q57-class
+        // pathology). Real small estimates pass through the cap.
+        .localCheckpoint(true))
     }
     degrees(cur).filter(col("deg") >= k)
       .select(col("node"), col("deg").as("core_deg"))
