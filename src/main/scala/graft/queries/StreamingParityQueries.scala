@@ -572,6 +572,54 @@ object StreamingParityQueries {
           lit(nShB1 == nShB2).as("append_replay_noop"))
     },
 
+    // Streaming near-dup probe at ingest (minhashProbeStream): newly
+    // arriving documents probed against a stored MinHash corpus index,
+    // 3 micro-batches, verified pairs landed per batch with
+    // exactly-once per-batch-dir overwrite. The verdict: the union of
+    // streamed probe outputs must equal the one-shot batch probe of
+    // the same documents row-for-row (probe results are per-document,
+    // so the micro-batch split is invariant), and every ingested
+    // identical-text twin must be flagged the moment it lands.
+    // n_probed is DuckDB-recomputed.
+    "q330_stream_minhash_probe" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_probed,
+                CAST(0 AS BIGINT) AS n_probe_mismatches,
+                TRUE AS all_twins_flagged
+         FROM documents WHERE doc_id % 10 = 0""") { (s, dir) =>
+      import graft.analytics.Dedup
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val arrivals = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val idx = tmpDir("graft_q330_idx")
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+      val srcDir = tmpDir("graft_q330_src")
+      arrivals.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val outDir = tmpDir("graft_q330_out")
+      val sq = IncrementalStream.minhashProbeStream(stream, "doc_id", "text",
+        idx, outDir, tmpDir("graft_q330_ckpt"))
+      sq.awaitTermination()
+      val streamed = s.read.parquet(outDir)
+        .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
+        .withColumn("__s", lit(1))
+      val oneShot = Dedup.probeMinhashIndex(s, idx, arrivals, "doc_id", "text")
+        .withColumn("__b", lit(1))
+      val mism = streamed.join(oneShot,
+          Seq("id_new", "id_corpus", "common", "n_new", "n_corpus"),
+          "full_outer")
+        .agg(sum(when(col("__s").isNull || col("__b").isNull, 1L)
+          .otherwise(0L)).as("n_probe_mismatches"))
+      val missingTwins = arrivals.select(col("doc_id").as("id_new"))
+        .join(streamed.filter(col("id_corpus") === col("id_new") - 1000000L),
+          Seq("id_new"), "left_anti")
+        .agg(count(lit(1)).as("__missing"))
+      arrivals.agg(count(lit(1)).as("n_probed"))
+        .crossJoin(mism).crossJoin(missingTwins)
+        .select(col("n_probed"), col("n_probe_mismatches"),
+          (col("__missing") === 0L).as("all_twins_flagged"))
+    },
+
     // Streaming keyed decayed recurrence (flatMapGroupsWithState) ==
     // the batch DecayedScan custom physical operator, on the full
     // events table: same recurrence, same truncating division, so

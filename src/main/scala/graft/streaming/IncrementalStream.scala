@@ -404,6 +404,39 @@ object IncrementalStream {
         "bands"))
   }
 
+  /** Streaming near-dup PROBE against a stored MinHash index — the
+    * query-side sibling of [[minhashMaintenanceStream]] (that one keeps
+    * the index fresh; this one asks it questions): every micro-batch of
+    * newly ingested documents is probed against corpus history
+    * ([[graft.analytics.Dedup.probeMinhashIndex]] — batch-side
+    * signatures broadcast into map-side corpus scans, never a corpus
+    * shuffle) and the verified pairs land under `outDir/batch=<id>`.
+    * Continuous dedup-at-ingest: a downstream consumer reads `outDir`
+    * to quarantine near-duplicate arrivals the moment they land.
+    *
+    * foreachBatch, not a stateful stream op: the probe is a per-batch
+    * JOIN against a stored artifact, with no cross-batch state.
+    * Exactly-once by the per-batch OVERWRITE dir keyed on the sink's
+    * own batch id — a replayed micro-batch rewrites its own directory
+    * with the same rows instead of appending a second copy (the same
+    * idempotence discipline as the ledgered index appends). Probe
+    * results are per-document, so the micro-batch split never changes
+    * the union of outputs (pinned by the q330 verdict differential). */
+  def minhashProbeStream(newDocs: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, outDir: String,
+                         checkpoint: String,
+                         num: Long = 1, den: Long = 5): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.analytics.Dedup.probeMinhashIndex(batch.sparkSession,
+            indexPath, batch, idCol, textCol, num, den)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   def latestVersion(spark: SparkSession, tableDir: String,
                     below: Option[Long] = None): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(tableDir)
