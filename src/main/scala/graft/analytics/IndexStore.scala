@@ -103,14 +103,29 @@ private[graft] object IndexStore {
     * both delta dirs are dropped. Every crash window leaves a
     * recoverable superset — the compacted dir is complete before the
     * old base moves aside, and the old base is deleted only after the
-    * compacted one is in place. */
+    * compacted one is in place.
+    *
+    * Both renames are CHECKED and the delta dirs are deleted only after
+    * the compacted base is verifiably in place: Hadoop `rename` reports
+    * failure by RETURNING FALSE (e.g. a stale `_old` left by a crashed
+    * previous compaction blocks the first rename) — an unchecked swap
+    * would then delete the delta dirs while the OLD base is still
+    * serving, silently losing every appended row until someone noticed
+    * the orphaned `_compact` dir. A stale `_old` is cleaned up front
+    * (the prior swap had already made its compacted base live, so the
+    * stale dir is garbage by construction). */
   def swapCompacted(spark: SparkSession, path: String,
                     component: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.rename(p(s"$path/$component"), p(s"$path/${component}_old"))
-    fs.rename(p(s"$path/${component}_compact"), p(s"$path/$component"))
+    val old = p(s"$path/${component}_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p(s"$path/$component"), old),
+      s"compaction swap: failed to move $path/$component aside")
+    require(fs.rename(p(s"$path/${component}_compact"), p(s"$path/$component")),
+      s"compaction swap: failed to install $path/${component}_compact " +
+        "— the old base is at ${component}_old; restore it or re-run")
     Seq(s"$path/${component}_old", s"$path/${component}_delta",
       s"$path/${component}_stream")
       .foreach(d => if (fs.exists(p(d))) fs.delete(p(d), true))

@@ -208,6 +208,28 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexStore.storedComponent(spark, idxS, "shingles").count() == n1)
   }
 
+  test("compaction swap survives a stale _old dir from a crashed previous run") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-staleold")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "d1")
+    val probe = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val before = probePairs(idx, probe)
+    // a crashed previous compaction left garbage behind: Hadoop rename
+    // returns false onto an existing destination, and an unchecked swap
+    // would then delete the deltas while the OLD base still serves
+    Seq("shingles", "bands").foreach { c =>
+      new java.io.File(s"$idx/${c}_old/garbage").mkdirs()
+    }
+    val (_, filesAfter, rows) = Dedup.compactMinhashIndex(spark, idx)
+    assert(rows > 0 && filesAfter <= 2)
+    assert(probePairs(idx, probe) == before,
+      "swap over a stale _old must still install the compacted base")
+  }
+
   test("minhashIndexHealth: exact counts, compaction clears the delta and the fragmentation signal") {
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
     val idx = tmp("mh-health")
