@@ -589,24 +589,16 @@ object Dedup {
     * kill the whole dedup job. Either way lineage is truncated — an
     * iterative fixpoint otherwise doubles its logical plan every round
     * (the plan tree, not the data, OOMs the driver by round ~10). */
-  private def iterCheckpoint(df: DataFrame): DataFrame = {
-    // lazy (eager=false): materialization piggybacks on the round's next
-    // action instead of paying a dedicated job per checkpoint — with
-    // ~5 checkpoints per contraction round the job-count halves
-    val cut =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
-      else df.localCheckpoint(false)
-    // Cap the statistics the checkpoint carries across the cut: this
-    // fixpoint SELF-joins its relations (jumpOnce: l ⋈ l), and Spark
-    // estimates a join as the product of its children's sizeInBytes —
-    // carried stats therefore SQUARE per jump, the BigInt's digit count
-    // doubles, and by round ~15 the planner sits in million-digit
-    // BigInteger.multiply for minutes per .stats walk regardless of
-    // data size (it hung DedupClusterSpec's 200-node graphs). The cap
-    // clamps only the astronomically-wrong tail; real small-round
-    // estimates (and their broadcast decisions) pass through.
-    org.apache.spark.sql.graftshim.Shim.capCarriedStats(cut)
-  }
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    // the shared capped cut (graft.operators.Fixpoint): reliable
+    // checkpoint when a dir is configured, carried stats capped — this
+    // fixpoint SELF-joins its relations (jumpOnce: l ⋈ l), the carried
+    // estimate would otherwise SQUARE per jump and hang the planner in
+    // BigInteger math by round ~15 (it hung DedupClusterSpec's 200-node
+    // graphs). Lazy (eager=false): materialization piggybacks on the
+    // round's next action instead of paying a dedicated job per cut —
+    // with ~5 cuts per contraction round the job-count halves.
+    graft.operators.Fixpoint.cut(df, eager = false)
 
   /** Resolve near-dup PAIRS into dedup GROUPS: connected components by
     * min-label contraction — each round every node adopts the minimum of

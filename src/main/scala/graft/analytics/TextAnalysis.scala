@@ -720,8 +720,9 @@ object TextAnalysis {
     * deterministic on any engine/partitioning.
     *
     * The argmax pair is a 1-row relation crossJoin-broadcast back onto
-    * the vocab — no driver collect; rounds truncate lineage with
-    * localCheckpoint (reliable checkpoint on a cluster).
+    * the vocab — no driver collect; rounds truncate lineage with the
+    * shared capped cut (graft.operators.Fixpoint — reliable checkpoint
+    * when a dir is configured, carried stats capped).
     *
     * Returns the merge table (round, pair, freq) — the artifact a
     * tokenizer ships. reference: the reference has no tokenizer; this
@@ -743,7 +744,7 @@ object TextAnalysis {
         array_join(expr("regexp_extract_all(__w, '.', 0)"), " "),
         lit(" ")).as("__s"),
         col("__c"))
-    var vocab = words.localCheckpoint(true)
+    var vocab = graft.operators.Fixpoint.cut(words)
     var merges: DataFrame = null
     (1 to rounds).foreach { r =>
       val pairs = vocab
@@ -757,13 +758,13 @@ object TextAnalysis {
       val best = pairs
         .orderBy(col("freq").desc, col("pair").asc).limit(1)
         .withColumn("round", lit(r.toLong))
-        .localCheckpoint(true)
-      merges = if (merges == null) best else merges.unionByName(best)
-      vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("__p"))))
+      val bestCut = graft.operators.Fixpoint.cut(best)
+      merges = if (merges == null) bestCut else merges.unionByName(bestCut)
+      vocab = graft.operators.Fixpoint.cut(
+        vocab.crossJoin(broadcast(bestCut.select(col("pair").as("__p"))))
         .select(col("__w"), expr(
           "replace(__s, concat(' ', __p, ' '), concat(' ', replace(__p, ' ', ''), ' '))")
-          .as("__s"), col("__c"))
-        .localCheckpoint(true)
+          .as("__s"), col("__c")))
     }
     (merges.select(col("round"), col("pair"), col("freq")), vocab)
   }

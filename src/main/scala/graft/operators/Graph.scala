@@ -242,11 +242,10 @@ object Graph {
     * Lineage discipline: each round references the previous edge
     * frame THREE times (the frame itself + two keep-set subtrees
     * derived from it), so a persist-only loop grows the logical plan
-    * 3^rounds — `localCheckpoint` (eager) truncates the plan to the
-    * materialized RDD each round, keeping round r's plan O(1). On a
-    * real cluster swap in `Dataset.checkpoint` with a reliable
-    * checkpoint dir for executor-loss tolerance; the algorithm is
-    * unchanged. */
+    * 3^rounds — [[Fixpoint.cut]] truncates the plan to the
+    * materialized RDD each round (reliable checkpoint when a dir is
+    * configured, executor-loss tolerant) and caps the carried size
+    * estimate, keeping round r's plan AND its statistics O(1). */
   /** Personalized PageRank: identical exact fixed-point arithmetic to
     * [[pageRank]], but the teleport mass lands ONLY on the seed set —
     *   r'(v) = [v ∈ S]·(0.15·10¹²) div |S| + (85 · Σ_{u→v} r(u) div deg(u)) div 100
@@ -306,8 +305,8 @@ object Graph {
     * for every node within `rounds` hops. Round r relaxes
     * dist(v) = min(dist(v), min_{u∈N(v)} dist(u) + 1) — one edge-keyed
     * join + one min-aggregate per round, lineage truncated per round
-    * with localCheckpoint (swap in reliable `checkpoint` on a cluster
-    * for executor-loss tolerance). The round count is part of the
+    * with [[Fixpoint.cut]] (reliable checkpoint when a dir is
+    * configured; carried stats capped). The round count is part of the
     * contract (same determinism-by-construction argument as [[kPeel]]):
     * nodes farther than `rounds` hops are absent, and a node's distance
     * is exact once rounds ≥ its true distance (BFS relaxation is
@@ -321,21 +320,18 @@ object Graph {
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
               seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val und = edges
+    val und = Fixpoint.cut(edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol), col(aCol)))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    var dist = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .distinct())
+    var dist = Fixpoint.cut(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)))
     (1 to rounds).foreach { _ =>
-      dist = dist
+      dist = Fixpoint.cut(dist
         .union(und.join(dist.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
     }
     dist
   }
@@ -347,31 +343,27 @@ object Graph {
     // spare, the shuffle semi-join path is correct at any size
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    var cur = edges
+    var cur = Fixpoint.cut(edges
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     def degrees(e: DataFrame): DataFrame =
       e.select(col("lo").as("node")).union(e.select(col("hi")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
     val small = degrees(cur).count() <= maxBroadcastNodes
     (1 to rounds).foreach { _ =>
       val keep = degrees(cur).filter(col("deg") >= k).select("node")
-      cur = org.apache.spark.sql.graftshim.Shim.capCarriedStats(cur
+      // Fixpoint.cut: plan stays O(1) per round, and the carried-stats
+      // cap matters here most — each round references `cur` THREE times
+      // (the frame + two keep-set subtrees), so checkpoint-carried size
+      // estimates CUBE per round; a deep-enough peel would otherwise
+      // hang the planner in BigInteger math (the q57-class pathology).
+      cur = Fixpoint.cut(cur
         .join({ val s = keep.select(col("node").as("lo"))
                 if (small) broadcast(s) else s }, Seq("lo"), "left_semi")
         .join({ val s = keep.select(col("node").as("hi"))
-                if (small) broadcast(s) else s }, Seq("hi"), "left_semi")
-        // truncate: plan stays O(1) per round. The carried-stats cap
-        // matters here for the same reason as Dedup.iterCheckpoint:
-        // each round references `cur` THREE times (the frame + two
-        // keep-set subtrees), so checkpoint-carried size estimates
-        // CUBE per round — digits triple, and a deep-enough peel
-        // would hang the planner in BigInteger math (the q57-class
-        // pathology). Real small estimates pass through the cap.
-        .localCheckpoint(true))
+                if (small) broadcast(s) else s }, Seq("hi"), "left_semi"))
     }
     degrees(cur).filter(col("deg") >= k)
       .select(col("node"), col("deg").as("core_deg"))
@@ -394,27 +386,24 @@ object Graph {
     * monotonically non-increasing (extra rounds only improve). Nodes
     * unreached within `rounds` edges are absent. Weights must be
     * non-negative integral (relaxation is monotone only then). Lineage
-    * is truncated per round (localCheckpoint; swap in reliable
-    * `checkpoint` on a cluster). */
+    * is truncated per round with [[Fixpoint.cut]] (reliable checkpoint
+    * when a dir is configured; carried stats capped). */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, seeds: DataFrame, seedCol: String,
                     rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges
+    val e = Fixpoint.cut(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).as("w"))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
-    var dist = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .groupBy("src", "dst").agg(min(col("w")).as("w")))
+    var dist = Fixpoint.cut(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)))
     (1 to rounds).foreach { _ =>
-      dist = dist
+      dist = Fixpoint.cut(dist
         .union(e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
     }
     dist
   }
@@ -437,10 +426,9 @@ object Graph {
   def commonNeighborPairs(incidence: DataFrame, nodeCol: String,
                           viaCol: String, minCommon: Long,
                           maxViaDegree: Long = 256L): DataFrame = {
-    val inc = incidence
+    val inc = Fixpoint.cut(incidence
       .select(col(nodeCol).as("node"), col(viaCol).as("via"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val viaOk = inc.groupBy("via").agg(count(lit(1)).as("__vd"))
       .filter(col("__vd") <= maxViaDegree).select("via")
     val kept = inc.join(viaOk, Seq("via"), "left_semi")

@@ -59,6 +59,13 @@ object Shim {
     }
   }
 
+  /** Unset a previously configured checkpoint dir (`sc.checkpointDir`
+    * is `private[spark]` with a set-only public face) — lets a test
+    * exercise the reliable-checkpoint branch of Fixpoint.cut and then
+    * restore the shared session's local-checkpoint default. */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
+
   /** Block until every event already posted to the shared listener bus
     * has been delivered (`listenerBus.waitUntilEmpty` is
     * `private[spark]`). Deterministic alternative to sleep-loop

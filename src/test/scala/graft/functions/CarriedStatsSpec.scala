@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit, min}
 import org.apache.spark.sql.graftshim.Shim
 
 /** Regression guard for the carried-statistics blowup class: Spark's
@@ -58,5 +59,68 @@ class CarriedStatsSpec extends SparkSpec {
       "a realistic estimate (and its broadcast decision) must survive the cap")
     // and the rows are untouched
     assert(capped.count() == 10L)
+  }
+
+  // ---- deep-round pins per reference-multiplicity class, through the
+  // ---- ONE shared helper every fixpoint routes its in-loop cuts by
+  // ---- (graft.operators.Fixpoint.cut). 30+ rounds is past where the
+  // ---- uncapped q57-class hang became visible (~15): if a refactor
+  // ---- drops the cap inside the helper, these go red (or hang a
+  // ---- CI-visible few minutes) instead of shipping the regression.
+
+  import graft.operators.Fixpoint
+
+  test("Fixpoint.cut: 2-reference self-join fixpoint (connected-components class) stays bounded at depth 35") {
+    var cur = Fixpoint.cut((0L until 40L).map(i => (i, i + 1)).toDF("a", "b"))
+    (1 to 35).foreach { _ =>
+      cur = Fixpoint.cut(cur.as("x")
+        .join(cur.as("y"), $"x.b" === $"y.a")
+        .select($"x.a".as("a"), $"y.b".as("b")))
+    }
+    assert(sizeBits(cur) <= 64, s"2-ref class: ${sizeBits(cur)} bits")
+  }
+
+  test("Fixpoint.cut: 3-reference fixpoint (kPeel class — frame + two derived keep-sets) stays bounded at depth 35") {
+    var cur = Fixpoint.cut((0L until 40L).map(i => (i, i + 1)).toDF("lo", "hi"))
+    (1 to 35).foreach { _ =>
+      val keep = cur.select($"lo".as("node")).union(cur.select($"hi"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= 1).select("node")
+      cur = Fixpoint.cut(cur
+        .join(keep.select($"node".as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select($"node".as("hi")), Seq("hi"), "left_semi"))
+    }
+    assert(sizeBits(cur) <= 64, s"3-ref class: ${sizeBits(cur)} bits")
+  }
+
+  test("Fixpoint.cut: 1-reference chain against a fixed relation (BFS/Bellman-Ford/BPE class) stays bounded at depth 35") {
+    val edges = Fixpoint.cut(
+      (0L until 40L).map(i => (i, (i + 1) % 40L)).toDF("src", "dst"))
+    var dist = Fixpoint.cut(Seq((0L, 0L)).toDF("node", "dist"))
+    (1 to 35).foreach { _ =>
+      dist = Fixpoint.cut(dist
+        .union(edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select($"dst".as("node"), ($"dist" + 1L).as("dist")))
+        .groupBy("node").agg(min($"dist").as("dist")))
+    }
+    assert(sizeBits(dist) <= 64, s"1-ref class: ${sizeBits(dist)} bits")
+    // and the relaxation actually ran: 35 hops from the single seed on
+    // a directed 40-cycle reach nodes 0..35 — 36 rows
+    assert(dist.count() == 36L)
+  }
+
+  test("Fixpoint.cut uses a reliable checkpoint when a checkpoint dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("fixpoint-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val df = Fixpoint.cut((0L until 5L).map(i => (i, i)).toDF("a", "b"))
+      assert(df.count() == 5L)
+      assert(df.rdd.toDebugString.contains("ReliableCheckpointRDD") ||
+        new java.io.File(dir).listFiles().nonEmpty,
+        "expected a reliable checkpoint under the configured dir")
+    } finally {
+      // unset for the rest of the JVM-shared session
+      Shim.clearCheckpointDir(spark.sparkContext)
+    }
   }
 }
