@@ -321,17 +321,70 @@ object Dedup {
   private[graft] def bandRowsOf(hashed: DataFrame, numHashes: Int,
                                 bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sig = hashed.select(col("id"),
       graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
     sig.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows)
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))): _*))
-        .as("bucket"))
+      explode(bandArray(col("sig"), numHashes, bands)).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
   }
+
+  /** Band-struct array over a MinHash signature column — ONE shared
+    * expression behind the exploded bucket rows AND the combined
+    * maintenance-stream rows, so stored, streamed and freshly-computed
+    * buckets are identical by construction. */
+  private def bandArray(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(sigCol, i + 1)): _*).as("bh"))): _*)
+  }
+
+  /** Combined per-doc maintenance-stream row: (id, shash, bands) — one
+    * document's shingle set AND band buckets in ONE row, so a single
+    * file-sink manifest commit makes BOTH index components visible
+    * atomically. (Two independent sinks had a cross-component window:
+    * a band row could commit before its shingle row, and a concurrent
+    * probe's verify join transiently dropped that candidate.) Readers
+    * derive each component's rows back out — see minhashStreamPart. */
+  private[graft] def combinedStreamRows(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int,
+                                        numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    shingleHashSets(df, idCol, textCol, n)
+      .select(col("id"), col("shash"),
+        graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
+      .select(col("id"), col("shash"),
+        bandArray(col("sig"), numHashes, bands).as("bands"))
+  }
+
+  /** The family-shared maintenance-stream dir (combined schema). */
+  private[graft] def minhashStreamDir(path: String): String =
+    s"$path/minhash_stream"
+
+  /** Combined stream-row schema: the shingles base schema plus the
+    * band-struct array (explicit, so a dir holding only the sink
+    * manifest reads as empty). */
+  private def combinedStreamSchema(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   pin: IndexStore.Pin): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    IndexStore.readBaseAt(spark, path, "shingles", pin).schema
+      .add("bands", ArrayType(StructType(Seq(
+        StructField("band", IntegerType), StructField("bh", LongType)))))
+  }
+
+  /** Derive one component's rows from the combined stream relation. */
+  private def deriveStreamComponent(combined: DataFrame,
+                                    component: String): DataFrame =
+    component match {
+      case "shingles" => combined.select(col("id"), col("shash"))
+      case "bands" => combined
+        .select(col("id"), explode(col("bands")).as("bucket"))
+        .select(col("id"), col("bucket.band").as("band"),
+          col("bucket.bh").as("bh"))
+      case other => sys.error(s"unknown MinHash index component: $other")
+    }
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, numHashes: Int = 32, bands: Int = 8,
@@ -390,11 +443,15 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hashed.write.mode("overwrite").parquet(s"$path/shingles")
-    bandRowsOf(hashed, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
+    // versioned bases (IndexStore): v=0 is the build; each component
+    // goes live only when its (empty) fold manifest commits
+    hashed.write.mode("overwrite")
+      .parquet(IndexStore.versionDir(path, "shingles", 0))
+    bandRowsOf(hashed, numHashes, bands).write.mode("overwrite")
+      .parquet(IndexStore.versionDir(path, "bands", 0))
     hashed.unpersist()
-    ()
+    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty, Set.empty)
+    IndexStore.commitFolds(spark, path, "bands", 0, Set.empty, Set.empty)
   }
 
   /** (n, numHashes, bands) the index at `path` was built with. */
@@ -441,12 +498,27 @@ object Dedup {
     IndexStore.ledgerBatch(spark, path, batchId)
   }
 
-  /** Full stored relation of a MinHash index component: base ∪ ledgered
-    * batch delta ∪ stream delta — the single visibility rule every
-    * probe and the compactor share. */
+  /** Full stored relation of a MinHash index component: base(pinned
+    * version) ∪ unfolded ledgered batch delta ∪ unfolded stream rows
+    * derived from the combined maintenance-stream dir — the single
+    * visibility rule every probe, the health report and the compactor
+    * share (one IndexStore.Pin per assembly). */
+  private[graft] def storedMinhashComponent(spark: org.apache.spark.sql.SparkSession,
+                                            path: String, component: String): DataFrame =
+    storedComponent(spark, path, component)
+
   private def storedComponent(spark: org.apache.spark.sql.SparkSession,
-                              path: String, component: String): DataFrame =
-    IndexStore.storedComponent(spark, path, component)
+                              path: String, component: String): DataFrame = {
+    val pin = IndexStore.pinOf(spark, path, component)
+    val base = IndexStore.readBaseAt(spark, path, component, pin)
+    val part = IndexStore.streamRows(spark, minhashStreamDir(path),
+        combinedStreamSchema(spark, path,
+          if (component == "shingles") pin
+          else IndexStore.pinOf(spark, path, "shingles")),
+        exclude = pin.foldedStream)
+      .map(deriveStreamComponent(_, component))
+    IndexStore.storedComponentWith(spark, path, component, pin, base, part)
+  }
 
   /** Probe a new batch against the stored index: batch×corpus verified
     * near-dup pairs (id_new, id_corpus, common, n_new, n_corpus) with
@@ -498,45 +570,58 @@ object Dedup {
     * daily `batch=` appends and stream-sink micro-batches fragment the
     * shingle and band stores into thousands of small files, and every
     * probe's corpus scan pays the per-file open cost. Compaction merges
-    * base ∪ ledgered batch delta ∪ stream delta of each component (the
-    * exact relation probes read — a bit-equal rewrite by construction)
-    * into a fresh range-sorted base of ~`rowsPerFile` files
-    * (Layout.writeSized: footer min/max stats stay selective), then
-    * swaps it in and drops the delta dirs. Returns
+    * base ∪ unfolded ledgered batch delta ∪ unfolded stream rows of
+    * each component (the exact relation probes read — a bit-equal
+    * rewrite by construction) into a fresh range-sorted base version of
+    * ~`rowsPerFile` files (Layout.writeSized: footer min/max stats stay
+    * selective) and installs it by committing the cumulative fold
+    * manifest (IndexStore.compactComponent). Returns
     * (files_before, files_after, rows) summed over both components.
     *
-    * The batch-id LEDGER survives compaction on purpose: a late replay
-    * of an already-compacted batch must still be recognized and
-    * skipped — dropping the ledger would let it re-append rows the
-    * compacted base already holds.
-    *
-    * Run QUIESCED (no concurrent probe/append/maintenance stream), like
-    * any lakehouse OPTIMIZE. The swap is rename-based and not atomic,
-    * but every crash window leaves a recoverable superset: the compacted
-    * dir is complete before the old base moves aside, and the old base
-    * is deleted only after the compacted one is in place. A maintenance
-    * stream restarted after compaction needs a fresh checkpoint (its
-    * sink manifest is dropped with the stream delta); restart it only
-    * after a clean AvailableNow termination so no in-flight batch
-    * straddles the compaction. */
+    * ONLINE: concurrent probes resolve either the old version (deltas
+    * unfolded) or the new one (deltas folded) — bit-equal relations —
+    * and concurrent appends/stream commits stay visible as delta under
+    * the new version (their refs are not in its manifest). A crash
+    * leaves an invisible incomplete attempt; re-running cannot bake
+    * duplicates because visibility subtracts the fold manifest, not the
+    * filesystem. The batch-id LEDGER survives on purpose: a late replay
+    * of an already-folded batch must still be recognized and skipped.
+    * Superseded versions and folded delta dirs are garbage-collected by
+    * the separate, QUIESCED [[vacuumMinhashIndex]]. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
-    def one(component: String): (Long, Long, Long) = {
-      val before = Seq(s"$path/$component", s"$path/${component}_delta",
-        s"$path/${component}_stream")
-        .map(graft.operators.Layout.nParquetFiles(spark, _)).sum
-      val merged = storedComponent(spark, path, component)
-      val rows = merged.count()
-      graft.operators.Layout.writeSized(merged, s"$path/${component}_compact",
-        "id", rowsPerFile, rows)
-      IndexStore.swapCompacted(spark, path, component)
-      (before, graft.operators.Layout.nParquetFiles(spark, s"$path/$component"),
-        rows)
-    }
+    val schema = combinedStreamSchema(spark, path,
+      IndexStore.pinOf(spark, path, "shingles"))
+    def one(component: String): (Long, Long, Long) =
+      IndexStore.compactComponent(spark, path, component,
+        stream = Some((minhashStreamDir(path), schema,
+          deriveStreamComponent(_, component))),
+        write = (merged, rows, dest) =>
+          graft.operators.Layout.writeSized(merged, dest, "id",
+            rowsPerFile, rows))
     val s = one("shingles")
     val b = one("bands")
     (s._1 + b._1, s._2 + b._2, s._3 + b._3)
+  }
+
+  /** QUIESCED garbage collection for the MinHash index: drop superseded
+    * base versions, folded `batch=` delta dirs, and — iff every
+    * committed stream file is folded into BOTH components' live
+    * versions — the shared maintenance-stream dir (whole, manifest
+    * included; per-file deletion would break the sink manifest). Run
+    * with no concurrent probes, compactors, or maintenance stream (a
+    * stream restarted afterwards needs a fresh checkpoint). Returns
+    * (versions removed, batch dirs removed, stream dir removed). */
+  def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Long, Long, Boolean) = {
+    val schema = combinedStreamSchema(spark, path,
+      IndexStore.pinOf(spark, path, "shingles"))
+    val a = IndexStore.vacuumComponent(spark, path, "shingles")
+    val b = IndexStore.vacuumComponent(spark, path, "bands")
+    val streamGone = IndexStore.vacuumStreamDir(spark, path,
+      minhashStreamDir(path), schema, Seq("shingles", "bands"))
+    (a._1 + b._1, a._2 + b._2, streamGone)
   }
 
   /** MinHash-index staleness/health report — the monitoring loop for
@@ -563,18 +648,25 @@ object Dedup {
                          maxDeltaPct: Int = 20,
                          maxFilesPerComponent: Int = 64): DataFrame = {
     import spark.implicits._
-    val nBase = spark.read.parquet(s"$path/shingles").count()
-    val baseAll = spark.read.parquet(s"$path/shingles")
+    val pin = IndexStore.pinOf(spark, path, "shingles")
+    val base = IndexStore.readBaseAt(spark, path, "shingles", pin)
+    val schema = combinedStreamSchema(spark, path, pin)
+    val nBase = base.count()
     val nDelta =
-      IndexStore.ledgeredDelta(spark, path, "shingles", Seq("id"))
-        .map(_.count()).getOrElse(0L) +
-      IndexStore.streamDelta(spark, path, "shingles", baseAll, Seq("id"))
-        .map(_.count()).getOrElse(0L)
+      IndexStore.ledgeredDelta(spark, path, "shingles", pin, base.schema,
+        Seq("id")).map(_.count()).getOrElse(0L) +
+      IndexStore.streamRows(spark, minhashStreamDir(path), schema,
+        exclude = pin.foldedStream).map(_.count()).getOrElse(0L)
     val deltaPct =
       if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
-    val nFiles = Seq("shingles", "bands").flatMap(c =>
-      Seq(s"$path/$c", s"$path/${c}_delta", s"$path/${c}_stream"))
-      .map(graft.operators.Layout.nParquetFiles(spark, _)).sum
+    // reader-visible file census: live base versions + unfolded delta
+    // batches of both components, plus the shared stream dir's unfolded
+    // committed files (counted once — both derivations scan them)
+    val nFiles = IndexStore.liveComponentFiles(spark, path, "shingles", pin) +
+      IndexStore.liveComponentFiles(spark, path, "bands",
+        IndexStore.pinOf(spark, path, "bands")) +
+      IndexStore.committedStreamFiles(spark, minhashStreamDir(path), schema)
+        .filterNot(pin.foldedStream).size
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct, nFiles,
       nFiles > 2L * maxFilesPerComponent))
       .toDF("n_base_docs", "n_delta_docs", "delta_pct",

@@ -2,33 +2,63 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Shared storage discipline of the two persisted index families
   * (MinHash-LSH: `shingles`/`bands`; IVF-PQ: `codes`). Each component
-  * lives in three sibling locations under the index path:
+  * lives in sibling locations under the index path:
   *
-  *   `<component>`          — the offline base build (overwrite-once)
-  *   `<component>_delta`    — daily batch appends, one `batch=<id>`
-  *                            partition per append, gated by the
-  *                            index's `_ledger` (exactly-once: a
-  *                            replayed batch id is skipped, a retried
-  *                            half-write overwrites its own dir)
-  *   `<component>_stream`   — streaming-maintenance delta through the
-  *                            parquet file sink (the sink manifest
-  *                            commits each micro-batch atomically)
+  *   `<component>/v=<N>/`      — VERSIONED base: v=0 is the offline
+  *                               build, each compaction/rebuild installs
+  *                               v=N+1. A version is complete iff BOTH
+  *                               its data `_SUCCESS` and its fold
+  *                               manifest's `_SUCCESS` exist; readers
+  *                               resolve the max complete version.
+  *   `<component>_folds/v=<N>/`— version N's FOLD MANIFEST (kind, ref):
+  *                               the batch ids and stream files whose
+  *                               rows are already merged INTO base v=N.
+  *                               Cumulative across versions; written
+  *                               strictly LAST, so its `_SUCCESS` is the
+  *                               atomic install point of the version.
+  *   `<component>_delta/`      — daily batch appends, one `batch=<id>`
+  *                               partition per append, gated by the
+  *                               index's `_ledger` (exactly-once: a
+  *                               replayed batch id is skipped, a retried
+  *                               half-write overwrites its own dir).
+  *   `<component>_stream` (or a family-shared stream dir) — streaming-
+  *                               maintenance delta through the parquet
+  *                               file sink (the sink manifest commits
+  *                               each micro-batch atomically).
   *
-  * Readers (probe/serve) and the compactors all assemble the SAME
-  * relation: base ∪ ledgered batch delta ∪ manifest-committed stream
-  * delta — so a crashed, never-retried batch write is invisible rather
-  * than half-visible, and compaction is a bit-equal rewrite by
-  * construction. The exactly-once contract mirrors the reference's
-  * name-keyed PROCESSED_FILES ledger (snowflake_load.py:108-133)
-  * applied to index artifacts.
+  * Readers (probe/serve), the health reports and the compactors all
+  * assemble the SAME relation: base(pinned version) ∪ ledgered batch
+  * delta NOT folded into that version ∪ manifest-committed stream rows
+  * NOT folded into it — resolved through ONE [[Pin]] per assembly, so a
+  * reader can never mix one version's base with another's fold list.
+  * Because deltas are excluded by the fold manifest rather than by
+  * deletion, compaction is ONLINE and atomic for readers: a reader
+  * resolving mid-compaction sees either the old version (with the
+  * deltas it hasn't folded) or the new one (with them folded in) — two
+  * bit-equal relations — and a crash at ANY point leaves only an
+  * invisible incomplete version, never a double-visible delta
+  * (re-running compaction can't bake duplicates: the merge input is
+  * itself fold-excluded). Folded dirs and old versions are
+  * garbage-collected by the separate vacuum step, which — unlike
+  * compaction — must run quiesced (an in-flight reader pinned to an
+  * old version would lose files mid-scan): the lakehouse OPTIMIZE
+  * (online) vs VACUUM (retention-gated) split.
+  *
+  * The exactly-once batch contract mirrors the reference's name-keyed
+  * PROCESSED_FILES ledger (snowflake_load.py:108-133) applied to index
+  * artifacts.
   */
 private[graft] object IndexStore {
 
   /** Ledger folder key for appended index batches. */
   val IndexBatchFolder = "index_batches"
+
+  /** Ledger folder key for full index rebuilds (retrain + re-encode). */
+  val IndexRebuildFolder = "index_rebuilds"
 
   /** Is `batchId` already ledgered at this index? (A replayed append
     * must be a no-op.) */
@@ -45,89 +75,338 @@ private[graft] object IndexStore {
     graft.operators.FileLedger.append(spark, s"$path/_ledger",
       Seq((IndexBatchFolder, batchId)))
 
-  /** Batch ids the index ledger records, driver-side. Bounded by one
-    * row per appended batch — days of operation, thousands at most. */
+  /** Is `rebuildId` already ledgered? (A replayed rebuild is a no-op.) */
+  def rebuildAlreadyDone(spark: SparkSession, path: String,
+                         rebuildId: String): Boolean =
+    graft.operators.FileLedger
+      .unprocessed(spark, s"$path/_ledger", IndexRebuildFolder, Seq(rebuildId))
+      .isEmpty
+
+  /** Record a fully-installed rebuild (ledger-last, like batches). */
+  def ledgerRebuild(spark: SparkSession, path: String, rebuildId: String): Unit =
+    graft.operators.FileLedger.append(spark, s"$path/_ledger",
+      Seq((IndexRebuildFolder, rebuildId)))
+
+  /** Batch ids the index ledger records, driver-side, deterministically
+    * ordered. Bounded by one row per appended batch — days of
+    * operation, thousands at most. */
   def ledgeredBatchIds(spark: SparkSession, path: String): Array[String] =
     graft.operators.FileLedger.load(spark, s"$path/_ledger")
       .filter(col("folder_name") === IndexBatchFolder)
-      .select("file_name").distinct().collect().map(_.getString(0))
+      .select("file_name").distinct().collect().map(_.getString(0)).sorted
 
-  /** The ledgered batch delta of an index component: every `batch=<id>`
-    * partition of `<path>/<component>_delta` whose id the ledger
-    * records. The `isin` over the driver-side id list is a
-    * PartitionFilter, so unledgered (crashed, never-retried) batch dirs
-    * are skipped at file-listing time. */
-  def ledgeredDelta(spark: SparkSession, path: String, component: String,
-                    selectCols: Seq[String]): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/${component}_delta")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // ---------------------------------------------------------------- //
+  // Versioned base + fold manifests
+  // ---------------------------------------------------------------- //
+
+  private def hfs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  def versionDir(path: String, component: String, v: Long): String =
+    s"$path/$component/v=$v"
+
+  def foldsDir(path: String, component: String, v: Long): String =
+    s"$path/${component}_folds/v=$v"
+
+  /** A version is COMPLETE iff both its data write and its fold
+    * manifest committed (`_SUCCESS` each). The fold manifest is written
+    * strictly last, so its `_SUCCESS` creation is the single atomic
+    * install point a concurrent reader races against. */
+  private def isComplete(spark: SparkSession, path: String,
+                         component: String, v: Long): Boolean = {
+    val fs = hfs(spark, path)
+    fs.exists(hp(s"${versionDir(path, component, v)}/_SUCCESS")) &&
+      fs.exists(hp(s"${foldsDir(path, component, v)}/_SUCCESS"))
+  }
+
+  /** Max complete version of a component — the one readers resolve.
+    * None when the index was never built. */
+  def liveVersion(spark: SparkSession, path: String,
+                  component: String): Option[Long] = {
+    val dir = hp(s"$path/$component")
+    val fs = hfs(spark, path)
     if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(isComplete(spark, path, component, _))
+      .sorted(Ordering[Long].reverse).headOption
+  }
+
+  /** One reader's atomic resolution of a component: the version it will
+    * read plus THAT version's fold manifest. Every assembly (probe,
+    * serve, health, compaction input) snapshots exactly one Pin —
+    * mixing the base of one version with the folds of another would
+    * drop or double rows across a concurrent install. */
+  final case class Pin(v: Long, foldedBatches: Set[String],
+                       foldedStream: Set[String])
+
+  def pinOf(spark: SparkSession, path: String, component: String): Pin = {
+    val v = liveVersion(spark, path, component).getOrElse(
+      sys.error(s"no complete version of index component $path/$component"))
+    val rows = spark.read.parquet(foldsDir(path, component, v))
+      .select("kind", "ref").collect()
+    Pin(v,
+      rows.filter(_.getString(0) == "batch").map(_.getString(1)).toSet,
+      rows.filter(_.getString(0) == "stream").map(_.getString(1)).toSet)
+  }
+
+  def baseDir(spark: SparkSession, path: String, component: String): String =
+    versionDir(path, component, pinOf(spark, path, component).v)
+
+  def readBaseAt(spark: SparkSession, path: String, component: String,
+                 pin: Pin): DataFrame =
+    spark.read.parquet(versionDir(path, component, pin.v))
+
+  def readBase(spark: SparkSession, path: String, component: String): DataFrame =
+    readBaseAt(spark, path, component, pinOf(spark, path, component))
+
+  /** Install version `v`: write its cumulative fold manifest. The data
+    * under `versionDir(v)` (and any version-scoped meta) must already
+    * be fully written — this parquet write's `_SUCCESS` is the commit
+    * point that makes the version live. */
+  def commitFolds(spark: SparkSession, path: String, component: String,
+                  v: Long, batchIds: Set[String],
+                  streamFiles: Set[String]): Unit = {
+    import spark.implicits._
+    (batchIds.toSeq.sorted.map(("batch", _)) ++
+      streamFiles.toSeq.sorted.map(("stream", _)))
+      .toDF("kind", "ref")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(foldsDir(path, component, v))
+  }
+
+  /** Drop a half-written (crashed, incomplete) next-version attempt so
+    * a re-run starts clean. Refuses to touch a complete version. */
+  def dropIncompleteVersion(spark: SparkSession, path: String,
+                            component: String, v: Long): Unit = {
+    require(!isComplete(spark, path, component, v),
+      s"refusing to drop complete version v=$v of $path/$component")
+    val fs = hfs(spark, path)
+    Seq(versionDir(path, component, v), foldsDir(path, component, v))
+      .foreach(d => if (fs.exists(hp(d))) fs.delete(hp(d), true))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Delta readers (fold-aware)
+  // ---------------------------------------------------------------- //
+
+  /** Ledgered, NOT-folded-at-`pin` batch ids — the delta population a
+    * reader of that version must union in. */
+  def unfoldedBatchIds(spark: SparkSession, path: String,
+                       pin: Pin): Seq[String] =
+    ledgeredBatchIds(spark, path).toSeq.filterNot(pin.foldedBatches)
+
+  /** The ledgered batch delta of an index component at `pin`: every
+    * `batch=<id>` partition of `<path>/<component>_delta` whose id the
+    * ledger records AND the pinned version has not folded. The `isin`
+    * over the driver-side id list is a PartitionFilter, so unledgered
+    * (crashed, never-retried) and folded batch dirs are skipped at
+    * file-listing time.
+    *
+    * The delta dir is read with an EXPLICIT schema — the component's
+    * data schema plus `batch: string` — so the `batch` partition
+    * column's type can never be inferred from directory names: an
+    * all-numeric id with a leading zero (`batch=007`) would otherwise
+    * infer as int 7 while the ledger stores the string "007", putting a
+    * cast in the middle of the exactly-once `isin` comparison. */
+  def ledgeredDelta(spark: SparkSession, path: String, component: String,
+                    pin: Pin, schemaFrom: StructType,
+                    selectCols: Seq[String]): Option[DataFrame] = {
+    val dir = hp(s"$path/${component}_delta")
+    if (!hfs(spark, path).exists(dir)) None
     else {
-      val ids = ledgeredBatchIds(spark, path)
+      val ids = unfoldedBatchIds(spark, path, pin)
       if (ids.isEmpty) None
-      else Some(spark.read.parquet(dir.toString)
-        .filter(col("batch").isin(ids.toSeq: _*))
+      else Some(spark.read
+        .schema(schemaFrom.add("batch", StringType, nullable = false))
+        .parquet(dir.toString)
+        .filter(col("batch").isin(ids: _*))
         .select(selectCols.map(col): _*))
     }
   }
 
-  /** The streaming delta of an index component, written by the
-    * exactly-once parquet file sink (manifest-committed rows only).
-    * The explicit schema lets a delta dir holding only the sink
-    * manifest (zero committed batches) read as empty. */
-  def streamDelta(spark: SparkSession, path: String, component: String,
-                  schemaFrom: DataFrame,
-                  selectCols: Seq[String]): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/${component}_stream")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else Some(spark.read.schema(schemaFrom.schema).parquet(dir.toString)
-      .select(selectCols.map(col): _*))
+  /** Manifest-committed data files of a file-sink stream dir (the
+    * exactly-once row set), as the URIs `input_file_name()` reports —
+    * the currency fold manifests store. Driver-side; bounded by
+    * micro-batch files between vacuums. */
+  def committedStreamFiles(spark: SparkSession, streamDir: String,
+                           schema: StructType): Seq[String] = {
+    if (!hfs(spark, streamDir).exists(hp(streamDir))) Seq.empty
+    else spark.read.schema(schema).parquet(streamDir)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Full stored relation of an index component under the single
-    * visibility rule: base ∪ ledgered batch delta ∪ stream delta. */
+  /** Committed stream rows restricted by file: `include` pins an exact
+    * snapshot (compaction — rows committed after the snapshot stay
+    * delta), `exclude` drops already-folded files (readers). The
+    * explicit schema lets a dir holding only the sink manifest (zero
+    * committed batches) read as empty. The file filter is post-scan (no
+    * pushdown) — acceptable because the stream delta is micro-batch-
+    * sized between vacuums, never corpus-sized. */
+  def streamRows(spark: SparkSession, streamDir: String, schema: StructType,
+                 include: Option[Set[String]] = None,
+                 exclude: Set[String] = Set.empty): Option[DataFrame] = {
+    if (!hfs(spark, streamDir).exists(hp(streamDir))) None
+    else {
+      val df = spark.read.schema(schema).parquet(streamDir)
+      val byInclude = include match {
+        case Some(files) =>
+          if (files.isEmpty) return None
+          df.filter(input_file_name().isin(files.toSeq: _*))
+        case None => df
+      }
+      Some(
+        if (exclude.isEmpty) byInclude
+        else byInclude.filter(!input_file_name().isin(exclude.toSeq: _*)))
+    }
+  }
+
+  /** Full stored relation of an index component whose streaming delta
+    * (if any) lands in `<component>_stream` with the component's own
+    * schema (the IVF-PQ `codes` shape; MinHash components share one
+    * combined stream dir and assemble via [[storedComponentWith]]). */
   def storedComponent(spark: SparkSession, path: String,
                       component: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/$component")
-    val cols = base.columns.toSeq
-    val withBatch = ledgeredDelta(spark, path, component, cols)
-      .map(base.select(cols.map(col): _*).unionByName(_))
-      .getOrElse(base.select(cols.map(col): _*))
-    streamDelta(spark, path, component, base, cols)
-      .map(withBatch.unionByName(_)).getOrElse(withBatch)
+    val pin = pinOf(spark, path, component)
+    val base = readBaseAt(spark, path, component, pin)
+    val stream = streamRows(spark, s"$path/${component}_stream", base.schema,
+        exclude = pin.foldedStream)
+      .map(_.select(base.columns.map(col): _*))
+    storedComponentWith(spark, path, component, pin, base, stream)
   }
 
-  /** Rename-based swap shared by the compactors: `<component>_compact`
-    * (already fully written) becomes the new base; the old base and
-    * both delta dirs are dropped. Every crash window leaves a
-    * recoverable superset — the compacted dir is complete before the
-    * old base moves aside, and the old base is deleted only after the
-    * compacted one is in place.
+  /** base(pin) ∪ unfolded ledgered delta ∪ `streamPart` — the single
+    * visibility rule, with the stream part supplied by the family
+    * (already fold-excluded and column-aligned). */
+  def storedComponentWith(spark: SparkSession, path: String,
+                          component: String, pin: Pin, base: DataFrame,
+                          streamPart: Option[DataFrame]): DataFrame = {
+    val cols = base.columns.toSeq
+    val withBatch = ledgeredDelta(spark, path, component, pin, base.schema, cols)
+      .map(base.select(cols.map(col): _*).unionByName(_))
+      .getOrElse(base.select(cols.map(col): _*))
+    streamPart.map(p => withBatch.unionByName(p.select(cols.map(col): _*)))
+      .getOrElse(withBatch)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Online compaction + quiesced vacuum
+  // ---------------------------------------------------------------- //
+
+  /** Data files a reader at `pin` opens for this component, excluding
+    * any shared stream dir (the family adds that once). */
+  def liveComponentFiles(spark: SparkSession, path: String,
+                         component: String, pin: Pin): Long = {
+    val base = graft.operators.Layout
+      .nParquetFiles(spark, versionDir(path, component, pin.v))
+    val delta = unfoldedBatchIds(spark, path, pin)
+      .map(id => graft.operators.Layout
+        .nParquetFiles(spark, s"$path/${component}_delta/batch=$id")).sum
+    base + delta
+  }
+
+  /** ONLINE compaction of one component: merge base(live) ∪ a SNAPSHOT
+    * of the unfolded deltas into `v=live+1` via the family-supplied
+    * `write`, then install it by committing the cumulative fold
+    * manifest. Readers are never disturbed: until the manifest's
+    * `_SUCCESS` exists they resolve the old version (deltas unfolded);
+    * after, the new one (deltas folded) — bit-equal relations. A crash
+    * anywhere leaves an incomplete, invisible attempt that the next run
+    * drops and redoes; delta rows can never become double-visible
+    * because visibility subtracts the manifest, not the filesystem.
+    * Batches appended or stream files committed AFTER the snapshot stay
+    * visible as delta under the new version too (their refs are not in
+    * its manifest) — concurrent WRITERS are safe as well.
     *
-    * Both renames are CHECKED and the delta dirs are deleted only after
-    * the compacted base is verifiably in place: Hadoop `rename` reports
-    * failure by RETURNING FALSE (e.g. a stale `_old` left by a crashed
-    * previous compaction blocks the first rename) — an unchecked swap
-    * would then delete the delta dirs while the OLD base is still
-    * serving, silently losing every appended row until someone noticed
-    * the orphaned `_compact` dir. A stale `_old` is cleaned up front
-    * (the prior swap had already made its compacted base live, so the
-    * stale dir is garbage by construction). */
-  def swapCompacted(spark: SparkSession, path: String,
-                    component: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val old = p(s"$path/${component}_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p(s"$path/$component"), old),
-      s"compaction swap: failed to move $path/$component aside")
-    require(fs.rename(p(s"$path/${component}_compact"), p(s"$path/$component")),
-      s"compaction swap: failed to install $path/${component}_compact " +
-        "— the old base is at ${component}_old; restore it or re-run")
-    Seq(s"$path/${component}_old", s"$path/${component}_delta",
-      s"$path/${component}_stream")
-      .foreach(d => if (fs.exists(p(d))) fs.delete(p(d), true))
+    * `stream` = (shared stream dir, its combined schema, per-component
+    * row derivation) when the family has a streaming face.
+    *
+    * Returns (reader-visible files before, after, merged rows). */
+  def compactComponent(spark: SparkSession, path: String, component: String,
+                       stream: Option[(String, StructType, DataFrame => DataFrame)],
+                       write: (DataFrame, Long, String) => Unit): (Long, Long, Long) = {
+    val pin = pinOf(spark, path, component)
+    val newIds = unfoldedBatchIds(spark, path, pin)
+    val base = readBaseAt(spark, path, component, pin)
+    val cols = base.columns.toSeq
+    val (streamFiles, streamPart) = stream match {
+      case None => (Set.empty[String], None)
+      case Some((dir, schema, derive)) =>
+        val files = committedStreamFiles(spark, dir, schema)
+          .filterNot(pin.foldedStream).toSet
+        (files, streamRows(spark, dir, schema, include = Some(files))
+          .map(derive))
+    }
+    val merged = storedComponentWith(spark, path, component, pin, base,
+      streamPart.map(_.select(cols.map(col): _*)))
+    val before = liveComponentFiles(spark, path, component, pin) +
+      streamFiles.size
+    val next = pin.v + 1
+    dropIncompleteVersion(spark, path, component, next)
+    val rows = merged.count()
+    write(merged, rows, versionDir(path, component, next))
+    commitFolds(spark, path, component, next,
+      pin.foldedBatches ++ newIds, pin.foldedStream ++ streamFiles)
+    val after = graft.operators.Layout
+      .nParquetFiles(spark, versionDir(path, component, next))
+    (before, after, rows)
+  }
+
+  /** QUIESCED garbage collection of one component: drop versions other
+    * than the live one (older = superseded, newer = incomplete crashed
+    * attempts) with their fold manifests, and the folded `batch=` delta
+    * dirs. Returns (versions removed, batch dirs removed). Must run
+    * without concurrent readers or compactors — an in-flight reader
+    * pinned to an old version loses files mid-scan (the lakehouse
+    * VACUUM retention trade; schedule it after probes drain). The
+    * ledger is NEVER vacuumed: a late replay of a folded-and-vacuumed
+    * batch id must still be recognized and skipped. */
+  def vacuumComponent(spark: SparkSession, path: String,
+                      component: String): (Long, Long) = {
+    val fs = hfs(spark, path)
+    val pin = pinOf(spark, path, component)
+    val stale = fs.listStatus(hp(s"$path/$component")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(_ != pin.v)
+    stale.foreach { v =>
+      fs.delete(hp(versionDir(path, component, v)), true)
+      fs.delete(hp(foldsDir(path, component, v)), true)
+    }
+    val deltaDir = hp(s"$path/${component}_delta")
+    var removed = 0L
+    if (fs.exists(deltaDir)) {
+      fs.listStatus(deltaDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => pin.foldedBatches(s.getPath.getName.stripPrefix("batch=")))
+        .foreach { s => fs.delete(s.getPath, true); removed += 1 }
+    }
+    (stale.size.toLong, removed)
+  }
+
+  /** Delete a stream dir (manifest included) iff every committed file
+    * is folded into the live versions of ALL `components` sharing it.
+    * Partial per-file deletion is never safe: the sink manifest would
+    * keep referencing deleted files and every later read would fail.
+    * Quiesced like [[vacuumComponent]] — additionally the maintenance
+    * stream itself must have terminated (a restart afterwards needs a
+    * fresh checkpoint; its sink manifest dies with the dir). */
+  def vacuumStreamDir(spark: SparkSession, path: String, streamDir: String,
+                      schema: StructType,
+                      components: Seq[String]): Boolean = {
+    val committed = committedStreamFiles(spark, streamDir, schema).toSet
+    val fullyFolded = components.forall(c =>
+      committed.subsetOf(pinOf(spark, path, c).foldedStream))
+    if (committed.nonEmpty && !fullyFolded) false
+    else {
+      val fs = hfs(spark, streamDir)
+      if (fs.exists(hp(streamDir))) fs.delete(hp(streamDir), true)
+      true
+    }
   }
 }

@@ -388,8 +388,11 @@ object Similarity {
   /** Build the fused IVF-PQ index — the billion-vector serving layout:
     * every vector is assigned to its nearest coarse centroid (same
     * deterministic cell construction as topKIvf) and its 8-byte PQ code
-    * is written PARTITIONED BY CELL (`path/codes/cell=N/`), with the
-    * nCells centroids alongside (`path/centroids`). Serving then probes
+    * is written PARTITIONED BY CELL (`path/codes/v=0/cell=N/`), with
+    * the nCells centroids, codebook and quant-error baseline in the
+    * version-scoped meta dir alongside (`path/codes_meta/v=0/` — a
+    * rebuild retrains and installs all of them atomically as the next
+    * version). Serving then probes
     * nProbe cells as a parquet PARTITION FILTER — the scan physically
     * skips (nCells-nProbe)/nCells of the index — and pays nSub table
     * lookups per surviving row. Build is offline: the only driver-side
@@ -397,43 +400,88 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       codebook: Array[Array[Array[Long]]], path: String,
                       nCells: Int = 16): Unit = {
+    buildCodesVersion(corpus.sparkSession, path, corpus, idCol, vecCol,
+      codebook, nCells, version = 0L)
+    IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L,
+      Set.empty, Set.empty)
+  }
+
+  /** Version-`v` meta dir: the trained geometry that encoded version
+    * `v` of the codes (centroids, codebook, quant-error baseline). The
+    * meta is VERSIONED WITH the codes it encoded — a rebuild retrains
+    * all three and installs them with the re-encoded codes in ONE
+    * atomic version flip, so a reader can never pair old centroids with
+    * new codes (or vice versa): it resolves one version and reads both
+    * from it. */
+  private def codesMetaDir(path: String, v: Long): String =
+    s"$path/codes_meta/v=$v"
+
+  /** Stable fingerprint of a codebook (MD5 over the flattened longs) —
+    * stored on every centroid row, checked by serving against the
+    * caller-supplied codebook: ADC tables built from a codebook other
+    * than the one that encoded the stored codes would produce silently
+    * incomparable distances, the worst failure mode. Driver-side over
+    * ≤ nSub×256 short vectors — microseconds. */
+  private[graft] def codebookFp(cb: Array[Array[Array[Long]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    cb.foreach(_.foreach(_.foreach { v =>
+      bb.clear(); bb.putLong(v); md.update(bb.array()) }))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Write one full codes version: trained meta (centroids hash-picked
+    * from `corpus`, the codebook, the quant-error baseline) under
+    * `codes_meta/v=<version>`, then the encoded, cell-partitioned codes
+    * under `codes/v=<version>`. Shared by the offline build (v=0) and
+    * [[rebuildIvfPqIndex]] (v=live+1). NOT an install — the version
+    * goes live only when the caller commits its fold manifest. */
+  private def buildCodesVersion(spark: org.apache.spark.sql.SparkSession,
+                                path: String, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                codebook: Array[Array[Array[Long]]],
+                                nCells: Int, version: Long): Unit = {
     val c = withQv(corpus, idCol, vecCol)
     val centroids = c
       .withColumn("cell", pmod(xxhash64(col("id")), lit(nCells.toLong)))
       .groupBy("cell")
       .agg(min_by(struct(col("qv"), col("qnorm")), xxhash64(lit(42), col("id"))).as("r"))
-      .select(col("cell"), col("r.qv").as("cv"), col("r.qnorm").as("cnorm"))
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      .select(col("cell"), col("r.qv").as("cv"), col("r.qnorm").as("cnorm"),
+        lit(codebookFp(codebook)).as("cb_fp"))
+    centroids.write.mode("overwrite")
+      .parquet(s"${codesMetaDir(path, version)}/centroids")
     // the index is SELF-DESCRIBING: the codebook that encoded the codes
     // is stored alongside them, so maintenance (appendToIvfPqIndex /
     // ivfPqMaintenanceStream) can never encode new vectors with a
-    // DIFFERENT codebook than the build's — mixed-codebook codes would
-    // make ADC distances silently incomparable
+    // DIFFERENT codebook than this version's — mixed-codebook codes
+    // would make ADC distances silently incomparable
     locally {
-      val spark = corpus.sparkSession
       import spark.implicits._
       codebook.zipWithIndex.flatMap { case (sub, si) =>
         sub.zipWithIndex.map { case (cvec, ci) => (si, ci, cvec.toSeq) }
       }.toSeq.toDF("sub", "code", "vals")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${codesMetaDir(path, version)}/codebook")
     }
     // build-time quantization-error baseline (exact integer sum + count):
-    // the yardstick indexHealthReport measures drift against — the cell
-    // geometry and codebook are frozen after this write, so a corpus
+    // the yardstick ivfPqIndexHealth measures drift against — the cell
+    // geometry and codebook are frozen within a version, so a corpus
     // whose distribution drifts shows up as a rising mean error vs this
-    // number, the documented retrain trigger
+    // number, the trigger for [[rebuildIvfPqIndex]]
     locally {
-      val spark = corpus.sparkSession
       import spark.implicits._
       val r = c.agg(
-        sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook))
-          .as("err_sum"),
+        coalesce(sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook)),
+          lit(0L)).as("err_sum"),
         count(lit(1)).as("n_vectors")).head()
+      require(r.getLong(1) > 0, "writeIvfPqIndex: empty corpus")
       Seq((r.getLong(0), r.getLong(1))).toDF("err_sum", "n_vectors")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/quant_baseline")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${codesMetaDir(path, version)}/quant_baseline")
     }
-    val cent = broadcast(
-      corpus.sparkSession.read.parquet(s"$path/centroids"))
+    val cent = broadcast(spark.read
+      .parquet(s"${codesMetaDir(path, version)}/centroids")
+      .select("cell", "cv", "cnorm"))
     val assigned = c.crossJoin(cent)
       .groupBy(col("id"))
       .agg(
@@ -444,7 +492,8 @@ object Similarity {
     assigned
       .select(col("id"), col("cell"),
         graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexStore.versionDir(path, "codes", version))
   }
 
   /** Serve top-k from the fused IVF-PQ index: the query picks its
@@ -471,9 +520,20 @@ object Similarity {
     require(qRows.length == 1,
       "topKIvfPqFromIndex expects exactly one query row")
     val qv = qRows(0).getSeq[Long](0).toArray
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("cv"), col("cnorm")).collect()
-    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    // ONE pin: centroids, codes and fold exclusions all come from the
+    // same version, so a concurrent compaction/rebuild install can
+    // never mix one version's geometry with another's codes
+    val pin = IndexStore.pinOf(spark, path, "codes")
+    val cents = spark.read
+      .parquet(s"${codesMetaDir(path, pin.v)}/centroids")
+      .select(col("cell"), col("cv"), col("cnorm"), col("cb_fp")).collect()
+    require(cents.nonEmpty, s"no centroids at ${codesMetaDir(path, pin.v)}")
+    // fail LOUD on a stale caller codebook (e.g. collected before a
+    // rebuild): ADC tables from any codebook but the one that encoded
+    // this version's codes give silently incomparable distances
+    require(cents.head.getString(3) == codebookFp(codebook),
+      s"stale codebook for index at $path (version v=${pin.v} was " +
+        "encoded with a different codebook — re-read it with codebookOf)")
     val probeCells = cents.map { r =>
       val cell = r.getLong(0)
       val cv = r.getSeq[Long](1).toArray
@@ -484,30 +544,54 @@ object Similarity {
       (cell, dot.toDouble / r.getDouble(2))
     }.sortBy { case (cell, score) => (-score, cell) }
       .take(nProbe).map(_._1)
-    // base ∪ ledgered batch delta ∪ stream delta (IndexStore's single
-    // visibility rule), each pruned to the probe cells BEFORE the union
-    // — `cell` is a partition column in all three locations, so the
-    // pruning is a PartitionFilter everywhere and serving physically
-    // skips (nCells-nProbe)/nCells of base and deltas alike
-    val baseAll = spark.read.parquet(s"$path/codes")
+    // base(pin) ∪ unfolded ledgered batch delta ∪ unfolded stream delta
+    // (IndexStore's single visibility rule), each pruned to the probe
+    // cells BEFORE the union — `cell` is a partition column in all
+    // three locations, so the pruning is a PartitionFilter everywhere
+    // and serving physically skips (nCells-nProbe)/nCells of base and
+    // deltas alike
+    val baseAll = IndexStore.readBaseAt(spark, path, "codes", pin)
     def pruned(df: DataFrame): DataFrame =
       df.filter(col("cell").isin(probeCells: _*)).select("id", "pq_code")
     val cols = Seq("id", "pq_code", "cell")
-    val withBatch = IndexStore.ledgeredDelta(spark, path, "codes", cols)
+    val withBatch = IndexStore.ledgeredDelta(spark, path, "codes", pin,
+        baseAll.schema, cols)
       .map(d => pruned(baseAll).unionByName(pruned(d)))
       .getOrElse(pruned(baseAll))
-    val codes = IndexStore.streamDelta(spark, path, "codes", baseAll, cols)
-      .map(d => withBatch.unionByName(pruned(d))).getOrElse(withBatch)
+    val codes = IndexStore.streamRows(spark, s"$path/codes_stream",
+        baseAll.schema, exclude = pin.foldedStream)
+      .map(d => withBatch.unionByName(pruned(d.select(cols.map(col): _*))))
+      .getOrElse(withBatch)
     topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
   }
 
-  /** Read back the codebook an index at `path` was built with. */
+  /** Read back the codebook that encoded the LIVE version of the index
+    * at `path` (rebuilds retrain it — always re-read after one). */
   def codebookOf(spark: org.apache.spark.sql.SparkSession,
-                 path: String): Array[Array[Array[Long]]] = {
-    val rows = spark.read.parquet(s"$path/codebook")
+                 path: String): Array[Array[Array[Long]]] =
+    codebookAt(spark, path, IndexStore.pinOf(spark, path, "codes").v)
+
+  /** The live version's frozen geometry in one pinned read: collected
+    * (cell, centroid, norm) triples (KB-scale) plus the codebook — the
+    * streaming maintenance face collects both at start, and pulling
+    * them from ONE pin means a concurrent rebuild install can never
+    * hand it one version's centroids with another's codebook. */
+  private[graft] def frozenGeometryOf(spark: org.apache.spark.sql.SparkSession,
+                                      path: String)
+      : (Array[(Long, Array[Long], Double)], Array[Array[Array[Long]]]) = {
+    val v = IndexStore.pinOf(spark, path, "codes").v
+    val cents = spark.read.parquet(s"${codesMetaDir(path, v)}/centroids")
+      .select(col("cell"), col("cv"), col("cnorm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+    (cents, codebookAt(spark, path, v))
+  }
+
+  private def codebookAt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, v: Long): Array[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(s"${codesMetaDir(path, v)}/codebook")
       .select(col("sub"), col("code"), col("vals")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
-    require(rows.nonEmpty, s"no codebook at $path/codebook")
+    require(rows.nonEmpty, s"no codebook at ${codesMetaDir(path, v)}")
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, subs) =>
       subs.sortBy(_._2).map(_._3)
     }.toArray
@@ -540,9 +624,13 @@ object Similarity {
                          batchId: String): Unit = {
     if (IndexStore.batchAlreadyAppended(spark, path, batchId))
       return // replayed batch: already fully appended and ledgered
-    val codebook = codebookOf(spark, path)
+    // one pin: codebook and centroids must come from the SAME version
+    val v = IndexStore.pinOf(spark, path, "codes").v
+    val codebook = codebookAt(spark, path, v)
     val c = withQv(newVecs, idCol, vecCol)
-    val cent = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cent = broadcast(spark.read
+      .parquet(s"${codesMetaDir(path, v)}/centroids")
+      .select("cell", "cv", "cnorm"))
     val assigned = c.crossJoin(cent)
       .groupBy(col("id"))
       .agg(
@@ -561,34 +649,135 @@ object Similarity {
   /** Lakehouse maintenance for the IVF-PQ index: months of daily batch
     * appends and stream-sink micro-batches leave thousands of small
     * files per cell, and every serve pays the per-file open cost across
-    * its probe cells. Compaction merges base ∪ ledgered batch delta ∪
-    * stream delta (exactly the relation serving reads — a bit-equal
-    * rewrite by construction) into a fresh cell-partitioned base — one
-    * shuffle on `cell`, so each cell lands as ~1 file (maxRecordsPerFile
-    * caps stragglers) and the PartitionFilter pruning contract is
-    * preserved — then swaps it in and drops the delta dirs. Returns
+    * its probe cells. Compaction merges base ∪ unfolded ledgered batch
+    * delta ∪ unfolded stream delta (exactly the relation serving
+    * reads — a bit-equal rewrite by construction) into a fresh
+    * cell-partitioned base version — one shuffle on `cell`, so each
+    * cell lands as ~1 file (maxRecordsPerFile caps stragglers) and the
+    * PartitionFilter pruning contract is preserved — and installs it by
+    * committing the cumulative fold manifest
+    * (IndexStore.compactComponent). Returns
     * (files_before, files_after, rows).
     *
-    * The batch-id ledger survives compaction on purpose: a late replay
-    * of an already-compacted batch must still be skipped. Run QUIESCED
-    * (no concurrent serve/append/maintenance stream); a maintenance
-    * stream restarted after compaction needs a fresh checkpoint (its
-    * sink manifest is dropped with the stream delta) and a clean
-    * AvailableNow termination beforehand. */
+    * ONLINE: concurrent serves resolve either the old version (deltas
+    * unfolded) or the new one (deltas folded) — bit-equal — and
+    * concurrent appends/stream commits stay visible as delta under the
+    * new version. The batch-id ledger survives on purpose: a late
+    * replay of an already-folded batch must still be skipped.
+    * Superseded versions and folded delta dirs are garbage-collected by
+    * the separate, QUIESCED [[vacuumIvfPqIndex]]. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
-    val before = Seq(s"$path/codes", s"$path/codes_delta",
-      s"$path/codes_stream")
-      .map(graft.operators.Layout.nParquetFiles(spark, _)).sum
-    val merged = IndexStore.storedComponent(spark, path, "codes")
-    val rows = merged.count()
-    merged.repartition(col("cell"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", rowsPerFile)
-      .partitionBy("cell").parquet(s"$path/codes_compact")
-    IndexStore.swapCompacted(spark, path, "codes")
-    (before, graft.operators.Layout.nParquetFiles(spark, s"$path/codes"), rows)
+    val schema = IndexStore.readBase(spark, path, "codes").schema
+    IndexStore.compactComponent(spark, path, "codes",
+      stream = Some((s"$path/codes_stream", schema, identity[DataFrame])),
+      write = (merged, _, dest) => {
+        merged.repartition(col("cell"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", rowsPerFile)
+          .partitionBy("cell").parquet(dest)
+        // carry the UNCHANGED geometry forward: meta is versioned WITH
+        // the codes (one pin resolves both), so the new version needs
+        // its own copy — KB-scale, rewritten value-exact. Only a
+        // rebuild retrains it.
+        val next = dest.substring(dest.lastIndexOf("v=") + 2).toLong
+        Seq("centroids", "codebook", "quant_baseline").foreach { m =>
+          spark.read.parquet(s"${codesMetaDir(path, next - 1)}/$m")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"${codesMetaDir(path, next)}/$m")
+        }
+      })
+  }
+
+  /** QUIESCED garbage collection for the IVF-PQ index: drop superseded
+    * code versions (with their version-scoped meta and fold manifests),
+    * folded `batch=` delta dirs, and — iff every committed stream file
+    * is folded — the stream dir (whole, manifest included). Run with no
+    * concurrent serves, compactors, or maintenance stream (a stream
+    * restarted afterwards needs a fresh checkpoint). Returns
+    * (versions removed, batch dirs removed, stream dir removed). */
+  def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Long, Long, Boolean) = {
+    val pin = IndexStore.pinOf(spark, path, "codes")
+    val schema = IndexStore.readBaseAt(spark, path, "codes", pin).schema
+    val (versions, batches) = IndexStore.vacuumComponent(spark, path, "codes")
+    // version-scoped meta of superseded versions goes with them
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_meta")
+    if (fs.exists(metaRoot)) {
+      fs.listStatus(metaRoot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .filter(_.getPath.getName.stripPrefix("v=").toLong != pin.v)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    val streamGone = IndexStore.vacuumStreamDir(spark, path,
+      s"$path/codes_stream", schema, Seq("codes"))
+    (versions, batches, streamGone)
+  }
+
+  /** Drift-triggered FULL REBUILD — the operator [[ivfPqIndexHealth]]'s
+    * `quant_drift_detected` / low `recall_pct` verdicts exist to
+    * trigger. A frozen geometry that no longer fits the corpus cannot
+    * be patched (moving centroids or codebook entries would invalidate
+    * every stored code), so the rebuild retrains BOTH on the corpus'
+    * current vectors and re-encodes:
+    *
+    *   1. The id population is PRESERVED: exactly the ids visible in
+    *      the index (base ∪ unfolded deltas) are re-encoded, from their
+    *      rows in `corpus` (the source of truth for current vectors) —
+    *      `corpus` must cover every indexed id (checked).
+    *   2. A fresh codebook is k-means-trained on those rows and fresh
+    *      centroids are hash-picked from them ([[buildCodesVersion]] —
+    *      the same construction as the offline build), so the new
+    *      geometry fits the drifted distribution and the stored
+    *      quant-error baseline is re-anchored.
+    *   3. Everything installs ATOMICALLY as version live+1 via the fold
+    *      manifest (all ledgered batches and committed stream files are
+    *      folded — their old-codebook rows are superseded by the
+    *      re-encode): a concurrent serve reads either the old coherent
+    *      index or the new coherent one, never a mix (geometry is
+    *      versioned WITH the codes, and serving fingerprint-checks the
+    *      caller's codebook).
+    *
+    * EXACTLY-ONCE under retry/replay: `rebuildId` is ledgered strictly
+    * after the install commits; a replayed id is a no-op. Requires
+    * quiesced WRITERS (appends / maintenance stream) — a batch encoded
+    * with the old codebook that commits after the fold snapshot would
+    * stay visible as delta but be incomparable under the new geometry;
+    * serving stays online throughout. Restart the maintenance stream
+    * with a fresh checkpoint afterwards (it collects geometry at
+    * start). */
+  def rebuildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, corpus: DataFrame,
+                        idCol: String, vecCol: String, rebuildId: String,
+                        nCells: Int = 16): Unit = {
+    if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
+      return // replayed rebuild: already installed and ledgered
+    val pin = IndexStore.pinOf(spark, path, "codes")
+    val visibleIds = IndexStore.storedComponent(spark, path, "codes")
+      .select(col("id")).distinct()
+    val rows = corpus.join(
+      visibleIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    val nVisible = visibleIds.count()
+    val nRows = rows.select(col(idCol)).distinct().count()
+    require(nRows == nVisible,
+      s"rebuildIvfPqIndex: corpus covers $nRows of $nVisible indexed ids " +
+        "— a rebuild must preserve the id population")
+    val codebook = trainPqCodebookKmeans(rows, idCol, vecCol)
+    val next = pin.v + 1
+    IndexStore.dropIncompleteVersion(spark, path, "codes", next)
+    buildCodesVersion(spark, path, rows, idCol, vecCol, codebook,
+      nCells, version = next)
+    // fold EVERYTHING: the re-encode supersedes every delta row
+    val streamFiles = IndexStore.committedStreamFiles(spark,
+      s"$path/codes_stream",
+      IndexStore.readBaseAt(spark, path, "codes", pin).schema).toSet
+    IndexStore.commitFolds(spark, path, "codes", next,
+      IndexStore.ledgeredBatchIds(spark, path).toSet,
+      pin.foldedStream ++ streamFiles)
+    IndexStore.ledgerRebuild(spark, path, rebuildId)
   }
 
   /** Index staleness / health report — the monitoring loop a FROZEN
@@ -628,23 +817,30 @@ object Similarity {
                        maxQuantErrDriftPct: Int = 50,
                        maxQueries: Int = 100): DataFrame = {
     import spark.implicits._
-    val codebook = codebookOf(spark, path)
-    val nBase = spark.read.parquet(s"$path/codes").count()
-    val baseAll = spark.read.parquet(s"$path/codes")
+    // one pin: base version, its fold exclusions, its codebook and its
+    // quant baseline all resolve together
+    val pin = IndexStore.pinOf(spark, path, "codes")
+    val codebook = codebookAt(spark, path, pin.v)
+    val baseAll = IndexStore.readBaseAt(spark, path, "codes", pin)
+    val nBase = baseAll.count()
     val cols = Seq("id", "pq_code", "cell")
     val nDelta =
-      IndexStore.ledgeredDelta(spark, path, "codes", cols)
+      IndexStore.ledgeredDelta(spark, path, "codes", pin, baseAll.schema, cols)
         .map(_.count()).getOrElse(0L) +
-      IndexStore.streamDelta(spark, path, "codes", baseAll, cols)
-        .map(_.count()).getOrElse(0L)
+      IndexStore.streamRows(spark, s"$path/codes_stream", baseAll.schema,
+        exclude = pin.foldedStream).map(_.count()).getOrElse(0L)
     val deltaPct =
       if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
-    val baseline = spark.read.parquet(s"$path/quant_baseline")
+    val baseline = spark.read
+      .parquet(s"${codesMetaDir(path, pin.v)}/quant_baseline")
       .select("err_sum", "n_vectors").head()
     val (errBase, nVecBase) = (baseline.getLong(0), baseline.getLong(1))
+    // coalesce the sum BEFORE reading it: on an empty `current`, sum()
+    // is null and getLong would NPE ahead of the intended require
     val cur = withQv(current, idCol, vecCol)
-      .agg(sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook))
-        .as("e"), count(lit(1)).as("n")).head()
+      .agg(coalesce(
+        sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook)),
+        lit(0L)).as("e"), count(lit(1)).as("n")).head()
     val (errCur, nVecCur) = (cur.getLong(0), cur.getLong(1))
     require(nVecBase > 0 && nVecCur > 0, "ivfPqIndexHealth: empty corpus")
     // exact rational compare (BigInt — the cross-multiply overflows

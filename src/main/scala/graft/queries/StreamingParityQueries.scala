@@ -488,8 +488,8 @@ object StreamingParityQueries {
 
     // Streaming MinHash-index maintenance (minhashMaintenanceStream):
     // newly ingested documents appended into a stored MinHash-LSH index
-    // as shingle/band deltas through the exactly-once parquet file
-    // sink, symmetric with q322's IVF-PQ face. The verdict is a real
+    // as combined (shingles+bands) delta rows through ONE exactly-once
+    // parquet file sink, symmetric with q322's IVF-PQ face. The verdict is a real
     // DIFFERENTIAL against the batch face (appendToMinhashIndex into a
     // twin index): stored shingle and band row sets must be identical,
     // a probe batch must return the identical verified pair set from
@@ -514,14 +514,15 @@ object StreamingParityQueries {
       val idxB = tmpDir("graft_q326_idxB")
       Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxA, n = 3)
       Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxB, n = 3)
-      // stream face into A: 2 micro-batches per component sink
+      // stream face into A: 2 micro-batches through the ONE combined
+      // sink (shingle set + band buckets commit atomically per doc)
       val srcDir = tmpDir("graft_q326_src")
       newbies.repartition(2).write.mode("overwrite").parquet(srcDir)
       val stream = s.readStream.schema(newbies.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val sqs = IncrementalStream.minhashMaintenanceStream(stream,
+      IncrementalStream.minhashMaintenanceStream(stream,
         "doc_id", "text", idxA, tmpDir("graft_q326_ckpt"))
-      sqs.foreach(_.awaitTermination())
+        .awaitTermination()
       // batch face into B
       Dedup.appendToMinhashIndex(newbies, "doc_id", "text", idxB,
         batchId = "q326-batch")
@@ -529,10 +530,10 @@ object StreamingParityQueries {
       // array hash (same expression both sides of the same plan), band
       // rows by their plain columns
       def shingleRel(p: String) =
-        IndexStore.storedComponent(s, p, "shingles")
+        Dedup.storedMinhashComponent(s, p, "shingles")
           .select(col("id"), hash(col("shash")).as("h"))
       def bandRel(p: String) =
-        IndexStore.storedComponent(s, p, "bands")
+        Dedup.storedMinhashComponent(s, p, "bands")
           .select(col("id"), col("band"), col("bh"))
       val shMism = shingleRel(idxA).withColumn("__a", lit(1))
         .join(shingleRel(idxB).withColumn("__b", lit(1)),
@@ -560,10 +561,10 @@ object StreamingParityQueries {
           Seq("id_new"), "left_anti")
         .agg(count(lit(1)).as("__missing"))
       // replay the batch append on B: the ledger makes it a no-op
-      val nShB1 = IndexStore.storedComponent(s, idxB, "shingles").count()
+      val nShB1 = Dedup.storedMinhashComponent(s, idxB, "shingles").count()
       Dedup.appendToMinhashIndex(newbies, "doc_id", "text", idxB,
         batchId = "q326-batch")
-      val nShB2 = IndexStore.storedComponent(s, idxB, "shingles").count()
+      val nShB2 = Dedup.storedMinhashComponent(s, idxB, "shingles").count()
       newbies.agg(count(lit(1)).as("n_ingested"))
         .crossJoin(storeMism).crossJoin(probeMism).crossJoin(missingTwins)
         .select(col("n_ingested"), col("n_store_mismatches"),

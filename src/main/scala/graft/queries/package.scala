@@ -70,13 +70,18 @@ package object queries {
   def tempScoped(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
       val buf = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      // REENTRANT: save and restore the enclosing scope's buffer — a
+      // tempScoped body that (transitively) invokes another tempScoped
+      // query must hand the outer registry back, or every scratchDir
+      // the outer scope allocates afterwards leaks silently
+      val outer = tempDirReg.get()
       tempDirReg.set(buf)
       try {
         val df = f(s, dir)
         val rows = java.util.Arrays.asList(df.collect(): _*)
         s.createDataFrame(rows, df.schema)
       } finally {
-        tempDirReg.remove()
+        if (outer == null) tempDirReg.remove() else tempDirReg.set(outer)
         buf.foreach(deleteRec)
       }
     }

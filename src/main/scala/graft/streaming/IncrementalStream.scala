@@ -348,12 +348,11 @@ object IncrementalStream {
                              checkpoint: String): StreamingQuery = {
     val spark = newVecs.sparkSession
     // cell geometry AND codebook come from the index itself (it is
-    // self-describing) — encoding with any other codebook would make
-    // the appended codes' ADC distances silently incomparable
-    val codebook = graft.analytics.Similarity.codebookOf(spark, indexPath)
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("cell"), col("cv"), col("cnorm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+    // self-describing), read through ONE version pin — encoding with
+    // any other codebook would make the appended codes' ADC distances
+    // silently incomparable
+    val (centroids, codebook) =
+      graft.analytics.Similarity.frozenGeometryOf(spark, indexPath)
     graft.analytics.Similarity
       .encodeForIndex(newVecs, idCol, vecCol, centroids, codebook)
       .writeStream.format("parquet")
@@ -374,34 +373,31 @@ object IncrementalStream {
     * base, so new corpus documents are probe-visible without an index
     * rebuild.
     *
-    * Both projections are STATELESS (tokenize → shingle-hash →
-    * signature → band explode: per-row expressions, no watermark, no
-    * state store) and land through the streaming PARQUET FILE SINK,
-    * whose manifest commits each micro-batch atomically — a replayed
-    * batch never double-appends (same exactly-once argument as the
-    * IVF-PQ face). The two components are separate sink queries over
-    * the same source, each with its own checkpoint under `checkpoint/`;
-    * probe after BOTH have terminated — between the two commits of an
-    * in-flight batch a band row may precede its shingle row, and the
-    * probe's verify join would transiently drop that candidate. */
+    * The projection is STATELESS (tokenize → shingle-hash → signature →
+    * band structs: per-row expressions, no watermark, no state store)
+    * and lands through the streaming PARQUET FILE SINK, whose manifest
+    * commits each micro-batch atomically — a replayed batch never
+    * double-appends (same exactly-once argument as the IVF-PQ face).
+    * ONE sink, ONE combined row per document (id, shash, bands): a
+    * document's shingle set and its band buckets become visible in the
+    * SAME manifest commit, so a concurrent probe sees both or neither —
+    * the earlier two-sink design had a cross-component window where a
+    * band row committed before its shingle row and the probe's verify
+    * join transiently dropped that candidate. Readers derive each
+    * component back out of the combined rows (Dedup.storedComponent). */
   def minhashMaintenanceStream(newDocs: DataFrame, idCol: String,
                                textCol: String, indexPath: String,
-                               checkpoint: String): Seq[StreamingQuery] = {
+                               checkpoint: String): StreamingQuery = {
     val spark = newDocs.sparkSession
     val (n, numHashes, bands) =
       graft.analytics.Dedup.minhashIndexParams(spark, indexPath)
-    val hashed = graft.analytics.Dedup
-      .shingleHashSets(newDocs, idCol, textCol, n)
-    def sink(df: DataFrame, component: String): StreamingQuery =
-      df.writeStream.format("parquet")
-        .option("path", s"$indexPath/${component}_stream")
-        .option("checkpointLocation", s"$checkpoint/$component")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    Seq(
-      sink(hashed, "shingles"),
-      sink(graft.analytics.Dedup.bandRowsOf(hashed, numHashes, bands),
-        "bands"))
+    graft.analytics.Dedup
+      .combinedStreamRows(newDocs, idCol, textCol, n, numHashes, bands)
+      .writeStream.format("parquet")
+      .option("path", graft.analytics.Dedup.minhashStreamDir(indexPath))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** Streaming near-dup PROBE against a stored MinHash index — the

@@ -187,30 +187,78 @@ class IndexLifecycleSpec extends SparkSpec {
     val idxB = tmp("mh-batch")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxS, n = 3)
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxB, n = 3)
-    // stream face into S (2 micro-batches per component sink)
+    // stream face into S (2 micro-batches through the ONE combined sink)
     val src = tmp("mh-stream-src")
     newbies.repartition(2).write.mode("overwrite").parquet(src)
-    val stream = spark.readStream.schema(newbies.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-    val qs = graft.streaming.IncrementalStream.minhashMaintenanceStream(
-      stream, "doc_id", "text", idxS, tmp("mh-stream-ckpt"))
-    qs.foreach(_.awaitTermination())
+    def startStream(ckpt: String) = {
+      val stream = spark.readStream.schema(newbies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.IncrementalStream.minhashMaintenanceStream(
+        stream, "doc_id", "text", idxS, ckpt)
+    }
+    val ckpt = tmp("mh-stream-ckpt")
+    startStream(ckpt).awaitTermination()
     // batch face into B
     Dedup.appendToMinhashIndex(newbies, "doc_id", "text", idxB, batchId = "d1")
     val fromStream = probePairs(idxS, probe)
     assert(fromStream == probePairs(idxB, probe),
       "stream-appended and batch-appended indexes must probe identically")
     assert(fromStream.exists(_._2 >= 1000L), "ingested docs probe-visible")
-    // restart the stream with the SAME checkpoint over the same source:
-    // nothing new to commit — the sink manifest guards double-append
-    val n1 = IndexStore.storedComponent(spark, idxS, "shingles").count()
+    // ACTUALLY restart the stream from the SAME checkpoint over the
+    // same source: the source offsets + sink manifest make the restart
+    // commit nothing — shingle rows and probe results bit-unchanged
+    val n1 = Dedup.storedMinhashComponent(spark, idxS, "shingles").count()
+    startStream(ckpt).awaitTermination()
     assert(probePairs(idxS, probe) == fromStream)
-    assert(IndexStore.storedComponent(spark, idxS, "shingles").count() == n1)
+    assert(Dedup.storedMinhashComponent(spark, idxS, "shingles").count() == n1,
+      "a restart from the same checkpoint must not double-append")
   }
 
-  test("compaction swap survives a stale _old dir from a crashed previous run") {
+  test("single combined minhash sink: an uncommitted stream file is invisible (both components or neither)") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val newbies = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val probe = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val idx = tmp("mh-atomic")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val src = tmp("mh-atomic-src")
+    newbies.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(newbies.schema).parquet(src)
+    graft.streaming.IncrementalStream.minhashMaintenanceStream(
+      stream, "doc_id", "text", idx, tmp("mh-atomic-ckpt"))
+      .awaitTermination()
+    val committed = probePairs(idx, probe)
+    assert(committed.exists(_._2 >= 1000L), "committed ingest probe-visible")
+    val nSh = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    // drop an UNCOMMITTED (not in the sink manifest) combined-row file
+    // into the stream dir — the torn-write state a crashed micro-batch
+    // leaves behind. Manifest-gated reads must ignore it WHOLLY:
+    // neither phantom shingle rows nor phantom band rows appear (the
+    // old two-sink design could instead expose one component's commit
+    // without the other's).
+    val (n, numHashes, bands) = Dedup.minhashIndexParams(spark, idx)
+    val ghosts = docs.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+    val ghostDir = tmp("mh-atomic-ghost")
+    Dedup.combinedStreamRows(ghosts, "doc_id", "text", n, numHashes, bands)
+      .coalesce(1).write.mode("overwrite").parquet(ghostDir)
+    val ghostPart = new java.io.File(ghostDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(ghostPart.toPath,
+      new java.io.File(s"$idx/minhash_stream/part-99999-torn.parquet").toPath)
+    assert(Dedup.probeMinhashIndex(spark, idx,
+        ghosts.limit(5), "doc_id", "text")
+      .filter($"id_corpus" >= 5000000L).count() == 0,
+      "an unmanifested stream file must not surface as corpus")
+    assert(probePairs(idx, probe) == committed,
+      "probe result unchanged by a torn stream write")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == nSh)
+  }
+
+  test("online compaction: a reader mid-compaction sees old or new — both bit-equal, never empty; a crashed attempt is invisible and the re-run bakes no duplicates") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
-    val idx = tmp("mh-staleold")
+    val idx = tmp("mh-online")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
     val day = docs.filter($"doc_id" % 5 === 2)
       .select(($"doc_id" + 1000L).as("doc_id"), $"text")
@@ -218,16 +266,82 @@ class IndexLifecycleSpec extends SparkSpec {
     val probe = docs.filter($"doc_id" % 5 === 2)
       .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
     val before = probePairs(idx, probe)
-    // a crashed previous compaction left garbage behind: Hadoop rename
-    // returns false onto an existing destination, and an unchecked swap
-    // would then delete the deltas while the OLD base still serves
+    val nVisible = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    val nBands = Dedup.storedMinhashComponent(spark, idx, "bands").count()
+    // simulate the crash window: a previous compaction wrote the v=1
+    // DATA of both components but died before committing the fold
+    // manifests — the exact state a reader could race against
     Seq("shingles", "bands").foreach { c =>
-      new java.io.File(s"$idx/${c}_old/garbage").mkdirs()
+      Dedup.storedMinhashComponent(spark, idx, c)
+        .write.mode("overwrite").parquet(IndexStore.versionDir(idx, c, 1))
     }
-    val (_, filesAfter, rows) = Dedup.compactMinhashIndex(spark, idx)
-    assert(rows > 0 && filesAfter <= 2)
+    // mid-compaction reader: the incomplete v=1 is INVISIBLE (no fold
+    // manifest) — the reader resolves v=0 + unfolded delta, bit-equal
     assert(probePairs(idx, probe) == before,
-      "swap over a stale _old must still install the compacted base")
+      "a reader mid-compaction must see the old relation, not an empty base")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == nVisible)
+    // recovery: re-run compaction. The crashed attempt is dropped and
+    // redone; because visibility subtracts the fold manifest (not the
+    // filesystem), the delta rows cannot be double-visible afterwards —
+    // the failure mode a rename-based swap's crash window allowed
+    val (filesBefore, filesAfter, rows) = Dedup.compactMinhashIndex(spark, idx)
+    assert(rows == nVisible + nBands,
+      "compacted rows == previously visible rows across both components")
+    assert(filesAfter < filesBefore && filesAfter <= 2)
+    assert(probePairs(idx, probe) == before, "post-install reader bit-equal")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == nVisible,
+      "no duplicates: folded delta rows are excluded, not deleted")
+    // the folded delta dir is STILL on disk (vacuum has not run) — and
+    // still invisible: the recovery path can never double-count it
+    assert(new java.io.File(s"$idx/shingles_delta/batch=d1").exists())
+  }
+
+  test("vacuum: removes superseded versions and folded delta dirs, probe unchanged; a late replay of a vacuumed batch stays a no-op") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-vacuum")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "d1")
+    val probe = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val before = probePairs(idx, probe)
+    Dedup.compactMinhashIndex(spark, idx)
+    val (versionsGone, batchDirsGone, streamGone) =
+      Dedup.vacuumMinhashIndex(spark, idx)
+    assert(versionsGone == 2L, "one superseded version per component")
+    assert(batchDirsGone == 2L, "one folded batch dir per component")
+    assert(streamGone, "no stream dir -> trivially removable")
+    assert(!new java.io.File(s"$idx/shingles_delta/batch=d1").exists())
+    assert(!new java.io.File(s"$idx/shingles/v=0").exists())
+    assert(probePairs(idx, probe) == before, "vacuum never changes the relation")
+    // the LEDGER survived vacuum: a very late replay of the folded,
+    // vacuumed batch is still recognized and skipped
+    val n1 = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "d1")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == n1)
+    assert(probePairs(idx, probe) == before)
+  }
+
+  test("batch= partition type is pinned to string: a leading-zero batch id round-trips append -> ledger -> probe") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-zero")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    // an all-numeric id with a leading zero: directory-name inference
+    // would type the partition column int (007 -> 7) while the ledger
+    // stores the string "007" — the explicit read schema pins string
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "007")
+    val probe = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    assert(probePairs(idx, probe).exists(_._2 >= 1000L),
+      "the 007 batch must be probe-visible through the ledger isin")
+    val n1 = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    assert(n1 == corpus.count() + day.count())
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "007")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == n1,
+      "replaying 007 is a no-op (no string/int cast in the isin)")
   }
 
   test("minhashIndexHealth: exact counts, compaction clears the delta and the fragmentation signal") {
@@ -254,6 +368,61 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(post.getLong(0) == corpus.count() + day1.count())
     assert(post.getLong(1) == 0L && post.getLong(2) == 0L)
     assert(!post.getBoolean(3) && post.getLong(4) <= 2)
+  }
+
+  test("rebuildIvfPqIndex: drift detected -> retrain + re-encode installs atomically, recall recovers, replay is a no-op, stale codebooks fail loud") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-rebuild")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb, idx)
+    Similarity.appendToIvfPqIndex(spark, idx, e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", batchId = "d1")
+    // the corpus drifts IN PLACE (same ids, re-embedded vectors — the
+    // new-embedding-model scenario): scale+shift moves the distribution
+    // far from the frozen codebook's fit
+    val drifted = e.select($"vec_id",
+      transform($"embedding", x => x * 3.0d + 7.0d).as("embedding"))
+    val queries = drifted.filter($"vec_id".isin(3, 7, 8, 11))
+    def health() = Similarity.ivfPqIndexHealth(spark, idx, drifted,
+      "vec_id", "embedding", queries, k = 10, recallFloorPct = 0)
+      .collect().head
+    val stale = health()
+    assert(stale.getBoolean(6), "quant drift must fire on the drifted corpus")
+    val staleRecall = stale.getLong(7)
+    Similarity.rebuildIvfPqIndex(spark, idx, drifted, "vec_id", "embedding",
+      rebuildId = "r1")
+    // the rebuilt index is version v=1 with retrained geometry; the
+    // health report re-anchors on the new baseline
+    val rebuilt = health()
+    assert(!rebuilt.getBoolean(6), "re-anchored baseline: drift cleared")
+    assert(rebuilt.getLong(7) >= staleRecall,
+      s"rebuilt recall ${rebuilt.getLong(7)} must be >= stale $staleRecall")
+    // all deltas were folded by the re-encode: nothing counts as delta
+    assert(rebuilt.getLong(1) == 0L && rebuilt.getLong(2) == 0L)
+    // id population preserved
+    assert(IndexStore.storedComponent(spark, idx, "codes")
+      .select("id").distinct().count() == e.count())
+    // serving is rerun-identical and coherent with the NEW codebook
+    val cb2 = Similarity.codebookOf(spark, idx)
+    def serve() = Similarity.topKIvfPqFromIndex(spark, idx,
+      drifted.filter($"vec_id" === 7), "vec_id", "embedding", k = 10, cb2)
+      .as[(Long, Long)].collect().toSeq
+    assert(serve() == serve(), "rebuilt serving rerun-identical")
+    // a caller holding the PRE-rebuild codebook fails loud, not garbage
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topKIvfPqFromIndex(spark, idx,
+        drifted.filter($"vec_id" === 7), "vec_id", "embedding", k = 10, cb)
+        .collect()
+    }
+    assert(ex.getMessage.contains("stale codebook"))
+    // replayed rebuild (same id): ledgered -> no-op, version unchanged
+    val v1 = IndexStore.pinOf(spark, idx, "codes").v
+    val s1 = serve()
+    Similarity.rebuildIvfPqIndex(spark, idx, drifted, "vec_id", "embedding",
+      rebuildId = "r1")
+    assert(IndexStore.pinOf(spark, idx, "codes").v == v1)
+    assert(serve() == s1, "replayed rebuild is a no-op")
   }
 
   test("ivfPqIndexHealth: counts exact, no drift on the build corpus, recall above floor") {
