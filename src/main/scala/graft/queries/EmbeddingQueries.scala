@@ -853,6 +853,71 @@ object EmbeddingQueries {
         .select(col("n_codes"), lit(mism).as("n_serve_mismatches"),
           lit(filesAfter <= 16 && filesAfter < filesBefore).as("files_bounded"),
           lit(replayNoop).as("replay_after_compaction_noop"))
+    }),
+
+    // Drift-triggered IVF-PQ index REBUILD (Similarity.rebuildIvfPqIndex)
+    // — the operator q327's quant_drift_detected / recall verdicts exist
+    // to trigger, registered as its VERDICT. The corpus drifts in place
+    // (same ids, re-embedded vectors: x*3+7 moves the distribution far
+    // from the frozen codebook's fit); the health report fires drift on
+    // the stale index; the rebuild retrains codebook+centroids on the
+    // drifted vectors of exactly the indexed id population, re-encodes,
+    // and installs atomically as the next version (fold manifest — all
+    // ledgered batches folded). Verdict booleans: drift fired before
+    // and is cleared after (the baseline re-anchors), sampled recall
+    // did not get worse (MEASURED on the driver-seeded data: stale 7/6/1
+    // -> rebuilt 35/32/21 recall_pct at sf0.001/0.01/0.1 — the stale
+    // index collapses because old-geometry cells mis-route drifted
+    // queries and old-codebook ADC distances misrank what survives),
+    // serving is rerun-identical under the NEW codebook, and replaying
+    // the rebuild id is a no-op (version and serving unchanged).
+    // n_codes = the preserved id population, DuckDB-recomputed.
+    "q331_index_rebuild" -> q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_codes,
+                TRUE AS drift_detected_before,
+                TRUE AS drift_cleared_after,
+                TRUE AS recall_not_worse,
+                TRUE AS serve_rerun_identical,
+                TRUE AS rebuild_replay_noop
+         FROM embeddings""")(tempScoped { (s, dir) =>
+      import graft.analytics.IndexStore
+      val e = t(s, dir, "embeddings")
+      val cb = sharedCodebook(s, dir)
+      val idx = scratchDir("graft_q331_idx")
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", cb, idx)
+      Similarity.appendToIvfPqIndex(s, idx, e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", batchId = "q331-d1")
+      val drifted = e.select(col("vec_id"),
+        transform(col("embedding"), x => x * 3.0d + 7.0d).as("embedding"))
+      val queries = drifted.filter(col("vec_id").isin(3, 7, 8, 11))
+      def health() = Similarity.ivfPqIndexHealth(s, idx, drifted,
+        "vec_id", "embedding", queries, k = 20, recallFloorPct = 0)
+        .select("quant_drift_detected", "recall_pct").collect().head
+      val stale = health()
+      Similarity.rebuildIvfPqIndex(s, idx, drifted, "vec_id", "embedding",
+        rebuildId = "q331-r1")
+      val rebuilt = health()
+      val cb2 = Similarity.codebookOf(s, idx)
+      def serve(): Seq[(Long, Long)] =
+        Similarity.topKIvfPqFromIndex(s, idx,
+          drifted.filter(col("vec_id") === 7), "vec_id", "embedding",
+          k = 20, cb2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val s1 = serve()
+      val rerunIdentical = serve() == s1
+      val v1 = IndexStore.pinOf(s, idx, "codes").v
+      Similarity.rebuildIvfPqIndex(s, idx, drifted, "vec_id", "embedding",
+        rebuildId = "q331-r1")
+      val replayNoop = IndexStore.pinOf(s, idx, "codes").v == v1 &&
+        serve() == s1
+      e.agg(count(lit(1)).as("n_codes"))
+        .select(col("n_codes"),
+          lit(stale.getBoolean(0)).as("drift_detected_before"),
+          lit(!rebuilt.getBoolean(0)).as("drift_cleared_after"),
+          lit(rebuilt.getLong(1) >= stale.getLong(1)).as("recall_not_worse"),
+          lit(rerunIdentical).as("serve_rerun_identical"),
+          lit(replayNoop).as("rebuild_replay_noop"))
     })
   )
 
