@@ -74,6 +74,20 @@ object ScaleSlopes {
       Dedup.probeMinhashIndex(spark, mhIdx, docBatch, "doc_id", "text")
         .count(); ()
     }
+    // health: metadata + two row counts — expected ~flat-to-linear in
+    // corpus (the delta/stream counts are batch-sized; nBase is a
+    // column-pruned count)
+    time("minhash_health") {
+      Dedup.minhashIndexHealth(spark, mhIdx).collect(); ()
+    }
+    // compaction is the ONE op that is corpus-sized by design (it
+    // rewrites base ∪ delta) — its measured slope is the cost of the
+    // "run it as a daily/weekly maintenance job" guidance. trials=1:
+    // each run installs a new version (cumulative work stays bounded
+    // because each run folds only since-last-run deltas).
+    time("minhash_compact", trials = 1) {
+      Dedup.compactMinhashIndex(spark, mhIdx); ()
+    }
 
     // ---- IVF-PQ index family ----
     val pqIdx = java.nio.file.Files.createTempDirectory("slope-pq").toString
@@ -90,6 +104,17 @@ object ScaleSlopes {
       Similarity.topKIvfPqFromIndex(spark, pqIdx,
         emb.filter(col("vec_id") === 7), "vec_id", "embedding",
         k = 20, cb).count(); ()
+    }
+    // health: one linear quant-err pass over `current` (corpus-sized by
+    // contract — it audits today's corpus) + |queries| brute scans
+    time("ivfpq_health") {
+      Similarity.ivfPqIndexHealth(spark, pqIdx, emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id").isin(3, 7, 11)), k = 10,
+        recallFloorPct = 0).collect(); ()
+    }
+    // corpus-sized rewrite, same rationale as minhash_compact
+    time("ivfpq_compact", trials = 1) {
+      Similarity.compactIvfPqIndex(spark, pqIdx); ()
     }
 
     // ---- incremental dedup-group maintenance (q325's operator) ----

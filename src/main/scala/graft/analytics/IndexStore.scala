@@ -342,8 +342,22 @@ private[graft] object IndexStore {
         (files, streamRows(spark, dir, schema, include = Some(files))
           .map(derive))
     }
-    val merged = storedComponentWith(spark, path, component, pin, base,
-      streamPart.map(_.select(cols.map(col): _*)))
+    // merge from the EXACT snapshot (newIds / streamFiles), never by
+    // re-reading the ledger or manifest: a batch appended or a stream
+    // file committed between the snapshot and the merge must stay OUT
+    // of the new base (it stays out of its fold manifest), or it would
+    // be visible twice under the new version
+    val withDelta =
+      if (newIds.isEmpty) base.select(cols.map(col): _*)
+      else base.select(cols.map(col): _*).unionByName(
+        spark.read
+          .schema(base.schema.add("batch", StringType, nullable = false))
+          .parquet(s"$path/${component}_delta")
+          .filter(col("batch").isin(newIds: _*))
+          .select(cols.map(col): _*))
+    val merged = streamPart
+      .map(p => withDelta.unionByName(p.select(cols.map(col): _*)))
+      .getOrElse(withDelta)
     val before = liveComponentFiles(spark, path, component, pin) +
       streamFiles.size
     val next = pin.v + 1
