@@ -24,7 +24,7 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 331
+  val RegisteredQueryCount: Int = 332
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
   // contract) instead of rows-only dumps. Round 8 adds the 8 streaming
@@ -37,7 +37,7 @@ object SparkEntry {
   // q328 IVF-PQ delta compaction (bit-equal serve, bounded files),
   // q329 MinHash index health report, q330 streaming probe-at-ingest
   // (stream probe union == one-shot batch probe).
-  val OracledQueryCount: Int = 331
+  val OracledQueryCount: Int = 332
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

@@ -2199,6 +2199,70 @@ object TextQueries {
       Dedup.minhashIndexHealth(s, idx)
         .select(col("n_base_docs"), col("n_delta_docs"), col("delta_pct"),
           col("needs_compaction"))
+    }),
+
+    // MinHash-index ONLINE compaction + vacuum (Dedup.compactMinhashIndex
+    // / vacuumMinhashIndex) — q328's text-family sibling, registered as
+    // the VERDICT of the round-10 atomicity contract: probe rows
+    // collected BEFORE the rewrite equal the rows after it (bit-equal
+    // merge), a CRASHED previous attempt (next-version data written,
+    // fold manifest never committed — simulated in-query) is invisible
+    // to probes, the quiesced vacuum that follows changes nothing a
+    // reader sees, and a very late replay of a folded-and-vacuumed
+    // batch id is still a no-op (the ledger outlives both maintenance
+    // passes). n_docs_indexed is DuckDB-recomputed; file counts are
+    // environment-shaped and stay spec-pinned (IndexLifecycleSpec).
+    "q332_minhash_compaction" -> q(
+      """SELECT CAST(count(*) FILTER (WHERE doc_id % 4 IN (1, 2))
+                  AS BIGINT) AS n_docs_indexed,
+                TRUE AS crashed_attempt_invisible,
+                TRUE AS probe_bit_equal,
+                TRUE AS vacuum_preserves_relation,
+                TRUE AS late_replay_noop
+         FROM documents""")(tempScoped { (s, dir) =>
+      import graft.analytics.IndexStore
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = all.filter(col("doc_id") % 4 === 1)
+      val day1 = all.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val probe = all.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val idx = scratchDir("graft_q332_idx")
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+      Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx,
+        batchId = "q332-d1")
+      def probeRows(): Set[(Long, Long, Long, Long, Long)] =
+        Dedup.probeMinhashIndex(s, idx, probe, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+      // MATERIALIZED before any rewrite (a lazy plan would re-resolve)
+      val before = probeRows()
+      // crashed previous attempt: v=1 data exists, fold manifest never
+      // committed -> the incomplete version must be invisible
+      Seq("shingles", "bands").foreach { c =>
+        Dedup.storedMinhashComponent(s, idx, c)
+          .write.mode("overwrite").parquet(IndexStore.versionDir(idx, c, 1))
+      }
+      val crashedInvisible = probeRows() == before
+      Dedup.compactMinhashIndex(s, idx)
+      val bitEqual = probeRows() == before
+      Dedup.vacuumMinhashIndex(s, idx)
+      val vacuumOk = probeRows() == before
+      // the ledger outlived compaction AND vacuum: replaying the folded,
+      // vacuumed batch appends nothing
+      val n1 = Dedup.storedMinhashComponent(s, idx, "shingles").count()
+      Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx,
+        batchId = "q332-d1")
+      val replayNoop =
+        Dedup.storedMinhashComponent(s, idx, "shingles").count() == n1 &&
+          probeRows() == before
+      all.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+        .agg(count(lit(1)).as("n_docs_indexed"))
+        .select(col("n_docs_indexed"),
+          lit(crashedInvisible).as("crashed_attempt_invisible"),
+          lit(bitEqual).as("probe_bit_equal"),
+          lit(vacuumOk).as("vacuum_preserves_relation"),
+          lit(replayNoop).as("late_replay_noop"))
     })
   )
 

@@ -296,6 +296,45 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(new java.io.File(s"$idx/shingles_delta/batch=d1").exists())
   }
 
+  test("a maintenance stream SURVIVES compaction: commits from the same checkpoint after the fold stay delta-visible, nothing duplicated or lost") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-livestream")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val wave1 = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val wave2 = docs.filter($"doc_id" % 5 === 3)
+      .select(($"doc_id" + 3000L).as("doc_id"), $"text")
+    val src = tmp("mh-livestream-src")
+    val ckpt = tmp("mh-livestream-ckpt")
+    def run() = {
+      val stream = spark.readStream.schema(wave1.schema).parquet(src)
+      graft.streaming.IncrementalStream.minhashMaintenanceStream(
+        stream, "doc_id", "text", idx, ckpt).awaitTermination()
+    }
+    // wave 1 commits, then compaction folds it into a new base version
+    wave1.write.mode("overwrite").parquet(src)
+    run()
+    Dedup.compactMinhashIndex(spark, idx)
+    val afterFold = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    assert(afterFold == corpus.count() + wave1.count())
+    // the SAME stream (same checkpoint, sink manifest intact — the old
+    // rename-based compaction deleted it, forcing a fresh checkpoint)
+    // keeps ingesting: wave 2 lands as unfolded delta
+    wave2.write.mode("append").parquet(src)
+    run()
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+      == corpus.count() + wave1.count() + wave2.count(),
+      "post-compaction commits from the same checkpoint are delta-visible")
+    // wave-1 rows are NOT double-visible: they live in the compacted
+    // base and their stream files are folded
+    val probe1 = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val p = Dedup.probeMinhashIndex(spark, idx, probe1, "doc_id", "text")
+    assert(p.count() == p.dropDuplicates("id_new", "id_corpus").count())
+    assert(p.filter($"id_corpus" >= 1000L && $"id_corpus" < 2000L).count() > 0,
+      "folded wave-1 docs still probe-visible exactly once")
+  }
+
   test("vacuum: removes superseded versions and folded delta dirs, probe unchanged; a late replay of a vacuumed batch stays a no-op") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
     val idx = tmp("mh-vacuum")
