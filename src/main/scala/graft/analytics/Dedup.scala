@@ -362,16 +362,20 @@ object Dedup {
   private[graft] def minhashStreamDir(path: String): String =
     s"$path/minhash_stream"
 
-  /** Combined stream-row schema: the shingles base schema plus the
-    * band-struct array (explicit, so a dir holding only the sink
-    * manifest reads as empty). */
-  private def combinedStreamSchema(spark: org.apache.spark.sql.SparkSession,
-                                   path: String,
-                                   pin: IndexStore.Pin): org.apache.spark.sql.types.StructType = {
+  /** Combined stream-row schema: (id, shash, bands) — explicit, so a
+    * dir holding only the sink manifest reads as empty. Only the id
+    * field's type is data-dependent (the corpus' id column); shash and
+    * the band structs are fixed by construction (xxhash64 longs), so
+    * the schema is built from any component base's id field without a
+    * second version pin. */
+  private def combinedStreamSchema(idField: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    IndexStore.readBaseAt(spark, path, "shingles", pin).schema
-      .add("bands", ArrayType(StructType(Seq(
-        StructField("band", IntegerType), StructField("bh", LongType)))))
+    StructType(Seq(
+      idField,
+      StructField("shash", ArrayType(LongType)),
+      StructField("bands", ArrayType(StructType(Seq(
+        StructField("band", IntegerType), StructField("bh", LongType)))))))
   }
 
   /** Derive one component's rows from the combined stream relation. */
@@ -512,9 +516,7 @@ object Dedup {
     val pin = IndexStore.pinOf(spark, path, component)
     val base = IndexStore.readBaseAt(spark, path, component, pin)
     val part = IndexStore.streamRows(spark, minhashStreamDir(path),
-        combinedStreamSchema(spark, path,
-          if (component == "shingles") pin
-          else IndexStore.pinOf(spark, path, "shingles")),
+        combinedStreamSchema(base.schema("id")),
         exclude = pin.foldedStream)
       .map(deriveStreamComponent(_, component))
     IndexStore.storedComponentWith(spark, path, component, pin, base, part)
@@ -591,8 +593,8 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
-    val schema = combinedStreamSchema(spark, path,
-      IndexStore.pinOf(spark, path, "shingles"))
+    val schema = combinedStreamSchema(
+      IndexStore.readBase(spark, path, "shingles").schema("id"))
     def one(component: String): (Long, Long, Long) =
       IndexStore.compactComponent(spark, path, component,
         stream = Some((minhashStreamDir(path), schema,
@@ -615,8 +617,8 @@ object Dedup {
     * (versions removed, batch dirs removed, stream dir removed). */
   def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): (Long, Long, Boolean) = {
-    val schema = combinedStreamSchema(spark, path,
-      IndexStore.pinOf(spark, path, "shingles"))
+    val schema = combinedStreamSchema(
+      IndexStore.readBase(spark, path, "shingles").schema("id"))
     val a = IndexStore.vacuumComponent(spark, path, "shingles")
     val b = IndexStore.vacuumComponent(spark, path, "bands")
     val streamGone = IndexStore.vacuumStreamDir(spark, path,
@@ -650,7 +652,7 @@ object Dedup {
     import spark.implicits._
     val pin = IndexStore.pinOf(spark, path, "shingles")
     val base = IndexStore.readBaseAt(spark, path, "shingles", pin)
-    val schema = combinedStreamSchema(spark, path, pin)
+    val schema = combinedStreamSchema(base.schema("id"))
     val nBase = base.count()
     val nDelta =
       IndexStore.ledgeredDelta(spark, path, "shingles", pin, base.schema,

@@ -48,6 +48,13 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * old version would lose files mid-scan): the lakehouse OPTIMIZE
   * (online) vs VACUUM (retention-gated) split.
   *
+  * Fold manifests are cumulative and never rewritten, so a manifest's
+  * row count is bounded by total batches appended plus stream files
+  * committed over the index's lifetime — the same order as the `_ledger`
+  * the design already carries (one driver-side KB-scale read per Pin;
+  * refs whose dirs vacuum has deleted are dead weight in a set-membership
+  * test, not a scan).
+  *
   * The exactly-once batch contract mirrors the reference's name-keyed
   * PROCESSED_FILES ledger (snowflake_load.py:108-133) applied to index
   * artifacts.
