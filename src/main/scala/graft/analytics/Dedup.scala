@@ -607,22 +607,28 @@ object Dedup {
     (s._1 + b._1, s._2 + b._2, s._3 + b._3)
   }
 
-  /** QUIESCED garbage collection for the MinHash index: drop superseded
-    * base versions, folded `batch=` delta dirs, and — iff every
-    * committed stream file is folded into BOTH components' live
-    * versions — the shared maintenance-stream dir (whole, manifest
-    * included; per-file deletion would break the sink manifest). Run
-    * with no concurrent probes, compactors, or maintenance stream (a
-    * stream restarted afterwards needs a fresh checkpoint). Returns
-    * (versions removed, batch dirs removed, stream dir removed). */
+  /** Retention-gated garbage collection for the MinHash index: keep
+    * the newest `keepVersions` complete base versions per component,
+    * drop the rest plus the `batch=` delta dirs (and — iff every
+    * committed stream file is folded for BOTH components — the shared
+    * maintenance-stream dir, whole: per-file deletion would break the
+    * sink manifest) that the OLDEST retained version has folded.
+    * `keepVersions = 1` requires probe quiescence; `keepVersions = 2`
+    * tolerates every probe that pinned since the previous install
+    * (IndexStore.vacuumComponent). Never run concurrent with a
+    * compactor, nor with the maintenance stream when the stream dir is
+    * deletable (a stream restarted after its dir is dropped needs a
+    * fresh checkpoint). Returns (versions removed, batch dirs removed,
+    * stream dir removed). */
   def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                         path: String): (Long, Long, Boolean) = {
+                         path: String,
+                         keepVersions: Int = 1): (Long, Long, Boolean) = {
     val schema = combinedStreamSchema(
       IndexStore.readBase(spark, path, "shingles").schema("id"))
-    val a = IndexStore.vacuumComponent(spark, path, "shingles")
-    val b = IndexStore.vacuumComponent(spark, path, "bands")
+    val a = IndexStore.vacuumComponent(spark, path, "shingles", keepVersions)
+    val b = IndexStore.vacuumComponent(spark, path, "bands", keepVersions)
     val streamGone = IndexStore.vacuumStreamDir(spark, path,
-      minhashStreamDir(path), schema, Seq("shingles", "bands"))
+      minhashStreamDir(path), schema, Seq("shingles", "bands"), keepVersions)
     (a._1 + b._1, a._2 + b._2, streamGone)
   }
 

@@ -154,10 +154,15 @@ private[graft] object IndexStore {
   def pinOf(spark: SparkSession, path: String, component: String): Pin = {
     val v = liveVersion(spark, path, component).getOrElse(
       sys.error(s"no complete version of index component $path/$component"))
+    val (b, st) = foldsAt(spark, path, component, v)
+    Pin(v, b, st)
+  }
+
+  private def foldsAt(spark: SparkSession, path: String, component: String,
+                      v: Long): (Set[String], Set[String]) = {
     val rows = spark.read.parquet(foldsDir(path, component, v))
       .select("kind", "ref").collect()
-    Pin(v,
-      rows.filter(_.getString(0) == "batch").map(_.getString(1)).toSet,
+    (rows.filter(_.getString(0) == "batch").map(_.getString(1)).toSet,
       rows.filter(_.getString(0) == "stream").map(_.getString(1)).toSet)
   }
 
@@ -378,36 +383,70 @@ private[graft] object IndexStore {
     (before, after, rows)
   }
 
-  /** QUIESCED garbage collection of one component: drop versions other
-    * than the live one (older = superseded, newer = incomplete crashed
-    * attempts) with their fold manifests, and the folded `batch=` delta
-    * dirs. Returns (versions removed, batch dirs removed). Must run
-    * without concurrent readers or compactors — an in-flight reader
-    * pinned to an old version loses files mid-scan (the lakehouse
-    * VACUUM retention trade; schedule it after probes drain). The
-    * ledger is NEVER vacuumed: a late replay of a folded-and-vacuumed
-    * batch id must still be recognized and skipped. */
-  def vacuumComponent(spark: SparkSession, path: String,
-                      component: String): (Long, Long) = {
+  /** RETENTION-GATED garbage collection of one component: keep the
+    * newest `keepVersions` COMPLETE versions, drop everything else
+    * (older complete versions, and incomplete crashed/in-progress
+    * attempts) with their fold manifests, and drop the `batch=` delta
+    * dirs folded into the OLDEST retained version — folds are
+    * cumulative, so a dir folded there is folded in every retained
+    * version, and any reader pinned to a retained version never loses
+    * a file. Returns (versions removed, batch dirs removed).
+    *
+    * Concurrency contract: never run concurrent with a COMPACTOR or
+    * REBUILD (their in-progress next version would be deleted as an
+    * incomplete attempt). Readers are safe as long as none is pinned
+    * older than `keepVersions - 1` installs back — `keepVersions = 1`
+    * (the default) therefore requires reader quiescence, while
+    * `keepVersions = 2` tolerates every reader that pinned since the
+    * previous install: the lakehouse VACUUM retention trade, chosen per
+    * deployment by how long a probe/serve can run. The ledger is NEVER
+    * vacuumed: a late replay of a folded-and-vacuumed batch id must
+    * still be recognized and skipped. */
+  def vacuumComponent(spark: SparkSession, path: String, component: String,
+                      keepVersions: Int = 1): (Long, Long) = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
     val fs = hfs(spark, path)
-    val pin = pinOf(spark, path, component)
-    val stale = fs.listStatus(hp(s"$path/$component")).toSeq
+    val listed = fs.listStatus(hp(s"$path/$component")).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filter(_ != pin.v)
+    val retained = listed.filter(isComplete(spark, path, component, _))
+      .sorted(Ordering[Long].reverse).take(keepVersions)
+    require(retained.nonEmpty,
+      s"no complete version of index component $path/$component")
+    val stale = listed.filterNot(retained.contains)
     stale.foreach { v =>
       fs.delete(hp(versionDir(path, component, v)), true)
       fs.delete(hp(foldsDir(path, component, v)), true)
     }
+    // only dirs every retained version has folded may go: cumulative
+    // manifests make that exactly the OLDEST retained version's set
+    val foldedB = oldestRetainedFolds(spark, path, component, keepVersions)._1
     val deltaDir = hp(s"$path/${component}_delta")
     var removed = 0L
     if (fs.exists(deltaDir)) {
       fs.listStatus(deltaDir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filter(s => pin.foldedBatches(s.getPath.getName.stripPrefix("batch=")))
+        .filter(s => foldedB(s.getPath.getName.stripPrefix("batch=")))
         .foreach { s => fs.delete(s.getPath, true); removed += 1 }
     }
     (stale.size.toLong, removed)
+  }
+
+  /** The fold manifest that gates retention-aware deletion: the OLDEST
+    * of the newest `keepVersions` complete versions (see
+    * [[vacuumComponent]]). */
+  def oldestRetainedFolds(spark: SparkSession, path: String,
+                          component: String,
+                          keepVersions: Int): (Set[String], Set[String]) = {
+    val fs = hfs(spark, path)
+    val retained = fs.listStatus(hp(s"$path/$component")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(isComplete(spark, path, component, _))
+      .sorted(Ordering[Long].reverse).take(keepVersions)
+    require(retained.nonEmpty,
+      s"no complete version of index component $path/$component")
+    foldsAt(spark, path, component, retained.min)
   }
 
   /** Delete a stream dir (manifest included) iff every committed file
@@ -418,11 +457,12 @@ private[graft] object IndexStore {
     * stream itself must have terminated (a restart afterwards needs a
     * fresh checkpoint; its sink manifest dies with the dir). */
   def vacuumStreamDir(spark: SparkSession, path: String, streamDir: String,
-                      schema: StructType,
-                      components: Seq[String]): Boolean = {
+                      schema: StructType, components: Seq[String],
+                      keepVersions: Int = 1): Boolean = {
     val committed = committedStreamFiles(spark, streamDir, schema).toSet
     val fullyFolded = components.forall(c =>
-      committed.subsetOf(pinOf(spark, path, c).foldedStream))
+      committed.subsetOf(
+        oldestRetainedFolds(spark, path, c, keepVersions)._2))
     if (committed.nonEmpty && !fullyFolded) false
     else {
       val fs = hfs(spark, streamDir)

@@ -690,30 +690,38 @@ object Similarity {
       })
   }
 
-  /** QUIESCED garbage collection for the IVF-PQ index: drop superseded
-    * code versions (with their version-scoped meta and fold manifests),
-    * folded `batch=` delta dirs, and — iff every committed stream file
-    * is folded — the stream dir (whole, manifest included). Run with no
-    * concurrent serves, compactors, or maintenance stream (a stream
-    * restarted afterwards needs a fresh checkpoint). Returns
-    * (versions removed, batch dirs removed, stream dir removed). */
+  /** Retention-gated garbage collection for the IVF-PQ index: keep the
+    * newest `keepVersions` complete code versions (with their
+    * version-scoped meta), drop the rest plus the `batch=` delta dirs
+    * the oldest retained version has folded, and — iff every committed
+    * stream file is folded there — the stream dir (whole, manifest
+    * included). `keepVersions = 1` requires serve quiescence;
+    * `keepVersions = 2` tolerates every serve that pinned since the
+    * previous install (IndexStore.vacuumComponent). Never run
+    * concurrent with a compactor/rebuild, nor with the maintenance
+    * stream when the stream dir is deletable. Returns (versions
+    * removed, batch dirs removed, stream dir removed). */
   def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String): (Long, Long, Boolean) = {
-    val pin = IndexStore.pinOf(spark, path, "codes")
-    val schema = IndexStore.readBaseAt(spark, path, "codes", pin).schema
-    val (versions, batches) = IndexStore.vacuumComponent(spark, path, "codes")
-    // version-scoped meta of superseded versions goes with them
+                       path: String,
+                       keepVersions: Int = 1): (Long, Long, Boolean) = {
+    val schema = IndexStore.readBase(spark, path, "codes").schema
+    val (versions, batches) =
+      IndexStore.vacuumComponent(spark, path, "codes", keepVersions)
+    // version-scoped meta follows its codes version: delete the meta of
+    // every version whose codes dir vacuum just removed
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_meta")
     if (fs.exists(metaRoot)) {
       fs.listStatus(metaRoot).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-        .filter(_.getPath.getName.stripPrefix("v=").toLong != pin.v)
+        .filter(st => !fs.exists(new org.apache.hadoop.fs.Path(
+          IndexStore.versionDir(path, "codes",
+            st.getPath.getName.stripPrefix("v=").toLong))))
         .foreach(st => fs.delete(st.getPath, true))
     }
     val streamGone = IndexStore.vacuumStreamDir(spark, path,
-      s"$path/codes_stream", schema, Seq("codes"))
+      s"$path/codes_stream", schema, Seq("codes"), keepVersions)
     (versions, batches, streamGone)
   }
 

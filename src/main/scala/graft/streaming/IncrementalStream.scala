@@ -368,7 +368,7 @@ object IncrementalStream {
     * shingle-hashed and banded with the index's OWN stored parameters
     * (self-describing meta — a different shingle width or banding would
     * silently hash into a disjoint bucket space) and appended as
-    * `shingles_stream` / `bands_stream` deltas that
+    * combined `minhash_stream` delta rows that
     * [[graft.analytics.Dedup.probeMinhashIndex]] reads alongside the
     * base, so new corpus documents are probe-visible without an index
     * rebuild.

@@ -362,6 +362,44 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(probePairs(idx, probe) == before)
   }
 
+  test("retention-gated vacuum (keepVersions=2): a reader pinned at the previous version keeps all its files; keepVersions=1 then collects fully") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-retention")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day1 = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx, batchId = "d1")
+    val probe = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val before = probePairs(idx, probe)
+    // a long-running reader pins v=0 (base + unfolded d1 delta) as a
+    // LAZY plan — it will actually read its files only after vacuum
+    val pinned = {
+      val pin0 = IndexStore.pinOf(spark, idx, "shingles")
+      IndexStore.storedComponentWith(spark, idx, "shingles", pin0,
+        IndexStore.readBaseAt(spark, idx, "shingles", pin0), None)
+    }
+    Dedup.compactMinhashIndex(spark, idx) // installs v=1, folds d1
+    // retention vacuum keeps v=0 AND the d1 delta dir (folded only in
+    // v=1, not in the oldest retained version v=0)
+    val (gone2, batches2, _) = Dedup.vacuumMinhashIndex(spark, idx,
+      keepVersions = 2)
+    assert(gone2 == 0L && batches2 == 0L,
+      "two versions exist, both retained; d1 unfolded at v=0 -> kept")
+    assert(new java.io.File(s"$idx/shingles_delta/batch=d1").exists())
+    // the pinned reader completes AFTER the vacuum, files intact
+    assert(pinned.count() == corpus.count() + day1.count())
+    assert(probePairs(idx, probe) == before)
+    // full collection once readers drained: only v=1 survives
+    val (gone1, batches1, _) = Dedup.vacuumMinhashIndex(spark, idx,
+      keepVersions = 1)
+    assert(gone1 == 2L && batches1 == 2L,
+      "one stale version + one folded batch dir per component")
+    assert(!new java.io.File(s"$idx/shingles/v=0").exists())
+    assert(!new java.io.File(s"$idx/shingles_delta/batch=d1").exists())
+    assert(probePairs(idx, probe) == before)
+  }
+
   test("batch= partition type is pinned to string: a leading-zero batch id round-trips append -> ledger -> probe") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
     val idx = tmp("mh-zero")
