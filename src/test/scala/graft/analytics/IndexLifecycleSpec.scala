@@ -362,6 +362,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(probePairs(idx, probe) == before)
   }
 
+  test("ledgered-delta reads prune at the partition level: batch isin is a PartitionFilter over string-typed batch") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-prune")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "007")
+    val pin = IndexStore.pinOf(spark, idx, "shingles")
+    val base = IndexStore.readBaseAt(spark, idx, "shingles", pin)
+    val delta = IndexStore.ledgeredDelta(spark, idx, "shingles", pin,
+      base.schema, Seq("id")).get
+    assert(delta.schema.isEmpty || delta.count() == day.count())
+    val plan = delta.queryExecution.executedPlan.toString
+    // the ledger-id isin must reach the scan as a PARTITION filter —
+    // a post-scan filter would read every batch dir (incl. unledgered
+    // ghosts and vacuum-pending folded dirs) at probe time
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*batch[^\\]]*\\].*"),
+      s"expected batch partition pruning in:\n$plan")
+    // and the partition column is STRING by pinned schema, not inferred
+    val deltaAll = spark.read
+      .schema(base.schema.add("batch", org.apache.spark.sql.types.StringType))
+      .parquet(s"$idx/shingles_delta")
+    assert(deltaAll.schema("batch").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("retention-gated vacuum (keepVersions=2): a reader pinned at the previous version keeps all its files; keepVersions=1 then collects fully") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
     val idx = tmp("mh-retention")
