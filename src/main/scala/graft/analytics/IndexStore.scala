@@ -284,6 +284,15 @@ private[graft] object IndexStore {
     * combined stream dir and assemble via [[storedComponentWith]]). */
   def storedComponent(spark: SparkSession, path: String,
                       component: String): DataFrame = {
+    // loud guard against the silent-miss misuse: a MinHash index's
+    // stream delta lives in the family-shared `minhash_stream` dir with
+    // a combined schema — assembling its components here would quietly
+    // drop every streamed row (Dedup.storedMinhashComponent is the
+    // correct face; this one covers per-component `_stream` families)
+    require(!hfs(spark, path).exists(hp(s"$path/minhash_stream")) ||
+      !Set("shingles", "bands")(component),
+      s"$component of the MinHash index at $path must be read via " +
+        "Dedup.storedMinhashComponent (shared combined stream dir)")
     val pin = pinOf(spark, path, component)
     val base = readBaseAt(spark, path, component, pin)
     val stream = streamRows(spark, s"$path/${component}_stream", base.schema,
