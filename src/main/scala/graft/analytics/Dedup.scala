@@ -346,7 +346,8 @@ object Dedup {
     * atomically. (Two independent sinks had a cross-component window:
     * a band row could commit before its shingle row, and a concurrent
     * probe's verify join transiently dropped that candidate.) Readers
-    * derive each component's rows back out — see minhashStreamPart. */
+    * derive each component's rows back out — see deriveStreamComponent
+    * / storedMinhashComponent. */
   private[graft] def combinedStreamRows(df: DataFrame, idCol: String,
                                         textCol: String, n: Int,
                                         numHashes: Int, bands: Int): DataFrame = {
@@ -443,6 +444,15 @@ object Dedup {
     // different parameters than the build's would silently hash into a
     // disjoint bucket space and return zero pairs, the worst kind of
     // wrong answer
+    // create-once: a live version at this path means probes are already
+    // serving it — overwriting v=0 underneath a HIGHER live version
+    // would be silently ignored by readers (they resolve the max
+    // complete version), the worst kind of "rebuild". Fail loud; an
+    // in-place refresh is vacuum + a fresh path (or the IVF-PQ family's
+    // rebuild operator, which installs as the NEXT version).
+    require(IndexStore.liveVersion(spark, path, "shingles").isEmpty,
+      s"writeMinhashIndex: an index already exists at $path — " +
+        "build into a fresh path instead of overwriting a live one")
     Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val hashed = shingleHashSets(df, idCol, textCol, n)
@@ -595,16 +605,23 @@ object Dedup {
                           rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
     val schema = combinedStreamSchema(
       IndexStore.readBase(spark, path, "shingles").schema("id"))
+    // the shared stream dir's unfolded files appear in BOTH components'
+    // per-component `before` counts (compactComponent's contract) but
+    // are one physical set — count them once, from the shingles view
+    val nSharedStream = IndexStore
+      .committedStreamFiles(spark, minhashStreamDir(path), schema)
+      .filterNot(IndexStore.pinOf(spark, path, "shingles").foldedStream)
+      .size.toLong
     def one(component: String): (Long, Long, Long) =
       IndexStore.compactComponent(spark, path, component,
         stream = Some((minhashStreamDir(path), schema,
           deriveStreamComponent(_, component))),
-        write = (merged, rows, dest) =>
+        write = (merged, rows, dest, _) =>
           graft.operators.Layout.writeSized(merged, dest, "id",
             rowsPerFile, rows))
     val s = one("shingles")
     val b = one("bands")
-    (s._1 + b._1, s._2 + b._2, s._3 + b._3)
+    (s._1 + b._1 - nSharedStream, s._2 + b._2, s._3 + b._3)
   }
 
   /** Retention-gated garbage collection for the MinHash index: keep

@@ -166,9 +166,6 @@ private[graft] object IndexStore {
       rows.filter(_.getString(0) == "stream").map(_.getString(1)).toSet)
   }
 
-  def baseDir(spark: SparkSession, path: String, component: String): String =
-    versionDir(path, component, pinOf(spark, path, component).v)
-
   def readBaseAt(spark: SparkSession, path: String, component: String,
                  pin: Pin): DataFrame =
     spark.read.parquet(versionDir(path, component, pin.v))
@@ -345,12 +342,18 @@ private[graft] object IndexStore {
     * its manifest) — concurrent WRITERS are safe as well.
     *
     * `stream` = (shared stream dir, its combined schema, per-component
-    * row derivation) when the family has a streaming face.
+    * row derivation) when the family has a streaming face. `write`
+    * receives (merged rows relation, row count, destination dir, the
+    * version number being installed) — families with version-scoped
+    * sidecars (IVF-PQ meta) carry them forward by number instead of
+    * parsing the destination path.
     *
-    * Returns (reader-visible files before, after, merged rows). */
+    * Returns (reader-visible files before — the shared stream dir's
+    * files included, so a family summing components must de-duplicate
+    * them — files after, merged rows). */
   def compactComponent(spark: SparkSession, path: String, component: String,
                        stream: Option[(String, StructType, DataFrame => DataFrame)],
-                       write: (DataFrame, Long, String) => Unit): (Long, Long, Long) = {
+                       write: (DataFrame, Long, String, Long) => Unit): (Long, Long, Long) = {
     val pin = pinOf(spark, path, component)
     val newIds = unfoldedBatchIds(spark, path, pin)
     val base = readBaseAt(spark, path, component, pin)
@@ -384,7 +387,7 @@ private[graft] object IndexStore {
     val next = pin.v + 1
     dropIncompleteVersion(spark, path, component, next)
     val rows = merged.count()
-    write(merged, rows, versionDir(path, component, next))
+    write(merged, rows, versionDir(path, component, next), next)
     commitFolds(spark, path, component, next,
       pin.foldedBatches ++ newIds, pin.foldedStream ++ streamFiles)
     val after = graft.operators.Layout
@@ -429,7 +432,7 @@ private[graft] object IndexStore {
     }
     // only dirs every retained version has folded may go: cumulative
     // manifests make that exactly the OLDEST retained version's set
-    val foldedB = oldestRetainedFolds(spark, path, component, keepVersions)._1
+    val foldedB = foldsAt(spark, path, component, retained.min)._1
     val deltaDir = hp(s"$path/${component}_delta")
     var removed = 0L
     if (fs.exists(deltaDir)) {

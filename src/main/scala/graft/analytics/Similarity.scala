@@ -400,6 +400,12 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       codebook: Array[Array[Array[Long]]], path: String,
                       nCells: Int = 16): Unit = {
+    // create-once: with a live version already at this path, a v=0
+    // overwrite would be silently ignored by readers (they resolve the
+    // max complete version) — an in-place refresh is rebuildIvfPqIndex
+    require(IndexStore.liveVersion(corpus.sparkSession, path, "codes").isEmpty,
+      s"writeIvfPqIndex: an index already exists at $path — " +
+        "use rebuildIvfPqIndex (or a fresh path)")
     buildCodesVersion(corpus.sparkSession, path, corpus, idCol, vecCol,
       codebook, nCells, version = 0L)
     IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L,
@@ -672,7 +678,7 @@ object Similarity {
     val schema = IndexStore.readBase(spark, path, "codes").schema
     IndexStore.compactComponent(spark, path, "codes",
       stream = Some((s"$path/codes_stream", schema, identity[DataFrame])),
-      write = (merged, _, dest) => {
+      write = (merged, _, dest, next) => {
         merged.repartition(col("cell"))
           .write.mode("overwrite")
           .option("maxRecordsPerFile", rowsPerFile)
@@ -681,7 +687,6 @@ object Similarity {
         // the codes (one pin resolves both), so the new version needs
         // its own copy — KB-scale, rewritten value-exact. Only a
         // rebuild retrains it.
-        val next = dest.substring(dest.lastIndexOf("v=") + 2).toLong
         Seq("centroids", "codebook", "quant_baseline").foreach { m =>
           spark.read.parquet(s"${codesMetaDir(path, next - 1)}/$m")
             .coalesce(1).write.mode("overwrite")
@@ -764,8 +769,37 @@ object Similarity {
     if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
       return // replayed rebuild: already installed and ledgered
     val pin = IndexStore.pinOf(spark, path, "codes")
-    val visibleIds = IndexStore.storedComponent(spark, path, "codes")
-      .select(col("id")).distinct()
+    // SNAPSHOT what the re-encode covers, before any long training:
+    // exactly these refs get folded at install. Re-reading the ledger
+    // or manifest at commit time would fold a delta committed
+    // mid-rebuild WITHOUT re-encoding it — silent row loss (a
+    // quiescence violation must degrade to a visible, old-codebook
+    // delta anomaly, never to deletion).
+    val snapshotIds = IndexStore.unfoldedBatchIds(spark, path, pin).toSet
+    val snapshotStream = IndexStore.committedStreamFiles(spark,
+        s"$path/codes_stream",
+        IndexStore.readBaseAt(spark, path, "codes", pin).schema)
+      .filterNot(pin.foldedStream).toSet
+    val base = IndexStore.readBaseAt(spark, path, "codes", pin)
+    val cols = base.columns.toSeq
+    // merge from the EXACT snapshot (same discipline as
+    // IndexStore.compactComponent): never re-read the ledger
+    val visibleRel = {
+      val withDelta =
+        if (snapshotIds.isEmpty) base.select(cols.map(col): _*)
+        else base.select(cols.map(col): _*).unionByName(
+          spark.read
+            .schema(base.schema.add("batch",
+              org.apache.spark.sql.types.StringType, nullable = false))
+            .parquet(s"$path/codes_delta")
+            .filter(col("batch").isin(snapshotIds.toSeq.sorted: _*))
+            .select(cols.map(col): _*))
+      IndexStore.streamRows(spark, s"$path/codes_stream", base.schema,
+          include = Some(snapshotStream))
+        .map(p => withDelta.unionByName(p.select(cols.map(col): _*)))
+        .getOrElse(withDelta)
+    }
+    val visibleIds = visibleRel.select(col("id")).distinct()
     val rows = corpus.join(
       visibleIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
     val nVisible = visibleIds.count()
@@ -778,13 +812,13 @@ object Similarity {
     IndexStore.dropIncompleteVersion(spark, path, "codes", next)
     buildCodesVersion(spark, path, rows, idCol, vecCol, codebook,
       nCells, version = next)
-    // fold EVERYTHING: the re-encode supersedes every delta row
-    val streamFiles = IndexStore.committedStreamFiles(spark,
-      s"$path/codes_stream",
-      IndexStore.readBaseAt(spark, path, "codes", pin).schema).toSet
+    // fold exactly the SNAPSHOT the re-encode covered: a batch or
+    // stream file committed during the rebuild stays unfolded (visible
+    // as delta — an out-of-contract writer surfaces as an anomaly
+    // instead of losing rows)
     IndexStore.commitFolds(spark, path, "codes", next,
-      IndexStore.ledgeredBatchIds(spark, path).toSet,
-      pin.foldedStream ++ streamFiles)
+      pin.foldedBatches ++ snapshotIds,
+      pin.foldedStream ++ snapshotStream)
     IndexStore.ledgerRebuild(spark, path, rebuildId)
   }
 
