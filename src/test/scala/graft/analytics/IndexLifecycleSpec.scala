@@ -528,6 +528,55 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(serve() == s1, "replayed rebuild is a no-op")
   }
 
+  test("crashed rebuild is invisible; the retry installs cleanly; post-rebuild vacuum collects everything and serving is unchanged") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-rebuild-crash")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb, idx)
+    Similarity.appendToIvfPqIndex(spark, idx, e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", batchId = "d1")
+    def serveWith(codebook: Array[Array[Array[Long]]]): Seq[(Long, Long)] =
+      Similarity.topKIvfPqFromIndex(spark, idx, e.filter($"vec_id" === 8),
+        "vec_id", "embedding", k = 10, codebook)
+        .as[(Long, Long)].collect().toSeq
+    val before = serveWith(cb)
+    // simulate a rebuild that died after writing v=1 data AND meta but
+    // before committing the fold manifest: readers must stay on v=0
+    IndexStore.storedComponent(spark, idx, "codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexStore.versionDir(idx, "codes", 1))
+    Seq("centroids", "codebook", "quant_baseline").foreach { m =>
+      spark.read.parquet(s"$idx/codes_meta/v=0/$m")
+        .write.mode("overwrite").parquet(s"$idx/codes_meta/v=1/$m")
+    }
+    assert(IndexStore.pinOf(spark, idx, "codes").v == 0L,
+      "a fold-manifest-less v=1 must be invisible")
+    assert(serveWith(cb) == before, "serving unchanged by the crash debris")
+    // the retry (fresh rebuild id — the crashed one never ledgered)
+    // drops the debris and installs v=1 atomically
+    Similarity.rebuildIvfPqIndex(spark, idx, e, "vec_id", "embedding",
+      rebuildId = "r-crash-retry")
+    assert(IndexStore.pinOf(spark, idx, "codes").v == 1L)
+    val cb2 = Similarity.codebookOf(spark, idx)
+    val served = serveWith(cb2)
+    assert(served.map(_._1).contains(8L), "query vector still retrievable")
+    // post-rebuild vacuum: v=0 (+ its meta), the folded batch dir and
+    // the (empty) stream state all collect; serving is bit-unchanged
+    val (versions, batches, streamGone) =
+      Similarity.vacuumIvfPqIndex(spark, idx)
+    assert(versions == 1L && batches == 1L && streamGone)
+    assert(!new java.io.File(s"$idx/codes/v=0").exists())
+    assert(!new java.io.File(s"$idx/codes_meta/v=0").exists())
+    assert(!new java.io.File(s"$idx/codes_delta/batch=d1").exists())
+    assert(serveWith(cb2) == served, "vacuum never changes serving")
+    // and the vacuumed batch's very late replay is still a no-op
+    val n1 = IndexStore.storedComponent(spark, idx, "codes").count()
+    Similarity.appendToIvfPqIndex(spark, idx, e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", batchId = "d1")
+    assert(IndexStore.storedComponent(spark, idx, "codes").count() == n1)
+  }
+
   test("ivfPqIndexHealth: counts exact, no drift on the build corpus, recall above floor") {
     val e = embeddings
     val base = e.filter($"vec_id" % 4 =!= 0)
