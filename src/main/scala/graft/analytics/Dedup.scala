@@ -356,7 +356,8 @@ object Dedup {
       .select(col("id"), col("shash"),
         graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
       .select(col("id"), col("shash"),
-        bandArray(col("sig"), numHashes, bands).as("bands"))
+        bandArray(col("sig"), numHashes, bands).as("bands"),
+        lit(paramsFp(n, numHashes, bands)).as("params_fp"))
   }
 
   /** The family-shared maintenance-stream dir (combined schema). */
@@ -376,18 +377,21 @@ object Dedup {
       idField,
       StructField("shash", ArrayType(LongType)),
       StructField("bands", ArrayType(StructType(Seq(
-        StructField("band", IntegerType), StructField("bh", LongType)))))))
+        StructField("band", IntegerType), StructField("bh", LongType))))),
+      StructField("params_fp", StringType)))
   }
 
-  /** Derive one component's rows from the combined stream relation. */
+  /** Derive one component's rows from the combined stream relation
+    * (the per-doc `params_fp` stamp rides along into both). */
   private def deriveStreamComponent(combined: DataFrame,
                                     component: String): DataFrame =
     component match {
-      case "shingles" => combined.select(col("id"), col("shash"))
+      case "shingles" =>
+        combined.select(col("id"), col("shash"), col("params_fp"))
       case "bands" => combined
-        .select(col("id"), explode(col("bands")).as("bucket"))
+        .select(col("id"), explode(col("bands")).as("bucket"), col("params_fp"))
         .select(col("id"), col("bucket.band").as("band"),
-          col("bucket.bh").as("bh"))
+          col("bucket.bh").as("bh"), col("params_fp"))
       case other => sys.error(s"unknown MinHash index component: $other")
     }
 
@@ -433,12 +437,56 @@ object Dedup {
     * compiled expressions as [[minhashLshPairs]], so stored and fresh
     * signatures are identical by construction (pinned by the q323
     * verdict differential). */
+  /** Human-readable fingerprint of one (shingle width, hashes, bands)
+    * parameter point — the MinHash analog of the IVF-PQ codebook
+    * fingerprint. Stamped on every stored shingle/band row (`params_fp`
+    * — constant within a write, so parquet dictionary/RLE encoding
+    * stores it at near-zero cost) and checked by probes: rows derived
+    * under different parameters hash into a DISJOINT bucket space, so
+    * mixing them would silently drop candidates — the worst kind of
+    * wrong answer. */
+  private[graft] def paramsFp(n: Int, numHashes: Int, bands: Int): String =
+    s"n$n-h$numHashes-b$bands"
+
+  /** Append one parameter row to the index's append-only meta log.
+    * Meta is a LOG, not an overwritten file, because a parameter
+    * REBUILD must flip the current params without a delete+rewrite
+    * window a concurrent reader could fall into: appending one new
+    * max-`seq` row is a single atomic file materialization, and
+    * readers take the max-seq row. */
+  private def appendMetaParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String, n: Int, numHashes: Int,
+                               bands: Int, seq: Long): Unit = {
+    import spark.implicits._
+    Seq((n, numHashes, bands, seq)).toDF("n", "num_hashes", "bands", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+  }
+
+  /** Route a component's payload column through the params guard: a
+    * stored row stamped with different parameters than the index's
+    * CURRENT ones raises a named error in the scan (codegen'd
+    * `when`/`raise_error` — no extra pass) instead of silently hashing
+    * into a disjoint bucket space. Such rows can only come from a
+    * writer that committed while a parameter rebuild was installing
+    * (quiescence violation) — loud, never silent. */
+  private def guardParams(df: DataFrame, payload: String,
+                          expectedFp: String, path: String): DataFrame =
+    df.withColumn(payload,
+      when(col("params_fp") === lit(expectedFp), col(payload))
+        .otherwise(raise_error(concat(
+          lit(s"foreign-parameter rows in MinHash index at $path: found " +
+            "rows derived under params "),
+          col("params_fp"),
+          lit(s" but the index's current params are $expectedFp — a " +
+            "writer committed during a parameter rebuild; re-append the " +
+            "offending batch (or re-run rebuildMinhashIndex) before " +
+            "probing")))))
+
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 2, numHashes: Int = 32,
                         bands: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
-    import spark.implicits._
     // the index is SELF-DESCRIBING: shingle width and banding live in
     // `path/meta` and append/probe read them back — probing with
     // different parameters than the build's would silently hash into a
@@ -447,34 +495,54 @@ object Dedup {
     // create-once: a live version at this path means probes are already
     // serving it — overwriting v=0 underneath a HIGHER live version
     // would be silently ignored by readers (they resolve the max
-    // complete version), the worst kind of "rebuild". Fail loud; an
-    // in-place refresh is vacuum + a fresh path (or the IVF-PQ family's
-    // rebuild operator, which installs as the NEXT version).
+    // complete version), the worst kind of "rebuild". The gate checks
+    // SHINGLES — the component committed LAST, i.e. the overall install
+    // point — so a build that crashed between the two fold commits
+    // (bands live, shingles incomplete: every probe fails loud on the
+    // shingles pin) is detected as half-built and the re-run is allowed
+    // to finish installing v=0 instead of being locked out. An
+    // in-place refresh of a fully-installed index is
+    // [[rebuildMinhashIndex]] (installs as the NEXT version).
     require(IndexStore.liveVersion(spark, path, "shingles").isEmpty,
       s"writeMinhashIndex: an index already exists at $path — " +
-        "build into a fresh path instead of overwriting a live one")
-    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        "use rebuildMinhashIndex (or a fresh path) instead of " +
+        "overwriting a live one")
+    appendMetaParams(spark, path, n, numHashes, bands, seq = 0L)
+    val fp = paramsFp(n, numHashes, bands)
     val hashed = shingleHashSets(df, idCol, textCol, n)
+      .withColumn("params_fp", lit(fp))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // versioned bases (IndexStore): v=0 is the build; each component
     // goes live only when its (empty) fold manifest commits
     hashed.write.mode("overwrite")
       .parquet(IndexStore.versionDir(path, "shingles", 0))
-    bandRowsOf(hashed, numHashes, bands).write.mode("overwrite")
+    bandRowsOf(hashed, numHashes, bands).withColumn("params_fp", lit(fp))
+      .write.mode("overwrite")
       .parquet(IndexStore.versionDir(path, "bands", 0))
     hashed.unpersist()
-    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty, Set.empty)
+    // bands first, shingles LAST (the create-once gate's component):
+    // a crash between the two leaves a recoverable half-install, never
+    // a stuck one
     IndexStore.commitFolds(spark, path, "bands", 0, Set.empty, Set.empty)
+    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty, Set.empty)
   }
 
-  /** (n, numHashes, bands) the index at `path` was built with. */
+  /** (n, numHashes, bands) the index at `path` CURRENTLY uses: the
+    * max-`seq` row of the append-only meta log (a parameter rebuild
+    * appends the next row — see [[rebuildMinhashIndex]]). */
   def minhashIndexParams(spark: org.apache.spark.sql.SparkSession,
                          path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta")
+      .orderBy(col("seq").desc)
       .select("n", "num_hashes", "bands").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
+
+  /** Max meta-log seq (driver-side; rows = 1 + parameter rebuilds). */
+  private def metaSeq(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long =
+    spark.read.parquet(s"$path/meta")
+      .agg(max(col("seq"))).head().getLong(0)
 
   /** Daily-ingest face: append a new batch's shingle sets and band
     * buckets into the stored index. Cost is O(|batch|) — the corpus
@@ -497,18 +565,45 @@ object Dedup {
     * [[ledgeredDelta]]), so a crashed write that never retried is
     * invisible rather than half-visible. */
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
-                           path: String, batchId: String): Unit = {
+                           path: String, batchId: String): Unit =
+    appendToMinhashIndex(df, idCol, textCol, path, batchId, () => ())
+
+  /** [[appendToMinhashIndex]] with a barrier hook invoked after both
+    * component writes commit and before the params re-check + ledger —
+    * lets a spec install a parameter rebuild inside the race window
+    * deterministically. No-op in production. */
+  private[graft] def appendToMinhashIndex(df: DataFrame, idCol: String,
+                                          textCol: String, path: String,
+                                          batchId: String,
+                                          preCommitHook: () => Unit): Unit = {
     val spark = df.sparkSession
     if (IndexStore.batchAlreadyAppended(spark, path, batchId))
       return // replayed batch: already fully appended and ledgered
     val (n, numHashes, bands) = minhashIndexParams(spark, path)
+    val fp = paramsFp(n, numHashes, bands)
     val hashed = shingleHashSets(df, idCol, textCol, n)
+      .withColumn("params_fp", lit(fp))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.write.mode("overwrite")
       .parquet(s"$path/shingles_delta/batch=$batchId")
-    bandRowsOf(hashed, numHashes, bands).write.mode("overwrite")
+    bandRowsOf(hashed, numHashes, bands).withColumn("params_fp", lit(fp))
+      .write.mode("overwrite")
       .parquet(s"$path/bands_delta/batch=$batchId")
     hashed.unpersist()
+    preCommitHook()
+    // params re-check between the writes and the ledger commit: if a
+    // parameter rebuild flipped the meta while this append was
+    // shingling (the quiescence race), the batch is NOT ledgered — the
+    // written dirs stay invisible and a retry re-derives under the new
+    // parameters. Mirrors the IVF-PQ append's geometry re-check.
+    val (n2, h2, b2) = minhashIndexParams(spark, path)
+    val liveFp = paramsFp(n2, h2, b2)
+    if (liveFp != fp)
+      sys.error(s"parameter rebuild installed during append to MinHash " +
+        s"index at $path: batch $batchId was derived under $fp but the " +
+        s"index's current params are now $liveFp — the batch was NOT " +
+        "ledgered (it stays invisible); retry the append to re-derive " +
+        "under the new parameters")
     IndexStore.ledgerBatch(spark, path, batchId)
   }
 
@@ -550,12 +645,18 @@ object Dedup {
                         idCol: String, textCol: String,
                         num: Long = 1, den: Long = 5): DataFrame = {
     val (n, numHashes, bands) = minhashIndexParams(spark, path)
+    val fp = paramsFp(n, numHashes, bands)
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRowsOf(newHashed, numHashes, bands)
     // base ∪ ledgered batch delta ∪ stream delta: appended corpus
-    // batches are probed exactly like build-time corpus
-    val stored = storedComponent(spark, path, "bands")
+    // batches are probed exactly like build-time corpus. Both stored
+    // relations route their payload through the params guard — a row
+    // derived under different parameters than the index's current ones
+    // (a writer that violated rebuild quiescence) fails the probe LOUD
+    // instead of silently hashing into a disjoint bucket space.
+    val stored = guardParams(
+      storedComponent(spark, path, "bands"), "bh", fp, path)
     val cand = stored.as("c")
       .join(broadcast(newBands.as("x")),
         col("c.band") === col("x.band") && col("c.bh") === col("x.bh")
@@ -567,7 +668,7 @@ object Dedup {
     val withNew = cand.join(
       newHashed.select(col("id").as("id_new"), col("shash").as("sh_a")),
       Seq("id_new"))
-    storedComponent(spark, path, "shingles")
+    guardParams(storedComponent(spark, path, "shingles"), "shash", fp, path)
       .select(col("id").as("id_corpus"), col("shash").as("sh_b"))
       .join(broadcast(withNew), Seq("id_corpus"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -605,23 +706,31 @@ object Dedup {
                           rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
     val schema = combinedStreamSchema(
       IndexStore.readBase(spark, path, "shingles").schema("id"))
-    // the shared stream dir's unfolded files appear in BOTH components'
-    // per-component `before` counts (compactComponent's contract) but
-    // are one physical set — count them once, from the shingles view
-    val nSharedStream = IndexStore
-      .committedStreamFiles(spark, minhashStreamDir(path), schema)
-      .filterNot(IndexStore.pinOf(spark, path, "shingles").foldedStream)
-      .size.toLong
-    def one(component: String): (Long, Long, Long) =
+    val (n, h, b0) = minhashIndexParams(spark, path)
+    val expectedFp = paramsFp(n, h, b0)
+    def one(component: String): (Long, Long, Long, Set[String]) =
       IndexStore.compactComponent(spark, path, component,
         stream = Some((minhashStreamDir(path), schema,
           deriveStreamComponent(_, component))),
         write = (merged, rows, dest, _) =>
-          graft.operators.Layout.writeSized(merged, dest, "id",
-            rowsPerFile, rows))
+          // the rewrite routes the payload through the params guard: a
+          // foreign-parameter delta row fails the compaction loudly —
+          // baking it into the base would make the disjoint-bucket
+          // anomaly permanent (the failed attempt stays invisible)
+          graft.operators.Layout.writeSized(
+            guardParams(merged,
+              if (component == "bands") "bh" else "shash",
+              expectedFp, path),
+            dest, "id", rowsPerFile, rows))
     val s = one("shingles")
     val b = one("bands")
-    (s._1 + b._1 - nSharedStream, s._2 + b._2, s._3 + b._3)
+    // the shared stream dir's unfolded files appear in BOTH components'
+    // `before` counts but are one physical set — subtract the overlap
+    // of the snapshots each compaction ACTUALLY folded (the two fold
+    // sets can diverge after a crash between per-component installs;
+    // recomputing from either pin alone would miscount)
+    val shared = (s._4 intersect b._4).size.toLong
+    (s._1 + b._1 - shared, s._2 + b._2, s._3 + b._3)
   }
 
   /** Retention-gated garbage collection for the MinHash index: keep
@@ -639,23 +748,131 @@ object Dedup {
     * stream dir removed). */
   def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String,
-                         keepVersions: Int = 1): (Long, Long, Boolean) = {
+                         keepVersions: Int = 1,
+                         incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long, Boolean) = {
     val schema = combinedStreamSchema(
       IndexStore.readBase(spark, path, "shingles").schema("id"))
-    val a = IndexStore.vacuumComponent(spark, path, "shingles", keepVersions)
-    val b = IndexStore.vacuumComponent(spark, path, "bands", keepVersions)
+    val a = IndexStore.vacuumComponent(spark, path, "shingles", keepVersions,
+      incompleteTtlMs)
+    val b = IndexStore.vacuumComponent(spark, path, "bands", keepVersions,
+      incompleteTtlMs)
     val streamGone = IndexStore.vacuumStreamDir(spark, path,
       minhashStreamDir(path), schema, Seq("shingles", "bands"), keepVersions)
     (a._1 + b._1, a._2 + b._2, streamGone)
+  }
+
+  /** PARAMETER REBUILD for the persisted MinHash index — the text
+    * family's analog of [[graft.analytics.Similarity.rebuildIvfPqIndex]].
+    * Shingle width and banding are exact parameters, not fitted ones,
+    * so recall never decays with the data distribution — but the
+    * PRECISION/RECALL OPERATING POINT is chosen at build time for an
+    * expected near-dup density: a corpus whose duplicates drift toward
+    * lighter paraphrase needs narrower bands (higher candidate recall),
+    * one drowning in boilerplate needs wider ones. Re-tuning cannot be
+    * patched in place (every stored signature and band hash is derived
+    * from the old parameters), so the rebuild:
+    *
+    *   1. PRESERVES the id population: exactly the ids visible in the
+    *      shingle store (base ∪ unfolded deltas ∪ unfolded stream rows)
+    *      are re-derived from their rows in `corpus` — the source of
+    *      truth for document text, which must cover every indexed id
+    *      (checked).
+    *   2. Re-shingles, re-signs and re-bands under the NEW
+    *      (n, numHashes, bands), stamps every row with the new
+    *      `params_fp`, and appends the new parameter row to the meta
+    *      log (max-seq row = current truth) so append/probe/stream
+    *      faces pick the new parameters up from the self-describing
+    *      index.
+    *   3. Installs both components as their next versions via the fold
+    *      manifests — all snapshot batches and stream files folded
+    *      (their old-parameter rows are superseded by the re-derive).
+    *      Bands commits first, shingles last, mirroring the build
+    *      order. A reader probing MID-INSTALL (after the meta append,
+    *      before both fold commits) sees old-parameter rows under the
+    *      new meta and fails LOUD on the params guard — transient and
+    *      named, never a silent zero-candidate probe.
+    *
+    * EXACTLY-ONCE under retry/replay: `rebuildId` is ledgered strictly
+    * after the install commits; a replayed id is a no-op. Requires
+    * quiesced WRITERS (appends / the maintenance stream): an append
+    * racing the install is caught by its own params re-check (never
+    * ledgered), and a maintenance stream still running on old
+    * parameters commits rows the probe guard rejects loudly — restart
+    * it after the rebuild (it re-reads params at start). Probes stay
+    * online except for the transient mid-install window above. */
+  def rebuildMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, corpus: DataFrame,
+                          idCol: String, textCol: String, rebuildId: String,
+                          n: Int, numHashes: Int, bands: Int): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
+      return // replayed rebuild: already installed and ledgered
+    val pinS = IndexStore.pinOf(spark, path, "shingles")
+    val pinB = IndexStore.pinOf(spark, path, "bands")
+    val streamSchema = combinedStreamSchema(
+      IndexStore.readBaseAt(spark, path, "shingles", pinS).schema("id"))
+    // SNAPSHOT what the re-derive covers, per component (the two fold
+    // sets can diverge after a crashed install): exactly these refs get
+    // folded at install — re-reading the ledger at commit time would
+    // fold a delta committed mid-rebuild WITHOUT re-deriving it
+    val ledgered = IndexStore.ledgeredBatchIds(spark, path).toSeq
+    val snapBatchS = ledgered.filterNot(pinS.foldedBatches).toSet
+    val snapBatchB = ledgered.filterNot(pinB.foldedBatches).toSet
+    val committedStream = IndexStore
+      .committedStreamFiles(spark, minhashStreamDir(path), streamSchema)
+    val snapStreamS = committedStream.filterNot(pinS.foldedStream).toSet
+    val snapStreamB = committedStream.filterNot(pinB.foldedStream).toSet
+    // indexed id population, UNGUARDED on purpose: ids of rows written
+    // under any parameters count — their documents are re-derived from
+    // `corpus` text, which is parameter-free
+    val visibleIds = storedComponent(spark, path, "shingles")
+      .select(col("id")).distinct()
+    val rows = corpus.join(
+      visibleIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    val nVisible = visibleIds.count()
+    val nRows = rows.select(col(idCol)).distinct().count()
+    require(nRows == nVisible,
+      s"rebuildMinhashIndex: corpus covers $nRows of $nVisible indexed " +
+        "ids — a rebuild must preserve the id population")
+    val fp2 = paramsFp(n, numHashes, bands)
+    val hashed = shingleHashSets(rows, idCol, textCol, n)
+      .withColumn("params_fp", lit(fp2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nextS = pinS.v + 1
+    val nextB = pinB.v + 1
+    IndexStore.dropIncompleteVersion(spark, path, "shingles", nextS)
+    IndexStore.dropIncompleteVersion(spark, path, "bands", nextB)
+    hashed.write.mode("overwrite")
+      .parquet(IndexStore.versionDir(path, "shingles", nextS))
+    bandRowsOf(hashed, numHashes, bands).withColumn("params_fp", lit(fp2))
+      .write.mode("overwrite")
+      .parquet(IndexStore.versionDir(path, "bands", nextB))
+    hashed.unpersist()
+    // flip the meta BEFORE the fold commits: from here until both
+    // commit, probes fail loud on the params guard (old rows under new
+    // meta) — a crash in this window is recovered by re-running the
+    // rebuild (same rebuildId), never by serving mixed parameter spaces
+    appendMetaParams(spark, path, n, numHashes, bands,
+      seq = metaSeq(spark, path) + 1L)
+    IndexStore.commitFolds(spark, path, "bands", nextB,
+      pinB.foldedBatches ++ snapBatchB, pinB.foldedStream ++ snapStreamB)
+    IndexStore.commitFolds(spark, path, "shingles", nextS,
+      pinS.foldedBatches ++ snapBatchS, pinS.foldedStream ++ snapStreamS)
+    IndexStore.ledgerRebuild(spark, path, rebuildId)
   }
 
   /** MinHash-index staleness/health report — the monitoring loop for
     * the text index family. Unlike the IVF-PQ index there is no frozen
     * trained geometry to drift (shingle width and banding are exact
     * parameters, not fitted ones — recall never decays with the data
-    * distribution), so health here is purely OPERATIONAL: how much of
+    * distribution; re-TUNING them is [[rebuildMinhashIndex]]), so
+    * health here is purely OPERATIONAL: how much of
     * the index lives outside the compacted base and how fragmented the
-    * file population is, i.e. when to run [[compactMinhashIndex]].
+    * file population is, i.e. when to run [[compactMinhashIndex]] —
+    * plus `n_foreign_params_rows`/`foreign_params_detected`, delta rows
+    * stamped with different parameters than the index's current ones
+    * (a writer that raced a parameter rebuild; probes fail LOUD on
+    * them, health reports them).
     * One row of exact-integer metrics + the verdict booleans:
     *
     *   - n_base_docs / n_delta_docs / delta_pct — shingle-store rows
@@ -676,12 +893,29 @@ object Dedup {
     val pin = IndexStore.pinOf(spark, path, "shingles")
     val base = IndexStore.readBaseAt(spark, path, "shingles", pin)
     val schema = combinedStreamSchema(base.schema("id"))
+    val (pn, ph, pb) = minhashIndexParams(spark, path)
+    val fp = paramsFp(pn, ph, pb)
     val nBase = base.count()
-    val nDelta =
+    // one pass per (day-sized) delta source: total rows + rows stamped
+    // with foreign parameters (the monitoring-side detection of a
+    // writer that violated parameter-rebuild quiescence; probes fail
+    // LOUD on such rows — health REPORTS them)
+    def countWithForeign(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("params_fp") =!= lit(fp), 1L)
+          .otherwise(0L)), lit(0L)).as("f")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nLedger, fLedger) =
       IndexStore.ledgeredDelta(spark, path, "shingles", pin, base.schema,
-        Seq("id")).map(_.count()).getOrElse(0L) +
+        Seq("id", "params_fp")).map(countWithForeign).getOrElse((0L, 0L))
+    val (nStream, fStream) =
       IndexStore.streamRows(spark, minhashStreamDir(path), schema,
-        exclude = pin.foldedStream).map(_.count()).getOrElse(0L)
+        exclude = pin.foldedStream)
+        .map(d => countWithForeign(d.select(col("id"), col("params_fp"))))
+        .getOrElse((0L, 0L))
+    val nDelta = nLedger + nStream
+    val nForeign = fLedger + fStream
     val deltaPct =
       if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
     // reader-visible file census: live base versions + unfolded delta
@@ -693,9 +927,10 @@ object Dedup {
       IndexStore.committedStreamFiles(spark, minhashStreamDir(path), schema)
         .filterNot(pin.foldedStream).size
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct, nFiles,
-      nFiles > 2L * maxFilesPerComponent))
+      nFiles > 2L * maxFilesPerComponent, nForeign, nForeign > 0L))
       .toDF("n_base_docs", "n_delta_docs", "delta_pct",
-        "needs_compaction", "n_files", "fragmented")
+        "needs_compaction", "n_files", "fragmented",
+        "n_foreign_params_rows", "foreign_params_detected")
   }
 
   /** Iteration checkpoint: reliable `checkpoint()` when the session has a

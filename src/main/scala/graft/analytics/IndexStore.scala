@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -238,15 +238,27 @@ private[graft] object IndexStore {
     }
   }
 
+  /** The fold-manifest currency for stream files: the file's BASENAME,
+    * not its absolute URI. Sink part-file names are unique within a
+    * stream dir (the dir is flat — the sink never nests), and unlike
+    * `input_file_name()`'s absolute URI the basename survives the index
+    * being relocated or re-read through a different scheme/authority
+    * (`file:/tmp/idx` vs `s3a://bucket/idx`) — with absolute refs a
+    * moved index's exclude sets would silently stop matching and every
+    * already-folded stream row would become double-visible next to the
+    * compacted base. */
+  private def streamRef(c: Column): Column =
+    element_at(split(c, "/"), -1)
+
   /** Manifest-committed data files of a file-sink stream dir (the
-    * exactly-once row set), as the URIs `input_file_name()` reports —
-    * the currency fold manifests store. Driver-side; bounded by
-    * micro-batch files between vacuums. */
+    * exactly-once row set), as relocation-stable basenames — the
+    * currency fold manifests store (see [[streamRef]]). Driver-side;
+    * bounded by micro-batch files between vacuums. */
   def committedStreamFiles(spark: SparkSession, streamDir: String,
                            schema: StructType): Seq[String] = {
     if (!hfs(spark, streamDir).exists(hp(streamDir))) Seq.empty
     else spark.read.schema(schema).parquet(streamDir)
-      .select(input_file_name().as("f")).distinct()
+      .select(streamRef(input_file_name()).as("f")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
@@ -263,15 +275,16 @@ private[graft] object IndexStore {
     if (!hfs(spark, streamDir).exists(hp(streamDir))) None
     else {
       val df = spark.read.schema(schema).parquet(streamDir)
+      val ref = streamRef(input_file_name())
       val byInclude = include match {
         case Some(files) =>
           if (files.isEmpty) return None
-          df.filter(input_file_name().isin(files.toSeq: _*))
+          df.filter(ref.isin(files.toSeq: _*))
         case None => df
       }
       Some(
         if (exclude.isEmpty) byInclude
-        else byInclude.filter(!input_file_name().isin(exclude.toSeq: _*)))
+        else byInclude.filter(!ref.isin(exclude.toSeq: _*)))
     }
   }
 
@@ -350,10 +363,15 @@ private[graft] object IndexStore {
     *
     * Returns (reader-visible files before — the shared stream dir's
     * files included, so a family summing components must de-duplicate
-    * them — files after, merged rows). */
+    * them — files after, merged rows, the stream-file snapshot THIS
+    * call folded). The snapshot is returned rather than recomputed by
+    * the caller because two components sharing one stream dir can fold
+    * DIVERGED sets (a crash between their installs): a caller-side
+    * recompute from either component's pin would miscount the shared
+    * files the other component actually folded. */
   def compactComponent(spark: SparkSession, path: String, component: String,
                        stream: Option[(String, StructType, DataFrame => DataFrame)],
-                       write: (DataFrame, Long, String, Long) => Unit): (Long, Long, Long) = {
+                       write: (DataFrame, Long, String, Long) => Unit): (Long, Long, Long, Set[String]) = {
     val pin = pinOf(spark, path, component)
     val newIds = unfoldedBatchIds(spark, path, pin)
     val base = readBaseAt(spark, path, component, pin)
@@ -392,40 +410,74 @@ private[graft] object IndexStore {
       pin.foldedBatches ++ newIds, pin.foldedStream ++ streamFiles)
     val after = graft.operators.Layout
       .nParquetFiles(spark, versionDir(path, component, next))
-    (before, after, rows)
+    (before, after, rows, streamFiles)
   }
 
+  /** Incomplete-attempt retention: an incomplete version younger than
+    * this is presumed to be a compactor's or rebuild's IN-FLIGHT
+    * install and is left for it to commit; only attempts older than the
+    * TTL are treated as crashed and collected (the Delta-VACUUM
+    * uncommitted-file retention trade). 24h — far beyond any single
+    * compaction/rebuild run, far below a daily vacuum cadence. */
+  val IncompleteAttemptTtlMs: Long = 24L * 3600 * 1000
+
+  /** Newest file modification time under `dirs` (the dirs' own mtimes
+    * when empty) — how vacuum ages an incomplete attempt. Driver-side;
+    * an attempt holds one version's files. */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+                          dirs: Seq[org.apache.hadoop.fs.Path]): Long =
+    dirs.filter(fs.exists).flatMap { d =>
+      val files = scala.collection.mutable.ArrayBuffer(fs.getFileStatus(d).getModificationTime)
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) files += it.next().getModificationTime
+      files
+    }.foldLeft(0L)(math.max)
+
   /** RETENTION-GATED garbage collection of one component: keep the
-    * newest `keepVersions` COMPLETE versions, drop everything else
-    * (older complete versions, and incomplete crashed/in-progress
-    * attempts) with their fold manifests, and drop the `batch=` delta
-    * dirs folded into the OLDEST retained version — folds are
-    * cumulative, so a dir folded there is folded in every retained
-    * version, and any reader pinned to a retained version never loses
-    * a file. Returns (versions removed, batch dirs removed).
+    * newest `keepVersions` COMPLETE versions, drop older complete
+    * versions and CRASHED incomplete attempts with their fold
+    * manifests, and drop the `batch=` delta dirs folded into the
+    * OLDEST retained version — folds are cumulative, so a dir folded
+    * there is folded in every retained version, and any reader pinned
+    * to a retained version never loses a file. Returns
+    * (versions removed, batch dirs removed).
     *
-    * Concurrency contract: never run concurrent with a COMPACTOR or
-    * REBUILD (their in-progress next version would be deleted as an
-    * incomplete attempt). Readers are safe as long as none is pinned
-    * older than `keepVersions - 1` installs back — `keepVersions = 1`
-    * (the default) therefore requires reader quiescence, while
+    * An incomplete attempt is deleted only when its newest file is
+    * older than `incompleteTtlMs` ([[IncompleteAttemptTtlMs]]): a
+    * younger one is indistinguishable from a compactor's or rebuild's
+    * half-written in-flight install, and deleting it mid-install would
+    * destroy the version it is about to commit — the TTL turns the
+    * round-10 "never run concurrent with a compactor/rebuild" comment
+    * into a mechanism (one mis-scheduled cron no longer loses an
+    * install; it only delays GC of true crash debris by a day).
+    *
+    * Readers are safe as long as none is pinned older than
+    * `keepVersions - 1` installs back — `keepVersions = 1` (the
+    * default) therefore requires reader quiescence, while
     * `keepVersions = 2` tolerates every reader that pinned since the
     * previous install: the lakehouse VACUUM retention trade, chosen per
     * deployment by how long a probe/serve can run. The ledger is NEVER
     * vacuumed: a late replay of a folded-and-vacuumed batch id must
     * still be recognized and skipped. */
   def vacuumComponent(spark: SparkSession, path: String, component: String,
-                      keepVersions: Int = 1): (Long, Long) = {
+                      keepVersions: Int = 1,
+                      incompleteTtlMs: Long = IncompleteAttemptTtlMs): (Long, Long) = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val fs = hfs(spark, path)
     val listed = fs.listStatus(hp(s"$path/$component")).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
-    val retained = listed.filter(isComplete(spark, path, component, _))
-      .sorted(Ordering[Long].reverse).take(keepVersions)
+    val complete = listed.filter(isComplete(spark, path, component, _)).toSet
+    val retained = complete.toSeq.sorted(Ordering[Long].reverse)
+      .take(keepVersions)
     require(retained.nonEmpty,
       s"no complete version of index component $path/$component")
-    val stale = listed.filterNot(retained.contains)
+    val cutoff = System.currentTimeMillis() - incompleteTtlMs
+    val stale = listed.filterNot(retained.contains).filter { v =>
+      complete(v) || newestMtime(fs,
+        Seq(hp(versionDir(path, component, v)),
+          hp(foldsDir(path, component, v)))) < cutoff
+    }
     stale.foreach { v =>
       fs.delete(hp(versionDir(path, component, v)), true)
       fs.delete(hp(foldsDir(path, component, v)), true)

@@ -497,10 +497,34 @@ object Similarity {
         first(col("qv")).as("qv"))
     assigned
       .select(col("id"), col("cell"),
-        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
+        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"),
+        lit(codebookFp(codebook)).as("cb_fp"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(IndexStore.versionDir(path, "codes", version))
   }
+
+  /** Every stored code row carries the fingerprint of the codebook that
+    * ENCODED it (`cb_fp` — constant within a write, so parquet
+    * dictionary/RLE encoding stores it at near-zero cost even at 100 TB).
+    * This guard is how readers consume `pq_code`: a row whose stamp
+    * differs from the pinned version's codebook raises a named error IN
+    * THE SCAN (codegen'd `when`/`raise_error` — no extra pass, no extra
+    * job) instead of feeding ADC tables built from a different codebook,
+    * which would return silently mis-ranked neighbors. The only writer
+    * that can produce such a row is one violating rebuild quiescence (an
+    * append or maintenance micro-batch that pinned the old geometry and
+    * committed after the rebuild installed); the write-side re-check
+    * ([[appendToIvfPqIndex]]) already refuses to LEDGER such a batch, so
+    * this read-side guard is the defense-in-depth for writers that
+    * bypass the library discipline. */
+  private def guardedPqCode(expectedFp: String, path: String): Column =
+    when(col("cb_fp") === lit(expectedFp), col("pq_code"))
+      .otherwise(raise_error(concat(
+        lit(s"foreign-codebook code rows in IVF-PQ index at $path: found rows encoded with codebook "),
+        col("cb_fp"),
+        lit(s" under a version encoded with $expectedFp — a writer violated " +
+          "rebuild quiescence; re-append the offending batch (or rebuild) " +
+          "before serving"))))
 
   /** Serve top-k from the fused IVF-PQ index: the query picks its
     * nProbe nearest cells against the KB-scale centroid table
@@ -510,12 +534,15 @@ object Similarity {
     * construction (cell recall × code quantization) — the standard
     * IVF-PQ serving trade.
     *
-    * Freshness: if the index carries a `codes_stream` delta (written
-    * by [[graft.streaming.IncrementalStream.ivfPqMaintenanceStream]] —
-    * the streaming file sink, so the manifest gives an exactly-once
-    * row set), serving reads base ∪ delta, both pruned to the probe
-    * cells before the union. Ingested vectors are retrievable without
-    * an index rebuild. */
+    * Freshness: serving reads base ∪ unfolded ledgered batch delta —
+    * and the streaming maintenance face
+    * ([[graft.streaming.IncrementalStream.ivfPqMaintenanceStream]])
+    * lands each micro-batch as one more ledgered `batch=stream-<id>`
+    * partition, so ingested vectors are retrievable without a rebuild
+    * through the same two-way union, both sides pruned to the probe
+    * cells before it. Every row's `cb_fp` stamp is checked in-scan
+    * ([[guardedPqCode]]): codes encoded under a different codebook
+    * than the pinned version's fail loud instead of mis-ranking. */
   def topKIvfPqFromIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, query: DataFrame,
                          idCol: String, vecCol: String, k: Int,
@@ -550,24 +577,24 @@ object Similarity {
       (cell, dot.toDouble / r.getDouble(2))
     }.sortBy { case (cell, score) => (-score, cell) }
       .take(nProbe).map(_._1)
-    // base(pin) ∪ unfolded ledgered batch delta ∪ unfolded stream delta
-    // (IndexStore's single visibility rule), each pruned to the probe
-    // cells BEFORE the union — `cell` is a partition column in all
-    // three locations, so the pruning is a PartitionFilter everywhere
-    // and serving physically skips (nCells-nProbe)/nCells of base and
-    // deltas alike
+    // base(pin) ∪ unfolded ledgered batch delta (IndexStore's single
+    // visibility rule — streaming micro-batches are ledgered batches
+    // too), each pruned to the probe cells BEFORE the union — `cell`
+    // is a partition column in both locations, so the pruning is a
+    // PartitionFilter everywhere and serving physically skips
+    // (nCells-nProbe)/nCells of base and delta alike. The projection
+    // routes pq_code through the cb_fp guard: a foreign-codebook row
+    // in a probed cell raises the named error in the scan.
     val baseAll = IndexStore.readBaseAt(spark, path, "codes", pin)
+    val expectedFp = cents.head.getString(3)
     def pruned(df: DataFrame): DataFrame =
-      df.filter(col("cell").isin(probeCells: _*)).select("id", "pq_code")
-    val cols = Seq("id", "pq_code", "cell")
-    val withBatch = IndexStore.ledgeredDelta(spark, path, "codes", pin,
+      df.filter(col("cell").isin(probeCells: _*))
+        .select(col("id"), guardedPqCode(expectedFp, path).as("pq_code"))
+    val cols = Seq("id", "pq_code", "cell", "cb_fp")
+    val codes = IndexStore.ledgeredDelta(spark, path, "codes", pin,
         baseAll.schema, cols)
       .map(d => pruned(baseAll).unionByName(pruned(d)))
       .getOrElse(pruned(baseAll))
-    val codes = IndexStore.streamRows(spark, s"$path/codes_stream",
-        baseAll.schema, exclude = pin.foldedStream)
-      .map(d => withBatch.unionByName(pruned(d.select(cols.map(col): _*))))
-      .getOrElse(withBatch)
     topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
   }
 
@@ -623,16 +650,38 @@ object Similarity {
     * after the write commits; a replayed id is a no-op. Serving reads
     * delta batches only THROUGH the ledger, so a crashed write that
     * never retried is invisible — duplicated codes would otherwise
-    * make a top-k return the same id twice. */
+    * make a top-k return the same id twice.
+    *
+    * GEOMETRY RE-CHECK between the write and the ledger commit: if a
+    * rebuild installed a different codebook while this append was
+    * encoding (the quiescence race), the batch is NOT ledgered and the
+    * append fails with a named error — the written dir stays invisible
+    * (visibility requires the ledger) and a retry simply re-encodes
+    * with the new geometry. Rows are additionally stamped with their
+    * encoding `cb_fp`, so even a writer that bypasses this discipline
+    * degrades to a loud serving error ([[guardedPqCode]]), never to
+    * silently mis-ranked distances. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, newVecs: DataFrame,
                          idCol: String, vecCol: String,
-                         batchId: String): Unit = {
+                         batchId: String): Unit =
+    appendToIvfPqIndex(spark, path, newVecs, idCol, vecCol, batchId, () => ())
+
+  /** [[appendToIvfPqIndex]] with a barrier hook invoked after the delta
+    * write commits and before the geometry re-check + ledger — lets a
+    * spec install a rebuild inside the race window deterministically.
+    * No-op in production. */
+  private[graft] def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, newVecs: DataFrame,
+                                        idCol: String, vecCol: String,
+                                        batchId: String,
+                                        preCommitHook: () => Unit): Unit = {
     if (IndexStore.batchAlreadyAppended(spark, path, batchId))
       return // replayed batch: already fully appended and ledgered
     // one pin: codebook and centroids must come from the SAME version
     val v = IndexStore.pinOf(spark, path, "codes").v
     val codebook = codebookAt(spark, path, v)
+    val fp = codebookFp(codebook)
     val c = withQv(newVecs, idCol, vecCol)
     val cent = broadcast(spark.read
       .parquet(s"${codesMetaDir(path, v)}/centroids")
@@ -646,72 +695,132 @@ object Similarity {
         first(col("qv")).as("qv"))
     assigned
       .select(col("id"), col("cell"),
-        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"))
+        graft.functions.PqExpressions.encode(col("qv"), codebook).as("pq_code"),
+        lit(fp).as("cb_fp"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes_delta/batch=$batchId")
+    preCommitHook()
+    // compare FINGERPRINTS, not version numbers: a concurrent
+    // compaction installs a new version with the SAME geometry (meta is
+    // carried forward value-exact) and must not fail the append
+    val liveFp = liveCodebookFpOf(spark, path)
+    if (liveFp != fp)
+      sys.error(s"rebuild installed during append to IVF-PQ index at " +
+        s"$path: batch $batchId was encoded with codebook $fp but the " +
+        s"live version's codebook is now $liveFp — the batch was NOT " +
+        "ledgered (it stays invisible); retry the append to re-encode " +
+        "with the new geometry")
+    IndexStore.ledgerBatch(spark, path, batchId)
+  }
+
+  /** The live version's encoding-codebook fingerprint (driver-side,
+    * KB-scale centroid read). */
+  private[graft] def liveCodebookFpOf(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): String = {
+    val v = IndexStore.pinOf(spark, path, "codes").v
+    spark.read.parquet(s"${codesMetaDir(path, v)}/centroids")
+      .select("cb_fp").head().getString(0)
+  }
+
+  /** Land ALREADY-ENCODED code rows (id, cell, pq_code, cb_fp — the
+    * streaming maintenance face's per-micro-batch output, encoded by
+    * [[encodeForIndex]] against a per-batch geometry pin) as one
+    * ledgered delta batch, under the same overwrite + geometry-recheck
+    * + ledger-last exactly-once discipline as [[appendToIvfPqIndex]].
+    * The recheck compares the ROWS' stamp (one distinct cb_fp — the
+    * encoder pins one version) against the live version's: if a
+    * rebuild installed between the encode and this commit, the batch
+    * fails loud and stays unledgered (invisible), and the stream's
+    * checkpoint replays it against the new geometry. */
+  private[graft] def appendEncodedStreamBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      encoded: DataFrame, batchId: String, encodedFp: String): Unit = {
+    if (IndexStore.batchAlreadyAppended(spark, path, batchId))
+      return // at-least-once replay of a committed micro-batch: no-op
+    encoded
+      .select(col("id"), col("cell"), col("pq_code"), col("cb_fp"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes_delta/batch=$batchId")
+    val liveFp = liveCodebookFpOf(spark, path)
+    if (liveFp != encodedFp)
+      sys.error(s"rebuild installed during streaming append to IVF-PQ " +
+        s"index at $path: micro-batch $batchId was encoded with codebook " +
+        s"$encodedFp but the live version's codebook is now $liveFp — " +
+        "the batch was NOT ledgered (it stays invisible); the stream " +
+        "checkpoint will replay it against the new geometry")
     IndexStore.ledgerBatch(spark, path, batchId)
   }
 
   /** Lakehouse maintenance for the IVF-PQ index: months of daily batch
-    * appends and stream-sink micro-batches leave thousands of small
+    * appends and streaming micro-batch appends leave thousands of small
     * files per cell, and every serve pays the per-file open cost across
     * its probe cells. Compaction merges base ∪ unfolded ledgered batch
-    * delta ∪ unfolded stream delta (exactly the relation serving
-    * reads — a bit-equal rewrite by construction) into a fresh
-    * cell-partitioned base version — one shuffle on `cell`, so each
-    * cell lands as ~1 file (maxRecordsPerFile caps stragglers) and the
-    * PartitionFilter pruning contract is preserved — and installs it by
-    * committing the cumulative fold manifest
-    * (IndexStore.compactComponent). Returns
+    * delta (exactly the relation serving reads — a bit-equal rewrite by
+    * construction) into a fresh cell-partitioned base version — one
+    * shuffle on `cell`, so each cell lands as ~1 file
+    * (maxRecordsPerFile caps stragglers) and the PartitionFilter
+    * pruning contract is preserved — and installs it by committing the
+    * cumulative fold manifest (IndexStore.compactComponent). Returns
     * (files_before, files_after, rows).
+    *
+    * The rewrite routes every merged pq_code through the cb_fp guard:
+    * a foreign-codebook delta row (a writer that violated rebuild
+    * quiescence AND bypassed the append discipline) fails the
+    * compaction loudly — baking it into the base would make the
+    * anomaly permanent, and silently dropping it would lose a row; the
+    * failed attempt stays invisible (its fold manifest never commits).
     *
     * ONLINE: concurrent serves resolve either the old version (deltas
     * unfolded) or the new one (deltas folded) — bit-equal — and
-    * concurrent appends/stream commits stay visible as delta under the
-    * new version. The batch-id ledger survives on purpose: a late
-    * replay of an already-folded batch must still be skipped.
-    * Superseded versions and folded delta dirs are garbage-collected by
-    * the separate, QUIESCED [[vacuumIvfPqIndex]]. */
+    * concurrent appends stay visible as delta under the new version.
+    * The batch-id ledger survives on purpose: a late replay of an
+    * already-folded batch must still be skipped. Superseded versions
+    * and folded delta dirs are garbage-collected by the separate,
+    * retention-gated [[vacuumIvfPqIndex]]. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
-    val schema = IndexStore.readBase(spark, path, "codes").schema
-    IndexStore.compactComponent(spark, path, "codes",
-      stream = Some((s"$path/codes_stream", schema, identity[DataFrame])),
-      write = (merged, _, dest, next) => {
-        merged.repartition(col("cell"))
-          .write.mode("overwrite")
-          .option("maxRecordsPerFile", rowsPerFile)
-          .partitionBy("cell").parquet(dest)
-        // carry the UNCHANGED geometry forward: meta is versioned WITH
-        // the codes (one pin resolves both), so the new version needs
-        // its own copy — KB-scale, rewritten value-exact. Only a
-        // rebuild retrains it.
-        Seq("centroids", "codebook", "quant_baseline").foreach { m =>
-          spark.read.parquet(s"${codesMetaDir(path, next - 1)}/$m")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"${codesMetaDir(path, next)}/$m")
-        }
-      })
+    val expectedFp = liveCodebookFpOf(spark, path)
+    val (before, after, rows, _) =
+      IndexStore.compactComponent(spark, path, "codes",
+        stream = None,
+        write = (merged, _, dest, next) => {
+          merged.select(col("id"), col("cell"),
+              guardedPqCode(expectedFp, path).as("pq_code"), col("cb_fp"))
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rowsPerFile)
+            .partitionBy("cell").parquet(dest)
+          // carry the UNCHANGED geometry forward: meta is versioned WITH
+          // the codes (one pin resolves both), so the new version needs
+          // its own copy — KB-scale, rewritten value-exact. Only a
+          // rebuild retrains it.
+          Seq("centroids", "codebook", "quant_baseline").foreach { m =>
+            spark.read.parquet(s"${codesMetaDir(path, next - 1)}/$m")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"${codesMetaDir(path, next)}/$m")
+          }
+        })
+    (before, after, rows)
   }
 
   /** Retention-gated garbage collection for the IVF-PQ index: keep the
     * newest `keepVersions` complete code versions (with their
     * version-scoped meta), drop the rest plus the `batch=` delta dirs
-    * the oldest retained version has folded, and — iff every committed
-    * stream file is folded there — the stream dir (whole, manifest
-    * included). `keepVersions = 1` requires serve quiescence;
-    * `keepVersions = 2` tolerates every serve that pinned since the
-    * previous install (IndexStore.vacuumComponent). Never run
-    * concurrent with a compactor/rebuild, nor with the maintenance
-    * stream when the stream dir is deletable. Returns (versions
-    * removed, batch dirs removed, stream dir removed). */
+    * the oldest retained version has folded. `keepVersions = 1`
+    * requires serve quiescence; `keepVersions = 2` tolerates every
+    * serve that pinned since the previous install
+    * (IndexStore.vacuumComponent). An in-flight compactor's/rebuild's
+    * half-written next version is protected by `incompleteTtlMs`:
+    * only incomplete attempts older than the TTL are collected as
+    * crash debris. Returns (versions removed, batch dirs removed). */
   def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String,
-                       keepVersions: Int = 1): (Long, Long, Boolean) = {
-    val schema = IndexStore.readBase(spark, path, "codes").schema
+                       keepVersions: Int = 1,
+                       incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long) = {
     val (versions, batches) =
-      IndexStore.vacuumComponent(spark, path, "codes", keepVersions)
+      IndexStore.vacuumComponent(spark, path, "codes", keepVersions,
+        incompleteTtlMs)
     // version-scoped meta follows its codes version: delete the meta of
     // every version whose codes dir vacuum just removed
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -725,9 +834,7 @@ object Similarity {
             st.getPath.getName.stripPrefix("v=").toLong))))
         .foreach(st => fs.delete(st.getPath, true))
     }
-    val streamGone = IndexStore.vacuumStreamDir(spark, path,
-      s"$path/codes_stream", schema, Seq("codes"), keepVersions)
-    (versions, batches, streamGone)
+    (versions, batches)
   }
 
   /** Drift-triggered FULL REBUILD — the operator [[ivfPqIndexHealth]]'s
@@ -765,40 +872,38 @@ object Similarity {
   def rebuildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, corpus: DataFrame,
                         idCol: String, vecCol: String, rebuildId: String,
-                        nCells: Int = 16): Unit = {
+                        nCells: Option[Int] = None): Unit = {
     if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
       return // replayed rebuild: already installed and ledgered
     val pin = IndexStore.pinOf(spark, path, "codes")
+    // the index is self-describing: unless the caller explicitly
+    // overrides, the rebuild keeps the LIVE version's cell count (a
+    // hardcoded default would silently change the cell geometry — and
+    // the recall/pruning profile — whenever the original build used a
+    // non-default count)
+    val cells = nCells.getOrElse(spark.read
+      .parquet(s"${codesMetaDir(path, pin.v)}/centroids").count().toInt)
     // SNAPSHOT what the re-encode covers, before any long training:
     // exactly these refs get folded at install. Re-reading the ledger
-    // or manifest at commit time would fold a delta committed
-    // mid-rebuild WITHOUT re-encoding it — silent row loss (a
-    // quiescence violation must degrade to a visible, old-codebook
-    // delta anomaly, never to deletion).
+    // at commit time would fold a delta committed mid-rebuild WITHOUT
+    // re-encoding it — silent row loss (a quiescence violation must
+    // degrade to a visible, old-codebook delta anomaly, never to
+    // deletion). Streaming micro-batches are ledgered batches too, so
+    // one snapshot covers both maintenance faces.
     val snapshotIds = IndexStore.unfoldedBatchIds(spark, path, pin).toSet
-    val snapshotStream = IndexStore.committedStreamFiles(spark,
-        s"$path/codes_stream",
-        IndexStore.readBaseAt(spark, path, "codes", pin).schema)
-      .filterNot(pin.foldedStream).toSet
     val base = IndexStore.readBaseAt(spark, path, "codes", pin)
     val cols = base.columns.toSeq
     // merge from the EXACT snapshot (same discipline as
     // IndexStore.compactComponent): never re-read the ledger
-    val visibleRel = {
-      val withDelta =
-        if (snapshotIds.isEmpty) base.select(cols.map(col): _*)
-        else base.select(cols.map(col): _*).unionByName(
-          spark.read
-            .schema(base.schema.add("batch",
-              org.apache.spark.sql.types.StringType, nullable = false))
-            .parquet(s"$path/codes_delta")
-            .filter(col("batch").isin(snapshotIds.toSeq.sorted: _*))
-            .select(cols.map(col): _*))
-      IndexStore.streamRows(spark, s"$path/codes_stream", base.schema,
-          include = Some(snapshotStream))
-        .map(p => withDelta.unionByName(p.select(cols.map(col): _*)))
-        .getOrElse(withDelta)
-    }
+    val visibleRel =
+      if (snapshotIds.isEmpty) base.select(cols.map(col): _*)
+      else base.select(cols.map(col): _*).unionByName(
+        spark.read
+          .schema(base.schema.add("batch",
+            org.apache.spark.sql.types.StringType, nullable = false))
+          .parquet(s"$path/codes_delta")
+          .filter(col("batch").isin(snapshotIds.toSeq.sorted: _*))
+          .select(cols.map(col): _*))
     val visibleIds = visibleRel.select(col("id")).distinct()
     val rows = corpus.join(
       visibleIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
@@ -811,14 +916,13 @@ object Similarity {
     val next = pin.v + 1
     IndexStore.dropIncompleteVersion(spark, path, "codes", next)
     buildCodesVersion(spark, path, rows, idCol, vecCol, codebook,
-      nCells, version = next)
-    // fold exactly the SNAPSHOT the re-encode covered: a batch or
-    // stream file committed during the rebuild stays unfolded (visible
-    // as delta — an out-of-contract writer surfaces as an anomaly
-    // instead of losing rows)
+      cells, version = next)
+    // fold exactly the SNAPSHOT the re-encode covered: a batch
+    // committed during the rebuild stays unfolded (visible as delta —
+    // its old-codebook cb_fp stamp makes the next serve fail LOUD via
+    // guardedPqCode instead of losing rows or mis-ranking)
     IndexStore.commitFolds(spark, path, "codes", next,
-      pin.foldedBatches ++ snapshotIds,
-      pin.foldedStream ++ snapshotStream)
+      pin.foldedBatches ++ snapshotIds, pin.foldedStream)
     IndexStore.ledgerRebuild(spark, path, rebuildId)
   }
 
@@ -831,8 +935,9 @@ object Similarity {
     *
     *   - n_base_codes / n_delta_codes / delta_pct — how much of the
     *     index now lives outside the compacted base (ledgered batch
-    *     delta + stream delta); `needs_compaction` fires past
-    *     `maxDeltaPct` (run [[compactIvfPqIndex]]).
+    *     delta — daily appends and streaming micro-batches alike);
+    *     `needs_compaction` fires past `maxDeltaPct` (run
+    *     [[compactIvfPqIndex]]).
     *   - mean_quant_err_base / mean_quant_err_current — the build-time
     *     quantization-error baseline (stored in `quant_baseline` by
     *     [[writeIvfPqIndex]]) vs the SAME statistic over `current`
@@ -844,6 +949,12 @@ object Similarity {
     *     held-out query served from the stored index vs exact brute
     *     force over `current`; below `recallFloorPct` the index needs
     *     retraining even if nothing else fired.
+    *   - n_foreign_codebook_rows / foreign_codes_detected — delta rows
+    *     whose `cb_fp` stamp differs from the pinned version's codebook
+    *     (a writer violated rebuild quiescence AND bypassed the append
+    *     discipline). Serving fails LOUD on such rows (guardedPqCode);
+    *     health REPORTS them — and skips the recall sample (0 / not
+    *     ok) — so the operator knows to re-append or rebuild.
     *
     * `queries` is a held-out serving sample (driver-bounded: at most
     * `maxQueries` rows — health runs daily on a handful, not a corpus).
@@ -863,14 +974,23 @@ object Similarity {
     // quant baseline all resolve together
     val pin = IndexStore.pinOf(spark, path, "codes")
     val codebook = codebookAt(spark, path, pin.v)
+    val pinFp = codebookFp(codebook)
     val baseAll = IndexStore.readBaseAt(spark, path, "codes", pin)
     val nBase = baseAll.count()
-    val cols = Seq("id", "pq_code", "cell")
-    val nDelta =
+    val cols = Seq("id", "pq_code", "cell", "cb_fp")
+    // one pass over the (day-sized) delta: total rows + rows whose
+    // cb_fp stamp differs from the pinned version's codebook — the
+    // monitoring-side detection of a quiescence-violating writer
+    // (serving fails LOUD on such rows; health REPORTS them so the
+    // operator knows to re-append or rebuild)
+    val (nDelta, nForeign) =
       IndexStore.ledgeredDelta(spark, path, "codes", pin, baseAll.schema, cols)
-        .map(_.count()).getOrElse(0L) +
-      IndexStore.streamRows(spark, s"$path/codes_stream", baseAll.schema,
-        exclude = pin.foldedStream).map(_.count()).getOrElse(0L)
+        .map { d =>
+          val r = d.agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("cb_fp") =!= lit(pinFp), 1L)
+              .otherwise(0L)), lit(0L)).as("f")).head()
+          (r.getLong(0), r.getLong(1))
+        }.getOrElse((0L, 0L))
     val deltaPct =
       if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
     val baseline = spark.read
@@ -892,8 +1012,12 @@ object Similarity {
     val qRows = queries.limit(maxQueries + 1).collect()
     require(qRows.nonEmpty && qRows.length <= maxQueries,
       s"ivfPqIndexHealth expects 1..$maxQueries held-out query rows")
+    // with foreign-codebook rows present, serving raises the named
+    // guard error by design — the recall sample is skipped (reported
+    // as 0 / not ok) so the health report itself stays readable and
+    // the `foreign_codes_detected` verdict points at the real problem
     var hits = 0L
-    qRows.foreach { r =>
+    if (nForeign == 0L) qRows.foreach { r =>
       val qDf = spark.createDataFrame(
         java.util.Arrays.asList(r), queries.schema)
       val served = topKIvfPqFromIndex(spark, path, qDf, idCol, vecCol,
@@ -902,13 +1026,16 @@ object Similarity {
         .select("id").collect().map(_.getLong(0)).toSet
       hits += served.intersect(brute).size.toLong
     }
-    val recallPct = hits * 100L / (k.toLong * qRows.length)
+    val recallPct =
+      if (nForeign > 0L) 0L else hits * 100L / (k.toLong * qRows.length)
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct,
       errBase / nVecBase, errCur / nVecCur, drift,
-      recallPct, recallPct >= recallFloorPct))
+      recallPct, nForeign == 0L && recallPct >= recallFloorPct,
+      nForeign, nForeign > 0L))
       .toDF("n_base_codes", "n_delta_codes", "delta_pct",
         "needs_compaction", "mean_quant_err_base", "mean_quant_err_current",
-        "quant_drift_detected", "recall_pct", "recall_ok")
+        "quant_drift_detected", "recall_pct", "recall_ok",
+        "n_foreign_codebook_rows", "foreign_codes_detected")
   }
 
   /** Incremental index maintenance, per-row form: cell assignment as a
@@ -934,7 +1061,8 @@ object Similarity {
       else greatest(scored: _*) // struct order = (score, -cell) lexicographic
     df.select(col(idCol).as("id"),
         best.getField("cell").as("cell"),
-        graft.functions.PqExpressions.encode(qv, codebook).as("pq_code"))
+        graft.functions.PqExpressions.encode(qv, codebook).as("pq_code"),
+        lit(codebookFp(codebook)).as("cb_fp"))
   }
 
   /** ADC over a code relation for an already-collected query vector —

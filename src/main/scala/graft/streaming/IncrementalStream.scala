@@ -328,40 +328,68 @@ object IncrementalStream {
   }
 
   /** Streaming ANN-index maintenance: continuously ingested embedding
-    * vectors are assigned to the stored IVF-PQ index's FROZEN cell
-    * geometry and appended as PQ codes — serving
+    * vectors are assigned to the stored IVF-PQ index's cell geometry
+    * and appended as PQ codes — serving
     * (Similarity.topKIvfPqFromIndex) reads base ∪ delta with cell
     * pruning intact, so new vectors are retrievable without an index
     * rebuild (the daily-ingest face of the ANN ladder).
     *
-    * Assignment runs as the stateless literal-expression form
-    * (Similarity.encodeForIndex — a micro-batch cannot run the build's
-    * stateful max_by assignment), bit-equal to the batch face by the
-    * q322 verdict differential. The delta lands through the streaming
-    * PARQUET FILE SINK into `<indexPath>/codes_stream`, partitioned by
-    * cell: the sink's manifest commits each batch atomically, so a
-    * replayed batch never double-appends — exactly-once without the
-    * versioned-directory machinery upsertStream needs (appends are the
-    * one shape the file sink already solves). */
+    * Geometry is RE-PINNED PER MICRO-BATCH (a driver-side KB-scale
+    * centroid+codebook read in foreachBatch): the round-10 face
+    * collected it once at query start, so an index REBUILD installing
+    * mid-stream left every later micro-batch encoding with the
+    * superseded codebook — old-codebook rows the new version never
+    * folds. With the per-batch re-pin the stream SELF-HEALS across a
+    * rebuild: the first micro-batch after the install encodes with the
+    * retrained geometry, no restart or fresh checkpoint needed. The
+    * narrow residual race (a rebuild installing between a batch's pin
+    * and its ledger commit) is closed by the write-then-recheck-then-
+    * ledger discipline inside Similarity.appendToIvfPqIndex — the
+    * batch fails LOUD with its rows unledgered (invisible), and the
+    * checkpoint replays it against the new geometry on restart.
+    *
+    * Assignment still runs the stateless literal-expression form
+    * (Similarity.encodeForIndex — kept bit-equal to the batch face's
+    * relational max_by by the q322 verdict differential); each
+    * micro-batch lands as its own ledgered `batch=stream-<id>`
+    * partition through the SAME exactly-once overwrite+ledger-last
+    * discipline as daily appends (foreachBatch is at-least-once; a
+    * replayed micro-batch id is already ledgered and skips). One delta
+    * discipline for both maintenance faces also means compaction,
+    * rebuild fold snapshots and vacuum see streaming rows as ordinary
+    * ledgered batches — no separate stream-file machinery to reconcile. */
   def ivfPqMaintenanceStream(newVecs: DataFrame, idCol: String, vecCol: String,
                              indexPath: String,
-                             checkpoint: String): StreamingQuery = {
-    val spark = newVecs.sparkSession
-    // cell geometry AND codebook come from the index itself (it is
-    // self-describing), read through ONE version pin — encoding with
-    // any other codebook would make the appended codes' ADC distances
-    // silently incomparable
-    val (centroids, codebook) =
-      graft.analytics.Similarity.frozenGeometryOf(spark, indexPath)
-    graft.analytics.Similarity
-      .encodeForIndex(newVecs, idCol, vecCol, centroids, codebook)
-      .writeStream.format("parquet")
-      .option("path", s"$indexPath/codes_stream")
+                             checkpoint: String): StreamingQuery =
+    ivfPqMaintenanceStream(newVecs, idCol, vecCol, indexPath, checkpoint,
+      _ => ())
+
+  /** [[ivfPqMaintenanceStream]] with a barrier hook invoked before each
+    * micro-batch's geometry pin — lets a spec install a rebuild between
+    * two micro-batches deterministically. No-op in production. */
+  private[graft] def ivfPqMaintenanceStream(newVecs: DataFrame, idCol: String,
+                                            vecCol: String, indexPath: String,
+                                            checkpoint: String,
+                                            onBatchStart: Long => Unit): StreamingQuery =
+    newVecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .partitionBy("cell")
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatchStart(batchId)
+        val spark = batch.sparkSession
+        // per-batch pin: centroids + codebook from ONE live version
+        val (centroids, codebook) =
+          graft.analytics.Similarity.frozenGeometryOf(spark, indexPath)
+        val encoded = graft.analytics.Similarity
+          .encodeForIndex(batch, idCol, vecCol, centroids, codebook)
+        // encoded rows carry (id, cell, pq_code, cb_fp) — land them as
+        // a ledgered stream batch (overwrite + recheck + ledger-last)
+        graft.analytics.Similarity.appendEncodedStreamBatch(
+          spark, indexPath, encoded, f"stream-$batchId%09d",
+          graft.analytics.Similarity.codebookFp(codebook))
+        ()
+      }
       .start()
-  }
 
   /** Streaming MinHash-index maintenance — the text sibling of
     * [[ivfPqMaintenanceStream]]: continuously ingested documents are

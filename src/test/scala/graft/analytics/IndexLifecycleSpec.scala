@@ -561,11 +561,10 @@ class IndexLifecycleSpec extends SparkSpec {
     val cb2 = Similarity.codebookOf(spark, idx)
     val served = serveWith(cb2)
     assert(served.map(_._1).contains(8L), "query vector still retrievable")
-    // post-rebuild vacuum: v=0 (+ its meta), the folded batch dir and
-    // the (empty) stream state all collect; serving is bit-unchanged
-    val (versions, batches, streamGone) =
-      Similarity.vacuumIvfPqIndex(spark, idx)
-    assert(versions == 1L && batches == 1L && streamGone)
+    // post-rebuild vacuum: v=0 (+ its meta) and the folded batch dir
+    // collect; serving is bit-unchanged
+    val (versions, batches) = Similarity.vacuumIvfPqIndex(spark, idx)
+    assert(versions == 1L && batches == 1L)
     assert(!new java.io.File(s"$idx/codes/v=0").exists())
     assert(!new java.io.File(s"$idx/codes_meta/v=0").exists())
     assert(!new java.io.File(s"$idx/codes_delta/batch=d1").exists())
@@ -602,5 +601,300 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(!h.getBoolean(6), "no quant drift on the build distribution")
     assert(h.getLong(7) >= 10 && h.getBoolean(8),
       s"sampled recall ${h.getLong(7)} above floor")
+    assert(h.getLong(9) == 0L && !h.getBoolean(10),
+      "no foreign-codebook rows under the write discipline")
+  }
+
+  // ------------------------------------------------------------------ //
+  // Round 11: mechanized vacuum retention, codebook-stamped code rows,
+  // self-healing stream geometry, MinHash parameter rebuild
+  // ------------------------------------------------------------------ //
+
+  test("vacuum TTL: a fresh half-written install survives the vacuum and can still commit; an aged crashed attempt is collected") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-vacuum-ttl")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb, idx)
+    def serve(): Seq[(Long, Long)] =
+      Similarity.topKIvfPqFromIndex(spark, idx, e.filter($"vec_id" === 7),
+        "vec_id", "embedding", k = 10, Similarity.codebookOf(spark, idx))
+        .as[(Long, Long)].collect().toSeq
+    val before = serve()
+    // an in-flight compactor/rebuild: v=1 data fully written (_SUCCESS
+    // present), fold manifest not yet committed
+    IndexStore.storedComponent(spark, idx, "codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexStore.versionDir(idx, "codes", 1))
+    Seq("centroids", "codebook", "quant_baseline").foreach { m =>
+      spark.read.parquet(s"$idx/codes_meta/v=0/$m")
+        .write.mode("overwrite").parquet(s"$idx/codes_meta/v=1/$m")
+    }
+    // a mis-scheduled vacuum cron fires mid-install: the attempt is
+    // younger than the TTL, so it must be LEFT INTACT
+    val (gone, _) = Similarity.vacuumIvfPqIndex(spark, idx)
+    assert(gone == 0L, "a fresh incomplete attempt is an in-flight install, not debris")
+    assert(new java.io.File(IndexStore.versionDir(idx, "codes", 1)).exists(),
+      "the in-flight install's data must survive the vacuum")
+    // ... and the install can still commit afterwards
+    IndexStore.commitFolds(spark, idx, "codes", 1, Set.empty, Set.empty)
+    assert(IndexStore.pinOf(spark, idx, "codes").v == 1L)
+    assert(serve() == before, "the committed install is bit-equal (v=1 is a rewrite of v=0)")
+    // now plant a CRASHED attempt and age it past the TTL: collected
+    IndexStore.storedComponent(spark, idx, "codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexStore.versionDir(idx, "codes", 2))
+    val (gone2, _) = Similarity.vacuumIvfPqIndex(spark, idx,
+      keepVersions = 1, incompleteTtlMs = -60000L) // cutoff in the future = aged out
+    // v=0 (complete, past retention) and v=2 (aged incomplete debris)
+    assert(gone2 == 2L, s"expected v=0 + aged v=2 collected, got $gone2")
+    assert(!new java.io.File(IndexStore.versionDir(idx, "codes", 2)).exists())
+    assert(serve() == before, "vacuum never changes serving")
+  }
+
+  test("cb_fp guard: out-of-contract old-codebook delta rows fail the next serve with the named error; health reports them") {
+    val e = embeddings
+    val cb1 = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-foreign")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb1, idx)
+    // an out-of-contract writer pins the OLD geometry...
+    val (oldCentroids, oldCb) = Similarity.frozenGeometryOf(spark, idx)
+    // ...a rebuild installs new geometry underneath it...
+    val drifted = e.select($"vec_id",
+      transform($"embedding", x => x * 3.0d + 7.0d).as("embedding"))
+    Similarity.rebuildIvfPqIndex(spark, idx,
+      drifted.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding",
+      rebuildId = "r1")
+    val cb2 = Similarity.codebookOf(spark, idx)
+    // ...and then lands old-codebook rows, bypassing the append
+    // discipline (raw write + raw ledger — simulating a writer that is
+    // not using the library's append face)
+    Similarity.encodeForIndex(e.filter($"vec_id" % 4 === 0),
+        "vec_id", "embedding", oldCentroids, oldCb)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/codes_delta/batch=rogue")
+    IndexStore.ledgerBatch(spark, idx, "rogue")
+    // the next serve must raise the named guard error, not mis-rank
+    val ex = intercept[Exception] {
+      Similarity.topKIvfPqFromIndex(spark, idx, e.filter($"vec_id" === 7),
+        "vec_id", "embedding", k = 10, cb2).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(ex).contains("foreign-codebook code rows"),
+      s"expected the named guard error, got: ${messages(ex)}")
+    // health DETECTS instead of dying: foreign rows counted, recall skipped
+    val h = Similarity.ivfPqIndexHealth(spark, idx, drifted, "vec_id",
+      "embedding", queries = drifted.filter($"vec_id" === 7), k = 10,
+      recallFloorPct = 0)
+      .select("n_foreign_codebook_rows", "foreign_codes_detected",
+        "recall_ok").collect().head
+    assert(h.getLong(0) > 0L && h.getBoolean(1) && !h.getBoolean(2))
+  }
+
+  test("appendToIvfPqIndex: a rebuild installing mid-append fails the append loud and unledgered; the retry re-encodes with the new geometry") {
+    val e = embeddings
+    val cb1 = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-append-race")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb1, idx)
+    val newbies = e.filter($"vec_id" % 4 === 0)
+    val drifted = e.select($"vec_id",
+      transform($"embedding", x => x * 3.0d + 7.0d).as("embedding"))
+    val ex = intercept[Exception] {
+      Similarity.appendToIvfPqIndex(spark, idx, newbies, "vec_id",
+        "embedding", batchId = "d1",
+        preCommitHook = () => Similarity.rebuildIvfPqIndex(spark, idx,
+          drifted.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding",
+          rebuildId = "race-r1"))
+    }
+    assert(ex.getMessage.contains("rebuild installed during append"),
+      s"expected the named race error, got: ${ex.getMessage}")
+    // the raced batch is NOT ledgered: invisible to serving (which is
+    // green — no foreign rows reached visibility)
+    val cb2 = Similarity.codebookOf(spark, idx)
+    val served = Similarity.topKIvfPqFromIndex(spark, idx,
+      drifted.filter($"vec_id" === 7), "vec_id", "embedding", k = 10, cb2)
+      .as[(Long, Long)].collect().toSeq
+    assert(!served.map(_._1).contains(8L), "raced batch stays invisible")
+    // the retry re-encodes under the new geometry and lands cleanly
+    Similarity.appendToIvfPqIndex(spark, idx,
+      drifted.filter($"vec_id" % 4 === 0), "vec_id", "embedding",
+      batchId = "d1")
+    val after = Similarity.topKIvfPqFromIndex(spark, idx,
+      drifted.filter($"vec_id" === 8), "vec_id", "embedding", k = 20, cb2)
+      .as[(Long, Long)].collect().toSeq
+    assert(after.map(_._1).contains(8L), "retried append visible under the new geometry")
+  }
+
+  test("ivfPqMaintenanceStream self-heals across a mid-stream rebuild: later micro-batches encode with the new geometry, no foreign rows") {
+    val e = embeddings
+    val cb1 = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-stream-rebuild")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb1, idx)
+    val newbies = e.filter($"vec_id" % 4 === 0).select($"vec_id", $"embedding")
+    val src = tmp("ivfpq-stream-rebuild-src")
+    newbies.repartition(2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(newbies.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    // rebuild installs between micro-batch 0 and micro-batch 1
+    val sq = graft.streaming.IncrementalStream.ivfPqMaintenanceStream(
+      stream, "vec_id", "embedding", idx, tmp("ivfpq-stream-rebuild-ckpt"),
+      onBatchStart = bid => if (bid == 1L)
+        Similarity.rebuildIvfPqIndex(spark, idx, e, "vec_id", "embedding",
+          rebuildId = "mid-stream-r1"))
+    sq.awaitTermination()
+    // every visible delta row is stamped with the LIVE codebook: batch 0
+    // was folded by the rebuild (re-encoded), batch 1 re-pinned the new
+    // geometry — nothing foreign remains
+    val h = Similarity.ivfPqIndexHealth(spark, idx, e, "vec_id", "embedding",
+      queries = e.filter($"vec_id" === 7), k = 10, recallFloorPct = 0)
+      .select("n_foreign_codebook_rows", "foreign_codes_detected").collect().head
+    assert(h.getLong(0) == 0L && !h.getBoolean(1),
+      "the stream must self-heal: no foreign-codebook rows after a mid-stream rebuild")
+    // ingested vectors from BOTH micro-batches are retrievable under the
+    // new codebook
+    val cb2 = Similarity.codebookOf(spark, idx)
+    val ids = IndexStore.storedComponent(spark, idx, "codes")
+      .select("id").as[Long].collect().toSet
+    assert(newbies.select("vec_id").as[Long].collect().toSet.subsetOf(ids),
+      "all streamed vectors visible exactly once")
+    val got = Similarity.topKIvfPqFromIndex(spark, idx,
+      e.filter($"vec_id" === 8), "vec_id", "embedding", k = 20, cb2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).contains(8L), "streamed vector retrievable post-rebuild")
+  }
+
+  test("appendEncodedStreamBatch: a rebuild between encode and commit fails loud; the batch stays invisible") {
+    val e = embeddings
+    val cb1 = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-stream-race")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", cb1, idx)
+    val (centroids, oldCb) = Similarity.frozenGeometryOf(spark, idx)
+    val encoded = Similarity.encodeForIndex(e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", centroids, oldCb)
+    // the rebuild wins the race before the micro-batch commits
+    Similarity.rebuildIvfPqIndex(spark, idx,
+      e.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding",
+      rebuildId = "stream-race-r1")
+    val ex = intercept[Exception] {
+      Similarity.appendEncodedStreamBatch(spark, idx, encoded,
+        "stream-000000000", Similarity.codebookFp(oldCb))
+    }
+    assert(ex.getMessage.contains("rebuild installed during streaming append"))
+    // unledgered -> invisible; serving green under the new codebook
+    val cb2 = Similarity.codebookOf(spark, idx)
+    val served = Similarity.topKIvfPqFromIndex(spark, idx,
+      e.filter($"vec_id" === 7), "vec_id", "embedding", k = 10, cb2)
+      .as[(Long, Long)].collect().toSeq
+    assert(!served.map(_._1).contains(8L), "raced micro-batch stays invisible")
+  }
+
+  test("rebuildMinhashIndex: new banding finds the planted pair the old banding misses; probe rerun-identical; replay no-op; appends re-derive under new params") {
+    // planted near-dup pair: ~31% 3-shingle Jaccard — above the 1/5
+    // verify threshold, but with 2 bands of 16 rows the band-collision
+    // probability is ~0.31^16 per band: the OLD banding misses it
+    val shared = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val restA = (0 until 18).map(i => s"beta$i").mkString(" ")
+    val restB = (0 until 18).map(i => s"gamma$i").mkString(" ")
+    val corpus = Seq((1L, s"$shared $restA")).toDF("doc_id", "text")
+    val probe = Seq((900L, s"$shared $restB")).toDF("doc_id", "text")
+    val idx = tmp("mh-rebuild")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx,
+      n = 3, numHashes = 32, bands = 2)
+    assert(probePairs(idx, probe).isEmpty,
+      "the wide-band build must miss the planted pair (that is the drift)")
+    // re-tune: 32 bands of 1 row — candidate recall ~1 at J=0.31
+    Dedup.rebuildMinhashIndex(spark, idx, corpus, "doc_id", "text",
+      rebuildId = "mh-r1", n = 3, numHashes = 32, bands = 32)
+    assert(Dedup.minhashIndexParams(spark, idx) == ((3, 32, 32)),
+      "the self-describing params flip with the rebuild")
+    val found = probePairs(idx, probe)
+    assert(found.map(p => (p._1, p._2)) == Set((900L, 1L)),
+      s"the re-banded index must find the planted pair, got $found")
+    assert(probePairs(idx, probe) == found, "probe is rerun-identical")
+    // replaying the ledgered rebuild id is a no-op
+    val vS = IndexStore.pinOf(spark, idx, "shingles").v
+    Dedup.rebuildMinhashIndex(spark, idx, corpus, "doc_id", "text",
+      rebuildId = "mh-r1", n = 3, numHashes = 32, bands = 2)
+    assert(IndexStore.pinOf(spark, idx, "shingles").v == vS &&
+      probePairs(idx, probe) == found, "replayed rebuild must change nothing")
+    // appends after the rebuild re-derive under the NEW params (read
+    // back from the self-describing meta) and are probe-visible
+    Dedup.appendToMinhashIndex(
+      Seq((2L, s"$shared $restB")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, batchId = "post-rebuild")
+    val withNew = probePairs(idx, probe)
+    assert(withNew.map(p => (p._1, p._2)) == Set((900L, 1L), (900L, 2L)),
+      s"post-rebuild append joins the new bucket space, got $withNew")
+  }
+
+  test("minhash params guard: foreign-parameter delta rows fail the probe with the named error; health reports them; a raced append is never ledgered") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0).limit(200)
+    val idx = tmp("mh-foreign")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx,
+      n = 3, numHashes = 32, bands = 8)
+    val day1 = docs.filter($"doc_id" % 10 === 0).limit(50)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    // a raced append: the parameter rebuild installs between the append's
+    // derive and its ledger commit -> named error, batch invisible
+    val ex = intercept[Exception] {
+      Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx,
+        batchId = "raced",
+        preCommitHook = () => Dedup.rebuildMinhashIndex(spark, idx, corpus,
+          "doc_id", "text", rebuildId = "mh-race-r1",
+          n = 3, numHashes = 32, bands = 16))
+    }
+    assert(ex.getMessage.contains("parameter rebuild installed during append"),
+      s"expected the named race error, got: ${ex.getMessage}")
+    val probe = docs.filter($"doc_id" % 10 === 0).limit(20)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    // probes are green (the raced batch never became visible)...
+    probePairs(idx, probe)
+    // ...until an out-of-contract writer force-ledgers old-params rows
+    val hashed = Dedup.shingleHashSets(day1, "doc_id", "text", 3)
+      .withColumn("params_fp", lit(Dedup.paramsFp(3, 32, 8)))
+    hashed.write.mode("overwrite").parquet(s"$idx/shingles_delta/batch=rogue")
+    Dedup.bandRowsOf(hashed, 32, 8)
+      .withColumn("params_fp", lit(Dedup.paramsFp(3, 32, 8)))
+      .write.mode("overwrite").parquet(s"$idx/bands_delta/batch=rogue")
+    IndexStore.ledgerBatch(spark, idx, "rogue")
+    val ex2 = intercept[Exception] { probePairs(idx, probe) }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(ex2).contains("foreign-parameter rows"),
+      s"expected the named guard error, got: ${messages(ex2)}")
+    val h = Dedup.minhashIndexHealth(spark, idx)
+      .select("n_foreign_params_rows", "foreign_params_detected")
+      .collect().head
+    assert(h.getLong(0) > 0L && h.getBoolean(1),
+      "health must report the foreign-parameter rows")
+  }
+
+  test("writeMinhashIndex half-install (bands live, shingles not) recovers: probes fail loud, the re-run finishes installing v=0") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0).limit(100)
+    val idx = tmp("mh-half-install")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val probe = docs.filter($"doc_id" % 10 === 0).limit(20)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val healthy = probePairs(idx, probe)
+    // simulate the crash between the two fold commits: bands committed,
+    // shingles not (build order is bands first, shingles last)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles_folds/v=0"), true)
+    val ex = intercept[Exception] { probePairs(idx, probe) }
+    assert(ex.getMessage.contains("no complete version"),
+      "a half-installed index must fail probes loud, not return zero pairs")
+    // the create-once gate checks the LAST-committed component, so the
+    // re-run is allowed and completes the install
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    assert(probePairs(idx, probe) == healthy,
+      "the recovered v=0 must probe identically to the uncrashed build")
   }
 }

@@ -517,7 +517,7 @@ class SimilaritySpec extends SparkSpec {
     assert(single.getSeq[Any](2).length == cb.length)
   }
 
-  test("appendToIvfPqIndex + codes_stream delta: serving sees ingested vectors") {
+  test("appendToIvfPqIndex: serving sees ingested vectors without a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
     val base = embeddings.filter($"vec_id" % 4 =!= 0)
     val cb = Similarity.trainPqCodebook(embeddings, "vec_id", "embedding")
@@ -540,11 +540,15 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 20, cb)
     assert(after.filter($"id" === 8).count() == 1,
       "appended vector must be retrievable without a rebuild")
-    // an empty codes_stream dir (manifest-only / not yet committed)
-    // must read as empty, not break serving
-    new java.io.File(s"$dir/codes_stream").mkdirs()
+    // an unledgered delta dir (a crashed append that never retried)
+    // must stay invisible, not break or change serving
+    val ghost = graft.analytics.IndexStore
+      .storedComponent(spark, dir, "codes").limit(5)
+    ghost.write.mode("overwrite").parquet(s"$dir/codes_delta/batch=ghost")
     val still = Similarity.topKIvfPqFromIndex(spark, dir, q8,
       "vec_id", "embedding", k = 20, cb)
     assert(still.filter($"id" === 8).count() == 1)
+    assert(still.collect().toSeq == after.collect().toSeq,
+      "ghost (unledgered) delta dirs never reach serving")
   }
 }
