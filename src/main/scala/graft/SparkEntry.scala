@@ -24,7 +24,7 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 332
+  val RegisteredQueryCount: Int = 333
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
   // contract) instead of rows-only dumps. Round 8 adds the 8 streaming
@@ -36,8 +36,12 @@ object SparkEntry {
   // ingest (stream face == batch face), q327 IVF-PQ health report,
   // q328 IVF-PQ delta compaction (bit-equal serve, bounded files),
   // q329 MinHash index health report, q330 streaming probe-at-ingest
-  // (stream probe union == one-shot batch probe).
-  val OracledQueryCount: Int = 332
+  // (stream probe union == one-shot batch probe). Round 10 adds q331
+  // (drift-triggered IVF-PQ rebuild) and q332 (MinHash online
+  // compaction + vacuum); round 11 adds q333 (MinHash parameter
+  // rebuild: re-band the indexed population, planted-pair recall
+  // recovers, replay no-op).
+  val OracledQueryCount: Int = 333
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

@@ -410,15 +410,18 @@ object StreamingParityQueries {
     },
 
     // Streaming ANN-index maintenance (ivfPqMaintenanceStream): new
-    // embedding vectors appended into a base IVF-PQ index as 3 delta
-    // micro-batches through the exactly-once parquet file sink. The
-    // verdict is a real DIFFERENTIAL: the stream's stateless
-    // literal-expression cell assignment vs the batch face's
-    // relational broadcast-join/max_by assignment (appendToIvfPqIndex
-    // into a twin index) must produce the identical code set, serving
-    // from both indexes must be bit-equal for a base query AND an
-    // ingested query, and an ingested vector must be retrievable
-    // without a rebuild. n_new is DuckDB-recomputed.
+    // embedding vectors appended into a base IVF-PQ index as 3
+    // micro-batches, each landing as its own ledgered batch partition
+    // (foreachBatch + overwrite + geometry-recheck + ledger-last —
+    // exactly-once, and the per-batch geometry re-pin is what lets the
+    // stream self-heal across a rebuild). The verdict is a real
+    // DIFFERENTIAL: the stream's stateless literal-expression cell
+    // assignment vs the batch face's relational broadcast-join/max_by
+    // assignment (appendToIvfPqIndex into a twin index) must produce
+    // the identical code set, serving from both indexes must be
+    // bit-equal for a base query AND an ingested query, and an
+    // ingested vector must be retrievable without a rebuild. n_new is
+    // DuckDB-recomputed.
     "q322_stream_ann_ingest" -> q(
       """SELECT CAST(count(*) AS BIGINT) AS n_new,
                 CAST(0 AS BIGINT) AS n_code_mismatches,

@@ -2263,6 +2263,80 @@ object TextQueries {
           lit(bitEqual).as("probe_bit_equal"),
           lit(vacuumOk).as("vacuum_preserves_relation"),
           lit(replayNoop).as("late_replay_noop"))
+    }),
+
+    // MinHash-index PARAMETER REBUILD (Dedup.rebuildMinhashIndex) —
+    // q331's text-family sibling, registered as its VERDICT. The
+    // operating point drifts in place: planted partial-overlap twins
+    // (each keeps 70% of a corpus doc's tokens — ~0.5 shingle Jaccard,
+    // well above the 1/5 verify threshold) are INVISIBLE to the stale
+    // wide banding (2 bands × 16 rows: band-collision ~ J^16 ≈ 4e-5
+    // per pair — measured ZERO planted hits at sf0.001/0.01/0.1),
+    // and the rebuild to 32 single-row bands (candidate recall
+    // 1-(1-J)^32 ≈ 1) finds EVERY planted pair (measured 100% at all
+    // three scales; the driver-seeded data is fixed, so both are
+    // stable facts). The rebuild re-shingles the indexed population
+    // under the new params, installs both components atomically as the
+    // next versions, flips the self-describing meta (params_flipped is
+    // read back from the index), and ledgers the rebuild id (replay
+    // no-op: versions and probe results unchanged). Probe is
+    // rerun-identical. n_planted is DuckDB-recomputed.
+    "q333_minhash_rebuild" -> q(
+      """SELECT CAST(count(*) FILTER (WHERE doc_id % 4 = 1
+                  AND doc_id % 5 = 0
+                  AND len(string_split(text, ' ')) >= 30) AS BIGINT)
+                  AS n_planted,
+                TRUE AS stale_misses_planted,
+                TRUE AS rebuilt_finds_all_planted,
+                TRUE AS probe_rerun_identical,
+                TRUE AS params_flipped,
+                TRUE AS rebuild_replay_noop
+         FROM documents""")(tempScoped { (s, dir) =>
+      import graft.analytics.IndexStore
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = all.filter(col("doc_id") % 4 === 1)
+      val planted = corpus.filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), " ")) >= 30)
+      // each twin keeps the first 70% of its original's tokens plus a
+      // junk tail absent from the corpus: shared-prefix shingles give
+      // ~0.5 Jaccard against exactly one corpus doc
+      val twins = planted.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(split(col("text"), " "), lit(1),
+            size(split(col("text"), " ")) * 7 / 10)),
+          lit(" zqa zqb zqc zqd zqe zqf zqg zqh")).as("text"))
+      val idx = scratchDir("graft_q333_idx")
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx,
+        n = 3, numHashes = 32, bands = 2)
+      def probeSet(): Set[(Long, Long)] =
+        Dedup.probeMinhashIndex(s, idx, twins, "doc_id", "text")
+          .select("id_new", "id_corpus").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // planted-pair key set (driver-bounded: ~5% of the corpus)
+      val plantedPairs = planted.select(col("doc_id")).collect()
+        .map(r => (r.getLong(0) + 1000000L, r.getLong(0))).toSet
+      val staleFound = probeSet().intersect(plantedPairs)
+      Dedup.rebuildMinhashIndex(s, idx, corpus, "doc_id", "text",
+        rebuildId = "q333-r1", n = 3, numHashes = 32, bands = 32)
+      val rebuilt = probeSet()
+      val rerunIdentical = probeSet() == rebuilt
+      val paramsFlipped =
+        Dedup.minhashIndexParams(s, idx) == ((3, 32, 32))
+      val vS = IndexStore.pinOf(s, idx, "shingles").v
+      Dedup.rebuildMinhashIndex(s, idx, corpus, "doc_id", "text",
+        rebuildId = "q333-r1", n = 3, numHashes = 32, bands = 2)
+      val replayNoop = IndexStore.pinOf(s, idx, "shingles").v == vS &&
+        probeSet() == rebuilt
+      all.filter(col("doc_id") % 4 === 1 && col("doc_id") % 5 === 0 &&
+          size(split(col("text"), " ")) >= 30)
+        .agg(count(lit(1)).as("n_planted"))
+        .select(col("n_planted"),
+          lit(staleFound.isEmpty).as("stale_misses_planted"),
+          lit(plantedPairs.subsetOf(rebuilt)).as("rebuilt_finds_all_planted"),
+          lit(rerunIdentical).as("probe_rerun_identical"),
+          lit(paramsFlipped).as("params_flipped"),
+          lit(replayNoop).as("rebuild_replay_noop"))
     })
   )
 
