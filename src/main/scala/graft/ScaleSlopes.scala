@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Scale-slope harness for the persisted-index OPERATOR faces (the
   * daily-ingest paths of q322/q323/q325/q326, without their verdicts'
-  * in-query exact recomputation): run against two corpus dirs — the
-  * driver's sf0.1 and the 10× set from `tools/gen_scale.py` — and
-  * compare per-operation seconds. The contract being measured: with a
+  * in-query exact recomputation), the corpus-sized maintenance ops
+  * (compaction, rebuild, vacuum) and one iterative graph fixpoint:
+  * run against the driver's sf0.1 and the 10×/100× sets from
+  * `tools/gen_scale.py` and compare per-operation seconds. The contract being measured: with a
   * FIXED batch size, append cost is flat in corpus size (the corpus is
   * never read), probe/serve cost grows at most linearly in the stored
   * artifact scanned map-side (MinHash probe) or in the probed cell
@@ -88,6 +89,20 @@ object ScaleSlopes {
     time("minhash_compact", trials = 1) {
       Dedup.compactMinhashIndex(spark, mhIdx); ()
     }
+    // parameter rebuild: corpus-sized by design (re-shingle + re-band
+    // the indexed population) — priced for the "run it when the
+    // precision/recall operating point drifts" guidance. The corpus
+    // must cover the appended ids too (id population is preserved).
+    time("minhash_rebuild", trials = 1) {
+      Dedup.rebuildMinhashIndex(spark, mhIdx,
+        docs.unionByName(docBatch), "doc_id", "text",
+        rebuildId = "slope-mh-r1", n = 3, numHashes = 32, bands = 16)
+    }
+    // vacuum: driver-side listings + folded-dir deletes — expected
+    // ~flat in corpus size (file counts, not rows)
+    time("minhash_vacuum", trials = 1) {
+      Dedup.vacuumMinhashIndex(spark, mhIdx); ()
+    }
 
     // ---- IVF-PQ index family ----
     val pqIdx = java.nio.file.Files.createTempDirectory("slope-pq").toString
@@ -116,6 +131,17 @@ object ScaleSlopes {
     time("ivfpq_compact", trials = 1) {
       Similarity.compactIvfPqIndex(spark, pqIdx); ()
     }
+    // drift-triggered rebuild: k-means retrain + full re-encode — the
+    // heaviest maintenance op by design; priced for the "run it when
+    // health fires drift" guidance
+    time("ivfpq_rebuild", trials = 1) {
+      Similarity.rebuildIvfPqIndex(spark, pqIdx,
+        emb.unionByName(embBatch), "vec_id", "embedding",
+        rebuildId = "slope-pq-r1")
+    }
+    time("ivfpq_vacuum", trials = 1) {
+      Similarity.vacuumIvfPqIndex(spark, pqIdx); ()
+    }
 
     // ---- incremental dedup-group maintenance (q325's operator) ----
     // stored assignment: corpus-sized (singletons); day's edges: 500,
@@ -128,6 +154,16 @@ object ScaleSlopes {
         (col("doc_id") + 900000000L).as("id_b"))
     time("incr_components_batch") {
       Dedup.incrementalComponents(stored, edges).count(); ()
+    }
+
+    // ---- iterative graph fixpoint (exact-integer PageRank) ----
+    // corpus-linear edge list (a doc-id chain), fixed 5 rounds: the
+    // expected slope is ~linear in |edges| — per-round fixed job
+    // overhead dominates at small scale, data at large scale
+    val chain = docs.select(col("doc_id").as("src"),
+      (col("doc_id") + 1L).as("dst"))
+    time("pagerank_5iter", trials = 1) {
+      graft.operators.Graph.pageRank(chain, "src", "dst").count(); ()
     }
 
     def js(d: Double) = (math.round(d * 1000) / 1000.0).toString
