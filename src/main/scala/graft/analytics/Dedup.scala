@@ -426,17 +426,6 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b")
   }
 
-  /** Persisted MinHash-LSH corpus index (the text analog of the stored
-    * IVF-PQ code index): the posting-list build — hashed shingle SETS
-    * (`path/shingles`: id, shash) and banded signature BUCKETS
-    * (`path/bands`: id, band, bh) — is written ONCE as an offline
-    * artifact. Daily near-dup probing then pays only the NEW batch's
-    * tokenize/shingle/minhash cost; the corpus-side build (the dominant
-    * cost of [[crossCorpusNearDupPairs]], recomputed there per run)
-    * is amortized across every probe. Buckets are produced by the SAME
-    * compiled expressions as [[minhashLshPairs]], so stored and fresh
-    * signatures are identical by construction (pinned by the q323
-    * verdict differential). */
   /** Human-readable fingerprint of one (shingle width, hashes, bands)
     * parameter point — the MinHash analog of the IVF-PQ codebook
     * fingerprint. Stamped on every stored shingle/band row (`params_fp`
@@ -448,18 +437,21 @@ object Dedup {
   private[graft] def paramsFp(n: Int, numHashes: Int, bands: Int): String =
     s"n$n-h$numHashes-b$bands"
 
-  /** Append one parameter row to the index's append-only meta log.
-    * Meta is a LOG, not an overwritten file, because a parameter
-    * REBUILD must flip the current params without a delete+rewrite
-    * window a concurrent reader could fall into: appending one new
-    * max-`seq` row is a single atomic file materialization, and
-    * readers take the max-seq row. */
-  private def appendMetaParams(spark: org.apache.spark.sql.SparkSession,
-                               path: String, n: Int, numHashes: Int,
-                               bands: Int, seq: Long): Unit = {
+  /** Write one parameter row to the index's meta log. Meta is a LOG
+    * (readers take the max-`seq` row), because a parameter REBUILD must
+    * flip the current params without a delete+rewrite window a
+    * concurrent reader could fall into: appending one new max-seq row
+    * is a single atomic file materialization. The BUILD path instead
+    * overwrites (seq=0): no reader can be live before the first
+    * install, and appending there would let a re-run after an aborted
+    * build with different parameters leave two tied seq=0 rows with an
+    * arbitrary winner. */
+  private def writeMetaParams(spark: org.apache.spark.sql.SparkSession,
+                              path: String, n: Int, numHashes: Int,
+                              bands: Int, seq: Long, mode: String): Unit = {
     import spark.implicits._
     Seq((n, numHashes, bands, seq)).toDF("n", "num_hashes", "bands", "seq")
-      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
   }
 
   /** Route a component's payload column through the params guard: a
@@ -482,6 +474,17 @@ object Dedup {
             "offending batch (or re-run rebuildMinhashIndex) before " +
             "probing")))))
 
+  /** Persisted MinHash-LSH corpus index (the text analog of the stored
+    * IVF-PQ code index): the posting-list build — hashed shingle SETS
+    * (`path/shingles`: id, shash, params_fp) and banded signature
+    * BUCKETS (`path/bands`: id, band, bh, params_fp) — is written ONCE
+    * as an offline artifact. Daily near-dup probing then pays only the
+    * NEW batch's tokenize/shingle/minhash cost; the corpus-side build
+    * (the dominant cost of [[crossCorpusNearDupPairs]], recomputed
+    * there per run) is amortized across every probe. Buckets are
+    * produced by the SAME compiled expressions as [[minhashLshPairs]],
+    * so stored and fresh signatures are identical by construction
+    * (pinned by the q323 verdict differential). */
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 2, numHashes: Int = 32,
                         bands: Int = 8): Unit = {
@@ -507,7 +510,8 @@ object Dedup {
       s"writeMinhashIndex: an index already exists at $path — " +
         "use rebuildMinhashIndex (or a fresh path) instead of " +
         "overwriting a live one")
-    appendMetaParams(spark, path, n, numHashes, bands, seq = 0L)
+    writeMetaParams(spark, path, n, numHashes, bands, seq = 0L,
+      mode = "overwrite")
     val fp = paramsFp(n, numHashes, bands)
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .withColumn("params_fp", lit(fp))
@@ -848,12 +852,14 @@ object Dedup {
       .write.mode("overwrite")
       .parquet(IndexStore.versionDir(path, "bands", nextB))
     hashed.unpersist()
-    // flip the meta BEFORE the fold commits: from here until both
-    // commit, probes fail loud on the params guard (old rows under new
-    // meta) — a crash in this window is recovered by re-running the
-    // rebuild (same rebuildId), never by serving mixed parameter spaces
-    appendMetaParams(spark, path, n, numHashes, bands,
-      seq = metaSeq(spark, path) + 1L)
+    // flip the meta BEFORE the fold commits (append-only: a live
+    // reader must never see a delete+rewrite window): from here until
+    // both commit, probes fail loud on the params guard (old rows
+    // under new meta) — a crash in this window is recovered by
+    // re-running the rebuild (same rebuildId), never by serving mixed
+    // parameter spaces
+    writeMetaParams(spark, path, n, numHashes, bands,
+      seq = metaSeq(spark, path) + 1L, mode = "append")
     IndexStore.commitFolds(spark, path, "bands", nextB,
       pinB.foldedBatches ++ snapBatchB, pinB.foldedStream ++ snapStreamB)
     IndexStore.commitFolds(spark, path, "shingles", nextS,

@@ -344,9 +344,9 @@ object IncrementalStream {
     * retrained geometry, no restart or fresh checkpoint needed. The
     * narrow residual race (a rebuild installing between a batch's pin
     * and its ledger commit) is closed by the write-then-recheck-then-
-    * ledger discipline inside Similarity.appendToIvfPqIndex — the
-    * batch fails LOUD with its rows unledgered (invisible), and the
-    * checkpoint replays it against the new geometry on restart.
+    * ledger discipline inside Similarity.appendEncodedStreamBatch —
+    * the batch fails LOUD with its rows unledgered (invisible), and
+    * the checkpoint replays it against the new geometry on restart.
     *
     * Assignment still runs the stateless literal-expression form
     * (Similarity.encodeForIndex — kept bit-equal to the batch face's

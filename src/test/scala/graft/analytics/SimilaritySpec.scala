@@ -544,7 +544,8 @@ class SimilaritySpec extends SparkSpec {
     // must stay invisible, not break or change serving
     val ghost = graft.analytics.IndexStore
       .storedComponent(spark, dir, "codes").limit(5)
-    ghost.write.mode("overwrite").parquet(s"$dir/codes_delta/batch=ghost")
+    ghost.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes_delta/batch=ghost")
     val still = Similarity.topKIvfPqFromIndex(spark, dir, q8,
       "vec_id", "embedding", k = 20, cb)
     assert(still.filter($"id" === 8).count() == 1)
