@@ -328,10 +328,10 @@ object Dedup {
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
   }
 
-  /** Band-struct array over a MinHash signature column — ONE shared
-    * expression behind the exploded bucket rows AND the combined
-    * maintenance-stream rows, so stored, streamed and freshly-computed
-    * buckets are identical by construction. */
+  /** Band-struct array over a MinHash signature column — the single
+    * expression behind the exploded bucket rows, so stored (batch- or
+    * stream-appended) and freshly-computed buckets are identical by
+    * construction. */
   private def bandArray(sigCol: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     array((0 until bands).map(b =>
@@ -339,61 +339,6 @@ object Dedup {
         xxhash64((b * rows until (b + 1) * rows)
           .map(i => element_at(sigCol, i + 1)): _*).as("bh"))): _*)
   }
-
-  /** Combined per-doc maintenance-stream row: (id, shash, bands) — one
-    * document's shingle set AND band buckets in ONE row, so a single
-    * file-sink manifest commit makes BOTH index components visible
-    * atomically. (Two independent sinks had a cross-component window:
-    * a band row could commit before its shingle row, and a concurrent
-    * probe's verify join transiently dropped that candidate.) Readers
-    * derive each component's rows back out — see deriveStreamComponent
-    * / storedMinhashComponent. */
-  private[graft] def combinedStreamRows(df: DataFrame, idCol: String,
-                                        textCol: String, n: Int,
-                                        numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    shingleHashSets(df, idCol, textCol, n)
-      .select(col("id"), col("shash"),
-        graft.functions.MinHashSig(col("shash"), numHashes).as("sig"))
-      .select(col("id"), col("shash"),
-        bandArray(col("sig"), numHashes, bands).as("bands"),
-        lit(paramsFp(n, numHashes, bands)).as("params_fp"))
-  }
-
-  /** The family-shared maintenance-stream dir (combined schema). */
-  private[graft] def minhashStreamDir(path: String): String =
-    s"$path/minhash_stream"
-
-  /** Combined stream-row schema: (id, shash, bands) — explicit, so a
-    * dir holding only the sink manifest reads as empty. Only the id
-    * field's type is data-dependent (the corpus' id column); shash and
-    * the band structs are fixed by construction (xxhash64 longs), so
-    * the schema is built from any component base's id field without a
-    * second version pin. */
-  private def combinedStreamSchema(idField: org.apache.spark.sql.types.StructField)
-      : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      idField,
-      StructField("shash", ArrayType(LongType)),
-      StructField("bands", ArrayType(StructType(Seq(
-        StructField("band", IntegerType), StructField("bh", LongType))))),
-      StructField("params_fp", StringType)))
-  }
-
-  /** Derive one component's rows from the combined stream relation
-    * (the per-doc `params_fp` stamp rides along into both). */
-  private def deriveStreamComponent(combined: DataFrame,
-                                    component: String): DataFrame =
-    component match {
-      case "shingles" =>
-        combined.select(col("id"), col("shash"), col("params_fp"))
-      case "bands" => combined
-        .select(col("id"), explode(col("bands")).as("bucket"), col("params_fp"))
-        .select(col("id"), col("bucket.band").as("band"),
-          col("bucket.bh").as("bh"), col("params_fp"))
-      case other => sys.error(s"unknown MinHash index component: $other")
-    }
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, numHashes: Int = 32, bands: Int = 8,
@@ -527,8 +472,8 @@ object Dedup {
     // bands first, shingles LAST (the create-once gate's component):
     // a crash between the two leaves a recoverable half-install, never
     // a stuck one
-    IndexStore.commitFolds(spark, path, "bands", 0, Set.empty, Set.empty)
-    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty, Set.empty)
+    IndexStore.commitFolds(spark, path, "bands", 0, Set.empty)
+    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty)
   }
 
   /** (n, numHashes, bands) the index at `path` CURRENTLY uses: the
@@ -612,24 +557,17 @@ object Dedup {
   }
 
   /** Full stored relation of a MinHash index component: base(pinned
-    * version) ∪ unfolded ledgered batch delta ∪ unfolded stream rows
-    * derived from the combined maintenance-stream dir — the single
-    * visibility rule every probe, the health report and the compactor
-    * share (one IndexStore.Pin per assembly). */
+    * version) ∪ unfolded ledgered batch delta — the single visibility
+    * rule every probe, the health report and the compactor share (one
+    * IndexStore.Pin per assembly). Streaming maintenance lands as
+    * ledgered `batch=stream-<id>` appends, so this covers both faces. */
   private[graft] def storedMinhashComponent(spark: org.apache.spark.sql.SparkSession,
                                             path: String, component: String): DataFrame =
     storedComponent(spark, path, component)
 
   private def storedComponent(spark: org.apache.spark.sql.SparkSession,
-                              path: String, component: String): DataFrame = {
-    val pin = IndexStore.pinOf(spark, path, component)
-    val base = IndexStore.readBaseAt(spark, path, component, pin)
-    val part = IndexStore.streamRows(spark, minhashStreamDir(path),
-        combinedStreamSchema(base.schema("id")),
-        exclude = pin.foldedStream)
-      .map(deriveStreamComponent(_, component))
-    IndexStore.storedComponentWith(spark, path, component, pin, base, part)
-  }
+                              path: String, component: String): DataFrame =
+    IndexStore.storedComponent(spark, path, component)
 
   /** Probe a new batch against the stored index: batch×corpus verified
     * near-dup pairs (id_new, id_corpus, common, n_new, n_corpus) with
@@ -653,8 +591,9 @@ object Dedup {
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRowsOf(newHashed, numHashes, bands)
-    // base ∪ ledgered batch delta ∪ stream delta: appended corpus
-    // batches are probed exactly like build-time corpus. Both stored
+    // base ∪ ledgered batch delta (daily appends and streaming
+    // micro-batches alike): appended corpus batches are probed exactly
+    // like build-time corpus. Both stored
     // relations route their payload through the params guard — a row
     // derived under different parameters than the index's current ones
     // (a writer that violated rebuild quiescence) fails the probe LOUD
@@ -684,12 +623,12 @@ object Dedup {
   }
 
   /** Lakehouse maintenance for the persisted MinHash index: months of
-    * daily `batch=` appends and stream-sink micro-batches fragment the
-    * shingle and band stores into thousands of small files, and every
-    * probe's corpus scan pays the per-file open cost. Compaction merges
-    * base ∪ unfolded ledgered batch delta ∪ unfolded stream rows of
-    * each component (the exact relation probes read — a bit-equal
-    * rewrite by construction) into a fresh range-sorted base version of
+    * `batch=` appends (daily jobs and streaming micro-batches alike)
+    * fragment the shingle and band stores into thousands of small
+    * files, and every probe's corpus scan pays the per-file open cost.
+    * Compaction merges base ∪ unfolded ledgered batch delta of each
+    * component (the exact relation probes read — a bit-equal rewrite
+    * by construction) into a fresh range-sorted base version of
     * ~`rowsPerFile` files (Layout.writeSized: footer min/max stats stay
     * selective) and installs it by committing the cumulative fold
     * manifest (IndexStore.compactComponent). Returns
@@ -697,25 +636,21 @@ object Dedup {
     *
     * ONLINE: concurrent probes resolve either the old version (deltas
     * unfolded) or the new one (deltas folded) — bit-equal relations —
-    * and concurrent appends/stream commits stay visible as delta under
-    * the new version (their refs are not in its manifest). A crash
-    * leaves an invisible incomplete attempt; re-running cannot bake
-    * duplicates because visibility subtracts the fold manifest, not the
+    * and concurrent appends stay visible as delta under the new
+    * version (their refs are not in its manifest). A crash leaves an
+    * invisible incomplete attempt; re-running cannot bake duplicates
+    * because visibility subtracts the fold manifest, not the
     * filesystem. The batch-id LEDGER survives on purpose: a late replay
     * of an already-folded batch must still be recognized and skipped.
     * Superseded versions and folded delta dirs are garbage-collected by
-    * the separate, QUIESCED [[vacuumMinhashIndex]]. */
+    * the separate, retention-gated [[vacuumMinhashIndex]]. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
-    val schema = combinedStreamSchema(
-      IndexStore.readBase(spark, path, "shingles").schema("id"))
     val (n, h, b0) = minhashIndexParams(spark, path)
     val expectedFp = paramsFp(n, h, b0)
-    def one(component: String): (Long, Long, Long, Set[String]) =
+    def one(component: String): (Long, Long, Long) =
       IndexStore.compactComponent(spark, path, component,
-        stream = Some((minhashStreamDir(path), schema,
-          deriveStreamComponent(_, component))),
         write = (merged, rows, dest, _) =>
           // the rewrite routes the payload through the params guard: a
           // foreign-parameter delta row fails the compaction loudly —
@@ -728,41 +663,28 @@ object Dedup {
             dest, "id", rowsPerFile, rows))
     val s = one("shingles")
     val b = one("bands")
-    // the shared stream dir's unfolded files appear in BOTH components'
-    // `before` counts but are one physical set — subtract the overlap
-    // of the snapshots each compaction ACTUALLY folded (the two fold
-    // sets can diverge after a crash between per-component installs;
-    // recomputing from either pin alone would miscount)
-    val shared = (s._4 intersect b._4).size.toLong
-    (s._1 + b._1 - shared, s._2 + b._2, s._3 + b._3)
+    (s._1 + b._1, s._2 + b._2, s._3 + b._3)
   }
 
   /** Retention-gated garbage collection for the MinHash index: keep
     * the newest `keepVersions` complete base versions per component,
-    * drop the rest plus the `batch=` delta dirs (and — iff every
-    * committed stream file is folded for BOTH components — the shared
-    * maintenance-stream dir, whole: per-file deletion would break the
-    * sink manifest) that the OLDEST retained version has folded.
-    * `keepVersions = 1` requires probe quiescence; `keepVersions = 2`
-    * tolerates every probe that pinned since the previous install
-    * (IndexStore.vacuumComponent). Never run concurrent with a
-    * compactor, nor with the maintenance stream when the stream dir is
-    * deletable (a stream restarted after its dir is dropped needs a
-    * fresh checkpoint). Returns (versions removed, batch dirs removed,
-    * stream dir removed). */
+    * drop the rest plus the `batch=` delta dirs the OLDEST retained
+    * version has folded (streaming micro-batch dirs are ordinary
+    * folded batch dirs and collect the same way). `keepVersions = 1`
+    * requires probe quiescence; `keepVersions = 2` tolerates every
+    * probe that pinned since the previous install
+    * (IndexStore.vacuumComponent). An in-flight compactor's/rebuild's
+    * half-written next version is protected by `incompleteTtlMs`.
+    * Returns (versions removed, batch dirs removed). */
   def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          keepVersions: Int = 1,
-                         incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long, Boolean) = {
-    val schema = combinedStreamSchema(
-      IndexStore.readBase(spark, path, "shingles").schema("id"))
+                         incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long) = {
     val a = IndexStore.vacuumComponent(spark, path, "shingles", keepVersions,
       incompleteTtlMs)
     val b = IndexStore.vacuumComponent(spark, path, "bands", keepVersions,
       incompleteTtlMs)
-    val streamGone = IndexStore.vacuumStreamDir(spark, path,
-      minhashStreamDir(path), schema, Seq("shingles", "bands"), keepVersions)
-    (a._1 + b._1, a._2 + b._2, streamGone)
+    (a._1 + b._1, a._2 + b._2)
   }
 
   /** PARAMETER REBUILD for the persisted MinHash index — the text
@@ -813,19 +735,15 @@ object Dedup {
       return // replayed rebuild: already installed and ledgered
     val pinS = IndexStore.pinOf(spark, path, "shingles")
     val pinB = IndexStore.pinOf(spark, path, "bands")
-    val streamSchema = combinedStreamSchema(
-      IndexStore.readBaseAt(spark, path, "shingles", pinS).schema("id"))
     // SNAPSHOT what the re-derive covers, per component (the two fold
     // sets can diverge after a crashed install): exactly these refs get
     // folded at install — re-reading the ledger at commit time would
-    // fold a delta committed mid-rebuild WITHOUT re-deriving it
+    // fold a delta committed mid-rebuild WITHOUT re-deriving it.
+    // Streaming micro-batches are ledgered batches too, so one
+    // snapshot covers both maintenance faces.
     val ledgered = IndexStore.ledgeredBatchIds(spark, path).toSeq
     val snapBatchS = ledgered.filterNot(pinS.foldedBatches).toSet
     val snapBatchB = ledgered.filterNot(pinB.foldedBatches).toSet
-    val committedStream = IndexStore
-      .committedStreamFiles(spark, minhashStreamDir(path), streamSchema)
-    val snapStreamS = committedStream.filterNot(pinS.foldedStream).toSet
-    val snapStreamB = committedStream.filterNot(pinB.foldedStream).toSet
     // indexed id population, UNGUARDED on purpose: ids of rows written
     // under any parameters count — their documents are re-derived from
     // `corpus` text, which is parameter-free
@@ -861,9 +779,9 @@ object Dedup {
     writeMetaParams(spark, path, n, numHashes, bands,
       seq = metaSeq(spark, path) + 1L, mode = "append")
     IndexStore.commitFolds(spark, path, "bands", nextB,
-      pinB.foldedBatches ++ snapBatchB, pinB.foldedStream ++ snapStreamB)
+      pinB.foldedBatches ++ snapBatchB)
     IndexStore.commitFolds(spark, path, "shingles", nextS,
-      pinS.foldedBatches ++ snapBatchS, pinS.foldedStream ++ snapStreamS)
+      pinS.foldedBatches ++ snapBatchS)
     IndexStore.ledgerRebuild(spark, path, rebuildId)
   }
 
@@ -882,8 +800,9 @@ object Dedup {
     * One row of exact-integer metrics + the verdict booleans:
     *
     *   - n_base_docs / n_delta_docs / delta_pct — shingle-store rows
-    *     (one per indexed doc) in base vs ledgered-batch + stream
-    *     deltas; `needs_compaction` fires past `maxDeltaPct`.
+    *     (one per indexed doc) in base vs ledgered batch delta (daily
+    *     appends and streaming micro-batches alike);
+    *     `needs_compaction` fires past `maxDeltaPct`.
     *   - n_files / files_per_kdoc — the probe-side scan cost driver
     *     (every probe opens every file of both components);
     *     `fragmented` fires when the file count exceeds
@@ -898,40 +817,28 @@ object Dedup {
     import spark.implicits._
     val pin = IndexStore.pinOf(spark, path, "shingles")
     val base = IndexStore.readBaseAt(spark, path, "shingles", pin)
-    val schema = combinedStreamSchema(base.schema("id"))
     val (pn, ph, pb) = minhashIndexParams(spark, path)
     val fp = paramsFp(pn, ph, pb)
     val nBase = base.count()
-    // one pass per (day-sized) delta source: total rows + rows stamped
+    // one pass over the (day-sized) delta: total rows + rows stamped
     // with foreign parameters (the monitoring-side detection of a
     // writer that violated parameter-rebuild quiescence; probes fail
     // LOUD on such rows — health REPORTS them)
-    def countWithForeign(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(col("params_fp") =!= lit(fp), 1L)
-          .otherwise(0L)), lit(0L)).as("f")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val (nLedger, fLedger) =
+    val (nDelta, nForeign) =
       IndexStore.ledgeredDelta(spark, path, "shingles", pin, base.schema,
-        Seq("id", "params_fp")).map(countWithForeign).getOrElse((0L, 0L))
-    val (nStream, fStream) =
-      IndexStore.streamRows(spark, minhashStreamDir(path), schema,
-        exclude = pin.foldedStream)
-        .map(d => countWithForeign(d.select(col("id"), col("params_fp"))))
-        .getOrElse((0L, 0L))
-    val nDelta = nLedger + nStream
-    val nForeign = fLedger + fStream
+        Seq("id", "params_fp")).map { d =>
+          val r = d.agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("params_fp") =!= lit(fp), 1L)
+              .otherwise(0L)), lit(0L)).as("f")).head()
+          (r.getLong(0), r.getLong(1))
+        }.getOrElse((0L, 0L))
     val deltaPct =
       if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
     // reader-visible file census: live base versions + unfolded delta
-    // batches of both components, plus the shared stream dir's unfolded
-    // committed files (counted once — both derivations scan them)
+    // batches of both components
     val nFiles = IndexStore.liveComponentFiles(spark, path, "shingles", pin) +
       IndexStore.liveComponentFiles(spark, path, "bands",
-        IndexStore.pinOf(spark, path, "bands")) +
-      IndexStore.committedStreamFiles(spark, minhashStreamDir(path), schema)
-        .filterNot(pin.foldedStream).size
+        IndexStore.pinOf(spark, path, "bands"))
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct, nFiles,
       nFiles > 2L * maxFilesPerComponent, nForeign, nForeign > 0L))
       .toDF("n_base_docs", "n_delta_docs", "delta_pct",

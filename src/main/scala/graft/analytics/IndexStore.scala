@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -20,21 +20,25 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *                               Cumulative across versions; written
   *                               strictly LAST, so its `_SUCCESS` is the
   *                               atomic install point of the version.
-  *   `<component>_delta/`      — daily batch appends, one `batch=<id>`
+  *   `<component>_delta/`      — batch appends, one `batch=<id>`
   *                               partition per append, gated by the
   *                               index's `_ledger` (exactly-once: a
   *                               replayed batch id is skipped, a retried
   *                               half-write overwrites its own dir).
-  *   `<component>_stream` (or a family-shared stream dir) — streaming-
-  *                               maintenance delta through the parquet
-  *                               file sink (the sink manifest commits
-  *                               each micro-batch atomically).
+  *                               STREAMING maintenance lands here too:
+  *                               each micro-batch is an ordinary
+  *                               ledgered `batch=stream-<id>` append
+  *                               (foreachBatch + overwrite +
+  *                               ledger-last), so daily jobs and
+  *                               streams share ONE delta discipline —
+  *                               one visibility rule, one fold
+  *                               currency, one compaction/vacuum path.
   *
   * Readers (probe/serve), the health reports and the compactors all
   * assemble the SAME relation: base(pinned version) ∪ ledgered batch
-  * delta NOT folded into that version ∪ manifest-committed stream rows
-  * NOT folded into it — resolved through ONE [[Pin]] per assembly, so a
-  * reader can never mix one version's base with another's fold list.
+  * delta NOT folded into that version — resolved through ONE [[Pin]]
+  * per assembly, so a reader can never mix one version's base with
+  * another's fold list.
   * Because deltas are excluded by the fold manifest rather than by
   * deletion, compaction is ONLINE and atomic for readers: a reader
   * resolving mid-compaction sees either the old version (with the
@@ -49,8 +53,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * (online) vs VACUUM (retention-gated) split.
   *
   * Fold manifests are cumulative and never rewritten, so a manifest's
-  * row count is bounded by total batches appended plus stream files
-  * committed over the index's lifetime — the same order as the `_ledger`
+  * row count is bounded by total batches appended (micro-batches
+  * included) over the index's lifetime — the same order as the `_ledger`
   * the design already carries (one driver-side KB-scale read per Pin;
   * refs whose dirs vacuum has deleted are dead weight in a set-membership
   * test, not a scan).
@@ -148,23 +152,19 @@ private[graft] object IndexStore {
     * serve, health, compaction input) snapshots exactly one Pin —
     * mixing the base of one version with the folds of another would
     * drop or double rows across a concurrent install. */
-  final case class Pin(v: Long, foldedBatches: Set[String],
-                       foldedStream: Set[String])
+  final case class Pin(v: Long, foldedBatches: Set[String])
 
   def pinOf(spark: SparkSession, path: String, component: String): Pin = {
     val v = liveVersion(spark, path, component).getOrElse(
       sys.error(s"no complete version of index component $path/$component"))
-    val (b, st) = foldsAt(spark, path, component, v)
-    Pin(v, b, st)
+    Pin(v, foldsAt(spark, path, component, v))
   }
 
   private def foldsAt(spark: SparkSession, path: String, component: String,
-                      v: Long): (Set[String], Set[String]) = {
-    val rows = spark.read.parquet(foldsDir(path, component, v))
+                      v: Long): Set[String] =
+    spark.read.parquet(foldsDir(path, component, v))
       .select("kind", "ref").collect()
-    (rows.filter(_.getString(0) == "batch").map(_.getString(1)).toSet,
-      rows.filter(_.getString(0) == "stream").map(_.getString(1)).toSet)
-  }
+      .filter(_.getString(0) == "batch").map(_.getString(1)).toSet
 
   def readBaseAt(spark: SparkSession, path: String, component: String,
                  pin: Pin): DataFrame =
@@ -178,11 +178,9 @@ private[graft] object IndexStore {
     * be fully written — this parquet write's `_SUCCESS` is the commit
     * point that makes the version live. */
   def commitFolds(spark: SparkSession, path: String, component: String,
-                  v: Long, batchIds: Set[String],
-                  streamFiles: Set[String]): Unit = {
+                  v: Long, batchIds: Set[String]): Unit = {
     import spark.implicits._
-    (batchIds.toSeq.sorted.map(("batch", _)) ++
-      streamFiles.toSeq.sorted.map(("stream", _)))
+    batchIds.toSeq.sorted.map(("batch", _))
       .toDF("kind", "ref")
       .coalesce(1).write.mode("overwrite")
       .parquet(foldsDir(path, component, v))
@@ -238,99 +236,25 @@ private[graft] object IndexStore {
     }
   }
 
-  /** The fold-manifest currency for stream files: the file's BASENAME,
-    * not its absolute URI. Sink part-file names are unique within a
-    * stream dir (the dir is flat — the sink never nests), and unlike
-    * `input_file_name()`'s absolute URI the basename survives the index
-    * being relocated or re-read through a different scheme/authority
-    * (`file:/tmp/idx` vs `s3a://bucket/idx`) — with absolute refs a
-    * moved index's exclude sets would silently stop matching and every
-    * already-folded stream row would become double-visible next to the
-    * compacted base. */
-  private def streamRef(c: Column): Column =
-    element_at(split(c, "/"), -1)
-
-  /** Manifest-committed data files of a file-sink stream dir (the
-    * exactly-once row set), as relocation-stable basenames — the
-    * currency fold manifests store (see [[streamRef]]). Driver-side;
-    * bounded by micro-batch files between vacuums. */
-  def committedStreamFiles(spark: SparkSession, streamDir: String,
-                           schema: StructType): Seq[String] = {
-    if (!hfs(spark, streamDir).exists(hp(streamDir))) Seq.empty
-    else spark.read.schema(schema).parquet(streamDir)
-      .select(streamRef(input_file_name()).as("f")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-  }
-
-  /** Committed stream rows restricted by file: `include` pins an exact
-    * snapshot (compaction — rows committed after the snapshot stay
-    * delta), `exclude` drops already-folded files (readers). The
-    * explicit schema lets a dir holding only the sink manifest (zero
-    * committed batches) read as empty. The file filter is post-scan (no
-    * pushdown) — acceptable because the stream delta is micro-batch-
-    * sized between vacuums, never corpus-sized. */
-  def streamRows(spark: SparkSession, streamDir: String, schema: StructType,
-                 include: Option[Set[String]] = None,
-                 exclude: Set[String] = Set.empty): Option[DataFrame] = {
-    if (!hfs(spark, streamDir).exists(hp(streamDir))) None
-    else {
-      val df = spark.read.schema(schema).parquet(streamDir)
-      val ref = streamRef(input_file_name())
-      val byInclude = include match {
-        case Some(files) =>
-          if (files.isEmpty) return None
-          df.filter(ref.isin(files.toSeq: _*))
-        case None => df
-      }
-      Some(
-        if (exclude.isEmpty) byInclude
-        else byInclude.filter(!ref.isin(exclude.toSeq: _*)))
-    }
-  }
-
-  /** Full stored relation of an index component whose streaming delta
-    * (if any) lands in `<component>_stream` with the component's own
-    * schema (the IVF-PQ `codes` shape; MinHash components share one
-    * combined stream dir and assemble via [[storedComponentWith]]). */
+  /** Full stored relation of an index component: base(pin) ∪ unfolded
+    * ledgered delta — the single visibility rule. Streaming maintenance
+    * lands as ledgered `batch=stream-<id>` appends, so this one
+    * assembly covers batch jobs and streams alike. */
   def storedComponent(spark: SparkSession, path: String,
                       component: String): DataFrame = {
-    // loud guard against the silent-miss misuse: a MinHash index's
-    // stream delta lives in the family-shared `minhash_stream` dir with
-    // a combined schema — assembling its components here would quietly
-    // drop every streamed row (Dedup.storedMinhashComponent is the
-    // correct face; this one covers per-component `_stream` families)
-    require(!hfs(spark, path).exists(hp(s"$path/minhash_stream")) ||
-      !Set("shingles", "bands")(component),
-      s"$component of the MinHash index at $path must be read via " +
-        "Dedup.storedMinhashComponent (shared combined stream dir)")
     val pin = pinOf(spark, path, component)
     val base = readBaseAt(spark, path, component, pin)
-    val stream = streamRows(spark, s"$path/${component}_stream", base.schema,
-        exclude = pin.foldedStream)
-      .map(_.select(base.columns.map(col): _*))
-    storedComponentWith(spark, path, component, pin, base, stream)
-  }
-
-  /** base(pin) ∪ unfolded ledgered delta ∪ `streamPart` — the single
-    * visibility rule, with the stream part supplied by the family
-    * (already fold-excluded and column-aligned). */
-  def storedComponentWith(spark: SparkSession, path: String,
-                          component: String, pin: Pin, base: DataFrame,
-                          streamPart: Option[DataFrame]): DataFrame = {
     val cols = base.columns.toSeq
-    val withBatch = ledgeredDelta(spark, path, component, pin, base.schema, cols)
+    ledgeredDelta(spark, path, component, pin, base.schema, cols)
       .map(base.select(cols.map(col): _*).unionByName(_))
       .getOrElse(base.select(cols.map(col): _*))
-    streamPart.map(p => withBatch.unionByName(p.select(cols.map(col): _*)))
-      .getOrElse(withBatch)
   }
 
   // ---------------------------------------------------------------- //
   // Online compaction + quiesced vacuum
   // ---------------------------------------------------------------- //
 
-  /** Data files a reader at `pin` opens for this component, excluding
-    * any shared stream dir (the family adds that once). */
+  /** Data files a reader at `pin` opens for this component. */
   def liveComponentFiles(spark: SparkSession, path: String,
                          component: String, pin: Pin): Long = {
     val base = graft.operators.Layout
@@ -350,46 +274,27 @@ private[graft] object IndexStore {
     * anywhere leaves an incomplete, invisible attempt that the next run
     * drops and redoes; delta rows can never become double-visible
     * because visibility subtracts the manifest, not the filesystem.
-    * Batches appended or stream files committed AFTER the snapshot stay
+    * Batches appended AFTER the snapshot (daily or streaming) stay
     * visible as delta under the new version too (their refs are not in
     * its manifest) — concurrent WRITERS are safe as well.
     *
-    * `stream` = (shared stream dir, its combined schema, per-component
-    * row derivation) when the family has a streaming face. `write`
-    * receives (merged rows relation, row count, destination dir, the
-    * version number being installed) — families with version-scoped
-    * sidecars (IVF-PQ meta) carry them forward by number instead of
-    * parsing the destination path.
+    * `write` receives (merged rows relation, row count, destination
+    * dir, the version number being installed) — families with
+    * version-scoped sidecars (IVF-PQ meta) carry them forward by
+    * number instead of parsing the destination path.
     *
-    * Returns (reader-visible files before — the shared stream dir's
-    * files included, so a family summing components must de-duplicate
-    * them — files after, merged rows, the stream-file snapshot THIS
-    * call folded). The snapshot is returned rather than recomputed by
-    * the caller because two components sharing one stream dir can fold
-    * DIVERGED sets (a crash between their installs): a caller-side
-    * recompute from either component's pin would miscount the shared
-    * files the other component actually folded. */
+    * Returns (reader-visible files before, files after, merged rows). */
   def compactComponent(spark: SparkSession, path: String, component: String,
-                       stream: Option[(String, StructType, DataFrame => DataFrame)],
-                       write: (DataFrame, Long, String, Long) => Unit): (Long, Long, Long, Set[String]) = {
+                       write: (DataFrame, Long, String, Long) => Unit): (Long, Long, Long) = {
     val pin = pinOf(spark, path, component)
     val newIds = unfoldedBatchIds(spark, path, pin)
     val base = readBaseAt(spark, path, component, pin)
     val cols = base.columns.toSeq
-    val (streamFiles, streamPart) = stream match {
-      case None => (Set.empty[String], None)
-      case Some((dir, schema, derive)) =>
-        val files = committedStreamFiles(spark, dir, schema)
-          .filterNot(pin.foldedStream).toSet
-        (files, streamRows(spark, dir, schema, include = Some(files))
-          .map(derive))
-    }
-    // merge from the EXACT snapshot (newIds / streamFiles), never by
-    // re-reading the ledger or manifest: a batch appended or a stream
-    // file committed between the snapshot and the merge must stay OUT
-    // of the new base (it stays out of its fold manifest), or it would
-    // be visible twice under the new version
-    val withDelta =
+    // merge from the EXACT snapshot (newIds), never by re-reading the
+    // ledger: a batch appended between the snapshot and the merge must
+    // stay OUT of the new base (it stays out of its fold manifest), or
+    // it would be visible twice under the new version
+    val merged =
       if (newIds.isEmpty) base.select(cols.map(col): _*)
       else base.select(cols.map(col): _*).unionByName(
         spark.read
@@ -397,20 +302,15 @@ private[graft] object IndexStore {
           .parquet(s"$path/${component}_delta")
           .filter(col("batch").isin(newIds: _*))
           .select(cols.map(col): _*))
-    val merged = streamPart
-      .map(p => withDelta.unionByName(p.select(cols.map(col): _*)))
-      .getOrElse(withDelta)
-    val before = liveComponentFiles(spark, path, component, pin) +
-      streamFiles.size
+    val before = liveComponentFiles(spark, path, component, pin)
     val next = pin.v + 1
     dropIncompleteVersion(spark, path, component, next)
     val rows = merged.count()
     write(merged, rows, versionDir(path, component, next), next)
-    commitFolds(spark, path, component, next,
-      pin.foldedBatches ++ newIds, pin.foldedStream ++ streamFiles)
+    commitFolds(spark, path, component, next, pin.foldedBatches ++ newIds)
     val after = graft.operators.Layout
       .nParquetFiles(spark, versionDir(path, component, next))
-    (before, after, rows, streamFiles)
+    (before, after, rows)
   }
 
   /** Incomplete-attempt retention: an incomplete version younger than
@@ -484,7 +384,7 @@ private[graft] object IndexStore {
     }
     // only dirs every retained version has folded may go: cumulative
     // manifests make that exactly the OLDEST retained version's set
-    val foldedB = foldsAt(spark, path, component, retained.min)._1
+    val foldedB = foldsAt(spark, path, component, retained.min)
     val deltaDir = hp(s"$path/${component}_delta")
     var removed = 0L
     if (fs.exists(deltaDir)) {
@@ -501,7 +401,7 @@ private[graft] object IndexStore {
     * [[vacuumComponent]]). */
   def oldestRetainedFolds(spark: SparkSession, path: String,
                           component: String,
-                          keepVersions: Int): (Set[String], Set[String]) = {
+                          keepVersions: Int): Set[String] = {
     val fs = hfs(spark, path)
     val retained = fs.listStatus(hp(s"$path/$component")).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
@@ -511,27 +411,5 @@ private[graft] object IndexStore {
     require(retained.nonEmpty,
       s"no complete version of index component $path/$component")
     foldsAt(spark, path, component, retained.min)
-  }
-
-  /** Delete a stream dir (manifest included) iff every committed file
-    * is folded into the live versions of ALL `components` sharing it.
-    * Partial per-file deletion is never safe: the sink manifest would
-    * keep referencing deleted files and every later read would fail.
-    * Quiesced like [[vacuumComponent]] — additionally the maintenance
-    * stream itself must have terminated (a restart afterwards needs a
-    * fresh checkpoint; its sink manifest dies with the dir). */
-  def vacuumStreamDir(spark: SparkSession, path: String, streamDir: String,
-                      schema: StructType, components: Seq[String],
-                      keepVersions: Int = 1): Boolean = {
-    val committed = committedStreamFiles(spark, streamDir, schema).toSet
-    val fullyFolded = components.forall(c =>
-      committed.subsetOf(
-        oldestRetainedFolds(spark, path, c, keepVersions)._2))
-    if (committed.nonEmpty && !fullyFolded) false
-    else {
-      val fs = hfs(spark, streamDir)
-      if (fs.exists(hp(streamDir))) fs.delete(hp(streamDir), true)
-      true
-    }
   }
 }

@@ -408,8 +408,7 @@ object Similarity {
         "use rebuildIvfPqIndex (or a fresh path)")
     buildCodesVersion(corpus.sparkSession, path, corpus, idCol, vecCol,
       codebook, nCells, version = 0L)
-    IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L,
-      Set.empty, Set.empty)
+    IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L, Set.empty)
   }
 
   /** Version-`v` meta dir: the trained geometry that encoded version
@@ -781,9 +780,8 @@ object Similarity {
                         path: String,
                         rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
     val expectedFp = liveCodebookFpOf(spark, path)
-    val (before, after, rows, _) =
+    val (before, after, rows) =
       IndexStore.compactComponent(spark, path, "codes",
-        stream = None,
         write = (merged, _, dest, next) => {
           merged.select(col("id"), col("cell"),
               guardedPqCode(expectedFp, path).as("pq_code"), col("cb_fp"))
@@ -922,7 +920,7 @@ object Similarity {
     // its old-codebook cb_fp stamp makes the next serve fail LOUD via
     // guardedPqCode instead of losing rows or mis-ranking)
     IndexStore.commitFolds(spark, path, "codes", next,
-      pin.foldedBatches ++ snapshotIds, pin.foldedStream)
+      pin.foldedBatches ++ snapshotIds)
     IndexStore.ledgerRebuild(spark, path, rebuildId)
   }
 

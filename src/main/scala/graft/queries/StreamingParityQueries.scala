@@ -439,7 +439,7 @@ object StreamingParityQueries {
       val idxB = tmpDir("graft_q322_idxB")
       Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idxA)
       Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idxB)
-      // stream face into A (3 micro-batches, exactly-once file sink)
+      // stream face into A (3 micro-batches, one ledgered batch each)
       val srcDir = tmpDir("graft_q322_src")
       newbies.select("vec_id", "embedding").repartition(3)
         .write.mode("overwrite").parquet(srcDir)
@@ -490,9 +490,10 @@ object StreamingParityQueries {
     },
 
     // Streaming MinHash-index maintenance (minhashMaintenanceStream):
-    // newly ingested documents appended into a stored MinHash-LSH index
-    // as combined (shingles+bands) delta rows through ONE exactly-once
-    // parquet file sink, symmetric with q322's IVF-PQ face. The verdict is a real
+    // newly ingested documents appended into a stored MinHash-LSH
+    // index, each micro-batch one ledgered batch whose shingle and
+    // band rows go visible atomically through the single ledger
+    // commit — symmetric with q322's IVF-PQ face. The verdict is a real
     // DIFFERENTIAL against the batch face (appendToMinhashIndex into a
     // twin index): stored shingle and band row sets must be identical,
     // a probe batch must return the identical verified pair set from
@@ -517,8 +518,9 @@ object StreamingParityQueries {
       val idxB = tmpDir("graft_q326_idxB")
       Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxA, n = 3)
       Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxB, n = 3)
-      // stream face into A: 2 micro-batches through the ONE combined
-      // sink (shingle set + band buckets commit atomically per doc)
+      // stream face into A: 2 micro-batches, each landing as one
+      // ledgered batch (shingle set + band buckets visible atomically
+      // through the one ledger commit)
       val srcDir = tmpDir("graft_q326_src")
       newbies.repartition(2).write.mode("overwrite").parquet(srcDir)
       val stream = s.readStream.schema(newbies.schema)

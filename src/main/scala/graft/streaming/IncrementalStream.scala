@@ -392,41 +392,40 @@ object IncrementalStream {
       .start()
 
   /** Streaming MinHash-index maintenance — the text sibling of
-    * [[ivfPqMaintenanceStream]]: continuously ingested documents are
-    * shingle-hashed and banded with the index's OWN stored parameters
-    * (self-describing meta — a different shingle width or banding would
-    * silently hash into a disjoint bucket space) and appended as
-    * combined `minhash_stream` delta rows that
-    * [[graft.analytics.Dedup.probeMinhashIndex]] reads alongside the
-    * base, so new corpus documents are probe-visible without an index
-    * rebuild.
+    * [[ivfPqMaintenanceStream]]: each micro-batch of newly ingested
+    * documents is shingle-hashed and banded with the index's OWN
+    * stored parameters and landed as one ledgered
+    * `batch=stream-<id>` append
+    * ([[graft.analytics.Dedup.appendToMinhashIndex]] in foreachBatch —
+    * overwrite + params-recheck + ledger-last), so new corpus
+    * documents are probe-visible without an index rebuild.
     *
-    * The projection is STATELESS (tokenize → shingle-hash → signature →
-    * band structs: per-row expressions, no watermark, no state store)
-    * and lands through the streaming PARQUET FILE SINK, whose manifest
-    * commits each micro-batch atomically — a replayed batch never
-    * double-appends (same exactly-once argument as the IVF-PQ face).
-    * ONE sink, ONE combined row per document (id, shash, bands): a
-    * document's shingle set and its band buckets become visible in the
-    * SAME manifest commit, so a concurrent probe sees both or neither —
-    * the earlier two-sink design had a cross-component window where a
-    * band row committed before its shingle row and the probe's verify
-    * join transiently dropped that candidate. Readers derive each
-    * component back out of the combined rows (Dedup.storedComponent). */
+    * Parameters are RE-READ PER MICRO-BATCH from the self-describing
+    * meta (the append face does this), so a parameter rebuild
+    * ([[graft.analytics.Dedup.rebuildMinhashIndex]]) installing
+    * mid-stream doesn't strand the stream on the old bucket space: the
+    * next micro-batch re-derives under the new parameters — and the
+    * residual race (a rebuild flipping the meta between a batch's
+    * derive and its ledger commit) fails LOUD inside the append with
+    * the batch unledgered, for the checkpoint to replay. Atomicity is
+    * the ledger commit: a document's shingle set and band buckets
+    * become visible TOGETHER (both component dirs are gated by the one
+    * ledger row — the per-doc pairing the round-10 combined sink
+    * existed for, now carried by the same exactly-once discipline the
+    * daily appends use; a replayed micro-batch id is already ledgered
+    * and skips). */
   def minhashMaintenanceStream(newDocs: DataFrame, idCol: String,
                                textCol: String, indexPath: String,
-                               checkpoint: String): StreamingQuery = {
-    val spark = newDocs.sparkSession
-    val (n, numHashes, bands) =
-      graft.analytics.Dedup.minhashIndexParams(spark, indexPath)
-    graft.analytics.Dedup
-      .combinedStreamRows(newDocs, idCol, textCol, n, numHashes, bands)
-      .writeStream.format("parquet")
-      .option("path", graft.analytics.Dedup.minhashStreamDir(indexPath))
+                               checkpoint: String): StreamingQuery =
+    newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.analytics.Dedup.appendToMinhashIndex(batch, idCol, textCol,
+          indexPath, f"stream-$batchId%09d")
+        ()
+      }
       .start()
-  }
 
   /** Streaming near-dup PROBE against a stored MinHash index — the
     * query-side sibling of [[minhashMaintenanceStream]] (that one keeps

@@ -187,7 +187,7 @@ class IndexLifecycleSpec extends SparkSpec {
     val idxB = tmp("mh-batch")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxS, n = 3)
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxB, n = 3)
-    // stream face into S (2 micro-batches through the ONE combined sink)
+    // stream face into S (2 micro-batches, one ledgered batch each)
     val src = tmp("mh-stream-src")
     newbies.repartition(2).write.mode("overwrite").parquet(src)
     def startStream(ckpt: String) = {
@@ -214,7 +214,7 @@ class IndexLifecycleSpec extends SparkSpec {
       "a restart from the same checkpoint must not double-append")
   }
 
-  test("single combined minhash sink: an uncommitted stream file is invisible (both components or neither)") {
+  test("stream micro-batches are ledger-atomic: both components visible together or neither; a crashed (unledgered) micro-batch is invisible whole") {
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
     val newbies = docs.filter($"doc_id" % 10 === 0)
       .select(($"doc_id" + 1000L).as("doc_id"), $"text")
@@ -231,29 +231,41 @@ class IndexLifecycleSpec extends SparkSpec {
     val committed = probePairs(idx, probe)
     assert(committed.exists(_._2 >= 1000L), "committed ingest probe-visible")
     val nSh = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
-    // drop an UNCOMMITTED (not in the sink manifest) combined-row file
-    // into the stream dir — the torn-write state a crashed micro-batch
-    // leaves behind. Manifest-gated reads must ignore it WHOLLY:
-    // neither phantom shingle rows nor phantom band rows appear (the
-    // old two-sink design could instead expose one component's commit
-    // without the other's).
+    // plant the crash state a died micro-batch leaves behind: BOTH
+    // component dirs fully written, ledger row never appended (the
+    // append face ledgers LAST). Visibility is the ledger commit, so
+    // neither phantom shingle rows nor phantom band rows may appear —
+    // a document's two component row sets are atomic as a pair (the
+    // property the round-10 combined sink existed for, now carried by
+    // the ledger).
     val (n, numHashes, bands) = Dedup.minhashIndexParams(spark, idx)
     val ghosts = docs.filter($"doc_id" % 10 === 3)
       .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
-    val ghostDir = tmp("mh-atomic-ghost")
-    Dedup.combinedStreamRows(ghosts, "doc_id", "text", n, numHashes, bands)
-      .coalesce(1).write.mode("overwrite").parquet(ghostDir)
-    val ghostPart = new java.io.File(ghostDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    java.nio.file.Files.copy(ghostPart.toPath,
-      new java.io.File(s"$idx/minhash_stream/part-99999-torn.parquet").toPath)
+    val ghostHashed = Dedup.shingleHashSets(ghosts, "doc_id", "text", n)
+      .withColumn("params_fp", lit(Dedup.paramsFp(n, numHashes, bands)))
+    ghostHashed.write.mode("overwrite")
+      .parquet(s"$idx/shingles_delta/batch=stream-000000099")
+    Dedup.bandRowsOf(ghostHashed, numHashes, bands)
+      .withColumn("params_fp", lit(Dedup.paramsFp(n, numHashes, bands)))
+      .write.mode("overwrite")
+      .parquet(s"$idx/bands_delta/batch=stream-000000099")
     assert(Dedup.probeMinhashIndex(spark, idx,
         ghosts.limit(5), "doc_id", "text")
       .filter($"id_corpus" >= 5000000L).count() == 0,
-      "an unmanifested stream file must not surface as corpus")
+      "an unledgered stream micro-batch must not surface as corpus")
     assert(probePairs(idx, probe) == committed,
-      "probe result unchanged by a torn stream write")
+      "probe result unchanged by a crashed micro-batch")
     assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == nSh)
+    // completing the commit (ledger the id) makes BOTH components
+    // visible together
+    IndexStore.ledgerBatch(spark, idx, "stream-000000099")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+      == nSh + ghosts.count())
+    assert(Dedup.probeMinhashIndex(spark, idx,
+        ghosts.select(($"doc_id" + 1000000L).as("doc_id"), $"text"),
+        "doc_id", "text")
+      .filter($"id_corpus" >= 5000000L).count() > 0,
+      "the ledgered micro-batch is probe-visible through both components")
   }
 
   test("online compaction: a reader mid-compaction sees old or new — both bit-equal, never empty; a crashed attempt is invisible and the re-run bakes no duplicates") {
@@ -317,16 +329,16 @@ class IndexLifecycleSpec extends SparkSpec {
     Dedup.compactMinhashIndex(spark, idx)
     val afterFold = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
     assert(afterFold == corpus.count() + wave1.count())
-    // the SAME stream (same checkpoint, sink manifest intact — the old
-    // rename-based compaction deleted it, forcing a fresh checkpoint)
-    // keeps ingesting: wave 2 lands as unfolded delta
+    // the SAME stream (same checkpoint — source offsets survive the
+    // compaction; wave-1's ledgered micro-batch is folded, not deleted)
+    // keeps ingesting: wave 2 lands as a new unfolded ledgered batch
     wave2.write.mode("append").parquet(src)
     run()
     assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count()
       == corpus.count() + wave1.count() + wave2.count(),
       "post-compaction commits from the same checkpoint are delta-visible")
     // wave-1 rows are NOT double-visible: they live in the compacted
-    // base and their stream files are folded
+    // base and their micro-batch id is folded
     val probe1 = docs.filter($"doc_id" % 5 === 2)
       .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
     val p = Dedup.probeMinhashIndex(spark, idx, probe1, "doc_id", "text")
@@ -346,11 +358,9 @@ class IndexLifecycleSpec extends SparkSpec {
       .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
     val before = probePairs(idx, probe)
     Dedup.compactMinhashIndex(spark, idx)
-    val (versionsGone, batchDirsGone, streamGone) =
-      Dedup.vacuumMinhashIndex(spark, idx)
+    val (versionsGone, batchDirsGone) = Dedup.vacuumMinhashIndex(spark, idx)
     assert(versionsGone == 2L, "one superseded version per component")
     assert(batchDirsGone == 2L, "one folded batch dir per component")
-    assert(streamGone, "no stream dir -> trivially removable")
     assert(!new java.io.File(s"$idx/shingles_delta/batch=d1").exists())
     assert(!new java.io.File(s"$idx/shingles/v=0").exists())
     assert(probePairs(idx, probe) == before, "vacuum never changes the relation")
@@ -402,13 +412,17 @@ class IndexLifecycleSpec extends SparkSpec {
     // LAZY plan — it will actually read its files only after vacuum
     val pinned = {
       val pin0 = IndexStore.pinOf(spark, idx, "shingles")
-      IndexStore.storedComponentWith(spark, idx, "shingles", pin0,
-        IndexStore.readBaseAt(spark, idx, "shingles", pin0), None)
+      val base0 = IndexStore.readBaseAt(spark, idx, "shingles", pin0)
+      val cols = base0.columns.toSeq.map(org.apache.spark.sql.functions.col)
+      IndexStore.ledgeredDelta(spark, idx, "shingles", pin0, base0.schema,
+          base0.columns.toSeq)
+        .map(base0.select(cols: _*).unionByName(_))
+        .getOrElse(base0.select(cols: _*))
     }
     Dedup.compactMinhashIndex(spark, idx) // installs v=1, folds d1
     // retention vacuum keeps v=0 AND the d1 delta dir (folded only in
     // v=1, not in the oldest retained version v=0)
-    val (gone2, batches2, _) = Dedup.vacuumMinhashIndex(spark, idx,
+    val (gone2, batches2) = Dedup.vacuumMinhashIndex(spark, idx,
       keepVersions = 2)
     assert(gone2 == 0L && batches2 == 0L,
       "two versions exist, both retained; d1 unfolded at v=0 -> kept")
@@ -417,7 +431,7 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(pinned.count() == corpus.count() + day1.count())
     assert(probePairs(idx, probe) == before)
     // full collection once readers drained: only v=1 survives
-    val (gone1, batches1, _) = Dedup.vacuumMinhashIndex(spark, idx,
+    val (gone1, batches1) = Dedup.vacuumMinhashIndex(spark, idx,
       keepVersions = 1)
     assert(gone1 == 2L && batches1 == 2L,
       "one stale version + one folded batch dir per component")
@@ -637,7 +651,7 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(new java.io.File(IndexStore.versionDir(idx, "codes", 1)).exists(),
       "the in-flight install's data must survive the vacuum")
     // ... and the install can still commit afterwards
-    IndexStore.commitFolds(spark, idx, "codes", 1, Set.empty, Set.empty)
+    IndexStore.commitFolds(spark, idx, "codes", 1, Set.empty)
     assert(IndexStore.pinOf(spark, idx, "codes").v == 1L)
     assert(serve() == before, "the committed install is bit-equal (v=1 is a rewrite of v=0)")
     // now plant a CRASHED attempt and age it past the TTL: collected
