@@ -646,7 +646,8 @@ object Dedup {
     * the separate, retention-gated [[vacuumMinhashIndex]]. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
-                          rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
+                          rowsPerFile: Long = 1L << 20): (Long, Long, Long) =
+    IndexStore.withMaintenanceLease(spark, path, "compact") {
     val (n, h, b0) = minhashIndexParams(spark, path)
     val expectedFp = paramsFp(n, h, b0)
     def one(component: String): (Long, Long, Long) =
@@ -664,7 +665,7 @@ object Dedup {
     val s = one("shingles")
     val b = one("bands")
     (s._1 + b._1, s._2 + b._2, s._3 + b._3)
-  }
+    }
 
   /** Retention-gated garbage collection for the MinHash index: keep
     * the newest `keepVersions` complete base versions per component,
@@ -679,13 +680,14 @@ object Dedup {
   def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          keepVersions: Int = 1,
-                         incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long) = {
-    val a = IndexStore.vacuumComponent(spark, path, "shingles", keepVersions,
-      incompleteTtlMs)
-    val b = IndexStore.vacuumComponent(spark, path, "bands", keepVersions,
-      incompleteTtlMs)
-    (a._1 + b._1, a._2 + b._2)
-  }
+                         incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long) =
+    IndexStore.withMaintenanceLease(spark, path, "vacuum") {
+      val a = IndexStore.vacuumComponent(spark, path, "shingles",
+        keepVersions, incompleteTtlMs)
+      val b = IndexStore.vacuumComponent(spark, path, "bands",
+        keepVersions, incompleteTtlMs)
+      (a._1 + b._1, a._2 + b._2)
+    }
 
   /** PARAMETER REBUILD for the persisted MinHash index — the text
     * family's analog of [[graft.analytics.Similarity.rebuildIvfPqIndex]].
@@ -733,6 +735,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
       return // replayed rebuild: already installed and ledgered
+    IndexStore.withMaintenanceLease(spark, path, "rebuild") {
     val pinS = IndexStore.pinOf(spark, path, "shingles")
     val pinB = IndexStore.pinOf(spark, path, "bands")
     // SNAPSHOT what the re-derive covers, per component (the two fold
@@ -783,13 +786,86 @@ object Dedup {
     IndexStore.commitFolds(spark, path, "shingles", nextS,
       pinS.foldedBatches ++ snapBatchS)
     IndexStore.ledgerRebuild(spark, path, rebuildId)
+    }
+  }
+
+  /** Sampled BAND-CANDIDATE RECALL — the drift signal that triggers
+    * [[rebuildMinhashIndex]], closing the text family's monitoring
+    * loop the way ivfPqIndexHealth's recall sampling closes the ANN
+    * family's. Banding is exact, so nothing in the STORE decays — what
+    * drifts is the match between the banding's operating point and the
+    * corpus' near-dup profile: if today's near-duplicates sit at
+    * similarities the band width was not chosen for, probes silently
+    * miss them, and no operational metric (fragmentation, delta share)
+    * will say so. This measures it directly on sampled GROUND TRUTH:
+    *
+    *   - take a bounded `sample` of documents (≤ `maxSample` — the
+    *     sample² pair space is the cost driver; this is a daily
+    *     monitoring job over hundreds of docs, NEVER corpus-sized),
+    *   - compute every sample pair's EXACT shingle Jaccard under the
+    *     index's stored shingle width; pairs ≥ num/den are the truth
+    *     set (what a probe SHOULD find),
+    *   - band the sample under the index's stored (numHashes, bands)
+    *     and count which truth pairs collide on ≥ 1 band (what a probe
+    *     WOULD find — candidate generation is the only lossy stage;
+    *     verification is exact),
+    *   - band_recall_pct = found/truth; `band_recall_ok` fires below
+    *     `recallFloorPct` → run [[rebuildMinhashIndex]] with narrower
+    *     bands (vacuously ok when the sample has no truth pairs).
+    *
+    * One row: (n_truth_pairs, n_band_hits, band_recall_pct,
+    * band_recall_ok). */
+  def minhashBandRecall(spark: org.apache.spark.sql.SparkSession,
+                        path: String, sample: DataFrame,
+                        idCol: String, textCol: String,
+                        num: Long = 1, den: Long = 5,
+                        recallFloorPct: Int = 80,
+                        maxSample: Int = 500): DataFrame = {
+    import spark.implicits._
+    val (n, numHashes, bands) = minhashIndexParams(spark, path)
+    val bounded = sample.limit(maxSample + 1)
+      .select(col(idCol).as("id"), col(textCol).as(textCol))
+    val nSample = bounded.count()
+    require(nSample > 0 && nSample <= maxSample,
+      s"minhashBandRecall expects 1..$maxSample sample docs (got " +
+        s"${if (nSample > maxSample) "more" else "0"}) — the sample² " +
+        "pair space is the cost driver")
+    val hashed = shingleHashSets(bounded, "id", textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = hashed.select(col("id"), col("shash"))
+    val truth = sets.as("a")
+      .join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("common",
+        size(array_intersect(col("a.shash"), col("b.shash"))).cast("long"))
+      .withColumn("na", size(col("a.shash")).cast("long"))
+      .withColumn("nb", size(col("b.shash")).cast("long"))
+      .filter(col("common") * den >= (col("na") + col("nb") - col("common")) * num)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val bandRows = bandRowsOf(hashed, numHashes, bands)
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val r = truth
+      .join(cand.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit")).head()
+    hashed.unpersist()
+    val (nTruth, nHit) = (r.getLong(0), r.getLong(1))
+    val recallPct = if (nTruth == 0L) 100L else nHit * 100L / nTruth
+    Seq((nTruth, nHit, recallPct, recallPct >= recallFloorPct))
+      .toDF("n_truth_pairs", "n_band_hits", "band_recall_pct",
+        "band_recall_ok")
   }
 
   /** MinHash-index staleness/health report — the monitoring loop for
     * the text index family. Unlike the IVF-PQ index there is no frozen
     * trained geometry to drift (shingle width and banding are exact
     * parameters, not fitted ones — recall never decays with the data
-    * distribution; re-TUNING them is [[rebuildMinhashIndex]]), so
+    * distribution; re-TUNING them is [[rebuildMinhashIndex]], and the
+    * drift SIGNAL for that is [[minhashBandRecall]]), so
     * health here is purely OPERATIONAL: how much of
     * the index lives outside the compacted base and how fragmented the
     * file population is, i.e. when to run [[compactMinhashIndex]] —

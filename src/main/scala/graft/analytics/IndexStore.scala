@@ -318,8 +318,57 @@ private[graft] object IndexStore {
     * install and is left for it to commit; only attempts older than the
     * TTL are treated as crashed and collected (the Delta-VACUUM
     * uncommitted-file retention trade). 24h — far beyond any single
-    * compaction/rebuild run, far below a daily vacuum cadence. */
+    * compaction/rebuild run, far below a daily vacuum cadence. The
+    * same TTL ages a crashed holder's [[withMaintenanceLease]] lock. */
   val IncompleteAttemptTtlMs: Long = 24L * 3600 * 1000
+
+  /** Exclusive MAINTENANCE lease over one index: compaction, rebuild
+    * and vacuum each run inside it, so two maintenance jobs racing the
+    * same index (a mis-scheduled cron next to a manual run — the one
+    * concurrency class the TTL-gated vacuum alone does not close,
+    * because an ACTIVE compactor's dropIncompleteVersion could still
+    * destroy another ACTIVE compactor's half-written attempt) fail
+    * LOUD at acquisition instead of corrupting each other's installs.
+    * READERS and APPENDS are never leased — serving/probing stay
+    * online through every maintenance pass, and appends are protected
+    * by their own write-then-recheck-then-ledger discipline.
+    *
+    * Mechanism: atomically create `<path>/_maintenance_lock`
+    * (create-if-absent — the HDFS/S3A-committer-safe primitive); a
+    * fresh existing lock means another maintenance job holds the
+    * lease → named error; a lock older than `staleTtlMs` is a crashed
+    * holder's debris and is broken. The lease is released in a
+    * finally, so a FAILED maintenance pass (e.g. a guard tripping on
+    * foreign rows) never wedges the index — only a killed PROCESS
+    * leaves a lock, and the TTL ages it out. */
+  def withMaintenanceLease[T](spark: SparkSession, path: String, op: String,
+                              staleTtlMs: Long = IncompleteAttemptTtlMs)(body: => T): T = {
+    val fs = hfs(spark, path)
+    val lock = hp(s"$path/_maintenance_lock")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write(op.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val holderAge = try {
+        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (holderAge < staleTtlMs)
+        sys.error(s"maintenance already in progress on index at $path " +
+          s"(fresh _maintenance_lock, age ${holderAge}ms < ttl " +
+          s"${staleTtlMs}ms) — refusing to start '$op' concurrently; " +
+          "wait for the holder to finish (a crashed holder's lock ages " +
+          "out after the ttl)")
+      fs.delete(lock, false) // crashed holder: break the stale lease
+      if (!tryAcquire())
+        sys.error(s"lost the race breaking a stale maintenance lock on " +
+          s"$path — another job acquired it; not starting '$op'")
+    }
+    try body finally fs.delete(lock, false)
+  }
 
   /** Newest file modification time under `dirs` (the dirs' own mtimes
     * when empty) — how vacuum ages an incomplete attempt. Driver-side;

@@ -778,7 +778,8 @@ object Similarity {
     * retention-gated [[vacuumIvfPqIndex]]. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String,
-                        rowsPerFile: Long = 1L << 20): (Long, Long, Long) = {
+                        rowsPerFile: Long = 1L << 20): (Long, Long, Long) =
+    IndexStore.withMaintenanceLease(spark, path, "compact") {
     val expectedFp = liveCodebookFpOf(spark, path)
     val (before, after, rows) =
       IndexStore.compactComponent(spark, path, "codes",
@@ -800,7 +801,7 @@ object Similarity {
           }
         })
     (before, after, rows)
-  }
+    }
 
   /** Retention-gated garbage collection for the IVF-PQ index: keep the
     * newest `keepVersions` complete code versions (with their
@@ -815,7 +816,8 @@ object Similarity {
   def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        keepVersions: Int = 1,
-                       incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long) = {
+                       incompleteTtlMs: Long = IndexStore.IncompleteAttemptTtlMs): (Long, Long) =
+    IndexStore.withMaintenanceLease(spark, path, "vacuum") {
     val (versions, batches) =
       IndexStore.vacuumComponent(spark, path, "codes", keepVersions,
         incompleteTtlMs)
@@ -833,7 +835,7 @@ object Similarity {
         .foreach(st => fs.delete(st.getPath, true))
     }
     (versions, batches)
-  }
+    }
 
   /** Drift-triggered FULL REBUILD — the operator [[ivfPqIndexHealth]]'s
     * `quant_drift_detected` / low `recall_pct` verdicts exist to
@@ -873,6 +875,7 @@ object Similarity {
                         nCells: Option[Int] = None): Unit = {
     if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
       return // replayed rebuild: already installed and ledgered
+    IndexStore.withMaintenanceLease(spark, path, "rebuild") {
     val pin = IndexStore.pinOf(spark, path, "codes")
     // the index is self-describing: unless the caller explicitly
     // overrides, the rebuild keeps the LIVE version's cell count (a
@@ -922,6 +925,7 @@ object Similarity {
     IndexStore.commitFolds(spark, path, "codes", next,
       pin.foldedBatches ++ snapshotIds)
     IndexStore.ledgerRebuild(spark, path, rebuildId)
+    }
   }
 
   /** Index staleness / health report — the monitoring loop a FROZEN

@@ -2275,19 +2275,25 @@ object TextQueries {
     // and the rebuild to 32 single-row bands (candidate recall
     // 1-(1-J)^32 ≈ 1) finds EVERY planted pair (measured 100% at all
     // three scales; the driver-seeded data is fixed, so both are
-    // stable facts). The rebuild re-shingles the indexed population
-    // under the new params, installs both components atomically as the
-    // next versions, flips the self-describing meta (params_flipped is
-    // read back from the index), and ledgers the rebuild id (replay
-    // no-op: versions and probe results unchanged). Probe is
-    // rerun-identical. n_planted is DuckDB-recomputed.
+    // stable facts). The drift SIGNAL is part of the verdict: sampled
+    // ground-truth band recall (Dedup.minhashBandRecall) fires LOW on
+    // the stale banding and clears after the rebuild — the full
+    // monitor->rebuild->recover loop, mirroring q331. The rebuild
+    // re-shingles the indexed population under the new params,
+    // installs both components atomically as the next versions, flips
+    // the self-describing meta (params_flipped is read back from the
+    // index), and ledgers the rebuild id (replay no-op: versions and
+    // probe results unchanged). Probe is rerun-identical. n_planted is
+    // DuckDB-recomputed.
     "q333_minhash_rebuild" -> q(
       """SELECT CAST(count(*) FILTER (WHERE doc_id % 4 = 1
                   AND doc_id % 5 = 0
                   AND len(string_split(text, ' ')) >= 30) AS BIGINT)
                   AS n_planted,
                 TRUE AS stale_misses_planted,
+                TRUE AS band_recall_low_before,
                 TRUE AS rebuilt_finds_all_planted,
+                TRUE AS band_recall_ok_after,
                 TRUE AS probe_rerun_identical,
                 TRUE AS params_flipped,
                 TRUE AS rebuild_replay_noop
@@ -2317,8 +2323,18 @@ object TextQueries {
       val plantedPairs = planted.select(col("doc_id")).collect()
         .map(r => (r.getLong(0) + 1000000L, r.getLong(0))).toSet
       val staleFound = probeSet().intersect(plantedPairs)
+      // the drift SIGNAL (minhashBandRecall — sampled ground-truth
+      // candidate recall under the stored banding): fires LOW on the
+      // stale wide banding, clears after the rebuild — the trigger
+      // loop q331 has for the ANN family, closed for the text family
+      def bandRecall(): Long =
+        Dedup.minhashBandRecall(s, idx, planted.unionByName(twins),
+          "doc_id", "text")
+          .select("band_recall_pct").head().getLong(0)
+      val recallBefore = bandRecall()
       Dedup.rebuildMinhashIndex(s, idx, corpus, "doc_id", "text",
         rebuildId = "q333-r1", n = 3, numHashes = 32, bands = 32)
+      val recallAfter = bandRecall()
       val rebuilt = probeSet()
       val rerunIdentical = probeSet() == rebuilt
       val paramsFlipped =
@@ -2333,7 +2349,9 @@ object TextQueries {
         .agg(count(lit(1)).as("n_planted"))
         .select(col("n_planted"),
           lit(staleFound.isEmpty).as("stale_misses_planted"),
+          lit(recallBefore < 80L).as("band_recall_low_before"),
           lit(plantedPairs.subsetOf(rebuilt)).as("rebuilt_finds_all_planted"),
+          lit(recallAfter >= 80L).as("band_recall_ok_after"),
           lit(rerunIdentical).as("probe_rerun_identical"),
           lit(paramsFlipped).as("params_flipped"),
           lit(replayNoop).as("rebuild_replay_noop"))

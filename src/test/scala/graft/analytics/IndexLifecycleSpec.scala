@@ -822,9 +822,19 @@ class IndexLifecycleSpec extends SparkSpec {
       n = 3, numHashes = 32, bands = 2)
     assert(probePairs(idx, probe).isEmpty,
       "the wide-band build must miss the planted pair (that is the drift)")
+    // the drift SIGNAL: sampled ground-truth band recall sees the miss
+    def bandRecall(): (Long, Long, Boolean) = {
+      val r = Dedup.minhashBandRecall(spark, idx,
+        corpus.unionByName(probe), "doc_id", "text").collect().head
+      (r.getLong(0), r.getLong(2), r.getBoolean(3))
+    }
+    assert(bandRecall() == ((1L, 0L, false)),
+      "one truth pair, zero band hits, below the floor -> rebuild fires")
     // re-tune: 32 bands of 1 row — candidate recall ~1 at J=0.31
     Dedup.rebuildMinhashIndex(spark, idx, corpus, "doc_id", "text",
       rebuildId = "mh-r1", n = 3, numHashes = 32, bands = 32)
+    assert(bandRecall() == ((1L, 100L, true)),
+      "the re-banded index recovers the sampled recall — signal cleared")
     assert(Dedup.minhashIndexParams(spark, idx) == ((3, 32, 32)),
       "the self-describing params flip with the rebuild")
     val found = probePairs(idx, probe)
@@ -888,6 +898,46 @@ class IndexLifecycleSpec extends SparkSpec {
       .collect().head
     assert(h.getLong(0) > 0L && h.getBoolean(1),
       "health must report the foreign-parameter rows")
+  }
+
+  test("maintenance lease: a concurrent maintenance job fails loud; a stale lock is broken; failure inside the lease still releases it") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0).limit(100)
+    val idx = tmp("mh-lease")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day = docs.filter($"doc_id" % 10 === 0).limit(30)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "d1")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_maintenance_lock")
+    // another maintenance job holds the lease (fresh lock)
+    fs.create(lock, false).close()
+    val ex = intercept[Exception] { Dedup.compactMinhashIndex(spark, idx) }
+    assert(ex.getMessage.contains("maintenance already in progress"),
+      s"expected the named lease error, got: ${ex.getMessage}")
+    val ex2 = intercept[Exception] { Dedup.vacuumMinhashIndex(spark, idx) }
+    assert(ex2.getMessage.contains("maintenance already in progress"))
+    // the holder CRASHED: its lock ages past the TTL and is broken
+    fs.setTimes(lock, System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    val (fb, fa, rows) = Dedup.compactMinhashIndex(spark, idx)
+    // rows sums both components: one shingle row + `bands` band rows
+    // per doc (default 8 bands -> 9 rows/doc)
+    assert(rows == (corpus.count() + day.count()) * 9 && fa < fb)
+    assert(!fs.exists(lock), "the lease is released after a successful pass")
+    // a FAILING pass (foreign-params delta trips the compaction guard)
+    // must release the lease too — a wedged index would need manual
+    // lock removal after every guard trip
+    val rogue = Dedup.shingleHashSets(day.limit(5)
+        .select(($"doc_id" + 7000000L).as("doc_id"), $"text"),
+        "doc_id", "text", 3)
+      .withColumn("params_fp", lit("n9-h99-b9"))
+    rogue.write.mode("overwrite").parquet(s"$idx/shingles_delta/batch=rg")
+    Dedup.bandRowsOf(rogue, 32, 8).withColumn("params_fp", lit("n9-h99-b9"))
+      .write.mode("overwrite").parquet(s"$idx/bands_delta/batch=rg")
+    IndexStore.ledgerBatch(spark, idx, "rg")
+    intercept[Exception] { Dedup.compactMinhashIndex(spark, idx) }
+    assert(!fs.exists(lock),
+      "the lease is released when the pass fails (finally semantics)")
   }
 
   test("writeMinhashIndex half-install (bands live, shingles not) recovers: probes fail loud, the re-run finishes installing v=0") {
