@@ -333,13 +333,17 @@ private[graft] object IndexStore {
     * online through every maintenance pass, and appends are protected
     * by their own write-then-recheck-then-ledger discipline.
     *
-    * Mechanism: atomically create `<path>/_maintenance_lock`
-    * (create-if-absent — the HDFS/S3A-committer-safe primitive); a
-    * fresh existing lock means another maintenance job holds the
-    * lease → named error; a lock older than `staleTtlMs` is a crashed
-    * holder's debris and is broken. The lease is released in a
-    * finally, so a FAILED maintenance pass (e.g. a guard tripping on
-    * foreign rows) never wedges the index — only a killed PROCESS
+    * Mechanism: create `<path>/_maintenance_lock` with
+    * create-if-absent — atomic on HDFS-semantics filesystems (HDFS,
+    * local, ABFS); on S3-like object stores it is check-then-write,
+    * so there the lease is best-effort mutual exclusion and the
+    * row-stamp guards + fold-manifest install discipline remain the
+    * correctness backstop (a raced install still degrades loud, never
+    * silent). A fresh existing lock means another maintenance job
+    * holds the lease → named error; a lock older than `staleTtlMs` is
+    * a crashed holder's debris and is broken. The lease is released
+    * in a finally, so a FAILED maintenance pass (e.g. a guard tripping
+    * on foreign rows) never wedges the index — only a killed PROCESS
     * leaves a lock, and the TTL ages it out. */
   def withMaintenanceLease[T](spark: SparkSession, path: String, op: String,
                               staleTtlMs: Long = IncompleteAttemptTtlMs)(body: => T): T = {
