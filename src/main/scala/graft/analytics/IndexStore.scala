@@ -15,11 +15,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *                               manifest's `_SUCCESS` exist; readers
   *                               resolve the max complete version.
   *   `<component>_folds/v=<N>/`— version N's FOLD MANIFEST (kind, ref):
-  *                               the batch ids and stream files whose
-  *                               rows are already merged INTO base v=N.
-  *                               Cumulative across versions; written
-  *                               strictly LAST, so its `_SUCCESS` is the
-  *                               atomic install point of the version.
+  *                               the batch ids whose rows are already
+  *                               merged INTO base v=N. Cumulative
+  *                               across versions; written strictly
+  *                               LAST, so its `_SUCCESS` is the atomic
+  *                               install point of the version.
   *   `<component>_delta/`      — batch appends, one `batch=<id>`
   *                               partition per append, gated by the
   *                               index's `_ledger` (exactly-once: a
@@ -449,20 +449,4 @@ private[graft] object IndexStore {
     (stale.size.toLong, removed)
   }
 
-  /** The fold manifest that gates retention-aware deletion: the OLDEST
-    * of the newest `keepVersions` complete versions (see
-    * [[vacuumComponent]]). */
-  def oldestRetainedFolds(spark: SparkSession, path: String,
-                          component: String,
-                          keepVersions: Int): Set[String] = {
-    val fs = hfs(spark, path)
-    val retained = fs.listStatus(hp(s"$path/$component")).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filter(isComplete(spark, path, component, _))
-      .sorted(Ordering[Long].reverse).take(keepVersions)
-    require(retained.nonEmpty,
-      s"no complete version of index component $path/$component")
-    foldsAt(spark, path, component, retained.min)
-  }
 }
