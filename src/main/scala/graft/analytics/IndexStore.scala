@@ -344,18 +344,52 @@ private[graft] object IndexStore {
     * a crashed holder's debris and is broken. The lease is released
     * in a finally, so a FAILED maintenance pass (e.g. a guard tripping
     * on foreign rows) never wedges the index — only a killed PROCESS
-    * leaves a lock, and the TTL ages it out. */
+    * leaves a lock, and the TTL ages it out.
+    *
+    * The lease is OWNER-CHECKED: the lock file carries a unique holder
+    * token, and both the stale-break and the release operate only on
+    * the lock they can prove is theirs to touch —
+    *   - BREAK captures the lock by atomic RENAME to a breaker-unique
+    *     name, then re-checks the captured file's age: two jobs that
+    *     both observed a stale lock cannot both break it (one rename
+    *     wins), and a breaker whose observation went stale — the
+    *     debris was already broken and a NEW holder's fresh lock took
+    *     the path before its rename — hands the capture straight back
+    *     (rename restores the untouched mtime) and fails loud instead
+    *     of deleting a live holder's lease.
+    *   - RELEASE reads the lock and deletes it only when the token is
+    *     its own: a holder that outlived the TTL and was broken finds
+    *     a successor's token (or nothing) and SKIPS the delete, so it
+    *     can never unlock the index under the successor. Its own pass
+    *     keeps running unprotected — exactly the state breaking a
+    *     stale lock declares — and the install-point atomicity plus
+    *     the row-stamp guards remain the correctness backstop.
+    * The one window left open is read-vs-delete inside release
+    * (token matched, then a breaker captures and a new holder locks
+    * before the delete lands): it needs the holder to be over the TTL
+    * *and* the break to land inside microseconds, and its worst case
+    * is the same unprotected-overlap the TTL break already accepts. */
   def withMaintenanceLease[T](spark: SparkSession, path: String, op: String,
                               staleTtlMs: Long = IncompleteAttemptTtlMs)(body: => T): T = {
     val fs = hfs(spark, path)
     val lock = hp(s"$path/_maintenance_lock")
+    val token = s"$op-${java.util.UUID.randomUUID().toString}"
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.write(op.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def tokenOf(p: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](256)
+          val n = math.max(in.read(buf), 0)
+          Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     if (!tryAcquire()) {
       val holderAge = try {
         System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
@@ -366,12 +400,36 @@ private[graft] object IndexStore {
           s"${staleTtlMs}ms) — refusing to start '$op' concurrently; " +
           "wait for the holder to finish (a crashed holder's lock ages " +
           "out after the ttl)")
-      fs.delete(lock, false) // crashed holder: break the stale lease
+      // crashed holder: CAPTURE the stale lock by atomic rename (only
+      // one breaker's rename can succeed), then re-verify the capture
+      // really is the stale debris — if a racing breaker already broke
+      // it and a new holder's FRESH lock took the path, hand it back
+      val captured = hp(s"$path/_maintenance_lock.breaking.$token")
+      val renamed = try fs.rename(lock, captured)
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        val capturedAge = System.currentTimeMillis() -
+          fs.getFileStatus(captured).getModificationTime
+        if (capturedAge < staleTtlMs) {
+          if (!(try fs.rename(captured, lock)
+                catch { case _: java.io.IOException => false }))
+            fs.delete(captured, false) // path re-locked meanwhile: the
+          // capture is debris of OUR race loss, not a live lease
+          sys.error(s"lost the race breaking a stale maintenance lock " +
+            s"on $path — a new holder locked it first; not starting '$op'")
+        }
+        fs.delete(captured, false)
+      }
       if (!tryAcquire())
         sys.error(s"lost the race breaking a stale maintenance lock on " +
           s"$path — another job acquired it; not starting '$op'")
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // owner-checked release: delete only the lock this job created —
+      // a holder broken mid-pass (over-TTL) finds a successor's token
+      // and must NOT unlock the index under it
+      if (tokenOf(lock).contains(token)) fs.delete(lock, false)
+    }
   }
 
   /** Newest file modification time under `dirs` (the dirs' own mtimes

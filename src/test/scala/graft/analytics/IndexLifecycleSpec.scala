@@ -940,6 +940,44 @@ class IndexLifecycleSpec extends SparkSpec {
       "the lease is released when the pass fails (finally semantics)")
   }
 
+  test("maintenance lease is owner-checked: an over-TTL holder's release cannot delete a successor's lock; a third job still fails loud") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0).limit(50)
+    val idx = tmp("mh-lease-owner")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_maintenance_lock")
+    // job A acquires the lease and then OUTLIVES the TTL (its body
+    // blocks until released; the lock is aged manually below)
+    val aInside = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val aThread = new Thread(() => {
+      IndexStore.withMaintenanceLease(spark, idx, "slow-a") {
+        aInside.countDown()
+        aRelease.await()
+      }
+      ()
+    })
+    aThread.start()
+    assert(aInside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    fs.setTimes(lock, System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    // successor B breaks A's stale lock and holds the lease; while B
+    // holds it, A's release runs — and must NOT delete B's lock
+    IndexStore.withMaintenanceLease(spark, idx, "succ-b") {
+      aRelease.countDown()
+      aThread.join(30000)
+      assert(!aThread.isAlive, "job A must have finished releasing")
+      assert(fs.exists(lock),
+        "A's owner-checked release must leave the successor's lock intact")
+      // third job: B's lock is fresh, so it fails loud — the lease was
+      // not silently vacated by A's release
+      val ex = intercept[Exception] { Dedup.vacuumMinhashIndex(spark, idx) }
+      assert(ex.getMessage.contains("maintenance already in progress"),
+        s"expected the named lease error, got: ${ex.getMessage}")
+    }
+    assert(!fs.exists(lock), "B's own release still clears its lock")
+  }
+
   test("writeMinhashIndex half-install (bands live, shingles not) recovers: probes fail loud, the re-run finishes installing v=0") {
     val corpus = docs.filter($"doc_id" % 10 =!= 0).limit(100)
     val idx = tmp("mh-half-install")
