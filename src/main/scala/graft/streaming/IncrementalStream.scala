@@ -327,6 +327,107 @@ object IncrementalStream {
       .start()
   }
 
+  /** Per-stream INSTANCE token for the index-maintenance streams — the
+    * namespace that makes their ledgered micro-batch ids
+    * (`stream-<instance>-<batchId>`) unique per stream incarnation.
+    *
+    * Spark's foreachBatch batchId is a PER-CHECKPOINT counter starting
+    * at 0. Un-namespaced, a maintenance stream restarted with a FRESH
+    * checkpoint dir against the same index (checkpoint cleanup,
+    * relocation, redeploy) would re-mint `stream-000000000`, ... — ids
+    * the index ledger already records from the OLD incarnation — and
+    * the exactly-once replay check would silently DROP every early
+    * micro-batch until the counter passed the old maximum: the
+    * replay-protection discipline turned silent data loss. The token
+    * closes that window:
+    *
+    *   - The token lives at `<checkpoint>/_graft_stream_instance`,
+    *     created once per checkpoint (create-if-absent) and read back
+    *     on every (re)start — a restart on the SAME checkpoint reuses
+    *     it, so genuinely replayed micro-batches still align with
+    *     their ledgered ids and skip as no-ops.
+    *   - A FRESH checkpoint against an index whose ledger already
+    *     holds `stream-` ids FAILS LOUD unless the caller passes an
+    *     explicit, previously-unused `streamId`: a fresh checkpoint
+    *     re-reads the whole source from scratch, so proceeding
+    *     silently would re-ingest everything the old incarnation
+    *     already appended — the caller must state the new identity
+    *     (and position the source) deliberately.
+    *   - Passing a `streamId` that DIFFERS from an existing
+    *     checkpoint's persisted token fails loud too: renaming a live
+    *     incarnation would re-ledger its replayed micro-batches under
+    *     fresh ids — duplicates.
+    *
+    * (The probe stream needs none of this: its exactly-once is the
+    * per-batch OVERWRITE dir keyed on the checkpoint-local id, which a
+    * fresh-checkpoint reprocessing simply rewrites in place.) */
+  private[graft] def resolveStreamInstance(spark: SparkSession,
+                                           checkpoint: String,
+                                           indexPath: String,
+                                           streamId: Option[String]): String = {
+    streamId.foreach { sid =>
+      require(sid.nonEmpty && !sid.contains("/") && !sid.contains("-"),
+        s"streamId must be a non-empty token without '/' or '-' (got '$sid')" +
+          " — it becomes a ledgered batch-id segment")
+    }
+    val f = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_stream_instance")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readToken(): Option[String] =
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try {
+          val buf = new Array[Byte](128)
+          val n = math.max(in.read(buf), 0)
+          Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      }
+    readToken() match {
+      case Some(existing) =>
+        streamId.filter(_ != existing).foreach { sid =>
+          sys.error(s"stream instance mismatch at checkpoint $checkpoint: " +
+            s"it already carries instance '$existing' but streamId '$sid' " +
+            "was passed — changing the instance id of an existing " +
+            "checkpoint would re-ledger its replayed micro-batches under " +
+            "fresh ids (duplicates); reuse the checkpoint without a " +
+            "streamId, or start a genuinely new stream on a fresh " +
+            "checkpoint")
+        }
+        existing
+      case None =>
+        val priorStreamIds = graft.analytics.IndexStore
+          .ledgeredBatchIds(spark, indexPath).filter(_.startsWith("stream-"))
+        val token = streamId match {
+          case Some(sid) =>
+            if (priorStreamIds.exists(_.startsWith(s"stream-$sid-")))
+              sys.error(s"streamId '$sid' was already used against the " +
+                s"index at $indexPath (its ledger holds stream-$sid-* " +
+                "batches) — a reused id would alias the old incarnation's " +
+                "ledgered micro-batches and silently drop replays; pick a " +
+                "fresh streamId")
+            sid
+          case None =>
+            if (priorStreamIds.nonEmpty)
+              sys.error(s"fresh checkpoint $checkpoint against the " +
+                s"already-stream-maintained index at $indexPath (ledgered " +
+                s"ids like ${priorStreamIds.head}): a fresh checkpoint " +
+                "re-reads the whole source, so starting silently would " +
+                "re-ingest everything the previous incarnation appended. " +
+                "Reuse the original checkpoint to resume it, or pass an " +
+                "explicit fresh streamId to declare a new incarnation " +
+                "(after positioning the source so nothing is re-ingested)")
+            java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        }
+        fs.mkdirs(f.getParent)
+        try {
+          val out = fs.create(f, false)
+          out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        } catch { case _: java.io.IOException => () } // raced starter wrote it
+        readToken().getOrElse(token)
+    }
+  }
+
   /** Streaming ANN-index maintenance: continuously ingested embedding
     * vectors are assigned to the stored IVF-PQ index's cell geometry
     * and appended as PQ codes — serving
@@ -351,18 +452,24 @@ object IncrementalStream {
     * Assignment still runs the stateless literal-expression form
     * (Similarity.encodeForIndex — kept bit-equal to the batch face's
     * relational max_by by the q322 verdict differential); each
-    * micro-batch lands as its own ledgered `batch=stream-<id>`
-    * partition through the SAME exactly-once overwrite+ledger-last
-    * discipline as daily appends (foreachBatch is at-least-once; a
-    * replayed micro-batch id is already ledgered and skips). One delta
-    * discipline for both maintenance faces also means compaction,
-    * rebuild fold snapshots and vacuum see streaming rows as ordinary
-    * ledgered batches — no separate stream-file machinery to reconcile. */
+    * micro-batch lands as its own ledgered
+    * `batch=stream-<instance>-<id>` partition through the SAME
+    * exactly-once overwrite+ledger-last discipline as daily appends
+    * (foreachBatch is at-least-once; a replayed micro-batch id is
+    * already ledgered and skips). The `<instance>` segment is the
+    * per-stream token from [[resolveStreamInstance]]: ids are scoped
+    * to the stream incarnation, so a FRESH checkpoint can never alias
+    * (and silently skip) a previous incarnation's ledgered
+    * micro-batches — it fails loud instead unless `streamId` declares
+    * the new incarnation. One delta discipline for both maintenance
+    * faces also means compaction, rebuild fold snapshots and vacuum
+    * see streaming rows as ordinary ledgered batches — no separate
+    * stream-file machinery to reconcile. */
   def ivfPqMaintenanceStream(newVecs: DataFrame, idCol: String, vecCol: String,
-                             indexPath: String,
-                             checkpoint: String): StreamingQuery =
+                             indexPath: String, checkpoint: String,
+                             streamId: Option[String] = None): StreamingQuery =
     ivfPqMaintenanceStream(newVecs, idCol, vecCol, indexPath, checkpoint,
-      _ => ())
+      streamId, _ => ())
 
   /** [[ivfPqMaintenanceStream]] with a barrier hook invoked before each
     * micro-batch's geometry pin — lets a spec install a rebuild between
@@ -370,7 +477,10 @@ object IncrementalStream {
   private[graft] def ivfPqMaintenanceStream(newVecs: DataFrame, idCol: String,
                                             vecCol: String, indexPath: String,
                                             checkpoint: String,
-                                            onBatchStart: Long => Unit): StreamingQuery =
+                                            streamId: Option[String],
+                                            onBatchStart: Long => Unit): StreamingQuery = {
+    val instance = resolveStreamInstance(newVecs.sparkSession, checkpoint,
+      indexPath, streamId)
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -385,20 +495,26 @@ object IncrementalStream {
         // encoded rows carry (id, cell, pq_code, cb_fp) — land them as
         // a ledgered stream batch (overwrite + recheck + ledger-last)
         graft.analytics.Similarity.appendEncodedStreamBatch(
-          spark, indexPath, encoded, f"stream-$batchId%09d",
+          spark, indexPath, encoded, f"stream-$instance-$batchId%09d",
           graft.analytics.Similarity.codebookFp(codebook))
         ()
       }
       .start()
+  }
 
   /** Streaming MinHash-index maintenance — the text sibling of
     * [[ivfPqMaintenanceStream]]: each micro-batch of newly ingested
     * documents is shingle-hashed and banded with the index's OWN
     * stored parameters and landed as one ledgered
-    * `batch=stream-<id>` append
+    * `batch=stream-<instance>-<id>` append
     * ([[graft.analytics.Dedup.appendToMinhashIndex]] in foreachBatch —
     * overwrite + params-recheck + ledger-last), so new corpus
-    * documents are probe-visible without an index rebuild.
+    * documents are probe-visible without an index rebuild. The
+    * `<instance>` segment scopes ledgered ids to the stream
+    * incarnation ([[resolveStreamInstance]]): a FRESH checkpoint
+    * cannot alias — and silently skip — a previous incarnation's
+    * ledgered micro-batches; it fails loud unless `streamId` declares
+    * the new incarnation.
     *
     * Parameters are RE-READ PER MICRO-BATCH from the self-describing
     * meta (the append face does this), so a parameter rebuild
@@ -416,16 +532,20 @@ object IncrementalStream {
     * and skips). */
   def minhashMaintenanceStream(newDocs: DataFrame, idCol: String,
                                textCol: String, indexPath: String,
-                               checkpoint: String): StreamingQuery =
+                               checkpoint: String,
+                               streamId: Option[String] = None): StreamingQuery = {
+    val instance = resolveStreamInstance(newDocs.sparkSession, checkpoint,
+      indexPath, streamId)
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.analytics.Dedup.appendToMinhashIndex(batch, idCol, textCol,
-          indexPath, f"stream-$batchId%09d")
+          indexPath, f"stream-$instance-$batchId%09d")
         ()
       }
       .start()
+  }
 
   /** Streaming near-dup PROBE against a stored MinHash index — the
     * query-side sibling of [[minhashMaintenanceStream]] (that one keeps

@@ -347,6 +347,76 @@ class IndexLifecycleSpec extends SparkSpec {
       "folded wave-1 docs still probe-visible exactly once")
   }
 
+  test("fresh-checkpoint restart: default fails loud against a stream-maintained index; an explicit fresh streamId ingests every doc exactly once; id misuse fails loud") {
+    import graft.streaming.IncrementalStream
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-freshckpt")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val wave1 = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val wave2 = docs.filter($"doc_id" % 5 === 3)
+      .select(($"doc_id" + 3000L).as("doc_id"), $"text")
+    // incarnation 1: two micro-batches on checkpoint 1
+    val src1 = tmp("mh-freshckpt-src1")
+    wave1.repartition(2).write.mode("overwrite").parquet(src1)
+    def streamOf(src: String) = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    IncrementalStream.minhashMaintenanceStream(
+      streamOf(src1), "doc_id", "text", idx, tmp("mh-freshckpt-ckpt1"))
+      .awaitTermination()
+    val afterWave1 = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    assert(afterWave1 == corpus.count() + wave1.count())
+    // a FRESH checkpoint against the same index must not start silently:
+    // its batchIds restart at 0 and would alias incarnation 1's ledgered
+    // micro-batches (the old code silently DROPPED the early batches)
+    val src2 = tmp("mh-freshckpt-src2")
+    wave2.repartition(2).write.mode("overwrite").parquet(src2)
+    val ex = intercept[Exception] {
+      IncrementalStream.minhashMaintenanceStream(
+        streamOf(src2), "doc_id", "text", idx, tmp("mh-freshckpt-ckpt2"))
+    }
+    assert(ex.getMessage.contains("fresh checkpoint"),
+      s"expected the named fresh-checkpoint error, got: ${ex.getMessage}")
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+      == afterWave1, "the refused start must not have appended anything")
+    // an explicit FRESH streamId declares the new incarnation: every
+    // wave-2 doc becomes visible exactly once (batchIds 0,1 again, but
+    // namespaced — nothing aliases, nothing is dropped)
+    val ckpt2 = tmp("mh-freshckpt-ckpt2b")
+    IncrementalStream.minhashMaintenanceStream(
+      streamOf(src2), "doc_id", "text", idx, ckpt2,
+      streamId = Some("inc2")).awaitTermination()
+    val sh = Dedup.storedMinhashComponent(spark, idx, "shingles")
+    assert(sh.count() == corpus.count() + wave1.count() + wave2.count(),
+      "every ingested doc visible (the old code dropped the aliased batches)")
+    assert(sh.groupBy("id").count().filter($"count" > 1).count() == 0,
+      "no doc visible twice")
+    // same checkpoint again (no new files): a no-op replay, still green
+    IncrementalStream.minhashMaintenanceStream(
+      streamOf(src2), "doc_id", "text", idx, ckpt2,
+      streamId = Some("inc2")).awaitTermination()
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+      == corpus.count() + wave1.count() + wave2.count())
+    // changing the streamId on an EXISTING checkpoint fails loud (it
+    // would re-ledger replayed micro-batches under fresh ids)
+    val ex2 = intercept[Exception] {
+      IncrementalStream.minhashMaintenanceStream(
+        streamOf(src2), "doc_id", "text", idx, ckpt2,
+        streamId = Some("inc3"))
+    }
+    assert(ex2.getMessage.contains("stream instance mismatch"),
+      s"expected the named mismatch error, got: ${ex2.getMessage}")
+    // REUSING a spent streamId on another fresh checkpoint fails loud
+    // (it would alias incarnation 2's ledgered micro-batches)
+    val ex3 = intercept[Exception] {
+      IncrementalStream.minhashMaintenanceStream(
+        streamOf(src2), "doc_id", "text", idx, tmp("mh-freshckpt-ckpt3"),
+        streamId = Some("inc2"))
+    }
+    assert(ex3.getMessage.contains("already used"),
+      s"expected the named reuse error, got: ${ex3.getMessage}")
+  }
+
   test("vacuum: removes superseded versions and folded delta dirs, probe unchanged; a late replay of a vacuumed batch stays a no-op") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
     val idx = tmp("mh-vacuum")
@@ -757,6 +827,7 @@ class IndexLifecycleSpec extends SparkSpec {
     // rebuild installs between micro-batch 0 and micro-batch 1
     val sq = graft.streaming.IncrementalStream.ivfPqMaintenanceStream(
       stream, "vec_id", "embedding", idx, tmp("ivfpq-stream-rebuild-ckpt"),
+      streamId = None,
       onBatchStart = bid => if (bid == 1L)
         Similarity.rebuildIvfPqIndex(spark, idx, e, "vec_id", "embedding",
           rebuildId = "mid-stream-r1"))
