@@ -75,6 +75,23 @@ object ScaleSlopes {
       Dedup.probeMinhashIndex(spark, mhIdx, docBatch, "doc_id", "text")
         .count(); ()
     }
+    // small-probe faces: the bucket pruning's envelope is
+    // base × (1-(1-1/B)^(docs×bands)) — a 500-doc batch saturates every
+    // bucket (the full scan it always cost), while the at-ingest shapes
+    // (one doc / a micro-batch) touch a bounded bucket set and should
+    // stay near-FLAT as the corpus (and with it B) grows
+    val docMicro = docs.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 910000000L).as("doc_id"), col("text"))
+    val docOne = docs.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 920000000L).as("doc_id"), col("text"))
+    time("minhash_probe_micro16") {
+      Dedup.probeMinhashIndex(spark, mhIdx, docMicro, "doc_id", "text")
+        .count(); ()
+    }
+    time("minhash_probe_doc1") {
+      Dedup.probeMinhashIndex(spark, mhIdx, docOne, "doc_id", "text")
+        .count(); ()
+    }
     // health: metadata + two row counts — expected ~flat-to-linear in
     // corpus (the delta/stream counts are batch-sized; nBase is a
     // column-pruned count)

@@ -371,16 +371,60 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b")
   }
 
-  /** Human-readable fingerprint of one (shingle width, hashes, bands)
-    * parameter point — the MinHash analog of the IVF-PQ codebook
-    * fingerprint. Stamped on every stored shingle/band row (`params_fp`
-    * — constant within a write, so parquet dictionary/RLE encoding
-    * stores it at near-zero cost) and checked by probes: rows derived
-    * under different parameters hash into a DISJOINT bucket space, so
-    * mixing them would silently drop candidates — the worst kind of
-    * wrong answer. */
-  private[graft] def paramsFp(n: Int, numHashes: Int, bands: Int): String =
-    s"n$n-h$numHashes-b$bands"
+  /** Human-readable fingerprint of one (shingle width, hashes, bands,
+    * bucket layout) parameter point — the MinHash analog of the IVF-PQ
+    * codebook fingerprint. Stamped on every stored shingle/band row
+    * (`params_fp` — constant within a write, so parquet dictionary/RLE
+    * encoding stores it at near-zero cost) and checked by probes: rows
+    * derived under different parameters hash into a DISJOINT bucket
+    * space, so mixing them would silently drop candidates — the worst
+    * kind of wrong answer. The BUCKET counts are part of the
+    * fingerprint because probes PRUNE by stored bucket value
+    * ([[probeMinhashIndex]]): a row whose `pb`/`sb` was computed under
+    * a different modulus would silently fall outside the pruned scan —
+    * the same silent-drop class, so it must fail the same loud way. */
+  private[graft] def paramsFp(n: Int, numHashes: Int, bands: Int,
+                              bandBuckets: Int, shingleBuckets: Int): String =
+    s"n$n-h$numHashes-b$bands-pb$bandBuckets-sb$shingleBuckets"
+
+  /** Bucket count for a component of ~`rows` rows: next power of two of
+    * rows/8192, clamped to [8, 4096]. Buckets grow with the corpus so
+    * per-bucket row counts stay bounded — the property that makes a
+    * FIXED-size probe's pruned scan approach flat as the corpus grows
+    * (see [[probeMinhashIndex]]); the floor keeps tiny indexes from
+    * degenerating to one partition, the cap bounds directory counts. */
+  private[graft] def bucketsFor(rows: Long): Int = {
+    val raw = math.max(1L, (rows + 8191L) / 8192L)
+    val p2 = java.lang.Long.highestOneBit(math.max(2 * raw - 1, 1L))
+    math.min(4096L, math.max(8L, p2)).toInt
+  }
+
+  /** Storage bucket of a band row: `pmod(bh, buckets)` — a partition
+    * column of the bands base, a data column of band deltas. The probe
+    * collects its batch's values of this EXACT expression and prunes
+    * the stored scan with them. */
+  private[graft] def bandBucket(bh: Column, buckets: Int): Column =
+    pmod(bh, lit(buckets.toLong)).cast("int")
+
+  /** Storage bucket of a shingle row: `pmod(xxhash64(id), buckets)` —
+    * the verify-scan sibling of [[bandBucket]], keyed on the doc id so
+    * the probe can prune by its candidate set's ids. */
+  private[graft] def shingleBucket(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id), lit(buckets.toLong)).cast("int")
+
+  /** Bucket-partitioned component write: one shuffle on the bucket
+    * column (each bucket lands whole, ~1 file unless rowsPerFile caps
+    * it), rows sorted within by `sortCol` for live footer stats. Used
+    * by build/rebuild/compaction so the bucket LAYOUT — the probe's
+    * pruning contract — survives every maintenance pass. */
+  private def writeBucketed(df: DataFrame, dest: String, bucketCol: String,
+                            sortCol: String, rowsPerFile: Long): Unit =
+    df.repartition(col(bucketCol))
+      .sortWithinPartitions(col(bucketCol), col(sortCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy(bucketCol)
+      .parquet(dest)
 
   /** Write one parameter row to the index's meta log. Meta is a LOG
     * (readers take the max-`seq` row), because a parameter REBUILD must
@@ -393,9 +437,13 @@ object Dedup {
     * arbitrary winner. */
   private def writeMetaParams(spark: org.apache.spark.sql.SparkSession,
                               path: String, n: Int, numHashes: Int,
-                              bands: Int, seq: Long, mode: String): Unit = {
+                              bands: Int, bandBuckets: Int,
+                              shingleBuckets: Int, seq: Long,
+                              mode: String): Unit = {
     import spark.implicits._
-    Seq((n, numHashes, bands, seq)).toDF("n", "num_hashes", "bands", "seq")
+    Seq((n, numHashes, bands, bandBuckets, shingleBuckets, seq))
+      .toDF("n", "num_hashes", "bands", "band_buckets", "shingle_buckets",
+        "seq")
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
   }
 
@@ -415,9 +463,11 @@ object Dedup {
             "rows derived under params "),
           col("params_fp"),
           lit(s" but the index's current params are $expectedFp — a " +
-            "writer committed during a parameter rebuild; re-append the " +
-            "offending batch (or re-run rebuildMinhashIndex) before " +
-            "probing")))))
+            "writer committed during a parameter rebuild. The offending " +
+            "batch id is already ledgered (a retried append is a replay " +
+            "no-op), so the remediation is rebuildMinhashIndex, which " +
+            "re-derives the whole id population and folds the foreign " +
+            "batch")))))
 
   /** Persisted MinHash-LSH corpus index (the text analog of the stored
     * IVF-PQ code index): the posting-list build — hashed shingle SETS
@@ -432,7 +482,9 @@ object Dedup {
     * (pinned by the q323 verdict differential). */
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, n: Int = 2, numHashes: Int = 32,
-                        bands: Int = 8): Unit = {
+                        bands: Int = 8,
+                        bandBuckets: Option[Int] = None,
+                        shingleBuckets: Option[Int] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     // the index is SELF-DESCRIBING: shingle width and banding live in
@@ -455,20 +507,32 @@ object Dedup {
       s"writeMinhashIndex: an index already exists at $path — " +
         "use rebuildMinhashIndex (or a fresh path) instead of " +
         "overwriting a live one")
-    writeMetaParams(spark, path, n, numHashes, bands, seq = 0L,
-      mode = "overwrite")
-    val fp = paramsFp(n, numHashes, bands)
-    val hashed = shingleHashSets(df, idCol, textCol, n)
-      .withColumn("params_fp", lit(fp))
+    val hashed0 = shingleHashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket counts sized to THIS corpus (rows/bucket bounded) unless
+    // explicitly overridden, and recorded in the meta — the probe's
+    // pruning layout is part of the index's self-description, like the
+    // banding itself
+    val nDocs = hashed0.count()
+    val sbN = shingleBuckets.getOrElse(bucketsFor(nDocs))
+    val pbN = bandBuckets.getOrElse(bucketsFor(nDocs * bands))
+    require(sbN >= 1 && pbN >= 1, "bucket counts must be >= 1")
+    writeMetaParams(spark, path, n, numHashes, bands, pbN, sbN, seq = 0L,
+      mode = "overwrite")
+    val fp = paramsFp(n, numHashes, bands, pbN, sbN)
+    val hashed = hashed0.withColumn("params_fp", lit(fp))
     // versioned bases (IndexStore): v=0 is the build; each component
-    // goes live only when its (empty) fold manifest commits
-    hashed.write.mode("overwrite")
-      .parquet(IndexStore.versionDir(path, "shingles", 0))
-    bandRowsOf(hashed, numHashes, bands).withColumn("params_fp", lit(fp))
-      .write.mode("overwrite")
-      .parquet(IndexStore.versionDir(path, "bands", 0))
-    hashed.unpersist()
+    // goes live only when its (empty) fold manifest commits. Both are
+    // bucket-partitioned (sb = id bucket, pb = band-hash bucket) so
+    // probes prune their scans to the buckets the batch can touch.
+    writeBucketed(hashed.withColumn("sb", shingleBucket(col("id"), sbN)),
+      IndexStore.versionDir(path, "shingles", 0), "sb", "id", 1L << 20)
+    writeBucketed(
+      bandRowsOf(hashed0, numHashes, bands)
+        .withColumn("params_fp", lit(fp))
+        .withColumn("pb", bandBucket(col("bh"), pbN)),
+      IndexStore.versionDir(path, "bands", 0), "pb", "bh", 1L << 20)
+    hashed0.unpersist()
     // bands first, shingles LAST (the create-once gate's component):
     // a crash between the two leaves a recoverable half-install, never
     // a stuck one
@@ -485,6 +549,25 @@ object Dedup {
       .orderBy(col("seq").desc)
       .select("n", "num_hashes", "bands").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** The index's CURRENT storage-bucket counts (band buckets, shingle
+    * buckets) — the probe-pruning layout, read from the same max-seq
+    * meta row as the banding parameters. */
+  private[graft] def minhashIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                                         path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .orderBy(col("seq").desc)
+      .select("band_buckets", "shingle_buckets").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Current params fingerprint of the index at `path` (one meta read). */
+  private def liveParamsFp(spark: org.apache.spark.sql.SparkSession,
+                           path: String): String = {
+    val (n, h, b) = minhashIndexParams(spark, path)
+    val (pbN, sbN) = minhashIndexBuckets(spark, path)
+    paramsFp(n, h, b, pbN, sbN)
   }
 
   /** Max meta-log seq (driver-side; rows = 1 + parameter rebuilds). */
@@ -529,13 +612,22 @@ object Dedup {
     if (IndexStore.batchAlreadyAppended(spark, path, batchId))
       return // replayed batch: already fully appended and ledgered
     val (n, numHashes, bands) = minhashIndexParams(spark, path)
-    val fp = paramsFp(n, numHashes, bands)
+    val (pbN, sbN) = minhashIndexBuckets(spark, path)
+    val fp = paramsFp(n, numHashes, bands, pbN, sbN)
+    // deltas carry the bucket columns as DATA columns (a day-sized dir
+    // split into up to 4096 bucket directories would be a small-file
+    // explosion per append); the probe's bucket-pruning predicate works
+    // either way — PartitionFilter on the base, pushed data filter on
+    // the day-sized delta — and compaction folds delta rows into the
+    // bucket-partitioned base by these stored values
     val hashed = shingleHashSets(df, idCol, textCol, n)
       .withColumn("params_fp", lit(fp))
+      .withColumn("sb", shingleBucket(col("id"), sbN))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.write.mode("overwrite")
       .parquet(s"$path/shingles_delta/batch=$batchId")
     bandRowsOf(hashed, numHashes, bands).withColumn("params_fp", lit(fp))
+      .withColumn("pb", bandBucket(col("bh"), pbN))
       .write.mode("overwrite")
       .parquet(s"$path/bands_delta/batch=$batchId")
     hashed.unpersist()
@@ -545,8 +637,7 @@ object Dedup {
     // shingling (the quiescence race), the batch is NOT ledgered — the
     // written dirs stay invisible and a retry re-derives under the new
     // parameters. Mirrors the IVF-PQ append's geometry re-check.
-    val (n2, h2, b2) = minhashIndexParams(spark, path)
-    val liveFp = paramsFp(n2, h2, b2)
+    val liveFp = liveParamsFp(spark, path)
     if (liveFp != fp)
       sys.error(s"parameter rebuild installed during append to MinHash " +
         s"index at $path: batch $batchId was derived under $fp but the " +
@@ -578,40 +669,97 @@ object Dedup {
     * the batch's band rows broadcast into the stored-bucket scan, and
     * the (batch-bounded) candidate set broadcasts into the stored
     * shingle scan — so a probe never shuffles a byte of corpus history.
-    * The broadcast sides are daily-batch-sized by contract; a
-    * backfill-scale "batch" should run [[crossCorpusNearDupPairs]]
-    * instead (shuffle-join both sides) rather than force a huge
-    * broadcast. */
+    * Both corpus-sized BASE scans are additionally BUCKET-PRUNED (the
+    * IVF-PQ probe-cell discipline applied to text): the batch's
+    * band-hash buckets and the candidate set's id buckets are
+    * collected driver-side (each bounded by the stored bucket count)
+    * and prune the base scans as PartitionFilters. Pruning is LOSSLESS
+    * by construction — a matching stored row shares the batch row's
+    * bucket value exactly. The day-sized DELTA stays fully scanned on
+    * purpose: foreign-parameter rows can only live in deltas (base
+    * versions are written exclusively by the guarded build/rebuild/
+    * compaction paths), so the unpruned delta keeps the fail-LOUD
+    * guard contract corpus-wide — a quiescence-violating writer's rows
+    * still fail every probe by name, never silently fall outside a
+    * pruned scan.
+    *
+    * What pruning buys: with B buckets (meta `band_buckets`, sized at
+    * build so rows-per-bucket stays bounded — [[bucketsFor]]), a probe
+    * reads ~base × (1 − (1−1/B)^H) where H is the batch's distinct
+    * band-hash count. A SINGLE-document probe (H = bands) reads
+    * ~bands/B of the corpus — per-bucket-bounded, so near-FLAT as the
+    * corpus grows; a batch of ~B/bands docs saturates toward one full
+    * scan, which is the same one scan it cost before pruning and the
+    * point where [[crossCorpusNearDupPairs]] (shuffle both sides)
+    * takes over. The broadcast sides are daily-batch-sized by contract
+    * either way.
+    *
+    * Cost note: the two bucket collections are driver round-trips (one
+    * batch-sized banding job, one candidate materialization reused by
+    * the verify join via the persist) — maintenance-probe latency, not
+    * a per-row cost. */
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, newDocs: DataFrame,
                         idCol: String, textCol: String,
                         num: Long = 1, den: Long = 5): DataFrame = {
     val (n, numHashes, bands) = minhashIndexParams(spark, path)
-    val fp = paramsFp(n, numHashes, bands)
+    val (pbN, sbN) = minhashIndexBuckets(spark, path)
+    val fp = paramsFp(n, numHashes, bands, pbN, sbN)
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRowsOf(newHashed, numHashes, bands)
-    // base ∪ ledgered batch delta (daily appends and streaming
-    // micro-batches alike): appended corpus batches are probed exactly
-    // like build-time corpus. Both stored
-    // relations route their payload through the params guard — a row
-    // derived under different parameters than the index's current ones
-    // (a writer that violated rebuild quiescence) fails the probe LOUD
+    // the batch's band-hash buckets, driver-side (≤ pbN values; the
+    // banding job is batch-sized — the probe-cell selection discipline)
+    val batchPbs = newBands
+      .select(bandBucket(col("bh"), pbN).as("pb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // base(bucket-pruned) ∪ full ledgered batch delta (daily appends
+    // and streaming micro-batches alike): appended corpus batches are
+    // probed exactly like build-time corpus. Both stored relations
+    // route their payload through the params guard — a row derived
+    // under different parameters than the index's current ones (a
+    // writer that violated rebuild quiescence) fails the probe LOUD
     // instead of silently hashing into a disjoint bucket space.
     val stored = guardParams(
-      storedComponent(spark, path, "bands"), "bh", fp, path)
-    val cand = stored.as("c")
+      storedComponentBasePruned(spark, path, "bands", "pb", batchPbs),
+      "bh", fp, path)
+    val cand0 = stored.as("c")
       .join(broadcast(newBands.as("x")),
         col("c.band") === col("x.band") && col("c.bh") === col("x.bh")
           && col("c.id") =!= col("x.id"))
       .select(col("x.id").as("id_new"), col("c.id").as("id_corpus"))
       .dropDuplicates("id_new", "id_corpus")
+    // verify-scan pruning only pays when the probe is genuinely
+    // SELECTIVE (its band hashes touch well under all buckets — the
+    // at-ingest shapes: one doc, a micro-batch). A bulk batch saturates
+    // the bucket space, and materializing its candidate set just to
+    // collect every bucket id would add a driver round-trip and a
+    // cache pass for a no-op filter — so the gate keeps the bulk path
+    // at its pre-pruning plan (single pipelined job).
+    val selective = batchPbs.length.toLong * 4 < pbN.toLong * 3
+    val cand =
+      if (selective)
+        // persisted: materialized once for the id-bucket collection,
+        // reused by the verify join (batch-bounded by contract)
+        cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cand0
+    // the candidate set's id buckets prune the verify base scan
+    val candSbs =
+      if (selective) cand
+        .select(shingleBucket(col("id_corpus"), sbN).as("sb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      else Array.empty[Int]
     // attach the batch-side sets first (both relations batch-sized),
     // then broadcast the enriched candidates into the corpus-set scan
     val withNew = cand.join(
       newHashed.select(col("id").as("id_new"), col("shash").as("sh_a")),
       Seq("id_new"))
-    guardParams(storedComponent(spark, path, "shingles"), "shash", fp, path)
+    (if (selective)
+      guardParams(
+        storedComponentBasePruned(spark, path, "shingles", "sb", candSbs),
+        "shash", fp, path)
+    else
+      guardParams(storedComponent(spark, path, "shingles"), "shash", fp, path))
       .select(col("id").as("id_corpus"), col("shash").as("sh_b"))
       .join(broadcast(withNew), Seq("id_corpus"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -620,6 +768,29 @@ object Dedup {
       .filter(col("common") * den
         >= (col("n_new") + col("n_corpus") - col("common")) * num)
       .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
+  }
+
+  /** One index component as base(BUCKET-PRUNED by the collected probe
+    * values — a PartitionFilter at file-listing time) ∪ the FULL
+    * ledgered delta — the probe's assembly. One [[IndexStore.Pin]]
+    * resolves base, folds and delta, exactly like
+    * [[IndexStore.storedComponent]]; only the base-side filter differs.
+    * An empty probe-value set prunes the base to nothing (the batch has
+    * no band rows, so no stored row can match). */
+  private def storedComponentBasePruned(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, component: String,
+                                        bucketCol: String,
+                                        probeVals: Array[Int]): DataFrame = {
+    val pin = IndexStore.pinOf(spark, path, component)
+    val base = IndexStore.readBaseAt(spark, path, component, pin)
+    val cols = base.columns.toSeq
+    val prunedBase = base
+      .filter(if (probeVals.isEmpty) lit(false)
+        else col(bucketCol).isin(probeVals.map(v => v: Any): _*))
+      .select(cols.map(col): _*)
+    IndexStore.ledgeredDelta(spark, path, component, pin, base.schema, cols)
+      .map(prunedBase.unionByName(_))
+      .getOrElse(prunedBase)
   }
 
   /** Lakehouse maintenance for the persisted MinHash index: months of
@@ -648,20 +819,25 @@ object Dedup {
                           path: String,
                           rowsPerFile: Long = 1L << 20): (Long, Long, Long) =
     IndexStore.withMaintenanceLease(spark, path, "compact") {
-    val (n, h, b0) = minhashIndexParams(spark, path)
-    val expectedFp = paramsFp(n, h, b0)
+    val expectedFp = liveParamsFp(spark, path)
     def one(component: String): (Long, Long, Long) =
       IndexStore.compactComponent(spark, path, component,
-        write = (merged, rows, dest, _) =>
-          // the rewrite routes the payload through the params guard: a
+        write = (merged, _, dest, _) =>
+          // the rewrite routes the payload through the params guard (a
           // foreign-parameter delta row fails the compaction loudly —
           // baking it into the base would make the disjoint-bucket
-          // anomaly permanent (the failed attempt stays invisible)
-          graft.operators.Layout.writeSized(
+          // anomaly permanent; the failed attempt stays invisible) and
+          // PRESERVES the bucket partitioning: delta rows fold into the
+          // base by their stored bucket values, so the probe's pruning
+          // contract survives every compaction
+          writeBucketed(
             guardParams(merged,
               if (component == "bands") "bh" else "shash",
               expectedFp, path),
-            dest, "id", rowsPerFile, rows))
+            dest,
+            bucketCol = if (component == "bands") "pb" else "sb",
+            sortCol = if (component == "bands") "bh" else "id",
+            rowsPerFile))
     val s = one("shingles")
     val b = one("bands")
     (s._1 + b._1, s._2 + b._2, s._3 + b._3)
@@ -731,7 +907,9 @@ object Dedup {
   def rebuildMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, corpus: DataFrame,
                           idCol: String, textCol: String, rebuildId: String,
-                          n: Int, numHashes: Int, bands: Int): Unit = {
+                          n: Int, numHashes: Int, bands: Int,
+                          bandBuckets: Option[Int] = None,
+                          shingleBuckets: Option[Int] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     if (IndexStore.rebuildAlreadyDone(spark, path, rebuildId))
       return // replayed rebuild: already installed and ledgered
@@ -759,7 +937,14 @@ object Dedup {
     require(nRows == nVisible,
       s"rebuildMinhashIndex: corpus covers $nRows of $nVisible indexed " +
         "ids — a rebuild must preserve the id population")
-    val fp2 = paramsFp(n, numHashes, bands)
+    // bucket counts re-sized to the CURRENT population (the corpus has
+    // usually grown since the build — the rebuild rewrites every row
+    // anyway, so the pruning layout re-anchors for free) unless
+    // explicitly overridden
+    val sbN = shingleBuckets.getOrElse(bucketsFor(nVisible))
+    val pbN = bandBuckets.getOrElse(bucketsFor(nVisible * bands))
+    require(sbN >= 1 && pbN >= 1, "bucket counts must be >= 1")
+    val fp2 = paramsFp(n, numHashes, bands, pbN, sbN)
     val hashed = shingleHashSets(rows, idCol, textCol, n)
       .withColumn("params_fp", lit(fp2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -767,11 +952,13 @@ object Dedup {
     val nextB = pinB.v + 1
     IndexStore.dropIncompleteVersion(spark, path, "shingles", nextS)
     IndexStore.dropIncompleteVersion(spark, path, "bands", nextB)
-    hashed.write.mode("overwrite")
-      .parquet(IndexStore.versionDir(path, "shingles", nextS))
-    bandRowsOf(hashed, numHashes, bands).withColumn("params_fp", lit(fp2))
-      .write.mode("overwrite")
-      .parquet(IndexStore.versionDir(path, "bands", nextB))
+    writeBucketed(hashed.withColumn("sb", shingleBucket(col("id"), sbN)),
+      IndexStore.versionDir(path, "shingles", nextS), "sb", "id", 1L << 20)
+    writeBucketed(
+      bandRowsOf(hashed, numHashes, bands)
+        .withColumn("params_fp", lit(fp2))
+        .withColumn("pb", bandBucket(col("bh"), pbN)),
+      IndexStore.versionDir(path, "bands", nextB), "pb", "bh", 1L << 20)
     hashed.unpersist()
     // flip the meta BEFORE the fold commits (append-only: a live
     // reader must never see a delete+rewrite window): from here until
@@ -779,7 +966,7 @@ object Dedup {
     // under new meta) — a crash in this window is recovered by
     // re-running the rebuild (same rebuildId), never by serving mixed
     // parameter spaces
-    writeMetaParams(spark, path, n, numHashes, bands,
+    writeMetaParams(spark, path, n, numHashes, bands, pbN, sbN,
       seq = metaSeq(spark, path) + 1L, mode = "append")
     IndexStore.commitFolds(spark, path, "bands", nextB,
       pinB.foldedBatches ++ snapBatchB)
@@ -893,8 +1080,7 @@ object Dedup {
     import spark.implicits._
     val pin = IndexStore.pinOf(spark, path, "shingles")
     val base = IndexStore.readBaseAt(spark, path, "shingles", pin)
-    val (pn, ph, pb) = minhashIndexParams(spark, path)
-    val fp = paramsFp(pn, ph, pb)
+    val fp = liveParamsFp(spark, path)
     val nBase = base.count()
     // one pass over the (day-sized) delta: total rows + rows stamped
     // with foreign parameters (the monitoring-side detection of a

@@ -472,7 +472,11 @@ object Similarity {
     // the yardstick ivfPqIndexHealth measures drift against — the cell
     // geometry and codebook are frozen within a version, so a corpus
     // whose distribution drifts shows up as a rising mean error vs this
-    // number, the trigger for [[rebuildIvfPqIndex]]
+    // number, the trigger for [[rebuildIvfPqIndex]]. `n_cells` records
+    // the CONFIGURED cell count explicitly: the centroid ROW count is
+    // per-NONEMPTY hash bucket, so inferring the geometry from it would
+    // silently shrink nCells across successive rebuilds whenever a cell
+    // came up empty.
     locally {
       import spark.implicits._
       val r = c.agg(
@@ -480,7 +484,8 @@ object Similarity {
           lit(0L)).as("err_sum"),
         count(lit(1)).as("n_vectors")).head()
       require(r.getLong(1) > 0, "writeIvfPqIndex: empty corpus")
-      Seq((r.getLong(0), r.getLong(1))).toDF("err_sum", "n_vectors")
+      Seq((r.getLong(0), r.getLong(1), nCells))
+        .toDF("err_sum", "n_vectors", "n_cells")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${codesMetaDir(path, version)}/quant_baseline")
     }
@@ -522,8 +527,10 @@ object Similarity {
         lit(s"foreign-codebook code rows in IVF-PQ index at $path: found rows encoded with codebook "),
         col("cb_fp"),
         lit(s" under a version encoded with $expectedFp — a writer violated " +
-          "rebuild quiescence; re-append the offending batch (or rebuild) " +
-          "before serving"))))
+          "rebuild quiescence. The offending batch id is already ledgered " +
+          "(a retried append is a replay no-op), so the remediation is " +
+          "rebuildIvfPqIndex, which re-encodes the whole id population " +
+          "and folds the foreign batch"))))
 
   /** Serve top-k from the fused IVF-PQ index: the query picks its
     * nProbe nearest cells against the KB-scale centroid table
@@ -878,12 +885,19 @@ object Similarity {
     IndexStore.withMaintenanceLease(spark, path, "rebuild") {
     val pin = IndexStore.pinOf(spark, path, "codes")
     // the index is self-describing: unless the caller explicitly
-    // overrides, the rebuild keeps the LIVE version's cell count (a
-    // hardcoded default would silently change the cell geometry — and
-    // the recall/pruning profile — whenever the original build used a
-    // non-default count)
-    val cells = nCells.getOrElse(spark.read
-      .parquet(s"${codesMetaDir(path, pin.v)}/centroids").count().toInt)
+    // overrides, the rebuild keeps the LIVE version's CONFIGURED cell
+    // count, read from the meta's explicit n_cells field — counting
+    // centroid ROWS would undercount whenever a hash cell came up
+    // empty (centroids are per-nonempty bucket), silently shrinking
+    // the geometry a little further on every rebuild. Indexes written
+    // before the field existed fall back to the row count.
+    val cells = nCells.getOrElse {
+      val qb = spark.read
+        .parquet(s"${codesMetaDir(path, pin.v)}/quant_baseline")
+      if (qb.columns.contains("n_cells")) qb.select("n_cells").head().getInt(0)
+      else spark.read
+        .parquet(s"${codesMetaDir(path, pin.v)}/centroids").count().toInt
+    }
     // SNAPSHOT what the re-encode covers, before any long training:
     // exactly these refs get folded at install. Re-reading the ledger
     // at commit time would fold a delta committed mid-rebuild WITHOUT

@@ -89,8 +89,12 @@ class IndexLifecycleSpec extends SparkSpec {
     val (filesBefore, filesAfter, rows) = Dedup.compactMinhashIndex(spark, idx)
     assert(rows > 0 && filesAfter < filesBefore,
       s"compaction must shrink the file population ($filesBefore -> $filesAfter)")
-    // default rowsPerFile >> this corpus: one file per component
-    assert(filesAfter <= 2, s"post-compaction file count bounded: $filesAfter")
+    // default rowsPerFile >> this corpus: at most one file per storage
+    // bucket per component (the bucket partitioning is the probe's
+    // pruning layout and must survive compaction)
+    val (pbN, sbN) = Dedup.minhashIndexBuckets(spark, idx)
+    assert(filesAfter <= pbN + sbN,
+      s"post-compaction file count bounded by the bucket layout: $filesAfter")
     assert(probePairs(idx, probe) == before,
       "compaction is a bit-equal rewrite of the probed relation")
     // the ledger survives: a late replay of a compacted batch is still
@@ -239,14 +243,18 @@ class IndexLifecycleSpec extends SparkSpec {
     // property the round-10 combined sink existed for, now carried by
     // the ledger).
     val (n, numHashes, bands) = Dedup.minhashIndexParams(spark, idx)
+    val (pbN, sbN) = Dedup.minhashIndexBuckets(spark, idx)
+    val fp = Dedup.paramsFp(n, numHashes, bands, pbN, sbN)
     val ghosts = docs.filter($"doc_id" % 10 === 3)
       .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
     val ghostHashed = Dedup.shingleHashSets(ghosts, "doc_id", "text", n)
-      .withColumn("params_fp", lit(Dedup.paramsFp(n, numHashes, bands)))
+      .withColumn("params_fp", lit(fp))
+      .withColumn("sb", Dedup.shingleBucket($"id", sbN))
     ghostHashed.write.mode("overwrite")
       .parquet(s"$idx/shingles_delta/batch=stream-000000099")
     Dedup.bandRowsOf(ghostHashed, numHashes, bands)
-      .withColumn("params_fp", lit(Dedup.paramsFp(n, numHashes, bands)))
+      .withColumn("params_fp", lit(fp))
+      .withColumn("pb", Dedup.bandBucket($"bh", pbN))
       .write.mode("overwrite")
       .parquet(s"$idx/bands_delta/batch=stream-000000099")
     assert(Dedup.probeMinhashIndex(spark, idx,
@@ -299,7 +307,8 @@ class IndexLifecycleSpec extends SparkSpec {
     val (filesBefore, filesAfter, rows) = Dedup.compactMinhashIndex(spark, idx)
     assert(rows == nVisible + nBands,
       "compacted rows == previously visible rows across both components")
-    assert(filesAfter < filesBefore && filesAfter <= 2)
+    val (pbN, sbN) = Dedup.minhashIndexBuckets(spark, idx)
+    assert(filesAfter < filesBefore && filesAfter <= pbN + sbN)
     assert(probePairs(idx, probe) == before, "post-install reader bit-equal")
     assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count() == nVisible,
       "no duplicates: folded delta rows are excluded, not deleted")
@@ -468,6 +477,58 @@ class IndexLifecycleSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("probe bucket pruning: batch band buckets and candidate id buckets reach both base scans as PartitionFilters; lossless vs the fresh LSH recompute; layout survives compaction and rebuild") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-bucketprune")
+    // explicit 64-bucket layout: a handful of probe docs then touches
+    // well under all buckets, so the selectivity gate prunes BOTH scans
+    // deterministically (the adaptive default would floor at 8 buckets
+    // on a test corpus and the probe would saturate them)
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3,
+      bandBuckets = Some(64), shingleBuckets = Some(64))
+    val day = docs.filter($"doc_id" % 5 === 2).limit(40)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "d1")
+    // small probe batch: twins of a few corpus and delta docs
+    val probe = corpus.limit(3).select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" % 5 === 2).limit(3)
+        .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+    def assertPrunedPlan(): Unit = {
+      val plan = Dedup.probeMinhashIndex(spark, idx, probe, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      // both corpus-sized base scans carry their bucket column as a
+      // PARTITION filter — the pruning happens at file-listing time,
+      // not as a post-scan filter over the whole artifact
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*pb[^\\]]*\\].*"),
+        s"expected pb partition pruning on the bands base scan in:\n$plan")
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*sb[^\\]]*\\].*"),
+        s"expected sb partition pruning on the shingles base scan in:\n$plan")
+    }
+    assertPrunedPlan()
+    // losslessness: the pruned probe equals the full from-scratch LSH
+    // recompute restricted to batch×corpus pairs (the q323 anchor)
+    val stored = corpus.unionByName(day)
+    val fresh = Dedup.minhashLshPairs(stored.unionByName(probe),
+        "doc_id", "text", n = 3)
+      .filter($"id_a" < 2000000L && $"id_b" >= 2000000L)
+      .select($"id_b".as("id_new"), $"id_a".as("id_corpus"),
+        $"common", $"n_b".as("n_new"), $"n_a".as("n_corpus"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(probePairs(idx, probe) == fresh,
+      "bucket pruning must be lossless vs the fresh LSH recompute")
+    assert(probePairs(idx, probe).exists(_._1 >= 3000000L),
+      "delta twins found (delta is probed unpruned)")
+    // the layout is preserved by compaction and by a parameter rebuild
+    Dedup.compactMinhashIndex(spark, idx)
+    assertPrunedPlan()
+    assert(probePairs(idx, probe) == fresh)
+    Dedup.rebuildMinhashIndex(spark, idx, stored, "doc_id", "text",
+      rebuildId = "bp-r1", n = 3, numHashes = 32, bands = 8,
+      bandBuckets = Some(64), shingleBuckets = Some(64))
+    assertPrunedPlan()
+    assert(probePairs(idx, probe) == fresh)
+  }
+
   test("retention-gated vacuum (keepVersions=2): a reader pinned at the previous version keeps all its files; keepVersions=1 then collects fully") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
     val idx = tmp("mh-retention")
@@ -550,11 +611,13 @@ class IndexLifecycleSpec extends SparkSpec {
       maxFilesPerComponent = 1).collect().head
     assert(tight.getBoolean(5), "fragmented fires under a tight bound")
     // compaction folds the delta into the base and shrinks the census
+    // (bounded by the bucket layout: ≤ one file per bucket per component)
     Dedup.compactMinhashIndex(spark, idx)
+    val (pbN, sbN) = Dedup.minhashIndexBuckets(spark, idx)
     val post = Dedup.minhashIndexHealth(spark, idx).collect().head
     assert(post.getLong(0) == corpus.count() + day1.count())
     assert(post.getLong(1) == 0L && post.getLong(2) == 0L)
-    assert(!post.getBoolean(3) && post.getLong(4) <= 2)
+    assert(!post.getBoolean(3) && post.getLong(4) <= pbN + sbN)
   }
 
   test("rebuildIvfPqIndex: drift detected -> retrain + re-encode installs atomically, recall recovers, replay is a no-op, stale codebooks fail loud") {
@@ -933,6 +996,7 @@ class IndexLifecycleSpec extends SparkSpec {
     val idx = tmp("mh-foreign")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx,
       n = 3, numHashes = 32, bands = 8)
+    val (pbN0, sbN0) = Dedup.minhashIndexBuckets(spark, idx)
     val day1 = docs.filter($"doc_id" % 10 === 0).limit(50)
       .select(($"doc_id" + 1000L).as("doc_id"), $"text")
     // a raced append: the parameter rebuild installs between the append's
@@ -951,11 +1015,14 @@ class IndexLifecycleSpec extends SparkSpec {
     // probes are green (the raced batch never became visible)...
     probePairs(idx, probe)
     // ...until an out-of-contract writer force-ledgers old-params rows
+    // (stamped with the PRE-rebuild fingerprint and bucket layout)
     val hashed = Dedup.shingleHashSets(day1, "doc_id", "text", 3)
-      .withColumn("params_fp", lit(Dedup.paramsFp(3, 32, 8)))
+      .withColumn("params_fp", lit(Dedup.paramsFp(3, 32, 8, pbN0, sbN0)))
+      .withColumn("sb", Dedup.shingleBucket($"id", sbN0))
     hashed.write.mode("overwrite").parquet(s"$idx/shingles_delta/batch=rogue")
     Dedup.bandRowsOf(hashed, 32, 8)
-      .withColumn("params_fp", lit(Dedup.paramsFp(3, 32, 8)))
+      .withColumn("params_fp", lit(Dedup.paramsFp(3, 32, 8, pbN0, sbN0)))
+      .withColumn("pb", Dedup.bandBucket($"bh", pbN0))
       .write.mode("overwrite").parquet(s"$idx/bands_delta/batch=rogue")
     IndexStore.ledgerBatch(spark, idx, "rogue")
     val ex2 = intercept[Exception] { probePairs(idx, probe) }
