@@ -127,7 +127,7 @@ object Bench {
     // correctness gate, and headline + maintenance_sec = full registry
     // cost.
     val maintenanceRows = Set("q322", "q325", "q326", "q327", "q328",
-      "q329", "q330", "q331", "q332", "q333")
+      "q329", "q330", "q331", "q332", "q333", "q334")
     def isMaintenance(name: String): Boolean =
       maintenanceRows.exists(name.startsWith)
     val allOk = results.collect { case (k, Right((sec, spread))) => (k, sec, spread) }.toSeq

@@ -2355,6 +2355,142 @@ object TextQueries {
           lit(rerunIdentical).as("probe_rerun_identical"),
           lit(paramsFlipped).as("params_flipped"),
           lit(replayNoop).as("rebuild_replay_noop"))
+    }),
+
+    // DISASTER DRILL — the composed lifecycle verdict: every seam the
+    // q322-q333 rows pin individually, walked in sequence on ONE index
+    // (the q78-style end-to-end composition applied to the index
+    // lifecycle). One MinHash index goes through offline build → daily
+    // ledgered append → checkpointed streaming micro-batches → a
+    // CRASH-SIMULATED half-written version → a parameter REBUILD
+    // installed between micro-batches of the live checkpoint (the
+    // stream self-heals: its next micro-batch re-reads params; health
+    // must count ZERO foreign-params rows afterwards) → online
+    // compaction (bit-equal probe) → quiesced vacuum (relation
+    // unchanged) → a full REPLAY volley (daily append, rebuild id, the
+    // drained stream — all exactly-once no-ops) → a fresh-checkpoint
+    // restart attempt, which must fail with the named error instead of
+    // silently skipping aliased micro-batches. Visibility is asserted
+    // at every seam via the same probe batch (identical-text twins of
+    // the day-1 docs must be found at every stage), and after the
+    // post-rebuild stream run EVERY ingested doc must be visible
+    // exactly once. n_corpus_docs is DuckDB-recomputed; the booleans
+    // are the drill's seam invariants.
+    "q334_minhash_disaster_drill" -> q(
+      """SELECT CAST(count(*) FILTER (WHERE doc_id % 4 = 1) AS BIGINT)
+                  AS n_corpus_docs,
+                TRUE AS append_visible,
+                TRUE AS crashed_attempt_invisible,
+                TRUE AS stream_self_heals,
+                TRUE AS all_ingested_exactly_once,
+                TRUE AS compact_bit_equal,
+                TRUE AS vacuum_preserves_relation,
+                TRUE AS replays_all_noop,
+                TRUE AS fresh_checkpoint_fails_loud
+         FROM documents""")(tempScoped { (s, dir) =>
+      import graft.analytics.IndexStore
+      import graft.streaming.IncrementalStream
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = all.filter(col("doc_id") % 4 === 1)
+      val day1 = all.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val wave1 = all.filter(col("doc_id") % 4 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val wave2 = all.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      // probe twins of a day-1 slice: identical text => found at every
+      // seam (expected corpus partner: id_new - 4000000)
+      val probe = all.filter(col("doc_id") % 4 === 2 && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val idx = scratchDir("graft_q334_idx")
+      def probeSet(): Set[(Long, Long)] =
+        Dedup.probeMinhashIndex(s, idx, probe, "doc_id", "text")
+          .select("id_new", "id_corpus").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def nStored(): Long =
+        Dedup.storedMinhashComponent(s, idx, "shingles").count()
+      // seam 1: offline build + one ledgered daily append
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+      Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx,
+        batchId = "q334-d1")
+      // seam 2: streaming micro-batches (2 files, one checkpoint)
+      val src = scratchDir("graft_q334_src")
+      val ckpt = scratchDir("graft_q334_ckpt")
+      wave1.repartition(2).write.mode("overwrite").parquet(src)
+      def runStream(): Unit = IncrementalStream.minhashMaintenanceStream(
+        s.readStream.schema(wave1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        "doc_id", "text", idx, ckpt).awaitTermination()
+      runStream()
+      val afterStream1 = probeSet()
+      val twinPairs = probe.select(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(0) - 4000000L)).toSet
+      val appendVisible = twinPairs.subsetOf(afterStream1)
+      // seam 3: crash-sim — a maintenance pass died after writing the
+      // next version's DATA, before committing its fold manifests
+      Seq("shingles", "bands").foreach { c =>
+        Dedup.storedMinhashComponent(s, idx, c).write.mode("overwrite")
+          .parquet(IndexStore.versionDir(idx, c,
+            IndexStore.pinOf(s, idx, c).v + 1))
+      }
+      val crashedInvisible = probeSet() == afterStream1
+      // seam 4: parameter rebuild installed between micro-batches of
+      // the LIVE checkpoint (drops the crashed attempt, re-bands the
+      // whole indexed population, flips the meta); the stream's next
+      // run on the SAME checkpoint re-reads params and self-heals
+      val indexedCorpus = corpus.unionByName(day1).unionByName(wave1)
+      Dedup.rebuildMinhashIndex(s, idx, indexedCorpus, "doc_id", "text",
+        rebuildId = "q334-r1", n = 3, numHashes = 32, bands = 16)
+      wave2.coalesce(1).write.mode("append").parquet(src)
+      runStream()
+      val foreign = Dedup.minhashIndexHealth(s, idx)
+        .select("n_foreign_params_rows").head().getLong(0)
+      val afterStream2 = probeSet()
+      val streamHealed = foreign == 0L && twinPairs.subsetOf(afterStream2)
+      val expectedDocs = corpus.count() + day1.count() +
+        wave1.count() + wave2.count()
+      val sh = Dedup.storedMinhashComponent(s, idx, "shingles")
+      val exactlyOnce = nStored() == expectedDocs &&
+        sh.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count() == 0
+      // seam 5: online compaction — bit-equal probe
+      Dedup.compactMinhashIndex(s, idx)
+      val compactOk = probeSet() == afterStream2
+      // seam 6: quiesced vacuum — relation unchanged
+      Dedup.vacuumMinhashIndex(s, idx)
+      val vacuumOk = probeSet() == afterStream2
+      // seam 7: the replay volley — daily append id, rebuild id and the
+      // drained stream are all exactly-once no-ops (ledger + checkpoint
+      // outlive compaction AND vacuum)
+      Dedup.appendToMinhashIndex(day1, "doc_id", "text", idx,
+        batchId = "q334-d1")
+      Dedup.rebuildMinhashIndex(s, idx, indexedCorpus, "doc_id", "text",
+        rebuildId = "q334-r1", n = 3, numHashes = 32, bands = 16)
+      runStream()
+      val replaysNoop = nStored() == expectedDocs && probeSet() == afterStream2
+      // seam 8: a fresh-checkpoint restart against the stream-maintained
+      // index must fail LOUD (silently starting would re-ingest the
+      // whole source under aliased micro-batch ids)
+      val freshFails =
+        try {
+          IncrementalStream.minhashMaintenanceStream(
+            s.readStream.schema(wave1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src),
+            "doc_id", "text", idx, scratchDir("graft_q334_ckpt2"))
+          false
+        } catch { case e: Throwable =>
+          Option(e.getMessage).exists(_.contains("fresh checkpoint")) }
+      all.filter(col("doc_id") % 4 === 1)
+        .agg(count(lit(1)).as("n_corpus_docs"))
+        .select(col("n_corpus_docs"),
+          lit(appendVisible).as("append_visible"),
+          lit(crashedInvisible).as("crashed_attempt_invisible"),
+          lit(streamHealed).as("stream_self_heals"),
+          lit(exactlyOnce).as("all_ingested_exactly_once"),
+          lit(compactOk).as("compact_bit_equal"),
+          lit(vacuumOk).as("vacuum_preserves_relation"),
+          lit(replaysNoop).as("replays_all_noop"),
+          lit(freshFails).as("fresh_checkpoint_fails_loud"))
     })
   )
 
