@@ -44,11 +44,23 @@ object ScaleSlopes {
     val nEmb = emb.count()
 
     // fixed-size, fixed-content batches from the base id range (present
-    // at every scale): 500 docs / 500 vectors, ids offset out of range
-    val docBatch = docs.filter(col("doc_id") < 500)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-    val embBatch = emb.filter(col("vec_id") < 500)
-      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    // at every scale): 500 docs / 500 vectors, ids offset out of range.
+    // MATERIALIZED to their own small parquet files before any timing:
+    // a daily batch arrives as its own landed file in production, and a
+    // filter over the corpus-sized table would otherwise bill one full
+    // corpus scan to every probe/append trial — the round-11 probe
+    // slope partly measured that input scan, not the operator.
+    def landed(df: DataFrame, name: String): DataFrame = {
+      val p = java.nio.file.Files.createTempDirectory(s"slope-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val docBatch = landed(docs.filter(col("doc_id") < 500)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text")),
+      "docbatch")
+    val embBatch = landed(emb.filter(col("vec_id") < 500)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding")),
+      "embbatch")
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var batchSeq = 0
@@ -80,10 +92,12 @@ object ScaleSlopes {
     // bucket (the full scan it always cost), while the at-ingest shapes
     // (one doc / a micro-batch) touch a bounded bucket set and should
     // stay near-FLAT as the corpus (and with it B) grows
-    val docMicro = docs.filter(col("doc_id") < 16)
-      .select((col("doc_id") + 910000000L).as("doc_id"), col("text"))
-    val docOne = docs.filter(col("doc_id") === 7)
-      .select((col("doc_id") + 920000000L).as("doc_id"), col("text"))
+    val docMicro = landed(docs.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 910000000L).as("doc_id"), col("text")),
+      "docmicro")
+    val docOne = landed(docs.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 920000000L).as("doc_id"), col("text")),
+      "docone")
     time("minhash_probe_micro16") {
       Dedup.probeMinhashIndex(spark, mhIdx, docMicro, "doc_id", "text")
         .count(); ()
@@ -132,16 +146,19 @@ object ScaleSlopes {
       Similarity.appendToIvfPqIndex(spark, pqIdx, embBatch,
         "vec_id", "embedding", batchId = s"slope-$batchSeq")
     }
+    val oneQuery = landed(emb.filter(col("vec_id") === 7), "query1")
     time("ivfpq_serve_top20") {
       Similarity.topKIvfPqFromIndex(spark, pqIdx,
-        emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+        oneQuery, "vec_id", "embedding",
         k = 20, cb).count(); ()
     }
     // health: one linear quant-err pass over `current` (corpus-sized by
     // contract — it audits today's corpus) + |queries| brute scans
+    val healthQueries = landed(emb.filter(col("vec_id").isin(3, 7, 11)),
+      "healthq")
     time("ivfpq_health") {
       Similarity.ivfPqIndexHealth(spark, pqIdx, emb, "vec_id", "embedding",
-        queries = emb.filter(col("vec_id").isin(3, 7, 11)), k = 10,
+        queries = healthQueries, k = 10,
         recallFloorPct = 0).collect(); ()
     }
     // corpus-sized rewrite, same rationale as minhash_compact
@@ -166,9 +183,9 @@ object ScaleSlopes {
     // must stay batch-sized regardless of |corpus|
     val stored = docs.select(col("doc_id").as("id"),
       col("doc_id").as("comp"))
-    val edges = docs.filter(col("doc_id") < 500)
+    val edges = landed(docs.filter(col("doc_id") < 500)
       .select(col("doc_id").as("id_a"),
-        (col("doc_id") + 900000000L).as("id_b"))
+        (col("doc_id") + 900000000L).as("id_b")), "edges")
     time("incr_components_batch") {
       Dedup.incrementalComponents(stored, edges).count(); ()
     }
