@@ -545,10 +545,8 @@ object Dedup {
     * appends the next row — see [[rebuildMinhashIndex]]). */
   def minhashIndexParams(spark: org.apache.spark.sql.SparkSession,
                          path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta")
-      .orderBy(col("seq").desc)
-      .select("n", "num_hashes", "bands").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val m = metaHead(spark, path)
+    (m._1, m._2, m._3)
   }
 
   /** The index's CURRENT storage-bucket counts (band buckets, shingle
@@ -556,18 +554,27 @@ object Dedup {
     * meta row as the banding parameters. */
   private[graft] def minhashIndexBuckets(spark: org.apache.spark.sql.SparkSession,
                                          path: String): (Int, Int) = {
+    val m = metaHead(spark, path)
+    (m._4, m._5)
+  }
+
+  /** The max-seq meta row in ONE driver read — every per-call accessor
+    * routes through this so a probe/append pays a single KB-scale meta
+    * job, not one per field group. */
+  private def metaHead(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Int, Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta")
       .orderBy(col("seq").desc)
-      .select("band_buckets", "shingle_buckets").head()
-    (r.getInt(0), r.getInt(1))
+      .select("n", "num_hashes", "bands", "band_buckets", "shingle_buckets")
+      .head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
   }
 
   /** Current params fingerprint of the index at `path` (one meta read). */
   private def liveParamsFp(spark: org.apache.spark.sql.SparkSession,
                            path: String): String = {
-    val (n, h, b) = minhashIndexParams(spark, path)
-    val (pbN, sbN) = minhashIndexBuckets(spark, path)
-    paramsFp(n, h, b, pbN, sbN)
+    val m = metaHead(spark, path)
+    paramsFp(m._1, m._2, m._3, m._4, m._5)
   }
 
   /** Max meta-log seq (driver-side; rows = 1 + parameter rebuilds). */
@@ -611,8 +618,7 @@ object Dedup {
     val spark = df.sparkSession
     if (IndexStore.batchAlreadyAppended(spark, path, batchId))
       return // replayed batch: already fully appended and ledgered
-    val (n, numHashes, bands) = minhashIndexParams(spark, path)
-    val (pbN, sbN) = minhashIndexBuckets(spark, path)
+    val (n, numHashes, bands, pbN, sbN) = metaHead(spark, path)
     val fp = paramsFp(n, numHashes, bands, pbN, sbN)
     // deltas carry the bucket columns as DATA columns (a day-sized dir
     // split into up to 4096 bucket directories would be a small-file
@@ -702,8 +708,7 @@ object Dedup {
                         path: String, newDocs: DataFrame,
                         idCol: String, textCol: String,
                         num: Long = 1, den: Long = 5): DataFrame = {
-    val (n, numHashes, bands) = minhashIndexParams(spark, path)
-    val (pbN, sbN) = minhashIndexBuckets(spark, path)
+    val (n, numHashes, bands, pbN, sbN) = metaHead(spark, path)
     val fp = paramsFp(n, numHashes, bands, pbN, sbN)
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
