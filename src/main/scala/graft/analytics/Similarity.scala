@@ -970,7 +970,8 @@ object Similarity {
     *     (a writer violated rebuild quiescence AND bypassed the append
     *     discipline). Serving fails LOUD on such rows (guardedPqCode);
     *     health REPORTS them — and skips the recall sample (0 / not
-    *     ok) — so the operator knows to re-append or rebuild.
+    *     ok) — so the operator knows to run the rebuild (the batch id
+    *     is already ledgered, so a retried append is a replay no-op).
     *
     * `queries` is a held-out serving sample (driver-bounded: at most
     * `maxQueries` rows — health runs daily on a handful, not a corpus).
@@ -998,7 +999,7 @@ object Similarity {
     // cb_fp stamp differs from the pinned version's codebook — the
     // monitoring-side detection of a quiescence-violating writer
     // (serving fails LOUD on such rows; health REPORTS them so the
-    // operator knows to re-append or rebuild)
+    // operator knows to run the rebuild)
     val (nDelta, nForeign) =
       IndexStore.ledgeredDelta(spark, path, "codes", pin, baseAll.schema, cols)
         .map { d =>
