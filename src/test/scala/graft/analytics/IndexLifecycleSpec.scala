@@ -916,6 +916,42 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got.map(_._1).contains(8L), "streamed vector retrievable post-rebuild")
   }
 
+  test("ivfPqMaintenanceStream fresh-checkpoint restart: fails loud by default, ingests exactly once under an explicit streamId (the minhash contract, IVF-PQ face)") {
+    import graft.streaming.IncrementalStream
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-freshckpt")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 4 === 1),
+      "vec_id", "embedding", cb, idx)
+    val wave1 = e.filter($"vec_id" % 4 === 2).select($"vec_id", $"embedding")
+    val wave2 = e.filter($"vec_id" % 4 === 3).select($"vec_id", $"embedding")
+    def streamOf(src: String) = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val src1 = tmp("ivfpq-freshckpt-src1")
+    wave1.repartition(2).write.mode("overwrite").parquet(src1)
+    IncrementalStream.ivfPqMaintenanceStream(streamOf(src1),
+      "vec_id", "embedding", idx, tmp("ivfpq-freshckpt-ckpt1"))
+      .awaitTermination()
+    val n1 = IndexStore.storedComponent(spark, idx, "codes").count()
+    val src2 = tmp("ivfpq-freshckpt-src2")
+    wave2.repartition(2).write.mode("overwrite").parquet(src2)
+    val ex = intercept[Exception] {
+      IncrementalStream.ivfPqMaintenanceStream(streamOf(src2),
+        "vec_id", "embedding", idx, tmp("ivfpq-freshckpt-ckpt2"))
+    }
+    assert(ex.getMessage.contains("fresh checkpoint"),
+      s"expected the named fresh-checkpoint error, got: ${ex.getMessage}")
+    assert(IndexStore.storedComponent(spark, idx, "codes").count() == n1)
+    IncrementalStream.ivfPqMaintenanceStream(streamOf(src2),
+      "vec_id", "embedding", idx, tmp("ivfpq-freshckpt-ckpt2b"),
+      streamId = Some("inc2")).awaitTermination()
+    val codes = IndexStore.storedComponent(spark, idx, "codes")
+    assert(codes.count() == n1 + wave2.count(),
+      "every streamed vector visible (aliased ids would have been dropped)")
+    assert(codes.groupBy("id").count().filter($"count" > 1).count() == 0,
+      "no vector visible twice")
+  }
+
   test("appendEncodedStreamBatch: a rebuild between encode and commit fails loud; the batch stays invisible") {
     val e = embeddings
     val cb1 = Similarity.trainPqCodebook(e, "vec_id", "embedding")
