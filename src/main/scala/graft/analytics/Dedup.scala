@@ -560,13 +560,27 @@ object Dedup {
 
   /** The max-seq meta row in ONE driver read — every per-call accessor
     * routes through this so a probe/append pays a single KB-scale meta
-    * job, not one per field group. */
+    * job, not one per field group. mergeSchema because a parameter
+    * rebuild APPENDS its row: after a rebuild adopts an index whose
+    * meta predates the bucket-layout columns, the log holds mixed
+    * schemas and a single-footer read could resolve the old one. A
+    * max-seq row WITHOUT bucket counts (an index built before the
+    * layout, never rebuilt) fails with the named adoption path instead
+    * of an unresolved-column error. */
   private def metaHead(spark: org.apache.spark.sql.SparkSession,
                        path: String): (Int, Int, Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta")
-      .orderBy(col("seq").desc)
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+    def legacy(): Nothing =
+      sys.error(s"MinHash index at $path predates the storage-bucket " +
+        "layout (meta has no band_buckets/shingle_buckets) — run " +
+        "rebuildMinhashIndex once to adopt it (the rebuild rewrites " +
+        "both components bucket-partitioned and appends a full meta row)")
+    if (!df.columns.contains("band_buckets") ||
+        !df.columns.contains("shingle_buckets")) legacy()
+    val r = df.orderBy(col("seq").desc)
       .select("n", "num_hashes", "bands", "band_buckets", "shingle_buckets")
       .head()
+    if (r.isNullAt(3) || r.isNullAt(4)) legacy()
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
   }
 
@@ -710,14 +724,34 @@ object Dedup {
                         num: Long = 1, den: Long = 5): DataFrame = {
     val (n, numHashes, bands, pbN, sbN) = metaHead(spark, path)
     val fp = paramsFp(n, numHashes, bands, pbN, sbN)
-    val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = bandRowsOf(newHashed, numHashes, bands)
+    val newHashed0 = shingleHashSets(newDocs, idCol, textCol, n)
     // the batch's band-hash buckets, driver-side (≤ pbN values; the
     // banding job is batch-sized — the probe-cell selection discipline)
-    val batchPbs = newBands
+    val batchPbs = bandRowsOf(newHashed0, numHashes, bands)
       .select(bandBucket(col("bh"), pbN).as("pb")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // verify-scan pruning only pays when the probe is genuinely
+    // SELECTIVE (its band hashes touch well under all buckets — the
+    // at-ingest shapes: one doc, a micro-batch). A bulk batch saturates
+    // the bucket space, and running its candidate join just to collect
+    // every bucket id would add a driver round-trip for a no-op filter
+    // — so the gate keeps the bulk path at its pre-pruning plan
+    // (single pipelined job).
+    val selective = batchPbs.length.toLong * 4 < pbN.toLong * 3
+    // CACHE DISCIPLINE: the SELECTIVE (at-ingest) path never persists —
+    // minhashProbeStream calls this per micro-batch, and a cache entry
+    // whose reference is dropped at return can never be unpersisted
+    // (unbounded accumulation over a stream's lifetime); its recomputed
+    // subtrees are micro-batch-sized and its corpus scans pruned, so
+    // the recompute is cheap. The BULK path persists the batch's hashed
+    // sets (referenced by the bucket job and twice by the final plan
+    // over a day-sized batch) — a daily-job cadence where one cache
+    // entry per run is the pre-existing operator norm, reclaimed by
+    // session cache clearing.
+    val newHashed =
+      if (selective) newHashed0
+      else newHashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandRowsOf(newHashed, numHashes, bands)
     // base(bucket-pruned) ∪ full ledgered batch delta (daily appends
     // and streaming micro-batches alike): appended corpus batches are
     // probed exactly like build-time corpus. Both stored relations
@@ -726,29 +760,18 @@ object Dedup {
     // writer that violated rebuild quiescence) fails the probe LOUD
     // instead of silently hashing into a disjoint bucket space.
     val stored = guardParams(
-      storedComponentBasePruned(spark, path, "bands", "pb", batchPbs),
+      storedComponentBasePruned(spark, path, "bands", "pb", batchPbs, fp),
       "bh", fp, path)
-    val cand0 = stored.as("c")
+    val cand = stored.as("c")
       .join(broadcast(newBands.as("x")),
         col("c.band") === col("x.band") && col("c.bh") === col("x.bh")
           && col("c.id") =!= col("x.id"))
       .select(col("x.id").as("id_new"), col("c.id").as("id_corpus"))
       .dropDuplicates("id_new", "id_corpus")
-    // verify-scan pruning only pays when the probe is genuinely
-    // SELECTIVE (its band hashes touch well under all buckets — the
-    // at-ingest shapes: one doc, a micro-batch). A bulk batch saturates
-    // the bucket space, and materializing its candidate set just to
-    // collect every bucket id would add a driver round-trip and a
-    // cache pass for a no-op filter — so the gate keeps the bulk path
-    // at its pre-pruning plan (single pipelined job).
-    val selective = batchPbs.length.toLong * 4 < pbN.toLong * 3
-    val cand =
-      if (selective)
-        // persisted: materialized once for the id-bucket collection,
-        // reused by the verify join (batch-bounded by contract)
-        cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else cand0
-    // the candidate set's id buckets prune the verify base scan
+    // the candidate set's id buckets prune the verify base scan; the
+    // collection runs the (bucket-pruned, batch-broadcast) candidate
+    // join once and the final plan recomputes it — both scans pruned
+    // and small on this path
     val candSbs =
       if (selective) cand
         .select(shingleBucket(col("id_corpus"), sbN).as("sb")).distinct()
@@ -761,7 +784,7 @@ object Dedup {
       Seq("id_new"))
     (if (selective)
       guardParams(
-        storedComponentBasePruned(spark, path, "shingles", "sb", candSbs),
+        storedComponentBasePruned(spark, path, "shingles", "sb", candSbs, fp),
         "shash", fp, path)
     else
       guardParams(storedComponent(spark, path, "shingles"), "shash", fp, path))
@@ -781,13 +804,33 @@ object Dedup {
     * resolves base, folds and delta, exactly like
     * [[IndexStore.storedComponent]]; only the base-side filter differs.
     * An empty probe-value set prunes the base to nothing (the batch has
-    * no band rows, so no stored row can match). */
+    * no band rows, so no stored row can match).
+    *
+    * The pinned BASE's stamp is checked against `expectedFp` (one row
+    * read) BEFORE pruning: mid-install of a parameter rebuild (meta
+    * flipped, fold manifests not yet committed — or a crash in that
+    * window) the live base still carries the OLD stamp, and because
+    * the probe's bucket values are computed under the NEW moduli the
+    * pruned scan could select zero of the old partitions — the in-scan
+    * guard would then see no rows, and the full-scan era's loud error
+    * would silently become an empty result. The pre-scan stamp check
+    * keeps that window LOUD under pruning. */
   private def storedComponentBasePruned(spark: org.apache.spark.sql.SparkSession,
                                         path: String, component: String,
                                         bucketCol: String,
-                                        probeVals: Array[Int]): DataFrame = {
+                                        probeVals: Array[Int],
+                                        expectedFp: String): DataFrame = {
     val pin = IndexStore.pinOf(spark, path, component)
     val base = IndexStore.readBaseAt(spark, path, component, pin)
+    base.select("params_fp").take(1).foreach { r =>
+      if (r.getString(0) != expectedFp)
+        sys.error(s"MinHash index at $path: base v=${pin.v} of $component " +
+          s"carries params ${r.getString(0)} but the meta's current " +
+          s"params are $expectedFp — a parameter rebuild is mid-install " +
+          "(or crashed between its meta flip and its fold commits); " +
+          "re-run the rebuild with the same rebuildId to finish the " +
+          "install, then probe again")
+    }
     val cols = base.columns.toSeq
     val prunedBase = base
       .filter(if (probeVals.isEmpty) lit(false)

@@ -347,16 +347,24 @@ private[graft] object IndexStore {
     * leaves a lock, and the TTL ages it out.
     *
     * The lease is OWNER-CHECKED: the lock file carries a unique holder
-    * token, and both the stale-break and the release operate only on
-    * the lock they can prove is theirs to touch —
+    * token plus its CREATE TIMESTAMP (staleness is judged from the
+    * content, never from mtime — a copy-based rename on an object
+    * store resets mtime, which would make stale debris look perpetually
+    * fresh and wedge maintenance), and both the stale-break and the
+    * release operate only on the lock they can prove is theirs to
+    * touch —
     *   - BREAK captures the lock by atomic RENAME to a breaker-unique
-    *     name, then re-checks the captured file's age: two jobs that
-    *     both observed a stale lock cannot both break it (one rename
-    *     wins), and a breaker whose observation went stale — the
-    *     debris was already broken and a NEW holder's fresh lock took
-    *     the path before its rename — hands the capture straight back
-    *     (rename restores the untouched mtime) and fails loud instead
-    *     of deleting a live holder's lease.
+    *     name, then re-checks the captured file's content age: two
+    *     jobs that both observed a stale lock cannot both break it
+    *     (one rename wins), and a breaker whose observation went stale
+    *     — the debris was already broken and a NEW holder's fresh lock
+    *     took the path before its rename — hands the capture straight
+    *     back and fails loud. If even the hand-back loses (a third job
+    *     re-locked the path first), the captured file is LEFT in place
+    *     under its breaker-unique name rather than deleted: it may be
+    *     the live holder's lease, and destroying it is never ours to
+    *     do. Such debris (and any crashed breaker's) is swept by the
+    *     next successful acquirer once it ages past the TTL.
     *   - RELEASE reads the lock and deletes it only when the token is
     *     its own: a holder that outlived the TTL and was broken finds
     *     a successor's token (or nothing) and SKIPS the delete, so it
@@ -377,23 +385,40 @@ private[graft] object IndexStore {
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(s"$token|${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         true
       } catch { case _: java.io.IOException => false }
-    def tokenOf(p: org.apache.hadoop.fs.Path): Option[String] =
+    // (token, createdAtMillis) from a lock file's content; createdAt
+    // falls back to mtime for content that predates the timestamp
+    def lockInfo(p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
       try {
         val in = fs.open(p)
-        try {
+        val content = try {
           val buf = new Array[Byte](256)
           val n = math.max(in.read(buf), 0)
-          Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+          new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
+        val (tok, created) = content.lastIndexOf('|') match {
+          case -1 => (content, fs.getFileStatus(p).getModificationTime)
+          case i => (content.substring(0, i),
+            scala.util.Try(content.substring(i + 1).trim.toLong)
+              .getOrElse(fs.getFileStatus(p).getModificationTime))
+        }
+        Some((tok, created))
       } catch { case _: java.io.IOException => None }
+    def ageOf(p: org.apache.hadoop.fs.Path): Long =
+      lockInfo(p).map(System.currentTimeMillis() - _._2).getOrElse(Long.MaxValue)
+    def sweepBreakDebris(): Unit =
+      try {
+        fs.listStatus(hp(path)).toSeq
+          .filter(_.getPath.getName.startsWith("_maintenance_lock.breaking."))
+          .filter(st => ageOf(st.getPath) >= staleTtlMs)
+          .foreach(st => fs.delete(st.getPath, false))
+      } catch { case _: java.io.IOException => () }
     if (!tryAcquire()) {
-      val holderAge = try {
-        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      val holderAge = ageOf(lock)
       if (holderAge < staleTtlMs)
         sys.error(s"maintenance already in progress on index at $path " +
           s"(fresh _maintenance_lock, age ${holderAge}ms < ttl " +
@@ -408,13 +433,13 @@ private[graft] object IndexStore {
       val renamed = try fs.rename(lock, captured)
         catch { case _: java.io.IOException => false }
       if (renamed) {
-        val capturedAge = System.currentTimeMillis() -
-          fs.getFileStatus(captured).getModificationTime
-        if (capturedAge < staleTtlMs) {
-          if (!(try fs.rename(captured, lock)
-                catch { case _: java.io.IOException => false }))
-            fs.delete(captured, false) // path re-locked meanwhile: the
-          // capture is debris of OUR race loss, not a live lease
+        if (ageOf(captured) < staleTtlMs) {
+          // captured a LIVE lease: restore it; if the path was re-locked
+          // meanwhile, leave the capture as named debris (the TTL sweep
+          // collects it) — deleting a file that may be a live holder's
+          // lease is never ours to do
+          try fs.rename(captured, lock)
+          catch { case _: java.io.IOException => () }
           sys.error(s"lost the race breaking a stale maintenance lock " +
             s"on $path — a new holder locked it first; not starting '$op'")
         }
@@ -424,11 +449,12 @@ private[graft] object IndexStore {
         sys.error(s"lost the race breaking a stale maintenance lock on " +
           s"$path — another job acquired it; not starting '$op'")
     }
+    sweepBreakDebris()
     try body finally {
       // owner-checked release: delete only the lock this job created —
       // a holder broken mid-pass (over-TTL) finds a successor's token
       // and must NOT unlock the index under it
-      if (tokenOf(lock).contains(token)) fs.delete(lock, false)
+      if (lockInfo(lock).exists(_._1 == token)) fs.delete(lock, false)
     }
   }
 

@@ -357,6 +357,14 @@ object IncrementalStream {
     *     checkpoint's persisted token fails loud too: renaming a live
     *     incarnation would re-ledger its replayed micro-batches under
     *     fresh ids — duplicates.
+    *   - Declaring a new incarnation is the CALLER's statement that the
+    *     source is positioned so nothing re-ingests. One residual
+    *     window is theirs to drain: a micro-batch the OLD incarnation
+    *     appended+ledgered whose checkpoint commit then crashed is, by
+    *     definition, invisible to the new checkpoint's source log and
+    *     will be re-read — under a new instance id it lands a second
+    *     time. Stopping the old stream cleanly (AvailableNow drains to
+    *     a quiescent checkpoint) before switching closes it.
     *
     * (The probe stream needs none of this: its exactly-once is the
     * per-batch OVERWRITE dir keyed on the checkpoint-local id, which a
@@ -423,8 +431,31 @@ object IncrementalStream {
           val out = fs.create(f, false)
           out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close()
-        } catch { case _: java.io.IOException => () } // raced starter wrote it
-        readToken().getOrElse(token)
+        } catch { case _: java.io.IOException => () } // possibly a raced starter
+        // ALWAYS read back the persisted token and never fall back to an
+        // unpersisted one: a swallowed create failure that was NOT a race
+        // (transient fault, permissions) would otherwise let the stream
+        // ledger ids under a token no restart can recover — the very
+        // aliasing this token exists to prevent. And if a racing starter
+        // won with a DIFFERENT token than an explicitly-passed streamId,
+        // that is the same instance-mismatch the existing-checkpoint
+        // branch refuses.
+        readToken() match {
+          case None =>
+            sys.error(s"could not persist the stream instance token at " +
+              s"$f — refusing to start: ledgered micro-batch ids would " +
+              "be unrecoverable across restarts (fix the checkpoint " +
+              "location's writability and retry)")
+          case Some(persisted) =>
+            streamId.filter(_ != persisted).foreach { sid =>
+              sys.error(s"stream instance mismatch at checkpoint " +
+                s"$checkpoint: a concurrent starter persisted instance " +
+                s"'$persisted' but streamId '$sid' was passed — two " +
+                "different declared incarnations cannot share one " +
+                "checkpoint")
+            }
+            persisted
+        }
     }
   }
 

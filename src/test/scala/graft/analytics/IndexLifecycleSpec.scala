@@ -1134,7 +1134,24 @@ class IndexLifecycleSpec extends SparkSpec {
     })
     aThread.start()
     assert(aInside.await(30, java.util.concurrent.TimeUnit.SECONDS))
-    fs.setTimes(lock, System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    // age A's lease: staleness is judged from the lock CONTENT's create
+    // timestamp (mtime is rename-unstable on object stores), so the
+    // spec rewrites the timestamp while preserving A's token
+    val content = {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](256)
+        val n = math.max(in.read(buf), 0)
+        new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    val aged = content.substring(0, content.lastIndexOf('|')) +
+      s"|${System.currentTimeMillis() - 25L * 3600 * 1000}"
+    locally {
+      val out = fs.create(lock, true)
+      out.write(aged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     // successor B breaks A's stale lock and holds the lease; while B
     // holds it, A's release runs — and must NOT delete B's lock
     IndexStore.withMaintenanceLease(spark, idx, "succ-b") {
