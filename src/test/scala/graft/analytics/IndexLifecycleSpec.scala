@@ -529,6 +529,39 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(probePairs(idx, probe) == fresh)
   }
 
+  test("a rebuild's meta-flip window stays LOUD under bucket pruning: probes raise the named mid-install error; a re-run rebuild recovers") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-midinstall")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val probe = corpus.limit(5)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    assert(probePairs(idx, probe).nonEmpty)
+    Dedup.rebuildMinhashIndex(spark, idx, corpus, "doc_id", "text",
+      rebuildId = "mi-r1", n = 3, numHashes = 32, bands = 16)
+    // crash-sim: the rebuild flipped the meta but its fold manifests
+    // never committed — readers pin the OLD base (old params, old
+    // bucket moduli) under the NEW meta. With pruning, a probe's
+    // new-moduli buckets could select none of the old partitions and
+    // the in-scan guard would see no rows — the pre-scan stamp check
+    // must keep this window loud, not let it become a silent empty.
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("shingles_folds", "bands_folds").foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/$c/v=1"), true)
+    }
+    val ex = intercept[Exception] { probePairs(idx, probe) }
+    assert(ex.getMessage.contains("mid-install"),
+      s"expected the named mid-install error, got: ${ex.getMessage}")
+    // recovery: a fresh rebuild re-derives and installs cleanly (the
+    // half-installed v=1 is incomplete and dropped by the re-run)
+    Dedup.rebuildMinhashIndex(spark, idx, corpus, "doc_id", "text",
+      rebuildId = "mi-r2", n = 3, numHashes = 32, bands = 16)
+    val recovered = probePairs(idx, probe)
+    assert(probe.select($"doc_id").as[Long].collect()
+      .forall(id => recovered.exists(p => p._1 == id && p._2 == id - 2000000L)),
+      "identical-text twins found after the recovered install")
+  }
+
   test("retention-gated vacuum (keepVersions=2): a reader pinned at the previous version keeps all its files; keepVersions=1 then collects fully") {
     val corpus = docs.filter($"doc_id" % 5 === 1)
     val idx = tmp("mh-retention")
