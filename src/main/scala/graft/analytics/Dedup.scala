@@ -724,10 +724,13 @@ object Dedup {
                         num: Long = 1, den: Long = 5): DataFrame = {
     val (n, numHashes, bands, pbN, sbN) = metaHead(spark, path)
     val fp = paramsFp(n, numHashes, bands, pbN, sbN)
-    val newHashed0 = shingleHashSets(newDocs, idCol, textCol, n)
+    // persisted BEFORE the bucket-collection job so that job populates
+    // the cache the downstream references reuse (one shingling pass)
+    val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the batch's band-hash buckets, driver-side (≤ pbN values; the
     // banding job is batch-sized — the probe-cell selection discipline)
-    val batchPbs = bandRowsOf(newHashed0, numHashes, bands)
+    val batchPbs = bandRowsOf(newHashed, numHashes, bands)
       .select(bandBucket(col("bh"), pbN).as("pb")).distinct()
       .collect().map(_.getInt(0)).sorted
     // verify-scan pruning only pays when the probe is genuinely
@@ -738,19 +741,17 @@ object Dedup {
     // — so the gate keeps the bulk path at its pre-pruning plan
     // (single pipelined job).
     val selective = batchPbs.length.toLong * 4 < pbN.toLong * 3
-    // CACHE DISCIPLINE: the SELECTIVE (at-ingest) path never persists —
-    // minhashProbeStream calls this per micro-batch, and a cache entry
-    // whose reference is dropped at return can never be unpersisted
-    // (unbounded accumulation over a stream's lifetime); its recomputed
-    // subtrees are micro-batch-sized and its corpus scans pruned, so
-    // the recompute is cheap. The BULK path persists the batch's hashed
-    // sets (referenced by the bucket job and twice by the final plan
-    // over a day-sized batch) — a daily-job cadence where one cache
+    // CACHE DISCIPLINE: on the SELECTIVE (at-ingest) path the cache is
+    // dropped here, before returning — minhashProbeStream calls this
+    // per micro-batch, and a cache entry whose reference is dropped at
+    // return can never be unpersisted (unbounded accumulation over a
+    // stream's lifetime); the final plan then recomputes
+    // micro-batch-sized subtrees against pruned corpus scans, which is
+    // cheap. The BULK path keeps the day-sized persist for the final
+    // plan's two references — a daily-job cadence where one cache
     // entry per run is the pre-existing operator norm, reclaimed by
     // session cache clearing.
-    val newHashed =
-      if (selective) newHashed0
-      else newHashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (selective) { newHashed.unpersist(blocking = false); () }
     val newBands = bandRowsOf(newHashed, numHashes, bands)
     // base(bucket-pruned) ∪ full ledgered batch delta (daily appends
     // and streaming micro-batches alike): appended corpus batches are

@@ -390,15 +390,31 @@ private[graft] object IndexStore {
         out.close()
         true
       } catch { case _: java.io.IOException => false }
-    // (token, createdAtMillis) from a lock file's content; createdAt
-    // falls back to mtime for content that predates the timestamp
-    def lockInfo(p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+    // One lock-file read, three-way: the distinction between GONE and
+    // UNREADABLE is load-bearing — a transient read fault (object-store
+    // throttling) on a LIVE holder's lock must read as "can't prove
+    // anything" (treated as fresh: refuse to break, skip deletes),
+    // never as "infinitely stale" (which would let the fault break and
+    // delete a live lease). Content is read with a fill loop — a short
+    // first read is contractually allowed and a truncated token or
+    // timestamp would garble both the owner check and the staleness
+    // judgment.
+    sealed trait LockRead
+    case object LockGone extends LockRead
+    case object LockUnreadable extends LockRead
+    final case class LockHeld(tok: String, createdAt: Long) extends LockRead
+    def lockInfo(p: org.apache.hadoop.fs.Path): LockRead =
       try {
         val in = fs.open(p)
         val content = try {
           val buf = new Array[Byte](256)
-          val n = math.max(in.read(buf), 0)
-          new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+          var off = 0
+          var n = in.read(buf, 0, buf.length)
+          while (n > 0) {
+            off += n
+            n = if (off < buf.length) in.read(buf, off, buf.length - off) else 0
+          }
+          new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
         val (tok, created) = content.lastIndexOf('|') match {
           case -1 => (content, fs.getFileStatus(p).getModificationTime)
@@ -406,10 +422,16 @@ private[graft] object IndexStore {
             scala.util.Try(content.substring(i + 1).trim.toLong)
               .getOrElse(fs.getFileStatus(p).getModificationTime))
         }
-        Some((tok, created))
-      } catch { case _: java.io.IOException => None }
-    def ageOf(p: org.apache.hadoop.fs.Path): Long =
-      lockInfo(p).map(System.currentTimeMillis() - _._2).getOrElse(Long.MaxValue)
+        LockHeld(tok, created)
+      } catch {
+        case _: java.io.FileNotFoundException => LockGone
+        case _: java.io.IOException => LockUnreadable
+      }
+    def ageOf(p: org.apache.hadoop.fs.Path): Long = lockInfo(p) match {
+      case LockHeld(_, createdAt) => System.currentTimeMillis() - createdAt
+      case LockGone => Long.MaxValue
+      case LockUnreadable => 0L // can't prove staleness: treat as fresh
+    }
     def sweepBreakDebris(): Unit =
       try {
         fs.listStatus(hp(path)).toSeq
@@ -433,6 +455,9 @@ private[graft] object IndexStore {
       val renamed = try fs.rename(lock, captured)
         catch { case _: java.io.IOException => false }
       if (renamed) {
+        // ageOf treats an unreadable capture as FRESH, so the
+        // conservative branch below restores it instead of deleting
+        // what might be a live lease behind a transient read fault
         if (ageOf(captured) < staleTtlMs) {
           // captured a LIVE lease: restore it; if the path was re-locked
           // meanwhile, leave the capture as named debris (the TTL sweep
@@ -451,10 +476,14 @@ private[graft] object IndexStore {
     }
     sweepBreakDebris()
     try body finally {
-      // owner-checked release: delete only the lock this job created —
-      // a holder broken mid-pass (over-TTL) finds a successor's token
-      // and must NOT unlock the index under it
-      if (lockInfo(lock).exists(_._1 == token)) fs.delete(lock, false)
+      // owner-checked release: delete only the lock this job can PROVE
+      // it created — a holder broken mid-pass (over-TTL) finds a
+      // successor's token, and an unreadable lock proves nothing;
+      // both skip the delete rather than unlock the index blind
+      lockInfo(lock) match {
+        case LockHeld(`token`, _) => fs.delete(lock, false); ()
+        case _ => ()
+      }
     }
   }
 

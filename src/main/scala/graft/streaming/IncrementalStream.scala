@@ -380,14 +380,24 @@ object IncrementalStream {
     }
     val f = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_stream_instance")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fill-loop read (a short first read is contractually allowed) and
+    // blank content treated as ABSENT: a racing starter can observe the
+    // winner's file created-but-unwritten, and adopting instance ""
+    // would ledger ids no later restart could recover
     def readToken(): Option[String] =
       if (!fs.exists(f)) None
       else {
         val in = fs.open(f)
         try {
           val buf = new Array[Byte](128)
-          val n = math.max(in.read(buf), 0)
-          Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8).trim)
+          var off = 0
+          var n = in.read(buf, 0, buf.length)
+          while (n > 0) {
+            off += n
+            n = if (off < buf.length) in.read(buf, off, buf.length - off) else 0
+          }
+          Some(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8).trim)
+            .filter(_.nonEmpty)
         } finally in.close()
       }
     readToken() match {
