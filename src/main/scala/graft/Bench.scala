@@ -17,6 +17,20 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
+      // page-cache pre-touch: stream the table's raw bytes once so
+      // first-touch disk I/O doesn't bill to whichever heavy row runs
+      // first (q284 measured 30.5 s in a cold driver window vs 6.6 s
+      // quiet, q123 10.4 vs 2.8 — pure cache state). Raw streaming, no
+      // decode — seconds for a sf0.1-sized corpus, untimed.
+      try {
+        val p = new java.io.File(s"$sfDir/$t.parquet")
+        val files = if (p.isDirectory) p.listFiles().toSeq else Seq(p)
+        val buf = new Array[Byte](1 << 20)
+        files.filter(f => f.isFile && !f.getName.startsWith(".")).foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) > 0) () } finally in.close()
+        }
+      } catch { case _: Throwable => () }
     }
     // a failed query records an err entry, never a fake timing — a
     // query that throws instantly must not look like a fast success.
@@ -127,7 +141,7 @@ object Bench {
     // correctness gate, and headline + maintenance_sec = full registry
     // cost.
     val maintenanceRows = Set("q322", "q325", "q326", "q327", "q328",
-      "q329", "q330", "q331", "q332", "q333", "q334")
+      "q329", "q330", "q331", "q332", "q333", "q334", "q335")
     def isMaintenance(name: String): Boolean =
       maintenanceRows.exists(name.startsWith)
     val allOk = results.collect { case (k, Right((sec, spread))) => (k, sec, spread) }.toSeq

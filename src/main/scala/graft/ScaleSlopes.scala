@@ -83,10 +83,23 @@ object ScaleSlopes {
       Dedup.appendToMinhashIndex(docBatch, "doc_id", "text", mhIdx,
         batchId = s"slope-$batchSeq")
     }
+    // per-face probe-shape observables (Dedup.lastProbeShape): bucket
+    // coverage vs the stored layout — the runtime "your B is too small
+    // for your batch shape" signal (coverage ≥ 75 ⇒ the gate skipped
+    // verify-scan pruning) — and the pushed IN-list sizes of the
+    // row-group pruning level. Recorded next to each face's seconds so
+    // the slope table ties growth to the pruning actually in effect.
+    def recordShape(prefix: String): Unit =
+      Dedup.lastProbeShape.foreach { sh =>
+        timings(s"${prefix}_bucket_coverage_pct") = sh.bucketCoveragePct.toDouble
+        timings(s"${prefix}_pushed_in_values") =
+          (sh.pushedBandHashes + sh.pushedCandidateIds).toDouble
+      }
     time("minhash_probe_batch") {
       Dedup.probeMinhashIndex(spark, mhIdx, docBatch, "doc_id", "text")
         .count(); ()
     }
+    recordShape("minhash_probe_batch")
     // small-probe faces: the bucket pruning's envelope is
     // base × (1-(1-1/B)^(docs×bands)) — a 500-doc batch saturates every
     // bucket (the full scan it always cost), while the at-ingest shapes
@@ -102,10 +115,12 @@ object ScaleSlopes {
       Dedup.probeMinhashIndex(spark, mhIdx, docMicro, "doc_id", "text")
         .count(); ()
     }
+    recordShape("minhash_probe_micro16")
     time("minhash_probe_doc1") {
       Dedup.probeMinhashIndex(spark, mhIdx, docOne, "doc_id", "text")
         .count(); ()
     }
+    recordShape("minhash_probe_doc1")
     // health: metadata + two row counts — expected ~flat-to-linear in
     // corpus (the delta/stream counts are batch-sized; nBase is a
     // column-pruned count)

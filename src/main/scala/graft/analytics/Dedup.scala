@@ -387,17 +387,30 @@ object Dedup {
                               bandBuckets: Int, shingleBuckets: Int): String =
     s"n$n-h$numHashes-b$bands-pb$bandBuckets-sb$shingleBuckets"
 
-  /** Bucket count for a component of ~`rows` rows: next power of two of
-    * rows/8192, clamped to [8, 4096]. Buckets grow with the corpus so
-    * per-bucket row counts stay bounded — the property that makes a
-    * FIXED-size probe's pruned scan approach flat as the corpus grows
+  /** UNCLAMPED bucket suggestion for ~`rows` rows: next power of two
+    * of rows/8192, floored at 8 — the count that keeps rows-per-bucket
+    * bounded regardless of corpus size. [[bucketsFor]] clamps it for
+    * the default LAYOUT (the 4096 cap bounds directory counts — past
+    * ~33M rows the default trades per-bucket growth against a
+    * small-file explosion); health reports surface THIS value as
+    * `suggested_*_buckets` so the drift loop that already triggers
+    * rebuilds can re-anchor B explicitly instead of the trade living
+    * only in scaladoc. Past the clamp the probe's second pruning level
+    * — the pushed `bh IN (...)` row-group filter — is what keeps
+    * per-probe I/O bounded (see [[probeMinhashIndex]]). */
+  private[graft] def suggestedBuckets(rows: Long): Long = {
+    val raw = math.max(1L, (rows + 8191L) / 8192L)
+    math.max(8L, java.lang.Long.highestOneBit(math.max(2 * raw - 1, 1L)))
+  }
+
+  /** Bucket count for a component of ~`rows` rows: [[suggestedBuckets]]
+    * clamped to [8, 4096]. Buckets grow with the corpus so per-bucket
+    * row counts stay bounded — the property that makes a FIXED-size
+    * probe's pruned scan approach flat as the corpus grows
     * (see [[probeMinhashIndex]]); the floor keeps tiny indexes from
     * degenerating to one partition, the cap bounds directory counts. */
-  private[graft] def bucketsFor(rows: Long): Int = {
-    val raw = math.max(1L, (rows + 8191L) / 8192L)
-    val p2 = java.lang.Long.highestOneBit(math.max(2 * raw - 1, 1L))
-    math.min(4096L, math.max(8L, p2)).toInt
-  }
+  private[graft] def bucketsFor(rows: Long): Int =
+    math.min(4096L, suggestedBuckets(rows)).toInt
 
   /** Storage bucket of a band row: `pmod(bh, buckets)` — a partition
     * column of the bands base, a data column of band deltas. The probe
@@ -535,9 +548,15 @@ object Dedup {
     hashed0.unpersist()
     // bands first, shingles LAST (the create-once gate's component):
     // a crash between the two leaves a recoverable half-install, never
-    // a stuck one
-    IndexStore.commitFolds(spark, path, "bands", 0, Set.empty)
-    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty)
+    // a stuck one. Each manifest records its freshly-written dir's
+    // file count so the health census never re-lists the base.
+    def nf(component: String, v: Long): Option[Long] = Some(
+      graft.operators.Layout.nParquetFiles(spark,
+        IndexStore.versionDir(path, component, v)))
+    IndexStore.commitFolds(spark, path, "bands", 0, Set.empty,
+      baseFiles = nf("bands", 0))
+    IndexStore.commitFolds(spark, path, "shingles", 0, Set.empty,
+      baseFiles = nf("shingles", 0))
   }
 
   /** (n, numHashes, bands) the index at `path` CURRENTLY uses: the
@@ -714,6 +733,20 @@ object Dedup {
     * takes over. The broadcast sides are daily-batch-sized by contract
     * either way.
     *
+    * SECOND pruning level — past the [[bucketsFor]] clamp: the default
+    * B caps at 4096, so at a true 100 TB corpus rows-per-bucket grows
+    * linearly again and partition pruning alone still reads corpus/4096
+    * per probe. The bases are written SORTED by their probe key within
+    * each bucket partition (bands by `bh`, shingles by `id` —
+    * [[writeBucketed]]), so the probe also pushes its collected values
+    * as exact `IN (...)` data filters (bounded by
+    * [[MaxPushedInValues]]): parquet row-group min/max statistics and
+    * page indexes then cut WITHIN the selected buckets, turning
+    * per-probe I/O from corpus/B into ~row-groups-touched (~H row
+    * groups) — bounded regardless of corpus size. Lossless for the
+    * same reason as the partition level: the candidate join equates
+    * `bh` exactly, and the verify join equates `id` exactly.
+    *
     * Cost note: the two bucket collections are driver round-trips (one
     * batch-sized banding job, one candidate materialization reused by
     * the verify join via the persist) — maintenance-probe latency, not
@@ -724,15 +757,40 @@ object Dedup {
                         num: Long = 1, den: Long = 5): DataFrame = {
     val (n, numHashes, bands, pbN, sbN) = metaHead(spark, path)
     val fp = paramsFp(n, numHashes, bands, pbN, sbN)
+    // raise the parquet In-pushdown threshold (default 10) to the cap:
+    // above it Spark converts a pushed IN to a min/max RANGE filter,
+    // which is vacuous over uniformly-distributed hashes — the whole
+    // point of the second pruning level is the exact-value row-group
+    // (and page-index) stats test. Session-level and monotone
+    // (max(existing, cap)), affecting only how parquet receives
+    // already-pushed IN filters.
+    val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (scala.util.Try(spark.conf.get(thresholdKey).toInt).getOrElse(10)
+        < MaxPushedInValues)
+      spark.conf.set(thresholdKey, MaxPushedInValues.toString)
     // persisted BEFORE the bucket-collection job so that job populates
     // the cache the downstream references reuse (one shingling pass)
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the batch's band-hash buckets, driver-side (≤ pbN values; the
-    // banding job is batch-sized — the probe-cell selection discipline)
-    val batchPbs = bandRowsOf(newHashed, numHashes, bands)
-      .select(bandBucket(col("bh"), pbN).as("pb")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // ONE batch-sized banding job collects BOTH pruning levels with a
+    // bounded driver round-trip: distinct (pb, bh) pairs capped at
+    // MaxPushedInValues+1. Under the cap the pairs carry the partition
+    // buckets AND the band hashes for the IN pushdown; a bulk batch
+    // that overflows it falls back to a distinct-pb-only job (≤ pbN
+    // ints — the round-12 collection) and drops the IN level, which a
+    // bucket-saturating batch couldn't use anyway.
+    val pbBhPairs = bandRowsOf(newHashed, numHashes, bands)
+      .select(bandBucket(col("bh"), pbN).as("pb"), col("bh"))
+      .distinct().limit(MaxPushedInValues + 1).collect()
+    val bhsBounded = pbBhPairs.length <= MaxPushedInValues
+    val batchPbs =
+      if (bhsBounded) pbBhPairs.map(_.getInt(0)).distinct.sorted
+      else bandRowsOf(newHashed, numHashes, bands)
+        .select(bandBucket(col("bh"), pbN).as("pb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+    val batchBhs: Array[Long] =
+      if (bhsBounded) pbBhPairs.map(_.getLong(1)).distinct.sorted
+      else Array.empty[Long]
     // verify-scan pruning only pays when the probe is genuinely
     // SELECTIVE (its band hashes touch well under all buckets — the
     // at-ingest shapes: one doc, a micro-batch). A bulk batch saturates
@@ -741,27 +799,28 @@ object Dedup {
     // — so the gate keeps the bulk path at its pre-pruning plan
     // (single pipelined job).
     val selective = batchPbs.length.toLong * 4 < pbN.toLong * 3
-    // CACHE DISCIPLINE: on the SELECTIVE (at-ingest) path the cache is
-    // dropped here, before returning — minhashProbeStream calls this
-    // per micro-batch, and a cache entry whose reference is dropped at
-    // return can never be unpersisted (unbounded accumulation over a
-    // stream's lifetime); the final plan then recomputes
-    // micro-batch-sized subtrees against pruned corpus scans, which is
-    // cheap. The BULK path keeps the day-sized persist for the final
-    // plan's two references — a daily-job cadence where one cache
-    // entry per run is the pre-existing operator norm, reclaimed by
-    // session cache clearing.
-    if (selective) { newHashed.unpersist(blocking = false); () }
     val newBands = bandRowsOf(newHashed, numHashes, bands)
-    // base(bucket-pruned) ∪ full ledgered batch delta (daily appends
-    // and streaming micro-batches alike): appended corpus batches are
-    // probed exactly like build-time corpus. Both stored relations
-    // route their payload through the params guard — a row derived
-    // under different parameters than the index's current ones (a
-    // writer that violated rebuild quiescence) fails the probe LOUD
-    // instead of silently hashing into a disjoint bucket space.
+    // base(bucket-pruned + bh-IN row-group-pruned) ∪ full ledgered
+    // batch delta (daily appends and streaming micro-batches alike):
+    // appended corpus batches are probed exactly like build-time
+    // corpus. Both stored relations route their payload through the
+    // params guard — a row derived under different parameters than the
+    // index's current ones (a writer that violated rebuild quiescence)
+    // fails the probe LOUD instead of silently hashing into a disjoint
+    // bucket space. The bh IN (...) data filter is LOSSLESS like the
+    // partition level (the candidate join requires c.bh === x.bh), and
+    // because the bands base is written SORTED by bh within each pb
+    // partition, parquet row-group min/max stats (and page indexes)
+    // prune WITHIN the selected buckets — the level that keeps
+    // per-probe I/O bounded past the bucketsFor clamp, where
+    // partition pruning alone degrades to corpus/4096 per probe.
+    val bhFilter =
+      if (selective && batchBhs.nonEmpty)
+        Some(col("bh").isin(batchBhs.map(v => v: Any): _*))
+      else None
     val stored = guardParams(
-      storedComponentBasePruned(spark, path, "bands", "pb", batchPbs, fp),
+      storedComponentBasePruned(spark, path, "bands", "pb", batchPbs,
+        bhFilter, fp),
       "bh", fp, path)
     val cand = stored.as("c")
       .join(broadcast(newBands.as("x")),
@@ -769,23 +828,63 @@ object Dedup {
           && col("c.id") =!= col("x.id"))
       .select(col("x.id").as("id_new"), col("c.id").as("id_corpus"))
       .dropDuplicates("id_new", "id_corpus")
-    // the candidate set's id buckets prune the verify base scan; the
-    // collection runs the (bucket-pruned, batch-broadcast) candidate
-    // join once and the final plan recomputes it — both scans pruned
-    // and small on this path
-    val candSbs =
+    // the candidate set's id buckets (and, bounded, the ids themselves
+    // — the shingles base is id-sorted within sb partitions, so an
+    // id IN (...) prunes its row groups the same way) prune the verify
+    // base scan; the collection runs the (bucket-pruned,
+    // batch-broadcast) candidate join once and the final plan
+    // recomputes it — both scans pruned and small on this path
+    val candRows =
       if (selective) cand
+        .select(shingleBucket(col("id_corpus"), sbN).as("sb"),
+          col("id_corpus"))
+        .distinct().limit(MaxPushedInValues + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val candBounded = selective && candRows.length <= MaxPushedInValues
+    val candSbs: Array[Int] =
+      if (candBounded) candRows.map(_.getInt(0)).distinct.sorted
+      else if (selective) cand
         .select(shingleBucket(col("id_corpus"), sbN).as("sb")).distinct()
         .collect().map(_.getInt(0)).sorted
       else Array.empty[Int]
+    val candIds: Array[Any] =
+      if (candBounded) candRows.map(_.get(1)) else Array.empty[Any]
+    // CACHE DISCIPLINE: on the SELECTIVE (at-ingest) path the cache is
+    // dropped here — AFTER the candidate collection reused it (the
+    // round-12 code unpersisted before that job, re-shingling the
+    // batch once for the collection and again for the final plan) but
+    // before returning: minhashProbeStream calls this per micro-batch,
+    // and a cache entry whose reference is dropped at return can never
+    // be unpersisted (unbounded accumulation over a stream's
+    // lifetime); the final plan then recomputes micro-batch-sized
+    // subtrees against pruned corpus scans, which is cheap. The BULK
+    // path keeps the day-sized persist for the final plan's two
+    // references — a daily-job cadence where one cache entry per run
+    // is the pre-existing operator norm, reclaimed by session cache
+    // clearing.
+    if (selective) { newHashed.unpersist(blocking = false); () }
+    // the probe-shape observable: bucket coverage vs the stored layout
+    // plus what each pruning level actually pushed — the runtime
+    // signal that says "your B is too small for your batch shape"
+    // (coverage at/over the gate => partition pruning skipped), next
+    // to the suggested_*_buckets re-anchor in minhashIndexHealth
+    lastProbeShapeRef.set(ProbeShape(
+      batchBandBuckets = batchPbs.length, bandBuckets = pbN,
+      bucketCoveragePct = batchPbs.length * 100L / math.max(1, pbN),
+      shingleScanPruned = selective,
+      pushedBandHashes = batchBhs.length,
+      pushedCandidateIds = candIds.length))
     // attach the batch-side sets first (both relations batch-sized),
     // then broadcast the enriched candidates into the corpus-set scan
     val withNew = cand.join(
       newHashed.select(col("id").as("id_new"), col("shash").as("sh_a")),
       Seq("id_new"))
+    val idFilter =
+      if (candIds.nonEmpty) Some(col("id").isin(candIds: _*)) else None
     (if (selective)
       guardParams(
-        storedComponentBasePruned(spark, path, "shingles", "sb", candSbs, fp),
+        storedComponentBasePruned(spark, path, "shingles", "sb", candSbs,
+          idFilter, fp),
         "shash", fp, path)
     else
       guardParams(storedComponent(spark, path, "shingles"), "shash", fp, path))
@@ -798,6 +897,29 @@ object Dedup {
         >= (col("n_new") + col("n_corpus") - col("common")) * num)
       .select("id_new", "id_corpus", "common", "n_new", "n_corpus")
   }
+
+  /** Cap on a probe's driver-collected IN-pushdown lists (band hashes,
+    * candidate ids): keeps every collect KB-scale and the pushed OR
+    * predicate's per-row-group evaluation bounded. A single-doc probe
+    * pushes ~`bands` values, a micro-batch a few hundred; past the cap
+    * the probe falls back to partition-level pruning alone. */
+  private[graft] val MaxPushedInValues = 1024
+
+  /** Shape of the most recent [[probeMinhashIndex]] call on this JVM:
+    * how much of the stored bucket layout the batch covered and what
+    * each pruning level pushed. `bucketCoveragePct` at/over 75 means
+    * the selectivity gate skipped verify-scan pruning — the runtime
+    * signal that the index's B is too small for the batch shape (the
+    * re-anchor lives in minhashIndexHealth's `suggested_band_buckets`).
+    * A driver-side observability latch, not a data-plane artifact. */
+  final case class ProbeShape(batchBandBuckets: Int, bandBuckets: Int,
+                              bucketCoveragePct: Long,
+                              shingleScanPruned: Boolean,
+                              pushedBandHashes: Int,
+                              pushedCandidateIds: Int)
+  private val lastProbeShapeRef =
+    new java.util.concurrent.atomic.AtomicReference[ProbeShape]()
+  def lastProbeShape: Option[ProbeShape] = Option(lastProbeShapeRef.get())
 
   /** One index component as base(BUCKET-PRUNED by the collected probe
     * values — a PartitionFilter at file-listing time) ∪ the FULL
@@ -820,6 +942,7 @@ object Dedup {
                                         path: String, component: String,
                                         bucketCol: String,
                                         probeVals: Array[Int],
+                                        dataFilter: Option[Column],
                                         expectedFp: String): DataFrame = {
     val pin = IndexStore.pinOf(spark, path, component)
     val base = IndexStore.readBaseAt(spark, path, component, pin)
@@ -833,9 +956,16 @@ object Dedup {
           "install, then probe again")
     }
     val cols = base.columns.toSeq
-    val prunedBase = base
+    // the optional second level: an exact-value IN over the column the
+    // base is SORTED by within its bucket partitions (bands: bh;
+    // shingles: id), pushed to the parquet scan so row-group min/max
+    // stats and page indexes prune within the selected buckets. Base
+    // only, like the partition level — the day-sized delta stays fully
+    // scanned so foreign-parameter rows keep failing loud.
+    val prunedBase0 = base
       .filter(if (probeVals.isEmpty) lit(false)
         else col(bucketCol).isin(probeVals.map(v => v: Any): _*))
+    val prunedBase = dataFilter.fold(prunedBase0)(prunedBase0.filter)
       .select(cols.map(col): _*)
     IndexStore.ledgeredDelta(spark, path, component, pin, base.schema, cols)
       .map(prunedBase.unionByName(_))
@@ -1017,10 +1147,13 @@ object Dedup {
     // parameter spaces
     writeMetaParams(spark, path, n, numHashes, bands, pbN, sbN,
       seq = metaSeq(spark, path) + 1L, mode = "append")
+    def nf(component: String, v: Long): Option[Long] = Some(
+      graft.operators.Layout.nParquetFiles(spark,
+        IndexStore.versionDir(path, component, v)))
     IndexStore.commitFolds(spark, path, "bands", nextB,
-      pinB.foldedBatches ++ snapBatchB)
+      pinB.foldedBatches ++ snapBatchB, baseFiles = nf("bands", nextB))
     IndexStore.commitFolds(spark, path, "shingles", nextS,
-      pinS.foldedBatches ++ snapBatchS)
+      pinS.foldedBatches ++ snapBatchS, baseFiles = nf("shingles", nextS))
     IndexStore.ledgerRebuild(spark, path, rebuildId)
     }
   }
@@ -1118,7 +1251,22 @@ object Dedup {
     *   - n_files / files_per_kdoc — the probe-side scan cost driver
     *     (every probe opens every file of both components);
     *     `fragmented` fires when the file count exceeds
-    *     `maxFilesPerComponent` × 2 components.
+    *     `maxFilesPerComponent` × 2 components. The file census reads
+    *     the counts the installing writers recorded in their fold
+    *     manifests (IndexStore.liveComponentFiles), listing only
+    *     unfolded day-sized deltas — flat in corpus size.
+    *   - band_buckets / rows_per_band_bucket /
+    *     suggested_band_buckets / suggested_shingle_buckets /
+    *     bucket_resize_recommended — the probe-pruning layout vs what
+    *     [[suggestedBuckets]] would size for TODAY's population (band
+    *     rows are exactly docs × bands — no extra count job). The
+    *     suggestion is UNclamped on purpose: past the default 4096
+    *     clamp the operator chooses between re-anchoring B explicitly
+    *     (rebuild with `bandBuckets = Some(suggested)` — more dirs,
+    *     finer partition pruning) and leaning on the probe's bh-IN
+    *     row-group level; the resize verdict turns the scaladoc lore
+    *     into a monitored number the existing drift→rebuild loop can
+    *     act on.
     *
     * Driver-side metadata reads + two row counts — a daily maintenance
     * job, not a probe-path cost. */
@@ -1129,6 +1277,7 @@ object Dedup {
     import spark.implicits._
     val pin = IndexStore.pinOf(spark, path, "shingles")
     val base = IndexStore.readBaseAt(spark, path, "shingles", pin)
+    val (_, _, bands, pbN, sbN) = metaHead(spark, path)
     val fp = liveParamsFp(spark, path)
     val nBase = base.count()
     // one pass over the (day-sized) delta: total rows + rows stamped
@@ -1150,11 +1299,23 @@ object Dedup {
     val nFiles = IndexStore.liveComponentFiles(spark, path, "shingles", pin) +
       IndexStore.liveComponentFiles(spark, path, "bands",
         IndexStore.pinOf(spark, path, "bands"))
+    // each doc emits exactly `bands` band rows, so the band-side
+    // population (the probe cost driver) needs no extra count job
+    val nDocs = nBase + nDelta
+    val bandRows = nDocs * bands
+    val suggestedPb = suggestedBuckets(bandRows)
+    val suggestedSb = suggestedBuckets(nDocs)
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct, nFiles,
-      nFiles > 2L * maxFilesPerComponent, nForeign, nForeign > 0L))
+      nFiles > 2L * maxFilesPerComponent, nForeign, nForeign > 0L,
+      pbN.toLong, if (pbN > 0) bandRows / pbN else 0L,
+      suggestedPb, sbN.toLong, suggestedSb,
+      suggestedPb > pbN.toLong || suggestedSb > sbN.toLong))
       .toDF("n_base_docs", "n_delta_docs", "delta_pct",
         "needs_compaction", "n_files", "fragmented",
-        "n_foreign_params_rows", "foreign_params_detected")
+        "n_foreign_params_rows", "foreign_params_detected",
+        "band_buckets", "rows_per_band_bucket", "suggested_band_buckets",
+        "shingle_buckets", "suggested_shingle_buckets",
+        "bucket_resize_recommended")
   }
 
   /** Iteration checkpoint: reliable `checkpoint()` when the session has a

@@ -176,15 +176,38 @@ private[graft] object IndexStore {
   /** Install version `v`: write its cumulative fold manifest. The data
     * under `versionDir(v)` (and any version-scoped meta) must already
     * be fully written — this parquet write's `_SUCCESS` is the commit
-    * point that makes the version live. */
+    * point that makes the version live.
+    *
+    * The manifest also records the version's parquet FILE COUNT (one
+    * `("base_files", "<n>")` row — [[foldsAt]] filters kind == "batch",
+    * so fold semantics never see it): the health reports' file census
+    * ([[liveComponentFiles]]) would otherwise stat every reader-visible
+    * file serially on the driver — minutes of RPC at a 100 TB index's
+    * ~10^5 files for a number the WRITER already knew at install time.
+    * Recording it here makes the census O(unfolded deltas), flat in
+    * corpus size. Every install path counts its freshly-written dir
+    * (one driver listing of files it just created — metadata still hot)
+    * and passes it; a manifest without the row (pre-upgrade version)
+    * falls back to listing. */
   def commitFolds(spark: SparkSession, path: String, component: String,
-                  v: Long, batchIds: Set[String]): Unit = {
+                  v: Long, batchIds: Set[String],
+                  baseFiles: Option[Long] = None): Unit = {
     import spark.implicits._
-    batchIds.toSeq.sorted.map(("batch", _))
+    (batchIds.toSeq.sorted.map(("batch", _)) ++
+        baseFiles.map(n => ("base_files", n.toString)).toSeq)
       .toDF("kind", "ref")
       .coalesce(1).write.mode("overwrite")
       .parquet(foldsDir(path, component, v))
   }
+
+  /** Parquet file count of version `v`'s data dir as recorded in its
+    * fold manifest at install time; None for pre-upgrade manifests. */
+  private def recordedBaseFiles(spark: SparkSession, path: String,
+                                component: String, v: Long): Option[Long] =
+    spark.read.parquet(foldsDir(path, component, v))
+      .select("kind", "ref").collect()
+      .collectFirst { case r if r.getString(0) == "base_files" =>
+        r.getString(1).toLong }
 
   /** Drop a half-written (crashed, incomplete) next-version attempt so
     * a re-run starts clean. Refuses to touch a complete version. */
@@ -254,11 +277,20 @@ private[graft] object IndexStore {
   // Online compaction + quiesced vacuum
   // ---------------------------------------------------------------- //
 
-  /** Data files a reader at `pin` opens for this component. */
+  /** Data files a reader at `pin` opens for this component. The BASE
+    * term comes from the count the installing writer recorded in the
+    * fold manifest ([[commitFolds]]) — one KB-scale manifest read
+    * instead of a recursive listing that stats every base file serially
+    * on the driver (the census was measured growing 1.08→5.48 s across
+    * two decades purely on the bucket-dir layout; at ~10^5 files it is
+    * minutes of RPC). Only the UNFOLDED deltas — day-sized between
+    * compactions — are listed, so the census is flat in corpus size.
+    * Pre-upgrade manifests (no recorded count) fall back to listing. */
   def liveComponentFiles(spark: SparkSession, path: String,
                          component: String, pin: Pin): Long = {
-    val base = graft.operators.Layout
-      .nParquetFiles(spark, versionDir(path, component, pin.v))
+    val base = recordedBaseFiles(spark, path, component, pin.v)
+      .getOrElse(graft.operators.Layout
+        .nParquetFiles(spark, versionDir(path, component, pin.v)))
     val delta = unfoldedBatchIds(spark, path, pin)
       .map(id => graft.operators.Layout
         .nParquetFiles(spark, s"$path/${component}_delta/batch=$id")).sum
@@ -307,9 +339,13 @@ private[graft] object IndexStore {
     dropIncompleteVersion(spark, path, component, next)
     val rows = merged.count()
     write(merged, rows, versionDir(path, component, next), next)
-    commitFolds(spark, path, component, next, pin.foldedBatches ++ newIds)
+    // count the freshly-written dir BEFORE the install commit and
+    // record it in the manifest — the file census then reads the
+    // number instead of re-listing the base (see liveComponentFiles)
     val after = graft.operators.Layout
       .nParquetFiles(spark, versionDir(path, component, next))
+    commitFolds(spark, path, component, next, pin.foldedBatches ++ newIds,
+      baseFiles = Some(after))
     (before, after, rows)
   }
 
@@ -365,20 +401,28 @@ private[graft] object IndexStore {
     *     the live holder's lease, and destroying it is never ours to
     *     do. Such debris (and any crashed breaker's) is swept by the
     *     next successful acquirer once it ages past the TTL.
-    *   - RELEASE reads the lock and deletes it only when the token is
-    *     its own: a holder that outlived the TTL and was broken finds
-    *     a successor's token (or nothing) and SKIPS the delete, so it
-    *     can never unlock the index under the successor. Its own pass
-    *     keeps running unprotected — exactly the state breaking a
-    *     stale lock declares — and the install-point atomicity plus
-    *     the row-stamp guards remain the correctness backstop.
-    * The one window left open is read-vs-delete inside release
-    * (token matched, then a breaker captures and a new holder locks
-    * before the delete lands): it needs the holder to be over the TTL
-    * *and* the break to land inside microseconds, and its worst case
-    * is the same unprotected-overlap the TTL break already accepts. */
+    *   - RELEASE is rename-fenced, the same discipline as the break:
+    *     after the owner-check read matches, the lock is CAPTURED by
+    *     atomic rename to a holder-unique `.releasing.` name and the
+    *     captured file's token re-verified before the delete — a
+    *     release racing a break+reacquire captures the successor's
+    *     lock, sees a foreign token, and hands it straight back
+    *     instead of deleting it. A holder that outlived the TTL and
+    *     was broken finds a successor's token (or nothing) at the
+    *     first read and skips entirely; its own pass keeps running
+    *     unprotected — exactly the state breaking a stale lock
+    *     declares — and the install-point atomicity plus the
+    *     row-stamp guards remain the correctness backstop. Transient
+    *     read faults are retried with backoff; a lock unreadable
+    *     after retries proves nothing and the delete is skipped. */
   def withMaintenanceLease[T](spark: SparkSession, path: String, op: String,
-                              staleTtlMs: Long = IncompleteAttemptTtlMs)(body: => T): T = {
+                              staleTtlMs: Long = IncompleteAttemptTtlMs,
+                              // spec hook, fired between the release's
+                              // owner-check read and its capture rename —
+                              // lets a test interleave a break+reacquire
+                              // inside the exact window the rename fence
+                              // closes. No-op in production.
+                              releaseRaceHook: () => Unit = () => ())(body: => T): T = {
     val fs = hfs(spark, path)
     val lock = hp(s"$path/_maintenance_lock")
     val token = s"$op-${java.util.UUID.randomUUID().toString}"
@@ -435,7 +479,11 @@ private[graft] object IndexStore {
     def sweepBreakDebris(): Unit =
       try {
         fs.listStatus(hp(path)).toSeq
-          .filter(_.getPath.getName.startsWith("_maintenance_lock.breaking."))
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("_maintenance_lock.breaking.") ||
+              n.startsWith("_maintenance_lock.releasing.")
+          }
           .filter(st => ageOf(st.getPath) >= staleTtlMs)
           .foreach(st => fs.delete(st.getPath, false))
       } catch { case _: java.io.IOException => () }
@@ -476,12 +524,51 @@ private[graft] object IndexStore {
     }
     sweepBreakDebris()
     try body finally {
-      // owner-checked release: delete only the lock this job can PROVE
-      // it created — a holder broken mid-pass (over-TTL) finds a
-      // successor's token, and an unreadable lock proves nothing;
-      // both skip the delete rather than unlock the index blind
-      lockInfo(lock) match {
-        case LockHeld(`token`, _) => fs.delete(lock, false); ()
+      // Owner-checked, RENAME-FENCED release: the round-12 release read
+      // the lock and deleted on token match, leaving a read-vs-delete
+      // window (token matched, then a breaker captured and a successor
+      // locked before the delete landed → the blind delete unlocked the
+      // index under the successor). Now the release CAPTURES the lock
+      // by atomic rename to a holder-unique name first: if the rename
+      // raced a break, what it captured is re-verified by CONTENT — a
+      // successor's token means "not ours", and the capture is handed
+      // straight back. Deleting only a file that has been renamed away
+      // from the lock path AND still carries our token can never unlock
+      // anyone else. Residuals, both degrading to states the TTL break
+      // already accepts: (a) a failed hand-back (a third job locked the
+      // path inside the rename-back window) leaves the successor's
+      // captured lease as named `.releasing.` debris for the TTL sweep
+      // — the successor runs unprotected, exactly what breaking its
+      // predecessor's stale lock declared possible; (b) a transient
+      // read fault is retried with backoff (an unreadable lock after
+      // retries proves nothing, so the delete is skipped — a healthy
+      // holder may leave its own lock to age out rather than risk
+      // deleting a successor's).
+      def readWithRetry(p: org.apache.hadoop.fs.Path): LockRead = {
+        var attempt = 0
+        var r: LockRead = lockInfo(p)
+        while (r == LockUnreadable && attempt < 3) {
+          Thread.sleep(50L << attempt)
+          attempt += 1
+          r = lockInfo(p)
+        }
+        r
+      }
+      readWithRetry(lock) match {
+        case LockHeld(`token`, _) =>
+          releaseRaceHook()
+          val capture = hp(s"$path/_maintenance_lock.releasing.$token")
+          val renamed = try fs.rename(lock, capture)
+            catch { case _: java.io.IOException => false }
+          if (renamed) readWithRetry(capture) match {
+            case LockHeld(`token`, _) => fs.delete(capture, false); ()
+            case _ =>
+              // captured a successor's lock inside the race window:
+              // restore it; if a third job re-locked the path first,
+              // leave the capture as named debris (TTL sweep)
+              try { fs.rename(capture, lock); () }
+              catch { case _: java.io.IOException => () }
+          }
         case _ => ()
       }
     }

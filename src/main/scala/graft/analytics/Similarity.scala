@@ -408,7 +408,9 @@ object Similarity {
         "use rebuildIvfPqIndex (or a fresh path)")
     buildCodesVersion(corpus.sparkSession, path, corpus, idCol, vecCol,
       codebook, nCells, version = 0L)
-    IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L, Set.empty)
+    IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L, Set.empty,
+      baseFiles = Some(graft.operators.Layout.nParquetFiles(
+        corpus.sparkSession, IndexStore.versionDir(path, "codes", 0L))))
   }
 
   /** Version-`v` meta dir: the trained geometry that encoded version
@@ -937,7 +939,9 @@ object Similarity {
     // its old-codebook cb_fp stamp makes the next serve fail LOUD via
     // guardedPqCode instead of losing rows or mis-ranking)
     IndexStore.commitFolds(spark, path, "codes", next,
-      pin.foldedBatches ++ snapshotIds)
+      pin.foldedBatches ++ snapshotIds,
+      baseFiles = Some(graft.operators.Layout.nParquetFiles(spark,
+        IndexStore.versionDir(path, "codes", next))))
     IndexStore.ledgerRebuild(spark, path, rebuildId)
     }
   }

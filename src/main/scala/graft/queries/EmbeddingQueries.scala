@@ -918,6 +918,160 @@ object EmbeddingQueries {
           lit(rebuilt.getLong(1) >= stale.getLong(1)).as("recall_not_worse"),
           lit(rerunIdentical).as("serve_rerun_identical"),
           lit(replayNoop).as("rebuild_replay_noop"))
+    }),
+
+    // DISASTER DRILL, IVF-PQ face — q334's composed lifecycle verdict
+    // applied to the vector family (the seams q322/q327/q328/q331 pin
+    // individually, walked in sequence on ONE index): offline build →
+    // ledgered daily append → checkpointed streaming micro-batches → a
+    // CRASH-SIMULATED half-written version → a full REBUILD installed
+    // between micro-batches of the live checkpoint with an EXPLICIT
+    // n_cells re-anchor (the geometry grows instead of silently
+    // shrinking) → the stream's next run on the SAME checkpoint
+    // self-heals via its per-micro-batch geometry re-pin (health must
+    // count ZERO foreign-codebook rows after) → online compaction
+    // (bit-equal serve) → quiesced vacuum (serve unchanged) → a replay
+    // volley (daily append id, rebuild id, the drained stream — all
+    // exactly-once no-ops) → a fresh-checkpoint restart attempt that
+    // must fail with the named error. Twin retrievability (an ingested
+    // identical vector appears in its query's top-k) is asserted at
+    // every post-ingest seam; after the post-rebuild stream run every
+    // ingested vector is visible exactly once. n_base_codes is
+    // DuckDB-recomputed.
+    "q335_ivfpq_disaster_drill" -> q(
+      """SELECT CAST(count(*) FILTER (WHERE vec_id % 4 = 1) AS BIGINT)
+                  AS n_base_codes,
+                TRUE AS append_visible,
+                TRUE AS crashed_attempt_invisible,
+                TRUE AS rebuild_reanchors_n_cells,
+                TRUE AS stream_self_heals,
+                TRUE AS all_ingested_exactly_once,
+                TRUE AS compact_bit_equal,
+                TRUE AS vacuum_preserves_relation,
+                TRUE AS replays_all_noop,
+                TRUE AS fresh_checkpoint_fails_loud
+         FROM embeddings""")(tempScoped { (s, dir) =>
+      import graft.analytics.IndexStore
+      import graft.streaming.IncrementalStream
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val day1 = e.filter(col("vec_id") % 4 === 2)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val wave1 = e.filter(col("vec_id") % 4 === 3)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val wave2 = e.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      val idx = scratchDir("graft_q335_idx")
+      // seam 1: offline build + one ledgered daily append
+      Similarity.writeIvfPqIndex(base, "vec_id", "embedding",
+        sharedCodebook(s, dir), idx)
+      Similarity.appendToIvfPqIndex(s, idx, day1, "vec_id", "embedding",
+        batchId = "q335-d1")
+      // serve probes: a base vector (5 % 4 = 1) and ingested twins —
+      // the query vector is the UNSHIFTED corpus row, its ingested twin
+      // the identical vector under the offset id, so twin-in-top-k is
+      // the retrievability invariant at every seam. Codebook re-read
+      // per call (rebuilds retrain it).
+      def serve(qid: Long): Seq[(Long, Long)] =
+        Similarity.topKIvfPqFromIndex(s, idx,
+          e.filter(col("vec_id") === qid), "vec_id", "embedding",
+          k = 20, Similarity.codebookOf(s, idx))
+          .select(col("id"), col("adc_dist")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      def twinFound(qid: Long, twin: Long): Boolean =
+        serve(qid).exists(_._1 == twin)
+      val appendVisible = twinFound(2L, 1000002L) && twinFound(6L, 1000006L)
+      // seam 2: streaming micro-batches (2 files, one checkpoint)
+      val src = scratchDir("graft_q335_src")
+      val ckpt = scratchDir("graft_q335_ckpt")
+      wave1.repartition(2).write.mode("overwrite").parquet(src)
+      def runStream(): Unit = IncrementalStream.ivfPqMaintenanceStream(
+        s.readStream.schema(wave1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        "vec_id", "embedding", idx, ckpt).awaitTermination()
+      runStream()
+      val streamedVisible = twinFound(3L, 2000003L)
+      val preCrash = Seq(5L, 2L, 3L).map(serve)
+      // seam 3: crash-sim — a maintenance pass died after writing the
+      // next version's DATA, before committing its fold manifest
+      IndexStore.storedComponent(s, idx, "codes").write.mode("overwrite")
+        .parquet(IndexStore.versionDir(idx, "codes",
+          IndexStore.pinOf(s, idx, "codes").v + 1))
+      val crashedInvisible = Seq(5L, 2L, 3L).map(serve) == preCrash &&
+        appendVisible && streamedVisible
+      // seam 4: full rebuild installed between micro-batches of the
+      // LIVE checkpoint (drops the crashed attempt, retrains geometry
+      // on the current vectors of exactly the indexed population) with
+      // an EXPLICIT n_cells re-anchor — the stored geometry grows to
+      // the caller's stated size instead of inheriting (or silently
+      // shrinking past) the build's
+      val indexed = base.unionByName(day1).unionByName(wave1)
+      Similarity.rebuildIvfPqIndex(s, idx, indexed, "vec_id", "embedding",
+        rebuildId = "q335-r1", nCells = Some(32))
+      val vAfterRebuild = IndexStore.pinOf(s, idx, "codes").v
+      val reanchored = s.read
+        .parquet(s"$idx/codes_meta/v=$vAfterRebuild/quant_baseline")
+        .select("n_cells").head().getInt(0) == 32
+      // the stream's next run on the SAME checkpoint re-pins geometry
+      // per micro-batch and self-heals — zero foreign-codebook rows
+      wave2.coalesce(1).write.mode("append").parquet(src)
+      runStream()
+      val indexedAll = indexed.unionByName(wave2)
+      val health = Similarity.ivfPqIndexHealth(s, idx, indexedAll,
+        "vec_id", "embedding",
+        queries = e.filter(col("vec_id").isin(3, 7, 8, 11)), k = 20,
+        recallFloorPct = 0)
+        .select("n_foreign_codebook_rows").head().getLong(0)
+      val streamHealed = health == 0L && twinFound(8L, 3000008L) &&
+        twinFound(2L, 1000002L) && twinFound(3L, 2000003L)
+      val expectedRows = base.count() + day1.count() +
+        wave1.count() + wave2.count()
+      def codes() = IndexStore.storedComponent(s, idx, "codes")
+      val exactlyOnce = codes().count() == expectedRows &&
+        codes().groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count() == 0
+      // seams 5+6: online compaction then quiesced vacuum — serve
+      // bit-equal across both (collected before each rewrite)
+      val beforeCompact = Seq(5L, 2L, 3L, 8L).map(serve)
+      Similarity.compactIvfPqIndex(s, idx)
+      val compactOk = Seq(5L, 2L, 3L, 8L).map(serve) == beforeCompact
+      Similarity.vacuumIvfPqIndex(s, idx)
+      val vacuumOk = Seq(5L, 2L, 3L, 8L).map(serve) == beforeCompact
+      // seam 7: the replay volley — append id, rebuild id and the
+      // drained stream are all exactly-once no-ops (ledger + checkpoint
+      // outlive compaction AND vacuum)
+      Similarity.appendToIvfPqIndex(s, idx, day1, "vec_id", "embedding",
+        batchId = "q335-d1")
+      Similarity.rebuildIvfPqIndex(s, idx, indexed, "vec_id", "embedding",
+        rebuildId = "q335-r1", nCells = Some(32))
+      runStream()
+      val replaysNoop = codes().count() == expectedRows &&
+        Seq(5L, 2L, 3L, 8L).map(serve) == beforeCompact
+      // seam 8: a fresh checkpoint against the stream-maintained index
+      // must fail LOUD (silently starting would re-ingest the whole
+      // source under aliased micro-batch ids)
+      val freshFails =
+        try {
+          IncrementalStream.ivfPqMaintenanceStream(
+            s.readStream.schema(wave1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src),
+            "vec_id", "embedding", idx, scratchDir("graft_q335_ckpt2"))
+          false
+        } catch { case ex: Throwable =>
+          Option(ex.getMessage).exists(_.contains("fresh checkpoint")) }
+      e.filter(col("vec_id") % 4 === 1)
+        .agg(count(lit(1)).as("n_base_codes"))
+        .select(col("n_base_codes"),
+          lit(appendVisible).as("append_visible"),
+          lit(crashedInvisible).as("crashed_attempt_invisible"),
+          lit(reanchored).as("rebuild_reanchors_n_cells"),
+          lit(streamHealed).as("stream_self_heals"),
+          lit(exactlyOnce).as("all_ingested_exactly_once"),
+          lit(compactOk).as("compact_bit_equal"),
+          lit(vacuumOk).as("vacuum_preserves_relation"),
+          lit(replaysNoop).as("replays_all_noop"),
+          lit(freshFails).as("fresh_checkpoint_fails_loud"))
     })
   )
 

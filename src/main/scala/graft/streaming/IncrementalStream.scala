@@ -369,27 +369,43 @@ object IncrementalStream {
     * (The probe stream needs none of this: its exactly-once is the
     * per-batch OVERWRITE dir keyed on the checkpoint-local id, which a
     * fresh-checkpoint reprocessing simply rewrites in place.) */
+  private[graft] val LegacyStreamInstance = "__legacy__"
+
+  /** Ledgered id of one maintenance micro-batch: namespaced
+    * `stream-<instance>-<batchId>` — except under the legacy sentinel,
+    * where the PRE-upgrade un-namespaced form is kept so a resumed
+    * pre-token checkpoint's replayed micro-batches still align with
+    * the ids its incarnation already ledgered. */
+  private[graft] def streamBatchLedgerId(instance: String, batchId: Long): String =
+    if (instance == LegacyStreamInstance) f"stream-$batchId%09d"
+    else f"stream-$instance-$batchId%09d"
+
   private[graft] def resolveStreamInstance(spark: SparkSession,
                                            checkpoint: String,
                                            indexPath: String,
                                            streamId: Option[String]): String = {
     streamId.foreach { sid =>
-      require(sid.nonEmpty && !sid.contains("/") && !sid.contains("-"),
-        s"streamId must be a non-empty token without '/' or '-' (got '$sid')" +
-          " — it becomes a ledgered batch-id segment")
+      require(sid.nonEmpty && sid.length <= 64 && !sid.contains("/") &&
+          !sid.contains("-") && sid != LegacyStreamInstance,
+        s"streamId must be a 1..64-char token without '/' or '-' (got " +
+          s"'${sid.take(80)}') — it becomes a ledgered batch-id segment")
     }
     val f = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_stream_instance")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fill-loop read (a short first read is contractually allowed) and
+    // fill-loop read (a short first read is contractually allowed), the
+    // buffer sized from the FILE's length (a fixed 128-byte buffer
+    // truncated longer tokens on read-back, turning the post-write
+    // verification into a spurious concurrent-starter mismatch), and
     // blank content treated as ABSENT: a racing starter can observe the
     // winner's file created-but-unwritten, and adopting instance ""
     // would ledger ids no later restart could recover
     def readToken(): Option[String] =
       if (!fs.exists(f)) None
       else {
+        val len = math.min(4096L, math.max(1L, fs.getFileStatus(f).getLen)).toInt
         val in = fs.open(f)
         try {
-          val buf = new Array[Byte](128)
+          val buf = new Array[Byte](len)
           var off = 0
           var n = in.read(buf, 0, buf.length)
           while (n > 0) {
@@ -413,9 +429,32 @@ object IncrementalStream {
         }
         existing
       case None =>
+        // LEGACY ADOPTION: a checkpoint created before the instance
+        // token existed has offsets/commits but no token file. Its
+        // incarnation ledgered UN-NAMESPACED `stream-NNNNNNNNN` ids, so
+        // resuming it must keep emitting those (the sentinel token,
+        // persisted so the adoption is decided once) — the fail-loud
+        // "fresh checkpoint" path would otherwise dead-end every
+        // pre-upgrade stream-maintained index: its own suggested
+        // remediation ("reuse the original checkpoint") is exactly what
+        // was attempted, and a new streamId would re-ingest the whole
+        // source. Fail-loud stays reserved for genuinely FRESH
+        // checkpoints; renaming a live legacy incarnation via an
+        // explicit streamId is refused like any instance change.
+        val nonFresh =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")) ||
+            fs.exists(new org.apache.hadoop.fs.Path(s"$checkpoint/commits"))
+        if (nonFresh) streamId.foreach { sid =>
+          sys.error(s"stream instance mismatch at checkpoint $checkpoint: " +
+            s"it predates the instance token (legacy un-namespaced ids) " +
+            s"but streamId '$sid' was passed — changing the instance id " +
+            "of an existing checkpoint would re-ledger its replayed " +
+            "micro-batches under fresh ids (duplicates); reuse the " +
+            "checkpoint without a streamId to resume it in legacy mode")
+        }
         val priorStreamIds = graft.analytics.IndexStore
           .ledgeredBatchIds(spark, indexPath).filter(_.startsWith("stream-"))
-        val token = streamId match {
+        val token = if (nonFresh) LegacyStreamInstance else streamId match {
           case Some(sid) =>
             if (priorStreamIds.exists(_.startsWith(s"stream-$sid-")))
               sys.error(s"streamId '$sid' was already used against the " +
@@ -536,7 +575,7 @@ object IncrementalStream {
         // encoded rows carry (id, cell, pq_code, cb_fp) — land them as
         // a ledgered stream batch (overwrite + recheck + ledger-last)
         graft.analytics.Similarity.appendEncodedStreamBatch(
-          spark, indexPath, encoded, f"stream-$instance-$batchId%09d",
+          spark, indexPath, encoded, streamBatchLedgerId(instance, batchId),
           graft.analytics.Similarity.codebookFp(codebook))
         ()
       }
@@ -582,7 +621,7 @@ object IncrementalStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.analytics.Dedup.appendToMinhashIndex(batch, idCol, textCol,
-          indexPath, f"stream-$instance-$batchId%09d")
+          indexPath, streamBatchLedgerId(instance, batchId))
         ()
       }
       .start()

@@ -1223,4 +1223,230 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(probePairs(idx, probe) == healthy,
       "the recovered v=0 must probe identically to the uncrashed build")
   }
+
+  test("probe second-level pruning: the batch's band hashes and candidate ids reach the base scans as pushed IN filters; probe shape observable records both levels") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-inpush")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3,
+      bandBuckets = Some(64), shingleBuckets = Some(64))
+    val probe = corpus.limit(4)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val plan = Dedup.probeMinhashIndex(spark, idx, probe, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // partition level (round 12) AND the new row-group level: the
+    // bands base scan carries bh IN (...) in PushedFilters, the
+    // shingles verify scan id IN (...) — exact-value predicates over
+    // the columns the buckets are SORTED by, so parquet row-group
+    // stats prune within the selected buckets
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(bh, *\\[.*"),
+      s"expected a pushed In(bh, ...) on the bands base scan in:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(id, *\\[.*"),
+      s"expected a pushed In(id, ...) on the shingles base scan in:\n$plan")
+    // the observable latch: a selective probe records coverage and both
+    // pushed-list sizes
+    val shape = Dedup.lastProbeShape.get
+    assert(shape.bandBuckets == 64 && shape.shingleScanPruned)
+    assert(shape.bucketCoveragePct ==
+      shape.batchBandBuckets * 100L / shape.bandBuckets)
+    assert(shape.pushedBandHashes > 0 && shape.pushedBandHashes <= 4 * 8,
+      "a 4-doc probe pushes at most 4*bands distinct band hashes")
+    // a bucket-saturating bulk probe reports the gate skip: coverage at
+    // or past the 75% gate, verify-scan pruning off
+    val bulk = corpus.select(($"doc_id" + 3000000L).as("doc_id"), $"text")
+    Dedup.probeMinhashIndex(spark, idx, bulk, "doc_id", "text").count()
+    val bulkShape = Dedup.lastProbeShape.get
+    assert(!bulkShape.shingleScanPruned &&
+      bulkShape.bucketCoveragePct * 4 >= 300L,
+      s"bulk probe must report the gate skip, got $bulkShape")
+  }
+
+  test("pushed IN over a sorted column prunes row groups: the scan reads only the matching files' rows") {
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+    val dest = tmp("in-rowgroup-prune")
+    // 20 single-row-group files, each a contiguous sorted bh range —
+    // the writeBucketed layout in miniature (row-group stats == file
+    // stats here, so skipped row groups are directly observable)
+    spark.range(100000).select($"id".as("bh"))
+      .orderBy("bh").coalesce(1)
+      .write.option("maxRecordsPerFile", 5000).mode("overwrite").parquet(dest)
+    val vals: Seq[Any] = Seq(3L, 50001L, 99999L)
+    val df = spark.read.parquet(dest).filter($"bh".isin(vals: _*))
+    assert(df.count() == 3)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val rowsRead = scans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsRead <= 15000,
+      s"expected row-group stats to prune to ~3 of 20 groups, read $rowsRead rows")
+  }
+
+  test("lease release is rename-fenced: a release racing a break+reacquire restores the successor's lock instead of deleting it") {
+    val idx = tmp("lease-release-fence")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_maintenance_lock")
+    val successorTok = s"successor-${java.util.UUID.randomUUID()}"
+    // inside the release's read-vs-rename window: a breaker captures
+    // the (presumed stale) lock and a successor acquires the path
+    IndexStore.withMaintenanceLease(spark, idx, "holder",
+      releaseRaceHook = () => {
+        fs.rename(lock,
+          new org.apache.hadoop.fs.Path(s"$idx/_maintenance_lock.breaking.t"))
+        val out = fs.create(lock, false)
+        out.write(s"$successorTok|${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }) { () }
+    // the round-12 release would have deleted the lock here (token
+    // matched before the window); the rename fence captures the
+    // successor's lock, sees the foreign token, and hands it back
+    assert(fs.exists(lock), "successor's lock must survive the release")
+    val in = fs.open(lock)
+    val buf = new Array[Byte](256)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+      .startsWith(successorTok), "the surviving lock is the successor's")
+    // and it still excludes a third maintenance job
+    val ex = intercept[Exception] {
+      IndexStore.withMaintenanceLease(spark, idx, "third") { () }
+    }
+    assert(ex.getMessage.contains("maintenance already in progress"))
+    // no capture debris left behind (the hand-back restored, not copied)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx)).exists(
+      _.getPath.getName.startsWith("_maintenance_lock.releasing.")))
+  }
+
+  test("file census reads the manifest-recorded counts: census == actual listing after build, append and compaction; a pre-upgrade manifest falls back to listing") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-census")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val day = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    Dedup.appendToMinhashIndex(day, "doc_id", "text", idx, batchId = "d1")
+    def actual(component: String): Long = {
+      val pin = IndexStore.pinOf(spark, idx, component)
+      graft.operators.Layout.nParquetFiles(spark,
+        IndexStore.versionDir(idx, component, pin.v)) +
+        IndexStore.unfoldedBatchIds(spark, idx, pin)
+          .map(id => graft.operators.Layout.nParquetFiles(spark,
+            s"$idx/${component}_delta/batch=$id")).sum
+    }
+    def census(component: String): Long =
+      IndexStore.liveComponentFiles(spark, idx, component,
+        IndexStore.pinOf(spark, idx, component))
+    Seq("shingles", "bands").foreach { c =>
+      assert(census(c) == actual(c), s"census mismatch on $c pre-compaction")
+    }
+    Dedup.compactMinhashIndex(spark, idx)
+    Seq("shingles", "bands").foreach { c =>
+      assert(census(c) == actual(c), s"census mismatch on $c post-compaction")
+    }
+    // pre-upgrade manifest (no base_files row): rewrite the live fold
+    // manifest without the count — the census falls back to listing
+    // and still matches
+    val pin = IndexStore.pinOf(spark, idx, "shingles")
+    IndexStore.commitFolds(spark, idx, "shingles", pin.v, pin.foldedBatches)
+    assert(census("shingles") == actual("shingles"),
+      "pre-upgrade manifests must fall back to the actual listing")
+  }
+
+  test("health surfaces the bucket re-anchor: suggested_*_buckets escape the layout clamp, and a rebuild adopting the suggestion re-anchors the meta") {
+    // the suggestion is the UNclamped sizing rule
+    assert(Dedup.suggestedBuckets(100L) == 8L, "floor at 8")
+    assert(Dedup.suggestedBuckets(8192L * 4096L) == 4096L)
+    assert(Dedup.suggestedBuckets(8192L * 4096L * 16L) == 65536L,
+      "the suggestion keeps growing past the clamp")
+    assert(Dedup.bucketsFor(8192L * 4096L * 16L) == 4096,
+      "the default layout clamps at 4096")
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-suggest")
+    // deliberately undersized layout: health must recommend the resize
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3,
+      bandBuckets = Some(1), shingleBuckets = Some(1))
+    val h = Dedup.minhashIndexHealth(spark, idx)
+      .select("band_buckets", "suggested_band_buckets",
+        "suggested_shingle_buckets", "bucket_resize_recommended",
+        "rows_per_band_bucket").head()
+    assert(h.getLong(0) == 1L)
+    assert(h.getLong(1) >= 8L && h.getLong(2) >= 8L)
+    assert(h.getBoolean(3), "1-bucket layout must recommend a resize")
+    assert(h.getLong(4) == corpus.count() * 8,
+      "band rows per bucket = docs*bands/buckets exactly")
+    val probe = corpus.limit(4)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val before = probePairs(idx, probe)
+    // the adoption loop: rebuild with the suggested counts; the meta
+    // re-anchors and the probe result is unchanged
+    Dedup.rebuildMinhashIndex(spark, idx, corpus, "doc_id", "text",
+      rebuildId = "suggest-r1", n = 3, numHashes = 32, bands = 8,
+      bandBuckets = Some(h.getLong(1).toInt),
+      shingleBuckets = Some(h.getLong(2).toInt))
+    val h2 = Dedup.minhashIndexHealth(spark, idx)
+      .select("band_buckets", "shingle_buckets",
+        "bucket_resize_recommended").head()
+    assert(h2.getLong(0) == h.getLong(1) && h2.getLong(1) == h.getLong(2),
+      "the rebuild adopts the suggested layout")
+    assert(!h2.getBoolean(2), "adopting the suggestion clears the verdict")
+    assert(probePairs(idx, probe) == before, "re-anchoring B is lossless")
+  }
+
+  test("legacy (pre-token) checkpoint resumes in legacy mode: un-namespaced ids, exactly-once; a streamId against it fails loud; oversized streamIds rejected") {
+    import graft.streaming.IncrementalStream
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-legacy")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3)
+    val wave1 = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val wave2 = docs.filter($"doc_id" % 5 === 3)
+      .select(($"doc_id" + 3000L).as("doc_id"), $"text")
+    val src = tmp("mh-legacy-src")
+    val ckpt = tmp("mh-legacy-ckpt")
+    wave1.coalesce(1).write.mode("overwrite").parquet(src)
+    def streamOf() = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    IncrementalStream.minhashMaintenanceStream(
+      streamOf(), "doc_id", "text", idx, ckpt).awaitTermination()
+    val afterWave1 = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+    // simulate the pre-upgrade state: an existing (offsets present)
+    // checkpoint with NO instance token — the round-12 code dead-ended
+    // here with the 'fresh checkpoint' error whose remediation ("reuse
+    // the original checkpoint") is exactly what was being attempted
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/_graft_stream_instance"), false)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    IncrementalStream.minhashMaintenanceStream(
+      streamOf(), "doc_id", "text", idx, ckpt).awaitTermination()
+    val sh = Dedup.storedMinhashComponent(spark, idx, "shingles")
+    assert(sh.count() == afterWave1 + wave2.count(),
+      "the resumed legacy checkpoint ingests the new wave exactly once")
+    assert(sh.groupBy("id").count().filter($"count" > 1).count() == 0)
+    // the adopted incarnation ledgers UN-namespaced legacy ids
+    val ids = IndexStore.ledgeredBatchIds(spark, idx)
+    assert(ids.exists(_.matches("stream-\\d{9}")),
+      s"expected legacy stream-NNNNNNNNN ids, got ${ids.mkString(",")}")
+    // a replay run on the same checkpoint stays a no-op
+    IncrementalStream.minhashMaintenanceStream(
+      streamOf(), "doc_id", "text", idx, ckpt).awaitTermination()
+    assert(Dedup.storedMinhashComponent(spark, idx, "shingles").count()
+      == afterWave1 + wave2.count())
+    // renaming the legacy incarnation via an explicit streamId is the
+    // same instance change the token path refuses
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/_graft_stream_instance"), false)
+    val ex = intercept[Exception] {
+      IncrementalStream.minhashMaintenanceStream(
+        streamOf(), "doc_id", "text", idx, ckpt, streamId = Some("late"))
+    }
+    assert(ex.getMessage.contains("legacy"),
+      s"expected the named legacy-mismatch error, got: ${ex.getMessage}")
+    // a streamId longer than the persisted-token read can round-trip
+    // is rejected up front (it would spuriously mismatch on read-back)
+    val ex2 = intercept[Exception] {
+      IncrementalStream.minhashMaintenanceStream(
+        streamOf(), "doc_id", "text", idx, tmp("mh-legacy-ckpt2"),
+        streamId = Some("x" * 65))
+    }
+    assert(ex2.getMessage.contains("64"),
+      s"expected the length bound in: ${ex2.getMessage}")
+  }
 }
