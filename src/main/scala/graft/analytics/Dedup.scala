@@ -549,9 +549,10 @@ object Dedup {
     // bands first, shingles LAST (the create-once gate's component):
     // a crash between the two leaves a recoverable half-install, never
     // a stuck one. Each manifest records its freshly-written dir's
-    // file count so the health census never re-lists the base.
+    // file count (parallel listing — IndexStore.countDataFiles) so the
+    // health census never re-lists the base.
     def nf(component: String, v: Long): Option[Long] = Some(
-      graft.operators.Layout.nParquetFiles(spark,
+      IndexStore.countDataFiles(spark,
         IndexStore.versionDir(path, component, v)))
     IndexStore.commitFolds(spark, path, "bands", 0, Set.empty,
       baseFiles = nf("bands", 0))
@@ -872,7 +873,11 @@ object Dedup {
       batchBandBuckets = batchPbs.length, bandBuckets = pbN,
       bucketCoveragePct = batchPbs.length * 100L / math.max(1, pbN),
       shingleScanPruned = selective,
-      pushedBandHashes = batchBhs.length,
+      // what was actually PUSHED, not merely collected — a
+      // gate-skipped probe must read as "0 pushed", not as a phantom
+      // IN list (the sf0.1 micro-batch face reported 128 values while
+      // the saturating gate had pushed none)
+      pushedBandHashes = if (bhFilter.isDefined) batchBhs.length else 0,
       pushedCandidateIds = candIds.length))
     // attach the batch-side sets first (both relations batch-sized),
     // then broadcast the enriched candidates into the corpus-set scan
@@ -1148,7 +1153,7 @@ object Dedup {
     writeMetaParams(spark, path, n, numHashes, bands, pbN, sbN,
       seq = metaSeq(spark, path) + 1L, mode = "append")
     def nf(component: String, v: Long): Option[Long] = Some(
-      graft.operators.Layout.nParquetFiles(spark,
+      IndexStore.countDataFiles(spark,
         IndexStore.versionDir(path, component, v)))
     IndexStore.commitFolds(spark, path, "bands", nextB,
       pinB.foldedBatches ++ snapBatchB, baseFiles = nf("bands", nextB))

@@ -200,6 +200,19 @@ private[graft] object IndexStore {
       .parquet(foldsDir(path, component, v))
   }
 
+  /** Parquet data-file count of a written version dir, via Spark's
+    * PARALLEL file listing (InMemoryFileIndex fans the stat calls out
+    * across threads/tasks): the serial driver loop costs 3-5 ms per
+    * stat on object stores and this box's local fs — measured ~10 s
+    * per install at a 1024-bucket layout, which would make recording
+    * the count cost more than the census it saves. Falls back to the
+    * serial count when Spark cannot read the dir (absent/empty). */
+  def countDataFiles(spark: SparkSession, dir: String): Long =
+    try spark.read.parquet(dir).inputFiles
+      .count(_.endsWith(".parquet")).toLong
+    catch { case _: Exception =>
+      graft.operators.Layout.nParquetFiles(spark, dir) }
+
   /** Parquet file count of version `v`'s data dir as recorded in its
     * fold manifest at install time; None for pre-upgrade manifests. */
   private def recordedBaseFiles(spark: SparkSession, path: String,
@@ -342,8 +355,7 @@ private[graft] object IndexStore {
     // count the freshly-written dir BEFORE the install commit and
     // record it in the manifest — the file census then reads the
     // number instead of re-listing the base (see liveComponentFiles)
-    val after = graft.operators.Layout
-      .nParquetFiles(spark, versionDir(path, component, next))
+    val after = countDataFiles(spark, versionDir(path, component, next))
     commitFolds(spark, path, component, next, pin.foldedBatches ++ newIds,
       baseFiles = Some(after))
     (before, after, rows)

@@ -409,7 +409,7 @@ object Similarity {
     buildCodesVersion(corpus.sparkSession, path, corpus, idCol, vecCol,
       codebook, nCells, version = 0L)
     IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L, Set.empty,
-      baseFiles = Some(graft.operators.Layout.nParquetFiles(
+      baseFiles = Some(IndexStore.countDataFiles(
         corpus.sparkSession, IndexStore.versionDir(path, "codes", 0L))))
   }
 
@@ -940,7 +940,7 @@ object Similarity {
     // guardedPqCode instead of losing rows or mis-ranking)
     IndexStore.commitFolds(spark, path, "codes", next,
       pin.foldedBatches ++ snapshotIds,
-      baseFiles = Some(graft.operators.Layout.nParquetFiles(spark,
+      baseFiles = Some(IndexStore.countDataFiles(spark,
         IndexStore.versionDir(path, "codes", next))))
     IndexStore.ledgerRebuild(spark, path, rebuildId)
     }
