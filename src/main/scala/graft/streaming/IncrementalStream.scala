@@ -454,6 +454,22 @@ object IncrementalStream {
         }
         val priorStreamIds = graft.analytics.IndexStore
           .ledgeredBatchIds(spark, indexPath).filter(_.startsWith("stream-"))
+        // legacy adoption is allowed only when the ledger itself looks
+        // PRE-upgrade (no namespaced stream ids): a post-upgrade
+        // checkpoint whose token FILE was lost (cleanup, partial copy)
+        // has namespaced ledger entries, and adopting legacy there
+        // would emit un-namespaced ids that align with nothing — a
+        // replayed not-yet-committed micro-batch would land a SECOND
+        // time under the new id. That state is unrecoverable silently;
+        // fail with the real remediation.
+        if (nonFresh && priorStreamIds.exists(_.matches("stream-[^-]+-\\d+")))
+          sys.error(s"checkpoint $checkpoint has offsets but no " +
+            s"_graft_stream_instance token, and the index at $indexPath " +
+            s"holds NAMESPACED stream ids (like ${priorStreamIds.max}) — " +
+            "the token file was lost after the upgrade. Restore it (the " +
+            "instance segment of the newest ledgered id), or drain and " +
+            "retire this checkpoint and declare a new incarnation with " +
+            "an explicit streamId on a fresh checkpoint")
         val token = if (nonFresh) LegacyStreamInstance else streamId match {
           case Some(sid) =>
             if (priorStreamIds.exists(_.startsWith(s"stream-$sid-")))

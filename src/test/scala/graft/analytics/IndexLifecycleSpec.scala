@@ -1407,13 +1407,42 @@ class IndexLifecycleSpec extends SparkSpec {
     IncrementalStream.minhashMaintenanceStream(
       streamOf(), "doc_id", "text", idx, ckpt).awaitTermination()
     val afterWave1 = Dedup.storedMinhashComponent(spark, idx, "shingles").count()
-    // simulate the pre-upgrade state: an existing (offsets present)
-    // checkpoint with NO instance token — the round-12 code dead-ended
-    // here with the 'fresh checkpoint' error whose remediation ("reuse
-    // the original checkpoint") is exactly what was being attempted
     val fs = new org.apache.hadoop.fs.Path(ckpt)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LOST token on a post-upgrade checkpoint is NOT legacy: the
+    // ledger holds namespaced ids, so adopting un-namespaced ones
+    // would let a replayed uncommitted micro-batch land twice — it
+    // must fail with the lost-token remediation, not resume silently
     fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/_graft_stream_instance"), false)
+    val exLost = intercept[Exception] {
+      IncrementalStream.minhashMaintenanceStream(
+        streamOf(), "doc_id", "text", idx, ckpt)
+    }
+    assert(exLost.getMessage.contains("token file was lost"),
+      s"expected the lost-token error, got: ${exLost.getMessage}")
+    // craft the faithful PRE-upgrade fixture: un-namespaced ledger ids
+    // and delta dirs (what a pre-token incarnation actually wrote),
+    // offsets present, no token file — the round-12 code dead-ended
+    // here with the 'fresh checkpoint' error whose remediation ("reuse
+    // the original checkpoint") is exactly what was being attempted
+    val ledPath = s"$idx/_ledger"
+    val led = spark.read.parquet(ledPath).collect().map { r =>
+      (r.getString(r.fieldIndex("folder_name")),
+        r.getString(r.fieldIndex("file_name"))
+          .replaceAll("^stream-[^-]+-", "stream-"),
+        r.getTimestamp(r.fieldIndex("loaded_at")))
+    }.toSeq
+    led.toDF("folder_name", "file_name", "loaded_at")
+      .write.mode("overwrite").parquet(ledPath)
+    Seq("shingles_delta", "bands_delta").foreach { d =>
+      new java.io.File(s"$idx/$d").listFiles()
+        .filter(_.getName.startsWith("batch=stream-")).foreach { f =>
+          val fixed = f.getName.replaceAll("^batch=stream-[^-]+-", "batch=stream-")
+          if (fixed != f.getName)
+            fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+              new org.apache.hadoop.fs.Path(s"$idx/$d/$fixed"))
+        }
+    }
     wave2.coalesce(1).write.mode("append").parquet(src)
     IncrementalStream.minhashMaintenanceStream(
       streamOf(), "doc_id", "text", idx, ckpt).awaitTermination()
