@@ -773,25 +773,19 @@ object Dedup {
     // the cache the downstream references reuse (one shingling pass)
     val newHashed = shingleHashSets(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE batch-sized banding job collects BOTH pruning levels with a
-    // bounded driver round-trip: distinct (pb, bh) pairs capped at
-    // MaxPushedInValues+1. Under the cap the pairs carry the partition
-    // buckets AND the band hashes for the IN pushdown; a bulk batch
-    // that overflows it falls back to a distinct-pb-only job (≤ pbN
-    // ints — the round-12 collection) and drops the IN level, which a
-    // bucket-saturating batch couldn't use anyway.
-    val pbBhPairs = bandRowsOf(newHashed, numHashes, bands)
-      .select(bandBucket(col("bh"), pbN).as("pb"), col("bh"))
-      .distinct().limit(MaxPushedInValues + 1).collect()
-    val bhsBounded = pbBhPairs.length <= MaxPushedInValues
-    val batchPbs =
-      if (bhsBounded) pbBhPairs.map(_.getInt(0)).distinct.sorted
-      else bandRowsOf(newHashed, numHashes, bands)
-        .select(bandBucket(col("bh"), pbN).as("pb")).distinct()
-        .collect().map(_.getInt(0)).sorted
-    val batchBhs: Array[Long] =
-      if (bhsBounded) pbBhPairs.map(_.getLong(1)).distinct.sorted
-      else Array.empty[Long]
+    // ONE batch-sized banding job collects the partition buckets AND
+    // the exact distinct-band-hash count (collect_set is ≤ pbN ints;
+    // count_distinct is one long) — the BULK path keeps its round-12
+    // single collection job. Only a SELECTIVE probe whose hash count
+    // fits the cap runs a second, micro-batch-sized job to fetch the
+    // hashes themselves for the IN pushdown (the shingle cache is warm
+    // from job one, so it costs a tiny driver round-trip on exactly
+    // the at-ingest faces the pruning exists for).
+    val shape0 = bandRowsOf(newHashed, numHashes, bands)
+      .agg(collect_set(bandBucket(col("bh"), pbN)).as("pbs"),
+        count_distinct(col("bh")).as("nbh")).head()
+    val batchPbs = shape0.getSeq[Int](0).sorted.toArray
+    val nBh = if (shape0.isNullAt(1)) 0L else shape0.getLong(1)
     // verify-scan pruning only pays when the probe is genuinely
     // SELECTIVE (its band hashes touch well under all buckets — the
     // at-ingest shapes: one doc, a micro-batch). A bulk batch saturates
@@ -800,6 +794,11 @@ object Dedup {
     // — so the gate keeps the bulk path at its pre-pruning plan
     // (single pipelined job).
     val selective = batchPbs.length.toLong * 4 < pbN.toLong * 3
+    val batchBhs: Array[Long] =
+      if (selective && nBh > 0L && nBh <= MaxPushedInValues)
+        bandRowsOf(newHashed, numHashes, bands)
+          .select(col("bh")).distinct().collect().map(_.getLong(0)).sorted
+      else Array.empty[Long]
     val newBands = bandRowsOf(newHashed, numHashes, bands)
     // base(bucket-pruned + bh-IN row-group-pruned) ∪ full ledgered
     // batch delta (daily appends and streaming micro-batches alike):
