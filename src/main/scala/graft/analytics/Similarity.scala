@@ -989,7 +989,8 @@ object Similarity {
                        recallFloorPct: Int = 25,
                        maxDeltaPct: Int = 20,
                        maxQuantErrDriftPct: Int = 50,
-                       maxQueries: Int = 100): DataFrame = {
+                       maxQueries: Int = 100,
+                       maxFilesPerComponent: Int = 64): DataFrame = {
     import spark.implicits._
     // one pin: base version, its fold exclusions, its codebook and its
     // quant baseline all resolve together
@@ -1049,14 +1050,22 @@ object Similarity {
     }
     val recallPct =
       if (nForeign > 0L) 0L else hits * 100L / (k.toLong * qRows.length)
+    // reader-visible file census — the per-serve open-cost driver the
+    // compaction exists to bound, previously reported only by the
+    // MinHash family's health. Reads the install-time count from the
+    // fold manifest + lists only unfolded day-sized deltas
+    // (IndexStore.liveComponentFiles) — flat in corpus size.
+    val nFiles = IndexStore.liveComponentFiles(spark, path, "codes", pin)
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct,
       errBase / nVecBase, errCur / nVecCur, drift,
       recallPct, nForeign == 0L && recallPct >= recallFloorPct,
-      nForeign, nForeign > 0L))
+      nForeign, nForeign > 0L,
+      nFiles, nFiles > maxFilesPerComponent.toLong))
       .toDF("n_base_codes", "n_delta_codes", "delta_pct",
         "needs_compaction", "mean_quant_err_base", "mean_quant_err_current",
         "quant_drift_detected", "recall_pct", "recall_ok",
-        "n_foreign_codebook_rows", "foreign_codes_detected")
+        "n_foreign_codebook_rows", "foreign_codes_detected",
+        "n_files", "fragmented")
   }
 
   /** Incremental index maintenance, per-row form: cell assignment as a

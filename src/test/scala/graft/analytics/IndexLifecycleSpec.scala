@@ -783,6 +783,21 @@ class IndexLifecycleSpec extends SparkSpec {
       s"sampled recall ${h.getLong(7)} above floor")
     assert(h.getLong(9) == 0L && !h.getBoolean(10),
       "no foreign-codebook rows under the write discipline")
+    // file census (round 13): manifest-recorded base count + listed
+    // unfolded deltas == the actual recursive listing, and the
+    // fragmentation verdict fires under a tight bound
+    val pin = IndexStore.pinOf(spark, idx, "codes")
+    val actual = graft.operators.Layout.nParquetFiles(spark,
+      IndexStore.versionDir(idx, "codes", pin.v)) +
+      IndexStore.unfoldedBatchIds(spark, idx, pin).map(id =>
+        graft.operators.Layout.nParquetFiles(spark,
+          s"$idx/codes_delta/batch=$id")).sum
+    assert(h.getLong(11) == actual, "n_files census == actual listing")
+    assert(!h.getBoolean(12), "not fragmented at the default bound")
+    val hTight = Similarity.ivfPqIndexHealth(spark, idx, e, "vec_id",
+      "embedding", queries = e.filter($"vec_id" === 7), k = 10,
+      recallFloorPct = 0, maxFilesPerComponent = 1).collect().head
+    assert(hTight.getBoolean(12), "fragmented fires under a tight bound")
   }
 
   // ------------------------------------------------------------------ //
