@@ -1015,10 +1015,18 @@ object Similarity {
         }.getOrElse((0L, 0L))
     val deltaPct =
       if (nBase + nDelta == 0L) 0L else nDelta * 100L / (nBase + nDelta)
-    val baseline = spark.read
+    val baselineDf = spark.read
       .parquet(s"${codesMetaDir(path, pin.v)}/quant_baseline")
-      .select("err_sum", "n_vectors").head()
+    val baseline = baselineDf.select("err_sum", "n_vectors").head()
     val (errBase, nVecBase) = (baseline.getLong(0), baseline.getLong(1))
+    // the CONFIGURED cell count (explicit meta field; pre-field
+    // indexes fall back to the per-nonempty-bucket centroid row count
+    // — same rule as rebuildIvfPqIndex)
+    val nCellsLive: Long =
+      if (baselineDf.columns.contains("n_cells"))
+        baselineDf.select("n_cells").head().getInt(0).toLong
+      else spark.read.parquet(s"${codesMetaDir(path, pin.v)}/centroids")
+        .count()
     // coalesce the sum BEFORE reading it: on an empty `current`, sum()
     // is null and getLong would NPE ahead of the intended require
     val cur = withQv(current, idCol, vecCol)
@@ -1056,16 +1064,45 @@ object Similarity {
     // fold manifest + lists only unfolded day-sized deltas
     // (IndexStore.liveComponentFiles) — flat in corpus size.
     val nFiles = IndexStore.liveComponentFiles(spark, path, "codes", pin)
+    // cell-geometry re-anchor, the text family's suggested_*_buckets
+    // applied to IVF: serve reads ~corpus×nProbe/nCells rows through
+    // ADC, so a geometry sized at build time degrades linearly as the
+    // corpus grows — the re-anchor EXISTS (rebuild with explicit
+    // nCells) but nothing monitored when to pull it. The suggestion is
+    // the classical √N rule (next pow2, clamped to [16, 65536] — the
+    // centroid relation is driver-collected and must stay KB-scale),
+    // recommended only in the GROWTH direction: shrinking cells is a
+    // file-count nicety, growing them is what keeps probed-row counts
+    // bounded.
+    val suggested = suggestedCells(nBase + nDelta)
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct,
       errBase / nVecBase, errCur / nVecCur, drift,
       recallPct, nForeign == 0L && recallPct >= recallFloorPct,
       nForeign, nForeign > 0L,
-      nFiles, nFiles > maxFilesPerComponent.toLong))
+      nFiles, nFiles > maxFilesPerComponent.toLong,
+      nCellsLive, suggested, suggested > nCellsLive))
       .toDF("n_base_codes", "n_delta_codes", "delta_pct",
         "needs_compaction", "mean_quant_err_base", "mean_quant_err_current",
         "quant_drift_detected", "recall_pct", "recall_ok",
         "n_foreign_codebook_rows", "foreign_codes_detected",
-        "n_files", "fragmented")
+        "n_files", "fragmented",
+        "n_cells", "suggested_n_cells", "cell_resize_recommended")
+  }
+
+  /** UNclamped-ish IVF cell suggestion for an N-vector corpus: next
+    * power of two of √N (the classical IVF sizing rule — balances the
+    * nCells cell-selection dots against the corpus/nCells probed rows
+    * per cell), floored at 16 and capped at 65536 because the centroid
+    * relation is driver-collected and broadcast (it must stay
+    * KB-scale). Surfaced by [[ivfPqIndexHealth]] as
+    * `suggested_n_cells` so the drift loop that already triggers
+    * rebuilds can re-anchor the geometry explicitly
+    * ([[rebuildIvfPqIndex]]'s `nCells`). IEEE sqrt is exactly rounded,
+    * so the suggestion is deterministic across JVMs. */
+  private[graft] def suggestedCells(nVectors: Long): Long = {
+    val s = math.max(1L, math.sqrt(math.max(0L, nVectors).toDouble).toLong)
+    val p2 = java.lang.Long.highestOneBit(math.max(2 * s - 1, 1L))
+    math.min(65536L, math.max(16L, p2))
   }
 
   /** Incremental index maintenance, per-row form: cell assignment as a

@@ -798,6 +798,29 @@ class IndexLifecycleSpec extends SparkSpec {
       "embedding", queries = e.filter($"vec_id" === 7), k = 10,
       recallFloorPct = 0, maxFilesPerComponent = 1).collect().head
     assert(hTight.getBoolean(12), "fragmented fires under a tight bound")
+    // cell-geometry re-anchor (round 13): the stored n_cells is read
+    // back, the √N suggestion fires on an undersized geometry, and a
+    // rebuild adopting it clears the verdict
+    assert(h.getLong(13) == 16L, "default geometry read back")
+    assert(h.getLong(14) == Similarity.suggestedCells(e.count()))
+    assert(h.getBoolean(15) == (h.getLong(14) > h.getLong(13)),
+      "recommendation fires exactly in the growth direction")
+    val idx2 = tmp("ivfpq-health-cells")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx2,
+      nCells = 4)
+    def cellsHealth() = Similarity.ivfPqIndexHealth(spark, idx2, base,
+      "vec_id", "embedding", queries = base.filter($"vec_id" === 7),
+      k = 10, recallFloorPct = 0)
+      .select("n_cells", "suggested_n_cells", "cell_resize_recommended")
+      .head()
+    val c1 = cellsHealth()
+    assert(c1.getLong(0) == 4L && c1.getLong(1) >= 16L && c1.getBoolean(2),
+      s"undersized geometry must recommend growth, got $c1")
+    Similarity.rebuildIvfPqIndex(spark, idx2, base, "vec_id", "embedding",
+      rebuildId = "cells-r1", nCells = Some(c1.getLong(1).toInt))
+    val c2 = cellsHealth()
+    assert(c2.getLong(0) == c1.getLong(1) && !c2.getBoolean(2),
+      s"adopting the suggestion re-anchors and clears, got $c2")
   }
 
   // ------------------------------------------------------------------ //
