@@ -167,8 +167,10 @@ object ScaleSlopes {
         oneQuery, "vec_id", "embedding",
         k = 20, cb).count(); ()
     }
-    // health: one linear quant-err pass over `current` (corpus-sized by
-    // contract — it audits today's corpus) + |queries| brute scans
+    // health: one quant-err pass over `current` (1-in-m id-hash
+    // sampled past maxQuantErrRows=2^20 — exact at these scales) + ONE
+    // batched brute-force pass for all ground truths (round 13; was
+    // |queries| separate corpus scans) + |queries| cell-pruned serves
     val healthQueries = landed(emb.filter(col("vec_id").isin(3, 7, 11)),
       "healthq")
     time("ivfpq_health") {

@@ -979,9 +979,15 @@ object Similarity {
     *
     * `queries` is a held-out serving sample (driver-bounded: at most
     * `maxQueries` rows — health runs daily on a handful, not a corpus).
-    * Cost: two metadata counts, one linear pass over `current` for the
-    * error statistic, and |queries| brute-force scans — a daily
-    * maintenance job, not a serving-path cost. */
+    * Cost: two metadata counts, one pass over `current` for the error
+    * statistic (deterministically 1-in-m id-hash SAMPLED once the
+    * indexed population exceeds `maxQuantErrRows` — exact below it;
+    * `quant_err_sample_mod` reports the applied m, 1 = exact), and ONE
+    * brute-force corpus scan for all ground truths (topKBruteForceMany
+    * — map-side WindowGroupLimit, never a scored-corpus shuffle) plus
+    * |queries| cell-pruned index serves — a daily maintenance job,
+    * not a serving-path cost, and bounded to ~one corpus pass total
+    * regardless of the query-sample size. */
   def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
                        path: String, current: DataFrame,
                        idCol: String, vecCol: String, queries: DataFrame,
@@ -990,7 +996,8 @@ object Similarity {
                        maxDeltaPct: Int = 20,
                        maxQuantErrDriftPct: Int = 50,
                        maxQueries: Int = 100,
-                       maxFilesPerComponent: Int = 64): DataFrame = {
+                       maxFilesPerComponent: Int = 64,
+                       maxQuantErrRows: Int = 1 << 20): DataFrame = {
     import spark.implicits._
     // one pin: base version, its fold exclusions, its codebook and its
     // quant baseline all resolve together
@@ -1029,10 +1036,39 @@ object Similarity {
         .count()
     // coalesce the sum BEFORE reading it: on an empty `current`, sum()
     // is null and getLong would NPE ahead of the intended require
-    val cur = withQv(current, idCol, vecCol)
+    def quantErrPass(rel: DataFrame) = withQv(rel, idCol, vecCol)
       .agg(coalesce(
         sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook)),
         lit(0L)).as("e"), count(lit(1)).as("n")).head()
+    // 1-in-m deterministic id-hash sample once the indexed population
+    // exceeds `maxQuantErrRows` (m = ceil(n / bound); m == 1 below it,
+    // so the statistic stays EXACT at test scale). xxhash64(id) keys
+    // the sample — deterministic across runs and JVMs, independent of
+    // the error statistic (ids don't correlate with quantization
+    // error), the same discipline as the dedup bucket layout. The
+    // drift verdict compares the SAMPLE mean to the full build-time
+    // baseline mean: unbiased, and the 50% default threshold dwarfs
+    // sampling noise at the ≥10^6-row sample the default bound
+    // guarantees. What the sample bounds is the per-row quantErr
+    // evaluation (subvector × centroid distance sweeps — the pass's
+    // dominant CPU term); the columnar (id, vec) scan itself is NOT
+    // pruned by a row-level hash predicate — an operator who needs the
+    // I/O bounded too passes a partition-pruned relation as `current`.
+    // `quant_err_sample_mod` reports m (1 = exact) — a sampled
+    // statistic is never silently exact-looking.
+    val sampleMod = math.max(1L, ((nBase + nDelta) +
+      maxQuantErrRows.toLong - 1L) / math.max(1, maxQuantErrRows).toLong)
+    val curSampled =
+      if (sampleMod == 1L) current
+      else current.filter(
+        pmod(xxhash64(col(idCol)), lit(sampleMod)) === lit(0L))
+    val curTry = quantErrPass(curSampled)
+    // pathological shape guard: an index-sized m over a much smaller
+    // `current` can sample zero rows — fall back to the exact pass
+    val (cur, appliedMod) =
+      if (sampleMod > 1L && curTry.getLong(1) == 0L)
+        (quantErrPass(current), 1L)
+      else (curTry, sampleMod)
     val (errCur, nVecCur) = (cur.getLong(0), cur.getLong(1))
     require(nVecBase > 0 && nVecCur > 0, "ivfPqIndexHealth: empty corpus")
     // exact rational compare (BigInt — the cross-multiply overflows
@@ -1047,14 +1083,37 @@ object Similarity {
     // as 0 / not ok) so the health report itself stays readable and
     // the `foreign_codes_detected` verdict points at the real problem
     var hits = 0L
-    if (nForeign == 0L) qRows.foreach { r =>
-      val qDf = spark.createDataFrame(
-        java.util.Arrays.asList(r), queries.schema)
-      val served = topKIvfPqFromIndex(spark, path, qDf, idCol, vecCol,
-        k, codebook, nProbe).select("id").collect().map(_.getLong(0)).toSet
-      val brute = topKBruteForce(current, idCol, vecCol, qDf, k)
-        .select("id").collect().map(_.getLong(0)).toSet
-      hits += served.intersect(brute).size.toLong
+    if (nForeign == 0L) {
+      // ONE corpus scan for ALL ground truths: the per-query form ran
+      // topKBruteForce once per row — |queries| full corpus scans, the
+      // dominant health cost at scale (the index serves are
+      // cell-pruned; the brute sides were not). topKBruteForceMany
+      // broadcasts the whole KB-scale query relation into a single
+      // corpus pass and its rank filter plans as the map-side
+      // WindowGroupLimit (the pinned q74/q88 shape), so the shuffle
+      // carries ≤ partitions × |queries| × k rows, never the scored
+      // corpus. Rows are keyed by a synthetic per-row index so
+      // duplicate query ids keep the loop's independent-row semantics,
+      // and the identical (cosine DESC, id) tie order keeps the top-k
+      // sets bit-identical to the per-query form.
+      val qSchema = org.apache.spark.sql.types.StructType(
+        queries.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__hq", org.apache.spark.sql.types.IntegerType, nullable = false))
+      val qAll = spark.createDataFrame(
+        java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }: _*), qSchema)
+      val bruteByQ = topKBruteForceMany(current, idCol, vecCol,
+        qAll, "__hq", k)
+        .select(col("qid"), col("id")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (qi, rs) => qi -> rs.map(_.getLong(1)).toSet }
+      qRows.zipWithIndex.foreach { case (r, i) =>
+        val qDf = spark.createDataFrame(
+          java.util.Arrays.asList(r), queries.schema)
+        val served = topKIvfPqFromIndex(spark, path, qDf, idCol, vecCol,
+          k, codebook, nProbe).select("id").collect().map(_.getLong(0)).toSet
+        hits += served.intersect(bruteByQ.getOrElse(i, Set.empty)).size.toLong
+      }
     }
     val recallPct =
       if (nForeign > 0L) 0L else hits * 100L / (k.toLong * qRows.length)
@@ -1080,13 +1139,14 @@ object Similarity {
       recallPct, nForeign == 0L && recallPct >= recallFloorPct,
       nForeign, nForeign > 0L,
       nFiles, nFiles > maxFilesPerComponent.toLong,
-      nCellsLive, suggested, suggested > nCellsLive))
+      nCellsLive, suggested, suggested > nCellsLive, appliedMod))
       .toDF("n_base_codes", "n_delta_codes", "delta_pct",
         "needs_compaction", "mean_quant_err_base", "mean_quant_err_current",
         "quant_drift_detected", "recall_pct", "recall_ok",
         "n_foreign_codebook_rows", "foreign_codes_detected",
         "n_files", "fragmented",
-        "n_cells", "suggested_n_cells", "cell_resize_recommended")
+        "n_cells", "suggested_n_cells", "cell_resize_recommended",
+        "quant_err_sample_mod")
   }
 
   /** UNclamped-ish IVF cell suggestion for an N-vector corpus: next

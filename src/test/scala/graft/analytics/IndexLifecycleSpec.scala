@@ -823,6 +823,67 @@ class IndexLifecycleSpec extends SparkSpec {
       s"adopting the suggestion re-anchors and clears, got $c2")
   }
 
+  test("ivfPqIndexHealth scale shape: the batched brute pass matches the per-query ground truth; the quant-err pass samples deterministically past its bound") {
+    val e = embeddings
+    val base = e.filter($"vec_id" % 4 =!= 0)
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-health-scale")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx)
+    Similarity.appendToIvfPqIndex(spark, idx, e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", batchId = "d1")
+    val queries = e.filter($"vec_id".isin(3, 7, 8, 11))
+    val k = 10
+    // ground truth computed the pre-round-13 way — one topKBruteForce
+    // corpus scan PER query row; the batched topKBruteForceMany pass
+    // inside health must reproduce its hits bit-for-bit (identical
+    // (cosine DESC, id) tie order)
+    val qRows = queries.collect()
+    val cb2 = Similarity.codebookOf(spark, idx)
+    val expectedHits = qRows.map { r =>
+      val qDf = spark.createDataFrame(
+        java.util.Arrays.asList(r), queries.schema)
+      val served = Similarity.topKIvfPqFromIndex(spark, idx, qDf,
+        "vec_id", "embedding", k, cb2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val brute = Similarity.topKBruteForce(e, "vec_id", "embedding", qDf, k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      served.intersect(brute).size.toLong
+    }.sum
+    def health(current: DataFrame, bound: Int) =
+      Similarity.ivfPqIndexHealth(spark, idx, current, "vec_id", "embedding",
+        queries, k = k, recallFloorPct = 0, maxQuantErrRows = bound)
+        .collect().head
+    val h = health(e, 1 << 20)
+    assert(h.getLong(7) == expectedHits * 100L / (k.toLong * qRows.length),
+      "batched recall must equal the per-query loop's")
+    assert(h.getLong(16) == 1L,
+      "below the bound the quant-err pass is exact (sample mod 1)")
+    // forced sampling: a bound of a quarter of the population makes
+    // m > 1; the report NAMES it, two calls agree (xxhash64 sampling
+    // is deterministic), and the build distribution still reads as
+    // no-drift on the sample
+    val n = e.count()
+    val bound = math.max(1, (n / 4).toInt)
+    val hs = health(e, bound)
+    assert(hs.getLong(16) > 1L, s"sample mod must be reported, got $hs")
+    val hs2 = health(e, bound)
+    assert(hs.getLong(5) == hs2.getLong(5) &&
+      hs.getLong(16) == hs2.getLong(16), "sampling is deterministic")
+    assert(!hs.getBoolean(6), "no drift verdict on the sampled build distribution")
+    // a genuinely drifted corpus fires the verdict even sampled
+    val drifted = e.select($"vec_id",
+      transform($"embedding", x => x * 3.0d + 7.0d).as("embedding"))
+    assert(health(drifted, bound).getBoolean(6),
+      "sampled pass must still detect real drift")
+    // pathological shape guard: a `current` none of whose ids land in
+    // the 1-in-m sample falls back to the exact pass (reported mod 1)
+    // instead of dying on an empty statistic
+    val m = hs.getLong(16)
+    val off = e.filter(pmod(xxhash64($"vec_id"), lit(m)) =!= 0L).limit(3)
+    assert(health(off, bound).getLong(16) == 1L,
+      "an empty sample must fall back to the exact pass")
+  }
+
   // ------------------------------------------------------------------ //
   // Round 11: mechanized vacuum retention, codebook-stamped code rows,
   // self-healing stream geometry, MinHash parameter rebuild
