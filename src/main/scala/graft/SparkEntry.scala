@@ -24,7 +24,7 @@ object SparkEntry {
     * the `registry` definition (rather than hardcoded in the spec) is
     * what makes a stale-count red suite impossible to ship by
     * forgetting a second file. */
-  val RegisteredQueryCount: Int = 335
+  val RegisteredQueryCount: Int = 336
   // round 7: every query is oracled — the 18 approximate rungs now
   // register their invariant VERDICTS (exact counterpart + boolean
   // contract) instead of rows-only dumps. Round 8 adds the 8 streaming
@@ -45,8 +45,10 @@ object SparkEntry {
   // compact → vacuum → replay volley → fresh-checkpoint refusal, seam
   // invariants asserted throughout). Round 13 adds q335 (the same
   // composed drill for the IVF-PQ family, with an explicit n_cells
-  // re-anchor at the rebuild seam).
-  val OracledQueryCount: Int = 335
+  // re-anchor at the rebuild seam) and q336 (batched fused IVF-PQ
+  // serving: one union-of-probed-cells scan, per query bit-identical
+  // to the single-query serve).
+  val OracledQueryCount: Int = 336
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape (SURVEY §7.2): clean fact inner-joined

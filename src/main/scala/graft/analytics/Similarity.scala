@@ -606,6 +606,112 @@ object Similarity {
     topKPqAdcFromCodesPrecollected(codes, qv, k, codebook)
   }
 
+  /** Batched fused IVF-PQ serving: ONE pruned code scan serves a whole
+    * request batch. Each query's nProbe cells are selected driver-side
+    * against the pinned KB-scale centroid table (identical arithmetic
+    * to [[topKIvfPqFromIndex]]); the scan is pruned to the UNION of
+    * probed cells — `cell` is a partition column in base and delta
+    * alike, so the union is a PartitionFilter and the scan physically
+    * skips every unprobed cell. A broadcast (qid, cell) membership
+    * join then restricts each surviving row to exactly the queries
+    * that probed its cell (a row is ADC-scored once per PROBING query,
+    * never once per query — disjoint probes cost the same as |q|
+    * single serves in one job, overlapping probes cost less), a second
+    * broadcast join attaches each query's integer ADC tables, and the
+    * per-qid top-k plans as the map-side WindowGroupLimit (the pinned
+    * q74/q88 shape) — the shuffle carries ≤ partitions × |q| × k rows,
+    * never the scored scan. Per query the result is BIT-IDENTICAL to
+    * [[topKIvfPqFromIndex]] (same probed cells, same integer ADC, same
+    * (adc_dist ASC, id) tie order) — spec-pinned. One pin: centroids,
+    * codes and fold exclusions all resolve at the same version, and a
+    * stale caller codebook fails loud exactly like the single-query
+    * form. Output: (qid, id, adc_dist). Query ids must be distinct —
+    * qid keys the per-query result. */
+  def topKIvfPqManyFromIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             codebook: Array[Array[Array[Long]]],
+                             nProbe: Int = 4,
+                             maxQueries: Int = 10000): DataFrame = {
+    val qRows = withQv(queries, idCol, vecCol, "qid")
+      .select(col("qid").cast("long"), col("qv"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.nonEmpty, "topKIvfPqManyFromIndex: empty query batch")
+    require(qRows.length <= maxQueries,
+      s"query batch exceeds maxQueries=$maxQueries — this API is for " +
+        "serving request batches, not corpus-vs-corpus scoring")
+    require(qRows.map(_.getLong(0)).distinct.length == qRows.length,
+      "duplicate query ids in batch — qid keys the per-query result")
+    val pin = IndexStore.pinOf(spark, path, "codes")
+    val cents = spark.read
+      .parquet(s"${codesMetaDir(path, pin.v)}/centroids")
+      .select(col("cell"), col("cv"), col("cnorm"), col("cb_fp")).collect()
+    require(cents.nonEmpty, s"no centroids at ${codesMetaDir(path, pin.v)}")
+    require(cents.head.getString(3) == codebookFp(codebook),
+      s"stale codebook for index at $path (version v=${pin.v} was " +
+        "encoded with a different codebook — re-read it with codebookOf)")
+    val nSub = codebook.length
+    val nCodes = codebook(0).length
+    val sub = codebook(0)(0).length
+    // per-query probe-cell selection + ADC tables, all driver-side:
+    // |q| × nCells dots over the already-collected centroid relation
+    val probes = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Long](1).toArray
+      require(qv.length >= nSub * sub,
+        s"query vector has ${qv.length} elements, codebook expects ${nSub * sub}")
+      val cells = cents.map { c =>
+        val cell = c.getLong(0)
+        val cv = c.getSeq[Long](1).toArray
+        var dot = 0L
+        var i = 0
+        while (i < math.min(qv.length, cv.length)) { dot += qv(i) * cv(i); i += 1 }
+        (cell, dot.toDouble / c.getDouble(2))
+      }.sortBy { case (cell, score) => (-score, cell) }
+        .take(nProbe).map(_._1)
+      val tables = Array.tabulate(nSub) { s =>
+        Array.tabulate(nCodes) { j =>
+          var d = 0L
+          var i = 0
+          while (i < sub) {
+            val x = qv(s * sub + i) - codebook(s)(j)(i)
+            d += x * x
+            i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+      (qid, cells, tables)
+    }
+    val unionCells = probes.flatMap(_._2).distinct.sorted
+    val baseAll = IndexStore.readBaseAt(spark, path, "codes", pin)
+    val expectedFp = cents.head.getString(3)
+    def pruned(df: DataFrame): DataFrame =
+      df.filter(col("cell").isin(unionCells.map(v => v: Any): _*))
+        .select(col("id"), col("cell"),
+          guardedPqCode(expectedFp, path).as("pq_code"))
+    val cols = Seq("id", "pq_code", "cell", "cb_fp")
+    val codes = IndexStore.ledgeredDelta(spark, path, "codes", pin,
+        baseAll.schema, cols)
+      .map(d => pruned(baseAll).unionByName(pruned(d)))
+      .getOrElse(pruned(baseAll))
+    import spark.implicits._
+    val member = probes.toSeq
+      .flatMap { case (qid, cells, _) => cells.map(c => (qid, c)) }
+      .toDF("qid", "cell")
+    val qt = probes.toSeq.map { case (qid, _, t) => (qid, t) }.toDF("qid", "t")
+    val adc = (0 until nSub).map(s =>
+      element_at(element_at(col("t"), s + 1),
+        element_at(col("pq_code"), s + 1).cast("int") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_dist").asc, col("id"))
+    codes.join(broadcast(member), Seq("cell"))
+      .join(broadcast(qt), Seq("qid"))
+      .select(col("qid"), col("id"), adc.as("adc_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Read back the codebook that encoded the LIVE version of the index
     * at `path` (rebuilds retrain it — always re-read after one). */
   def codebookOf(spark: org.apache.spark.sql.SparkSession,
@@ -985,8 +1091,9 @@ object Similarity {
     * `quant_err_sample_mod` reports the applied m, 1 = exact), and ONE
     * brute-force corpus scan for all ground truths (topKBruteForceMany
     * — map-side WindowGroupLimit, never a scored-corpus shuffle) plus
-    * |queries| cell-pruned index serves — a daily maintenance job,
-    * not a serving-path cost, and bounded to ~one corpus pass total
+    * ONE union-of-probed-cells index serve for all the served sides
+    * ([[topKIvfPqManyFromIndex]]) — a daily maintenance job, not a
+    * serving-path cost, and bounded to ~one corpus pass total
     * regardless of the query-sample size. */
   def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
                        path: String, current: DataFrame,
@@ -1107,12 +1214,17 @@ object Similarity {
         .select(col("qid"), col("id")).collect()
         .groupBy(_.getInt(0))
         .map { case (qi, rs) => qi -> rs.map(_.getLong(1)).toSet }
-      qRows.zipWithIndex.foreach { case (r, i) =>
-        val qDf = spark.createDataFrame(
-          java.util.Arrays.asList(r), queries.schema)
-        val served = topKIvfPqFromIndex(spark, path, qDf, idCol, vecCol,
-          k, codebook, nProbe).select("id").collect().map(_.getLong(0)).toSet
-        hits += served.intersect(bruteByQ.getOrElse(i, Set.empty)).size.toLong
+      // ...and ONE union-of-probed-cells scan for all the served sides
+      // (topKIvfPqManyFromIndex — per-query bit-identical to the
+      // single-query serve, so recall_pct is unchanged by batching)
+      val servedByQ = topKIvfPqManyFromIndex(spark, path, qAll, "__hq",
+        vecCol, k, codebook, nProbe)
+        .select(col("qid"), col("id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (qi, rs) => qi -> rs.map(_.getLong(1)).toSet }
+      qRows.indices.foreach { i =>
+        hits += servedByQ.getOrElse(i.toLong, Set.empty[Long])
+          .intersect(bruteByQ.getOrElse(i, Set.empty)).size.toLong
       }
     }
     val recallPct =

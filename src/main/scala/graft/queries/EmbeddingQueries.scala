@@ -1072,7 +1072,48 @@ object EmbeddingQueries {
           lit(vacuumOk).as("vacuum_preserves_relation"),
           lit(replaysNoop).as("replays_all_noop"),
           lit(freshFails).as("fresh_checkpoint_fails_loud"))
-    })
+    }),
+
+    // Batched fused IVF-PQ serving (topKIvfPqManyFromIndex): ONE
+    // union-of-probed-cells code scan serves the whole request batch —
+    // per-query cells selected driver-side against the pinned centroid
+    // table, the union pruned as a PartitionFilter, a broadcast
+    // (qid, cell) membership join restricting each row to the queries
+    // that probed its cell, per-qid top-k as the map-side
+    // WindowGroupLimit. Registered as its VERDICT: per query the batch
+    // result is bit-identical to the single-query fused serve (probed
+    // cells, integer ADC and (adc_dist, id) tie order all equal), and
+    // each query retrieves itself. qid is DuckDB-recomputed.
+    "q336_ivfpq_batch_serve" -> q(
+      """SELECT CAST(vec_id AS BIGINT) AS qid,
+                TRUE AS many_equals_single,
+                TRUE AS self_found
+         FROM embeddings WHERE vec_id IN (3, 7, 11, 19, 23)
+         ORDER BY qid""") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndex(s, dir)
+      val qids = Seq(3L, 7L, 11L, 19L, 23L)
+      val qs = e.filter(col("vec_id").isin(qids: _*))
+      val many = Similarity.topKIvfPqManyFromIndex(s, idx.ivfPath, qs,
+        "vec_id", "embedding", k = 20, idx.cb)
+      val singles = qids.map { qv =>
+        Similarity.topKIvfPqFromIndex(s, idx.ivfPath,
+          e.filter(col("vec_id") === qv), "vec_id", "embedding",
+          k = 20, idx.cb)
+          .select(lit(qv).as("qid"), col("id"), col("adc_dist").as("__d1"))
+      }.reduce(_ unionByName _)
+      val mism = many.join(singles, Seq("qid", "id"), "full_outer")
+        .groupBy("qid")
+        .agg(sum(when(col("adc_dist").isNull || col("__d1").isNull
+          || col("adc_dist") =!= col("__d1"), 1L).otherwise(0L)).as("__mm"),
+          sum(when(col("id") === col("qid"), 1L).otherwise(0L)).as("__self"))
+      qs.select(col("vec_id").cast("long").as("qid"))
+        .join(mism, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("__mm"), lit(0L)) === 0L).as("many_equals_single"),
+          (coalesce(col("__self"), lit(0L)) >= 1L).as("self_found"))
+        .orderBy("qid")
+    }
   )
 
   /** SERVING-ONLY faces of the ANN-ladder verdict rungs: the operator
@@ -1127,5 +1168,12 @@ object EmbeddingQueries {
       val idx = pqIndex(s, dir)
       Similarity.topKIvfPqFromIndex(s, idx.ivfPath,
         e.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20, idx.cb)
+    }),
+    "q336_ivfpq_batch_serve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndex(s, dir)
+      Similarity.topKIvfPqManyFromIndex(s, idx.ivfPath,
+        e.filter(col("vec_id").isin(3, 7, 11, 19, 23)),
+        "vec_id", "embedding", k = 20, idx.cb)
     }))
 }

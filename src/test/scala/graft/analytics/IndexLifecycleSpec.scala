@@ -884,6 +884,60 @@ class IndexLifecycleSpec extends SparkSpec {
       "an empty sample must fall back to the exact pass")
   }
 
+  test("topKIvfPqManyFromIndex: one union-of-probed-cells scan, per-query bit-identical to the single serve; cell pruning and WindowGroupLimit pinned; guards fire") {
+    val e = embeddings
+    val base = e.filter($"vec_id" % 4 =!= 0)
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-many-serve")
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", cb, idx)
+    // with a ledgered delta: the batched serve must read base ∪ delta
+    // through the same pin as the single-query form
+    Similarity.appendToIvfPqIndex(spark, idx, e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", batchId = "d1")
+    val qids = Seq(3L, 7L, 11L, 19L, 23L)
+    val qs = e.filter($"vec_id".isin(qids: _*))
+    val many = Similarity.topKIvfPqManyFromIndex(spark, idx, qs,
+      "vec_id", "embedding", k = 10, cb)
+    val got = many.select("qid", "id", "adc_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = qids.flatMap { qid =>
+      Similarity.topKIvfPqFromIndex(spark, idx,
+        e.filter($"vec_id" === qid), "vec_id", "embedding", 10, cb)
+        .select("id", "adc_dist").collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got == want,
+      "batched serve must equal the per-query serves bit-for-bit")
+    // plan pins: the code scan is cell-pruned at the PARTITION level
+    // (the union of probed cells, a PartitionFilter — serving never
+    // lists unprobed cells) and the per-qid rank filter is the
+    // map-side WindowGroupLimit
+    val plan = many.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"expected a cell PartitionFilter on the code scan:\n$plan")
+    // guards, all driver-side: stale codebook, duplicate qids, empty
+    // batch
+    val stale = cb.map(_.map(_.clone()))
+    stale(0)(0)(0) += 1L
+    val exStale = intercept[Exception] {
+      Similarity.topKIvfPqManyFromIndex(spark, idx, qs,
+        "vec_id", "embedding", 10, stale)
+    }
+    assert(exStale.getMessage.contains("stale codebook"))
+    val exDup = intercept[Exception] {
+      Similarity.topKIvfPqManyFromIndex(spark, idx,
+        qs.unionAll(e.filter($"vec_id" === 7)), "vec_id", "embedding", 10, cb)
+    }
+    assert(exDup.getMessage.contains("duplicate query ids"))
+    val exEmpty = intercept[Exception] {
+      Similarity.topKIvfPqManyFromIndex(spark, idx,
+        e.filter($"vec_id" === -1), "vec_id", "embedding", 10, cb)
+    }
+    assert(exEmpty.getMessage.contains("empty query batch"))
+  }
+
   // ------------------------------------------------------------------ //
   // Round 11: mechanized vacuum retention, codebook-stamped code rows,
   // self-healing stream geometry, MinHash parameter rebuild
