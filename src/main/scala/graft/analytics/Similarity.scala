@@ -684,6 +684,16 @@ object Similarity {
       (qid, cells, tables)
     }
     val unionCells = probes.flatMap(_._2).distinct.sorted
+    // the serve-shape observable, Dedup.lastProbeShape's IVF twin: a
+    // batch whose union of probed cells covers ~all of the cell space
+    // has saturated the PartitionFilter (the scan degrades to a full
+    // code scan) — the runtime signal that the batch is too broad for
+    // the geometry (split it, or grow n_cells via the health report's
+    // suggested_n_cells re-anchor)
+    lastServeShapeRef.set(ServeShape(
+      queries = qRows.length, nCells = cents.length,
+      unionCellsProbed = unionCells.length,
+      cellCoveragePct = unionCells.length * 100L / math.max(1, cents.length)))
     val baseAll = IndexStore.readBaseAt(spark, path, "codes", pin)
     val expectedFp = cents.head.getString(3)
     def pruned(df: DataFrame): DataFrame =
@@ -711,6 +721,21 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }
+
+  /** Shape of the most recent [[topKIvfPqManyFromIndex]] call on this
+    * JVM — [[graft.analytics.Dedup.lastProbeShape]]'s IVF twin: how
+    * much of the cell space the batch's union of probed cells covered.
+    * Coverage near 100 means the PartitionFilter was saturated and the
+    * serve read ~the whole code store — split the batch, or grow the
+    * geometry (the re-anchor lives in ivfPqIndexHealth's
+    * `suggested_n_cells`). A driver-side observability latch, not a
+    * data-plane artifact. */
+  final case class ServeShape(queries: Int, nCells: Int,
+                              unionCellsProbed: Int,
+                              cellCoveragePct: Long)
+  private val lastServeShapeRef =
+    new java.util.concurrent.atomic.AtomicReference[ServeShape]()
+  def lastServeShape: Option[ServeShape] = Option(lastServeShapeRef.get())
 
   /** Read back the codebook that encoded the LIVE version of the index
     * at `path` (rebuilds retrain it — always re-read after one). */

@@ -917,6 +917,16 @@ class IndexLifecycleSpec extends SparkSpec {
       s"expected WindowGroupLimit:\n$plan")
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
       s"expected a cell PartitionFilter on the code scan:\n$plan")
+    // the serve-shape observable (ProbeShape's IVF twin): the union of
+    // probed cells vs the cell space, the "batch saturates the
+    // PartitionFilter" runtime signal
+    val shape = Similarity.lastServeShape.get
+    assert(shape.queries == qids.length)
+    assert(shape.unionCellsProbed >= 4 &&
+      shape.unionCellsProbed <= math.min(shape.nCells, qids.length * 4),
+      s"union of probed cells bounded by min(nCells, |q|*nProbe): $shape")
+    assert(shape.cellCoveragePct ==
+      shape.unionCellsProbed * 100L / shape.nCells)
     // guards, all driver-side: stale codebook, duplicate qids, empty
     // batch
     val stale = cb.map(_.map(_.clone()))
