@@ -11,6 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The registry's global windows all run on provably bounded inputs
+    // (post-rollup day/vocab/group-sized relations — audited query by
+    // query in GlobalWindowAuditSpec, which fails if a new global
+    // window appears outside its allowlist). At WARN each occurrence
+    // still prints "No Partition Defined! Moving all data to a single
+    // partition" — hundreds of lines that drowned the driver tail in
+    // round 13 and made rc diagnostics unreadable. Silenced HERE (the
+    // harness entrypoint), not in library code: any unaudited global
+    // window is caught by the spec, not by log spam.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warm-up: session/JIT/file-index init otherwise lands on
     // whichever query happens to run first
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -34,12 +46,32 @@ object Bench {
     }
     // a failed query records an err entry, never a fake timing — a
     // query that throws instantly must not look like a fast success.
-    // Each query is timed `trials` times and the MEDIAN reported:
-    // single-trial timings swung up to ~7x between rounds on unchanged
-    // plans (JIT/GC landing on whichever query ran first), which made a
-    // 2x regression gate unenforceable. Cache is cleared between trials
-    // so per-operator persisted relations never leak across timings.
+    // Each headline query is timed `trials` times and the MEDIAN
+    // reported: single-trial timings swung up to ~7x between rounds on
+    // unchanged plans (JIT/GC landing on whichever query ran first),
+    // which made a 2x regression gate unenforceable. Cache is cleared
+    // between trials so per-operator persisted relations never leak
+    // across timings.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    // Round 14 — the r13 driver bench TIMED OUT (rc=124, the first
+    // non-zero rc in 13 rounds): 3 trials × (302.5 s headline + 174.1 s
+    // maintenance) ≈ 1430 s of measured wall no longer fit the driver
+    // window. Two policy changes, both in the default path because the
+    // driver sets no env:
+    //  1. MAINTENANCE rows default to 1 trial. The 12 index-lifecycle
+    //     drills (q334 ~27 s, q335 ~37 s medians) cost ~522 s of the
+    //     ~1430 s at 3 trials; their correctness is CORRECTNESS's job
+    //     and their medians are informational, while the 2× gate reads
+    //     only the headline dict — which KEEPS median-of-`trials`.
+    //  2. A measured-wall-clock BUDGET (seconds spent inside timed
+    //     runs; warm-up/sbt excluded). Trial 1 of every row always
+    //     runs; EXTRA trials are granted cheapest-row-first so that
+    //     when the budget runs out it is the heaviest rows that fall
+    //     back to their trial-1 timing — recorded by name in
+    //     "degraded_trials" so the artifact says what it did.
+    val maintTrials = sys.env.getOrElse("SPARK_GRAFT_MAINT_TRIALS", "1").toInt
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100").toDouble
     // SPARK_GRAFT_ONLY=q78,q57 narrows the run for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
@@ -59,6 +91,9 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
+    // measured wall: every timed attempt bills the budget, successes
+    // and failures alike (a failing drill still spends driver window)
+    var measuredSec = 0.0
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -68,19 +103,91 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
       spark.catalog.clearCache()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      measuredSec += elapsed
       err match {
-        case None    => Right((System.nanoTime() - t0) / 1e9)
+        case None    => Right(elapsed)
         case Some(m) => Left(m)
       }
     }
-    val firstPass = selected.map { case (name, fn) =>
-      name -> (1 to trials).map(_ => time(fn))
+    // The index-lifecycle VERDICT rows each build real indexes and run
+    // their full differential in-query (rebuilds, compactions, crash
+    // sims) — maintenance-job costs, not query costs, and the heaviest
+    // rows on the board. They are reported in a separate "maintenance"
+    // dict (like "serving"), so the headline total keeps tracking the
+    // QUERY surface round-over-round instead of growing with every new
+    // lifecycle verdict. Nothing is de-registered: the rows remain the
+    // correctness gate, and headline + maintenance_sec = full registry
+    // cost. (q336 is a serving verdict on the memoized index — a
+    // headline row, not a drill.)
+    val maintenanceRows = Set("q322", "q325", "q326", "q327", "q328",
+      "q329", "q330", "q331", "q332", "q333", "q334", "q335")
+    def isMaintenance(name: String): Boolean =
+      maintenanceRows.exists(name.startsWith)
+    val runs = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    def runTrial(name: String): Unit = time(selected(name)) match {
+      case Right(s) => runs(name) = runs.getOrElse(name, Vector.empty) :+ s
+      case Left(m)  => errs.getOrElseUpdate(name, m); ()
     }
+    def est(name: String): Double = {
+      val v = runs.getOrElse(name, Vector.empty)
+      if (v.isEmpty) 0.0 else v.sum / v.length
+    }
+    // PASS 1 — one trial of every selected row (this is the floor: the
+    // budget never sheds a row entirely, only its extra trials)
+    selected.keys.foreach(runTrial)
+    // PASS 2 — extra trials, cheapest-first within each group so the
+    // heaviest rows shed first when the budget runs out. Headline rows
+    // get `trials`, maintenance rows `maintTrials` (default 1 → no
+    // extras). The grant checks the projected cost against the budget
+    // per row, so one over-estimate only degrades rows at the tail.
+    def grantExtras(names: Seq[String], target: Int): Unit =
+      names.filterNot(errs.contains).sortBy(est).foreach { n =>
+        val need = target - runs.getOrElse(n, Vector.empty).length
+        if (need > 0) {
+          if (measuredSec + est(n) * need <= budgetSec)
+            (1 to need).foreach(_ => if (!errs.contains(n)) runTrial(n))
+          else { degraded += n; () }
+        }
+      }
+    val (maintNames, headNames) =
+      selected.keys.toSeq.partition(isMaintenance)
+    grantExtras(maintNames, maintTrials)
+    grantExtras(headNames, trials)
+    val results: Map[String, Either[String, (Double, Double)]] =
+      selected.map { case (name, _) =>
+        name -> (errs.get(name) match {
+          case Some(m) => Left(m)
+          case None =>
+            var sorted = runs(name).sorted
+            // (median, max/min trial spread) — the spread is the noise
+            // indicator: a 3-5× ratio means the box was busy during some
+            // trial and the median may be inflated (it manufactured four
+            // phantom regressions in round 4 and six in round 5). Instead
+            // of shipping the noisy number, SELF-CORRECT: give the query
+            // two more trials — by then the transient load has usually
+            // passed, and the 5-trial median shakes off the outliers. The
+            // reported spread keeps the ORIGINAL ratio so the artifact
+            // still says "this box was noisy here". Budget-gated like
+            // every other extra trial (degraded_trials records a skip).
+            val rawSpread = sorted.last / sorted.head.max(1e-9)
+            if (rawSpread > 5.0 && sorted.last > 0.3 && sorted.length > 1) {
+              if (measuredSec + 2 * est(name) <= budgetSec) {
+                val extra = (1 to 2).flatMap(_ => time(selected(name)).toOption)
+                sorted = (sorted ++ extra).sorted
+              } else { degraded += name; () }
+            }
+            Right((sorted(sorted.length / 2), rawSpread))
+        })
+      }
     // SERVING-ONLY timings for the verdict rungs (registry rows time
     // operator + in-query exact verification; these time the operator
     // alone) — reported in a separate "serving" dict, never mixed into
     // the headline total, so the serving path's cost stays comparable
-    // round-over-round.
+    // round-over-round. Sub-second rows: trial 1 always, extras
+    // budget-gated like the registry's.
     val servingSelected = SparkEntry.servingQueries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
@@ -88,33 +195,16 @@ object Bench {
     // "serving_errors" instead of silently vanishing from the artifact —
     // a disappeared key would read as "query removed", not "regression".
     val serving = servingSelected.toSeq.map { case (name, fn) =>
-      val raw = (1 to trials).map(_ => time(fn))
+      val first = time(fn)
+      val raw = first +: (2 to trials).flatMap { _ =>
+        val e = first.toOption.getOrElse(0.0)
+        if (measuredSec + e <= budgetSec) Some(time(fn))
+        else { degraded += name; None }
+      }
       val timings = raw.collect { case Right(s) => s }
       name -> (if (timings.isEmpty)
         Left(raw.collectFirst { case Left(m) => m }.getOrElse("no trials"))
         else Right(timings.sorted.apply(timings.length / 2)))
-    }
-    val results = firstPass.map { case (name, timings) =>
-      val errs = timings.collect { case Left(m) => m }
-      name -> (if (errs.nonEmpty) Left(errs.head)
-        else {
-          var sorted = timings.collect { case Right(s) => s }.sorted
-          // (median, max/min trial spread) — the spread is the noise
-          // indicator: a 3-5× ratio means the box was busy during some
-          // trial and the median may be inflated (it manufactured four
-          // phantom regressions in round 4 and six in round 5). Instead
-          // of shipping the noisy number, SELF-CORRECT: give the query
-          // two more trials — by then the transient load has usually
-          // passed, and the 5-trial median shakes off the outliers. The
-          // reported spread keeps the ORIGINAL ratio so the artifact
-          // still says "this box was noisy here".
-          val rawSpread = sorted.last / sorted.head.max(1e-9)
-          if (rawSpread > 5.0 && sorted.last > 0.3) {
-            val extra = (1 to 2).flatMap(_ => time(selected(name)).toOption)
-            sorted = (sorted ++ extra).sorted
-          }
-          Right((sorted(sorted.length / 2), rawSpread))
-        })
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -130,20 +220,6 @@ object Bench {
     // per-query dict comes FIRST, sorted ascending by median so the
     // heaviest queries sit nearest the end, and the headline
     // total/n_errors/sf fields come LAST where truncation cannot reach.
-    // The index-lifecycle VERDICT rows each build real indexes and run
-    // their full differential in-query (rebuilds, compactions, crash
-    // sims) — maintenance-job costs, not query costs, and the heaviest
-    // rows on the board. They are timed like everything else but
-    // reported in a separate "maintenance" dict (like "serving"), so
-    // the headline total keeps tracking the QUERY surface
-    // round-over-round instead of growing with every new lifecycle
-    // verdict. Nothing is de-registered: the rows remain the
-    // correctness gate, and headline + maintenance_sec = full registry
-    // cost.
-    val maintenanceRows = Set("q322", "q325", "q326", "q327", "q328",
-      "q329", "q330", "q331", "q332", "q333", "q334", "q335")
-    def isMaintenance(name: String): Boolean =
-      maintenanceRows.exists(name.startsWith)
     val allOk = results.collect { case (k, Right((sec, spread))) => (k, sec, spread) }.toSeq
     val ok = allOk.filterNot { case (k, _, _) => isMaintenance(k) }
     val maint = allOk.filter { case (k, _, _) => isMaintenance(k) }
@@ -153,7 +229,7 @@ object Bench {
     val maintJson = maint.sortBy(_._1)
       .map { case (k, sec, _) => s"${jstr(k)}:${ms3(sec)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val errJson = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val maintTotal = maint.map(_._2).sum
@@ -167,7 +243,8 @@ object Bench {
       .collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val nServingErr = serving.count(_._2.isLeft)
-    println(s"""{"queries":$qs,"maintenance":$maintJson,"errors":$errs,"serving":$servingJson,"serving_errors":$servingErrs,"metric":"total","value":${ms3(total)},"unit":"sec","maintenance_sec":${ms3(maintTotal)},"max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"n_serving_errors":$nServingErr,"sf":"$sfDir"}""")
+    val degradedJson = degraded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"maintenance":$maintJson,"errors":$errJson,"serving":$servingJson,"serving_errors":$servingErrs,"degraded_trials":$degradedJson,"maint_trials":$maintTrials,"budget_sec":${ms3(budgetSec)},"measured_sec":${ms3(measuredSec)},"metric":"total","value":${ms3(total)},"unit":"sec","maintenance_sec":${ms3(maintTotal)},"max_trial_spread":${ms3(noisySpread)},"spread_query":${jstr(noisyQ)},"n_errors":$nErr,"n_serving_errors":$nServingErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
