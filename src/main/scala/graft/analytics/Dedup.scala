@@ -868,7 +868,7 @@ object Dedup {
     // signal that says "your B is too small for your batch shape"
     // (coverage at/over the gate => partition pruning skipped), next
     // to the suggested_*_buckets re-anchor in minhashIndexHealth
-    lastProbeShapeRef.set(ProbeShape(
+    recordProbeShape(path, ProbeShape(
       batchBandBuckets = batchPbs.length, bandBuckets = pbN,
       bucketCoveragePct = batchPbs.length * 100L / math.max(1, pbN),
       shingleScanPruned = selective,
@@ -909,20 +909,46 @@ object Dedup {
     * the probe falls back to partition-level pruning alone. */
   private[graft] val MaxPushedInValues = 1024
 
-  /** Shape of the most recent [[probeMinhashIndex]] call on this JVM:
-    * how much of the stored bucket layout the batch covered and what
-    * each pruning level pushed. `bucketCoveragePct` at/over 75 means
-    * the selectivity gate skipped verify-scan pruning — the runtime
-    * signal that the index's B is too small for the batch shape (the
-    * re-anchor lives in minhashIndexHealth's `suggested_band_buckets`).
-    * A driver-side observability latch, not a data-plane artifact. */
+  /** Shape of a [[probeMinhashIndex]] call: how much of the stored
+    * bucket layout the batch covered and what each pruning level
+    * pushed. `bucketCoveragePct` at/over 75 means the selectivity gate
+    * skipped verify-scan pruning (`shingleScanPruned` false) — the
+    * runtime signal that the index's B is too small for the batch
+    * shape (the re-anchor lives in minhashIndexHealth's
+    * `suggested_band_buckets`). Driver-side observability, not a
+    * data-plane artifact: each probe appends its shape to a bounded
+    * per-index-path log ([[probeShapesFor]]) that
+    * [[minhashIndexHealth]] folds into its report
+    * (`probes_observed` / `probe_max_bucket_coverage_pct` /
+    * `probe_saturation_observed`), so a saturating batch shape shows
+    * up in the same daily row that carries the remediation. */
   final case class ProbeShape(batchBandBuckets: Int, bandBuckets: Int,
                               bucketCoveragePct: Long,
                               shingleScanPruned: Boolean,
                               pushedBandHashes: Int,
                               pushedCandidateIds: Int)
+  /** Bounded per-path shape history: ConcurrentHashMap.compute is
+    * atomic per key, so concurrent probes on one driver each append
+    * (never clobber — the round-13 single AtomicReference lost shapes
+    * under concurrency), and probes on different indexes never mix. */
+  private val probeShapesByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, List[ProbeShape]]()
+  private[graft] val MaxShapesPerPath = 64
+  private def recordProbeShape(path: String, sh: ProbeShape): Unit = {
+    lastProbeShapeRef.set(sh)
+    probeShapesByPath.compute(path, (_, old) =>
+      (sh :: Option(old).getOrElse(Nil)).take(MaxShapesPerPath))
+    ()
+  }
+  /** Probe shapes recorded on this JVM for the index at `path`, newest
+    * first, bounded to the last [[MaxShapesPerPath]]. */
+  def probeShapesFor(path: String): Seq[ProbeShape] =
+    Option(probeShapesByPath.get(path)).getOrElse(Nil)
   private val lastProbeShapeRef =
     new java.util.concurrent.atomic.AtomicReference[ProbeShape]()
+  /** Most recent probe shape on this JVM across all indexes — kept for
+    * quick REPL/harness inspection; per-index history (race-free under
+    * concurrent probes) is [[probeShapesFor]]. */
   def lastProbeShape: Option[ProbeShape] = Option(lastProbeShapeRef.get())
 
   /** One index component as base(BUCKET-PRUNED by the collected probe
@@ -1272,6 +1298,13 @@ object Dedup {
     *     into a monitored number the existing drift→rebuild loop can
     *     act on.
     *
+    *   - probes_observed / probe_max_bucket_coverage_pct /
+    *     probe_saturation_observed — this JVM's probe-shape history
+    *     for the index ([[probeShapesFor]]): whether live batch shapes
+    *     are saturating the bucket pruning (the selectivity gate
+    *     skipped verify-scan pruning on some probe) — the signal that
+    *     pairs with the resize suggestion above.
+    *
     * Driver-side metadata reads + two row counts — a daily maintenance
     * job, not a probe-path cost. */
   def minhashIndexHealth(spark: org.apache.spark.sql.SparkSession,
@@ -1309,17 +1342,30 @@ object Dedup {
     val bandRows = nDocs * bands
     val suggestedPb = suggestedBuckets(bandRows)
     val suggestedSb = suggestedBuckets(nDocs)
+    // the probe-shape observables, folded into the report (round 14):
+    // what this JVM's probes actually did to THIS index's pruning. The
+    // latch alone required polling between calls and lost shapes under
+    // concurrency; the bounded per-path history makes a saturating
+    // batch shape visible in the same daily row that carries the
+    // remediation (suggested_band_buckets).
+    val shapes = probeShapesFor(path)
+    val maxProbeCoverage =
+      if (shapes.isEmpty) 0L else shapes.map(_.bucketCoveragePct).max
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct, nFiles,
       nFiles > 2L * maxFilesPerComponent, nForeign, nForeign > 0L,
       pbN.toLong, if (pbN > 0) bandRows / pbN else 0L,
       suggestedPb, sbN.toLong, suggestedSb,
-      suggestedPb > pbN.toLong || suggestedSb > sbN.toLong))
+      suggestedPb > pbN.toLong || suggestedSb > sbN.toLong,
+      shapes.length.toLong, maxProbeCoverage,
+      shapes.exists(!_.shingleScanPruned)))
       .toDF("n_base_docs", "n_delta_docs", "delta_pct",
         "needs_compaction", "n_files", "fragmented",
         "n_foreign_params_rows", "foreign_params_detected",
         "band_buckets", "rows_per_band_bucket", "suggested_band_buckets",
         "shingle_buckets", "suggested_shingle_buckets",
-        "bucket_resize_recommended")
+        "bucket_resize_recommended",
+        "probes_observed", "probe_max_bucket_coverage_pct",
+        "probe_saturation_observed")
   }
 
   /** Iteration checkpoint: reliable `checkpoint()` when the session has a

@@ -406,6 +406,9 @@ object Similarity {
     require(IndexStore.liveVersion(corpus.sparkSession, path, "codes").isEmpty,
       s"writeIvfPqIndex: an index already exists at $path — " +
         "use rebuildIvfPqIndex (or a fresh path)")
+    // build-side twin of the serve guard: an index built past the
+    // driver-side cell-selection ceiling could never be served
+    requireDriverCells(nCells, path)
     buildCodesVersion(corpus.sparkSession, path, corpus, idCol, vecCol,
       codebook, nCells, version = 0L)
     IndexStore.commitFolds(corpus.sparkSession, path, "codes", 0L, Set.empty,
@@ -569,6 +572,7 @@ object Similarity {
       .parquet(s"${codesMetaDir(path, pin.v)}/centroids")
       .select(col("cell"), col("cv"), col("cnorm"), col("cb_fp")).collect()
     require(cents.nonEmpty, s"no centroids at ${codesMetaDir(path, pin.v)}")
+    requireDriverCells(cents.length, path)
     // fail LOUD on a stale caller codebook (e.g. collected before a
     // rebuild): ADC tables from any codebook but the one that encoded
     // this version's codes give silently incomparable distances
@@ -640,6 +644,12 @@ object Similarity {
     require(qRows.length <= maxQueries,
       s"query batch exceeds maxQueries=$maxQueries — this API is for " +
         "serving request batches, not corpus-vs-corpus scoring")
+    // a non-numeric idCol casts to null long — fail with a named error
+    // like the other driver-side guards, not an opaque NPE at getLong
+    require(qRows.forall(r => !r.isNullAt(0)),
+      s"topKIvfPqManyFromIndex: query id column '$idCol' produced null " +
+        "after casting to long — qid keys the per-query result and must " +
+        "be a non-null numeric id")
     require(qRows.map(_.getLong(0)).distinct.length == qRows.length,
       "duplicate query ids in batch — qid keys the per-query result")
     val pin = IndexStore.pinOf(spark, path, "codes")
@@ -647,6 +657,7 @@ object Similarity {
       .parquet(s"${codesMetaDir(path, pin.v)}/centroids")
       .select(col("cell"), col("cv"), col("cnorm"), col("cb_fp")).collect()
     require(cents.nonEmpty, s"no centroids at ${codesMetaDir(path, pin.v)}")
+    requireDriverCells(cents.length, path)
     require(cents.head.getString(3) == codebookFp(codebook),
       s"stale codebook for index at $path (version v=${pin.v} was " +
         "encoded with a different codebook — re-read it with codebookOf)")
@@ -690,7 +701,7 @@ object Similarity {
     // code scan) — the runtime signal that the batch is too broad for
     // the geometry (split it, or grow n_cells via the health report's
     // suggested_n_cells re-anchor)
-    lastServeShapeRef.set(ServeShape(
+    recordServeShape(path, ServeShape(
       queries = qRows.length, nCells = cents.length,
       unionCellsProbed = unionCells.length,
       cellCoveragePct = unionCells.length * 100L / math.max(1, cents.length)))
@@ -722,19 +733,50 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
-  /** Shape of the most recent [[topKIvfPqManyFromIndex]] call on this
-    * JVM — [[graft.analytics.Dedup.lastProbeShape]]'s IVF twin: how
-    * much of the cell space the batch's union of probed cells covered.
-    * Coverage near 100 means the PartitionFilter was saturated and the
-    * serve read ~the whole code store — split the batch, or grow the
+  /** Shape of a [[topKIvfPqManyFromIndex]] call —
+    * [[graft.analytics.Dedup.ProbeShape]]'s IVF twin: how much of the
+    * cell space the batch's union of probed cells covered. Coverage
+    * near 100 means the PartitionFilter was saturated and the serve
+    * read ~the whole code store — split the batch, or grow the
     * geometry (the re-anchor lives in ivfPqIndexHealth's
-    * `suggested_n_cells`). A driver-side observability latch, not a
-    * data-plane artifact. */
+    * `suggested_n_cells`). Driver-side observability, not a data-plane
+    * artifact: each serve appends its shape to a bounded per-index-path
+    * log ([[serveShapesFor]]) that [[ivfPqIndexHealth]] folds into its
+    * report (`serves_observed` / `serve_max_cell_coverage_pct` /
+    * `serve_saturation_observed`), closing the monitoring loop —
+    * health recommends the geometry AND sees how batches actually hit
+    * it. */
   final case class ServeShape(queries: Int, nCells: Int,
                               unionCellsProbed: Int,
                               cellCoveragePct: Long)
+  /** Union-cell coverage (pct) at/above which a batched serve is
+    * considered to have SATURATED the partition pruning — the scan
+    * read ~the whole code store. Mirrors the MinHash probe's 75%
+    * selectivity gate so the two families report saturation on the
+    * same scale. */
+  private[graft] val ServeSaturationPct = 75L
+  /** Bounded per-path shape history: ConcurrentHashMap.compute is
+    * atomic per key, so concurrent serves on one driver each append
+    * (never clobber — the round-13 single AtomicReference lost shapes
+    * under concurrency), and serves on different indexes never mix. */
+  private val serveShapesByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, List[ServeShape]]()
+  private[graft] val MaxShapesPerPath = 64
+  private def recordServeShape(path: String, sh: ServeShape): Unit = {
+    lastServeShapeRef.set(sh)
+    serveShapesByPath.compute(path, (_, old) =>
+      (sh :: Option(old).getOrElse(Nil)).take(MaxShapesPerPath))
+    ()
+  }
+  /** Serve shapes recorded on this JVM for the index at `path`, newest
+    * first, bounded to the last [[MaxShapesPerPath]]. */
+  def serveShapesFor(path: String): Seq[ServeShape] =
+    Option(serveShapesByPath.get(path)).getOrElse(Nil)
   private val lastServeShapeRef =
     new java.util.concurrent.atomic.AtomicReference[ServeShape]()
+  /** Most recent serve shape on this JVM across all indexes — kept for
+    * quick REPL/harness inspection; per-index history (race-free under
+    * concurrent serves) is [[serveShapesFor]]. */
   def lastServeShape: Option[ServeShape] = Option(lastServeShapeRef.get())
 
   /** Read back the codebook that encoded the LIVE version of the index
@@ -1031,6 +1073,9 @@ object Similarity {
       else spark.read
         .parquet(s"${codesMetaDir(path, pin.v)}/centroids").count().toInt
     }
+    // an explicit re-anchor past the driver-side cell-selection
+    // ceiling would install an unservable geometry — refuse up front
+    requireDriverCells(cells, path)
     // SNAPSHOT what the re-encode covers, before any long training:
     // exactly these refs get folded at install. Re-reading the ledger
     // at commit time would fold a delta committed mid-rebuild WITHOUT
@@ -1110,16 +1155,27 @@ object Similarity {
     *
     * `queries` is a held-out serving sample (driver-bounded: at most
     * `maxQueries` rows — health runs daily on a handful, not a corpus).
-    * Cost: two metadata counts, one pass over `current` for the error
-    * statistic (deterministically 1-in-m id-hash SAMPLED once the
-    * indexed population exceeds `maxQuantErrRows` — exact below it;
-    * `quant_err_sample_mod` reports the applied m, 1 = exact), and ONE
-    * brute-force corpus scan for all ground truths (topKBruteForceMany
-    * — map-side WindowGroupLimit, never a scored-corpus shuffle) plus
-    * ONE union-of-probed-cells index serve for all the served sides
-    * ([[topKIvfPqManyFromIndex]]) — a daily maintenance job, not a
-    * serving-path cost, and bounded to ~one corpus pass total
-    * regardless of the query-sample size. */
+    * Cost: two metadata counts, one count + one pass over `current`
+    * for the error statistic (deterministically 1-in-m xxhash64
+    * SAMPLED once `current` exceeds `maxQuantErrRows` rows — exact at
+    * or below it; `quant_err_sample_mod` reports the applied m, 1 =
+    * exact; pass `quantErrPartitionCol` — a partition column of
+    * `current` — to make the sample a PartitionFilter so the pass's
+    * scan I/O is pruned at the file level too, not just its per-row
+    * CPU), and ONE brute-force corpus scan for all ground truths
+    * (topKBruteForceMany — map-side WindowGroupLimit, never a
+    * scored-corpus shuffle) plus ONE union-of-probed-cells index serve
+    * for all the served sides ([[topKIvfPqManyFromIndex]]) — a daily
+    * maintenance job, not a serving-path cost, and bounded to ~one
+    * corpus pass total regardless of the query-sample size.
+    *
+    * The report also folds in this JVM's serve-shape history for the
+    * index ([[serveShapesFor]]): `serves_observed` /
+    * `serve_max_cell_coverage_pct` / `serve_saturation_observed` show
+    * whether live batched serves are saturating the partition pruning
+    * the geometry exists to provide — the signal that pairs with
+    * `suggested_n_cells` (grow the geometry) or says "split the
+    * batch". */
   def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
                        path: String, current: DataFrame,
                        idCol: String, vecCol: String, queries: DataFrame,
@@ -1129,7 +1185,8 @@ object Similarity {
                        maxQuantErrDriftPct: Int = 50,
                        maxQueries: Int = 100,
                        maxFilesPerComponent: Int = 64,
-                       maxQuantErrRows: Int = 1 << 20): DataFrame = {
+                       maxQuantErrRows: Int = 1 << 20,
+                       quantErrPartitionCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     // one pin: base version, its fold exclusions, its codebook and its
     // quant baseline all resolve together
@@ -1172,33 +1229,52 @@ object Similarity {
       .agg(coalesce(
         sum(graft.functions.PqExpressions.quantErr(col("qv"), codebook)),
         lit(0L)).as("e"), count(lit(1)).as("n")).head()
-    // 1-in-m deterministic id-hash sample once the indexed population
-    // exceeds `maxQuantErrRows` (m = ceil(n / bound); m == 1 below it,
-    // so the statistic stays EXACT at test scale). xxhash64(id) keys
-    // the sample — deterministic across runs and JVMs, independent of
-    // the error statistic (ids don't correlate with quantization
-    // error), the same discipline as the dedup bucket layout. The
-    // drift verdict compares the SAMPLE mean to the full build-time
-    // baseline mean: unbiased, and the 50% default threshold dwarfs
-    // sampling noise at the ≥10^6-row sample the default bound
-    // guarantees. What the sample bounds is the per-row quantErr
-    // evaluation (subvector × centroid distance sweeps — the pass's
-    // dominant CPU term); the columnar (id, vec) scan itself is NOT
-    // pruned by a row-level hash predicate — an operator who needs the
-    // I/O bounded too passes a partition-pruned relation as `current`.
-    // `quant_err_sample_mod` reports m (1 = exact) — a sampled
+    // 1-in-m deterministic xxhash64 sample once `current` exceeds
+    // `maxQuantErrRows` rows. m derives from the relation the pass
+    // actually SCANS — round 13 derived it from the indexed population,
+    // so a `current` much smaller than the index rested the drift
+    // verdict on a handful of rows, and its zero-rows fallback
+    // double-scanned exactly the small-corpus shape the bound was
+    // meant to cap (round-13 ADVICE, both items). The count() is an
+    // empty-projection scan (parquet answers it from row-group
+    // metadata); with m = ceil(nCur / bound), a `current` at or under
+    // the bound is always EXACT (m == 1) and the double-scan path is
+    // structurally gone. The sample key defaults to the row-level id
+    // hash — bounding the per-row quantErr evaluation (subvector ×
+    // centroid distance sweeps, the pass's dominant CPU term) — and an
+    // operator who needs the (id, vec) scan I/O bounded too passes
+    // `quantErrPartitionCol` (a PARTITION column of `current`, e.g.
+    // the cell of a cell-partitioned vector store): the same 1-in-m
+    // predicate then prunes at file-listing time as a PartitionFilter
+    // (plan-pinned in IndexLifecycleSpec), so the daily health job
+    // reads a strict subset of partitions instead of the full store.
+    // Either way the hash is deterministic across runs and JVMs and
+    // independent of the error statistic (ids/partition keys don't
+    // correlate with quantization error — the dedup bucket
+    // discipline). The drift verdict compares the SAMPLE mean to the
+    // full build-time baseline mean: unbiased, and the 50% default
+    // threshold dwarfs sampling noise at the ~10^6-row expected
+    // sample. `quant_err_sample_mod` reports m (1 = exact) — a sampled
     // statistic is never silently exact-looking.
-    val sampleMod = math.max(1L, ((nBase + nDelta) +
-      maxQuantErrRows.toLong - 1L) / math.max(1, maxQuantErrRows).toLong)
+    val nCur = current.count()
+    require(nCur > 0, "ivfPqIndexHealth: empty current corpus")
+    val sampleMod = math.max(1L, (nCur + maxQuantErrRows.toLong - 1L)
+      / math.max(1, maxQuantErrRows).toLong)
     val curSampled =
       if (sampleMod == 1L) current
-      else current.filter(
-        pmod(xxhash64(col(idCol)), lit(sampleMod)) === lit(0L))
+      else quantErrSampleRelation(current,
+        quantErrPartitionCol.getOrElse(idCol), sampleMod)
     val curTry = quantErrPass(curSampled)
-    // pathological shape guard: an index-sized m over a much smaller
-    // `current` can sample zero rows — fall back to the exact pass
+    // minimum-sample guard, not just empty (round-13 ADVICE): a sample
+    // well under its EXPECTED size (nCur/m — a quarter of it, capped
+    // at MinQuantErrSample so the production floor is "a few
+    // thousand") would rest the drift verdict on a handful of rows —
+    // recompute exact. With m derived from nCur this fires only under
+    // severe hash/partition skew: the extra pass is pathology-priced.
+    val sampleFloor = math.min(
+      math.max(1L, nCur / sampleMod / 4L), MinQuantErrSample)
     val (cur, appliedMod) =
-      if (sampleMod > 1L && curTry.getLong(1) == 0L)
+      if (sampleMod > 1L && curTry.getLong(1) < sampleFloor)
         (quantErrPass(current), 1L)
       else (curTry, sampleMod)
     val (errCur, nVecCur) = (cur.getLong(0), cur.getLong(1))
@@ -1271,20 +1347,67 @@ object Similarity {
     // file-count nicety, growing them is what keeps probed-row counts
     // bounded.
     val suggested = suggestedCells(nBase + nDelta)
+    // the serve-shape observables, folded into the report (round 14):
+    // what this JVM's batched serves actually did to THIS index's
+    // partition pruning. The latch alone required polling between
+    // calls and lost shapes under concurrency; the bounded per-path
+    // history makes a saturating batch visible in the same daily row
+    // that carries the remediation (suggested_n_cells).
+    val shapes = serveShapesFor(path)
+    val maxServeCoverage =
+      if (shapes.isEmpty) 0L else shapes.map(_.cellCoveragePct).max
     Seq((nBase, nDelta, deltaPct, deltaPct > maxDeltaPct,
       errBase / nVecBase, errCur / nVecCur, drift,
       recallPct, nForeign == 0L && recallPct >= recallFloorPct,
       nForeign, nForeign > 0L,
       nFiles, nFiles > maxFilesPerComponent.toLong,
-      nCellsLive, suggested, suggested > nCellsLive, appliedMod))
+      nCellsLive, suggested, suggested > nCellsLive, appliedMod,
+      shapes.length.toLong, maxServeCoverage,
+      shapes.exists(_.cellCoveragePct >= ServeSaturationPct)))
       .toDF("n_base_codes", "n_delta_codes", "delta_pct",
         "needs_compaction", "mean_quant_err_base", "mean_quant_err_current",
         "quant_drift_detected", "recall_pct", "recall_ok",
         "n_foreign_codebook_rows", "foreign_codes_detected",
         "n_files", "fragmented",
         "n_cells", "suggested_n_cells", "cell_resize_recommended",
-        "quant_err_sample_mod")
+        "quant_err_sample_mod",
+        "serves_observed", "serve_max_cell_coverage_pct",
+        "serve_saturation_observed")
   }
+
+  /** Rows of `current` whose xxhash64(`sampleCol`) lands in the 1-in-m
+    * sample — split out so the plan is pin-able: with `sampleCol` a
+    * partition column of `current` the predicate is a PartitionFilter
+    * (file-level pruning — the health job's scan I/O bound); with a
+    * data column it is a row-level filter (CPU bound only). */
+  private[graft] def quantErrSampleRelation(current: DataFrame,
+                                            sampleCol: String,
+                                            m: Long): DataFrame =
+    current.filter(pmod(xxhash64(col(sampleCol)), lit(m)) === lit(0L))
+
+  /** Floor on the quant-err sample row count the drift verdict may
+    * rest on — below it [[ivfPqIndexHealth]] recomputes exact. */
+  private[graft] val MinQuantErrSample = 4096L
+
+  /** Ceiling on the centroid relation a serve may collect: cell
+    * selection is driver-side (|q| × nCells integer dots over the
+    * collected KB-scale centroid table — [[topKIvfPqFromIndex]] /
+    * [[topKIvfPqManyFromIndex]]), which is exactly right at the
+    * 10^4-10^5 cells the √N rule produces for any corpus this engine
+    * targets, and a driver bottleneck past it. Matches
+    * [[suggestedCells]]'s clamp, so a health-suggested geometry can
+    * never recommend an unservable index. Remediation past the
+    * ceiling: a coarse quantizer over the centroids (select candidate
+    * cell GROUPS driver-side, refine distributed) or hierarchical
+    * cells — SURVEY §8's sizing rule. */
+  private[graft] val MaxDriverCells = 65536
+  private def requireDriverCells(n: Int, path: String): Unit =
+    require(n <= MaxDriverCells,
+      s"index at $path has $n cells — cell selection collects the " +
+        s"centroid relation to the driver and is sized for <= " +
+        s"$MaxDriverCells cells (the suggestedCells clamp); past it, " +
+        "serve via a coarse quantizer / hierarchical cells instead of " +
+        "growing the flat cell count")
 
   /** UNclamped-ish IVF cell suggestion for an N-vector corpus: next
     * power of two of √N (the classical IVF sizing rule — balances the

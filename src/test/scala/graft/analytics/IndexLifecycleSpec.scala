@@ -1641,4 +1641,142 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(ex2.getMessage.contains("64"),
       s"expected the length bound in: ${ex2.getMessage}")
   }
+
+  test("minhashIndexHealth carries the probe-shape observables: a saturating probe is visible in the report, not just the latch") {
+    val corpus = docs.filter($"doc_id" % 5 === 1)
+    val idx = tmp("mh-shape-health")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx, n = 3,
+      bandBuckets = Some(64), shingleBuckets = Some(64))
+    // fresh index, no probes yet: the report says so (per-path history
+    // — another index's probes never leak into this one's row)
+    val h0 = Dedup.minhashIndexHealth(spark, idx).collect().head
+    assert(h0.getAs[Long]("probes_observed") == 0L &&
+      !h0.getAs[Boolean]("probe_saturation_observed"),
+      s"fresh index must report zero probes, got $h0")
+    // a selective (at-ingest-shaped) probe: recorded, not saturating
+    val small = corpus.limit(4)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    Dedup.probeMinhashIndex(spark, idx, small, "doc_id", "text").count()
+    val h1 = Dedup.minhashIndexHealth(spark, idx).collect().head
+    assert(h1.getAs[Long]("probes_observed") == 1L &&
+      !h1.getAs[Boolean]("probe_saturation_observed"),
+      s"selective probe must be visible and non-saturating, got $h1")
+    // a bucket-saturating bulk probe: the gate skip reaches the REPORT
+    // (round 13 it lived only in the latch, which concurrent probes
+    // could clobber before anything polled it)
+    val bulk = corpus.select(($"doc_id" + 3000000L).as("doc_id"), $"text")
+    Dedup.probeMinhashIndex(spark, idx, bulk, "doc_id", "text").count()
+    val h2 = Dedup.minhashIndexHealth(spark, idx).collect().head
+    assert(h2.getAs[Long]("probes_observed") == 2L &&
+      h2.getAs[Boolean]("probe_saturation_observed") &&
+      h2.getAs[Long]("probe_max_bucket_coverage_pct") * 4 >= 300L,
+      s"saturating probe must be visible in the report, got $h2")
+    // per-path isolation: a sibling index sees none of these probes
+    val idx2 = tmp("mh-shape-health2")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx2, n = 3)
+    val hSib = Dedup.minhashIndexHealth(spark, idx2).collect().head
+    assert(hSib.getAs[Long]("probes_observed") == 0L,
+      "shape history is keyed by index path")
+  }
+
+  test("ivfPqIndexHealth carries the serve-shape observables: a cell-saturating batch serve is visible in the report") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-shape-health")
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", cb, idx)
+    val queries = e.filter($"vec_id".isin(3, 7, 8, 11))
+    def health() = Similarity.ivfPqIndexHealth(spark, idx, e,
+      "vec_id", "embedding", queries, k = 5, recallFloorPct = 0)
+      .collect().head
+    // the health report itself runs ONE batched serve (its served
+    // sides), so the first row already observes it — at the default
+    // nProbe=4 over 16 cells a 4-query batch may or may not saturate;
+    // what must hold is that the count and max coverage are recorded
+    val h0 = health()
+    assert(h0.getAs[Long]("serves_observed") >= 1L,
+      s"health's own batched serve must be recorded, got $h0")
+    // an all-cells serve (nProbe = n_cells) saturates the partition
+    // pruning by construction; the NEXT report must say so
+    Similarity.topKIvfPqManyFromIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, Similarity.codebookOf(spark, idx),
+      nProbe = h0.getAs[Long]("n_cells").toInt).count()
+    val h1 = health()
+    assert(h1.getAs[Boolean]("serve_saturation_observed") &&
+      h1.getAs[Long]("serve_max_cell_coverage_pct") == 100L,
+      s"a saturating batch must be visible in the report, got $h1")
+  }
+
+  test("quant-err sampling: a partition-column sample is a PartitionFilter reading a strict file subset; forced sampling over it still fires drift") {
+    val e = embeddings
+    // land `current` as a pb-partitioned vector store (the shape the
+    // 100 TB daily health job would read)
+    val src = tmp("qerr-partcol")
+    e.withColumn("pb", pmod(xxhash64($"vec_id"), lit(8L)))
+      .write.partitionBy("pb").mode("overwrite").parquet(src)
+    val cur = spark.read.parquet(src)
+    val nCur = cur.count()
+    // pick an m (deterministically — xxhash64 is fixed) that selects
+    // SOME but not ALL of the 8 pb partition values
+    val m = Seq(2L, 3L, 4L, 5L, 7L).find { cand =>
+      val sel = spark.range(8)
+        .filter(pmod(xxhash64($"id"), lit(cand)) === 0L).count()
+      sel > 0L && sel < 8L
+    }.get
+    val sampled = Similarity.quantErrSampleRelation(cur, "pb", m)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*pb.*"),
+      s"expected the 1-in-m predicate as a pb PartitionFilter in:\n$plan")
+    val totalFiles = cur.select(input_file_name()).distinct().count()
+    val sampledFiles = sampled.select(input_file_name()).distinct().count()
+    assert(sampledFiles > 0 && sampledFiles < totalFiles,
+      s"partition-level sample must read a strict file subset " +
+        s"($sampledFiles of $totalFiles)")
+    // e2e: health with the partition sample key, bound sized so the
+    // applied m is exactly the one probed above (nCur >> m²), over a
+    // genuinely drifted corpus — sampling is REPORTED and drift fires
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("qerr-partcol-idx")
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", cb, idx)
+    val drifted = cur.select($"vec_id",
+      transform($"embedding", x => x * 3.0d + 7.0d).as("embedding"),
+      $"pb")
+    val bound = ((nCur + m - 1) / m).toInt
+    val h = Similarity.ivfPqIndexHealth(spark, idx, drifted,
+      "vec_id", "embedding", queries = e.filter($"vec_id".isin(3, 7)),
+      k = 5, recallFloorPct = 0, maxQuantErrRows = bound,
+      quantErrPartitionCol = Some("pb")).collect().head
+    assert(h.getAs[Long]("quant_err_sample_mod") == m,
+      s"the partition-sampled pass must report its m, got $h")
+    assert(h.getAs[Boolean]("quant_drift_detected"),
+      "partition-level sampling must still detect real drift")
+  }
+
+  test("serve guards: a null query id fails by name; the driver-side cell-selection ceiling refuses unservable geometries") {
+    val e = embeddings
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val idx = tmp("ivfpq-guards")
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", cb, idx)
+    // a NULL id (ANSI mode already fails loud on a MALFORMED string
+    // cast — a null value is the case that sails through the cast and
+    // would NPE at getLong) must raise the named guard instead
+    val badIds = e.filter($"vec_id".isin(3, 7))
+      .select(when($"vec_id" === 3, lit(null).cast("long"))
+        .otherwise($"vec_id").as("nid"), $"embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topKIvfPqManyFromIndex(spark, idx, badIds,
+        "nid", "embedding", k = 5, cb)
+    }
+    assert(ex.getMessage.contains("produced null"),
+      s"expected the named null-qid error, got: ${ex.getMessage}")
+    // the cell ceiling: cell selection collects the centroid relation
+    // to the driver (|q| × nCells dots) — a geometry past the
+    // suggestedCells clamp is refused at BUILD time (and rebuild), so
+    // an unservable index can never be installed
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", cb,
+        tmp("ivfpq-too-many-cells"), nCells = 70000)
+    }
+    assert(ex2.getMessage.contains("coarse quantizer"),
+      s"expected the ceiling error with its remediation, got: ${ex2.getMessage}")
+  }
 }
