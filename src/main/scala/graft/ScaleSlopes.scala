@@ -34,6 +34,11 @@ object ScaleSlopes {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same discipline as Bench/Verify: global windows are audited
+    // (GlobalWindowAuditSpec), the per-occurrence WARN is noise here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     import graft.analytics.{Dedup, Similarity}
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -43,6 +48,36 @@ object ScaleSlopes {
     val nDocs = docs.count()
     val nEmb = emb.count()
 
+    // scratch-dir ledger (round 14): every tempdir this harness creates
+    // is tracked, SIZE-REPORTED in the output JSON and DELETED at run
+    // end. The /tmp accumulation from repeated slope runs manufactured
+    // a 1.5-3× evening phantom regression in round 13 (found by hand,
+    // twice) — hygiene is now mechanical, not a checklist item.
+    val scratchDirs = scala.collection.mutable.ListBuffer.empty[String]
+    def scratch(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      scratchDirs += p
+      p
+    }
+    def dirBytes(root: String): Long = {
+      val base = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(base)) 0L
+      else {
+        val s = java.nio.file.Files.walk(base)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    def deleteDir(root: String): Unit = {
+      val base = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(base)) {
+        val s = java.nio.file.Files.walk(base)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally s.close()
+      }
+    }
     // fixed-size, fixed-content batches from the base id range (present
     // at every scale): 500 docs / 500 vectors, ids offset out of range.
     // MATERIALIZED to their own small parquet files before any timing:
@@ -51,7 +86,7 @@ object ScaleSlopes {
     // corpus scan to every probe/append trial — the round-11 probe
     // slope partly measured that input scan, not the operator.
     def landed(df: DataFrame, name: String): DataFrame = {
-      val p = java.nio.file.Files.createTempDirectory(s"slope-$name").toString
+      val p = scratch(s"slope-$name")
       df.coalesce(1).write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
@@ -74,7 +109,7 @@ object ScaleSlopes {
     }
 
     // ---- MinHash index family ----
-    val mhIdx = java.nio.file.Files.createTempDirectory("slope-mh").toString
+    val mhIdx = scratch("slope-mh")
     time("minhash_build", trials = 1) {
       Dedup.writeMinhashIndex(docs, "doc_id", "text", mhIdx, n = 3)
     }
@@ -151,7 +186,7 @@ object ScaleSlopes {
     }
 
     // ---- IVF-PQ index family ----
-    val pqIdx = java.nio.file.Files.createTempDirectory("slope-pq").toString
+    val pqIdx = scratch("slope-pq")
     val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding")
     time("ivfpq_build", trials = 1) {
       Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cb, pqIdx)
@@ -217,10 +252,15 @@ object ScaleSlopes {
       graft.operators.Graph.pageRank(chain, "src", "dst").count(); ()
     }
 
+    // scratch hygiene: report what this run wrote, then remove it —
+    // leftover slope indexes/batches in /tmp are exactly the disk
+    // pressure that skewed round-13's evening measurements
+    val scratchBytes = scratchDirs.map(dirBytes).sum
+    scratchDirs.foreach(deleteDir)
     def js(d: Double) = (math.round(d * 1000) / 1000.0).toString
     val fields = timings.map { case (k, v) => s""""$k":${js(v)}""" }
       .mkString(",")
-    println(s"""{"dir":"$dir","n_docs":$nDocs,"n_embeddings":$nEmb,$fields}""")
+    println(s"""{"dir":"$dir","n_docs":$nDocs,"n_embeddings":$nEmb,$fields,"scratch_bytes":$scratchBytes,"scratch_dirs_removed":${scratchDirs.length}}""")
     spark.stop()
   }
 }

@@ -15,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // global-window WARN spam is audited away (GlobalWindowAuditSpec
+    // pins every no-partition window to a bounded input) — silence the
+    // per-occurrence warning so the driver tail stays diagnostic
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q78,q66 narrows the dump for local iteration; the
     // driver never sets it

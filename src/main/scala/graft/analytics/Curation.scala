@@ -151,33 +151,14 @@ object Curation {
     * `orderCol` values must be unique — ties make the prefix order
     * (and thus the result) undefined. */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                         resultCol: String, numParts: Int = 0): DataFrame = {
-    val parts = if (numParts > 0) numParts
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    // The pid-stamped relation MUST be materialized before it forks into
-    // the local-cumsum and offsets consumers: repartitionByRange SAMPLES
-    // its input to pick boundaries, and with a nondeterministically-
-    // partitioned upstream (a join under AQE) the two recomputed copies
-    // can sample DIFFERENT boundaries — rows then carry a __pid from one
-    // partitioning while offsets are summed over another, silently
-    // corrupting the prefix (caught by the sf0.1 q78 oracle: 351 rows
-    // with a wrong bin). The cache pins ONE partitioning that both
-    // consumers read.
-    val parted = df.repartitionByRange(parts, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
-    val local = parted.withColumn("__cum",
-      sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy("__pid").agg(sum(col(valueCol)).as("__psum"))
-      .withColumn("__off",
-        coalesce(sum(col("__psum")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(resultCol, col("__off") + col("__cum") - col(valueCol))
-      .drop("__pid", "__cum", "__off")
-  }
+                         resultCol: String, numParts: Int = 0): DataFrame =
+    // generalized in round 14 to graft.operators.GlobalRank (multi-
+    // column sort, row_number/ntile siblings) — including the persist
+    // that pins ONE range partitioning for both consumers (the q78
+    // sf0.1 boundary-resample corruption this function's round-6 fix
+    // documented lives there now)
+    graft.operators.GlobalRank.exclusivePrefixSum(
+      df, Seq(col(orderCol)), valueCol, resultCol, numParts)
 
   /** Tunables for the end-to-end corpus curation flow.
     *

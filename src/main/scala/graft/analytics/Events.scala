@@ -782,11 +782,13 @@ object Events {
     * the assignment is total-ordered and engine-deterministic.
     *
     * Scale shape: one hash aggregate to the KEYS-sized relation; the
-    * three ntiles are single-partition windows over that SMALL
-    * relation (keys ≪ rows; for key cardinalities that outgrow one
-    * partition, swap ntile for the rank·5 DIV n arithmetic over a
-    * distributed rank — same assignment, no single-partition window).
-    * The 1-row max-date rides a broadcast. */
+    * three quintile assignments run as DISTRIBUTED exact ntiles
+    * ([[graft.operators.GlobalRank.ntile]] — range-repartition +
+    * per-partition rank + broadcast offsets), bit-identical to the
+    * single-partition `ntile(5)` window but with no single-task sort:
+    * a customer rollup at 100 TB is 10^8-10^9 rows, past what one
+    * WindowExec partition should ever carry. The 1-row max-date rides
+    * a broadcast. */
   def rfmSegments(df: DataFrame, keyCol: String, dateCol: String,
                   amountCentsCol: Column): DataFrame = {
     val mx = df.agg(max(col(dateCol).cast("date")).as("__mdate"))
@@ -799,14 +801,15 @@ object Events {
       .select(col("custkey"),
         datediff(col("__mdate"), col("__last")).cast("long").as("r_days"),
         col("f_orders"), col("m_cents"))
-    val sc = base
-      .withColumn("r_score",
-        (lit(6L) - ntile(5).over(Window.orderBy(col("r_days"), col("custkey"))))
-          .cast("long"))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("f_orders"), col("custkey"))).cast("long"))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("m_cents"), col("custkey"))).cast("long"))
+    val g = graft.operators.GlobalRank
+    val sc = g.ntile(g.ntile(g.ntile(base,
+        5, Seq(col("r_days"), col("custkey")), "__rq"),
+        5, Seq(col("f_orders"), col("custkey")), "__fq"),
+        5, Seq(col("m_cents"), col("custkey")), "__mq")
+      .withColumn("r_score", (lit(6L) - col("__rq")).cast("long"))
+      .withColumn("f_score", col("__fq").cast("long"))
+      .withColumn("m_score", col("__mq").cast("long"))
+      .drop("__rq", "__fq", "__mq")
     sc.select(col("custkey"), col("r_days"), col("f_orders"), col("m_cents"),
       col("r_score"), col("f_score"), col("m_score"),
       concat(col("r_score").cast("string"), col("f_score").cast("string"),

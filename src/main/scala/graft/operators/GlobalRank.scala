@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global ranking — row_number / ntile / prefix sums
+  * over a total order WITHOUT a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partition moves the whole relation
+  * through one task — fine for the post-rollup day/vocab-sized
+  * relations most of this repo's global windows run on (audited in
+  * GlobalWindowAuditSpec), a scale bug for anything keys-sized: a
+  * customer or part rollup at 100 TB is 10^8-10^9 rows, and one task
+  * sorting 10^9 rows is the plan that never finishes. This operator is
+  * the two-pass parallel scan instead (the classic distributed
+  * ranking):
+  *
+  *   1. `repartitionByRange` on the sort order — ranges are ordered by
+  *      partition id, so partition i's keys all precede partition
+  *      i+1's;
+  *   2. a per-partition window (row_number / running sum) — parallel,
+  *      no single-task sort;
+  *   3. a one-row-per-partition offsets relation (counts / sums summed
+  *      over earlier partitions — its own global window is over
+  *      ≤ numShufflePartitions rows, bounded by construction), joined
+  *      back broadcast.
+  *
+  * The result equals the single-partition form for ANY boundary
+  * placement: local rank + everything in earlier ranges is the global
+  * rank under any partitioning of a total order. `sortExprs` must
+  * therefore be a TOTAL order (add a key tiebreaker) — ties across a
+  * range boundary would otherwise make the rank undefined.
+  *
+  * The pid-stamped relation is persisted before it forks into the
+  * rank and offsets consumers: repartitionByRange SAMPLES its input
+  * to pick boundaries, and with a nondeterministically-partitioned
+  * upstream (a join under AQE) the two recomputed copies can sample
+  * DIFFERENT boundaries — rows then carry a __gr_pid from one
+  * partitioning while offsets are summed over another (the corruption
+  * the q78 sf0.1 oracle caught in round 6; see
+  * Curation.exclusivePrefixSum). The cache pins ONE partitioning that
+  * both consumers read; the relations ranked here are rollups (keys-
+  * sized), not facts, so the footprint is the small side. */
+object GlobalRank {
+
+  /** Internal columns all carry this reserved prefix — a caller's
+    * resultCol may be anything else (q188 ranks into `__cum`), but a
+    * relation that already uses the prefix would be silently clobbered
+    * by the withColumn/drop plumbing, so fail loud instead. */
+  private def checkReserved(df: DataFrame, resultCols: String*): Unit = {
+    val clash = df.columns.filter(_.startsWith("__gr_")) ++
+      resultCols.filter(_.startsWith("__gr_"))
+    require(clash.isEmpty,
+      s"GlobalRank reserves the __gr_ column prefix; found ${clash.mkString(", ")}")
+  }
+
+  private def parted(df: DataFrame, sortExprs: Seq[Column],
+                     numParts: Int): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exclusive prefix-sum of the per-partition totals of `agg`: one
+    * row per partition, `__gr_off` = sum over strictly-earlier ranges.
+    * The global window here is over ≤ numShufflePartitions rows —
+    * metadata-scale by construction. */
+  private def offsetsOf(p: DataFrame, agg: Column): DataFrame =
+    p.groupBy("__gr_pid").agg(agg.as("__gr_psum"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_psum")).over(
+          Window.orderBy("__gr_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__gr_pid", "__gr_off")
+
+  /** Exact global `row_number()` (1-based, long) in `sortExprs` order,
+    * as `resultCol`. Equals
+    * `row_number().over(Window.orderBy(sortExprs))` for a total order,
+    * at any scale. */
+  def rowNumber(df: DataFrame, sortExprs: Seq[Column], resultCol: String,
+                numParts: Int = 0): DataFrame = {
+    checkReserved(df, resultCol)
+    rowNumberImpl(df, sortExprs, resultCol, numParts)
+  }
+
+  private def rowNumberImpl(df: DataFrame, sortExprs: Seq[Column],
+                            resultCol: String, numParts: Int): DataFrame = {
+    val p = parted(df, sortExprs, numParts)
+    val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
+    p.withColumn("__gr_lrn", row_number().over(w).cast("long"))
+      .join(broadcast(offsetsOf(p, count(lit(1)))), Seq("__gr_pid"))
+      .withColumn(resultCol, col("__gr_off") + col("__gr_lrn"))
+      .drop("__gr_pid", "__gr_lrn", "__gr_off")
+  }
+
+  /** Exact global `ntile(n)` (int, 1-based) in `sortExprs` order, as
+    * `resultCol`. Bit-identical to the SQL ntile for a total order:
+    * with T rows, q = T div n and r = T mod n, the first r tiles hold
+    * q+1 rows and the rest q (larger tiles first — the SQL-standard
+    * rule DuckDB and Spark share), derived arithmetically from the
+    * distributed row number, so no single-partition sort anywhere. */
+  def ntile(df: DataFrame, n: Int, sortExprs: Seq[Column],
+            resultCol: String, numParts: Int = 0): DataFrame = {
+    require(n >= 1, s"ntile requires n >= 1, got $n")
+    checkReserved(df, resultCol)
+    val rn = rowNumberImpl(df, sortExprs, "__gr_rn", numParts)
+    // T rides a broadcast 1-row max of the already-computed rank —
+    // no second count over the data
+    val tot = rn.agg(max(col("__gr_rn")).as("__gr_T"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn(resultCol, expr(
+        s"""CAST(CASE
+           |  WHEN __gr_rn <= (__gr_T % $n) * (__gr_T DIV $n + 1)
+           |    THEN (__gr_rn - 1) DIV (__gr_T DIV $n + 1) + 1
+           |  ELSE (__gr_T % $n)
+           |    + (__gr_rn - (__gr_T % $n) * (__gr_T DIV $n + 1) - 1) DIV (__gr_T DIV $n)
+           |    + 1
+           |END AS INT)""".stripMargin))
+      .drop("__gr_rn", "__gr_T")
+  }
+
+  /** Exact INCLUSIVE global prefix sum of `valueCol` in `sortExprs`
+    * order, as `resultCol`. Equals `sum(valueCol).over(Window
+    * .orderBy(sortExprs).rowsBetween(unboundedPreceding, currentRow))`
+    * for a total order. */
+  def inclusivePrefixSum(df: DataFrame, sortExprs: Seq[Column],
+                         valueCol: String, resultCol: String,
+                         numParts: Int = 0): DataFrame = {
+    checkReserved(df, resultCol)
+    val p = parted(df, sortExprs, numParts)
+    val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("__gr_cum", sum(col(valueCol)).over(w))
+      .join(broadcast(offsetsOf(p, sum(col(valueCol)))), Seq("__gr_pid"))
+      .withColumn(resultCol, col("__gr_off") + col("__gr_cum"))
+      .drop("__gr_pid", "__gr_cum", "__gr_off")
+  }
+
+  /** Exclusive variant: the prefix sum of everything strictly earlier
+    * (0 for the first row). */
+  def exclusivePrefixSum(df: DataFrame, sortExprs: Seq[Column],
+                         valueCol: String, resultCol: String,
+                         numParts: Int = 0): DataFrame =
+    inclusivePrefixSum(df, sortExprs, valueCol, resultCol, numParts)
+      .withColumn(resultCol, col(resultCol) - col(valueCol))
+
+  /** [[rowNumber]] and [[inclusivePrefixSum]] off ONE range
+    * partitioning (one shuffle, one persist, one offsets relation
+    * carrying both the count and the sum) — the coverage-curve shape
+    * ("rank by frequency, cumulative share") that would otherwise pay
+    * the scan twice. */
+  def rowNumberAndPrefixSum(df: DataFrame, sortExprs: Seq[Column],
+                            valueCol: String, rnCol: String,
+                            sumCol: String, numParts: Int = 0): DataFrame = {
+    checkReserved(df, rnCol, sumCol)
+    val p = parted(df, sortExprs, numParts)
+    val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
+    val wo = Window.orderBy("__gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = p.groupBy("__gr_pid")
+      .agg(count(lit(1)).as("__gr_pn"), sum(col(valueCol)).as("__gr_psum"))
+      .withColumn("__gr_offn", coalesce(sum(col("__gr_pn")).over(wo), lit(0L)))
+      .withColumn("__gr_offs", coalesce(sum(col("__gr_psum")).over(wo), lit(0L)))
+      .select("__gr_pid", "__gr_offn", "__gr_offs")
+    p.withColumn("__gr_lrn", row_number().over(w).cast("long"))
+      .withColumn("__gr_lcum", sum(col(valueCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("__gr_pid"))
+      .withColumn(rnCol, col("__gr_offn") + col("__gr_lrn"))
+      .withColumn(sumCol, col("__gr_offs") + col("__gr_lcum"))
+      .drop("__gr_pid", "__gr_lrn", "__gr_lcum", "__gr_offn", "__gr_offs")
+  }
+}

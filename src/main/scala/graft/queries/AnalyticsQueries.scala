@@ -926,10 +926,12 @@ object AnalyticsQueries {
         .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("rev_e4"))
       val tot = pr.agg(sum("rev_e4").as("__total"))
-      val w = Window.orderBy(col("rev_e4").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pr.crossJoin(broadcast(tot))
-        .withColumn("__cum", sum(col("rev_e4")).over(w))
+      // distributed inclusive prefix sum (GlobalRank): the part rollup
+      // is dimension-sized today and keys-sized at 100 TB — the
+      // cumulative-revenue scan must never sort it through one task
+      graft.operators.GlobalRank.inclusivePrefixSum(pr,
+          Seq(col("rev_e4").desc, col("l_partkey")), "rev_e4", "__cum")
+        .crossJoin(broadcast(tot))
         // e3 share: cum·1e3 stays in i64 up to ~9e15 total e4-units
         // (≈ $900B of discounted revenue); beyond that, divide first
         .withColumn("cum_share_e3",
@@ -1004,10 +1006,14 @@ object AnalyticsQueries {
         .select(col("o_custkey"),
           datediff(col("__ref"), col("__last")).as("rec_days"),
           col("freq"), col("mon_cents"))
-      r.select(
-          ntile(5).over(Window.orderBy(col("rec_days").asc, col("o_custkey"))).as("r_score"),
-          ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f_score"),
-          ntile(5).over(Window.orderBy(col("mon_cents").desc, col("o_custkey"))).as("m_score"))
+      // distributed exact ntiles (GlobalRank — bit-identical to the
+      // single-partition window, no single-task sort of the
+      // customer-sized rollup)
+      val g = graft.operators.GlobalRank
+      g.ntile(g.ntile(g.ntile(r,
+          5, Seq(col("rec_days").asc, col("o_custkey")), "r_score"),
+          5, Seq(col("freq").desc, col("o_custkey")), "f_score"),
+          5, Seq(col("mon_cents").desc, col("o_custkey")), "m_score")
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
@@ -2790,9 +2796,14 @@ object AnalyticsQueries {
           sum(when(p1, 1L).otherwise(0L)).as("__n1"),
           sum(when(!p1, 1L).otherwise(0L)).as("__n2"))
         .where(col("__n1") > 0 && col("__n2") > 0)
-      r.select(col("ck"),
-          ntile(10).over(Window.orderBy(col("v1"), col("ck"))).cast("long").as("d1"),
-          ntile(10).over(Window.orderBy(col("v2"), col("ck"))).cast("long").as("d2"))
+      // distributed exact deciles (GlobalRank): the customer rollup is
+      // keys-sized — never sort it through one WindowExec task
+      val g = graft.operators.GlobalRank
+      g.ntile(g.ntile(r,
+          10, Seq(col("v1"), col("ck")), "__d1"),
+          10, Seq(col("v2"), col("ck")), "__d2")
+        .select(col("ck"), col("__d1").cast("long").as("d1"),
+          col("__d2").cast("long").as("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("n_customers"))
         .orderBy("d1", "d2")
     },

@@ -1452,16 +1452,14 @@ object TextQueries {
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("c"))
-      val win = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("word"))
-      val all = win.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      w.select(col("c"),
-        row_number().over(win).cast("long").as("rk"),
-        sum(col("c")).over(win.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).as("cum"),
-        sum(col("c")).over(all).as("total"))
+      // distributed rank + cumulative share in ONE pass (GlobalRank —
+      // no single-task sort of the vocab relation, which at 100 TB of
+      // raw text is 10^8-10^9 distinct tokens); the corpus total rides
+      // a broadcast 1-row aggregate
+      val tot = w.agg(sum(col("c")).as("total"))
+      graft.operators.GlobalRank.rowNumberAndPrefixSum(w,
+          Seq(col("c").desc, col("word")), "c", "rk", "cum")
+        .crossJoin(broadcast(tot))
         .agg(min(when(col("cum") * 100 >= col("total") * 50, col("rk"))).as("r50"),
           min(when(col("cum") * 100 >= col("total") * 90, col("rk"))).as("r90"),
           min(when(col("cum") * 100 >= col("total") * 99, col("rk"))).as("r99"),

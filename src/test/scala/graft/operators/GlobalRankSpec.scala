@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRank — the distributed exact substitutes for single-partition
+  * `Window.orderBy(...)` ranking: parity with the window forms
+  * (bit-identical assignments), edge shapes (T < n, one partition,
+  * heavy ties broken by key), and the structural pin that the only
+  * global window each plan retains is the metadata-scale offsets scan
+  * (one row per shuffle partition). */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10007 rows (prime — never divides evenly by the tile counts) with
+  // heavy ties in v, broken total by id
+  private def data = spark.range(10007)
+    .select($"id", pmod($"id" * 2654435761L, lit(97L)).as("v"))
+
+  test("rowNumber equals the single-partition window row_number across range boundaries") {
+    val sort = Seq(col("v"), col("id"))
+    val got = GlobalRank.rowNumber(data, sort, "rn", numParts = 8)
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val want = data.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("ntile equals the single-partition window ntile (uneven tiles, desc sort, T < n)") {
+    for (n <- Seq(5, 10, 32)) {
+      val sort = Seq(col("v").desc, col("id"))
+      val got = GlobalRank.ntile(data, n, sort, "t", numParts = 8)
+        .select($"id", $"t").as[(Long, Int)].collect().toMap
+      val want = data.withColumn("t",
+          ntile(n).over(Window.orderBy(col("v").desc, col("id"))))
+        .select($"id", $"t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"ntile($n) mismatch")
+    }
+    // T < n: every row its own tile, trailing tiles empty
+    val tiny = data.limit(3)
+    val got = GlobalRank.ntile(tiny, 10, Seq(col("id")), "t")
+      .select($"id", $"t").as[(Long, Int)].collect().toMap
+    val want = tiny.withColumn("t", ntile(10).over(Window.orderBy("id")))
+      .select($"id", $"t").as[(Long, Int)].collect().toMap
+    assert(got == want, "T < n must assign one row per tile")
+  }
+
+  test("inclusive/exclusive prefix sums equal the window cumulative sums") {
+    val sort = Seq(col("v").desc, col("id"))
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val inc = GlobalRank.inclusivePrefixSum(data, sort, "v", "c", numParts = 8)
+      .select($"id", $"c").as[(Long, Long)].collect().toMap
+    val wantInc = data.withColumn("c", sum($"v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"c").as[(Long, Long)].collect().toMap
+    assert(inc == wantInc)
+    val exc = GlobalRank.exclusivePrefixSum(data, sort, "v", "c", numParts = 8)
+      .select($"id", $"c").as[(Long, Long)].collect().toMap
+    val wantExc = data.withColumn("c", coalesce(sum($"v").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"id", $"c").as[(Long, Long)].collect().toMap
+    assert(exc == wantExc)
+  }
+
+  test("structural pin: the only global window is the per-partition offsets scan (one row per shuffle partition)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = GlobalRank.ntile(data, 5, Seq(col("v"), col("id")), "t")
+      .queryExecution.optimizedPlan
+    val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globals.nonEmpty, "the offsets prefix scan plans one global window")
+    globals.foreach { w =>
+      val overAggregate = w.child.collectFirst { case a: Aggregate => a }
+      assert(overAggregate.exists(_.groupingExpressions.nonEmpty),
+        s"every global window must sit over the per-__pid aggregate " +
+          s"(metadata-scale), found one over:\n${w.child}")
+    }
+    // and the data-sized window is partitioned (by __pid)
+    val partitioned = plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(partitioned.nonEmpty, "the rank window must be partitioned")
+  }
+}
