@@ -79,8 +79,8 @@ class MixStreaksLpaSpec extends SparkSpec {
     // scale contract), not a naive global row_number over the data
     val plan = Reconcile.sortedNeighborhoodPairs(names, "id", "nm", 3, 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("__pid"),
-      "rank must come from the pid-partitioned prefix sum")
+    assert(plan.contains("__gr_pid"),
+      "rank must come from the pid-partitioned prefix sum (GlobalRank)")
   }
 
   test("jaroWinklerPairs only scores within blocks and respects the threshold") {

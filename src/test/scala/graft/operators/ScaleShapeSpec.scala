@@ -248,7 +248,7 @@ class ScaleShapeSpec extends SparkSpec {
     // partition-less window is the single-task formulation this
     // operator exists to avoid
     val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toList
-    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
-      s"found a window without the __pid partition key:\n$specs\n$p")
+    assert(specs.nonEmpty && specs.forall(_.contains("__gr_pid")),
+      s"found a window without the __gr_pid partition key:\n$specs\n$p")
   }
 }

@@ -161,7 +161,7 @@ class PlanSpec extends SparkSpec {
     // the per-partition running sum must be partitioned by __pid, and the
     // only global (empty-partition-spec) window may run over the tiny
     // per-partition offsets relation, never the corpus
-    assert(p.contains("__pid"), s"expected partition-local window:\n$p")
+    assert(p.contains("__gr_pid"), s"expected partition-local window:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"offsets must join back via broadcast:\n$p")
   }
