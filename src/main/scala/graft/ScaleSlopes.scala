@@ -252,6 +252,32 @@ object ScaleSlopes {
       graft.operators.Graph.pageRank(chain, "src", "dst").count(); ()
     }
 
+    // ---- distributed global rank (GlobalRank, round 14) ----
+    // rank + cumulative sum over a corpus-sized relation: the two-pass
+    // range-partitioned scan vs the single-partition window form it
+    // replaced in q188/q191/q217/q266/q295. Both are ~linear in rows,
+    // but the window form sorts everything through ONE task (slope =
+    // single-core sort + the shuffle to one partition) while
+    // GlobalRank's sort stays parallel — the gap should WIDEN with
+    // corpus scale, and the 100× ratio is the number the "never a
+    // single-task sort over a keys-sized rollup" rule buys.
+    val ranked = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    time("globalrank_rank_prefix") {
+      graft.operators.GlobalRank.rowNumberAndPrefixSum(ranked,
+        Seq(col("len").desc, col("doc_id")), "len", "rk", "cum")
+        .agg(max("rk"), max("cum")).collect(); ()
+    }
+    time("window_rank_prefix_1task") {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("len").desc, col("doc_id"))
+      ranked.select(row_number().over(w).cast("long").as("rk"),
+          sum(col("len")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("cum"))
+        .agg(max("rk"), max("cum")).collect(); ()
+    }
+
     // scratch hygiene: report what this run wrote, then remove it —
     // leftover slope indexes/batches in /tmp are exactly the disk
     // pressure that skewed round-13's evening measurements

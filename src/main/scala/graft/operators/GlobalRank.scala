@@ -101,16 +101,32 @@ object GlobalRank {
     * with T rows, q = T div n and r = T mod n, the first r tiles hold
     * q+1 rows and the rest q (larger tiles first — the SQL-standard
     * rule DuckDB and Spark share), derived arithmetically from the
-    * distributed row number, so no single-partition sort anywhere. */
+    * distributed row number, so no single-partition sort anywhere.
+    * T (the total row count) rides the SAME broadcast offsets relation
+    * as the rank offsets — sum of the per-partition counts, computed
+    * on the ≤ numShufflePartitions-row offsets side — so the whole
+    * operator is ONE pass over the data: shuffle, per-partition
+    * window, broadcast join, arithmetic. */
   def ntile(df: DataFrame, n: Int, sortExprs: Seq[Column],
             resultCol: String, numParts: Int = 0): DataFrame = {
     require(n >= 1, s"ntile requires n >= 1, got $n")
     checkReserved(df, resultCol)
-    val rn = rowNumberImpl(df, sortExprs, "__gr_rn", numParts)
-    // T rides a broadcast 1-row max of the already-computed rank —
-    // no second count over the data
-    val tot = rn.agg(max(col("__gr_rn")).as("__gr_T"))
-    rn.crossJoin(broadcast(tot))
+    val p = parted(df, sortExprs, numParts)
+    val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
+    // offsets + total off one tiny aggregate: __gr_off = rows in
+    // strictly-earlier ranges, __gr_T = rows overall (a global sum
+    // over the per-partition counts — metadata-scale)
+    val wo = Window.orderBy("__gr_pid")
+    val offT = p.groupBy("__gr_pid").agg(count(lit(1)).as("__gr_pn"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_pn")).over(
+          wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__gr_T", sum(col("__gr_pn")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__gr_pid", "__gr_off", "__gr_T")
+    p.withColumn("__gr_lrn", row_number().over(w).cast("long"))
+      .join(broadcast(offT), Seq("__gr_pid"))
+      .withColumn("__gr_rn", col("__gr_off") + col("__gr_lrn"))
       .withColumn(resultCol, expr(
         s"""CAST(CASE
            |  WHEN __gr_rn <= (__gr_T % $n) * (__gr_T DIV $n + 1)
@@ -119,22 +135,39 @@ object GlobalRank {
            |    + (__gr_rn - (__gr_T % $n) * (__gr_T DIV $n + 1) - 1) DIV (__gr_T DIV $n)
            |    + 1
            |END AS INT)""".stripMargin))
-      .drop("__gr_rn", "__gr_T")
+      .drop("__gr_pid", "__gr_lrn", "__gr_rn", "__gr_off", "__gr_T")
   }
 
   /** Exact INCLUSIVE global prefix sum of `valueCol` in `sortExprs`
     * order, as `resultCol`. Equals `sum(valueCol).over(Window
     * .orderBy(sortExprs).rowsBetween(unboundedPreceding, currentRow))`
-    * for a total order. */
+    * for a total order.
+    *
+    * A non-empty `totalCol` additionally attaches the GRAND total of
+    * `valueCol` to every row — computed on the metadata-scale offsets
+    * side (sum of the per-partition sums) and carried by the same
+    * broadcast join, so "cumulative share of total" queries don't pay
+    * a second aggregation pass over the (possibly expensive) input
+    * relation just for the denominator. */
   def inclusivePrefixSum(df: DataFrame, sortExprs: Seq[Column],
                          valueCol: String, resultCol: String,
-                         numParts: Int = 0): DataFrame = {
-    checkReserved(df, resultCol)
+                         numParts: Int = 0, totalCol: String = ""): DataFrame = {
+    checkReserved(df, Seq(resultCol) ++ Option(totalCol).filter(_.nonEmpty): _*)
     val p = parted(df, sortExprs, numParts)
     val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window.orderBy("__gr_pid")
+    val off0 = p.groupBy("__gr_pid").agg(sum(col(valueCol)).as("__gr_psum"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_psum")).over(
+          wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val off =
+      if (totalCol.isEmpty) off0.select("__gr_pid", "__gr_off")
+      else off0.withColumn(totalCol, sum(col("__gr_psum")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("__gr_pid", "__gr_off", totalCol)
     p.withColumn("__gr_cum", sum(col(valueCol)).over(w))
-      .join(broadcast(offsetsOf(p, sum(col(valueCol)))), Seq("__gr_pid"))
+      .join(broadcast(off), Seq("__gr_pid"))
       .withColumn(resultCol, col("__gr_off") + col("__gr_cum"))
       .drop("__gr_pid", "__gr_cum", "__gr_off")
   }
@@ -154,17 +187,25 @@ object GlobalRank {
     * the scan twice. */
   def rowNumberAndPrefixSum(df: DataFrame, sortExprs: Seq[Column],
                             valueCol: String, rnCol: String,
-                            sumCol: String, numParts: Int = 0): DataFrame = {
-    checkReserved(df, rnCol, sumCol)
+                            sumCol: String, numParts: Int = 0,
+                            totalCol: String = ""): DataFrame = {
+    checkReserved(df, Seq(rnCol, sumCol)
+      ++ Option(totalCol).filter(_.nonEmpty): _*)
     val p = parted(df, sortExprs, numParts)
     val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
-    val wo = Window.orderBy("__gr_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = p.groupBy("__gr_pid")
+    val woAll = Window.orderBy("__gr_pid")
+    val wo = woAll.rowsBetween(Window.unboundedPreceding, -1)
+    val off0 = p.groupBy("__gr_pid")
       .agg(count(lit(1)).as("__gr_pn"), sum(col(valueCol)).as("__gr_psum"))
       .withColumn("__gr_offn", coalesce(sum(col("__gr_pn")).over(wo), lit(0L)))
       .withColumn("__gr_offs", coalesce(sum(col("__gr_psum")).over(wo), lit(0L)))
-      .select("__gr_pid", "__gr_offn", "__gr_offs")
+    // grand total on the offsets side (see inclusivePrefixSum) — free
+    // relative to a second pass over the input
+    val offsets =
+      if (totalCol.isEmpty) off0.select("__gr_pid", "__gr_offn", "__gr_offs")
+      else off0.withColumn(totalCol, sum(col("__gr_psum")).over(
+          woAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("__gr_pid", "__gr_offn", "__gr_offs", totalCol)
     p.withColumn("__gr_lrn", row_number().over(w).cast("long"))
       .withColumn("__gr_lcum", sum(col(valueCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -925,13 +925,14 @@ object AnalyticsQueries {
         .groupBy("l_partkey")
         .agg(sum(tenthCents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("rev_e4"))
-      val tot = pr.agg(sum("rev_e4").as("__total"))
       // distributed inclusive prefix sum (GlobalRank): the part rollup
       // is dimension-sized today and keys-sized at 100 TB — the
-      // cumulative-revenue scan must never sort it through one task
+      // cumulative-revenue scan must never sort it through one task.
+      // The grand-total denominator rides the offsets broadcast
+      // (totalCol) instead of a second pass over the lineitem rollup.
       graft.operators.GlobalRank.inclusivePrefixSum(pr,
-          Seq(col("rev_e4").desc, col("l_partkey")), "rev_e4", "__cum")
-        .crossJoin(broadcast(tot))
+          Seq(col("rev_e4").desc, col("l_partkey")), "rev_e4", "__cum",
+          totalCol = "__total")
         // e3 share: cum·1e3 stays in i64 up to ~9e15 total e4-units
         // (≈ $900B of discounted revenue); beyond that, divide first
         .withColumn("cum_share_e3",

@@ -1455,11 +1455,11 @@ object TextQueries {
       // distributed rank + cumulative share in ONE pass (GlobalRank —
       // no single-task sort of the vocab relation, which at 100 TB of
       // raw text is 10^8-10^9 distinct tokens); the corpus total rides
-      // a broadcast 1-row aggregate
-      val tot = w.agg(sum(col("c")).as("total"))
+      // the offsets broadcast (totalCol) instead of a second pass over
+      // the token aggregation
       graft.operators.GlobalRank.rowNumberAndPrefixSum(w,
-          Seq(col("c").desc, col("word")), "c", "rk", "cum")
-        .crossJoin(broadcast(tot))
+          Seq(col("c").desc, col("word")), "c", "rk", "cum",
+          totalCol = "total")
         .agg(min(when(col("cum") * 100 >= col("total") * 50, col("rk"))).as("r50"),
           min(when(col("cum") * 100 >= col("total") * 90, col("rk"))).as("r90"),
           min(when(col("cum") * 100 >= col("total") * 99, col("rk"))).as("r99"),
