@@ -18,7 +18,17 @@ class GlobalRankSpec extends SparkSpec {
   private def data = spark.range(10007)
     .select($"id", pmod($"id" * 2654435761L, lit(97L)).as("v"))
 
-  test("rowNumber equals the single-partition window row_number across range boundaries") {
+  /** The parity + structural tests exercise the DISTRIBUTED machinery:
+    * force it regardless of input size (the adaptive gate would
+    * otherwise route these rollup-sized fixtures to the plain window
+    * form and the tests would compare a window with itself). */
+  private def forceDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.globalrank.maxSinglePartitionRows", "0")
+    try body
+    finally spark.conf.unset("spark.graft.globalrank.maxSinglePartitionRows")
+  }
+
+  test("rowNumber equals the single-partition window row_number across range boundaries") { forceDistributed {
     val sort = Seq(col("v"), col("id"))
     val got = GlobalRank.rowNumber(data, sort, "rn", numParts = 8)
       .select($"id", $"rn").as[(Long, Long)].collect().toMap
@@ -26,9 +36,9 @@ class GlobalRankSpec extends SparkSpec {
         row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
       .select($"id", $"rn").as[(Long, Long)].collect().toMap
     assert(got == want)
-  }
+  } }
 
-  test("ntile equals the single-partition window ntile (uneven tiles, desc sort, T < n)") {
+  test("ntile equals the single-partition window ntile (uneven tiles, desc sort, T < n)") { forceDistributed {
     for (n <- Seq(5, 10, 32)) {
       val sort = Seq(col("v").desc, col("id"))
       val got = GlobalRank.ntile(data, n, sort, "t", numParts = 8)
@@ -45,9 +55,9 @@ class GlobalRankSpec extends SparkSpec {
     val want = tiny.withColumn("t", ntile(10).over(Window.orderBy("id")))
       .select($"id", $"t").as[(Long, Int)].collect().toMap
     assert(got == want, "T < n must assign one row per tile")
-  }
+  } }
 
-  test("inclusive/exclusive prefix sums equal the window cumulative sums") {
+  test("inclusive/exclusive prefix sums equal the window cumulative sums") { forceDistributed {
     val sort = Seq(col("v").desc, col("id"))
     val w = Window.orderBy(col("v").desc, col("id"))
     val inc = GlobalRank.inclusivePrefixSum(data, sort, "v", "c", numParts = 8)
@@ -62,9 +72,9 @@ class GlobalRankSpec extends SparkSpec {
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"id", $"c").as[(Long, Long)].collect().toMap
     assert(exc == wantExc)
-  }
+  } }
 
-  test("structural pin: the only global window is the per-partition offsets scan (one row per shuffle partition)") {
+  test("structural pin: the only global window is the per-partition offsets scan (one row per shuffle partition)") { forceDistributed {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = GlobalRank.ntile(data, 5, Seq(col("v"), col("id")), "t")
       .queryExecution.optimizedPlan
@@ -80,5 +90,57 @@ class GlobalRankSpec extends SparkSpec {
     val partitioned = plan.collect {
       case w: LWindow if w.partitionSpec.nonEmpty => w }
     assert(partitioned.nonEmpty, "the rank window must be partitioned")
+  } }
+
+  test("adaptive dispatch: a small input takes the single-partition window form and matches it; the conf gate flips the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // default gate (2^20): 10007 rows take the window form — no range
+    // exchange, no __gr_ internals in the plan
+    val small = GlobalRank.ntile(data, 5, Seq(col("v"), col("id")), "t")
+    val smallPlan = small.queryExecution.optimizedPlan
+    assert(smallPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty,
+      "small path must plan the single-partition window")
+    assert(!small.queryExecution.executedPlan.toString.contains("__gr_pid"),
+      "small path must not build the distributed machinery")
+    val got = small.select($"id", $"t").as[(Long, Int)].collect().toMap
+    val want = data.withColumn("t",
+        ntile(5).over(Window.orderBy(col("v"), col("id"))))
+      .select($"id", $"t").as[(Long, Int)].collect().toMap
+    assert(got == want, "small path must equal the window form")
+    // gate at 0: the same input plans the distributed machinery
+    val big = forceDistributed {
+      GlobalRank.ntile(data, 5, Seq(col("v"), col("id")), "t")
+    }
+    assert(big.queryExecution.executedPlan.toString.contains("__gr_pid"),
+      "a 0 gate must force the distributed plan")
+    val gotBig = big.select($"id", $"t").as[(Long, Int)].collect().toMap
+    assert(gotBig == want, "both paths must agree")
+  }
+
+  test("adaptive dispatch: rowNumber and prefix-sum small paths match the window forms (types included)") {
+    val sort = Seq(col("v").desc, col("id"))
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val rn = GlobalRank.rowNumber(data, sort, "rn")
+    assert(rn.schema("rn").dataType.typeName == "long")
+    assert(rn.select($"id", $"rn").as[(Long, Long)].collect().toMap ==
+      data.withColumn("rn", row_number().over(w).cast("long"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap)
+    val inc = GlobalRank.inclusivePrefixSum(data, sort, "v", "c",
+      totalCol = "tot")
+    val incRows = inc.select($"id", $"c", $"tot")
+      .as[(Long, Long, Long)].collect()
+    val wantC = data.withColumn("c", sum($"v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"c").as[(Long, Long)].collect().toMap
+    val totalV = data.agg(sum($"v")).as[Long].head()
+    assert(incRows.map(r => (r._1, r._2)).toMap == wantC)
+    assert(incRows.forall(_._3 == totalV), "totalCol must carry the grand total")
+    val both = GlobalRank.rowNumberAndPrefixSum(data, sort, "v", "rn", "c",
+      totalCol = "tot")
+    val bothRows = both.select($"id", $"rn", $"c", $"tot")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bothRows.map(r => (r._1, r._3)).toMap == wantC)
+    assert(bothRows.forall(_._4 == totalV))
   }
 }

@@ -76,9 +76,13 @@ class MixStreaksLpaSpec extends SparkSpec {
     assert(out.contains((3L, 4L))) // beta ~ betb, adjacent in sort
     assert(!out.exists(p => p._1 == 5L || p._2 == 5L)) // zzzzz links to nothing
     // the rank comes from the distributed pid-stamped prefix sum (the
-    // scale contract), not a naive global row_number over the data
-    val plan = Reconcile.sortedNeighborhoodPairs(names, "id", "nm", 3, 2)
-      .queryExecution.executedPlan.toString
+    // scale contract) when the input exceeds GlobalRank's size gate —
+    // force the gate to 0 to pin the at-scale plan (the 5-row fixture
+    // would otherwise take the bit-identical window form)
+    spark.conf.set("spark.graft.globalrank.maxSinglePartitionRows", "0")
+    val plan = try Reconcile.sortedNeighborhoodPairs(names, "id", "nm", 3, 2)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.globalrank.maxSinglePartitionRows")
     assert(plan.contains("__gr_pid"),
       "rank must come from the pid-partitioned prefix sum (GlobalRank)")
   }

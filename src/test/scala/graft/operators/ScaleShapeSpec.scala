@@ -240,8 +240,12 @@ class ScaleShapeSpec extends SparkSpec {
 
   test("rankAuc: prefix ranks come from the distributed range scan, not a global window") {
     val df = (1L to 5000L).map(i => (i % 997, i % 3 == 0)).toDF("score", "pos")
-    val out = Stats.rankAuc(df, "score", "pos")
-    val p = out.queryExecution.executedPlan.toString
+    // force GlobalRank's distributed path: the 997-row rollup fixture
+    // would take the bit-identical window form under the default gate
+    spark.conf.set("spark.graft.globalrank.maxSinglePartitionRows", "0")
+    val p = try Stats.rankAuc(df, "score", "pos")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.globalrank.maxSinglePartitionRows")
     assert(p.contains("rangepartitioning"),
       s"expected repartitionByRange prefix machinery:\n$p")
     // every window in the plan must carry a partition key (__pid) — a

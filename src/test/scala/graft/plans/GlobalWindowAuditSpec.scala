@@ -24,12 +24,18 @@ class GlobalWindowAuditSpec extends SparkSpec {
 
   /** query → the bound that makes its global window(s) safe.
     *
-    * "offsets scan" = graft.operators.GlobalRank's per-partition
-    * offsets relation: ONE row per shuffle partition (metadata-scale
-    * by construction — the global window a distributed rank/prefix-sum
-    * keeps is over ≤ spark.sql.shuffle.partitions rows, whatever the
-    * data size). The data-sized rank itself is partitioned by __pid;
-    * GlobalRankSpec pins that structure. The other bounds are
+    * "GlobalRank" entries are SIZE-GATED: GlobalRank measures its
+    * input (persist + count) and takes the single-partition window
+    * form only when the count is at or below
+    * spark.graft.globalrank.maxSinglePartitionRows (default 2^20) —
+    * so the global window these queries plan at this spec's scale is
+    * bounded by a runtime gate, and a corpus-sized input switches to
+    * the distributed machinery whose only global window is the
+    * per-partition offsets relation: ONE row per shuffle partition
+    * (metadata-scale by construction — ≤ spark.sql.shuffle.partitions
+    * rows, whatever the data size). The data-sized rank there is
+    * partitioned by __pid; GlobalRankSpec pins both paths and their
+    * bit-equality. The other bounds are
     * post-rollup grains: days/months (calendar-sized), deciles
     * (10 rows), sources (enum-sized), k seed rows (limit k feeds the
     * window), distinct-x maxima (Skyline's documented bounded-axis

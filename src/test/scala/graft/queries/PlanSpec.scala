@@ -156,8 +156,15 @@ class PlanSpec extends SparkSpec {
       s"doc-by-doc comparison leaked into the plan:\n$p")
   }
 
-  test("q66: packing windows are per-partition, offsets broadcast") {
-    val p = planOf("q66_pack_sequences")
+  test("q66: packing windows are per-partition, offsets broadcast (distributed path forced)") {
+    // GlobalRank's size gate would route the sf0.001 fixture to the
+    // single-partition window form (bit-identical, audited in
+    // GlobalWindowAuditSpec); pin the at-scale DISTRIBUTED shape by
+    // forcing the gate to 0 — this is the plan a corpus-sized input
+    // takes.
+    spark.conf.set("spark.graft.globalrank.maxSinglePartitionRows", "0")
+    val p = try planOf("q66_pack_sequences")
+      finally spark.conf.unset("spark.graft.globalrank.maxSinglePartitionRows")
     // the per-partition running sum must be partitioned by __pid, and the
     // only global (empty-partition-spec) window may run over the tiny
     // per-partition offsets relation, never the corpus
