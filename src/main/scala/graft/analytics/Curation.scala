@@ -148,8 +148,8 @@ object Curation {
     * The result is independent of where the range boundaries fall:
     * local cumsum + the sum of everything in earlier ranges is the
     * global prefix sum under any partitioning of a total order.
-    * `orderCol` values must be unique — ties make the prefix order
-    * (and thus the result) undefined. */
+    * `orderCol` must give a TOTAL order (unique values) — with ties the
+    * prefix order (and thus the result) is undefined. */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          resultCol: String, numParts: Int = 0): DataFrame =
     // generalized in round 14 to graft.operators.GlobalRank (multi-

@@ -801,11 +801,12 @@ object Events {
       .select(col("custkey"),
         datediff(col("__mdate"), col("__last")).cast("long").as("r_days"),
         col("f_orders"), col("m_cents"))
-    val g = graft.operators.GlobalRank
-    val sc = g.ntile(g.ntile(g.ntile(base,
-        5, Seq(col("r_days"), col("custkey")), "__rq"),
-        5, Seq(col("f_orders"), col("custkey")), "__fq"),
-        5, Seq(col("m_cents"), col("custkey")), "__mq")
+    // one dispatch for all three quintiles (GlobalRank.ntiles) — the
+    // nested form paid the persist+count dispatch per nesting level
+    val sc = graft.operators.GlobalRank.ntiles(base, 5, Seq(
+        (Seq(col("r_days"), col("custkey")), "__rq"),
+        (Seq(col("f_orders"), col("custkey")), "__fq"),
+        (Seq(col("m_cents"), col("custkey")), "__mq")))
       .withColumn("r_score", (lit(6L) - col("__rq")).cast("long"))
       .withColumn("f_score", col("__fq").cast("long"))
       .withColumn("m_score", col("__mq").cast("long"))

@@ -999,31 +999,44 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("__term"))
       .groupBy("__blk", "__id", "__term").agg(count(lit(1)).as("__tf"))
     val nd = tf.agg(count_distinct(col("__id")).as("__nd"))
-    val dft = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    // each distinct term gets a dense bigint dictionary id (exact — a
+    // distributed row_number over the vocab, no hash, no collisions):
+    // every downstream join key and every per-pair sparse vector then
+    // moves 8-byte ids instead of term strings (guide §2.3 — shuffle
+    // keys and metadata, not payloads; round 15 measured the pair-join
+    // phases dominating this operator with string-keyed vectors)
+    val dft = graft.operators.GlobalRank.rowNumber(
+      tf.groupBy("__term").agg(count(lit(1)).as("__df")),
+      Seq(col("__term")), "__tid")
     val w = tf.join(dft, Seq("__term"))
       .crossJoin(broadcast(nd))
       .filter(col("__df") < col("__nd"))
-      .select(col("__blk"), col("__id"), col("__term"),
+      .select(col("__blk"), col("__id"), col("__tid"),
         (col("__tf") * expr(
           "CAST(floor(1000 * ln(CAST(__nd AS DOUBLE) / __df) + 0.5) AS BIGINT)"))
           .as("__wl"),
         (col("__df") <= maxDocFreq).as("__kept"))
-      .withColumn("__w", col("__wl").cast(D))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // norms stay DECIMAL (a Σw² overflows a long past ~1e5-term docs);
+    // dots are long-safe (see the headroom note — phase 2's merge-scan
+    // dot is long already, and the capped dot is ≤ the full dot)
     val zero = lit(0).cast(D)
     val norm = w.groupBy(col("__id"))
-      .agg(sum(expr("__w * __w")).as("__n2"),
-        sum(when(!col("__kept"), expr("__w * __w")).otherwise(zero)).as("__n2d"))
+      .agg(sum(expr("CAST(__wl AS DECIMAL(38,0)) * __wl")).as("__n2"),
+        sum(when(!col("__kept"), expr("CAST(__wl AS DECIMAL(38,0)) * __wl"))
+          .otherwise(zero)).as("__n2d"))
     // Phase 1a: capped dot + integer Cauchy-Schwarz candidate bound.
+    // The self-join shuffles (blk, tid, id, wl) — longs end to end.
     val wk = w.filter(col("__kept"))
-    val dotK = wk.select(col("__blk"), col("__term"),
-        col("__id").as("id_a"), col("__w").as("__wa"))
-      .join(wk.select(col("__blk"), col("__term"),
-        col("__id").as("id_b"), col("__w").as("__wb"))
-        .hint("shuffle_hash"), Seq("__blk", "__term"))
+    val dotK = wk.select(col("__blk"), col("__tid"),
+        col("__id").as("id_a"), col("__wl").as("__wa"))
+      .join(wk.select(col("__blk"), col("__tid"),
+        col("__id").as("id_b"), col("__wl").as("__wb"))
+        .hint("shuffle_hash"), Seq("__blk", "__tid"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(sum(expr("__wa * __wb")).as("__dotk"))
+      .agg(sum(expr("__wa * __wb")).as("__dotkl"))
+      .withColumn("__dotk", col("__dotkl").cast(D))
     val cand1 = dotK
       .join(norm.select(col("__id").as("id_a"), col("__n2").as("__na"),
         col("__n2d").as("__nda")), Seq("id_a"))
@@ -1084,10 +1097,10 @@ object TextAnalysis {
     // bounds from the note above — far inside 2^63; the Decimal cast
     // happens after the scan, for the squared threshold compare only.
     val vecs = w.groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__term"), col("__wl"))))
+      .agg(sort_array(collect_list(struct(col("__tid"), col("__wl"))))
         .as("__v"))
       .select(col("__id"),
-        transform(col("__v"), e => e.getField("__term")).as("__ts"),
+        transform(col("__v"), e => e.getField("__tid")).as("__ts"),
         transform(col("__v"), e => e.getField("__wl")).as("__ws"))
     val dot = cand
       .join(vecs.select(col("__id").as("id_a"), col("__ts").as("__tsa"),

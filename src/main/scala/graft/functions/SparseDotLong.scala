@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Native codegen'd SPARSE integer dot product:
   * `sparse_dot_long(termsA, weightsA, termsB, weightsB)` where each
   * side is a pair of parallel arrays — terms sorted ascending (binary
-  * UTF8 order, i.e. what `sort_array` produces) with no duplicates,
+  * UTF8 order for string terms, numeric order for bigint dictionary
+  * ids; both are what `sort_array` produces) with no duplicates,
   * weights aligned by index. Returns Σ wA[i]·wB[j] over matching
   * terms via a single linear merge scan.
   *
@@ -46,9 +47,18 @@ case class SparseDotLong(tA: Expression, wA: Expression,
   override def third: Expression = tB
   override def fourth: Expression = wB
 
+  /** True when term keys are bigint ids (the narrow round-15 path:
+    * tfIdfCosinePairs ships 8-byte dictionary ids instead of term
+    * strings through the pair joins — guide §2.3); false for the
+    * original UTF8-bytes term path. Both sides must agree. */
+  private def longKeyed: Boolean = tA.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def terms(dt: DataType) = dt match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => true
       case _ => false
     }
     def weights(dt: DataType) = dt match {
@@ -56,10 +66,11 @@ case class SparseDotLong(tA: Expression, wA: Expression,
       case _ => false
     }
     if (terms(tA.dataType) && weights(wA.dataType)
-        && terms(tB.dataType) && weights(wB.dataType))
+        && tB.dataType == tA.dataType && weights(wB.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "sparse_dot_long requires (array<string>, array<bigint>) × 2, got " +
+      "sparse_dot_long requires (array<string> | array<bigint> terms — " +
+        "both sides the same — , array<bigint> weights) × 2, got " +
         children.map(_.dataType.simpleString).mkString(", "))
   }
 
@@ -78,11 +89,20 @@ case class SparseDotLong(tA: Expression, wA: Expression,
     var ia = 0
     var ib = 0
     var s = 0L
-    while (ia < na && ib < nb) {
-      val cmp = ta.getUTF8String(ia).compareTo(tb.getUTF8String(ib))
-      if (cmp < 0) ia += 1
-      else if (cmp > 0) ib += 1
-      else { s += wa.getLong(ia) * wb.getLong(ib); ia += 1; ib += 1 }
+    if (longKeyed) {
+      while (ia < na && ib < nb) {
+        val cmp = java.lang.Long.compare(ta.getLong(ia), tb.getLong(ib))
+        if (cmp < 0) ia += 1
+        else if (cmp > 0) ib += 1
+        else { s += wa.getLong(ia) * wb.getLong(ib); ia += 1; ib += 1 }
+      }
+    } else {
+      while (ia < na && ib < nb) {
+        val cmp = ta.getUTF8String(ia).compareTo(tb.getUTF8String(ib))
+        if (cmp < 0) ia += 1
+        else if (cmp > 0) ib += 1
+        else { s += wa.getLong(ia) * wb.getLong(ib); ia += 1; ib += 1 }
+      }
     }
     s
   }
@@ -96,6 +116,10 @@ case class SparseDotLong(tA: Expression, wA: Expression,
       val ib = ctx.freshName("ib")
       val s = ctx.freshName("s")
       val cmp = ctx.freshName("cmp")
+      val compare =
+        if (longKeyed)
+          s"java.lang.Long.compare($ta.getLong($ia), $tb.getLong($ib))"
+        else s"$ta.getUTF8String($ia).compareTo($tb.getUTF8String($ib))"
       s"""
          |graft.functions.SparseDotLong.requireAligned(
          |  $ta.numElements(), $wa.numElements(),
@@ -104,7 +128,7 @@ case class SparseDotLong(tA: Expression, wA: Expression,
          |int $nb = $tb.numElements();
          |int $ia = 0; int $ib = 0; long $s = 0L;
          |while ($ia < $na && $ib < $nb) {
-         |  int $cmp = $ta.getUTF8String($ia).compareTo($tb.getUTF8String($ib));
+         |  int $cmp = $compare;
          |  if ($cmp < 0) { $ia++; }
          |  else if ($cmp > 0) { $ib++; }
          |  else { $s += $wa.getLong($ia) * $wb.getLong($ib); $ia++; $ib++; }

@@ -44,24 +44,41 @@ import org.apache.spark.sql.functions._
   * sized), not facts, so the footprint is the small side.
   *
   * SIZE-ADAPTIVE DISPATCH (optimization guide §2 — derive partitioning
-  * from measured input size, not a constant): every public form first
-  * persists its input and counts it. At or below
-  * `spark.graft.globalrank.maxSinglePartitionRows` (default 2^20; 0
-  * disables the small path) it returns the plain single-partition
-  * window — bit-identical by GlobalRankSpec's parity pins, and 5-15×
-  * cheaper on rollup-sized inputs because the range-sampling pass, the
-  * range exchange, and the offsets broadcast all disappear (measured:
-  * q266 RFM 2.68 s distributed vs 0.17 s windowed at sf0.1; q191
-  * 2.66 vs 0.31; q295 1.89 vs 0.31). Past the bound the distributed
-  * machinery runs, and the SAME persisted input now feeds both the
-  * range-boundary sampling and the shuffle — one upstream pass where
-  * the unpersisted form paid two. The threshold is a genuine scale
-  * gate, not a local tuning: one task sorting ≤ 2^20 rollup rows
-  * (~tens of MB) is sub-second on any executor, while a 100 TB
-  * customer rollup (10^8-10^9 rows) exceeds it and takes the
-  * distributed plan. The measured count is the gate, so the choice is
-  * made per relation per run — exactly AQE's philosophy applied one
-  * level up.
+  * from measured input size, not a constant), two stages:
+  *
+  *  1. STATS PRE-GATE (round 15, zero-cost): if the optimizer's size
+  *     estimate (`optimizedPlan.stats.sizeInBytes`, rooted in actual
+  *     file bytes at the scans) is at or below
+  *     `spark.graft.globalrank.maxSinglePartitionBytes` (default 2^26;
+  *     0 disables), return the plain single-partition window form with
+  *     NO persist and NO counting job — the exact pre-round-14 plan.
+  *     This is safe because Spark's size-only stats propagation never
+  *     shrinks an estimate below the scanned bytes except by column-
+  *     width ratios, LIMIT and SAMPLE (Filter, Aggregate and Join keep
+  *     or grow their child's size): an estimate ≤ 64 MB can only arise
+  *     when every scan feeding the relation is itself tiny — at 100 TB
+  *     the estimate is TB-scale and the pre-gate never fires. Round 14
+  *     paid a persist + count() job per public call for the dispatch
+  *     alone, 3× for nested ntile callers — measured +0.45-0.77 s per
+  *     query at sf0.1 (q266 0.17→0.77, q191 0.30→1.07), pure fixed
+  *     overhead at any scale where the small path wins.
+  *  2. MEASURED COUNT GATE: past the pre-gate, the input is persisted
+  *     and counted. At or below
+  *     `spark.graft.globalrank.maxSinglePartitionRows` (default 2^20;
+  *     0 disables the small path entirely, pre-gate included) the
+  *     single-partition window runs over the persisted input —
+  *     bit-identical by GlobalRankSpec's parity pins. Past the bound
+  *     the distributed machinery runs, and the SAME persisted input
+  *     feeds both the range-boundary sampling and the shuffle — one
+  *     upstream pass where the unpersisted form paid two.
+  *
+  * Both thresholds are genuine scale gates, not local tuning: one task
+  * sorting ≤ 2^20 rollup rows (~tens of MB) is sub-second on any
+  * executor, while a 100 TB customer rollup (10^8-10^9 rows) exceeds
+  * both gates and takes the distributed plan. Multi-ranking callers
+  * (RFM quintiles, decile migration) should use [[ntiles]], which
+  * dispatches ONCE for all k rankings instead of re-persisting and
+  * re-counting per nested call.
   *
   * Cache discipline: the persisted input (and, on the distributed
   * path, the pid-stamped shuffle) stay cached for the caller's action;
@@ -76,6 +93,22 @@ object GlobalRank {
     df.sparkSession.conf
       .get("spark.graft.globalrank.maxSinglePartitionRows", (1L << 20).toString)
       .toLong
+
+  /** Zero-cost stats pre-gate (dispatch stage 1, see the class doc):
+    * true when the optimizer's size estimate — rooted in real file
+    * bytes at the scans, and never shrunk below them by the size-only
+    * propagation rules except via width ratios / LIMIT / SAMPLE — says
+    * the relation is comfortably one-task-sortable. Disabled whenever
+    * the row gate is 0 (the specs' force-distributed switch must win)
+    * or the bytes gate is set to 0. */
+  private def statsSmall(df: DataFrame): Boolean = {
+    if (smallLimit(df) <= 0) return false
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.globalrank.maxSinglePartitionBytes",
+        (1L << 26).toString).toLong
+    maxBytes > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
+  }
 
   /** Persist the input and measure it: the count both drives the
     * dispatch and pins ONE materialization that every downstream
@@ -124,10 +157,12 @@ object GlobalRank {
   def rowNumber(df: DataFrame, sortExprs: Seq[Column], resultCol: String,
                 numParts: Int = 0): DataFrame = {
     checkReserved(df, resultCol)
-    val (p0, n) = pinned(df)
-    if (n <= smallLimit(df))
-      p0.withColumn(resultCol,
+    def small(base: DataFrame): DataFrame =
+      base.withColumn(resultCol,
         row_number().over(Window.orderBy(sortExprs: _*)).cast("long"))
+    if (statsSmall(df)) return small(df)
+    val (p0, n) = pinned(df)
+    if (n <= smallLimit(df)) small(p0)
     else rowNumberImpl(p0, sortExprs, resultCol, numParts)
   }
 
@@ -156,11 +191,44 @@ object GlobalRank {
             resultCol: String, numParts: Int = 0): DataFrame = {
     require(n >= 1, s"ntile requires n >= 1, got $n")
     checkReserved(df, resultCol)
+    if (statsSmall(df)) return windowNtile(df, n, sortExprs, resultCol)
     val (p0, cnt) = pinned(df)
-    if (cnt <= smallLimit(df))
-      return p0.withColumn(resultCol,
-        org.apache.spark.sql.functions.ntile(n)
-          .over(Window.orderBy(sortExprs: _*)))
+    if (cnt <= smallLimit(df)) windowNtile(p0, n, sortExprs, resultCol)
+    else ntileImpl(p0, n, sortExprs, resultCol, numParts)
+  }
+
+  /** k exact global ntiles off ONE dispatch — the RFM/decile shape
+    * (`sorts` = (sortExprs, resultCol) per ranking, all over the same
+    * base). Identical output to nesting [[ntile]] k times, but the
+    * input is stats-checked / persisted / counted ONCE instead of per
+    * nesting level (round 14 measured the nested form paying the
+    * persist+count dispatch 3× per RFM query). On the distributed path
+    * each ranking still pays its own range shuffle (the sort orders
+    * differ — that shuffle is the operator's inherent cost), all off
+    * the same pinned base. */
+  def ntiles(df: DataFrame, n: Int, sorts: Seq[(Seq[Column], String)],
+             numParts: Int = 0): DataFrame = {
+    require(n >= 1, s"ntile requires n >= 1, got $n")
+    require(sorts.nonEmpty, "ntiles requires at least one ranking")
+    checkReserved(df, sorts.map(_._2): _*)
+    def allSmall(base: DataFrame): DataFrame =
+      sorts.foldLeft(base) { case (acc, (se, rc)) =>
+        windowNtile(acc, n, se, rc) }
+    if (statsSmall(df)) return allSmall(df)
+    val (p0, cnt) = pinned(df)
+    if (cnt <= smallLimit(df)) allSmall(p0)
+    else sorts.foldLeft(p0) { case (acc, (se, rc)) =>
+      ntileImpl(acc, n, se, rc, numParts) }
+  }
+
+  private def windowNtile(df: DataFrame, n: Int, sortExprs: Seq[Column],
+                          resultCol: String): DataFrame =
+    df.withColumn(resultCol,
+      org.apache.spark.sql.functions.ntile(n)
+        .over(Window.orderBy(sortExprs: _*)))
+
+  private def ntileImpl(p0: DataFrame, n: Int, sortExprs: Seq[Column],
+                        resultCol: String, numParts: Int): DataFrame = {
     val p = parted(p0, sortExprs, numParts)
     val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
     // offsets + total off one tiny aggregate: __gr_off = rows in
@@ -203,15 +271,17 @@ object GlobalRank {
                          valueCol: String, resultCol: String,
                          numParts: Int = 0, totalCol: String = ""): DataFrame = {
     checkReserved(df, Seq(resultCol) ++ Option(totalCol).filter(_.nonEmpty): _*)
-    val (p0, cnt) = pinned(df)
-    if (cnt <= smallLimit(df)) {
+    def small(base: DataFrame): DataFrame = {
       val ws = Window.orderBy(sortExprs: _*)
-      val withCum = p0.withColumn(resultCol, sum(col(valueCol)).over(
+      val withCum = base.withColumn(resultCol, sum(col(valueCol)).over(
         ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      return if (totalCol.isEmpty) withCum
-        else withCum.withColumn(totalCol, sum(col(valueCol)).over(
-          ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      if (totalCol.isEmpty) withCum
+      else withCum.withColumn(totalCol, sum(col(valueCol)).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     }
+    if (statsSmall(df)) return small(df)
+    val (p0, cnt) = pinned(df)
+    if (cnt <= smallLimit(df)) return small(p0)
     val p = parted(p0, sortExprs, numParts)
     val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -250,17 +320,19 @@ object GlobalRank {
                             totalCol: String = ""): DataFrame = {
     checkReserved(df, Seq(rnCol, sumCol)
       ++ Option(totalCol).filter(_.nonEmpty): _*)
-    val (p0, cnt) = pinned(df)
-    if (cnt <= smallLimit(df)) {
+    def small(base: DataFrame): DataFrame = {
       val ws = Window.orderBy(sortExprs: _*)
-      val withBoth = p0
+      val withBoth = base
         .withColumn(rnCol, row_number().over(ws).cast("long"))
         .withColumn(sumCol, sum(col(valueCol)).over(
           ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      return if (totalCol.isEmpty) withBoth
-        else withBoth.withColumn(totalCol, sum(col(valueCol)).over(
-          ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      if (totalCol.isEmpty) withBoth
+      else withBoth.withColumn(totalCol, sum(col(valueCol)).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     }
+    if (statsSmall(df)) return small(df)
+    val (p0, cnt) = pinned(df)
+    if (cnt <= smallLimit(df)) return small(p0)
     val p = parted(p0, sortExprs, numParts)
     val w = Window.partitionBy("__gr_pid").orderBy(sortExprs: _*)
     val woAll = Window.orderBy("__gr_pid")

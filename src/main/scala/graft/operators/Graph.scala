@@ -9,6 +9,66 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** MEASURED, DEFERRED co-partition gate for the iterative operators
+    * (guide §2.4, round 15). Past the gate, the cached edge relation is
+    * re-laid-out by its per-iteration join key ONCE — hash-partition +
+    * sort + persist — so no remaining round's join re-shuffles or
+    * re-sorts it: the scale-defining fix for iterative joins where the
+    * rank/label side is too large to broadcast. Below the gate the
+    * re-layout is counter-productive and is skipped: AQE broadcasts the
+    * node-sized side and streams the edge list straight from cache, so
+    * a forced repartition+sort only adds an exchange, a sort and a
+    * wider cache (measured at sf0.1: pageRank rounds 1.1-2.0 s simple
+    * vs 1.5-3.3 s force-partitioned).
+    *
+    * HOW THE GATE MEASURES AT ZERO COST: the decision is deferred to
+    * just after round 1 — which materializes the persisted edge
+    * relation anyway — and the row count is read from the
+    * InMemoryRelation's accumulated statistics ([[materializedRows]]),
+    * never from an extra count() job (an up-front count was tried and
+    * measured +1-2 s per query at sf0.1; a plan-stats estimate gate was
+    * also tried and rejected — these edge lists sit above joins, whose
+    * size-only estimates are side PRODUCTS, TB-scale at sf0.1, so the
+    * estimate mis-fired on every registered caller).
+    * `spark.graft.graph.copartitionMinEdges` (default 2^21 directed
+    * rows ≈ the point where the node-sized rank relation stops fitting
+    * a broadcast; 0 forces the re-layout — the plan-evidence/spec
+    * switch) tunes it. */
+  private def copartitionMinEdges(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.graph.copartitionMinEdges", (1L << 21).toString)
+      .toLong
+
+  /** Row count of a MATERIALIZED cached relation, read from the
+    * InMemoryRelation statistics the cache build accumulated — no job
+    * runs. None when the relation is not cached or not yet
+    * materialized; callers then keep the simple shape (always
+    * correct, just unoptimized past broadcast scale). */
+  private def materializedRows(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    df.where(lit(true)).queryExecution.optimizedPlan.collectFirst {
+      case r: InMemoryRelation => r.stats.rowCount.map(_.toLong)
+    }.flatten
+  }
+
+  private def shouldRelayout(cached: DataFrame): Boolean = {
+    val gate = copartitionMinEdges(cached)
+    gate == 0L || materializedRows(cached).exists(_ >= gate)
+  }
+
+  /** One-time re-layout of a materialized cached relation by the loop
+    * join key: one exchange + sort now, zero per-round exchanges and
+    * sorts for every remaining iteration. Replaces (and releases) the
+    * plain cache. */
+  private def relayout(cached: DataFrame, key: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = cached.repartition(col(key)).sortWithinPartitions(key)
+      .persist(lvl)
+    d.count()
+    cached.unpersist()
+    d
+  }
+
   /** PageRank in EXACT fixed-point arithmetic: ranks are integer
     * 1e-12 units (`rank_e12`), every step is integer division —
     *   r'(v) = (0.15·10¹²) div N  +  (85 · Σ_{u→v} r(u) div deg(u)) div 100
@@ -37,10 +97,17 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the raw edge projection feeds FOUR subtrees (both sides of the
+    // degree join, both arms of the node union) — persist it through
+    // the setup phase or an expensive upstream (a join + distinct in
+    // the registered callers) is recomputed once per subtree; released
+    // right after round 1 so its blocks don't pressure the later
+    // rounds' GC
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist(lvl)
     // degree is folded into the edge list ONCE, so each iteration is a
     // single join — not a (rank ⋈ edges ⋈ deg) three-way
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val eDeg = e
+    var eDeg = e
       .join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
       .persist(lvl)
     val nodes = e.select(col("__src").as("node"))
@@ -56,7 +123,7 @@ object Graph {
     var rank = nodesN
       .select(col("node"), expr("1000000000000L DIV __n").as("rank_e12"))
       .persist(lvl)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = rank
         .join(eDeg, rank("node") === eDeg("__src"))
         .select(col("__dst").as("node"), expr("rank_e12 DIV __deg").as("__c"))
@@ -67,6 +134,15 @@ object Graph {
           (teleport + expr("85L * coalesce(__in, 0L) DIV 100")).as("rank_e12"))
         .persist(lvl)
       next.count() // materialize before releasing the parent
+      if (i == 1) {
+        // round 1 materialized every setup cache: release the raw edge
+        // projection and node set (their consumers are all cached), and
+        // apply the deferred measured co-partition gate (class doc) so
+        // rounds 2..n never re-shuffle/re-sort the edge relation at scale
+        e.unpersist()
+        nodes.unpersist()
+        if (iters > 1 && shouldRelayout(eDeg)) eDeg = relayout(eDeg, "__src")
+      }
       rank.unpersist()
       rank = next
     }
@@ -74,7 +150,6 @@ object Graph {
     // itself stays persisted for the caller's action (session cache
     // hygiene — Verify/Bench clearCache — releases it after).
     eDeg.unpersist()
-    nodes.unpersist()
     nodesN.unpersist()
     rank.select(col("node"), col("rank_e12"))
   }
@@ -97,10 +172,18 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct().persist(lvl)
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
+    // each round joins the edge list on __src (auth step) and on __dst
+    // (hub step): past the deferred MEASURED gate (class doc — applied
+    // after round 1's materialization, no extra job), co-partition +
+    // sort ONE cached copy per orientation (guide §2.4) so no later
+    // round's join re-exchanges or re-sorts the edge relation
+    var eSrc = e0
+    var eDst = e0
+    var relaid = false
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst")))
       .distinct().persist(lvl)
     def normalize(raw: DataFrame, valCol: String): DataFrame = {
       val total = raw.agg(sum(col(valCol)).as("__t"))
@@ -110,7 +193,7 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val prevHub = hub
       val prevAuth = auth
       // auth is persisted but NOT counted: the hub action below computes
@@ -118,14 +201,25 @@ object Graph {
       // pageRank shape) — a separate auth.count() would be a second
       // materializing action doing the same work.
       auth = normalize(
-        hub.join(e, hub("node") === e("__src"))
+        hub.join(eSrc, hub("node") === eSrc("__src"))
           .groupBy(col("__dst").as("node")).agg(sum("h").as("a")), "a")
         .persist(lvl)
       val nextHub = normalize(
-        auth.join(e, auth("node") === e("__dst"))
+        auth.join(eDst, auth("node") === eDst("__dst"))
           .groupBy(col("__src").as("node")).agg(sum("a").as("h")), "h")
         .persist(lvl)
       nextHub.count() // materializes auth AND hub before releasing parents
+      if (i == 1 && iters > 1 && shouldRelayout(e0)) {
+        relaid = true
+        val s = e0.repartition(col("__src"))
+          .sortWithinPartitions("__src").persist(lvl)
+        s.count()
+        val d = e0.repartition(col("__dst"))
+          .sortWithinPartitions("__dst").persist(lvl)
+        d.count()
+        eSrc = s
+        eDst = d
+      }
       prevHub.unpersist() // no-op on round 1's unpersisted seed
       if (prevAuth != null) prevAuth.unpersist()
       hub = nextHub
@@ -136,7 +230,12 @@ object Graph {
       .select(col("node"),
         coalesce(col("hub_e6"), lit(0L)).as("hub_e6"),
         coalesce(col("auth_e6"), lit(0L)).as("auth_e6"))
-    e.unpersist()
+    // nodes is only read by the caller's action — materialize it off
+    // the cached e0 BEFORE releasing the edge caches, or that action
+    // would recompute the edge distinct from the raw input
+    nodes.count()
+    e0.unpersist()
+    if (relaid) { eSrc.unpersist(); eDst.unpersist() }
     out
   }
 
@@ -261,8 +360,12 @@ object Graph {
                            seeds: DataFrame, seedCol: String,
                            iters: Int = 5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // same discipline as pageRank (round 15): persist the 4-consumer
+    // edge projection through setup, deferred measured co-partition
+    // gate applied after round 1's materialization
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val eDeg = e
+      .persist(lvl)
+    var eDeg = e
       .join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
       .persist(lvl)
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
@@ -281,7 +384,7 @@ object Graph {
         expr("CASE WHEN __seed = 1 THEN 1000000000000L DIV __ns ELSE 0L END")
           .as("rank_e12"))
       .persist(lvl)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = rank
         .join(eDeg, rank("node") === eDeg("__src"))
         .select(col("__dst").as("node"), expr("rank_e12 DIV __deg").as("__c"))
@@ -292,11 +395,15 @@ object Graph {
           (teleport + expr("85L * coalesce(__in, 0L) DIV 100")).as("rank_e12"))
         .persist(lvl)
       next.count()
+      if (i == 1) {
+        e.unpersist()
+        nodes.unpersist()
+        if (iters > 1 && shouldRelayout(eDeg)) eDeg = relayout(eDeg, "__src")
+      }
       rank.unpersist()
       rank = next
     }
     eDeg.unpersist()
-    nodes.unpersist()
     nodesN.unpersist()
     rank.select(col("node"), col("rank_e12"))
   }
@@ -537,13 +644,18 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // past the deferred MEASURED gate (class doc — applied after round
+    // 1's materialization, no extra job), co-partition + sort by the
+    // per-round join key ONCE (guide §2.4): later rounds' labels ⋈
+    // edges joins then reuse this cached exchange instead of
+    // re-shuffling/re-sorting the edge list
+    var e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .persist(lvl)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst"))).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .persist(lvl)
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       // max of (count, -label) == most-frequent label, ties to SMALLEST
       val next = labels
         .join(e, labels("node") === e("__src"))
@@ -554,6 +666,7 @@ object Graph {
         .select(col("node"), (-col("__w.__nl")).as("label"))
         .persist(lvl)
       next.count()
+      if (i == 1 && rounds > 1 && shouldRelayout(e)) e = relayout(e, "__src")
       labels.unpersist()
       labels = next
     }

@@ -1009,12 +1009,11 @@ object AnalyticsQueries {
           col("freq"), col("mon_cents"))
       // distributed exact ntiles (GlobalRank — bit-identical to the
       // single-partition window, no single-task sort of the
-      // customer-sized rollup)
-      val g = graft.operators.GlobalRank
-      g.ntile(g.ntile(g.ntile(r,
-          5, Seq(col("rec_days").asc, col("o_custkey")), "r_score"),
-          5, Seq(col("freq").desc, col("o_custkey")), "f_score"),
-          5, Seq(col("mon_cents").desc, col("o_custkey")), "m_score")
+      // customer-sized rollup); ntiles dispatches once for all three
+      graft.operators.GlobalRank.ntiles(r, 5, Seq(
+          (Seq(col("rec_days").asc, col("o_custkey")), "r_score"),
+          (Seq(col("freq").desc, col("o_custkey")), "f_score"),
+          (Seq(col("mon_cents").desc, col("o_custkey")), "m_score")))
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
@@ -2798,11 +2797,11 @@ object AnalyticsQueries {
           sum(when(!p1, 1L).otherwise(0L)).as("__n2"))
         .where(col("__n1") > 0 && col("__n2") > 0)
       // distributed exact deciles (GlobalRank): the customer rollup is
-      // keys-sized — never sort it through one WindowExec task
-      val g = graft.operators.GlobalRank
-      g.ntile(g.ntile(r,
-          10, Seq(col("v1"), col("ck")), "__d1"),
-          10, Seq(col("v2"), col("ck")), "__d2")
+      // keys-sized — never sort it through one WindowExec task;
+      // ntiles dispatches once for both decile assignments
+      graft.operators.GlobalRank.ntiles(r, 10, Seq(
+          (Seq(col("v1"), col("ck")), "__d1"),
+          (Seq(col("v2"), col("ck")), "__d2")))
         .select(col("ck"), col("__d1").cast("long").as("d1"),
           col("__d2").cast("long").as("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("n_customers"))

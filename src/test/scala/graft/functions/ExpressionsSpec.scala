@@ -45,6 +45,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == ref && got == Seq(3L * 11 + 5 * 13, 0L, 0L))
   }
 
+  test("SparseDotLong: bigint-keyed variant equals the string-keyed dot under an order-preserving relabeling") {
+    // the round-15 tfIdfCosinePairs path ships dictionary ids instead
+    // of term strings — dot must be invariant under the bijection
+    val terms = Seq("a", "b", "c", "d", "x")
+    val id = terms.zipWithIndex.map { case (t, i) => t -> (i + 10L) }.toMap
+    val rows = Seq(
+      (Seq("a", "c", "d"), Seq(2L, 3L, 5L), Seq("b", "c", "d"), Seq(7L, 11L, 13L)),
+      (Seq("a", "b"), Seq(1L, 2L), Seq("c", "d"), Seq(3L, 4L)),
+      (Seq[String](), Seq[Long](), Seq("x"), Seq(9L)))
+    val str = rows.toDF("ta", "wa", "tb", "wb")
+      .select(SparseDotLong($"ta", $"wa", $"tb", $"wb")).as[Long].collect().toSeq
+    val lng = rows.map { case (ta, wa, tb, wb) =>
+      (ta.map(id), wa, tb.map(id), wb)
+    }.toDF("ta", "wa", "tb", "wb")
+      .select(SparseDotLong($"ta", $"wa", $"tb", $"wb")).as[Long].collect().toSeq
+    assert(lng == str && str == Seq(3L * 11 + 5 * 13, 0L, 0L))
+    // mixed key types must be rejected at analysis
+    intercept[Exception] {
+      rows.map { case (ta, wa, tb, wb) => (ta.map(id), wa, tb, wb) }
+        .toDF("ta", "wa", "tb", "wb")
+        .select(SparseDotLong($"ta", $"wa", $"tb", $"wb")).collect()
+    }
+  }
+
   test("SparseDotLong fails fast on mismatched parallel arrays (no silent truncation)") {
     // user-facing SQL function: a mis-built vector pair must error, not
     // return a plausible wrong dot from the shorter prefix

@@ -118,6 +118,65 @@ class GlobalRankSpec extends SparkSpec {
     assert(gotBig == want, "both paths must agree")
   }
 
+  test("ntiles equals nesting ntile (both paths), off one dispatch") {
+    val sorts = Seq(
+      (Seq(col("v"), col("id")), "a"),
+      (Seq(col("v").desc, col("id")), "b"),
+      (Seq(pmod($"id" * 31L, lit(11L)), col("id")), "c"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"a", $"b", $"c").as[(Long, Int, Int, Int)]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = asMap(sorts.foldLeft(data) { case (acc, (se, rc)) =>
+      acc.withColumn(rc, ntile(7).over(Window.orderBy(se: _*))) })
+    assert(asMap(GlobalRank.ntiles(data, 7, sorts)) == want,
+      "small path must equal the nested window form")
+    val big = forceDistributed {
+      asMap(GlobalRank.ntiles(data, 7, sorts, numParts = 8))
+    }
+    assert(big == want, "distributed path must equal the nested window form")
+  }
+
+  test("stats pre-gate: a provably tiny input takes the window form with no persist and no counting job") {
+    // LocalRelation/range stats are exact and tiny — the pre-gate must
+    // fire, so the returned plan is the PLAIN window over the input:
+    // no InMemoryRelation (no persist), and no count() job ran (jobs
+    // counted via a listener)
+    // earlier tests' pinned persists would otherwise be substituted
+    // into this plan by the CacheManager and read as a false persist
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val out = GlobalRank.ntile(data, 5, Seq(col("v"), col("id")), "t")
+      Thread.sleep(500) // job-start events are delivered async
+      assert(jobs.get() == 0,
+        s"stats pre-gate must not launch a dispatch job (ran ${jobs.get()})")
+      assert(!out.queryExecution.executedPlan.toString.contains("InMemoryRelation")
+          && !out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "pre-gated small path must not persist its input")
+      // the bytes gate alone can be disabled: the measured-count gate
+      // then runs (one persist + count job) and still picks the window form
+      spark.conf.set("spark.graft.globalrank.maxSinglePartitionBytes", "0")
+      try {
+        val out2 = GlobalRank.ntile(data, 5, Seq(col("v"), col("id")), "t")
+        val deadline = System.currentTimeMillis() + 10000
+        while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(jobs.get() > 0,
+          "with the bytes gate off, the measured count gate must run its job")
+        assert(out2.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+          "count-gated small path reads the pinned input")
+      } finally spark.conf.unset("spark.graft.globalrank.maxSinglePartitionBytes")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("adaptive dispatch: rowNumber and prefix-sum small paths match the window forms (types included)") {
     val sort = Seq(col("v").desc, col("id"))
     val w = Window.orderBy(col("v").desc, col("id"))

@@ -31,6 +31,27 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("coPartition gate: forced co-partitioning is bit-identical to the simple shape (pageRank, hits, labelPropagation)") {
+    val pairs = (1 to 60).map(i => (i % 11L, (i * 5) % 11L))
+      .filter(p => p._1 != p._2).distinct
+    val df = pairs.toDF("src", "dst")
+    def all() = (
+      Graph.pageRank(df, "src", "dst", iters = 3)
+        .as[(Long, Long)].collect().toMap,
+      Graph.hits(df, "src", "dst", iters = 2)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap,
+      Graph.labelPropagation(
+          df.union(df.select($"dst", $"src")).distinct(), "src", "dst",
+          rounds = 2)
+        .as[(Long, Long)].collect().toMap)
+    val simple = all()
+    spark.conf.set("spark.graft.graph.copartitionMinEdges", "0")
+    val forced = try all()
+      finally spark.conf.unset("spark.graft.graph.copartitionMinEdges")
+    assert(forced == simple,
+      "the co-partitioned loop shape must not change any result")
+  }
+
   test("triangleStats: K4 and star give textbook censuses") {
     // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, clustering 1.0
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a, b)).toDF("a", "b")
