@@ -223,6 +223,68 @@ object Experiment {
           timed("FULL operator") {
             full.write.format("noop").mode("overwrite").save() }
         }
+      case "pr-iter-plan" =>
+        // evidence for plans/r15: ONE pageRank round's physical plan in
+        // the simple shape (edges below the co-partition gate) vs the
+        // forced co-partitioned shape (gate = 0), with auto-broadcast
+        // disabled so the plans show what happens past broadcast scale
+        // (the regime the re-layout exists for)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val outDir = new java.io.File("/tmp/pr_iter_plans")
+        outDir.mkdirs()
+        Seq(("simple", (1L << 62).toString), ("copartitioned", "0"))
+          .foreach { case (label, gate) =>
+            spark.catalog.clearCache()
+            spark.conf.set("spark.graft.graph.copartitionMinEdges", gate)
+            val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+            val pairs = t("orders")
+              .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+              .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+              .distinct()
+            val sym = pairs.select(explode(array(
+                struct(col("src"), col("dst")),
+                struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+              .select(col("e.src").as("__s"), col("e.dst").as("__d"))
+            // build the loop-invariant relations exactly as pageRank does
+            val e = sym.persist(lvl)
+            val eDeg0 = e
+              .join(e.groupBy("__s").agg(count(lit(1)).as("__deg")), "__s")
+              .persist(lvl)
+            eDeg0.count()
+            val eDeg = if (gate == "0")
+              eDeg0.repartition(col("__s")).sortWithinPartitions("__s")
+                .persist(lvl)
+            else eDeg0
+            eDeg.count()
+            val nodes = e.select(col("__s").as("node"))
+              .union(e.select(col("__d"))).distinct().persist(lvl)
+            val nTotal = nodes.agg(count(lit(1)).as("__n"))
+            val nodesN = nodes.crossJoin(broadcast(nTotal)).persist(lvl)
+            val rank = nodesN
+              .select(col("node"), expr("1000000000000L DIV __n").as("rank_e12"))
+              .persist(lvl)
+            rank.count()
+            val next = nodesN
+              .join(
+                rank.join(eDeg, rank("node") === eDeg("__s"))
+                  .select(col("__d").as("node"),
+                    expr("rank_e12 DIV __deg").as("__c"))
+                  .groupBy("node").agg(sum("__c").as("__in")),
+                Seq("node"), "left")
+              .select(col("node"),
+                expr("150000000000L DIV __n")
+                  + expr("85L * coalesce(__in, 0L) DIV 100"))
+            val txt = next.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"/tmp/pr_iter_plans/$label.txt"),
+              txt.getBytes("UTF-8"))
+            println(s"WROTE $label: " +
+              s"${txt.linesIterator.count(_.contains("Exchange"))} Exchange nodes, " +
+              s"${txt.linesIterator.count(_.contains("Sort "))} Sorts")
+            spark.conf.unset("spark.graft.graph.copartitionMinEdges")
+          }
       case "kmeans" =>
         val e = t("embeddings")
         println("rows=" + e.count())
