@@ -105,10 +105,17 @@ object Graph {
     // rounds' GC
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .persist(lvl)
-    // degree is folded into the edge list ONCE, so each iteration is a
-    // single join — not a (rank ⋈ edges ⋈ deg) three-way
-    var eDeg = e
-      .join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
+    // degree is folded into the edge list ONCE as a PARTITIONED window
+    // count (round 15; replaces the e ⋈ groupBy(e) self-join): one
+    // exchange and one scan of e instead of two scans + a join, and the
+    // result is hash-partitioned AND sorted by the per-round join key
+    // BY CONSTRUCTION at every scale — each iteration's rank ⋈ edges
+    // join reads it from cache with no exchange and no sort (guide
+    // §2.4: two operations keyed the same way share one exchange), so
+    // this relation needs no deferred re-layout
+    val eDeg = e
+      .withColumn("__deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__src")))
       .persist(lvl)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
@@ -136,12 +143,9 @@ object Graph {
       next.count() // materialize before releasing the parent
       if (i == 1) {
         // round 1 materialized every setup cache: release the raw edge
-        // projection and node set (their consumers are all cached), and
-        // apply the deferred measured co-partition gate (class doc) so
-        // rounds 2..n never re-shuffle/re-sort the edge relation at scale
+        // projection and node set (their consumers are all cached)
         e.unpersist()
         nodes.unpersist()
-        if (iters > 1 && shouldRelayout(eDeg)) eDeg = relayout(eDeg, "__src")
       }
       rank.unpersist()
       rank = next
@@ -365,8 +369,11 @@ object Graph {
     // gate applied after round 1's materialization
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .persist(lvl)
-    var eDeg = e
-      .join(e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
+    // partitioned window count, as in pageRank: one exchange, one scan,
+    // cached partitioned + sorted by the loop join key by construction
+    val eDeg = e
+      .withColumn("__deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__src")))
       .persist(lvl)
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
     val nodes = e.select(col("__src").as("node"))
@@ -398,7 +405,6 @@ object Graph {
       if (i == 1) {
         e.unpersist()
         nodes.unpersist()
-        if (iters > 1 && shouldRelayout(eDeg)) eDeg = relayout(eDeg, "__src")
       }
       rank.unpersist()
       rank = next
